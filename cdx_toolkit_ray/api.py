@@ -1,0 +1,167 @@
+"""User-facing API parity surface: CDXFetcher / CaptureObject.
+
+Mirrors the reference's Python API (cocrawler/cdx_toolkit
+cdx_toolkit/__init__.py:208-384: ``CDXFetcher(source=, crawl=,
+cc_sort=, loglevel=)``, ``.get()``, ``.iter()``, ``.get_size_estimate()``,
+and the dict-duck-typed ``CaptureObject`` with lazy ``.content`` /
+``.text`` / ``.fetch_warc_record()`` / ``.is_revisit()``) — but backed
+by local Parquet tables and Ray Data pipelines instead of remote CDX
+HTTP APIs.
+
+The row-wise iterator here is a convenience veneer over
+``Dataset.iter_rows`` for interactive / small use; bulk content work
+should use the distributed ``pipelines.warcout`` stage instead.
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+from collections.abc import MutableMapping
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .planner import normalize_crawl
+from .sources.captures import query_captures, size_estimate
+
+LOGGER = logging.getLogger(__name__)
+
+
+class CaptureObject(MutableMapping):
+    """One capture row, duck-typed as a dict, with lazy content access.
+
+    Parity: cdx_toolkit/__init__.py:90-154. ``content`` resolves via a
+    lookup against the pages table (the sandbox stand-in for a WARC
+    byte-range fetch); ``text`` is the byte-identical
+    ``content.decode('utf-8', errors='replace')``.
+    """
+
+    def __init__(self, data: dict, content_index=None):
+        self.data = data
+        self._content_index = content_index
+        self.warc_record = None
+        self._content = None
+
+    def is_revisit(self) -> bool:
+        return self.data.get("mime") == "warc/revisit"
+
+    def fetch_warc_record(self) -> dict:
+        if self.warc_record is not None:
+            return self.warc_record
+        if self._content_index is None:
+            raise ValueError("no content source configured")
+        url = self.data.get("url")
+        payload = self._content_index.get(url)
+        if payload is None:
+            raise RuntimeError("404: no content for url " + str(url))
+        self.warc_record = {
+            "warc_type": "response",
+            "warc_target_uri": url,
+            "warc_source_uri": self.data.get("filename"),
+            "warc_source_range": "bytes={}-{}".format(
+                self.data.get("offset"),
+                (self.data.get("offset") or 0) + (self.data.get("length") or 0) - 1,
+            ),
+            "payload": payload,
+        }
+        return self.warc_record
+
+    @property
+    def content(self) -> bytes:
+        if self._content is None:
+            self._content = self.fetch_warc_record()["payload"]
+        return self._content
+
+    @property
+    def text(self) -> str:
+        return self.content.decode("utf-8", errors="replace")
+
+    def __getitem__(self, k):
+        return self.data[k]
+
+    def __setitem__(self, k, v):
+        self.data[k] = v
+
+    def __delitem__(self, k):
+        del self.data[k]
+
+    def __iter__(self):
+        return iter(self.data)
+
+    def __len__(self):
+        return len(self.data)
+
+    def __contains__(self, k):
+        return k in self.data
+
+
+class CDXFetcher:
+    """Query-engine facade over a local captures table.
+
+    Args mirror the reference constructor (__init__.py:208-242); the
+    remote-source args are replaced by table paths:
+
+    * ``captures_root`` — hive-partitioned captures table directory
+    * ``pages_path``    — pages Parquet (content lookups)
+    """
+
+    def __init__(self, captures_root: str, pages_path: str | None = None,
+                 source: str = "cc", crawl=None, cc_sort: str = "mixed",
+                 loglevel=None):
+        self.captures_root = captures_root
+        self.pages_path = pages_path
+        self.source = source
+        self.crawl = normalize_crawl(crawl) if crawl else None
+        self.cc_sort = cc_sort
+        self._content_index = None
+        if loglevel:
+            LOGGER.setLevel(loglevel)
+
+    def _index(self):
+        """url -> html bytes lookup, built once (broadcast-side pattern)."""
+        if self._content_index is None and self.pages_path:
+            t = pq.read_table(self.pages_path, columns=["url", "html"])
+            urls = t["url"].to_pylist()
+            htmls = t["html"].to_pylist()
+            # last capture of a url wins, matching on-disk order
+            self._content_index = dict(zip(urls, htmls))
+        return self._content_index
+
+    def _kwargs(self, kwargs):
+        if "crawl" not in kwargs and self.crawl:
+            kwargs["crawl"] = self.crawl
+        elif isinstance(kwargs.get("crawl"), str):
+            kwargs["crawl"] = normalize_crawl([kwargs["crawl"]])
+        if kwargs.get("crawl") is None:
+            kwargs.pop("crawl", None)
+        return kwargs
+
+    def iter(self, url: str | None = None, **kwargs):
+        """Streaming capture iterator (reference .iter parity)."""
+        ds = query_captures(self.captures_root, url=url, source=self.source,
+                            cc_sort=self.cc_sort, **self._kwargs(kwargs))
+        idx = self._index()
+        for row in ds.iter_rows():
+            yield CaptureObject(row, content_index=idx)
+
+    def items(self, url: str | None = None, **kwargs):  # pragma: no cover
+        warnings.warn("items() is an alias of iter()", FutureWarning)
+        return self.iter(url, **kwargs)
+
+    def get(self, url: str | None = None, **kwargs) -> list[CaptureObject]:
+        """One-shot query; applies the reference's default limit=1000."""
+        if "limit" not in kwargs:
+            kwargs["limit"] = 1000
+        return list(self.iter(url, **kwargs))
+
+    def get_size_estimate(self, url: str | None = None, as_pages: bool = False,
+                          **kwargs):
+        return size_estimate(self.captures_root, url=url, source=self.source,
+                             cc_sort=self.cc_sort, as_pages=as_pages,
+                             **self._kwargs(kwargs))
+
+    def dataset(self, url: str | None = None, **kwargs) -> "pa.Table":
+        """The engine-native surface: the lazy Dataset itself."""
+        return query_captures(self.captures_root, url=url, source=self.source,
+                              cc_sort=self.cc_sort, **self._kwargs(kwargs))
