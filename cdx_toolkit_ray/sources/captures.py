@@ -134,6 +134,11 @@ def query_captures(captures_root: str, url: str | None = None,
     closest = kwargs.get("closest")
     filters = kwargs.pop("filter", None)
 
+    # The iteration-order contract (ascending within crawl, crawls
+    # concatenated in cc_sort order) requires deterministic block order
+    # through the union under streaming execution.
+    ray.data.DataContext.get_current().execution_options.preserve_order = True
+
     part_dirs, params = plan_query(captures_root, url=url, source=source,
                                    cc_sort=cc_sort, crawl=crawl, now=now,
                                    **kwargs)
