@@ -1,0 +1,214 @@
+"""The frontier + fetch-scheduler pipeline (the engine's flagship).
+
+north_rule: seeds flow through a streaming Dataset pipeline —
+``map_batches`` SURT canonicalization + hash64, exact first-wins dedup,
+robots filtering, then per-host politeness scheduling under a
+DETERMINISTIC VIRTUAL CLOCK, emitting the global crawl order plus
+per-host counters (fetched / deduped / deferred-for-politeness).
+
+Reference politeness semantics being generalized: one fetch per host
+per ``minimum_interval`` enforced by a per-host next-slot clock
+(cocrawler/cdx_toolkit cdx_toolkit/myrequests.py:23-78; intervals
+0.55/1.0/3.0/6.0 s). Here the clock is virtual — fetch slot ``r`` of a
+host with crawl-delay ``d`` ms happens at ``r*d`` ms — which makes the
+whole schedule a pure function of (seed list, robots table): exactly
+reproducible by a serial oracle, independent of execution parallelism.
+
+Dataflow (all streaming, one wide shuffle per stage that needs it):
+
+  read seeds ->
+  map_batches(Canonicalizer)            # urlkey, hash64, host
+  groupby(hash64).map_groups(first)     # exact dedup, winner = min
+                                        # (priority, seed_order); emits
+                                        # n_dup_dropped per winner
+  map_batches(RobotsGate)               # broadcast robots table via
+                                        # ray.put; flags, never drops
+  groupby(host).map_groups(slots)       # politeness: host_rank,
+                                        # fetch_ms = rank * delay
+  [sort(fetch_ms, priority, seed_order)]  # global crawl order
+
+Skew: a hot host lands in one politeness group; the group body is a
+vectorized argsort (millions of rows/s), so the straggler cost is
+sort-bound, not Python-bound. For extreme skew ``num_salts > 1``
+splits each hot host into sub-queues by round-robin POSITION (not
+hash), preserving both the exact slot times and the per-host politeness
+budget: sub-queue ``j`` fetches at ``(j + i*S)*d`` — all distinct
+multiples of ``d``, at most one fetch per interval per host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..canon import canonicalize_batch
+
+# reference default politeness interval for unknown hosts
+# (cdx_toolkit/myrequests.py:24-27: 3.0 s)
+DEFAULT_DELAY_MS = 3000
+
+
+def load_robots(robots_path: str) -> dict:
+    """robots table -> {host: (crawl_delay_ms, tuple(disallow prefixes))}."""
+    t = pq.read_table(robots_path)
+    out = {}
+    for host, delay, dis in zip(t["host"].to_pylist(),
+                                t["crawl_delay_ms"].to_pylist(),
+                                t["disallow"].to_pylist()):
+        out[host] = (int(delay), tuple(dis or ()))
+    return out
+
+
+# Per-worker broadcast cache: stateless task workers persist across
+# batches, so each worker pays ONE plasma ray.get per object ref (the
+# broadcast-small-side pattern without reserving CPUs in an actor pool,
+# which can starve the shuffle stages on small clusters).
+_BROADCAST_CACHE: dict = {}
+
+
+def _get_broadcast(ref):
+    if isinstance(ref, dict):
+        return ref
+    key = ref.hex()
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def make_robots_gate(robots_ref, default_delay_ms: int = DEFAULT_DELAY_MS):
+    """map_batches fn: flag robots-disallowed rows.
+
+    The robots table is broadcast once (``ray.put`` on the driver, one
+    cached ``ray.get`` per worker) — a lookup join with no shuffle
+    (SURVEY.md §2.4 J-pattern). Adds ``robots_blocked:bool`` and
+    ``crawl_delay_ms:int64``; never drops rows (counters need them).
+    """
+
+    def robots_gate(batch: pa.Table) -> pa.Table:
+        from urllib.parse import urlsplit
+
+        robots = _get_broadcast(robots_ref)
+        hosts = batch["host"].to_numpy(zero_copy_only=False)
+        urls = batch["url"].to_numpy(zero_copy_only=False)
+        n = len(hosts)
+        blocked = np.zeros(n, dtype=bool)
+        delays = np.full(n, default_delay_ms, dtype=np.int64)
+        for i in range(n):
+            entry = robots.get(hosts[i])
+            if entry is None:
+                continue
+            delays[i] = entry[0]
+            if entry[1]:
+                path = urlsplit(urls[i]).path or "/"
+                blocked[i] = path.startswith(entry[1])
+        batch = batch.append_column("robots_blocked", pa.array(blocked))
+        batch = batch.append_column("crawl_delay_ms",
+                                    pa.array(delays, pa.int64()))
+        return batch
+
+    return robots_gate
+
+
+def dedup_first_wins(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-hash64 group: keep min (priority, seed_order); count losers.
+
+    Arrival-order independent => identical under any parallelism.
+    """
+    idx = np.lexsort((group["seed_order"].to_numpy(),
+                      group["priority"].to_numpy()))
+    winner = group.iloc[[idx[0]]].copy()
+    winner["n_dup_dropped"] = len(group) - 1
+    return winner
+
+
+def make_politeness_scheduler(num_salts: int = 1):
+    """Per-host map_groups fn: assign fetch slots under the virtual clock.
+
+    Within a host: eligible rows (not robots-blocked) ordered by
+    (priority asc, seed_order asc) get ``host_rank`` 0,1,2,... and
+    ``fetch_ms = host_rank * crawl_delay_ms``. Blocked rows keep
+    ``host_rank=-1, fetch_ms=-1``. With ``num_salts=S>1`` the rank
+    order is unchanged — only the downstream physical partitioning
+    uses the sub-queue id ``host_rank % S`` (round-robin by RANK, so
+    slot times — all distinct multiples of the delay — and the
+    per-host budget are preserved exactly).
+    """
+
+    def politeness_slots(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        delay = int(g["crawl_delay_ms"].iloc[0])
+        eligible = ~g["robots_blocked"].to_numpy()
+        order = np.lexsort((g["seed_order"].to_numpy(),
+                            g["priority"].to_numpy()))
+        order = order[eligible[order]]
+        rank = np.full(len(g), -1, dtype=np.int64)
+        rank[order] = np.arange(len(order), dtype=np.int64)
+        g["host_rank"] = rank
+        g["fetch_ms"] = np.where(rank >= 0, rank * delay, -1)
+        if num_salts > 1:
+            g["subqueue"] = np.where(rank >= 0, rank % num_salts, -1)
+        return g
+
+    return politeness_slots
+
+
+def frontier_flow(seeds_path: str, robots_path: str, *,
+                  concurrency: int | None = None,
+                  num_salts: int = 1) -> ray.data.Dataset:
+    """Build the lazy frontier Dataset: all rows, flagged + scheduled."""
+    robots_ref = ray.put(load_robots(robots_path))
+
+    ds = ray.data.read_parquet(seeds_path)
+    # stateless task pools (elastic, no CPU reservation): canonicalize
+    # is pure compute, robots is a broadcast lookup
+    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    ds = ds.groupby("hash64").map_groups(dedup_first_wins,
+                                         batch_format="pandas")
+    ds = ds.map_batches(make_robots_gate(robots_ref),
+                        batch_format="pyarrow")
+    ds = ds.groupby("host").map_groups(make_politeness_scheduler(num_salts),
+                                       batch_format="pandas")
+    return ds
+
+
+def crawl_order(flow: ray.data.Dataset) -> ray.data.Dataset:
+    """Global crawl order: schedulable rows sorted by the virtual clock,
+    ties broken deterministically (priority, seed_order)."""
+    sched = flow.filter(expr="host_rank >= 0")
+    return sched.sort(["fetch_ms", "priority", "seed_order"])
+
+
+def host_counters(flow: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-host counters: fetched / deduped / deferred-for-politeness /
+    robots-blocked (north_rule A4)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        deferred = pc.cast(pc.greater(batch["host_rank"], 0), pa.int64())
+        blocked = pc.cast(batch["robots_blocked"], pa.int64())
+        fetched = pc.cast(pc.greater_equal(batch["host_rank"], 0), pa.int64())
+        batch = batch.append_column("is_deferred", deferred)
+        batch = batch.append_column("is_blocked", blocked)
+        batch = batch.append_column("is_fetched", fetched)
+        return batch
+
+    return (flow.map_batches(_flags, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Sum("is_fetched", alias_name="fetched"),
+                       Sum("n_dup_dropped", alias_name="deduped"),
+                       Sum("is_deferred", alias_name="deferred_politeness"),
+                       Sum("is_blocked", alias_name="robots_blocked"),
+                       Max("fetch_ms", alias_name="finish_ms"),
+                       Count(alias_name="rows")))
+
+
+def frontier_schedule(seeds_path: str, robots_path: str,
+                      **kwargs) -> ray.data.Dataset:
+    """Convenience: seeds+robots -> globally-ordered crawl schedule."""
+    return crawl_order(frontier_flow(seeds_path, robots_path, **kwargs))

@@ -1,0 +1,50 @@
+"""Content decode: html binary -> text with the byte-identical invariant.
+
+Parity target: the reference's ``CaptureObject.text`` property is
+``content.decode('utf-8', errors='replace')``
+(cocrawler/cdx_toolkit cdx_toolkit/__init__.py:130-134). BASELINE.json
+input_hint makes this the per-row invariant: extracted text must be
+byte-identical per url.
+
+The decode runs per row (Arrow has no errors='replace' decode kernel)
+but the loop body is a single C-level ``bytes.decode`` call; blocks of
+binary html stay in Arrow and only the output string column is built.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def decode_html_batch(batch: pa.Table, html_col: str = "html",
+                      out_col: str = "text") -> pa.Table:
+    """Append ``out_col`` = utf-8/replace decode of ``html_col``."""
+    html = batch[html_col].to_numpy(zero_copy_only=False)
+    out = np.empty(len(html), dtype=object)
+    for i, b in enumerate(html):
+        out[i] = None if b is None else b.decode("utf-8", errors="replace")
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, pa.array(out, type=pa.string()))
+
+
+class TextExtractor:
+    """Actor-pool stage: html -> text (+ optional length columns)."""
+
+    def __init__(self, html_col: str = "html", out_col: str = "text",
+                 with_lengths: bool = False):
+        self.html_col = html_col
+        self.out_col = out_col
+        self.with_lengths = with_lengths
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = decode_html_batch(batch, self.html_col, self.out_col)
+        if self.with_lengths:
+            batch = batch.append_column(
+                "html_bytes", pc.binary_length(batch[self.html_col]))
+            batch = batch.append_column(
+                "text_chars", pc.utf8_length(batch[self.out_col]))
+        return batch

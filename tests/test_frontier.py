@@ -1,0 +1,113 @@
+"""Frontier pipeline vs a serial single-threaded oracle simulator.
+
+The oracle (FIXTURES.md §6) applies the spec'd semantics — first-wins
+dedup by (priority, seed_order), robots disallow, per-host virtual-clock
+politeness, global (fetch_ms, priority, seed_order) order — in plain
+Python, one row at a time. The parallel Ray pipeline must match it
+EXACTLY (north_rule: crawl-order + URL-seen exact match).
+"""
+
+from urllib.parse import urlsplit
+
+import pyarrow.parquet as pq
+import pytest
+
+from cdx_toolkit_ray.canon import hash64, host_of, surt
+from cdx_toolkit_ray.pipelines.frontier import (
+    DEFAULT_DELAY_MS,
+    crawl_order,
+    frontier_flow,
+    host_counters,
+    load_robots,
+)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def serial_oracle(seeds_path, robots_path):
+    """Reference-in-miniature: the exact schedule, computed serially."""
+    seeds = pq.read_table(seeds_path).to_pylist()
+    robots = load_robots(robots_path)
+
+    # canonicalize + first-wins dedup by (priority, seed_order)
+    best = {}
+    for row in seeds:
+        key = surt(row["url"])
+        h = hash64(key)
+        prev = best.get(h)
+        if prev is None or (row["priority"], row["seed_order"]) < \
+                (prev["priority"], prev["seed_order"]):
+            best[h] = dict(row, urlkey=key, hash64=h, host=host_of(row["url"]))
+
+    # robots gate + per-host virtual clock
+    sched = []
+    per_host = {}
+    for row in sorted(best.values(),
+                      key=lambda r: (r["priority"], r["seed_order"])):
+        delay, disallow = robots.get(row["host"], (DEFAULT_DELAY_MS, ()))
+        path = urlsplit(row["url"]).path or "/"
+        if disallow and path.startswith(tuple(disallow)):
+            continue
+        rank = per_host.get(row["host"], 0)
+        per_host[row["host"]] = rank + 1
+        sched.append((rank * delay, row["priority"], row["seed_order"],
+                      row["urlkey"], row["hash64"], rank))
+    sched.sort()
+    return sched, set(best)
+
+
+def test_crawl_order_matches_serial_oracle(fixture_dir):
+    flow = frontier_flow(fixture_dir["seeds"], fixture_dir["robots"])
+    got_rows = crawl_order(flow).take_all()
+    got = [(r["fetch_ms"], r["priority"], r["seed_order"], r["urlkey"],
+            r["hash64"], r["host_rank"]) for r in got_rows]
+    want, want_seen = serial_oracle(fixture_dir["seeds"], fixture_dir["robots"])
+    assert len(got) == len(want)
+    assert got == want
+    # URL-seen set (post-dedup hash set) matches exactly
+    assert {r["hash64"] for r in got_rows}.issubset(want_seen)
+
+
+def test_politeness_budget_invariant(fixture_dir):
+    """No host is fetched more often than its crawl delay allows."""
+    flow = frontier_flow(fixture_dir["seeds"], fixture_dir["robots"])
+    rows = crawl_order(flow).take_all()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r["fetch_ms"])
+    robots = load_robots(fixture_dir["robots"])
+    for host, times in by_host.items():
+        delay = robots.get(host, (DEFAULT_DELAY_MS, ()))[0]
+        times = sorted(times)
+        gaps = [b - a for a, b in zip(times, times[1:])]
+        assert all(g >= delay for g in gaps), (host, delay, gaps[:5])
+
+
+def test_counters(fixture_dir):
+    flow = frontier_flow(fixture_dir["seeds"], fixture_dir["robots"])
+    counters = {r["host"]: r for r in host_counters(flow).take_all()}
+    sched, _ = serial_oracle(fixture_dir["seeds"], fixture_dir["robots"])
+    # total fetched matches oracle schedule length
+    assert sum(r["fetched"] for r in counters.values()) == len(sched)
+    # seeds conservation: every seed is fetched, deduped, or blocked
+    n_seeds = pq.read_metadata(fixture_dir["seeds"]).num_rows
+    total = sum(r["fetched"] + r["deduped"] + r["robots_blocked"]
+                for r in counters.values())
+    assert total == n_seeds
+    # deferred = fetched minus the rank-0 fetch of each active host
+    for host, r in counters.items():
+        if r["fetched"] > 0:
+            assert r["deferred_politeness"] == r["fetched"] - 1
+
+
+def test_salted_subqueues_preserve_schedule(fixture_dir):
+    plain = crawl_order(
+        frontier_flow(fixture_dir["seeds"], fixture_dir["robots"])).take_all()
+    salted = crawl_order(
+        frontier_flow(fixture_dir["seeds"], fixture_dir["robots"],
+                      num_salts=4)).take_all()
+    key = lambda r: (r["fetch_ms"], r["priority"], r["seed_order"], r["urlkey"])
+    assert [key(r) for r in plain] == [key(r) for r in salted]
+    # sub-queue ids cover 0..S-1 on the hot host
+    hot = [r["subqueue"] for r in salted if r["host"] == "big-portal.example"]
+    assert set(hot) == {0, 1, 2, 3}

@@ -1,0 +1,102 @@
+"""Sharded bloom URL-seen set: zero false negatives, bounded FPs,
+checkpoint/restore, exact-oracle agreement (SURVEY.md §2.3 T7)."""
+
+import numpy as np
+import pytest
+
+from cdx_toolkit_ray.state.seen import BloomFilter, ShardedSeenSet
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_bloom_basics():
+    bf = BloomFilter(n_bits=1 << 16, k=5)
+    h = np.arange(1000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    assert not bf.contains(h).any()
+    new = bf.offer(h)
+    assert new.all()
+    assert bf.contains(h).all()          # zero false negatives
+    again = bf.offer(h)
+    assert not again.any()               # all seen now
+
+
+def test_bloom_within_batch_dups():
+    bf = BloomFilter(n_bits=1 << 16, k=5)
+    h = np.array([7, 7, 8, 7, 8, 9], dtype=np.uint64)
+    new = bf.offer(h)
+    assert list(new) == [True, False, True, False, False, True]
+
+
+def test_bloom_false_positive_rate():
+    bf = BloomFilter(n_bits=1 << 20, k=7)
+    ins = np.random.RandomState(1).randint(0, 2 ** 63, 10_000).astype(np.uint64)
+    probe = np.random.RandomState(2).randint(0, 2 ** 63, 10_000).astype(np.uint64)
+    bf.add(ins)
+    fp = bf.contains(probe).mean()
+    assert fp < 0.01  # m/n=100 bits/key, k=7 -> fp ~ 1e-6; 1% is generous
+
+
+def test_sharded_seen_matches_exact_oracle(tmp_path):
+    seen = ShardedSeenSet(num_shards=4, n_bits=1 << 18, k=7, exact=True)
+    rng = np.random.RandomState(42)
+    stream = rng.randint(0, 2 ** 63, 5000).astype(np.uint64)
+    oracle: set = set()
+    got_new_total = 0
+    for i in range(0, len(stream), 500):
+        batch = stream[i:i + 500]
+        new = seen.offer(batch)
+        got_new_total += int(new.sum())
+        # serial oracle over the same batch order
+        for h, n in zip(batch, new):
+            h = int(h)
+            if n:
+                assert h not in oracle  # no double-admit
+                oracle.add(h)
+            else:
+                # bloom may false-positive (claim seen when not); with
+                # these sizes it must not happen for a real new key that
+                # the oracle also hasn't seen — allow but count
+                pass
+    assert got_new_total <= len(set(int(h) for h in stream))
+    # every admitted key is contained afterwards
+    assert seen.contains(stream).all()
+
+    # checkpoint -> fresh pool -> restore -> identical membership
+    ckpt = str(tmp_path / "seen")
+    seen.checkpoint(ckpt)
+    seen2 = ShardedSeenSet(num_shards=4, n_bits=1 << 18, k=7)
+    seen2.restore(ckpt)
+    assert seen2.contains(stream).all()
+    fresh = rng.randint(0, 2 ** 63, 1000).astype(np.uint64)
+    assert seen2.offer(fresh).mean() > 0.95
+
+
+def test_shard_routing_is_range_partitioned():
+    seen = ShardedSeenSet(num_shards=8)
+    h = np.array([0, 1 << 61, 2 << 61, 7 << 61, (1 << 64) - 1], dtype=np.uint64)
+    sid = seen.shard_of(h)
+    assert list(sid) == [0, 1, 2, 7, 7]
+
+
+def test_seen_filter_stage(fixture_dir):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cdx_toolkit_ray.canon import canonicalize_batch
+    from cdx_toolkit_ray.state.seen import SeenFilterStage
+
+    seen = ShardedSeenSet(num_shards=4, n_bits=1 << 18)
+    ds = (ray.data.read_parquet(fixture_dir["seeds"])
+          .map_batches(canonicalize_batch, batch_format="pyarrow")
+          .map_batches(SeenFilterStage(seen), batch_format="pyarrow"))
+    first_pass = ds.count()
+    n_unique = len({r["hash64"] for r in
+                    ray.data.read_parquet(fixture_dir["seeds"])
+                    .map_batches(canonicalize_batch, batch_format="pyarrow")
+                    .select_columns(["hash64"]).take_all()})
+    assert first_pass == n_unique  # no false drops at this scale
+    # second run over the same seeds: everything already seen
+    ds2 = (ray.data.read_parquet(fixture_dir["seeds"])
+           .map_batches(canonicalize_batch, batch_format="pyarrow")
+           .map_batches(SeenFilterStage(seen), batch_format="pyarrow"))
+    assert ds2.count() == 0
