@@ -38,9 +38,12 @@ multiples of ``d``, at most one fetch per interval per host.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute  # noqa: F401 (pa.compute used in counters)
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -212,3 +215,88 @@ def frontier_schedule(seeds_path: str, robots_path: str,
                       **kwargs) -> ray.data.Dataset:
     """Convenience: seeds+robots -> globally-ordered crawl schedule."""
     return crawl_order(frontier_flow(seeds_path, robots_path, **kwargs))
+
+
+# ---------------------------------------------------------------------------
+# Resumable partitioned run (lineage per host-hash bucket)
+# ---------------------------------------------------------------------------
+
+def _add_host_bucket(num_buckets: int):
+    from ..canon import hash64_batch
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        hosts = batch["host"].to_numpy(zero_copy_only=False)
+        hb = hash64_batch(hosts) % np.uint64(num_buckets)
+        return batch.append_column("host_bucket",
+                                   pa.array(hb.astype(np.int64), pa.int64()))
+
+    return add_bucket
+
+
+def run_frontier(seeds_path: str, robots_path: str, out_dir: str, *,
+                 num_buckets: int = 8, num_salts: int = 1,
+                 seen_checkpoint_dir: str | None = None,
+                 seen=None) -> dict:
+    """Execute the frontier resumably: one output partition per
+    host-hash bucket, each recorded in the lineage manifest with its
+    counters; a rerun with unchanged inputs skips completed buckets
+    entirely (rows of done buckets are dropped right after
+    canonicalization, before any shuffle).
+
+    Bucketing by HOST hash keeps every row of a host in one partition,
+    so per-host politeness slots and counters are complete within a
+    partition and partitions are independently restartable.
+    """
+    from ..state.lineage import LineageManifest, fingerprint_file
+
+    fp = fingerprint_file(seeds_path) + "+" + fingerprint_file(robots_path)
+    manifest = LineageManifest(out_dir)
+    done = {int(pid) for pid in manifest.entries
+            if manifest.is_complete(pid, fp)}
+    todo = [b for b in range(num_buckets) if b not in done]
+
+    result = {"skipped_buckets": sorted(done), "ran_buckets": todo}
+    if not todo:
+        return result
+
+    flow = frontier_flow(seeds_path, robots_path, num_salts=num_salts)
+    flow = flow.map_batches(_add_host_bucket(num_buckets),
+                            batch_format="pyarrow")
+    if done:
+        done_arr = np.array(sorted(done), dtype=np.int64)
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            hb = batch["host_bucket"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(~np.isin(hb, done_arr)))
+
+        flow = flow.map_batches(drop_done, batch_format="pyarrow")
+
+    flow_dir = os.path.join(out_dir, "flow")
+    flow.write_parquet(flow_dir, partition_cols=["host_bucket"])
+
+    # per-bucket counters from the written partitions (cheap column read)
+    for b in todo:
+        part_dir = os.path.join(flow_dir, "host_bucket=%d" % b)
+        if not os.path.isdir(part_dir):
+            manifest.record(str(b), fp, {"fetched": 0, "deduped": 0,
+                                         "deferred_politeness": 0,
+                                         "robots_blocked": 0, "rows": 0},
+                            part_dir)
+            continue
+        t = pq.read_table(part_dir, columns=["host_rank", "n_dup_dropped",
+                                             "robots_blocked"])
+        rank = t["host_rank"].to_numpy(zero_copy_only=False)
+        counters = {
+            "fetched": int((rank >= 0).sum()),
+            "deduped": int(pa.compute.sum(t["n_dup_dropped"]).as_py() or 0),
+            "deferred_politeness": int((rank > 0).sum()),
+            "robots_blocked": int(pa.compute.sum(
+                pa.compute.cast(t["robots_blocked"], pa.int64())).as_py() or 0),
+            "rows": t.num_rows,
+        }
+        manifest.record(str(b), fp, counters, part_dir)
+
+    if seen is not None and seen_checkpoint_dir:
+        seen.checkpoint(seen_checkpoint_dir)
+    result["manifest"] = manifest.path
+    return result
