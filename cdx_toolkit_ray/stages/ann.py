@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``cosine_topk`` — brute-force baseline: one numpy matmul per Arrow
+  batch against a BROADCAST query matrix (``ray.put`` once, cached
+  ``ray.get`` per worker), per-batch local top-k, then a tiny global
+  sort+limit over the per-batch candidates. The full corpus is never
+  collected; the reduction input is ``O(num_batches * k)`` rows.
+* ``lsh_topk`` — the scale path: hyperplane-LSH buckets restrict the
+  scan to same/adjacent buckets of the query (probing masks with
+  hamming distance <= ``probe_bits``), trading recall for a bucket-
+  pruned read. Falls back to exact ranking within probed buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .dedup import make_hyperplane_stage
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_numpy(zero_copy_only=False).tolist(),
+                      dtype=np.float64)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def cosine_topk(ds: ray.data.Dataset, query_vec, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                round_to: int | None = 6) -> ray.data.Dataset:
+    """Exact cosine top-k of one query vector, deterministic tie-break
+    by ascending id. Returns (id, cosine) sorted best-first."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        from ..pipelines.frontier import _get_broadcast
+
+        qv = _get_broadcast(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = _unit(_as_matrix(batch[vec_col])) @ qv
+        if round_to is not None:
+            sims = np.round(sims, round_to)
+        take = min(k, len(ids))
+        # best sims, ties -> smaller id first
+        order = np.lexsort((ids, -sims))[:take]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "cosine": pa.array(sims[order], pa.float64())})
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow")
+    return (cands.sort(["cosine", id_col], descending=[True, False])
+            .limit(k))
+
+
+def lsh_topk(ds: ray.data.Dataset, query_vec, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             dim: int = 64, n_planes: int = 8, probe_bits: int = 1,
+             seed: int = 7) -> ray.data.Dataset:
+    """Approximate top-k: scan only LSH buckets within ``probe_bits``
+    hamming distance of the query's bucket."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_planes)).astype(np.float32)
+    q = np.asarray(query_vec, dtype=np.float32)
+    qb = 0
+    signs = (q @ planes) > 0
+    for j in range(n_planes):
+        qb |= int(signs[j]) << j
+    probes = {qb}
+    if probe_bits >= 1:
+        probes |= {qb ^ (1 << j) for j in range(n_planes)}
+    if probe_bits >= 2:
+        for j in range(n_planes):
+            for l in range(j + 1, n_planes):
+                probes.add(qb ^ (1 << j) ^ (1 << l))
+    probe_arr = np.array(sorted(probes), dtype=np.uint64)
+
+    ds = ds.map_batches(make_hyperplane_stage(vec_col, dim, n_planes, seed),
+                        batch_format="pyarrow")
+
+    def in_probes(batch: pa.Table) -> pa.Table:
+        b = batch["lsh_bucket"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(b, probe_arr)))
+
+    pruned = ds.map_batches(in_probes, batch_format="pyarrow")
+    return cosine_topk(pruned, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def pairwise_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int,
+                  vec_col: str = "embedding", id_col: str = "vec_id"
+                  ) -> ray.data.Dataset:
+    """Batched multi-query exact top-k: (n_queries, dim) broadcast
+    matrix, one matmul per corpus batch, per-query heaps merged by a
+    final per-query sort+limit via groupby."""
+    qm = _unit(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qm)
+
+    def local(batch: pa.Table) -> pa.Table:
+        from ..pipelines.frontier import _get_broadcast
+
+        qmat = _get_broadcast(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sims = _unit(_as_matrix(batch[vec_col])) @ qmat.T  # (n, q)
+        take = min(k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qmat.shape[0]):
+            order = np.lexsort((ids, -sims[:, qi]))[:take]
+            out_q.append(np.full(take, qi, dtype=np.int64))
+            out_id.append(ids[order])
+            out_s.append(sims[order, qi])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_id)),
+                         "cosine": pa.array(np.concatenate(out_s))})
+
+    cands = ds.map_batches(local, batch_format="pyarrow")
+
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True])
+        return g.head(k)
+
+    return cands.groupby("query_id").map_groups(per_query,
+                                                batch_format="pandas")

@@ -1,0 +1,334 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference defines the dedup IDENTITIES — SURT urlkey and content
+digest (cocrawler/cdx_toolkit README.md:207-212, 233-235) — but never
+dedups itself (the CDX server does). A training-data engine must, at
+100 TB scale, so each scheme is built on the shuffle-frugal pattern:
+signatures computed vectorized per batch (``map_batches``), candidates
+co-located by ONE ``groupby`` on a short key (band hash / simhash
+chunk / hyperplane bucket), verification inside the group — never an
+all-pairs comparison.
+
+Determinism: every hash seed is fixed; winners are min-id, so results
+are independent of execution order and parallelism.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+# fixed 64-bit mixing constants (splitmix64 finalizer)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= _MIX1
+    x ^= x >> np.uint64(27)
+    x *= _MIX2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _hash_text_array(texts, seed: int = 0) -> np.ndarray:
+    """Vectorized-ish 64-bit hash of a string array (python hash of the
+    bytes is randomized per process — NOT usable; use FNV)."""
+    from ..canon import hash64_batch
+
+    arr = np.asarray(texts, dtype=object)
+    h = hash64_batch(arr)
+    if seed:
+        h = _mix64(h + np.uint64(seed))
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def add_key_hash(key_col: str, out_col: str = "key_hash"):
+    def _add(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            out_col, pa.array(_hash_text_array(vals), pa.uint64()))
+
+    return _add
+
+
+def exact_dedup(ds: ray.data.Dataset, key_col: str,
+                id_col: str) -> ray.data.Dataset:
+    """Keep the min-``id_col`` row per distinct ``key_col`` value.
+
+    hash-partition + per-group first (deterministic winner). The
+    groupby key is the 64-bit hash of the value, not the value itself,
+    so long texts don't travel as shuffle keys.
+    """
+    ds = ds.map_batches(add_key_hash(key_col), batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[[int(g[id_col].to_numpy().argmin())]]
+
+    out = ds.groupby("key_hash").map_groups(keep_first, batch_format="pandas")
+    return out.drop_columns(["key_hash"])
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Word k-shingles -> uint64 hash array (unique)."""
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < k:
+        joined = [" ".join(words)] if words else []
+    else:
+        joined = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    if not joined:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(_hash_text_array(joined))
+
+
+def make_minhash_stage(text_col: str, num_perm: int = 64, shingle_k: int = 5,
+                       seed: int = 1234):
+    """map_batches fn: append ``minhash`` (fixed-size uint64 list).
+
+    Permutations are the standard (a*h + b) universal family with
+    fixed-seed parameters; signature j = min over shingles.
+    """
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 2 ** 62, size=num_perm).astype(np.uint64) | np.uint64(1)
+    b = rng.randint(0, 2 ** 62, size=num_perm).astype(np.uint64)
+
+    def minhash(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sh = _shingle_hashes(t or "", shingle_k)
+            if len(sh) == 0:
+                sigs[i] = np.uint64(0xFFFFFFFFFFFFFFFF)
+                continue
+            # (n_shingles, num_perm) permuted values, column-min
+            sigs[i] = (sh[:, None] * a[None, :] + b[None, :]).min(axis=0)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.ravel(), pa.uint64()), num_perm)
+        return batch.append_column("minhash", col)
+
+    return minhash
+
+
+def explode_bands(num_perm: int = 64, bands: int = 16, id_col: str = "doc_id"):
+    """map_batches fn: signature -> (band_id, band_hash, id) rows."""
+    rows_per_band = num_perm // bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.asarray(batch["minhash"].to_numpy(zero_copy_only=False).tolist(),
+                          dtype=np.uint64).reshape(len(ids), num_perm)
+        n = len(ids)
+        band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+        out_ids = np.tile(ids, bands)
+        band_hashes = np.empty(bands * n, dtype=np.uint64)
+        for bidx in range(bands):
+            seg = sigs[:, bidx * rows_per_band:(bidx + 1) * rows_per_band]
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(rows_per_band):
+                h = _mix64(h ^ seg[:, j])
+            band_hashes[bidx * n:(bidx + 1) * n] = h
+        return pa.table({
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.uint64()),
+            id_col: pa.array(out_ids),
+        })
+
+    return explode
+
+
+def _pairs_from_group(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    ids = np.sort(np.unique(g[id_col].to_numpy()))
+    if len(ids) < 2:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    # candidate pairs: anchor smallest id against the rest (transitively
+    # sufficient for cluster labeling; avoids O(n^2) emission per bucket)
+    return pd.DataFrame({"id_a": np.full(len(ids) - 1, ids[0]),
+                         "id_b": ids[1:]})
+
+
+def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 64,
+                           bands: int = 16, shingle_k: int = 5,
+                           seed: int = 1234) -> ray.data.Dataset:
+    """Candidate near-dup pairs (id_a < id_b), deduplicated."""
+    sigs = ds.map_batches(make_minhash_stage(text_col, num_perm, shingle_k,
+                                             seed),
+                          batch_format="pyarrow")
+    exploded = sigs.map_batches(explode_bands(num_perm, bands, id_col),
+                                batch_format="pyarrow")
+    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: _pairs_from_group(g, id_col), batch_format="pandas")
+    # same pair can surface from several bands -> dedup
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact word-k-shingle Jaccard (the verification kernel)."""
+    a = set(_shingle_hashes(text_a, k).tolist())
+    b = set(_shingle_hashes(text_b, k).tolist())
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def minhash_dedup_pairs(ds: ray.data.Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.7,
+                        **kwargs) -> ray.data.Dataset:
+    """LSH candidates verified by exact shingle Jaccard >= threshold.
+
+    Verification needs the two texts: broadcast is wrong for a large
+    corpus, so candidates are joined back to texts by re-reading the
+    id->text pairs of candidate ids only (semi-join via broadcast of
+    the CANDIDATE ID SET, which is small by construction).
+    """
+    import ray as _ray
+
+    k = kwargs.get("shingle_k", 5)
+    cands = minhash_lsh_candidates(ds, text_col, id_col, **kwargs).take_all()
+    if not cands:
+        return ray.data.from_items([])
+    need = sorted({int(r["id_a"]) for r in cands} |
+                  {int(r["id_b"]) for r in cands})
+    need_set = set(need)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((int(i) in need_set for i in ids), bool, len(ids))
+        return batch.select([id_col, text_col]).filter(pa.array(mask))
+
+    texts = {r[id_col]: r[text_col]
+             for r in ds.map_batches(pick, batch_format="pyarrow").take_all()}
+    out = []
+    for r in cands:
+        j = jaccard(texts[r["id_a"]], texts[r["id_b"]], k)
+        if j >= threshold:
+            out.append({"id_a": int(r["id_a"]), "id_b": int(r["id_b"]),
+                        "jaccard": float(j)})
+    if not out:
+        return ray.data.from_items([])
+    return ray.data.from_items(out)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def make_simhash_stage(text_col: str, out_col: str = "simhash"):
+    """map_batches fn: 64-bit simhash over word hashes."""
+
+    def simhash(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for i, t in enumerate(texts):
+            words = _WORD_RE.findall((t or "").lower())
+            if not words:
+                continue
+            h = _hash_text_array(words)
+            bits = ((h[:, None] & bitcols[None, :]) != 0)
+            votes = bits.sum(axis=0) * 2 - len(h)
+            out[i] = np.sum(bitcols[votes > 0], dtype=np.uint64)
+        return batch.append_column(out_col, pa.array(out, pa.uint64()))
+
+    return simhash
+
+
+def simhash_candidates(ds: ray.data.Dataset, text_col: str = "text",
+                       id_col: str = "doc_id", chunks: int = 4
+                       ) -> ray.data.Dataset:
+    """Near-dup candidates: equal 16-bit simhash chunk => candidate
+    (any pair within hamming distance <= chunks-1 shares a chunk)."""
+    ds = ds.map_batches(make_simhash_stage(text_col), batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        width = 64 // chunks
+        mask = np.uint64((1 << width) - 1)
+        cid, cval, oid = [], [], []
+        for c in range(chunks):
+            cid.append(np.full(len(ids), c, dtype=np.int32))
+            cval.append((sh >> np.uint64(c * width)) & mask)
+            oid.append(ids)
+        return pa.table({"chunk_id": pa.array(np.concatenate(cid), pa.int32()),
+                         "chunk_val": pa.array(np.concatenate(cval), pa.uint64()),
+                         id_col: pa.array(np.concatenate(oid))})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = exploded.groupby(["chunk_id", "chunk_val"]).map_groups(
+        lambda g: _pairs_from_group(g, id_col), batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (hyperplane LSH + verified cosine)
+# ---------------------------------------------------------------------------
+
+def make_hyperplane_stage(vec_col: str, dim: int, n_planes: int = 16,
+                          seed: int = 7, out_col: str = "lsh_bucket"):
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_planes)).astype(np.float32)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch[vec_col].to_numpy(zero_copy_only=False).tolist(),
+                          dtype=np.float32)
+        signs = (vecs @ planes) > 0
+        buckets = np.zeros(len(vecs), dtype=np.uint64)
+        for j in range(n_planes):
+            buckets |= signs[:, j].astype(np.uint64) << np.uint64(j)
+        return batch.append_column(out_col, pa.array(buckets, pa.uint64()))
+
+    return bucketize
+
+
+def embedding_neardup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
+                            id_col: str = "vec_id", dim: int = 64,
+                            n_planes: int = 12, threshold: float = 0.95,
+                            seed: int = 7) -> ray.data.Dataset:
+    """Same-LSH-bucket pairs verified by exact cosine >= threshold."""
+    ds = ds.map_batches(make_hyperplane_stage(vec_col, dim, n_planes, seed),
+                        batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        vecs = np.asarray(g[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        sim = unit @ unit.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sim[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "cosine": sim[ia, ib][keep]})
+
+    pairs = ds.groupby("lsh_bucket").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")

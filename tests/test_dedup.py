@@ -1,0 +1,92 @@
+"""Dedup family over a corpus with planted near/exact duplicates."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from cdx_toolkit_ray.stages import dedup as dd
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun light")
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": "unique document number %d with "
+                     "content words alpha beta gamma delta %d" % (i, i * 7)})
+    # exact dup pair
+    rows.append({"doc_id": 100, "text": BASE})
+    rows.append({"doc_id": 101, "text": BASE})
+    # near dup: one word changed
+    rows.append({"doc_id": 102, "text": BASE.replace("lazy", "sleepy")})
+    # unrelated long doc
+    rows.append({"doc_id": 103, "text": " ".join("w%d" % j for j in range(60))})
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup(corpus):
+    out = dd.exact_dedup(corpus, key_col="text", id_col="doc_id")
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    assert 100 in ids and 101 not in ids  # min id wins
+    assert len(ids) == corpus.count() - 1
+
+
+def test_minhash_finds_planted_dups(corpus):
+    pairs = dd.minhash_dedup_pairs(corpus, threshold=0.5, num_perm=64,
+                                   bands=16, shingle_k=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.take_all()}
+    assert (100, 101) in got          # exact dup pair found
+    assert any(a in (100, 101) and b == 102 or a == 102
+               for a, b in got)       # near-dup found
+    # no false positives among the unique docs
+    for a, b in got:
+        assert a >= 100 and b >= 100
+
+
+def test_jaccard_kernel():
+    assert dd.jaccard(BASE, BASE, 3) == 1.0
+    assert dd.jaccard(BASE, "totally different words here", 3) == 0.0
+    j = dd.jaccard(BASE, BASE.replace("lazy", "sleepy"), 3)
+    assert 0.5 < j < 1.0
+
+
+def test_simhash_near_dups(corpus):
+    pairs = dd.simhash_candidates(corpus, chunks=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.take_all()}
+    assert (100, 101) in got
+    # verify via hamming distance on the signatures themselves
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            corpus.map_batches(dd.make_simhash_stage("text"),
+                               batch_format="pyarrow").take_all()}
+    assert sigs[100] == sigs[101]
+    assert dd.hamming64(sigs[100], sigs[102]) <= 12
+    assert dd.hamming64(sigs[100], sigs[103]) > 12
+
+
+def test_embedding_neardup():
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(30, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + rng.normal(scale=0.01, size=16)  # planted near-dup
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(30)]
+    ds = ray.data.from_items(rows)
+    pairs = dd.embedding_neardup_pairs(ds, dim=16, n_planes=6,
+                                       threshold=0.98)
+    got = {(int(r["id_a"]), int(r["id_b"])) for r in pairs.take_all()}
+    assert (3, 7) in got
+    for a, b in got:
+        assert (a, b) == (3, 7)  # nothing else is that similar
+
+
+def test_minhash_signature_properties(corpus):
+    sigs = corpus.map_batches(dd.make_minhash_stage("text", 64, 3),
+                              batch_format="pyarrow").take_all()
+    by_id = {r["doc_id"]: np.array(r["minhash"], dtype=np.uint64)
+             for r in sigs}
+    assert (by_id[100] == by_id[101]).all()
+    frac = (by_id[100] == by_id[102]).mean()
+    assert 0.4 < frac <= 1.0   # minhash agreement approximates jaccard
+    assert (by_id[0] == by_id[103]).mean() < 0.2  # disjoint vocabularies

@@ -1,0 +1,129 @@
+"""Text-analysis stages + similarity search + multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from cdx_toolkit_ray.stages import ann, multimodal, textstats
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_token_count():
+    t = pa.table({"text": ["a b  c", "", None, "don't stop-me now!"]})
+    out = textstats.token_count_batch(t)
+    assert out["n_tokens_ws"].to_pylist() == [3, 0, 0, 3]
+    # regex: don ' t stop - me now ! = 8
+    assert out["n_tokens_re"].to_pylist() == [3, 0, 0, 8]
+
+
+def test_quality():
+    t = pa.table({"text": ["the cat sat", ""]})
+    out = textstats.quality_batch(t)
+    r = out.to_pylist()[0]
+    assert r["n_chars_actual"] == 11
+    assert r["n_tokens_ws"] == 3
+    assert r["mean_token_len"] == 3.0
+    assert r["stopword_ratio"] == pytest.approx(1 / 3)
+    r2 = out.to_pylist()[1]
+    assert r2["n_tokens_ws"] == 0 and r2["stopword_ratio"] == 0.0
+
+
+def test_lang_id():
+    t = pa.table({"text": [
+        "the cat and the dog in the house",
+        "der Hund und die Katze ist nicht da",
+        "el perro y la casa de los gatos",
+        "le chat et les chiens des villes",
+        "zzz qqq xxx",
+    ]})
+    out = textstats.lang_id_batch(t)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "es", "fr", "und"]
+
+
+def test_fingerprint_deterministic():
+    t = pa.table({"text": ["one two three four five six", ""]})
+    fp = textstats.make_fingerprint_stage()
+    a = fp(t)["fingerprint"].to_pylist()
+    b = fp(t)["fingerprint"].to_pylist()
+    assert a == b
+    assert a[0] != 0 and a[1] == 0
+    # small edit far from the min-gram usually keeps the fingerprint
+    t2 = pa.table({"text": ["one two three four five six seven"]})
+    assert isinstance(fp(t2)["fingerprint"].to_pylist()[0], int)
+
+
+def _vec_ds(n=200, dim=16, seed=5):
+    rng = np.random.RandomState(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    return ray.data.from_items(rows), vecs
+
+
+def test_cosine_topk_matches_numpy():
+    ds, vecs = _vec_ds()
+    q = vecs[0]
+    got = ann.cosine_topk(ds, q, k=5, round_to=None).take_all()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = unit @ qn
+    want = np.lexsort((np.arange(len(vecs)), -sims))[:5]
+    assert [r["vec_id"] for r in got] == list(want)
+    assert got[0]["vec_id"] == 0  # the query itself
+
+
+def test_lsh_topk_recall():
+    ds, vecs = _vec_ds(400)
+    q = vecs[42]
+    exact = [r["vec_id"] for r in
+             ann.cosine_topk(ds, q, k=5, round_to=None).take_all()]
+    approx = [r["vec_id"] for r in
+              ann.lsh_topk(ds, q, k=5, dim=16, n_planes=6,
+                           probe_bits=2).take_all()]
+    assert 42 in approx
+    assert len(set(exact) & set(approx)) >= 2  # decent recall on top-5
+
+
+def test_pairwise_topk():
+    ds, vecs = _vec_ds(100)
+    out = ann.pairwise_topk(ds, vecs[:3], k=4).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qi, rows in by_q.items():
+        assert len(rows) == 4
+        assert rows[0][("vec_id")] == qi  # self is the best match
+
+
+def test_media_decode_plumbing():
+    t = multimodal.fake_media_table(48)
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(multimodal.MediaDecoder,
+                         fn_constructor_kwargs={"decoder": "fake"},
+                         batch_format="pyarrow", batch_size=16,
+                         concurrency=2)
+    rows = out.take_all()
+    assert len(rows) == 48
+    for r in rows:
+        assert 8 <= r["width"] < 64 and 8 <= r["height"] < 64
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-5
+
+
+def test_media_decoder_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.MediaDecoder(decoder="pil")
+
+
+def test_frame_sampler():
+    t = multimodal.fake_media_table(12)
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(multimodal.FrameSampler,
+                         fn_constructor_kwargs={"stride": 2},
+                         batch_format="pyarrow", batch_size=8,
+                         concurrency=2).take_all()
+    for r in out:
+        assert r["n_frames_sampled"] >= 0
+        assert len(r["sampled_frames"]) <= len(r["payload"])
