@@ -161,16 +161,35 @@ def make_politeness_scheduler(num_salts: int = 1):
 
 def frontier_flow(seeds_path: str, robots_path: str, *,
                   concurrency: int | None = None,
-                  num_salts: int = 1) -> ray.data.Dataset:
+                  num_salts: int = 1,
+                  dedup_partitions: int | None = None) -> ray.data.Dataset:
     """Build the lazy frontier Dataset: all rows, flagged + scheduled."""
     robots_ref = ray.put(load_robots(robots_path))
 
     ds = ray.data.read_parquet(seeds_path)
-    # stateless task pools (elastic, no CPU reservation): canonicalize
-    # is pure compute, robots is a broadcast lookup
+    return frontier_flow_from(ds, robots_ref, num_salts=num_salts,
+                              dedup_partitions=dedup_partitions)
+
+
+def frontier_flow_from(ds: ray.data.Dataset, robots_ref, *,
+                       num_salts: int = 1,
+                       dedup_partitions: int | None = None) -> ray.data.Dataset:
+    """Frontier over an arbitrary seeds Dataset (url, priority,
+    seed_order [+ payload cols]); ``robots_ref`` is a ``ray.put``
+    handle to the ``load_robots`` dict (or the dict itself).
+
+    Stateless task pools (elastic, no CPU reservation): canonicalize is
+    pure compute, robots a broadcast lookup. Dedup is the vectorized
+    aggregate+join ``first_wins_dedup`` (per-group Python would die at
+    frontier scale); politeness is a per-host ``map_groups`` (group
+    count == host count, small by construction).
+    """
+    from ..stages.dedup import first_wins_dedup
+
     ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
-    ds = ds.groupby("hash64").map_groups(dedup_first_wins,
-                                         batch_format="pandas")
+    ds = first_wins_dedup(ds, "hash64",
+                          [("priority", 19), ("seed_order", 44)],
+                          num_partitions=dedup_partitions)
     ds = ds.map_batches(make_robots_gate(robots_ref),
                         batch_format="pyarrow")
     ds = ds.groupby("host").map_groups(make_politeness_scheduler(num_salts),

@@ -21,6 +21,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
@@ -80,6 +81,102 @@ def exact_dedup(ds: ray.data.Dataset, key_col: str,
 
     out = ds.groupby("key_hash").map_groups(keep_first, batch_format="pandas")
     return out.drop_columns(["key_hash"])
+
+
+def add_packed_order(cols_bits, out_col: str = "sortkey"):
+    """map_batches fn: pack (col, bits) pairs into one int64 sort key.
+
+    ``cols_bits`` is an ordered list of ``(column, bit_width)``; earlier
+    columns are more significant, so lexicographic order over the
+    columns == numeric order over the packed key. All values must be
+    non-negative and fit their widths (asserted per batch — cheap), and
+    the total width must stay <= 63 bits.
+    """
+    total = sum(b for _, b in cols_bits)
+    if total > 63:
+        raise ValueError("packed order key exceeds 63 bits")
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(batch.num_rows, dtype=np.int64)
+        for col, bits in cols_bits:
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(v) and (v.min() < 0 or v.max() >> bits):
+                raise ValueError("column %r out of range for %d bits"
+                                 % (col, bits))
+            acc = (acc << np.int64(bits)) | v
+        if out_col in batch.column_names:
+            batch = batch.drop_columns([out_col])
+        return batch.append_column(out_col, pa.array(acc, pa.int64()))
+
+    return _pack
+
+
+def default_join_partitions() -> int:
+    """Join/aggregate partition count sized to the cluster: enough
+    partitions to spread the shuffle, few enough that the hash-shuffle
+    aggregator actors don't starve the map stages of CPUs."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(64, cpus // 2))
+
+
+def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
+                     num_partitions: int | None = None,
+                     count_col: str = "n_dup_dropped") -> ray.data.Dataset:
+    """Scalable exact first-wins dedup: keep, per ``key_col`` group, the
+    row minimizing the packed order key; append ``count_col`` = number
+    of dropped duplicates.
+
+    Unlike ``groupby().map_groups`` (one Python call per group — fine
+    for thousands of groups, fatal for hundreds of millions), this is
+    aggregate + hash join, both fully vectorized and shuffle-partitioned:
+
+        winners = groupby(key).aggregate(Min(sortkey), Count)
+        out     = ds JOIN winners ON (key, sortkey == min)
+
+    Two all-to-all exchanges on the same key (the aggregate's shuffle
+    and the join's), each over narrow columns; payload columns travel
+    once. Winner choice is arrival-order independent, so results are
+    identical under any parallelism (north_rule determinism).
+    """
+    from ray.data.aggregate import Count, Min
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    ds = ds.map_batches(add_packed_order(cols_bits), batch_format="pyarrow")
+
+    # Ray's hash aggregate normalizes uint64 group keys to int64; join
+    # on a bit-reinterpreted int64 view so both sides agree.
+    def add_join_key(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if pa.types.is_unsigned_integer(k.type):
+            v = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+            k = pa.array(v.view(np.int64), pa.int64())
+        else:
+            k = pc.cast(k, pa.int64())
+        if "_fw_key" in batch.column_names:
+            batch = batch.drop_columns(["_fw_key"])
+        return batch.append_column("_fw_key", k)
+
+    ds = ds.map_batches(add_join_key, batch_format="pyarrow")
+    winners = ds.groupby("_fw_key").aggregate(
+        Min("sortkey", alias_name="win_sortkey"),
+        Count(alias_name="grp_rows"),
+    )
+    joined = ds.join(winners, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("_fw_key", "sortkey"),
+                     right_on=("_fw_key", "win_sortkey"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nd = pc.subtract(pc.cast(batch["grp_rows"], pa.int64()), 1)
+        batch = batch.append_column(count_col, nd)
+        drop = [c for c in ("sortkey", "win_sortkey", "grp_rows", "_fw_key")
+                if c in batch.column_names]
+        return batch.drop_columns(drop)
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
