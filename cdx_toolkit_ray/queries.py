@@ -1,0 +1,636 @@
+"""Driver-facing query catalog: every operator family from SURVEY.md §2
+expressed as a Ray Data pipeline over the driver's testdata tables
+(``region nation customer supplier part orders lineitem events
+documents embeddings``), each paired (where SQL-expressible) with an
+equivalent DuckDB oracle in :data:`ORACLES`.
+
+Crawl-specific semantics (SURT canonicalization, first-wins dedup,
+politeness scheduling, CDX filter language, timestamp algebra) run over
+a **derived seeds view** of the ``documents`` table: both the Ray
+pipeline and the oracle SQL construct the identical URL set from
+``(doc_id, source)`` by the same closed-form rules, so the engine's
+canonicalizer / dedup / scheduler are checked value-for-value against
+pure SQL window functions.
+
+Column-name contract: every computed column is named identically in the
+Ray pipeline and the oracle SQL (the driver hashes values after sorting
+columns by name). Float columns are avoided in oracle-checked outputs
+except where values are carried through unmodified.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from .canon import canonicalize_batch
+from .filters import FilterStage
+from .pipelines.frontier import (
+    host_counters,
+    make_politeness_scheduler,
+)
+from .sources.captures import LINES_PER_PAGE, pages_to_samples
+from .stages.dedup import (
+    exact_dedup,
+    first_wins_dedup,
+    make_simhash_stage,
+    minhash_dedup_pairs,
+)
+from .stages.textstats import (
+    lang_id_batch,
+    make_fingerprint_stage,
+    quality_batch,
+    token_count_batch,
+)
+from .timeutils import pad_timestamp, timestamp_to_time, timestamps_to_epoch
+
+# ---------------------------------------------------------------------------
+# Derived seeds view of `documents` (same rules in SQL below)
+# ---------------------------------------------------------------------------
+
+_DELAYS = np.array([550, 1000, 3000, 6000], dtype=np.int64)
+
+
+def _tbl(sf_dir: str, name: str) -> str:
+    return "%s/%s.parquet" % (sf_dir.rstrip("/"), name)
+
+
+def derive_seeds_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, source) -> seeds(url, priority, seed_order,
+    crawl_delay_ms). URL shape varies scheme / www. / query-param order
+    deterministically so SURT canonicalization has real work to do."""
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+    source = batch["source"].to_numpy(zero_copy_only=False).astype(str)
+
+    scheme = np.where((doc_id // 200) % 2 == 0, "https://", "http://")
+    www = np.where((doc_id // 100) % 2 == 0, "www.", "")
+    q = np.where(doc_id % 10 < 3, "?b=2&a=1", "")
+    page = (doc_id % 100).astype(str)
+
+    url = np.char.add(scheme.astype(str), www.astype(str))
+    url = np.char.add(url, source)
+    url = np.char.add(url, ".example/doc/")
+    url = np.char.add(url, page)
+    url = np.char.add(url, q.astype(str))
+
+    src_idx = np.array([int(s[3:]) for s in source], dtype=np.int64)
+    delays = _DELAYS[src_idx % 4]
+
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "url": pa.array(url.tolist(), pa.string()),
+        "priority": pa.array((doc_id % 4).astype(np.int32)),
+        "seed_order": pa.array(doc_id.astype(np.int64)),
+        "crawl_delay_ms": pa.array(delays, pa.int64()),
+    })
+
+
+_SEEDS_CTE = """
+seeds AS (
+  SELECT doc_id,
+         (CASE WHEN (doc_id // 200) % 2 = 0 THEN 'https://' ELSE 'http://' END)
+           || (CASE WHEN (doc_id // 100) % 2 = 0 THEN 'www.' ELSE '' END)
+           || source || '.example/doc/' || (doc_id % 100)
+           || (CASE WHEN doc_id % 10 < 3 THEN '?b=2&a=1' ELSE '' END) AS url,
+         'example,' || source || ')/doc/' || (doc_id % 100)
+           || (CASE WHEN doc_id % 10 < 3 THEN '?a=1&b=2' ELSE '' END) AS urlkey,
+         (CASE WHEN (doc_id // 100) % 2 = 0 THEN 'www.' ELSE '' END)
+           || source || '.example' AS host,
+         CAST(doc_id % 4 AS INTEGER) AS priority,
+         doc_id AS seed_order,
+         CAST(CASE (CAST(substr(source, 4, 8) AS INTEGER) % 4)
+              WHEN 0 THEN 550 WHEN 1 THEN 1000 WHEN 2 THEN 3000
+              ELSE 6000 END AS BIGINT) AS crawl_delay_ms
+  FROM documents
+)
+"""
+
+
+def derived_seeds(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "source"])
+    return ds.map_batches(derive_seeds_batch, batch_format="pyarrow")
+
+
+def _add_false_robots(batch: pa.Table) -> pa.Table:
+    return batch.append_column(
+        "robots_blocked", pa.array(np.zeros(batch.num_rows, dtype=bool)))
+
+
+def _frontier_over_seeds(sf_dir: str) -> ray.data.Dataset:
+    """seeds -> canonicalize -> first-wins dedup -> politeness slots."""
+    ds = derived_seeds(sf_dir)
+    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    ds = first_wins_dedup(ds, "hash64",
+                          [("priority", 19), ("seed_order", 44)])
+    ds = ds.map_batches(_add_false_robots, batch_format="pyarrow")
+    ds = ds.groupby("host").map_groups(make_politeness_scheduler(),
+                                       batch_format="pandas")
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# Query callables (each: sf_dir -> Dataset / DataFrame)
+# ---------------------------------------------------------------------------
+
+def q_surt_canonicalize(sf_dir: str):
+    """M5: SURT urlkey + host for the derived URL set."""
+    ds = derived_seeds(sf_dir)
+    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "url", "urlkey", "host"])
+
+
+def q_exact_dedup(sf_dir: str):
+    """§2.5 exact dedup: first (min doc_id) per distinct urlkey."""
+    ds = derived_seeds(sf_dir)
+    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    out = exact_dedup(ds, key_col="urlkey", id_col="doc_id")
+    return out.select_columns(["doc_id", "urlkey"])
+
+
+def q_frontier_schedule(sf_dir: str):
+    """Flagship north_rule pipeline: canonicalize -> first-wins dedup ->
+    per-host politeness slots under the virtual clock."""
+    ds = _frontier_over_seeds(sf_dir)
+    ds = ds.filter(expr="host_rank >= 0")
+    return ds.select_columns(["urlkey", "host", "priority", "seed_order",
+                              "n_dup_dropped", "host_rank", "fetch_ms"])
+
+
+def q_frontier_counters(sf_dir: str):
+    """A4 counters: per-host fetched / deduped / deferred / finish."""
+    return host_counters(_frontier_over_seeds(sf_dir))
+
+
+def q_filter_cdx(sf_dir: str):
+    """M3 filter language (pywb dialect): exact, regex, inverted
+    substring, ANDed."""
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "lang", "source", "text"])
+    ds = ds.map_batches(
+        FilterStage(["=lang:en", "~source:src1.?", "!text:spark"], "cc"),
+        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "lang", "source"])
+
+
+def q_filter_ia(sf_dir: str):
+    """M2+M3 IA dialect: field rename (mimetype->mime) + regex filter +
+    inverted filter on a missing dynamic field (passes every row)."""
+    def add_mime(batch: pa.Table) -> pa.Table:
+        mime = pc.binary_join_element_wise(
+            pa.array(["text"] * batch.num_rows), batch["lang"], "/")
+        return batch.append_column("mime", mime)
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "lang"])
+    ds = ds.map_batches(add_mime, batch_format="pyarrow")
+    ds = ds.map_batches(
+        FilterStage(["mimetype:text/e.*", "!statuscode:404"], "ia"),
+        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "mime"])
+
+
+def _add_ts14(batch: pa.Table) -> pa.Table:
+    # Arrow's %S prints fractional seconds for sub-second unit types —
+    # floor and downcast to seconds so the 14-digit CDX form is exact.
+    secs = pc.cast(pc.floor_temporal(batch["ts"], unit="second"),
+                   pa.timestamp("s"))
+    ts14 = pc.strftime(secs, format="%Y%m%d%H%M%S")
+    return batch.append_column("timestamp", ts14)
+
+
+def q_time_window(sf_dir: str):
+    """M7/M8 timestamp padding + window filter + CDX filter: events in
+    [pad_down('20240105'), pad_up('20240115')] of type click. Note the
+    reference's pad-up quirk (day replaced by month max) is intentional:
+    to='20240115' pads to 20240131235959."""
+    from .sources.captures import CaptureMatcher
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["event_id", "ts", "event_type"])
+    ds = ds.map_batches(_add_ts14, batch_format="pyarrow")
+    matcher = CaptureMatcher(None, "20240105", "20240115",
+                             ["=event_type:click"], "cc")
+    ds = ds.map_batches(matcher, batch_format="pyarrow")
+    return ds.select_columns(["event_id", "timestamp", "event_type"])
+
+
+def q_closest(sf_dir: str):
+    """O3 nearest-timestamp top-k with deterministic tie-break."""
+    target = timestamp_to_time(pad_timestamp("2024011012"))
+
+    def add_delta(batch: pa.Table) -> pa.Table:
+        ep = timestamps_to_epoch(batch["timestamp"])
+        d = pc.cast(pc.abs(pc.subtract(ep, target)), pa.int64())
+        return batch.append_column("closest_delta", d)
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["event_id", "ts"])
+    ds = ds.map_batches(_add_ts14, batch_format="pyarrow")
+    ds = ds.map_batches(add_delta, batch_format="pyarrow")
+    ds = ds.sort(["closest_delta", "event_id"]).limit(25)
+    return ds.select_columns(["event_id", "timestamp", "closest_delta"])
+
+
+def q_size_estimate(sf_dir: str):
+    """A1 size estimate: distributed count per group -> page math
+    (pages_to_samples parity, reference __init__.py:43-50)."""
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["event_type"])
+    counts = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_rows")).to_pandas()
+    pages = np.ceil(counts["n_rows"].to_numpy() / LINES_PER_PAGE)
+    counts["est_samples"] = np.array(
+        [pages_to_samples(int(p)) for p in pages], dtype=np.int64)
+    return counts[["event_type", "n_rows", "est_samples"]]
+
+
+def q_join_lookup(sf_dir: str):
+    """J1-style broadcast lookup join: orders x customer x nation via a
+    ray.put dict read once per worker (no shuffle)."""
+    import ray as _ray
+
+    cust = pq.read_table(_tbl(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name", "c_mktsegment",
+                                  "c_nationkey"])
+    nat = pq.read_table(_tbl(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(),
+                    nat["n_name"].to_pylist()))
+    cmap = {
+        k: (n, m, nmap.get(nk))
+        for k, n, m, nk in zip(cust["c_custkey"].to_pylist(),
+                               cust["c_name"].to_pylist(),
+                               cust["c_mktsegment"].to_pylist(),
+                               cust["c_nationkey"].to_pylist())
+    }
+    ref = _ray.put(cmap)
+
+    def lookup(df: pd.DataFrame) -> pd.DataFrame:
+        from .pipelines.frontier import _get_broadcast
+
+        m = _get_broadcast(ref)
+        tup = df["o_custkey"].map(m)
+        df = df[["o_orderkey"]].copy()
+        df["c_name"] = tup.map(lambda t: t[0])
+        df["c_mktsegment"] = tup.map(lambda t: t[1])
+        df["n_name"] = tup.map(lambda t: t[2])
+        return df
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "orders"),
+                               columns=["o_orderkey", "o_custkey"])
+    return ds.map_batches(lookup, batch_format="pandas")
+
+
+def q_groupby_agg(sf_dir: str):
+    """A-family wide aggregate with map-side combining: per-batch
+    partial sums inside map_batches, then a small groupby of partials
+    (the pre-aggregate-before-shuffle pattern)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch["l_quantity"], pa.int64())
+        batch = batch.set_column(
+            batch.column_names.index("l_quantity"), "qty", qty)
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("qty", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "part_sum", "part_cnt"])
+
+    ds = ray.data.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("part_sum", alias_name="sum_qty"),
+        Sum("part_cnt", alias_name="count_order"))
+
+
+def q_project_rename(sf_dir: str):
+    """M1/M2 projection + rename."""
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["event_id", "event_type", "user_id"])
+    return ds.rename_columns({"event_type": "etype"})
+
+
+def q_token_stats(sf_dir: str):
+    """Token counting (whitespace + BPE-ish regex)."""
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens_ws", "n_tokens_re"])
+
+
+def q_quality(sf_dir: str):
+    """Quality scoring (integer components — SQL-checkable)."""
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_chars_actual", "n_tokens_ws",
+                              "n_stopwords"])
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID (stopword-marker argmax, alpha tie-break)."""
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(lang_id_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query vector, per-batch
+    numpy matmul, global top-k by sort+limit."""
+    from .stages.ann import cosine_topk
+
+    emb = pq.read_table(_tbl(sf_dir, "embeddings"))
+    qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    out = cosine_topk(ds, qvec, k=10, round_to=None)
+    return out.select_columns(["vec_id"])
+
+
+# --- rows-only (no SQL oracle: stateful / sketch / fixture-based) ---------
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs, Jaccard-verified."""
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return minhash_dedup_pairs(ds, text_col="text", id_col="doc_id",
+                               threshold=0.0)
+
+
+def q_simhash_sigs(sf_dir: str):
+    """SimHash signatures (deterministic, fixed hyperplane seeds)."""
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(make_simhash_stage("text"), batch_format="pyarrow")
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch["simhash"], pa.string())
+        return pa.table({"doc_id": batch["doc_id"], "simhash": s})
+
+    return ds.map_batches(to_str, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    """Winnowing-style rolling-hash document fingerprints."""
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(make_fingerprint_stage("text"),
+                        batch_format="pyarrow")
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch["fingerprint"], pa.string())
+        return pa.table({"doc_id": batch["doc_id"], "fingerprint": s})
+
+    return ds.map_batches(to_str, batch_format="pyarrow")
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via LSH hyperplane buckets."""
+    from .stages.dedup import embedding_neardup_pairs
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    # the synthetic embeddings have no true near-dups (max pairwise
+    # cosine ~0.48), so use a low threshold + coarse buckets to keep
+    # the candidate/verify machinery exercised with non-empty output
+    return embedding_neardup_pairs(ds, vec_col="embedding",
+                                   id_col="vec_id", n_planes=6,
+                                   threshold=0.35)
+
+
+def _fixture_root(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    root = "/tmp/cdxray_fixtures_%s" % tag
+    if not os.path.exists(root + "/.done"):
+        from . import fixtures
+
+        n = 5000 if "0.01" in sf_dir else 1000
+        fixtures.generate(root, n_pages=n, seed=42)
+        open(root + "/.done", "w").close()
+    return root
+
+
+def q_captures_query(sf_dir: str):
+    """S1/S2/M3-M9/O1-O4/A2 end-to-end: the CDX capture-iteration query
+    engine over the hive-partitioned fixture captures table (generated
+    deterministically; non-SQL because crawl selection + SURT matching
+    are plan-time engine logic)."""
+    from .sources.captures import query_captures
+
+    root = _fixture_root(sf_dir)
+    ds = query_captures(root + "/captures", url="*.big-portal.example",
+                        from_ts="202201", to="202312",
+                        filter=["=status:200"], limit=2000)
+    return ds.select_columns(["urlkey", "timestamp", "url", "status",
+                              "digest"])
+
+
+def q_content_extract(sf_dir: str):
+    """J1+M15: captures joined to page content, utf-8/replace text
+    extraction (byte-identical invariant), fgrep filters."""
+    from .pipelines.warcout import extract_content
+
+    root = _fixture_root(sf_dir)
+    ds = extract_content(root + "/captures", root + "/pages.parquet",
+                         url="*.example", url_fgrep="/p/",
+                         from_ts="202201", to="202312")
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        return batch.append_column("text_chars",
+                                   pc.utf8_length(batch["text"]))
+
+    ds = ds.map_batches(lengths, batch_format="pyarrow")
+    return ds.select_columns(["urlkey", "timestamp", "url", "text_chars"])
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB; the driver pre-registers the table views)
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "surt_canonicalize": "WITH " + _SEEDS_CTE + """
+SELECT doc_id, url, urlkey, host FROM seeds
+""",
+    "exact_dedup": "WITH " + _SEEDS_CTE + """
+SELECT doc_id, urlkey FROM (
+  SELECT doc_id, urlkey,
+         row_number() OVER (PARTITION BY urlkey ORDER BY doc_id) AS rn
+  FROM seeds) WHERE rn = 1
+""",
+    "frontier_schedule": "WITH " + _SEEDS_CTE + """,
+dd AS (
+  SELECT *,
+         CAST(count(*) OVER (PARTITION BY urlkey) - 1 AS BIGINT)
+           AS n_dup_dropped,
+         row_number() OVER (PARTITION BY urlkey
+                            ORDER BY priority, seed_order) AS rn
+  FROM seeds),
+sched AS (
+  SELECT urlkey, host, priority, seed_order, n_dup_dropped, crawl_delay_ms,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, seed_order) - 1
+              AS BIGINT) AS host_rank
+  FROM dd WHERE rn = 1)
+SELECT urlkey, host, priority, seed_order, n_dup_dropped, host_rank,
+       host_rank * crawl_delay_ms AS fetch_ms
+FROM sched
+""",
+    "frontier_counters": "WITH " + _SEEDS_CTE + """,
+dd AS (
+  SELECT *,
+         CAST(count(*) OVER (PARTITION BY urlkey) - 1 AS BIGINT)
+           AS n_dup_dropped,
+         row_number() OVER (PARTITION BY urlkey
+                            ORDER BY priority, seed_order) AS rn
+  FROM seeds),
+sched AS (
+  SELECT host, n_dup_dropped, crawl_delay_ms,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, seed_order) - 1
+              AS BIGINT) AS host_rank
+  FROM dd WHERE rn = 1)
+SELECT host,
+       count(*) AS fetched,
+       CAST(sum(n_dup_dropped) AS BIGINT) AS deduped,
+       CAST(sum(CASE WHEN host_rank > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS deferred_politeness,
+       CAST(0 AS BIGINT) AS robots_blocked,
+       max(host_rank * crawl_delay_ms) AS finish_ms,
+       count(*) AS "rows"
+FROM sched GROUP BY host
+""",
+    "filter_cdx": """
+SELECT doc_id, lang, source FROM documents
+WHERE lang = 'en' AND regexp_full_match(source, 'src1.?')
+  AND NOT contains(text, 'spark')
+""",
+    "filter_ia": """
+SELECT doc_id, 'text/' || lang AS mime FROM documents
+WHERE regexp_full_match('text/' || lang, 'text/e.*')
+""",
+    "time_window": """
+SELECT event_id, strftime(ts, '%Y%m%d%H%M%S') AS "timestamp", event_type
+FROM events
+WHERE strftime(ts, '%Y%m%d%H%M%S') >= '20240105000000'
+  AND strftime(ts, '%Y%m%d%H%M%S') <= '20240131235959'
+  AND event_type = 'click'
+""",
+    "closest": """
+SELECT event_id, strftime(ts, '%Y%m%d%H%M%S') AS "timestamp",
+       CAST(abs(epoch(date_trunc('second', ts))
+                - epoch(TIMESTAMP '2024-01-10 12:00:00')) AS BIGINT)
+         AS closest_delta
+FROM events
+ORDER BY closest_delta, event_id
+LIMIT 25
+""",
+    "size_estimate": """
+WITH c AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1),
+p AS (SELECT event_type, n_rows,
+             CAST(ceil(n_rows / 3000.0) AS BIGINT) AS pages FROM c)
+SELECT event_type, n_rows,
+       CAST(CASE WHEN pages > 1 THEN (pages - 1) * 3000
+                 WHEN pages = 1 THEN 1500
+                 ELSE 0 END AS BIGINT) AS est_samples
+FROM p
+""",
+    "join_lookup": """
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment, n.n_name
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+    "groupby_agg": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    "project_rename": """
+SELECT event_id, event_type AS etype, user_id FROM events
+""",
+    "token_stats": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+         AS n_tokens_re
+FROM documents
+""",
+    "quality": r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+            x -> x IN ('the','a','of','and','to','in','is','for')))
+         AS BIGINT) AS n_stopwords
+FROM documents
+""",
+    "lang_id": r"""
+WITH s AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '\S+') AS toks
+           FROM documents),
+sc AS (SELECT doc_id,
+  len(list_filter(toks, x -> x IN
+      ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
+  len(list_filter(toks, x -> x IN
+      ('the','a','of','and','to','in','is','for'))) AS s_en,
+  len(list_filter(toks, x -> x IN
+      ('el','la','de','que','y','en','los','por'))) AS s_es,
+  len(list_filter(toks, x -> x IN
+      ('le','la','de','et','les','des','un','une'))) AS s_fr
+ FROM s)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM sc
+""",
+    "ann_topk": """
+SELECT vec_id FROM embeddings
+ORDER BY list_cosine_similarity(embedding,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10
+""",
+}
+
+
+QUERIES = {
+    "surt_canonicalize": q_surt_canonicalize,
+    "exact_dedup": q_exact_dedup,
+    "frontier_schedule": q_frontier_schedule,
+    "frontier_counters": q_frontier_counters,
+    "filter_cdx": q_filter_cdx,
+    "filter_ia": q_filter_ia,
+    "time_window": q_time_window,
+    "closest": q_closest,
+    "size_estimate": q_size_estimate,
+    "join_lookup": q_join_lookup,
+    "groupby_agg": q_groupby_agg,
+    "project_rename": q_project_rename,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "ann_topk": q_ann_topk,
+    # rows-only (no SQL equivalent)
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_sigs": q_simhash_sigs,
+    "fingerprint": q_fingerprint,
+    "embedding_neardup": q_embedding_neardup,
+    "captures_query": q_captures_query,
+    "content_extract": q_content_extract,
+}

@@ -60,6 +60,7 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n = len(texts)
     n_chars = np.empty(n, np.int64)
     n_tok = np.empty(n, np.int64)
+    n_stop = np.empty(n, np.int64)
     mean_len = np.empty(n, np.float64)
     stop_ratio = np.empty(n, np.float64)
     stopset = set(STOPWORDS)
@@ -68,14 +69,16 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         toks = WS_RE.findall(t)
         n_chars[i] = len(t)
         n_tok[i] = len(toks)
+        n_stop[i] = sum(1 for w in toks if w in stopset)
         if toks:
             mean_len[i] = sum(len(w) for w in toks) / len(toks)
-            stop_ratio[i] = sum(1 for w in toks if w in stopset) / len(toks)
+            stop_ratio[i] = n_stop[i] / len(toks)
         else:
             mean_len[i] = 0.0
             stop_ratio[i] = 0.0
     for name, arr, typ in (("n_chars_actual", n_chars, pa.int64()),
                            ("n_tokens_ws", n_tok, pa.int64()),
+                           ("n_stopwords", n_stop, pa.int64()),
                            ("mean_token_len", mean_len, pa.float64()),
                            ("stopword_ratio", stop_ratio, pa.float64())):
         if name in batch.column_names:
