@@ -123,21 +123,45 @@ def default_join_partitions() -> int:
 
 def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
                      num_partitions: int | None = None,
-                     count_col: str = "n_dup_dropped") -> ray.data.Dataset:
+                     count_col: str = "n_dup_dropped",
+                     strategy: str = "auto",
+                     broadcast_limit: int = 20_000_000) -> ray.data.Dataset:
     """Scalable exact first-wins dedup: keep, per ``key_col`` group, the
     row minimizing the packed order key; append ``count_col`` = number
     of dropped duplicates.
 
     Unlike ``groupby().map_groups`` (one Python call per group — fine
-    for thousands of groups, fatal for hundreds of millions), this is
-    aggregate + hash join, both fully vectorized and shuffle-partitioned:
+    for thousands of groups, fatal for hundreds of millions), the
+    winner identity is computed with a single vectorized aggregate
 
         winners = groupby(key).aggregate(Min(sortkey), Count)
-        out     = ds JOIN winners ON (key, sortkey == min)
 
-    Two all-to-all exchanges on the same key (the aggregate's shuffle
-    and the join's), each over narrow columns; payload columns travel
-    once. Winner choice is arrival-order independent, so results are
+    and winner ROWS are recovered by one of two semi-join strategies
+    (packed sort keys are globally unique, so membership of ``sortkey``
+    in the winner set identifies winners exactly):
+
+    * ``broadcast`` — map-side partial (key, min, count) tables, one
+      distributed combine round, driver merge, ``ray.put`` once,
+      filter each batch with a vectorized ``searchsorted``. NO
+      all-to-all shuffle; input materialized so the winner pass and
+      the filter pass share one execution. Right for winner sets up
+      to ~10^7-10^8 (a few hundred MB broadcast).
+    * ``broadcast_recompute`` — same, but fully streaming: the pure
+      upstream is re-executed for the filter pass instead of being
+      materialized (cheap parallel recompute, zero object-store
+      footprint).
+    * ``join`` — distributed Min/Count aggregate + hash join of the
+      input against the winner table. Two shuffles; the 10^10-key
+      scale path (nothing ever lands on the driver).
+    * ``auto`` — materialize + count the input, pick broadcast iff
+      rows <= ``broadcast_limit``.
+
+    CONTRACT: the packed order key must be UNIQUE per row (e.g. a
+    globally unique ``seed_order`` in its low bits — the frontier seed
+    contract, FIXTURES.md §3). Ties in the packed key would keep every
+    tied row in both strategies.
+
+    Winner choice is arrival-order independent, so results are
     identical under any parallelism (north_rule determinism).
     """
     from ray.data.aggregate import Count, Min
@@ -146,8 +170,9 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
         num_partitions = default_join_partitions()
     ds = ds.map_batches(add_packed_order(cols_bits), batch_format="pyarrow")
 
-    # Ray's hash aggregate normalizes uint64 group keys to int64; join
-    # on a bit-reinterpreted int64 view so both sides agree.
+    # Ray's sort/hash aggregates coerce group keys to int64 (uint64
+    # values above 2^63-1 degrade to pickled objects); aggregate and
+    # join on a bit-reinterpreted int64 view so keys stay primitive.
     def add_join_key(batch: pa.Table) -> pa.Table:
         k = batch[key_col]
         if pa.types.is_unsigned_integer(k.type):
@@ -160,6 +185,124 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
         return batch.append_column("_fw_key", k)
 
     ds = ds.map_batches(add_join_key, batch_format="pyarrow")
+
+    if strategy == "auto":
+        ds = ds.materialize()
+        strategy = "broadcast" if ds.count() <= broadcast_limit else "join"
+    elif strategy == "broadcast":
+        ds = ds.materialize()
+
+    if strategy in ("broadcast", "broadcast_recompute"):
+        # Map-side partial winner tables -> one distributed combine
+        # round -> driver merge -> broadcast filter. NO all-to-all
+        # shuffle: only (key, min_sortkey, count) triples move, once.
+        # 'broadcast' shares one upstream execution via the materialize
+        # above (object store, spill-safe); 'broadcast_recompute'
+        # keeps the input fully STREAMING and re-executes the pure,
+        # deterministic upstream for the filter pass — embarrassingly
+        # parallel recompute traded for zero object-store footprint.
+        import ray as _ray
+
+        def merge_runs(k, s, c):
+            order = np.lexsort((s, k))
+            k, s, c = k[order], s[order], c[order]
+            first = np.ones(len(k), dtype=bool)
+            first[1:] = k[1:] != k[:-1]
+            idx = np.flatnonzero(first)
+            cnt = (np.add.reduceat(c, idx) if len(c)
+                   else np.zeros(0, np.int64))
+            return k[idx], s[idx], cnt
+
+        def partial_winners(batch: pa.Table) -> pa.Table:
+            k = batch["_fw_key"].to_numpy(zero_copy_only=False)
+            s = batch["sortkey"].to_numpy(zero_copy_only=False)
+            c = (batch["grp_rows"].to_numpy(zero_copy_only=False)
+                 if "grp_rows" in batch.column_names
+                 else np.ones(len(k), np.int64))
+            k2, s2, c2 = merge_runs(k, s, c)
+            return pa.table({"_fw_key": pa.array(k2, pa.int64()),
+                             "sortkey": pa.array(s2, pa.int64()),
+                             "grp_rows": pa.array(c2, pa.int64())})
+
+        # Combine the per-block partials into the global winner table.
+        # Ray Data's own groupby().aggregate() measured ~20x slower
+        # than either path below on narrow int64 triples, and a
+        # repartition() barrier was worse still — so: small partial
+        # sets merge on the driver (polars, multi-threaded); large
+        # ones go through a manual two-stage hash shuffle with raw
+        # Ray tasks (split each block into key-hash buckets, merge
+        # each bucket in parallel) so the driver only ever receives
+        # DISTINCT winners, keeping driver work O(unique keys) no
+        # matter the duplication factor.
+        parts = ds.map_batches(partial_winners,
+                               batch_format="pyarrow").materialize()
+        prefs = parts.to_arrow_refs()
+        total_partials = parts.count()
+
+        if total_partials <= 2_000_000 or len(prefs) < 2:
+            refs = _ray.get(prefs)
+            if refs:
+                ptbl = pa.concat_tables(refs)
+                import polars as pl
+
+                agg = (pl.from_arrow(ptbl)
+                       .group_by("_fw_key")
+                       .agg(pl.col("sortkey").min(),
+                            pl.col("grp_rows").sum())
+                       .sort("sortkey"))
+                wk = agg["sortkey"].to_numpy().astype(np.int64)
+                wc = agg["grp_rows"].to_numpy().astype(np.int64)
+            else:
+                wk = wc = np.zeros(0, np.int64)
+        else:
+            nbuckets = max(4, num_partitions)
+
+            @_ray.remote
+            def split_buckets(tbl: pa.Table, nb: int):
+                k = tbl["_fw_key"].to_numpy(zero_copy_only=False)
+                b = k.view(np.uint64) % np.uint64(nb)
+                out = []
+                for p in range(nb):
+                    out.append(tbl.filter(pa.array(b == p)))
+                return tuple(out)
+
+            @_ray.remote
+            def merge_bucket(*tbls):
+                t = pa.concat_tables(tbls)
+                k2, s2, c2 = merge_runs(
+                    t["_fw_key"].to_numpy(zero_copy_only=False),
+                    t["sortkey"].to_numpy(zero_copy_only=False),
+                    t["grp_rows"].to_numpy(zero_copy_only=False))
+                return pa.table({"sortkey": pa.array(s2, pa.int64()),
+                                 "grp_rows": pa.array(c2, pa.int64())})
+
+            splits = [split_buckets.options(num_returns=nbuckets)
+                      .remote(r, nbuckets) for r in prefs]
+            merged = [merge_bucket.remote(*[s[p] for s in splits])
+                      for p in range(nbuckets)]
+            pieces = _ray.get(merged)
+            wk = np.concatenate([p["sortkey"].to_numpy() for p in pieces])
+            wc = np.concatenate([p["grp_rows"].to_numpy() for p in pieces])
+            order2 = np.argsort(wk, kind="stable")
+            wk, wc = wk[order2], wc[order2]
+        ref = _ray.put((wk, wc))
+
+        def bfilter(batch: pa.Table) -> pa.Table:
+            from ..pipelines.frontier import _get_broadcast
+
+            keys, counts = _get_broadcast(ref)
+            sk = batch["sortkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, sk)
+            pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+            hit = (keys[pos_c] == sk) if len(keys) else np.zeros(len(sk), bool)
+            batch = batch.filter(pa.array(hit))
+            nd = counts[pos_c[hit]] - 1
+            batch = batch.append_column(count_col,
+                                        pa.array(nd, pa.int64()))
+            return batch.drop_columns(["sortkey", "_fw_key"])
+
+        return ds.map_batches(bfilter, batch_format="pyarrow")
+
     winners = ds.groupby("_fw_key").aggregate(
         Min("sortkey", alias_name="win_sortkey"),
         Count(alias_name="grp_rows"),
