@@ -1,0 +1,233 @@
+"""``cdxt``-parity command line tool over local Parquet capture tables.
+
+Re-expresses the reference CLI surface (cocrawler/cdx_toolkit
+cdx_toolkit/cli.py:14-283 — ``cdxt [--crawl ...] [--from --to --closest
+--limit --filter*] {iter,warc,size}``) against this engine: the remote
+CDX server is replaced by ``--captures-root`` (hive-partitioned
+captures table) and WARC content fetch by ``--pages`` (pages table).
+
+Output parity (cli.py:197-219):
+* ``iter`` default: ``k v, k v, ...`` lines of sorted selected fields
+* ``--jsonl``: one ``json.dumps(..., sort_keys=True)`` per capture
+* ``--csv``: DictWriter with sorted header
+* ``warc``: size-rotated ``<prefix>[-<subprefix>]-NNNNNN.extracted``
+  Parquet segments + a ``.warcinfo.json`` info record
+  (cli.py:235-276 semantics; fgrep/fgrepv gates cli.py:262-267)
+* ``size``: prints the estimate (cli.py:279-283), ``--details`` adds
+  per-crawl lines
+
+The CLI owns its Ray session (guarded init — the library never calls
+``ray.init``).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+import os
+import sys
+from argparse import ArgumentParser
+
+LOGGER = logging.getLogger(__name__)
+
+
+def make_parser() -> ArgumentParser:
+    parser = ArgumentParser(
+        prog="cdxt-ray",
+        description="cdx_toolkit_ray iterator command line tool")
+    parser.add_argument("--verbose", "-v", action="count",
+                        help="INFO (-v) or DEBUG (-vv) logging")
+    parser.add_argument("--captures-root", required=True,
+                        help="hive-partitioned captures table directory")
+    parser.add_argument("--pages", help="pages Parquet (content lookups)")
+    parser.add_argument("--cc", action="store_const", const="cc",
+                        help="treat the table as a Common Crawl index")
+    parser.add_argument("--ia", action="store_const", const="ia",
+                        help="treat the table as an IA index (dialect)")
+    parser.add_argument("--crawl", action="store",
+                        help="crawl names (comma separated) or an integer "
+                             "for the most recent N crawls")
+    parser.add_argument("--limit", type=int, action="store")
+    parser.add_argument("--cc-sort", action="store", default="mixed",
+                        help="default mixed, alternatively: ascending")
+    parser.add_argument("--from", action="store")
+    parser.add_argument("--to", action="store")
+    parser.add_argument("--filter", action="append",
+                        help="CDX filter language, [mod]field:expr")
+    parser.add_argument("--get", action="store_true",
+                        help="one-shot get with default limit=1000")
+    parser.add_argument("--closest", action="store",
+                        help="closest capture to this timestamp; with --get")
+    parser.add_argument("--num-cpus", type=int,
+                        default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+
+    sub = parser.add_subparsers(dest="cmd")
+    sub.required = True
+
+    it = sub.add_parser("iter", help="iterate printing captures")
+    it.add_argument("--all-fields", action="store_true")
+    it.add_argument("--fields", action="store",
+                    default="url,status,timestamp",
+                    help="comma-separated capture fields")
+    it.add_argument("--jsonl", action="store_true")
+    it.add_argument("--csv", action="store_true")
+    it.add_argument("url")
+    it.set_defaults(func=iterator)
+
+    warc = sub.add_parser(
+        "warc", help="iterate over capture content, writing segments")
+    warc.add_argument("--prefix", default="TEST")
+    warc.add_argument("--subprefix", type=str, default=None)
+    warc.add_argument("--size", type=int, default=1000000000,
+                      help="target segment size in bytes")
+    warc.add_argument("--creator", action="store")
+    warc.add_argument("--operator", action="store")
+    warc.add_argument("--url-fgrep", action="store",
+                      help="pattern that must be present to warc an url")
+    warc.add_argument("--url-fgrepv", action="store",
+                      help="pattern that must NOT be present")
+    warc.add_argument("url")
+    warc.set_defaults(func=warcer)
+
+    size = sub.add_parser(
+        "size", help="imprecise count of how many results are available")
+    size.add_argument("--details", action="store_true")
+    size.add_argument("url")
+    size.set_defaults(func=sizer)
+    return parser
+
+
+def set_loglevel(cmd) -> None:
+    loglevel = os.getenv("LOGLEVEL") or "WARNING"
+    if cmd.verbose:
+        loglevel = "DEBUG" if cmd.verbose > 1 else "INFO"
+    logging.getLogger().setLevel(loglevel)
+    logging.basicConfig(level=loglevel)
+
+
+def _query_kwargs(cmd) -> dict:
+    kwargs = {}
+    if cmd.limit:
+        kwargs["limit"] = cmd.limit
+    if vars(cmd).get("from"):
+        kwargs["from_ts"] = vars(cmd)["from"]
+    if cmd.to:
+        kwargs["to"] = cmd.to
+    if cmd.closest:
+        if not cmd.get:
+            LOGGER.info("note: --closest works best with --get")
+        kwargs["closest"] = cmd.closest
+    if cmd.filter:
+        kwargs["filter"] = cmd.filter
+    return kwargs
+
+
+def _fetcher(cmd):
+    from .api import CDXFetcher
+
+    source = "ia" if cmd.ia else "cc"
+    crawl = [cmd.crawl] if cmd.crawl else None
+    return CDXFetcher(captures_root=cmd.captures_root,
+                      pages_path=cmd.pages, source=source,
+                      crawl=crawl, cc_sort=cmd.cc_sort)
+
+
+def winnow_fields(cmd, fields, obj) -> dict:
+    """Field projection parity (cli.py:197-202)."""
+    if cmd.all_fields:
+        return dict(obj)
+    return {k: obj[k] for k in fields if k in obj}
+
+
+def print_line(cmd, writer, printme, out=None) -> None:
+    """Serialization parity (cli.py:205-211)."""
+    out = out or sys.stdout
+    if cmd.jsonl:
+        print(json.dumps(printme, sort_keys=True, default=str), file=out)
+    elif writer:
+        writer.writerow(printme)
+    else:
+        print(", ".join(" ".join((k, str(printme[k])))
+                        for k in sorted(printme)), file=out)
+
+
+def iterator(cmd, out=None) -> None:
+    cdx = _fetcher(cmd)
+    kwargs = _query_kwargs(cmd)
+    fields = set(cmd.fields.split(","))
+    writer = None
+    if cmd.csv:
+        writer = csv.DictWriter(out or sys.stdout,
+                                fieldnames=sorted(fields))
+        writer.writeheader()
+
+    objs = cdx.get(cmd.url, **kwargs) if cmd.get \
+        else cdx.iter(cmd.url, **kwargs)
+    for obj in objs:
+        print_line(cmd, writer, winnow_fields(cmd, fields, obj), out)
+
+
+def warcer(cmd, out=None) -> None:
+    from .pipelines.warcout import extract_content, get_writer
+
+    kwargs = _query_kwargs(cmd)
+    kwargs.pop("closest", None)
+
+    ispartof = cmd.prefix + (("-" + cmd.subprefix) if cmd.subprefix else "")
+    info = {
+        "software": "cdx_toolkit_ray",
+        "isPartOf": ispartof,
+        "description": "extraction generated with: " + " ".join(sys.argv[1:]),
+        "format": "parquet segment (WARC-equivalent)",
+    }
+    if cmd.creator:
+        info["creator"] = cmd.creator
+    if cmd.operator:
+        info["operator"] = cmd.operator
+
+    writer = get_writer(cmd.prefix, cmd.subprefix, info, size=cmd.size)
+    if cmd.crawl:
+        kwargs["crawl"] = [cmd.crawl]
+    ds = extract_content(cmd.captures_root, cmd.pages, url=cmd.url,
+                         url_fgrep=cmd.url_fgrep,
+                         url_fgrepv=cmd.url_fgrepv,
+                         cc_sort=cmd.cc_sort, **kwargs)
+    written = writer.write_dataset(ds)
+    LOGGER.info("wrote %d segments", len(written))
+
+
+def sizer(cmd, out=None) -> None:
+    cdx = _fetcher(cmd)
+    kwargs = _query_kwargs(cmd)
+    kwargs.pop("closest", None)
+    kwargs.pop("limit", None)
+    if cmd.details:
+        size, per_crawl = cdx.get_size_estimate(cmd.url, details=True,
+                                                **kwargs)
+        print(size, file=out or sys.stdout)
+        for crawl, n in per_crawl:
+            print("%s %d" % (crawl, n), file=out or sys.stdout)
+    else:
+        print(cdx.get_size_estimate(cmd.url, **kwargs),
+              file=out or sys.stdout)
+
+
+def main(args=None) -> None:
+    parser = make_parser()
+    cmd = parser.parse_args(args=args)
+    set_loglevel(cmd)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cmd.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    cmd.func(cmd)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
