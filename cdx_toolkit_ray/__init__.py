@@ -10,6 +10,19 @@ training-data operators (dedup family, ANN, text analysis).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# One polars thread per process. Ray workers run 1-CPU tasks, but
+# polars (used by our canonicalizer AND by Ray Data's own sort/groupby
+# reduce path) sizes its Rust thread pool to the MACHINE's cores at
+# first import — 32 workers x 32 threads thrashed a 32-core box with
+# ~1000 runnable threads (measured: intermittent 3-5x slowdowns of
+# whole pipeline runs). Setting it here covers every process that
+# imports this package before touching polars; bench.py and the test
+# fixture also export it before ray.init so plain shuffle workers
+# inherit it too.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 from .canon import surt, hash64, Canonicalizer  # noqa: F401
 from .filters import compile_filters, FilterStage  # noqa: F401
 from .api import CDXFetcher  # noqa: F401

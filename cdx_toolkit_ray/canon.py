@@ -25,11 +25,13 @@ well in Arrow) but computes the hash vectorized.
 
 from __future__ import annotations
 
+import os
 import re
 from urllib.parse import urlsplit, unquote
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _WWW_RE = re.compile(r"^www\d*\.")
 
@@ -55,7 +57,10 @@ def surt(url: str) -> str:
     host = _WWW_RE.sub("", host)
     rev = ",".join(reversed(host.split("."))) if host else ""
 
-    port = parts.port
+    try:
+        port = parts.port
+    except ValueError:  # garbage port text -> treat as portless
+        port = None
     if port is not None and port not in (80, 443):
         rev += ":%d" % port
 
@@ -86,26 +91,53 @@ def hash64(key: str) -> int:
     return h
 
 
-def hash64_batch(keys: np.ndarray) -> np.ndarray:
-    """Vectorized-ish FNV-1a over an object array of strings -> uint64.
+def hash64_batch(keys) -> np.ndarray:
+    """Vectorized FNV-1a over a string array -> uint64 (None -> 0).
 
-    Byte loop is per-string but in C via the bytes iteration; for the
-    block sizes we use (<=64k rows) this is a minor cost next to URL
-    parsing. A true SIMD hash would be the first optimization if this
-    shows up in ds.stats().
-    """
-    out = np.empty(len(keys), dtype=np.uint64)
-    mask = 0xFFFFFFFFFFFFFFFF
-    prime = int(_FNV64_PRIME)
-    offset = int(_FNV64_OFFSET)
-    for i, k in enumerate(keys):
-        if k is None:
-            out[i] = 0
-            continue
-        h = offset
-        for b in k.encode("utf-8"):
-            h = ((h ^ b) * prime) & mask
-        out[i] = h
+    Accepts a numpy object array or an Arrow (Chunked)Array. The byte
+    recurrence is sequential per string but vectorized ACROSS strings:
+    rows are sorted by length descending so step ``j`` updates a
+    contiguous prefix (no boolean masking), giving cache-friendly numpy
+    gathers instead of a per-byte Python loop — the scalar ``hash64``
+    stays as the executable spec."""
+    if isinstance(keys, np.ndarray) or isinstance(keys, list):
+        arr = pa.array(keys, type=pa.string())
+    elif isinstance(keys, pa.ChunkedArray):
+        arr = keys.combine_chunks()
+    else:
+        arr = keys
+    if arr.type != pa.string():
+        arr = arr.cast(pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    data = (np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None and len(data_buf)
+            else np.zeros(0, np.uint8))
+    starts, lengths = offs[:-1], np.diff(offs)
+
+    order = np.argsort(-lengths, kind="stable")
+    s_starts = starts[order]
+    s_len = lengths[order]
+    asc = s_len[::-1]
+
+    hs = np.full(n, _FNV64_OFFSET, dtype=np.uint64)
+    max_len = int(s_len[0]) if n else 0
+    for j in range(max_len):
+        k = n - int(np.searchsorted(asc, j, side="right"))
+        if k <= 0:
+            break
+        b = data[s_starts[:k] + j].astype(np.uint64)
+        hs[:k] = (hs[:k] ^ b) * _FNV64_PRIME
+
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = hs
+    if arr.null_count:
+        out[np.asarray(pc.is_null(arr))] = 0
     return out
 
 
@@ -129,8 +161,7 @@ class Canonicalizer:
         return canonicalize_batch(batch, url_col=self.url_col)
 
 
-def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
-    urls = batch[url_col].to_numpy(zero_copy_only=False)
+def _canon_slow(urls: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     n = len(urls)
     urlkeys = np.empty(n, dtype=object)
     hosts = np.empty(n, dtype=object)
@@ -139,13 +170,98 @@ def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
         if u is None:
             urlkeys[i] = None
             hosts[i] = None
-            continue
-        urlkeys[i] = surt(u)
-        hosts[i] = host_of(u)
+        else:
+            urlkeys[i] = surt(u)
+            hosts[i] = host_of(u)
+    return urlkeys, hosts
+
+
+_URL_GROUPS_RE = (r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?"
+                  r"(?<host>[^/?#:]+)(?::(?<port>[^/?#]*))?"
+                  r"(?<path>/[^?#]*)?(?:\?(?<query>[^#]*))?")
+
+
+def _canon_fast_frame(df):
+    """Staged polars pipeline implementing ``surt()`` for the common
+    URL grammar (no percent-escapes, userinfo, IPv6, or embedded
+    whitespace — those rows take the scalar fallback). ONE
+    extract_groups regex pass plus Rust list kernels replaces the
+    per-row Python urlsplit loop: ~10x per-core throughput and much
+    better multi-worker scaling (Python string-object churn was the
+    measured scalability ceiling of the old loop). Returns a DataFrame
+    with columns (urlkey, host, fast_ok)."""
+    import polars as pl
+
+    g = pl.col("_g")
+    host_raw = g.struct.field("host")
+    port = g.struct.field("port")
+    path = g.struct.field("path")
+    query = g.struct.field("query")
+
+    lf = (
+        df.lazy()
+        .with_columns(_g=pl.col("url").str.strip_chars()
+                      .str.extract_groups(_URL_GROUPS_RE))
+        .with_columns(
+            host=host_raw.str.to_lowercase().str.strip_chars_end("."),
+            _port_ok=port.is_null() | port.str.contains(r"^\d+$"),
+            _path=path.fill_null("/").str.to_lowercase(),
+            _query=query,
+        )
+        .with_columns(
+            _rev=pl.col("host").str.replace(r"^www\d*\.", "")
+            .str.split(".").list.reverse().list.join(","),
+            _port_sfx=pl.when(
+                port.is_null()
+                | port.cast(pl.Int64, strict=False).is_in([80, 443]))
+            .then(pl.lit("")).otherwise(pl.lit(":") + port),
+            _q_sfx=pl.when(pl.col("_query").is_null()
+                           | (pl.col("_query") == ""))
+            .then(pl.lit(""))
+            .otherwise(pl.lit("?") + pl.col("_query").str.split("&")
+                       .list.sort().list.join("&")),
+        )
+        .select(
+            urlkey=(pl.col("_rev") + pl.col("_port_sfx") + pl.lit(")")
+                    + pl.col("_path") + pl.col("_q_sfx")),
+            host=pl.col("host"),
+            fast_ok=(pl.col("url").is_not_null()
+                     & ~pl.col("url").str.contains(r"[%@\[ \t]")
+                     & pl.col("host").is_not_null()
+                     & pl.col("_port_ok")),
+        )
+    )
+    return lf.collect()
+
+
+def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    url_arr = batch[url_col]
+    if isinstance(url_arr, pa.ChunkedArray):
+        url_arr = url_arr.combine_chunks()
+    df = pl.DataFrame({"url": pl.Series(url_arr)})
+    out = _canon_fast_frame(df)
+    fast_ok = out["fast_ok"].to_numpy()
+
+    urlkeys = out["urlkey"].to_arrow().cast(pa.string())
+    hosts = out["host"].to_arrow().cast(pa.string())
+    if not fast_ok.all():
+        slow_idx = np.flatnonzero(~fast_ok)
+        urls_np = url_arr.to_numpy(zero_copy_only=False)
+        uk = urlkeys.to_numpy(zero_copy_only=False).copy()
+        ho = hosts.to_numpy(zero_copy_only=False).copy()
+        uk_s, ho_s = _canon_slow(urls_np[slow_idx])
+        uk[slow_idx] = uk_s
+        ho[slow_idx] = ho_s
+        urlkeys = pa.array(uk, type=pa.string())
+        hosts = pa.array(ho, type=pa.string())
+
     hashes = hash64_batch(urlkeys)
-    batch = batch.append_column("urlkey", pa.array(urlkeys, type=pa.string()))
+    batch = batch.append_column("urlkey", urlkeys)
     batch = batch.append_column("hash64", pa.array(hashes, type=pa.uint64()))
-    batch = batch.append_column("host", pa.array(hosts, type=pa.string()))
+    batch = batch.append_column("host", hosts)
     return batch
 
 

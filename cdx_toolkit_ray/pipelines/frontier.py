@@ -159,6 +159,68 @@ def make_politeness_scheduler(num_salts: int = 1):
     return politeness_slots
 
 
+def make_bucket_scheduler(num_salts: int = 1):
+    """Vectorized multi-host politeness kernel for ONE host-hash bucket.
+
+    Semantically identical to ``make_politeness_scheduler`` (per-host
+    rank by (priority, seed_order) over eligible rows; fetch_ms = rank *
+    crawl_delay_ms; blocked rows -1) but processes EVERY host of a
+    bucket in one numpy pass: one lexsort + run-length rank arithmetic
+    instead of a Python/pandas call per host. With B buckets the
+    shuffle has B balanced groups (hot hosts share a bucket but stay
+    sort-bound, not Python-bound) and map_groups runs B times total.
+    """
+
+    def bucket_slots(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        host_codes = pd.factorize(g["host"].to_numpy())[0]
+        prio = g["priority"].to_numpy()
+        seed = g["seed_order"].to_numpy()
+        eligible = ~g["robots_blocked"].to_numpy()
+        delay = g["crawl_delay_ms"].to_numpy().astype(np.int64)
+
+        order = np.lexsort((seed, prio, host_codes))
+        s_host = host_codes[order]
+        s_elig = eligible[order].astype(np.int64)
+        new_run = np.r_[True, s_host[1:] != s_host[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        cum = np.cumsum(s_elig)
+        run_starts = np.flatnonzero(new_run)
+        base = cum[run_starts] - s_elig[run_starts]
+        rank_sorted = cum - 1 - base[run_id]
+
+        rank = np.full(len(g), -1, dtype=np.int64)
+        rank[order] = np.where(s_elig > 0, rank_sorted, -1)
+        g["host_rank"] = rank
+        g["fetch_ms"] = np.where(rank >= 0, rank * delay, -1)
+        if num_salts > 1:
+            g["subqueue"] = np.where(rank >= 0, rank % num_salts, -1)
+        return g
+
+    return bucket_slots
+
+
+def schedule_politeness(ds: ray.data.Dataset, *, num_buckets: int = 64,
+                        num_salts: int = 1) -> ray.data.Dataset:
+    """Politeness scheduling with ONE balanced groupby shuffle: rows are
+    bucketed by hash64(host) % num_buckets (every row of a host lands in
+    one bucket, so per-host slots stay exact) and each bucket is ranked
+    by the vectorized kernel above."""
+    from ..canon import hash64_batch
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        hb = hash64_batch(batch["host"]) % np.uint64(num_buckets)
+        if "host_bucket" in batch.column_names:
+            batch = batch.drop_columns(["host_bucket"])
+        return batch.append_column(
+            "host_bucket", pa.array(hb.astype(np.int64), pa.int64()))
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    out = ds.groupby("host_bucket").map_groups(
+        make_bucket_scheduler(num_salts), batch_format="pandas")
+    return out.drop_columns(["host_bucket"])
+
+
 def frontier_flow(seeds_path: str, robots_path: str, *,
                   concurrency: int | None = None,
                   num_salts: int = 1,
@@ -186,15 +248,13 @@ def frontier_flow_from(ds: ray.data.Dataset, robots_ref, *,
     """
     from ..stages.dedup import first_wins_dedup
 
-    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     ds = first_wins_dedup(ds, "hash64",
                           [("priority", 19), ("seed_order", 44)],
                           num_partitions=dedup_partitions)
-    ds = ds.map_batches(make_robots_gate(robots_ref),
+    ds = ds.map_batches(make_robots_gate(robots_ref), batch_size=None,
                         batch_format="pyarrow")
-    ds = ds.groupby("host").map_groups(make_politeness_scheduler(num_salts),
-                                       batch_format="pandas")
-    return ds
+    return schedule_politeness(ds, num_salts=num_salts)
 
 
 def crawl_order(flow: ray.data.Dataset) -> ray.data.Dataset:

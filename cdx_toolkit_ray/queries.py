@@ -31,7 +31,7 @@ from .canon import canonicalize_batch
 from .filters import FilterStage
 from .pipelines.frontier import (
     host_counters,
-    make_politeness_scheduler,
+    schedule_politeness,
 )
 from .sources.captures import LINES_PER_PAGE, pages_to_samples
 from .stages.dedup import (
@@ -128,9 +128,7 @@ def _frontier_over_seeds(sf_dir: str) -> ray.data.Dataset:
     ds = first_wins_dedup(ds, "hash64",
                           [("priority", 19), ("seed_order", 44)])
     ds = ds.map_batches(_add_false_robots, batch_format="pyarrow")
-    ds = ds.groupby("host").map_groups(make_politeness_scheduler(),
-                                       batch_format="pandas")
-    return ds
+    return schedule_politeness(ds)
 
 
 # ---------------------------------------------------------------------------
@@ -357,6 +355,78 @@ def q_ann_topk(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def q_distinct(sf_dir: str):
+    """§2.5 distinct via the pre-aggregate pattern: per-batch local
+    distinct inside map_batches, then the (tiny) global groupby —
+    only unique pairs ever enter the shuffle."""
+    from ray.data.aggregate import Count
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["lang", "source"]).aggregate([])
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["lang", "source"])
+    ds = ds.map_batches(local_distinct, batch_format="pyarrow")
+    out = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="_c"))
+    return out.select_columns(["lang", "source"])
+
+
+def q_union_streams(sf_dir: str):
+    """O4 union of per-endpoint streams: two filtered reads of the same
+    table concatenated with ds.union (order-free concat, no shuffle)."""
+    base = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                                 columns=["event_id", "event_type"])
+    clicks = base.filter(expr="event_type == 'click'")
+    views = base.filter(expr="event_type == 'view'")
+    return clicks.union(views)
+
+
+def q_topk_per_group(sf_dir: str):
+    """Priority-queue semantics as a windowed top-k: per-source top-3
+    docs by (n_chars desc, doc_id asc), with per-batch local pruning to
+    k before the shuffle so only candidates move."""
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        return df.groupby("source", sort=False).head(3)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).head(3)
+        g = g.copy()
+        g["grp_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "source", "n_chars"])
+    ds = ds.map_batches(local_prune, batch_format="pandas")
+    out = ds.groupby("source").map_groups(final_topk, batch_format="pandas")
+    return out.select_columns(["source", "doc_id", "n_chars", "grp_rank"])
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """n-gram (word-bigram) Jaccard over adjacent-id document pairs;
+    integer intersection/union sizes, exactly SQL-checkable."""
+    from .stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, text_col="text", id_col="doc_id", k=2)
+
+
+def q_url_seen(sf_dir: str):
+    """T7 sharded URL-seen actor pool (exact mode): every accepted
+    offer is a first-seen canonical URL, so the surviving urlkey set
+    equals SQL DISTINCT regardless of arrival order or parallelism."""
+    from .state.seen import SeenFilterStage, ShardedSeenSet
+
+    seen = ShardedSeenSet(num_shards=4, n_bits=1 << 20, exact=True)
+    ds = derived_seeds(sf_dir)
+    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    ds = ds.map_batches(SeenFilterStage(seen), batch_format="pyarrow")
+    return ds.select_columns(["urlkey"])
+
+
 # --- rows-only (no SQL oracle: stateful / sketch / fixture-based) ---------
 
 def q_minhash_pairs(sf_dir: str):
@@ -406,6 +476,55 @@ def q_embedding_neardup(sf_dir: str):
     return embedding_neardup_pairs(ds, vec_col="embedding",
                                    id_col="vec_id", n_planes=6,
                                    threshold=0.35)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k (scale path: probe nprobe cells of a
+    deterministic k-means codebook). Approximate by design -> rows-only;
+    test_textstats_ann verifies recall vs the brute-force oracle."""
+    from .stages.ann import ivf_topk
+
+    emb = pq.read_table(_tbl(sf_dir, "embeddings"))
+    qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, qvec, k=10, n_centroids=8, nprobe=4)
+    return out.select_columns(["vec_id"])
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal decode plumbing: opaque binary payloads through the
+    MediaDecoder actor pool (stubbed codec, real Ray-side schema /
+    batching / actor signature). Payloads derived deterministically
+    from doc_id so the run is reproducible."""
+    from .stages.multimodal import MediaDecoder, fake_media_table
+
+    tbl = fake_media_table(n=256, seed=42)
+    ds = ray.data.from_arrow(tbl).map_batches(
+        MediaDecoder, fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow", batch_size=32, concurrency=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "media_type", "width", "height"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_frame_sample(sf_dir: str):
+    """Multimodal frame sampling: every 4th fixed-size slice of each
+    video payload via the FrameSampler actor pool."""
+    from .stages.multimodal import FrameSampler, fake_media_table
+
+    tbl = fake_media_table(n=256, seed=42)
+    ds = ray.data.from_arrow(tbl)
+    ds = ds.filter(expr="media_type == 'video'")
+    ds = ds.map_batches(FrameSampler, batch_format="pyarrow",
+                        batch_size=32, concurrency=2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["media_id", "n_frames_sampled"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
 
 
 def _fixture_root(sf_dir: str) -> str:
@@ -606,6 +725,46 @@ ORDER BY list_cosine_similarity(embedding,
          (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
 LIMIT 10
 """,
+    "distinct": """
+SELECT DISTINCT lang, source FROM documents
+""",
+    "union_streams": """
+SELECT event_id, event_type FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, event_type FROM events WHERE event_type = 'view'
+""",
+    "topk_per_group": """
+SELECT source, doc_id, n_chars, grp_rank FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id) AS BIGINT)
+           AS grp_rank
+  FROM documents) WHERE grp_rank <= 3
+""",
+    "ngram_jaccard": r"""
+WITH w AS (
+  SELECT doc_id, doc_id // 2 AS pair_id,
+         regexp_extract_all(lower(text), '\w+') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id, pair_id,
+         list_distinct(CASE WHEN len(words) < 2 THEN []
+           ELSE list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1]) END)
+           AS s
+  FROM w),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM sh a JOIN sh b
+    ON a.pair_id = b.pair_id AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(sa, sb)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(list_concat(sa, sb))) AS BIGINT) AS n_union
+FROM pairs
+""",
+    "url_seen": "WITH " + _SEEDS_CTE + """
+SELECT DISTINCT urlkey FROM seeds
+""",
 }
 
 
@@ -626,6 +785,11 @@ QUERIES = {
     "quality": q_quality,
     "lang_id": q_lang_id,
     "ann_topk": q_ann_topk,
+    "distinct": q_distinct,
+    "union_streams": q_union_streams,
+    "topk_per_group": q_topk_per_group,
+    "ngram_jaccard": q_ngram_jaccard,
+    "url_seen": q_url_seen,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "simhash_sigs": q_simhash_sigs,
@@ -633,4 +797,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "captures_query": q_captures_query,
     "content_extract": q_content_extract,
+    "ann_ivf": q_ann_ivf,
+    "media_decode": q_media_decode,
+    "frame_sample": q_frame_sample,
 }

@@ -94,6 +94,80 @@ def lsh_topk(ds: ray.data.Dataset, query_vec, k: int = 10,
     return cosine_topk(pruned, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def ivf_centroids(ds: ray.data.Dataset, n_centroids: int = 16,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  sample_mod: int = 1, iters: int = 5) -> np.ndarray:
+    """Deterministic IVF codebook: k-means (Lloyd) on a modulo-sampled
+    subset, initialized from the ``n_centroids`` lowest-id sample rows.
+
+    The sample is collected to the driver (it is tiny by construction:
+    pick ``sample_mod`` so ``corpus/sample_mod`` is ~10^4-10^5 rows even
+    at 10^10 corpus scale); everything downstream uses the centroids as
+    a broadcast matrix, never the sample."""
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = (ids % sample_mod) == 0 if sample_mod > 1 else np.ones(
+            len(ids), bool)
+        return batch.select([id_col, vec_col]).filter(pa.array(keep))
+
+    sample = ds.map_batches(pick, batch_format="pyarrow") \
+        .sort(id_col).limit(max(n_centroids * 200, n_centroids)) \
+        .to_pandas()
+    vecs = _unit(np.asarray(sample[vec_col].tolist(), dtype=np.float64))
+    cents = vecs[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(vecs @ cents.T, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cents[c] = vecs[m].mean(axis=0)
+        cents = _unit(cents)
+    return cents
+
+
+def assign_centroid_stage(centroids_ref, vec_col: str = "embedding",
+                          out_col: str = "ivf_cell"):
+    """map_batches fn: argmax-cosine centroid id per row. At cluster
+    scale, write the corpus hive-partitioned by this column
+    (``partition_cols=['ivf_cell']``) so probes prune at the read —
+    the per-batch filter below is the single-pass variant."""
+    def assign(batch: pa.Table) -> pa.Table:
+        from ..pipelines.frontier import _get_broadcast
+
+        cents = _get_broadcast(centroids_ref)
+        sims = _unit(_as_matrix(batch[vec_col])) @ cents.T
+        return batch.append_column(
+            out_col, pa.array(np.argmax(sims, axis=1).astype(np.int32)))
+
+    return assign
+
+
+def ivf_topk(ds: ray.data.Dataset, query_vec, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             sample_mod: int = 1) -> ray.data.Dataset:
+    """IVF approximate top-k: train a small codebook, scan only the
+    ``nprobe`` cells nearest the query. ``nprobe=n_centroids`` degrades
+    to exact brute force (useful as a correctness oracle)."""
+    cents = ivf_centroids(ds, n_centroids, vec_col, id_col, sample_mod)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    probe_cells = np.argsort(-(cents @ q))[:nprobe].astype(np.int32)
+    c_ref = ray.put(cents)
+    probe_set = np.sort(probe_cells)
+
+    ds = ds.map_batches(assign_centroid_stage(c_ref, vec_col),
+                        batch_format="pyarrow")
+
+    def in_cells(batch: pa.Table) -> pa.Table:
+        cell = batch["ivf_cell"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(cell, probe_set)))
+
+    pruned = ds.map_batches(in_cells, batch_format="pyarrow")
+    return cosine_topk(pruned, query_vec, k=k, vec_col=vec_col,
+                       id_col=id_col)
+
+
 def pairwise_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int,
                   vec_col: str = "embedding", id_col: str = "vec_id"
                   ) -> ray.data.Dataset:

@@ -74,7 +74,7 @@ def exact_dedup(ds: ray.data.Dataset, key_col: str,
     groupby key is the 64-bit hash of the value, not the value itself,
     so long texts don't travel as shuffle keys.
     """
-    ds = ds.map_batches(add_key_hash(key_col), batch_format="pyarrow")
+    ds = ds.map_batches(add_key_hash(key_col), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
         return g.iloc[[int(g[id_col].to_numpy().argmin())]]
@@ -168,7 +168,7 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
 
     if num_partitions is None:
         num_partitions = default_join_partitions()
-    ds = ds.map_batches(add_packed_order(cols_bits), batch_format="pyarrow")
+    ds = ds.map_batches(add_packed_order(cols_bits), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
     # Ray's sort/hash aggregates coerce group keys to int64 (uint64
     # values above 2^63-1 degrade to pickled objects); aggregate and
@@ -184,7 +184,7 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
             batch = batch.drop_columns(["_fw_key"])
         return batch.append_column("_fw_key", k)
 
-    ds = ds.map_batches(add_join_key, batch_format="pyarrow")
+    ds = ds.map_batches(add_join_key, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
     if strategy == "auto":
         ds = ds.materialize()
@@ -234,7 +234,8 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
         # each bucket in parallel) so the driver only ever receives
         # DISTINCT winners, keeping driver work O(unique keys) no
         # matter the duplication factor.
-        parts = ds.map_batches(partial_winners,
+        parts = ds.map_batches(partial_winners, batch_size=None,
+                               zero_copy_batch=True,
                                batch_format="pyarrow").materialize()
         prefs = parts.to_arrow_refs()
         total_partials = parts.count()
@@ -258,13 +259,19 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
             nbuckets = max(4, num_partitions)
 
             @_ray.remote
-            def split_buckets(tbl: pa.Table, nb: int):
+            def split_buckets(nb: int, *tbls):
+                # single-pass partition: argsort by bucket + take + slice
+                # (nb filter scans would read the block nb times);
+                # callers pass SEVERAL blocks per task so split/merge
+                # task fan-in stays bounded as block counts grow
+                tbl = pa.concat_tables(tbls)
                 k = tbl["_fw_key"].to_numpy(zero_copy_only=False)
                 b = k.view(np.uint64) % np.uint64(nb)
-                out = []
-                for p in range(nb):
-                    out.append(tbl.filter(pa.array(b == p)))
-                return tuple(out)
+                order = np.argsort(b, kind="stable")
+                t = tbl.take(pa.array(order))
+                bounds = np.searchsorted(b[order], np.arange(nb + 1))
+                return tuple(t.slice(bounds[p], bounds[p + 1] - bounds[p])
+                             for p in range(nb))
 
             @_ray.remote
             def merge_bucket(*tbls):
@@ -276,8 +283,11 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
                 return pa.table({"sortkey": pa.array(s2, pa.int64()),
                                  "grp_rows": pa.array(c2, pa.int64())})
 
+            chunk = max(1, (len(prefs) + 31) // 32)  # <=32 split tasks
+            groups = [prefs[i:i + chunk]
+                      for i in range(0, len(prefs), chunk)]
             splits = [split_buckets.options(num_returns=nbuckets)
-                      .remote(r, nbuckets) for r in prefs]
+                      .remote(nbuckets, *g) for g in groups]
             merged = [merge_bucket.remote(*[s[p] for s in splits])
                       for p in range(nbuckets)]
             pieces = _ray.get(merged)
@@ -301,7 +311,7 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
                                         pa.array(nd, pa.int64()))
             return batch.drop_columns(["sortkey", "_fw_key"])
 
-        return ds.map_batches(bfilter, batch_format="pyarrow")
+        return ds.map_batches(bfilter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
     winners = ds.groupby("_fw_key").aggregate(
         Min("sortkey", alias_name="win_sortkey"),
@@ -319,7 +329,7 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
                 if c in batch.column_names]
         return batch.drop_columns(drop)
 
-    return joined.map_batches(finalize, batch_format="pyarrow")
+    return joined.map_batches(finalize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -467,6 +477,51 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, text_col: str = "text",
     if not out:
         return ray.data.from_items([])
     return ray.data.from_items(out)
+
+
+def _word_shingle_set(text: str, k: int) -> set:
+    """Distinct word-k-gram STRINGS (not hashes) — the exact-verification
+    identity, directly comparable to a SQL list_intersect oracle."""
+    words = _WORD_RE.findall((text or "").lower())
+    if len(words) < k:
+        return set()
+    return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+
+
+def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 2,
+                        ) -> ray.data.Dataset:
+    """Exact n-gram Jaccard for deterministic adjacent-id pairs
+    (id 2g vs 2g+1): co-locate each pair with ONE groupby on
+    ``id // 2`` (no all-pairs, no broadcast of texts — each group holds
+    exactly the two documents it compares). Emits integer
+    ``n_inter`` / ``n_union`` so results are float-free and exactly
+    checkable. The same per-group kernel verifies arbitrary candidate
+    pairs when fed a (pair_id, id, text) table from an LSH stage."""
+    def add_pair(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("pair_id",
+                                   pa.array(ids // 2, pa.int64()))
+
+    ds = ds.map_batches(add_pair, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "n_inter": pd.Series([], dtype=np.int64),
+                                 "n_union": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(id_col)
+        a = _word_shingle_set(g[text_col].iloc[0], k)
+        b = _word_shingle_set(g[text_col].iloc[1], k)
+        return pd.DataFrame({
+            "id_a": [np.int64(g[id_col].iloc[0])],
+            "id_b": [np.int64(g[id_col].iloc[1])],
+            "n_inter": [np.int64(len(a & b))],
+            "n_union": [np.int64(len(a | b))],
+        })
+
+    return ds.groupby("pair_id").map_groups(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -5,6 +5,10 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# before ray.init: workers inherit it (polars pool sizing — see
+# cdx_toolkit_ray/__init__.py)
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 
 @pytest.fixture(scope="session")
 def ray_session():

@@ -1,0 +1,125 @@
+"""Tests for distinct / union / top-k-per-group / n-gram Jaccard /
+IVF ANN / actor-pool URL-seen query catalog entries (SURVEY.md §2.5,
+§2.6, and the training-data operator set)."""
+
+import pytest
+import ray.data
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_distinct_matches_pandas():
+    from cdx_toolkit_ray.queries import q_distinct
+
+    got = q_distinct(SF).to_pandas()
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(SF + "/documents.parquet",
+                       columns=["lang", "source"]).to_pandas()
+    want = df.drop_duplicates()
+    assert (set(map(tuple, got.to_numpy()))
+            == set(map(tuple, want.to_numpy())))
+
+
+def test_union_streams_counts():
+    from cdx_toolkit_ray.queries import q_union_streams
+
+    got = q_union_streams(SF).to_pandas()
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(SF + "/events.parquet",
+                       columns=["event_type"]).to_pandas()
+    want = int((df.event_type == "click").sum()
+               + (df.event_type == "view").sum())
+    assert len(got) == want
+    assert set(got.event_type) <= {"click", "view"}
+
+
+def test_topk_per_group_rank():
+    from cdx_toolkit_ray.queries import q_topk_per_group
+
+    got = q_topk_per_group(SF).to_pandas()
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(SF + "/documents.parquet",
+                       columns=["doc_id", "source", "n_chars"]).to_pandas()
+    df = df.sort_values(["source", "n_chars", "doc_id"],
+                        ascending=[True, False, True])
+    want = df.groupby("source", sort=False).head(3)
+    assert len(got) == len(want)
+    g = got.sort_values(["source", "grp_rank"])
+    assert list(g.doc_id) == list(want.doc_id)
+    assert set(got.groupby("source").grp_rank.max()) <= {1, 2, 3}
+
+
+def test_ngram_jaccard_pairs_exact():
+    import re
+
+    from cdx_toolkit_ray.queries import q_ngram_jaccard
+
+    got = q_ngram_jaccard(SF).to_pandas().set_index("id_a")
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(SF + "/documents.parquet",
+                       columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(df.doc_id, df.text))
+
+    def sh(t):
+        w = re.findall(r"\w+", t.lower())
+        return {" ".join(w[i:i + 2]) for i in range(len(w) - 1)}
+
+    n_pairs = 0
+    for a in sorted(texts):
+        if a % 2 or a + 1 not in texts:
+            continue
+        n_pairs += 1
+        sa, sb = sh(texts[a]), sh(texts[a + 1])
+        row = got.loc[a]
+        assert int(row.n_inter) == len(sa & sb)
+        assert int(row.n_union) == len(sa | sb)
+    assert len(got) == n_pairs > 0
+
+
+def test_ivf_topk_recall():
+    """nprobe=all cells is exact; nprobe=half keeps recall >= 0.5 on
+    the synthetic embeddings (sanity for the pruning path)."""
+    import pyarrow.parquet as pq
+
+    from cdx_toolkit_ray.stages.ann import cosine_topk, ivf_topk
+
+    emb = pq.read_table(SF + "/embeddings.parquet")
+    qvec = emb["embedding"][0].as_py()
+    ds = ray.data.read_parquet(SF + "/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = set(cosine_topk(ds, qvec, k=10).to_pandas().vec_id)
+    full = set(ivf_topk(ds, qvec, k=10, n_centroids=8,
+                        nprobe=8).to_pandas().vec_id)
+    assert full == exact
+    probed = set(ivf_topk(ds, qvec, k=10, n_centroids=8,
+                          nprobe=4).to_pandas().vec_id)
+    assert len(probed & exact) >= 5
+
+
+def test_url_seen_equals_distinct():
+    from cdx_toolkit_ray.canon import canonicalize_batch
+    from cdx_toolkit_ray.queries import derived_seeds, q_url_seen
+
+    got = sorted(q_url_seen(SF).to_pandas().urlkey)
+    want = sorted(set(
+        derived_seeds(SF).map_batches(canonicalize_batch,
+                                      batch_format="pyarrow")
+        .to_pandas().urlkey))
+    assert got == want
+
+
+def test_media_queries_run():
+    from cdx_toolkit_ray.queries import q_frame_sample, q_media_decode
+
+    md = q_media_decode(SF).to_pandas()
+    assert len(md) == 256
+    assert {"media_id", "media_type", "width", "height"} <= set(md.columns)
+    fs = q_frame_sample(SF).to_pandas()
+    assert (fs.n_frames_sampled >= 0).all()
+    assert len(fs) == sum(1 for i in range(256) if i % 3 == 2)
