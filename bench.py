@@ -285,7 +285,7 @@ def scaling() -> None:
     """
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
-    rep = os.environ.get("GRAFT_REPLICATE", "64")
+    rep = os.environ.get("GRAFT_REPLICATE", "32")
     prepare_seeds(SF_DIR, int(rep))  # build input before any timed run
     attempts = int(os.environ.get("GRAFT_SCALE_ATTEMPTS", "2"))
 

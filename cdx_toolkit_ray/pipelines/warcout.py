@@ -42,6 +42,132 @@ from ..stages.text import decode_html_batch
 from .frontier import _get_broadcast
 
 
+def wb_redir_to_original(location: str) -> str:
+    """Strip the wayback replay prefix from a redirect Location
+    (reference: cdx_toolkit/warc.py:19-20 — everything before the
+    first ``_/http`` goes).
+
+    >>> wb_redir_to_original('https://web.archive.org/web/2015id_/http://x.example/p')
+    'http://x.example/p'
+    """
+    return "http" + location.split("_/http", 1)[1]
+
+
+# reference: cdx_toolkit/warc.py:23-31
+HTTP_STATUS_TEXT = {
+    300: "Multiple Choices", 301: "Moved Permanently", 302: "Found",
+    303: "See Other", 304: "Not Modified", 307: "Temporary Redirect",
+    308: "Permanent Redirect",
+}
+
+
+def synthesize_wb_record(capture: dict, resp_status: int, resp_reason: str,
+                         resp_headers: list, wb_url: str,
+                         creation_date_iso: str) -> dict:
+    """One wayback replay -> synthesized WARC response record metadata
+    (reference ``fake_wb_warc``, cdx_toolkit/warc.py:34-95):
+
+    * status reconciliation: wayback's 302 on an archived 3xx restores
+      the CAPTURE's status (+ canonical reason phrase); a 200 for a
+      revisit ('-') or 3xx capture is kept but flagged
+    * header munge: ``x-archive-orig-*`` stripped back to original
+      names, the orig Date becomes WARC-Date (http-date -> ISO8601,
+      timeutils M12), replay ``Location`` rewritten to the original
+      URL, any other replay-injected header shelved under
+      ``X-Archive-``; Content-Type passes through
+    * WARC-Source-URI = the replay URL; WARC-Creation-Date is an
+      explicit argument (deterministic pipelines pass a fixed clock)
+    """
+    from ..timeutils import datetime_to_iso_date, http_date_to_datetime
+
+    status_code, status_reason = resp_status, resp_reason
+    anomaly = None
+    if str(status_code) != capture["status"]:
+        if status_code == 200 and capture["status"] == "-":
+            anomaly = "revisit_vivified"
+        elif status_code == 200 and capture["status"].startswith("3"):
+            anomaly = "redirect_came_back_200"
+        elif status_code == 302 and capture["status"].startswith("3"):
+            status_code = int(capture["status"])
+            if status_code != resp_status and status_code in HTTP_STATUS_TEXT:
+                status_reason = HTTP_STATUS_TEXT[status_code]
+        else:
+            anomaly = "status_changed"
+
+    http_headers = []
+    http_date = None
+    for k, v in resp_headers:
+        kl = k.lower()
+        if kl.startswith("x-archive-orig-date"):
+            http_date = v
+        if kl.startswith("x-archive-orig-"):
+            http_headers.append((k[len("x-archive-orig-"):], v))
+        elif kl == "content-type":
+            http_headers.append(("Content-Type", v))
+        elif kl == "location":
+            http_headers.append((k, wb_redir_to_original(v)))
+        else:
+            if not kl.startswith("x-archive-"):
+                k = "X-Archive-" + k
+            http_headers.append((k, v))
+
+    warc_headers = {"WARC-Source-URI": wb_url,
+                    "WARC-Creation-Date": creation_date_iso}
+    if http_date:
+        warc_headers["WARC-Date"] = datetime_to_iso_date(
+            http_date_to_datetime(http_date))
+    return {
+        "statusline": "%s %s" % (status_code, status_reason),
+        "http_headers": http_headers,
+        "warc_headers": warc_headers,
+        "anomaly": anomaly,
+    }
+
+
+def make_wb_synthesis_stage(wb_prefix: str, creation_date_iso: str,
+                            modifier: str = "id_"):
+    """map_batches fn: capture rows + replay response columns
+    (``resp_status:int``, ``resp_reason:string``, ``resp_headers``
+    JSON-encoded [[k, v], ...]) -> synthesized record columns. The
+    replay-URL shape follows ``fetch_wb_warc``
+    (cdx_toolkit/warc.py:98-120): ``{wb}/{timestamp}{modifier}{url}``.
+    Header munging is per-row Python over SMALL header lists — the hot
+    payload bytes never enter this stage."""
+    from urllib.parse import quote
+
+    def synthesize(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_numpy(zero_copy_only=False)
+        tss = batch["timestamp"].to_numpy(zero_copy_only=False)
+        sts = batch["status"].to_numpy(zero_copy_only=False)
+        rst = batch["resp_status"].to_numpy(zero_copy_only=False)
+        rre = batch["resp_reason"].to_numpy(zero_copy_only=False)
+        rhd = batch["resp_headers"].to_numpy(zero_copy_only=False)
+        n = len(urls)
+        lines = np.empty(n, dtype=object)
+        hh = np.empty(n, dtype=object)
+        wh = np.empty(n, dtype=object)
+        an = np.empty(n, dtype=object)
+        for i in range(n):
+            wb_url = "%s/%s%s/%s" % (wb_prefix, tss[i], modifier,
+                                     quote(urls[i]))
+            rec = synthesize_wb_record(
+                {"url": urls[i], "timestamp": tss[i], "status": sts[i]},
+                int(rst[i]), rre[i], json.loads(rhd[i]), wb_url,
+                creation_date_iso)
+            lines[i] = rec["statusline"]
+            hh[i] = json.dumps(rec["http_headers"])
+            wh[i] = json.dumps(rec["warc_headers"], sort_keys=True)
+            an[i] = rec["anomaly"]
+        batch = batch.append_column("statusline", pa.array(lines, pa.string()))
+        batch = batch.append_column("http_headers_json",
+                                    pa.array(hh, pa.string()))
+        batch = batch.append_column("warc_headers_json",
+                                    pa.array(wh, pa.string()))
+        return batch.append_column("anomaly", pa.array(an, pa.string()))
+
+    return synthesize
+
+
 def make_content_lookup(pages_ref):
     """map_batches fn: append ``html`` (binary) by url lookup; drop
     rows with no content (the 404 skip)."""

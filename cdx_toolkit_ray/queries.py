@@ -527,6 +527,53 @@ def q_frame_sample(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def q_wb_synthesis(sf_dir: str):
+    """S7/M12/M14: wayback-replay WARC synthesis over fixture captures —
+    deterministic fake replay responses (x-archive-orig-* headers, 302
+    for archived redirects) munged back to original records."""
+    import json as _json
+
+    from .pipelines.warcout import make_wb_synthesis_stage
+    from .sources.captures import query_captures
+
+    root = _fixture_root(sf_dir)
+    ds = query_captures(root + "/captures", url="*.example",
+                        from_ts="202201", to="202312")
+
+    def fake_replay(batch: pa.Table) -> pa.Table:
+        sts = batch["status"].to_numpy(zero_copy_only=False)
+        urls = batch["url"].to_numpy(zero_copy_only=False)
+        n = len(sts)
+        rst = np.empty(n, np.int64)
+        rre = np.empty(n, dtype=object)
+        rhd = np.empty(n, dtype=object)
+        for i in range(n):
+            hdrs = [["X-Archive-Orig-Date", "Thu, 01 Dec 2022 16:00:00 GMT"],
+                    ["Content-Type", "text/html"],
+                    ["Server", "wayback"]]
+            if sts[i].startswith("3"):
+                rst[i], rre[i] = 302, "Found"
+                hdrs.append(["Location",
+                             "https://wb.example/web/20221201160000id_/"
+                             "http://%s/" % (urls[i].split("/")[2])])
+            elif sts[i] == "-":
+                rst[i], rre[i] = 200, "OK"
+            else:
+                rst[i], rre[i] = int(sts[i]), "OK"
+            rhd[i] = _json.dumps(hdrs)
+        batch = batch.append_column("resp_status", pa.array(rst, pa.int64()))
+        batch = batch.append_column("resp_reason", pa.array(rre, pa.string()))
+        return batch.append_column("resp_headers", pa.array(rhd, pa.string()))
+
+    ds = ds.map_batches(fake_replay, batch_format="pyarrow")
+    ds = ds.map_batches(
+        make_wb_synthesis_stage("https://wb.example/web",
+                                "2023-01-01T00:00:00Z"),
+        batch_format="pyarrow")
+    return ds.select_columns(["urlkey", "timestamp", "statusline",
+                              "warc_headers_json", "anomaly"])
+
+
 def _fixture_root(sf_dir: str) -> str:
     import hashlib
     import os
@@ -800,4 +847,5 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,
+    "wb_synthesis": q_wb_synthesis,
 }

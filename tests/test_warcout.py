@@ -80,3 +80,62 @@ def test_segmented_writer_rotation(fixture_dir, tmp_path):
     for s, m in mtimes.items():
         assert os.path.getmtime(s) == m
     assert len(glob.glob(prefix + "-sub-*.extracted.parquet")) == len(segs) + 1
+
+
+def test_wb_redir_to_original():
+    from cdx_toolkit_ray.pipelines.warcout import wb_redir_to_original
+
+    assert (wb_redir_to_original(
+        "https://web.archive.org/web/2015id_/http://x.example/p")
+        == "http://x.example/p")
+    assert (wb_redir_to_original("/web/20221201id_/https://y.example/")
+            == "https://y.example/")
+
+
+def test_synthesize_wb_record_branches():
+    """Reference fake_wb_warc reconciliation + header munge rules
+    (cdx_toolkit/warc.py:34-95)."""
+    from cdx_toolkit_ray.pipelines.warcout import synthesize_wb_record
+
+    hdrs = [("X-Archive-Orig-Date", "Thu, 01 Dec 2022 16:00:00 GMT"),
+            ("X-Archive-Orig-Server", "nginx"),
+            ("Content-Type", "text/html"),
+            ("Location", "https://wb.example/web/2022id_/http://t.example/x"),
+            ("Cache-Control", "no-store")]
+
+    # wayback 302 on an archived 301 -> capture status restored
+    rec = synthesize_wb_record({"url": "u", "timestamp": "t",
+                                "status": "301"},
+                               302, "Found", hdrs, "WBURL", "2023-01-01")
+    assert rec["statusline"] == "301 Moved Permanently"
+    assert rec["anomaly"] is None
+    hh = dict(rec["http_headers"])
+    assert hh["Date"] == "Thu, 01 Dec 2022 16:00:00 GMT"
+    assert hh["Server"] == "nginx"
+    assert hh["Content-Type"] == "text/html"
+    assert hh["Location"] == "http://t.example/x"
+    assert hh["X-Archive-Cache-Control"] == "no-store"
+    assert rec["warc_headers"]["WARC-Date"] == "2022-12-01T16:00:00Z"
+    assert rec["warc_headers"]["WARC-Source-URI"] == "WBURL"
+
+    # revisit vivified: 200 for a '-' capture keeps 200 but is flagged
+    rec = synthesize_wb_record({"url": "u", "timestamp": "t", "status": "-"},
+                               200, "OK", [], "W", "2023-01-01")
+    assert rec["statusline"] == "200 OK"
+    assert rec["anomaly"] == "revisit_vivified"
+
+    # matching status: untouched, no anomaly
+    rec = synthesize_wb_record({"url": "u", "timestamp": "t",
+                                "status": "200"},
+                               200, "OK", [], "W", "2023-01-01")
+    assert rec["anomaly"] is None
+
+
+def test_wb_synthesis_query_runs(ray_session):
+    from cdx_toolkit_ray.queries import q_wb_synthesis
+
+    df = q_wb_synthesis("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    assert set(df.columns) == {"urlkey", "timestamp", "statusline",
+                               "warc_headers_json", "anomaly"}
+    assert (df.statusline.str.len() > 0).all()
