@@ -111,6 +111,15 @@ def hash64_batch(keys) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
+    if n < 2048:
+        # small arrays: per-string scalar loop beats the column-wise
+        # machinery below (pa conversion + argsort + max_len gathers
+        # cost more than they save — measured 2.7x slowdown when a
+        # caller hashed ~200-element shingle sets one document at a
+        # time through the vectorized path)
+        return np.fromiter(
+            (0 if k is None else hash64(k) for k in arr.to_pylist()),
+            dtype=np.uint64, count=n)
 
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
         arr.offset:arr.offset + n + 1].astype(np.int64)

@@ -66,21 +66,40 @@ def add_key_hash(key_col: str, out_col: str = "key_hash"):
     return _add
 
 
-def exact_dedup(ds: ray.data.Dataset, key_col: str,
-                id_col: str) -> ray.data.Dataset:
+def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
+                num_buckets: int = 64) -> ray.data.Dataset:
     """Keep the min-``id_col`` row per distinct ``key_col`` value.
 
-    hash-partition + per-group first (deterministic winner). The
-    groupby key is the 64-bit hash of the value, not the value itself,
-    so long texts don't travel as shuffle keys.
+    Hash-partition + vectorized per-bucket first: rows are co-located
+    by ``hash64(key) % num_buckets`` (one balanced shuffle; the 64-bit
+    hash travels instead of long text keys) and each bucket resolves
+    ALL its keys in one lexsort + run-length pass — never a Python
+    call per distinct key (millions of keys per bucket are fine).
+    Winner = min id: deterministic under any parallelism.
     """
-    ds = ds.map_batches(add_key_hash(key_col), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    ds = ds.map_batches(add_key_hash(key_col), batch_format="pyarrow",
+                        batch_size=None, zero_copy_batch=True)
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[[int(g[id_col].to_numpy().argmin())]]
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["key_hash"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "key_bucket",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
 
-    out = ds.groupby("key_hash").map_groups(keep_first, batch_format="pandas")
-    return out.drop_columns(["key_hash"])
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow",
+                        batch_size=None)
+
+    def keep_firsts(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["key_hash"].to_numpy()
+        i = g[id_col].to_numpy()
+        order = np.lexsort((i, k))
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = k[order][1:] != k[order][:-1]
+        return g.iloc[order[first]]
+
+    out = ds.groupby("key_bucket").map_groups(keep_firsts,
+                                              batch_format="pandas")
+    return out.drop_columns(["key_hash", "key_bucket"])
 
 
 def add_packed_order(cols_bits, out_col: str = "sortkey"):
@@ -361,9 +380,27 @@ def make_minhash_stage(text_col: str, num_perm: int = 64, shingle_k: int = 5,
 
     def minhash(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
-        sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
+        n = len(texts)
+        # hash EVERY document's shingles in one vectorized call (a
+        # per-document hash call pays fixed vectorization overhead ~n
+        # times), then reduce per-document slices
+        all_shingles: list = []
+        bounds = np.zeros(n + 1, dtype=np.int64)
         for i, t in enumerate(texts):
-            sh = _shingle_hashes(t or "", shingle_k)
+            words = _WORD_RE.findall((t or "").lower())
+            if len(words) < shingle_k:
+                joined = [" ".join(words)] if words else []
+            else:
+                joined = [" ".join(words[j:j + shingle_k])
+                          for j in range(len(words) - shingle_k + 1)]
+            all_shingles.extend(joined)
+            bounds[i + 1] = len(all_shingles)
+        hashes = (_hash_text_array(np.asarray(all_shingles, dtype=object))
+                  if all_shingles else np.zeros(0, np.uint64))
+
+        sigs = np.empty((n, num_perm), dtype=np.uint64)
+        for i in range(n):
+            sh = np.unique(hashes[bounds[i]:bounds[i + 1]])
             if len(sh) == 0:
                 sigs[i] = np.uint64(0xFFFFFFFFFFFFFFFF)
                 continue
@@ -413,6 +450,75 @@ def _pairs_from_group(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
                          "id_b": ids[1:]})
 
 
+def _emit_bucket_pairs(key_cols, id_col):
+    """Vectorized multi-group pair emission for one hash bucket of
+    groups: a Python map_groups call PER (band, hash) group means one
+    call per candidate bucket — tens of thousands of near-empty pandas
+    frames (measured: 20s where the signature math took 0.4s). Here
+    groups are co-located COARSELY (hash of the group key % B buckets)
+    and every group in a bucket is processed by one lexsort +
+    run-length pass. Emits anchor-pairs (min id vs rest per group)."""
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        keys = [g[c].to_numpy() for c in key_cols]
+        order = np.lexsort((ids,) + tuple(reversed(keys)))
+        sids = ids[order]
+        new_run = np.zeros(len(ids), dtype=bool)
+        if len(ids):
+            new_run[0] = True
+        for k in keys:
+            sk = k[order]
+            new_run[1:] |= sk[1:] != sk[:-1]
+        run_id = np.cumsum(new_run) - 1
+        anchor = sids[np.flatnonzero(new_run)][run_id]
+        mask = (~new_run) & (sids != anchor)
+        return pd.DataFrame({"id_a": anchor[mask], "id_b": sids[mask]})
+
+    return bucket_pairs
+
+
+def _distinct_pairs(pairs: ray.data.Dataset,
+                    num_buckets: int = 32) -> ray.data.Dataset:
+    """Distinct (id_a, id_b) with one balanced shuffle: bucket by a
+    pair hash, per-bucket vectorized drop_duplicates (same rationale
+    as _emit_bucket_pairs — never a Python call per pair)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hb = _mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+        return batch.append_column(
+            "pair_bucket",
+            pa.array((hb % np.uint64(num_buckets)).astype(np.int64)))
+
+    pairs = pairs.map_batches(add_bucket, batch_format="pyarrow",
+                              batch_size=None)
+    out = pairs.groupby("pair_bucket").map_groups(
+        lambda g: g.drop_duplicates(["id_a", "id_b"]),
+        batch_format="pandas")
+    return out.drop_columns(["pair_bucket"])
+
+
+def _bucketed_candidate_pairs(exploded: ray.data.Dataset, key_cols,
+                              id_col: str, hash_col: str,
+                              num_buckets: int = 64) -> ray.data.Dataset:
+    """exploded (key_cols + id) -> distinct candidate pairs via TWO
+    balanced shuffles total (group-bucket, then pair-dedup bucket)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "grp_bucket",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    exploded = exploded.map_batches(add_bucket, batch_format="pyarrow",
+                                    batch_size=None)
+    pairs = exploded.groupby("grp_bucket").map_groups(
+        _emit_bucket_pairs(key_cols, id_col), batch_format="pandas")
+    return _distinct_pairs(pairs)
+
+
 def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
                            id_col: str = "doc_id", num_perm: int = 64,
                            bands: int = 16, shingle_k: int = 5,
@@ -422,12 +528,9 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
                                              seed),
                           batch_format="pyarrow")
     exploded = sigs.map_batches(explode_bands(num_perm, bands, id_col),
-                                batch_format="pyarrow")
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _pairs_from_group(g, id_col), batch_format="pandas")
-    # same pair can surface from several bands -> dedup
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+                                batch_format="pyarrow", batch_size=None)
+    return _bucketed_candidate_pairs(exploded, ["band_id", "band_hash"],
+                                     id_col, "band_hash")
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -533,13 +636,21 @@ def make_simhash_stage(text_col: str, out_col: str = "simhash"):
 
     def simhash(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
-        out = np.zeros(len(texts), dtype=np.uint64)
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
         bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        # one hash call for the whole batch's words (see minhash note)
+        all_words: list = []
+        bounds = np.zeros(n + 1, dtype=np.int64)
         for i, t in enumerate(texts):
-            words = _WORD_RE.findall((t or "").lower())
-            if not words:
+            all_words.extend(_WORD_RE.findall((t or "").lower()))
+            bounds[i + 1] = len(all_words)
+        hashes = (_hash_text_array(np.asarray(all_words, dtype=object))
+                  if all_words else np.zeros(0, np.uint64))
+        for i in range(n):
+            h = hashes[bounds[i]:bounds[i + 1]]
+            if len(h) == 0:
                 continue
-            h = _hash_text_array(words)
             bits = ((h[:, None] & bitcols[None, :]) != 0)
             votes = bits.sum(axis=0) * 2 - len(h)
             out[i] = np.sum(bitcols[votes > 0], dtype=np.uint64)
@@ -569,11 +680,10 @@ def simhash_candidates(ds: ray.data.Dataset, text_col: str = "text",
                          "chunk_val": pa.array(np.concatenate(cval), pa.uint64()),
                          id_col: pa.array(np.concatenate(oid))})
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
-    pairs = exploded.groupby(["chunk_id", "chunk_val"]).map_groups(
-        lambda g: _pairs_from_group(g, id_col), batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              batch_size=None)
+    return _bucketed_candidate_pairs(exploded, ["chunk_id", "chunk_val"],
+                                     id_col, "chunk_val")
 
 
 def hamming64(a: int, b: int) -> int:
@@ -625,5 +735,4 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
                              "cosine": sim[ia, ib][keep]})
 
     pairs = ds.groupby("lsh_bucket").map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return _distinct_pairs(pairs)
