@@ -546,40 +546,89 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 def minhash_dedup_pairs(ds: ray.data.Dataset, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.7,
+                        verify_buckets: int = 32,
                         **kwargs) -> ray.data.Dataset:
-    """LSH candidates verified by exact shingle Jaccard >= threshold.
+    """LSH candidates verified DISTRIBUTED by exact shingle Jaccard.
 
-    Verification needs the two texts: broadcast is wrong for a large
-    corpus, so candidates are joined back to texts by re-reading the
-    id->text pairs of candidate ids only (semi-join via broadcast of
-    the CANDIDATE ID SET, which is small by construction).
+    Verification needs the two texts of every candidate pair. The
+    corpus never moves and nothing lands on the driver but the
+    candidate PAIR LIST (small by LSH construction):
+
+    1. candidate pairs -> broadcast ``{member_id: [(pair_id, slot)]}``
+       (``ray.put`` once, cached per worker)
+    2. one streaming pass over the corpus emits ``(pair_id, slot,
+       text)`` for member rows only — a broadcast semi-join, no
+       shuffle of the corpus
+    3. ONE balanced ``groupby(pair_id % B)`` co-locates both texts of
+       each pair; each bucket verifies all its pairs in one call
+       (per-pair set intersection is the actual work, not overhead)
     """
     import ray as _ray
 
     k = kwargs.get("shingle_k", 5)
-    cands = minhash_lsh_candidates(ds, text_col, id_col, **kwargs).take_all()
-    if not cands:
+    cand_tbl = minhash_lsh_candidates(ds, text_col, id_col, **kwargs) \
+        .select_columns(["id_a", "id_b"]).to_pandas()
+    if not len(cand_tbl):
         return ray.data.from_items([])
-    need = sorted({int(r["id_a"]) for r in cands} |
-                  {int(r["id_b"]) for r in cands})
-    need_set = set(need)
+    ida = cand_tbl["id_a"].to_numpy().astype(np.int64)
+    idb = cand_tbl["id_b"].to_numpy().astype(np.int64)
+    members: dict = {}
+    for p in range(len(ida)):
+        members.setdefault(int(ida[p]), []).append((p, 0))
+        members.setdefault(int(idb[p]), []).append((p, 1))
+    m_ref = _ray.put(members)
+    pair_ref = _ray.put((ida, idb))
 
-    def pick(batch: pa.Table) -> pa.Table:
+    def emit_members(batch: pa.Table) -> pa.Table:
+        from ..pipelines.frontier import _get_broadcast
+
+        m = _get_broadcast(m_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((int(i) in need_set for i in ids), bool, len(ids))
-        return batch.select([id_col, text_col]).filter(pa.array(mask))
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        pid, slot, txt = [], [], []
+        for i, d in enumerate(ids):
+            for p, s in m.get(int(d), ()):
+                pid.append(p)
+                slot.append(s)
+                txt.append(texts[i])
+        return pa.table({
+            "pair_id": pa.array(np.asarray(pid, np.int64)),
+            "slot": pa.array(np.asarray(slot, np.int8)),
+            "m_text": pa.array(txt, pa.string()),
+            "verify_bucket": pa.array(
+                np.asarray(pid, np.int64) % verify_buckets),
+        })
 
-    texts = {r[id_col]: r[text_col]
-             for r in ds.map_batches(pick, batch_format="pyarrow").take_all()}
-    out = []
-    for r in cands:
-        j = jaccard(texts[r["id_a"]], texts[r["id_b"]], k)
-        if j >= threshold:
-            out.append({"id_a": int(r["id_a"]), "id_b": int(r["id_b"]),
-                        "jaccard": float(j)})
-    if not out:
-        return ray.data.from_items([])
-    return ray.data.from_items(out)
+    exploded = ds.map_batches(emit_members, batch_format="pyarrow",
+                              batch_size=None)
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from ..pipelines.frontier import _get_broadcast
+
+        a_ids, b_ids = _get_broadcast(pair_ref)
+        g = g.sort_values(["pair_id", "slot"])
+        pids = g["pair_id"].to_numpy()
+        texts = g["m_text"].to_numpy()
+        out_a, out_b, out_j = [], [], []
+        i = 0
+        while i + 1 < len(g):
+            if pids[i] != pids[i + 1]:  # member missing (shouldn't happen)
+                i += 1
+                continue
+            p = int(pids[i])
+            j = jaccard(texts[i], texts[i + 1], k)
+            if j >= threshold:
+                out_a.append(int(a_ids[p]))
+                out_b.append(int(b_ids[p]))
+                out_j.append(float(j))
+            i += 2
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype=np.int64),
+                             "id_b": pd.Series(out_b, dtype=np.int64),
+                             "jaccard": pd.Series(out_j, dtype=np.float64)})
+
+    out = exploded.groupby("verify_bucket").map_groups(
+        verify_bucket, batch_format="pandas")
+    return out
 
 
 def _word_shingle_set(text: str, k: int) -> set:
