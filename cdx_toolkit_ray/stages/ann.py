@@ -168,6 +168,55 @@ def ivf_topk(ds: ray.data.Dataset, query_vec, k: int = 10,
                        id_col=id_col)
 
 
+def ivf_build_index(ds: ray.data.Dataset, out_dir: str,
+                    n_centroids: int = 16, vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    sample_mod: int = 1) -> np.ndarray:
+    """Materialize the IVF index as hive-partitioned Parquet: one
+    ``ivf_cell=<c>/`` directory per codebook cell plus the codebook
+    itself. This is the prune-at-the-read scale path — a search then
+    touches only ``nprobe`` directories instead of scanning the corpus
+    (and the layout is resumable / appendable per cell)."""
+    import os
+
+    cents = ivf_centroids(ds, n_centroids, vec_col, id_col, sample_mod)
+    c_ref = ray.put(cents)
+    ds = ds.map_batches(assign_centroid_stage(c_ref, vec_col),
+                        batch_format="pyarrow", batch_size=None)
+    ds.write_parquet(out_dir, partition_cols=["ivf_cell"])
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    return cents
+
+
+def ivf_search_index(index_dir: str, query_vec, k: int = 10,
+                     nprobe: int = 4, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> ray.data.Dataset:
+    """Search an ``ivf_build_index`` layout reading ONLY the nprobe
+    nearest cells' partitions (row groups of other cells never leave
+    storage)."""
+    import os
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    cells = np.argsort(-(cents @ q))[:nprobe]
+    import glob as _glob
+
+    # expand each probed cell dir to its files (read_parquet accepts a
+    # single dir but not a list of dirs)
+    paths = []
+    for c in cells:
+        paths.extend(sorted(_glob.glob(
+            os.path.join(index_dir, "ivf_cell=%d" % c, "*.parquet"))))
+    if not paths:
+        import pyarrow as _pa
+
+        return ray.data.from_arrow(_pa.table({id_col: [], "cosine": []}))
+    pruned = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    return cosine_topk(pruned, query_vec, k=k, vec_col=vec_col,
+                       id_col=id_col)
+
+
 def pairwise_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int,
                   vec_col: str = "embedding", id_col: str = "vec_id"
                   ) -> ray.data.Dataset:

@@ -123,3 +123,31 @@ def test_media_queries_run():
     fs = q_frame_sample(SF).to_pandas()
     assert (fs.n_frames_sampled >= 0).all()
     assert len(fs) == sum(1 for i in range(256) if i % 3 == 2)
+
+
+def test_ivf_index_build_search(tmp_path):
+    """Partitioned-index IVF: nprobe=all over the on-disk layout equals
+    brute force; partial probes read only their cell directories."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cdx_toolkit_ray.stages.ann import (cosine_topk, ivf_build_index,
+                                            ivf_search_index)
+
+    emb = pq.read_table(SF + "/embeddings.parquet")
+    qvec = emb["embedding"][0].as_py()
+    ds = ray.data.read_parquet(SF + "/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(ds, idx, n_centroids=8)
+    assert os.path.exists(idx + "/centroids.npy")
+    cells = [d for d in os.listdir(idx) if d.startswith("ivf_cell=")]
+    assert len(cells) >= 2
+
+    exact = set(cosine_topk(ds, qvec, k=10).to_pandas().vec_id)
+    full = set(ivf_search_index(idx, qvec, k=10,
+                                nprobe=8).to_pandas().vec_id)
+    assert full == exact
+    probed = ivf_search_index(idx, qvec, k=10, nprobe=3).to_pandas()
+    assert len(probed) == 10
