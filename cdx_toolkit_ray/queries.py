@@ -527,6 +527,79 @@ def q_frame_sample(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def q_window_agg(sf_dir: str):
+    """Tumbling-window aggregate (§2.8 streaming semantics extension):
+    events bucketed into 1-hour windows, per (event_type, window)
+    count + integer value sum, with map-side partial aggregation so
+    only (type, window) partials enter the shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.strftime(pc.floor_temporal(batch["ts"], unit="hour"),
+                          format="%Y%m%d%H")
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100)),
+                        pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "win": win,
+                      "cents": cents})
+        g = t.group_by(["event_type", "win"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["event_type", "win", "part_sum",
+                                 "part_cnt"])
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["event_type", "ts", "value"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return ds.groupby(["event_type", "win"]).aggregate(
+        Sum("part_sum", alias_name="sum_cents"),
+        Sum("part_cnt", alias_name="n_events"))
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join (backward): each event matched to the latest order of
+    the same key with o_orderdate <= event ts; DuckDB ASOF JOIN is the
+    oracle."""
+    from .stages.asof import asof_join_backward
+
+    left = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                                 columns=["event_id", "user_id", "ts"])
+    right = ray.data.read_parquet(_tbl(sf_dir, "orders"),
+                                  columns=["o_custkey", "o_orderkey",
+                                           "o_orderdate"])
+
+    def ev_epoch(batch: pa.Table) -> pa.Table:
+        e = pc.cast(pc.cast(pc.floor_temporal(batch["ts"], unit="second"),
+                            pa.timestamp("s")), pa.int64())
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"], "l_ts": e})
+
+    def ord_epoch(batch: pa.Table) -> pa.Table:
+        e = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("s")),
+                    pa.int64())
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "o_orderkey": batch["o_orderkey"], "r_ts": e})
+
+    left = left.map_batches(ev_epoch, batch_format="pyarrow",
+                            batch_size=None)
+    right = right.map_batches(ord_epoch, batch_format="pyarrow",
+                              batch_size=None)
+    out = asof_join_backward(left, right, left_key="user_id",
+                             right_key="o_custkey", left_ts="l_ts",
+                             right_ts="r_ts",
+                             right_cols=["o_orderkey"],
+                             tie_col="o_orderkey")
+
+    def cast_ints(batch: pa.Table) -> pa.Table:
+        # empty bucket groups yield float64 pandas columns; normalize
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+        })
+
+    return out.map_batches(cast_ints, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def q_wb_synthesis(sf_dir: str):
     """S7/M12/M14: wayback-replay WARC synthesis over fixture captures —
     deterministic fake replay responses (x-archive-orig-* headers, 302
@@ -812,6 +885,21 @@ FROM pairs
     "url_seen": "WITH " + _SEEDS_CTE + """
 SELECT DISTINCT urlkey FROM seeds
 """,
+    "window_agg": """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y%m%d%H') AS win,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type, win
+""",
+    "asof_join": """
+WITH r AS (
+  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS r_ts,
+         max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, r_ts)
+SELECT e.event_id, e.user_id, r.o_orderkey
+FROM events e ASOF JOIN r
+  ON e.user_id = r.o_custkey AND date_trunc('second', e.ts) >= r.r_ts
+""",
 }
 
 
@@ -837,6 +925,8 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "ngram_jaccard": q_ngram_jaccard,
     "url_seen": q_url_seen,
+    "window_agg": q_window_agg,
+    "asof_join": q_asof_join,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "simhash_sigs": q_simhash_sigs,

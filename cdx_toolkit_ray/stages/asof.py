@@ -1,0 +1,130 @@
+"""As-of (nearest-earlier) join — a custom operator the reference only
+hints at (its time-window -> crawl bisect, commoncrawl.py:223-232, is a
+plan-time as-of lookup; here it is a full data-plane operator).
+
+Partitioning assumption (documented per the custom-operator contract):
+both sides are co-located by ``hash(key) % num_buckets`` — ONE balanced
+shuffle each — and every bucket is merged with a single vectorized
+searchsorted pass, no Python call per key. Keys and timestamps must fit
+the packed 64-bit combine: ``|key| < 2^22`` distinct-key codes per
+bucket and ``0 <= ts < 2^40`` (epoch seconds do).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_TS_BITS = np.int64(40)
+
+
+def _mix_bucket(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    x = keys.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return (x % np.uint64(num_buckets)).astype(np.int64)
+
+
+def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset,
+                       *, left_key: str, right_key: str,
+                       left_ts: str, right_ts: str,
+                       right_cols: list[str], tie_col: str | None = None,
+                       num_buckets: int = 32) -> ray.data.Dataset:
+    """Inner as-of join: each left row pairs with the right row of the
+    same key having the greatest ``right_ts <= left_ts``. Rows with no
+    earlier right row are dropped (inner semantics — no nullable
+    payload columns to round-trip). Ties on ``right_ts`` within a key
+    resolve deterministically to the max ``tie_col`` row.
+    """
+    if tie_col is None:
+        tie_col = right_cols[0]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = batch[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "_k": pa.array(k),
+            "_ts": pa.array(batch[left_ts].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+            "_side": pa.array(np.zeros(len(k), np.int8)),
+            "_bucket": pa.array(_mix_bucket(k, num_buckets)),
+            **{c: batch[c] for c in batch.column_names
+               if c not in (left_key, left_ts)},
+        })
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {
+            "_k": pa.array(k),
+            "_ts": pa.array(batch[right_ts].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+            "_side": pa.array(np.ones(len(k), np.int8)),
+            "_bucket": pa.array(_mix_bucket(k, num_buckets)),
+        }
+        for c in right_cols:
+            out["_r_" + c] = batch[c]
+        return pa.table(out)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag_right, batch_format="pyarrow",
+                           batch_size=None)
+    both = lt.union(rt)
+
+    r_payload = ["_r_" + c for c in right_cols]
+    tie = "_r_" + tie_col
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g["_side"].to_numpy() == 0
+        lg = g[lmask]
+        rg = g[~lmask]
+        left_cols = [c for c in g.columns
+                     if c not in ("_side", "_bucket") and c not in r_payload]
+        if not len(lg) or not len(rg):
+            return pd.DataFrame({c: [] for c in
+                                 [c for c in left_cols
+                                  if c not in ("_k", "_ts")]
+                                 + [left_key, left_ts] + right_cols})
+
+        # dense per-bucket key codes so the 64-bit combine stays safe
+        all_k = np.concatenate([lg["_k"].to_numpy(), rg["_k"].to_numpy()])
+        codes, uniq = pd.factorize(all_k)
+        lk = codes[:len(lg)].astype(np.int64)
+        rk = codes[len(lg):].astype(np.int64)
+        lts = lg["_ts"].to_numpy().astype(np.int64)
+        rts = rg["_ts"].to_numpy().astype(np.int64)
+        if len(uniq) >= (1 << 22) or (rts >= (1 << 40)).any() \
+                or (rts < 0).any():
+            raise ValueError("asof combine out of packed range")
+
+        # right side: sort by (key, ts, tie), keep LAST per (key, ts)
+        rtie = rg[tie].to_numpy()
+        r_order = np.lexsort((rtie, rts, rk))
+        rk_s, rts_s = rk[r_order], rts[r_order]
+        comb_r = (rk_s << _TS_BITS) | rts_s
+        last = np.ones(len(comb_r), dtype=bool)
+        last[:-1] = comb_r[:-1] != comb_r[1:]
+        r_idx = r_order[last]
+        comb_r = comb_r[last]
+        rk_d = rk_s[last]
+
+        comb_l = (lk << _TS_BITS) | lts
+        pos = np.searchsorted(comb_r, comb_l, side="right") - 1
+        ok = pos >= 0
+        pos_c = np.maximum(pos, 0)
+        ok &= rk_d[pos_c] == lk  # nearest-earlier row must share the key
+
+        out = {}
+        for c in left_cols:
+            if c in ("_k", "_ts"):
+                continue
+            out[c] = lg[c].to_numpy()[ok]
+        out[left_key] = lg["_k"].to_numpy()[ok]
+        out[left_ts] = lts[ok]
+        take = r_idx[pos_c[ok]]
+        for c in right_cols:
+            out[c] = rg["_r_" + c].to_numpy()[take]
+        return pd.DataFrame(out)
+
+    return both.groupby("_bucket").map_groups(merge, batch_format="pandas")

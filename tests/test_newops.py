@@ -151,3 +151,47 @@ def test_ivf_index_build_search(tmp_path):
     assert full == exact
     probed = ivf_search_index(idx, qvec, k=10, nprobe=3).to_pandas()
     assert len(probed) == 10
+
+
+def test_window_agg_matches_pandas():
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cdx_toolkit_ray.queries import q_window_agg
+
+    got = q_window_agg(SF).to_pandas()
+    df = pq.read_table(SF + "/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    df["win"] = df.ts.dt.floor("h").dt.strftime("%Y%m%d%H")
+    df["cents"] = (df.value * 100).round().astype("int64")
+    want = df.groupby(["event_type", "win"], as_index=False).agg(
+        sum_cents=("cents", "sum"), n_events=("cents", "count"))
+    m = got.merge(want, on=["event_type", "win"], suffixes=("", "_w"))
+    assert len(m) == len(want) == len(got)
+    assert (m.sum_cents == m.sum_cents_w).all()
+    assert (m.n_events == m.n_events_w).all()
+
+
+def test_asof_join_matches_pandas():
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cdx_toolkit_ray.queries import q_asof_join
+
+    got = q_asof_join(SF).to_pandas().sort_values("event_id")
+    ev = pq.read_table(SF + "/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    od = pq.read_table(SF + "/orders.parquet",
+                       columns=["o_custkey", "o_orderkey",
+                                "o_orderdate"]).to_pandas()
+    od["r_ts"] = pd.to_datetime(od.o_orderdate)
+    od = (od.groupby(["o_custkey", "r_ts"], as_index=False)
+          .o_orderkey.max().sort_values("r_ts"))
+    ev["l_ts"] = ev.ts.dt.floor("s")
+    want = pd.merge_asof(ev.sort_values("l_ts"), od,
+                         left_on="l_ts", right_on="r_ts",
+                         left_by="user_id", right_by="o_custkey",
+                         direction="backward")
+    want = want.dropna(subset=["o_orderkey"]).sort_values("event_id")
+    assert list(got.event_id) == list(want.event_id)
+    assert list(got.o_orderkey) == [int(x) for x in want.o_orderkey]
