@@ -600,6 +600,54 @@ def q_asof_join(sf_dir: str):
                            batch_size=None)
 
 
+def q_range_join(sf_dir: str):
+    """Range join: every event paired with each same-key order whose
+    400-day follow-up window (9000 days after the order) contains the
+    event time — a deliberately overlapping-interval case so the
+    sweep's overlap-chain handling is exercised."""
+    from .stages.asof import range_join
+
+    left = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                                 columns=["event_id", "user_id", "ts"])
+    right = ray.data.read_parquet(_tbl(sf_dir, "orders"),
+                                  columns=["o_custkey", "o_orderkey",
+                                           "o_orderdate"])
+
+    def ev_epoch(batch: pa.Table) -> pa.Table:
+        e = pc.cast(pc.cast(pc.floor_temporal(batch["ts"], unit="second"),
+                            pa.timestamp("s")), pa.int64())
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"], "l_ts": e})
+
+    def ord_window(batch: pa.Table) -> pa.Table:
+        base = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("s")),
+                       pa.int64())
+        lo = pc.add(base, 9000 * 86400)
+        hi = pc.add(base, 9400 * 86400 - 1)
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "o_orderkey": batch["o_orderkey"],
+                         "lo": lo, "hi": hi})
+
+    left = left.map_batches(ev_epoch, batch_format="pyarrow",
+                            batch_size=None)
+    right = right.map_batches(ord_window, batch_format="pyarrow",
+                              batch_size=None)
+    out = range_join(left, right, left_key="user_id",
+                     right_key="o_custkey", left_ts="l_ts",
+                     right_lo="lo", right_hi="hi",
+                     right_cols=["o_orderkey"])
+
+    def cast_ints(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+        })
+
+    return out.map_batches(cast_ints, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def q_wb_synthesis(sf_dir: str):
     """S7/M12/M14: wayback-replay WARC synthesis over fixture captures —
     deterministic fake replay responses (x-archive-orig-* headers, 302
@@ -900,6 +948,14 @@ SELECT e.event_id, e.user_id, r.o_orderkey
 FROM events e ASOF JOIN r
   ON e.user_id = r.o_custkey AND date_trunc('second', e.ts) >= r.r_ts
 """,
+    "range_join": """
+SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e JOIN orders o
+  ON e.user_id = o.o_custkey
+ AND epoch(date_trunc('second', e.ts))
+     BETWEEN epoch(CAST(o.o_orderdate AS TIMESTAMP)) + 9000 * 86400
+         AND epoch(CAST(o.o_orderdate AS TIMESTAMP)) + 9400 * 86400 - 1
+""",
 }
 
 
@@ -927,6 +983,7 @@ QUERIES = {
     "url_seen": q_url_seen,
     "window_agg": q_window_agg,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "simhash_sigs": q_simhash_sigs,

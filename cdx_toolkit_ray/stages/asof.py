@@ -128,3 +128,135 @@ def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset,
         return pd.DataFrame(out)
 
     return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+               left_key: str, right_key: str, left_ts: str,
+               right_lo: str, right_hi: str,
+               right_cols: list[str],
+               num_buckets: int = 32) -> ray.data.Dataset:
+    """Inner range join: pairs every left row with each right row of
+    the same key whose interval ``[right_lo, right_hi]`` contains
+    ``left_ts``. Same partitioning contract as the as-of join (hash of
+    the key, one balanced shuffle per side); within a bucket the match
+    is one sorted interval-sweep per key run, vectorized with
+    searchsorted over interval starts — per-pair output is the real
+    work, not per-key Python.
+
+    Assumes intervals of one key are non-overlapping (e.g. consecutive
+    validity windows); overlapping intervals still match correctly but
+    the sweep emits per (row, interval) pairs by scanning candidates
+    between the first interval whose start <= ts and the row position,
+    bounded by ``max_scan`` = longest overlap chain in the bucket.
+    """
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = batch[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "_k": pa.array(k),
+            "_ts": pa.array(batch[left_ts].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+            "_side": pa.array(np.zeros(len(k), np.int8)),
+            "_bucket": pa.array(_mix_bucket(k, num_buckets)),
+            **{c: batch[c] for c in batch.column_names
+               if c not in (left_key, left_ts)},
+        })
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {
+            "_k": pa.array(k),
+            "_lo": pa.array(batch[right_lo].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+            "_hi": pa.array(batch[right_hi].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+            "_side": pa.array(np.ones(len(k), np.int8)),
+            "_bucket": pa.array(_mix_bucket(k, num_buckets)),
+        }
+        for c in right_cols:
+            out["_r_" + c] = batch[c]
+        return pa.table(out)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
+    rt = right.map_batches(tag_right, batch_format="pyarrow",
+                           batch_size=None)
+    both = lt.union(rt)
+    r_payload = ["_r_" + c for c in right_cols]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g["_side"].to_numpy() == 0
+        lg = g[lmask]
+        rg = g[~lmask]
+        left_cols = [c for c in g.columns
+                     if c not in ("_side", "_bucket", "_lo", "_hi")
+                     and c not in r_payload]
+        empty = {c: [] for c in
+                 [c for c in left_cols if c not in ("_k", "_ts")]
+                 + [left_key, left_ts] + right_cols}
+        if not len(lg) or not len(rg):
+            return pd.DataFrame(empty)
+
+        lk = lg["_k"].to_numpy().astype(np.int64)
+        lts = lg["_ts"].to_numpy().astype(np.int64)
+        rk = rg["_k"].to_numpy().astype(np.int64)
+        rlo = rg["_lo"].to_numpy().astype(np.int64)
+        rhi = rg["_hi"].to_numpy().astype(np.int64)
+        if (np.abs(rlo) >= (1 << 40)).any() or (np.abs(lts) >= (1 << 40)).any():
+            raise ValueError("range join combine out of packed range")
+
+        # dense key codes shared by both sides
+        codes, _ = pd.factorize(np.concatenate([lk, rk]))
+        lkc = codes[:len(lk)].astype(np.int64)
+        rkc = codes[len(lk):].astype(np.int64)
+
+        r_order = np.lexsort((rlo, rkc))
+        comb_r = (rkc[r_order] << _TS_BITS) | (rlo[r_order] + (1 << 39))
+        comb_l = (lkc << _TS_BITS) | (lts + (1 << 39))
+        # last interval (per packed order) starting at or before ts
+        pos = np.searchsorted(comb_r, comb_l, side="right") - 1
+
+        max_scan = 1
+        # overlap chains: how many consecutive intervals of one key can
+        # contain the same point (non-overlapping inputs -> 1)
+        rk_s, rlo_s, rhi_s = rkc[r_order], rlo[r_order], rhi[r_order]
+        run_max_hi = rhi_s.copy()
+        for _ in range(64):  # bounded doubling; breaks immediately if sorted-by-hi
+            prev = np.empty_like(run_max_hi)
+            prev[0] = np.iinfo(np.int64).min
+            prev[1:] = run_max_hi[:-1]
+            same = np.zeros(len(rk_s), dtype=bool)
+            same[1:] = rk_s[1:] == rk_s[:-1]
+            overlap = same & (prev >= rlo_s)
+            if not overlap.any():
+                break
+            max_scan += 1
+            run_max_hi = np.where(overlap, np.maximum(run_max_hi, prev),
+                                  run_max_hi)
+
+        out_l_idx, out_r_idx = [], []
+        for back in range(max_scan):
+            p = pos - back
+            ok = (p >= 0)
+            pc_ = np.maximum(p, 0)
+            ok &= (rk_s[pc_] == lkc) & (rlo_s[pc_] <= lts) \
+                & (lts <= rhi_s[pc_])
+            if not ok.any():
+                continue
+            out_l_idx.append(np.flatnonzero(ok))
+            out_r_idx.append(r_order[pc_[ok]])
+        if not out_l_idx:
+            return pd.DataFrame(empty)
+        li = np.concatenate(out_l_idx)
+        ri = np.concatenate(out_r_idx)
+
+        out = {}
+        for c in left_cols:
+            if c in ("_k", "_ts"):
+                continue
+            out[c] = lg[c].to_numpy()[li]
+        out[left_key] = lk[li]
+        out[left_ts] = lts[li]
+        for c in right_cols:
+            out[c] = rg["_r_" + c].to_numpy()[ri]
+        return pd.DataFrame(out)
+
+    return both.groupby("_bucket").map_groups(merge, batch_format="pandas")

@@ -195,3 +195,30 @@ def test_asof_join_matches_pandas():
     want = want.dropna(subset=["o_orderkey"]).sort_values("event_id")
     assert list(got.event_id) == list(want.event_id)
     assert list(got.o_orderkey) == [int(x) for x in want.o_orderkey]
+
+
+def test_range_join_matches_pandas():
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cdx_toolkit_ray.queries import q_range_join
+
+    got = (q_range_join(SF).to_pandas()
+           .sort_values(["event_id", "o_orderkey"]).reset_index(drop=True))
+    ev = pq.read_table(SF + "/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    od = pq.read_table(SF + "/orders.parquet",
+                       columns=["o_custkey", "o_orderkey",
+                                "o_orderdate"]).to_pandas()
+    ev["l_ts"] = (ev.ts.dt.floor("s").values.astype("datetime64[s]")
+                  .astype("int64"))
+    od["lo"] = (pd.to_datetime(od.o_orderdate).values
+                .astype("datetime64[s]").astype("int64") + 9000 * 86400)
+    od["hi"] = od.lo + 400 * 86400 - 1
+    m = ev.merge(od, left_on="user_id", right_on="o_custkey")
+    m = m[(m.l_ts >= m.lo) & (m.l_ts <= m.hi)]
+    want = (m[["event_id", "user_id", "o_orderkey"]]
+            .sort_values(["event_id", "o_orderkey"]).reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    assert (got.event_id == want.event_id).all()
+    assert (got.o_orderkey == want.o_orderkey).all()
