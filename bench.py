@@ -245,6 +245,9 @@ def main() -> None:
             ("lang_id", lambda: consume(Q.q_lang_id(SF_DIR))),
             ("ann_topk", lambda: consume(Q.q_ann_topk(SF_DIR))),
             ("minhash_pairs", lambda: consume(Q.q_minhash_pairs(SF_DIR))),
+            ("window_agg", lambda: consume(Q.q_window_agg(SF_DIR))),
+            ("asof_join", lambda: consume(Q.q_asof_join(SF_DIR))),
+            ("range_join", lambda: consume(Q.q_range_join(SF_DIR))),
             ("captures_query", lambda: consume(Q.q_captures_query(SF_DIR))),
             ("content_extract",
              lambda: consume(Q.q_content_extract(SF_DIR))),
