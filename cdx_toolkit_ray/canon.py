@@ -213,7 +213,10 @@ def _canon_fast_frame(df):
                       .str.extract_groups(_URL_GROUPS_RE))
         .with_columns(
             host=host_raw.str.to_lowercase().str.strip_chars_end("."),
-            _port_ok=port.is_null() | port.str.contains(r"^\d+$"),
+            # leading-zero ports ("08080") go to the scalar fallback:
+            # urlsplit normalizes them, the regex path would not
+            _port_ok=port.is_null()
+            | (port.str.contains(r"^\d+$") & ~port.str.contains(r"^0\d")),
             _path=path.fill_null("/").str.to_lowercase(),
             _query=query,
         )
@@ -235,7 +238,9 @@ def _canon_fast_frame(df):
                     + pl.col("_path") + pl.col("_q_sfx")),
             host=pl.col("host"),
             fast_ok=(pl.col("url").is_not_null()
-                     & ~pl.col("url").str.contains(r"[%@\[ \t]")
+                     # \s (not just space/tab): urlsplit strips embedded
+                     # \r\n\t, the regex path would keep them
+                     & ~pl.col("url").str.contains(r"[%@\[\s]")
                      & pl.col("host").is_not_null()
                      & pl.col("_port_ok")),
         )

@@ -95,7 +95,8 @@ def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset,
         lts = lg["_ts"].to_numpy().astype(np.int64)
         rts = rg["_ts"].to_numpy().astype(np.int64)
         if len(uniq) >= (1 << 22) or (rts >= (1 << 40)).any() \
-                or (rts < 0).any():
+                or (rts < 0).any() or (lts >= (1 << 40)).any() \
+                or (lts < 0).any():
             raise ValueError("asof combine out of packed range")
 
         # right side: sort by (key, ts, tie), keep LAST per (key, ts)
@@ -143,11 +144,14 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     searchsorted over interval starts — per-pair output is the real
     work, not per-key Python.
 
-    Assumes intervals of one key are non-overlapping (e.g. consecutive
-    validity windows); overlapping intervals still match correctly but
-    the sweep emits per (row, interval) pairs by scanning candidates
-    between the first interval whose start <= ts and the row position,
-    bounded by ``max_scan`` = longest overlap chain in the bucket.
+    Overlapping intervals of one key are fully supported: for each left
+    row the sweep finds the earliest candidate interval via a vectorized
+    binary search over the per-key running max of ``right_hi`` (monotone
+    within a key run), then emits exactly the (row, interval) pairs in
+    that window — output-sensitive cost, no iteration cap, no silently
+    dropped pairs. Timestamps and interval bounds must satisfy
+    ``|v| < 2^39`` and each bucket must hold < 2^22 distinct keys (the
+    packed 64-bit combine); violations raise ``ValueError``.
     """
     def tag_left(batch: pa.Table) -> pa.Table:
         k = batch[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -200,53 +204,72 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         rk = rg["_k"].to_numpy().astype(np.int64)
         rlo = rg["_lo"].to_numpy().astype(np.int64)
         rhi = rg["_hi"].to_numpy().astype(np.int64)
-        if (np.abs(rlo) >= (1 << 40)).any() or (np.abs(lts) >= (1 << 40)).any():
+        # |v| < 2^39 so v + 2^39 fits the 40-bit ts field without
+        # spilling into the key-code bits (rhi held to the same
+        # contract for uniformity even though it is never packed)
+        if (np.abs(rlo) >= (1 << 39)).any() \
+                or (np.abs(rhi) >= (1 << 39)).any() \
+                or (np.abs(lts) >= (1 << 39)).any():
             raise ValueError("range join combine out of packed range")
 
         # dense key codes shared by both sides
-        codes, _ = pd.factorize(np.concatenate([lk, rk]))
+        codes, uniq = pd.factorize(np.concatenate([lk, rk]))
+        if len(uniq) >= (1 << 22):
+            raise ValueError("range join combine out of packed range")
         lkc = codes[:len(lk)].astype(np.int64)
         rkc = codes[len(lk):].astype(np.int64)
 
         r_order = np.lexsort((rlo, rkc))
-        comb_r = (rkc[r_order] << _TS_BITS) | (rlo[r_order] + (1 << 39))
+        rk_s, rlo_s, rhi_s = rkc[r_order], rlo[r_order], rhi[r_order]
+        comb_r = (rk_s << _TS_BITS) | (rlo_s + (1 << 39))
         comb_l = (lkc << _TS_BITS) | (lts + (1 << 39))
         # last interval (per packed order) starting at or before ts
         pos = np.searchsorted(comb_r, comb_l, side="right") - 1
 
-        max_scan = 1
-        # overlap chains: how many consecutive intervals of one key can
-        # contain the same point (non-overlapping inputs -> 1)
-        rk_s, rlo_s, rhi_s = rkc[r_order], rlo[r_order], rhi[r_order]
-        run_max_hi = rhi_s.copy()
-        for _ in range(64):  # bounded doubling; breaks immediately if sorted-by-hi
-            prev = np.empty_like(run_max_hi)
-            prev[0] = np.iinfo(np.int64).min
-            prev[1:] = run_max_hi[:-1]
-            same = np.zeros(len(rk_s), dtype=bool)
-            same[1:] = rk_s[1:] == rk_s[:-1]
-            overlap = same & (prev >= rlo_s)
-            if not overlap.any():
-                break
-            max_scan += 1
-            run_max_hi = np.where(overlap, np.maximum(run_max_hi, prev),
-                                  run_max_hi)
-
-        out_l_idx, out_r_idx = [], []
-        for back in range(max_scan):
-            p = pos - back
-            ok = (p >= 0)
-            pc_ = np.maximum(p, 0)
-            ok &= (rk_s[pc_] == lkc) & (rlo_s[pc_] <= lts) \
-                & (lts <= rhi_s[pc_])
-            if not ok.any():
-                continue
-            out_l_idx.append(np.flatnonzero(ok))
-            out_r_idx.append(r_order[pc_[ok]])
-        if not out_l_idx:
+        valid = pos >= 0
+        pc = np.maximum(pos, 0)
+        valid &= rk_s[pc] == lkc
+        if not valid.any():
             return pd.DataFrame(empty)
-        li = np.concatenate(out_l_idx)
-        ri = np.concatenate(out_r_idx)
+        vpos = pc[valid]
+        vts = lts[valid]
+
+        # key runs in the sorted right side; prefix running-max of hi
+        # is monotone non-decreasing within a run, so the earliest
+        # candidate interval per left row is a binary-search target
+        new_run = np.ones(len(rk_s), dtype=bool)
+        new_run[1:] = rk_s[1:] != rk_s[:-1]
+        run_id = np.cumsum(new_run) - 1
+        run_start = np.flatnonzero(new_run)
+        prefix_hi = pd.Series(rhi_s).groupby(run_id).cummax().to_numpy()
+
+        # first j in [run_start, vpos] with prefix_hi[j] >= ts
+        # (vectorized lower-bound search: terminates in log2(run) steps)
+        lo_b = run_start[run_id[vpos]].copy()
+        hi_b = vpos + 1
+        while True:
+            unresolved = lo_b < hi_b
+            if not unresolved.any():
+                break
+            mid = (lo_b + hi_b) // 2
+            ge = prefix_hi[np.minimum(mid, len(prefix_hi) - 1)] >= vts
+            hi_b = np.where(unresolved & ge, mid, hi_b)
+            lo_b = np.where(unresolved & ~ge, mid + 1, lo_b)
+
+        counts = np.maximum(vpos - lo_b + 1, 0)  # 0 when no hi reaches ts
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(empty)
+        vrows = np.flatnonzero(valid)
+        li = np.repeat(vrows, counts)
+        cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        rj = np.repeat(lo_b, counts) + (np.arange(total)
+                                        - np.repeat(cum, counts))
+        # rlo_s[rj] <= ts and key equality hold by construction
+        # (rj <= vpos within the same key run); only hi needs checking
+        keep = rhi_s[rj] >= np.repeat(vts, counts)
+        li = li[keep]
+        ri = r_order[rj[keep]]
 
         out = {}
         for c in left_cols:

@@ -222,3 +222,72 @@ def test_range_join_matches_pandas():
     assert len(got) == len(want) > 0
     assert (got.event_id == want.event_id).all()
     assert (got.o_orderkey == want.o_orderkey).all()
+
+
+def test_range_join_deep_overlap_chain():
+    """Adversarial all-overlapping intervals: chain depth ~200 per key.
+
+    The pre-round-2 sweep capped candidate back-scan at 65 and silently
+    dropped deeper (row, interval) pairs; the binary-search expansion
+    must emit every pair."""
+    import numpy as np
+    import pandas as pd
+
+    from cdx_toolkit_ray.stages.asof import range_join
+
+    rng = np.random.default_rng(7)
+    n = 400
+    right = pd.DataFrame({
+        "k": rng.integers(0, 2, n).astype("int64"),
+        "lo": rng.integers(0, 100, n).astype("int64"),
+        "rid": np.arange(n, dtype="int64"),
+    })
+    right["hi"] = right.lo + rng.integers(400, 1000, n)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 2, 50).astype("int64"),
+        "ts": rng.integers(0, 1200, 50).astype("int64"),
+        "lid": np.arange(50, dtype="int64"),
+    })
+    got = range_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        left_key="k", right_key="k", left_ts="ts",
+        right_lo="lo", right_hi="hi", right_cols=["rid"], num_buckets=4,
+    ).to_pandas().sort_values(["lid", "rid"]).reset_index(drop=True)
+    m = left.merge(right, on="k")
+    m = m[(m.ts >= m.lo) & (m.ts <= m.hi)]
+    want = m.sort_values(["lid", "rid"]).reset_index(drop=True)
+    deepest = want.groupby("lid").size().max()
+    assert deepest > 65  # the case the old cap dropped
+    assert len(got) == len(want)
+    assert (got.rid == want.rid).all()
+    assert (got.lid == want.lid).all()
+
+
+def test_range_join_packed_range_guard():
+    import pandas as pd
+
+    from cdx_toolkit_ray.stages.asof import range_join
+
+    left = pd.DataFrame({"k": [1], "ts": [1 << 39], "lid": [0]})
+    right = pd.DataFrame({"k": [1], "lo": [0], "hi": [10], "rid": [0]})
+    with pytest.raises(Exception, match="packed range"):
+        range_join(ray.data.from_pandas(left),
+                   ray.data.from_pandas(right),
+                   left_key="k", right_key="k", left_ts="ts",
+                   right_lo="lo", right_hi="hi",
+                   right_cols=["rid"], num_buckets=2).to_pandas()
+
+
+def test_asof_join_left_ts_guard():
+    import pandas as pd
+
+    from cdx_toolkit_ray.stages.asof import asof_join_backward
+
+    left = pd.DataFrame({"k": [1], "ts": [-5], "lid": [0]})
+    right = pd.DataFrame({"k": [1], "ts": [0], "rid": [0]})
+    with pytest.raises(Exception, match="packed range"):
+        asof_join_backward(ray.data.from_pandas(left),
+                           ray.data.from_pandas(right),
+                           left_key="k", right_key="k",
+                           left_ts="ts", right_ts="ts",
+                           right_cols=["rid"], num_buckets=2).to_pandas()

@@ -63,3 +63,24 @@ def test_canonicalize_batch():
     hashes = out["hash64"].to_pylist()
     assert hashes[0] == hashes[1] == s.hash64(keys[0])
     assert out["host"].to_pylist()[0] == "www.example.com"
+
+
+def test_canonicalize_batch_fallback_edges():
+    """URLs with embedded CR/LF and leading-zero ports must take the
+    scalar fallback (urlsplit strips \\r\\n and normalizes the port;
+    the polars regex path would not)."""
+    import pyarrow as pa
+
+    from cdx_toolkit_ray import canon as s
+
+    urls = [
+        "http://example.com/a\r\nb",
+        "http://example.com/a\nb?x=1",
+        "http://example.com:08080/x",
+        "http://example.com:8080/x",
+        "http://example.com:080/x",
+    ]
+    out = s.canonicalize_batch(pa.table({"url": urls}))
+    got = out["urlkey"].to_pylist()
+    want = [s.surt(u) for u in urls]
+    assert got == want
