@@ -465,7 +465,12 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs via LSH hyperplane buckets."""
+    """Embedding-cosine near-dup pairs via LSH hyperplane buckets.
+
+    Oracle-checked: the DuckDB oracle replicates the hyperplane signs
+    (plane values inlined as literals from the same fixed seed) and the
+    exact-cosine verify, so the LSH bucketing itself is value-checked —
+    output is the integer id pair set (floats stay out of the hash)."""
     from .stages.dedup import embedding_neardup_pairs
 
     ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
@@ -473,9 +478,16 @@ def q_embedding_neardup(sf_dir: str):
     # the synthetic embeddings have no true near-dups (max pairwise
     # cosine ~0.48), so use a low threshold + coarse buckets to keep
     # the candidate/verify machinery exercised with non-empty output
-    return embedding_neardup_pairs(ds, vec_col="embedding",
-                                   id_col="vec_id", n_planes=6,
-                                   threshold=0.35)
+    out = embedding_neardup_pairs(ds, vec_col="embedding",
+                                  id_col="vec_id", n_planes=6,
+                                  threshold=0.35)
+
+    def cast_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"id_a": pc.cast(batch["id_a"], pa.int64()),
+                         "id_b": pc.cast(batch["id_b"], pa.int64())})
+
+    return out.map_batches(cast_ids, batch_format="pyarrow",
+                           batch_size=None)
 
 
 def q_ann_ivf(sf_dir: str):
@@ -747,7 +759,93 @@ def q_content_extract(sf_dir: str):
 # Oracle SQL (DuckDB; the driver pre-registers the table views)
 # ---------------------------------------------------------------------------
 
+# FNV-1a over the utf-8 bytes of {s}, the exact recurrence of
+# canon.hash64 (fixtures are ASCII, so ascii(substr(..)) == the byte).
+# HUGEINT carries the 64x40-bit product; % 2^64 is the wrap.
+_FNV_SQL = (
+    "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+    "list_transform(range(1, length({s})+1), "
+    "i -> ascii(substr({s}, i, 1)))), "
+    "(h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)"
+    " * 1099511628211) % 18446744073709551616)")
+
+
+def _fingerprint_oracle(window: int = 4) -> str:
+    """Winnowing fingerprint in pure SQL: same \\S+ tokenization,
+    word-``window``-grams, FNV-1a per gram, min per document."""
+    gram = " || ' ' || ".join("words[i+%d]" % d for d in range(window))
+    return (r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS words
+           FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(words) < %d THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - %d),
+                                 i -> %s) END AS grams
+      FROM w)
+SELECT doc_id,
+       CAST(CASE WHEN len(grams) = 0 THEN 0
+            ELSE CAST(list_min(list_transform(grams, s -> %s)) AS UBIGINT)
+            END AS VARCHAR) AS fingerprint
+FROM g
+""" % (window, window - 2, gram, _FNV_SQL.format(s="s")))
+
+
+def _simhash_oracle() -> str:
+    """64-bit simhash in pure SQL: \\w+ tokens (all occurrences), FNV
+    per token, per-bit majority vote (strictly more set than clear)."""
+    counts = ",\n       ".join(
+        "sum(CASE WHEN (CAST(h AS UBIGINT) >> %d) & 1 = 1 "
+        "THEN 1 ELSE 0 END) AS c%d" % (b, b) for b in range(64))
+    terms = "\n         + ".join(
+        "(CASE WHEN 2*c%d > n THEN CAST('%d' AS HUGEINT) ELSE 0 END)"
+        % (b, 1 << b) for b in range(64))
+    return (r"""
+WITH w AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '\w+')) AS word
+           FROM documents),
+h AS (SELECT doc_id, %s AS h FROM w),
+b AS (SELECT doc_id, count(*) AS n,
+       %s
+      FROM h GROUP BY doc_id),
+s AS (SELECT doc_id,
+         %s AS sim
+      FROM b)
+SELECT d.doc_id,
+       CAST(CAST(coalesce(s.sim, 0) AS UBIGINT) AS VARCHAR) AS simhash
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+""" % (_FNV_SQL.format(s="word"), counts, terms))
+
+
+def _embedding_neardup_oracle(n_planes: int = 6, dim: int = 64,
+                              seed: int = 7,
+                              threshold: float = 0.35) -> str:
+    """Hyperplane-LSH + exact-cosine near-dup in pure SQL. The plane
+    values come from the SAME fixed-seed RNG as make_hyperplane_stage
+    and are inlined as float literals (float32 -> float64 is exact), so
+    the oracle replicates the bucketing bit-for-bit."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_planes)).astype(np.float32)
+    terms = []
+    for j in range(n_planes):
+        lits = ", ".join(repr(float(v)) for v in planes[:, j])
+        terms.append(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),\n"
+            "   [%s]) > 0 THEN %d ELSE 0 END)" % (lits, 1 << j))
+    return ("""
+WITH b AS (SELECT vec_id, embedding,
+  %s AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(c.embedding AS DOUBLE[])) >= %r
+""" % ("\n  + ".join(terms), threshold))
+
+
 ORACLES: dict[str, str] = {
+    "fingerprint": _fingerprint_oracle(),
+    "simhash_sigs": _simhash_oracle(),
+    "embedding_neardup": _embedding_neardup_oracle(),
     "surt_canonicalize": "WITH " + _SEEDS_CTE + """
 SELECT doc_id, url, urlkey, host FROM seeds
 """,

@@ -134,11 +134,6 @@ def query_captures(captures_root: str, url: str | None = None,
     closest = kwargs.get("closest")
     filters = kwargs.pop("filter", None)
 
-    # The iteration-order contract (ascending within crawl, crawls
-    # concatenated in cc_sort order) requires deterministic block order
-    # through the union under streaming execution.
-    ray.data.DataContext.get_current().execution_options.preserve_order = True
-
     part_dirs, params = plan_query(captures_root, url=url, source=source,
                                    cc_sort=cc_sort, crawl=crawl, now=now,
                                    **kwargs)
@@ -147,17 +142,29 @@ def query_captures(captures_root: str, url: str | None = None,
     matcher = CaptureMatcher(um, params.get("from_ts"), params.get("to"),
                              filters, source)
 
-    pieces = []
-    for d in part_dirs:
-        ds = ray.data.read_parquet(d)
-        if resort:
-            ds = ds.sort(["urlkey", "timestamp"])
-        pieces.append(ds)
-    if not pieces:
-        return ray.data.from_arrow(pa.table({n: [] for n in ["urlkey"]}))
-    ds = pieces[0]
-    if len(pieces) > 1:
-        ds = ds.union(*pieces[1:])
+    # The iteration-order contract (ascending within crawl, crawls
+    # concatenated in cc_sort order) requires deterministic block order
+    # through the union under streaming execution. A Dataset captures
+    # the DataContext at ROOT creation and derived datasets inherit it,
+    # so the flag is scoped to this query's read roots and restored —
+    # unrelated pipelines built later keep full scheduling freedom.
+    exec_opts = ray.data.DataContext.get_current().execution_options
+    saved = exec_opts.preserve_order
+    exec_opts.preserve_order = True
+    try:
+        pieces = []
+        for d in part_dirs:
+            ds = ray.data.read_parquet(d)
+            if resort:
+                ds = ds.sort(["urlkey", "timestamp"])
+            pieces.append(ds)
+        if not pieces:
+            return ray.data.from_arrow(pa.table({n: [] for n in ["urlkey"]}))
+        ds = pieces[0]
+        if len(pieces) > 1:
+            ds = ds.union(*pieces[1:])
+    finally:
+        exec_opts.preserve_order = saved
 
     ds = ds.map_batches(matcher, batch_format="pyarrow")
 

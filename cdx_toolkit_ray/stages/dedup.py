@@ -746,11 +746,15 @@ def hamming64(a: int, b: int) -> int:
 def make_hyperplane_stage(vec_col: str, dim: int, n_planes: int = 16,
                           seed: int = 7, out_col: str = "lsh_bucket"):
     rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(dim, n_planes)).astype(np.float32)
+    # float32-rounded plane values, float64 dot: the SQL oracle inlines
+    # the same float32 literals and computes in DOUBLE, so the sign of
+    # each projection agrees bit-for-bit except for |dot| ~ 1e-13 ties
+    planes = rng.normal(size=(dim, n_planes)).astype(np.float32) \
+        .astype(np.float64)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         vecs = np.asarray(batch[vec_col].to_numpy(zero_copy_only=False).tolist(),
-                          dtype=np.float32)
+                          dtype=np.float64)
         signs = (vecs @ planes) > 0
         buckets = np.zeros(len(vecs), dtype=np.uint64)
         for j in range(n_planes):

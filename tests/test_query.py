@@ -131,3 +131,19 @@ def test_crawl_name_selection(fixture_dir):
         "SELECT count(*) FROM captures WHERE crawl='CC-MAIN-2022-05'"
     ).fetchone()[0]
     assert ds.count() == want
+
+
+def test_preserve_order_scoped_to_query(fixture_dir):
+    """query_captures must not leak preserve_order into the global
+    DataContext: the returned dataset keeps it (captured at root
+    creation), while unrelated datasets built afterwards do not."""
+    import ray.data
+
+    ds = query_captures(fixture_dir["captures"], "*.big-portal.example",
+                        from_ts="2021", to="2024", limit=5)
+    assert ds.context.execution_options.preserve_order is True
+    assert (ray.data.DataContext.get_current()
+            .execution_options.preserve_order is False)
+    fresh = ray.data.range(4)
+    assert fresh.context.execution_options.preserve_order is False
+    assert ds.count() == 5  # still executes with ordering intact
