@@ -68,6 +68,16 @@ class CaptureObject(MutableMapping):
         return self.warc_record
 
     @property
+    def content_stream(self):
+        """File-like stream over the record payload (parity:
+        cdx_toolkit/__init__.py:119-120 — the reference returns the
+        warcio record's content_stream; here the payload is local
+        bytes, exposed through the same read() interface)."""
+        import io
+
+        return io.BytesIO(self.fetch_warc_record()["payload"])
+
+    @property
     def content(self) -> bytes:
         if self._content is None:
             self._content = self.fetch_warc_record()["payload"]

@@ -189,9 +189,52 @@ def make_content_lookup(pages_ref):
 
 
 def load_pages_index(pages_path: str):
-    """pages parquet -> {url: html} (the broadcast small side)."""
+    """pages parquet -> {url: html} (the broadcast small side).
+
+    When the pages table holds multiple rows for one url (re-captures),
+    the winner is the lexicographically greatest html — deterministic
+    under any read order, and the SAME rule the hash-bucket join path
+    applies, so both join strategies return identical content."""
     t = pq.read_table(pages_path, columns=["url", "html"])
-    return dict(zip(t["url"].to_pylist(), t["html"].to_pylist()))
+    idx: dict = {}
+    for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+        prev = idx.get(u)
+        if prev is None or h > prev:
+            idx[u] = h
+    return idx
+
+
+def dedupe_pages(pages: ray.data.Dataset,
+                 num_buckets: int = 32) -> ray.data.Dataset:
+    """One row per url: the lexicographically greatest html (same
+    winner rule as ``load_pages_index``). One balanced shuffle on
+    ``hash64(url) % num_buckets``; each bucket resolves all its urls in
+    a single vectorized sort + drop_duplicates — no Python per key."""
+    import pandas as pd
+
+    from ..canon import hash64_batch
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = hash64_batch(batch["url"])
+        return batch.append_column(
+            "_pb", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    pages = pages.map_batches(add_bucket, batch_format="pyarrow",
+                              batch_size=None)
+
+    def keep_max(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url", "html"], kind="stable")
+        return g.drop_duplicates("url", keep="last").drop(columns=["_pb"])
+
+    return pages.groupby("_pb").map_groups(keep_max, batch_format="pandas")
+
+
+def _pages_bytes(pages_path: str) -> int:
+    """On-disk footprint of the pages table (file or directory)."""
+    if os.path.isdir(pages_path):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(pages_path) for f in fs)
+    return os.path.getsize(pages_path)
 
 
 def fgrep_stage(url_fgrep: str | None, url_fgrepv: str | None):
@@ -211,18 +254,55 @@ def fgrep_stage(url_fgrep: str | None, url_fgrepv: str | None):
 
 def extract_content(captures_root: str, pages_path: str, url: str | None = None,
                     url_fgrep: str | None = None, url_fgrepv: str | None = None,
+                    join_strategy: str = "auto",
+                    broadcast_budget_bytes: int = 256 << 20,
+                    num_partitions: int | None = None,
                     **query_kwargs) -> ray.data.Dataset:
     """captures query -> fgrep gates -> content join -> text decode.
 
     Returns the lazy Dataset with ``html:binary`` and ``text:string``
     appended; ``text`` is the byte-identical utf-8/replace decode.
+
+    Join strategies (J1):
+
+    * ``broadcast`` — ``ray.put`` the url->html map once, cached per
+      worker, dict lookup per batch. No shuffle; preserves the capture
+      iteration order. Right while the pages table fits a worker heap.
+    * ``bucket``    — the scale path: pages deduped per url (one
+      bucketed shuffle, vectorized), then a distributed hash join of
+      captures against pages. Both sides move once; NOTHING lands on
+      the driver. Output order is not the iteration order (hash
+      partitioned) — sort downstream if required.
+    * ``auto``      — ``bucket`` iff the on-disk pages footprint
+      exceeds ``broadcast_budget_bytes``.
+
+    Both paths resolve duplicate pages rows to the same deterministic
+    winner (lexicographically greatest html), so they return identical
+    content for every url. Misses drop in both (404-skip parity,
+    reference cli.py:270-273).
     """
     ds = query_captures(captures_root, url=url, **query_kwargs)
     if url_fgrep or url_fgrepv:
         ds = ds.map_batches(fgrep_stage(url_fgrep, url_fgrepv),
                             batch_format="pyarrow")
-    pages_ref = ray.put(load_pages_index(pages_path))
-    ds = ds.map_batches(make_content_lookup(pages_ref), batch_format="pyarrow")
+    if join_strategy == "auto":
+        join_strategy = ("bucket"
+                         if _pages_bytes(pages_path) > broadcast_budget_bytes
+                         else "broadcast")
+    if join_strategy == "broadcast":
+        pages_ref = ray.put(load_pages_index(pages_path))
+        ds = ds.map_batches(make_content_lookup(pages_ref),
+                            batch_format="pyarrow")
+    elif join_strategy == "bucket":
+        from ..stages.dedup import default_join_partitions
+
+        if num_partitions is None:
+            num_partitions = default_join_partitions()
+        pages = ray.data.read_parquet(pages_path, columns=["url", "html"])
+        pages = dedupe_pages(pages)
+        ds = ds.join(pages, "inner", num_partitions, on=("url",))
+    else:
+        raise ValueError("unknown join_strategy %r" % join_strategy)
     ds = ds.map_batches(decode_html_batch, batch_format="pyarrow")
     return ds
 
@@ -239,10 +319,23 @@ class SegmentedParquetWriter:
     """
 
     def __init__(self, prefix: str, subprefix: str | None = None,
-                 info: dict | None = None, size: int = 10_000_000):
+                 info: dict | None = None, size: int = 10_000_000,
+                 gzip: bool = True, warc_version: str | None = None):
+        # gzip / warc_version: API parity with the reference writer
+        # (warc.py:160-176). Parquet output has its own codec, so gzip
+        # selects the parquet compression; non-1.0 warc versions are
+        # accepted-and-logged exactly like the reference.
         self.prefix = prefix
         self.subprefix = subprefix
         self.size = size
+        self.gzip = gzip
+        self.warc_version = warc_version
+        if warc_version is not None and warc_version != "1.0":
+            import logging
+
+            logging.getLogger(__name__).error(
+                "WARC versions other than 1.0 are not correctly "
+                "supported yet")
         self.segment = 0
         self._open_path: str | None = None
         self._writer: pq.ParquetWriter | None = None
@@ -265,7 +358,9 @@ class SegmentedParquetWriter:
     def write_batch(self, batch: pa.Table) -> None:
         if self._writer is None:
             self._open_path = self._segment_name()
-            self._writer = pq.ParquetWriter(self._open_path, batch.schema)
+            self._writer = pq.ParquetWriter(
+                self._open_path, batch.schema,
+                compression="gzip" if self.gzip else "none")
         self._writer.write_table(batch)
         if os.path.exists(self._open_path) and \
                 os.stat(self._open_path).st_size > self.size:

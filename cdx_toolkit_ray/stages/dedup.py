@@ -547,88 +547,91 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 def minhash_dedup_pairs(ds: ray.data.Dataset, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.7,
                         verify_buckets: int = 32,
+                        num_partitions: int | None = None,
                         **kwargs) -> ray.data.Dataset:
     """LSH candidates verified DISTRIBUTED by exact shingle Jaccard.
 
-    Verification needs the two texts of every candidate pair. The
-    corpus never moves and nothing lands on the driver but the
-    candidate PAIR LIST (small by LSH construction):
+    Fully distributed — neither the corpus, the candidate pair list,
+    nor the member map ever lands on the driver (a skewed band — e.g.
+    millions of identical boilerplate docs — produces a pair list far
+    too large for a driver dict):
 
-    1. candidate pairs -> broadcast ``{member_id: [(pair_id, slot)]}``
-       (``ray.put`` once, cached per worker)
-    2. one streaming pass over the corpus emits ``(pair_id, slot,
-       text)`` for member rows only — a broadcast semi-join, no
-       shuffle of the corpus
+    1. candidate pairs stay a Dataset; each pair explodes into two
+       ``(member_id, pair_id, slot, id_a, id_b)`` membership rows,
+       where ``pair_id`` is a 64-bit mix of (id_a, id_b) (collision
+       odds ~ pairs^2 / 2^64 — negligible at any realistic scale)
+    2. membership joins the corpus on ``member_id == id`` with the
+       distributed hash join (both sides move once, balanced)
     3. ONE balanced ``groupby(pair_id % B)`` co-locates both texts of
        each pair; each bucket verifies all its pairs in one call
        (per-pair set intersection is the actual work, not overhead)
+
+    Skew note: a document in P pairs contributes P joined rows, all
+    hashed by member_id to one partition — P is bounded by the anchor
+    pair emission (min-id vs rest per bucket), not by corpus size.
     """
-    import ray as _ray
-
     k = kwargs.get("shingle_k", 5)
-    cand_tbl = minhash_lsh_candidates(ds, text_col, id_col, **kwargs) \
-        .select_columns(["id_a", "id_b"]).to_pandas()
-    if not len(cand_tbl):
-        return ray.data.from_items([])
-    ida = cand_tbl["id_a"].to_numpy().astype(np.int64)
-    idb = cand_tbl["id_b"].to_numpy().astype(np.int64)
-    members: dict = {}
-    for p in range(len(ida)):
-        members.setdefault(int(ida[p]), []).append((p, 0))
-        members.setdefault(int(idb[p]), []).append((p, 1))
-    m_ref = _ray.put(members)
-    pair_ref = _ray.put((ida, idb))
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    cands = minhash_lsh_candidates(ds, text_col, id_col, **kwargs) \
+        .select_columns(["id_a", "id_b"])
 
-    def emit_members(batch: pa.Table) -> pa.Table:
-        from ..pipelines.frontier import _get_broadcast
-
-        m = _get_broadcast(m_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        texts = batch[text_col].to_numpy(zero_copy_only=False)
-        pid, slot, txt = [], [], []
-        for i, d in enumerate(ids):
-            for p, s in m.get(int(d), ()):
-                pid.append(p)
-                slot.append(s)
-                txt.append(texts[i])
+    def membership(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = _mix64(a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                     ^ b.astype(np.uint64)).view(np.int64)
         return pa.table({
-            "pair_id": pa.array(np.asarray(pid, np.int64)),
-            "slot": pa.array(np.asarray(slot, np.int8)),
-            "m_text": pa.array(txt, pa.string()),
-            "verify_bucket": pa.array(
-                np.asarray(pid, np.int64) % verify_buckets),
+            "member_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "pair_id": pa.array(np.concatenate([pid, pid]), pa.int64()),
+            "slot": pa.array(np.concatenate(
+                [np.zeros(len(a), np.int8), np.ones(len(b), np.int8)])),
+            "id_a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
         })
 
-    exploded = ds.map_batches(emit_members, batch_format="pyarrow",
-                              batch_size=None)
+    members = cands.map_batches(membership, batch_format="pyarrow",
+                                batch_size=None)
+    corpus = ds.select_columns([id_col, text_col])
+    joined = members.join(corpus, "inner", num_partitions,
+                          on=("member_id",), right_on=(id_col,))
 
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        from ..pipelines.frontier import _get_broadcast
+    def add_vb(batch: pa.Table) -> pa.Table:
+        pid = batch["pair_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "verify_bucket",
+            pa.array((pid.astype(np.uint64) % np.uint64(verify_buckets))
+                     .astype(np.int64)))
 
-        a_ids, b_ids = _get_broadcast(pair_ref)
-        g = g.sort_values(["pair_id", "slot"])
+    joined = joined.map_batches(add_vb, batch_format="pyarrow",
+                                batch_size=None)
+
+    def verify_bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pair_id", "slot", "id_a"])
         pids = g["pair_id"].to_numpy()
-        texts = g["m_text"].to_numpy()
+        slots = g["slot"].to_numpy()
+        texts = g[text_col].to_numpy()
+        ida = g["id_a"].to_numpy()
+        idb = g["id_b"].to_numpy()
         out_a, out_b, out_j = [], [], []
         i = 0
-        while i + 1 < len(g):
-            if pids[i] != pids[i + 1]:  # member missing (shouldn't happen)
-                i += 1
+        n = len(g)
+        while i + 1 < n:
+            if pids[i] != pids[i + 1] or slots[i] == slots[i + 1]:
+                i += 1  # member missing (shouldn't happen)
                 continue
-            p = int(pids[i])
             j = jaccard(texts[i], texts[i + 1], k)
             if j >= threshold:
-                out_a.append(int(a_ids[p]))
-                out_b.append(int(b_ids[p]))
+                out_a.append(int(ida[i]))
+                out_b.append(int(idb[i]))
                 out_j.append(float(j))
             i += 2
         return pd.DataFrame({"id_a": pd.Series(out_a, dtype=np.int64),
                              "id_b": pd.Series(out_b, dtype=np.int64),
                              "jaccard": pd.Series(out_j, dtype=np.float64)})
 
-    out = exploded.groupby("verify_bucket").map_groups(
-        verify_bucket, batch_format="pandas")
-    return out
+    return joined.groupby("verify_bucket").map_groups(
+        verify_bucket_fn, batch_format="pandas")
 
 
 def _word_shingle_set(text: str, k: int) -> set:

@@ -90,3 +90,26 @@ def test_minhash_signature_properties(corpus):
     frac = (by_id[100] == by_id[102]).mean()
     assert 0.4 < frac <= 1.0   # minhash agreement approximates jaccard
     assert (by_id[0] == by_id[103]).mean() < 0.2  # disjoint vocabularies
+
+
+def test_minhash_skewed_corpus_distributed():
+    """1k identical docs: every band bucket holds the whole corpus.
+    The pre-round-2 implementation collected the candidate pair list
+    and a per-member dict onto the driver; the distributed verify must
+    produce the full anchor-pair set (doc 0 vs every other) with
+    jaccard 1.0, entirely through Dataset joins."""
+    import pandas as pd
+
+    from cdx_toolkit_ray.stages.dedup import minhash_dedup_pairs
+
+    n = 1000
+    docs = pd.DataFrame({
+        "doc_id": range(n),
+        "text": ["alpha beta gamma delta epsilon zeta eta theta"] * n,
+    })
+    out = minhash_dedup_pairs(ray.data.from_pandas(docs),
+                              threshold=0.99).to_pandas()
+    assert len(out) == n - 1
+    assert (out.id_a == 0).all()
+    assert sorted(out.id_b) == list(range(1, n))
+    assert (out.jaccard == 1.0).all()

@@ -139,3 +139,50 @@ def test_wb_synthesis_query_runs(ray_session):
     assert set(df.columns) == {"urlkey", "timestamp", "statusline",
                                "warc_headers_json", "anomaly"}
     assert (df.statusline.str.len() > 0).all()
+
+
+def test_bucket_join_matches_broadcast(fixture_dir):
+    """The hash-bucket content join (large-pages scale path) must
+    return exactly the broadcast path's rows and bytes — including the
+    deterministic winner for urls with multiple distinct pages rows."""
+    kw = dict(url="*.example", from_ts="2021", to="2024")
+    bc = extract_content(fixture_dir["captures"], fixture_dir["pages"],
+                         join_strategy="broadcast", **kw)
+    bk = extract_content(fixture_dir["captures"], fixture_dir["pages"],
+                         join_strategy="bucket", **kw)
+    cols = ["urlkey", "timestamp", "url", "text"]
+    a = (bc.select_columns(cols).to_pandas()
+         .sort_values(cols).reset_index(drop=True))
+    b = (bk.select_columns(cols).to_pandas()
+         .sort_values(cols).reset_index(drop=True))
+    assert len(a) == len(b) > 0
+    assert a.equals(b)
+    # byte-identity holds through the bucket path too
+    for r in bk.take(20):
+        assert r["text"] == r["html"].decode("utf-8", errors="replace")
+
+
+def test_extract_content_auto_selects_bucket(fixture_dir):
+    """auto strategy flips to the bucket join once the pages table
+    exceeds the broadcast budget."""
+    ds = extract_content(fixture_dir["captures"], fixture_dir["pages"],
+                         url="*.big-portal.example", from_ts="2021",
+                         to="2024", broadcast_budget_bytes=1)
+    assert ds.count() > 0
+
+
+def test_content_stream_and_writer_knobs(fixture_dir):
+    import cdx_toolkit_ray as ctr
+
+    cdx = ctr.CDXFetcher(captures_root=fixture_dir["captures"],
+                         pages_path=fixture_dir["pages"])
+    objs = cdx.get("*.big-portal.example", from_ts="2021", to="2024",
+                   limit=3)
+    assert objs
+    o = objs[0]
+    # reference examples/iter-and-warc.py loop shape: stream then read
+    assert o.content_stream.read() == o.content
+    w = get_writer("/tmp/knobs-test", None, {"software": "x"},
+                   gzip=False, warc_version="1.0")
+    assert w.gzip is False and w.warc_version == "1.0"
+    w.close()
