@@ -312,6 +312,61 @@ def _add_host_bucket(num_buckets: int):
     return add_bucket
 
 
+@ray.remote(num_cpus=0)
+class _BucketCounterActor:
+    """Write-side counter accumulator: each writer task folds its
+    batch's per-bucket partials in (commutative integer adds, so the
+    totals are execution-order independent). Replaces the old
+    driver-side re-read of every written partition — O(buckets) state,
+    never O(rows) driver I/O."""
+
+    def __init__(self):
+        self.c: dict = {}
+
+    def add(self, buckets, fetched, deduped, deferred, blocked, rows):
+        for i, b in enumerate(buckets):
+            agg = self.c.setdefault(int(b), [0, 0, 0, 0, 0])
+            agg[0] += int(fetched[i])
+            agg[1] += int(deduped[i])
+            agg[2] += int(deferred[i])
+            agg[3] += int(blocked[i])
+            agg[4] += int(rows[i])
+
+    def get(self):
+        return self.c
+
+
+def _make_count_stage(actor, num_buckets: int):
+    """Pass-through map_batches fn that folds per-bucket counter
+    partials into the counter actor (vectorized bincount per batch; the
+    blocking ray.get guarantees every partial is applied before
+    write_parquet returns)."""
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        hb = batch["host_bucket"].to_numpy(zero_copy_only=False)
+        rank = batch["host_rank"].to_numpy(zero_copy_only=False)
+        ndup = batch["n_dup_dropped"].to_numpy(zero_copy_only=False)
+        blocked = batch["robots_blocked"].to_numpy(zero_copy_only=False)
+        nb = num_buckets
+        fetched = np.bincount(hb, weights=(rank >= 0), minlength=nb)
+        deduped = np.bincount(hb, weights=ndup, minlength=nb)
+        deferred = np.bincount(hb, weights=(rank > 0), minlength=nb)
+        blk = np.bincount(hb, weights=blocked.astype(np.int64),
+                          minlength=nb)
+        rows = np.bincount(hb, minlength=nb)
+        nz = np.flatnonzero(rows)
+        if len(nz):
+            ray.get(actor.add.remote(
+                nz.tolist(), fetched[nz].astype(np.int64).tolist(),
+                deduped[nz].astype(np.int64).tolist(),
+                deferred[nz].astype(np.int64).tolist(),
+                blk[nz].astype(np.int64).tolist(),
+                rows[nz].astype(np.int64).tolist()))
+        return batch
+
+    return count_batch
+
+
 def run_frontier(seeds_path: str, robots_path: str, out_dir: str, *,
                  num_buckets: int = 8, num_salts: int = 1,
                  seen_checkpoint_dir: str | None = None,
@@ -324,7 +379,9 @@ def run_frontier(seeds_path: str, robots_path: str, out_dir: str, *,
 
     Bucketing by HOST hash keeps every row of a host in one partition,
     so per-host politeness slots and counters are complete within a
-    partition and partitions are independently restartable.
+    partition and partitions are independently restartable. Counters
+    accumulate in a zero-CPU actor DURING the write pass (one tiny
+    partial per batch) — no post-hoc driver read of the written rows.
     """
     from ..state.lineage import LineageManifest, fingerprint_file
 
@@ -350,30 +407,23 @@ def run_frontier(seeds_path: str, robots_path: str, out_dir: str, *,
 
         flow = flow.map_batches(drop_done, batch_format="pyarrow")
 
+    counter_actor = _BucketCounterActor.remote()
+    flow = flow.map_batches(_make_count_stage(counter_actor, num_buckets),
+                            batch_format="pyarrow", batch_size=None)
+
     flow_dir = os.path.join(out_dir, "flow")
     flow.write_parquet(flow_dir, partition_cols=["host_bucket"])
 
-    # per-bucket counters from the written partitions (cheap column read)
+    counters_by_bucket = ray.get(counter_actor.get.remote())
+    ray.kill(counter_actor)
     for b in todo:
         part_dir = os.path.join(flow_dir, "host_bucket=%d" % b)
-        if not os.path.isdir(part_dir):
-            manifest.record(str(b), fp, {"fetched": 0, "deduped": 0,
-                                         "deferred_politeness": 0,
-                                         "robots_blocked": 0, "rows": 0},
-                            part_dir)
-            continue
-        t = pq.read_table(part_dir, columns=["host_rank", "n_dup_dropped",
-                                             "robots_blocked"])
-        rank = t["host_rank"].to_numpy(zero_copy_only=False)
-        counters = {
-            "fetched": int((rank >= 0).sum()),
-            "deduped": int(pa.compute.sum(t["n_dup_dropped"]).as_py() or 0),
-            "deferred_politeness": int((rank > 0).sum()),
-            "robots_blocked": int(pa.compute.sum(
-                pa.compute.cast(t["robots_blocked"], pa.int64())).as_py() or 0),
-            "rows": t.num_rows,
-        }
-        manifest.record(str(b), fp, counters, part_dir)
+        f, d, df, bl, n = counters_by_bucket.get(b, (0, 0, 0, 0, 0))
+        manifest.record(str(b), fp,
+                        {"fetched": f, "deduped": d,
+                         "deferred_politeness": df,
+                         "robots_blocked": bl, "rows": n},
+                        part_dir)
 
     if seen is not None and seen_checkpoint_dir:
         seen.checkpoint(seen_checkpoint_dir)

@@ -427,6 +427,51 @@ def q_url_seen(sf_dir: str):
     return ds.select_columns(["urlkey"])
 
 
+def q_row_sample(sf_dir: str):
+    """O6 row sampling, the deterministic scale path: keep rows whose
+    64-bit key hash falls in the sample band (hash64(doc_id) % 10 == 0)
+    — reproducible under any parallelism and exactly SQL-checkable,
+    unlike seeded uniform sampling whose draw depends on block layout.
+    (``Dataset.random_sample`` is exercised in tests for the uniform
+    variant.)"""
+    from .canon import hash64_batch
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = hash64_batch(np.char.mod("%d", ids).astype(object))
+        return batch.filter(pa.array(h % np.uint64(10) == 0))
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "lang", "source"])
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def q_fetch_plan(sf_dir: str):
+    """T2 status-classified retry planning as a data-plane operator:
+    derive a deterministic status per document, classify with the
+    reference's retry policy ({429,500,502,503,504,509} retryable,
+    backoff 2i doubling capped 60s), budget the virtual backoff."""
+    from .retry import RetryPolicy, make_status_classifier
+
+    statuses = np.array(["200", "301", "404", "429", "500", "503",
+                         "403", "502"], dtype=object)
+
+    def add_status(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "status", pa.array(statuses[ids % 8], pa.string()))
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    ds = ds.map_batches(add_status, batch_format="pyarrow")
+    ds = ds.map_batches(
+        make_status_classifier(RetryPolicy(minimum_interval=3.0),
+                               max_retries=5),
+        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "status", "fetch_action",
+                              "retry_budget_ms"])
+
+
 # --- rows-only (no SQL oracle: stateful / sketch / fixture-based) ---------
 
 def q_minhash_pairs(sf_dir: str):
@@ -846,6 +891,24 @@ ORACLES: dict[str, str] = {
     "fingerprint": _fingerprint_oracle(),
     "simhash_sigs": _simhash_oracle(),
     "embedding_neardup": _embedding_neardup_oracle(),
+    "row_sample": """
+SELECT doc_id, lang, source FROM documents
+WHERE %s %% 10 = 0
+""" % _FNV_SQL.format(s="CAST(doc_id AS VARCHAR)"),
+    # backoff budget for 5 retries at i=3.0: 6+12+24+48+60 s = 150000 ms
+    "fetch_plan": """
+WITH s AS (SELECT doc_id,
+  (['200','301','404','429','500','503','403','502'])[(doc_id % 8) + 1]
+    AS status FROM documents)
+SELECT doc_id, status,
+       CASE WHEN status IN ('429','500','502','503') THEN 'retry'
+            WHEN status IN ('400','404') THEN 'invalid'
+            WHEN status IN ('403') THEN 'error'
+            ELSE 'ok' END AS fetch_action,
+       CAST(CASE WHEN status IN ('429','500','502','503')
+                 THEN 150000 ELSE 0 END AS BIGINT) AS retry_budget_ms
+FROM s
+""",
     "surt_canonicalize": "WITH " + _SEEDS_CTE + """
 SELECT doc_id, url, urlkey, host FROM seeds
 """,
@@ -1079,6 +1142,8 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "ngram_jaccard": q_ngram_jaccard,
     "url_seen": q_url_seen,
+    "row_sample": q_row_sample,
+    "fetch_plan": q_fetch_plan,
     "window_agg": q_window_agg,
     "asof_join": q_asof_join,
     "range_join": q_range_join,

@@ -49,14 +49,34 @@ from ..timeutils import timestamps_to_epoch
 
 LINES_PER_PAGE = 3000  # parity: cdx_toolkit/__init__.py:29
 
+# collinfo-cache parity (cdx_toolkit/commoncrawl.py:42-70): the crawl
+# list refreshes at most once per TTL; within the TTL the memo answers
+# without touching storage.
+COLLINFO_TTL_SEC = 86400.0
+_PARTITIONS_CACHE: dict[str, tuple[float, dict[str, str]]] = {}
 
-def list_crawl_partitions(captures_root: str) -> dict[str, str]:
-    """Discover hive partitions: {crawl_name: partition_dir}."""
+
+def list_crawl_partitions(captures_root: str, *, now: float | None = None,
+                          ttl: float = COLLINFO_TTL_SEC) -> dict[str, str]:
+    """Discover hive partitions: {crawl_name: partition_dir}.
+
+    Results are memoized per root with the reference's 24h collinfo
+    TTL; pass ``ttl=0`` (or a ``now`` past the entry) to force a
+    re-scan. ``now`` is injectable so the TTL contract is testable
+    without wall-clock sleeps.
+    """
+    import time
+
+    t = time.time() if now is None else now
+    hit = _PARTITIONS_CACHE.get(captures_root)
+    if hit is not None and t - hit[0] < ttl:
+        return hit[1]
     out = {}
     for entry in sorted(os.listdir(captures_root)):
         m = re.match(r"crawl=(.+)$", entry)
         if m:
             out[m.group(1)] = os.path.join(captures_root, entry)
+    _PARTITIONS_CACHE[captures_root] = (t, out)
     return out
 
 
