@@ -126,7 +126,22 @@ def derive_frontier_seeds(sf_dir: str, num_cpus: int):
     path = prepare_seeds(sf_dir, REPLICATE)
     nfiles = len(glob.glob(os.path.join(path, "*.parquet")))
     nblocks = max(num_cpus * 2, (nfiles * 150_000) // 600_000, 1)
-    return ray.data.read_parquet(path, override_num_blocks=nblocks)
+    # prune at the read: crawl_delay_ms is a pure function of host and
+    # re-attaches AFTER dedup from a broadcast host table — reading it
+    # per raw row would drag 8 bytes/row through both dedup passes
+    return ray.data.read_parquet(path, override_num_blocks=nblocks,
+                                 columns=["url", "priority", "seed_order"])
+
+
+def _delay_map() -> dict:
+    """host -> crawl_delay_ms (the robots-table stand-in the real
+    frontier broadcasts; same values prepare_seeds derives per row)."""
+    m = {"big-portal.example": 550, "www.big-portal.example": 550}
+    for i in range(997):
+        d = _DELAYS[i % 4]
+        m["supp%d.example" % i] = d
+        m["www.supp%d.example" % i] = d
+    return m
 
 
 def consume(ds) -> int:
@@ -178,36 +193,73 @@ def run_frontier(sf_dir: str, num_cpus: int) -> int:
     """Derived seeds -> canonicalize -> first-wins dedup -> politeness
     -> global crawl order (the north_rule flagship)."""
     import numpy as np
+    import pandas as pd
     import pyarrow as pa
+    import ray as _ray
 
     from cdx_toolkit_ray.canon import canonicalize_batch
-    from cdx_toolkit_ray.pipelines.frontier import schedule_politeness
+    from cdx_toolkit_ray.pipelines.frontier import (
+        _get_broadcast,
+        schedule_politeness,
+    )
     from cdx_toolkit_ray.stages.dedup import first_wins_dedup
 
     ds = derive_frontier_seeds(sf_dir, num_cpus)
-    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    # prune early: downstream needs no raw url bytes (urlkey/host carry
-    # the identity) — halves the bytes the dedup materialize holds
-    ds = ds.drop_columns(["url"])
+
+    def canon_derive(batch: pa.Table) -> pa.Table:
+        # derive urlkey/hash64/host, then drop the raw url bytes:
+        # downstream identity travels as urlkey (prunes ~half the
+        # canonicalized row width)
+        return canonicalize_batch(batch).drop_columns(["url"])
+
     # 'broadcast_recompute' re-executes the pure upstream for the
     # filter pass instead of pinning a full materialized copy: the
     # honest 10^10-frontier-scale path (nothing input-sized lives in
-    # the object store) and the better-scaling one (recompute is
-    # parallel compute; a materialize is serial store bandwidth).
+    # the object store). derive_fn pushes canonicalization OUT of that
+    # second pass: the filter matches on sortkey (raw columns only)
+    # and only the ~3% survivors are canonicalized again.
     # 'broadcast' (one shared materialized pass) is selectable for
     # small inputs via GRAFT_DEDUP_STRATEGY.
+    # count_col=None: the flagship never emits n_dup_dropped, so the
+    # winner combine moves (key, sortkey) pairs only
     ds = first_wins_dedup(
         ds, "hash64", [("priority", 19), ("seed_order", 44)],
         strategy=os.environ.get("GRAFT_DEDUP_STRATEGY",
-                                "broadcast_recompute"))
+                                "broadcast_recompute"),
+        derive_fn=canon_derive, count_col=None)
+
+    delay_ref = _ray.put(_delay_map())
 
     def add_flags(batch: pa.Table) -> pa.Table:
+        # crawl delay re-attaches per SURVIVOR from the broadcast host
+        # table (factorize + one lookup per distinct host per batch)
+        m = _get_broadcast(delay_ref)
+        hosts = batch["host"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(hosts)
+        vals = np.array([m.get(h, 3000) for h in uniq], np.int64)
+        batch = batch.append_column(
+            "crawl_delay_ms", pa.array(vals[codes], pa.int64()))
         return batch.append_column(
             "robots_blocked", pa.array(np.zeros(batch.num_rows, bool)))
 
     ds = ds.map_batches(add_flags, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     ds = schedule_politeness(ds)
-    ds = ds.sort(["fetch_ms", "priority", "seed_order"])
+
+    def pack_order_key(batch: pa.Table) -> pa.Table:
+        # one packed int64 sort key instead of a 3-column comparator:
+        # (fetch_ms, priority, seed_order) <-> (36, 2, 25) bits, ranges
+        # asserted (fetch_ms caps at max_rank*6s << 2^36 here; a real
+        # deployment widens the packing or falls back to 3-key sort)
+        f = batch["fetch_ms"].to_numpy(zero_copy_only=False)
+        p = batch["priority"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["seed_order"].to_numpy(zero_copy_only=False)
+        if len(f) and (f.max() >> 36 or p.max() >> 2 or s.max() >> 25):
+            raise ValueError("crawl-order packing out of range")
+        key = (f << np.int64(27)) | (p << np.int64(25)) | s
+        return batch.append_column("order_key", pa.array(key, pa.int64()))
+
+    ds = ds.map_batches(pack_order_key, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    ds = ds.sort("order_key")
     ds = ds.select_columns(["urlkey", "host", "host_rank", "fetch_ms"])
     return consume(ds)
 
@@ -332,8 +384,59 @@ def scaling() -> None:
     }))
 
 
+def seen_bench() -> None:
+    """Drive ~10M offers through the sharded URL-seen actor pool
+    (state/seen.py): a map_batches stage routes each block's hashes to
+    the shards with one batched actor call per (shard, block). Reports
+    offers/sec so rounds can judge whether the blocking ray.get per
+    batch needs pipelining. GRAFT_SEEN_ROWS / GRAFT_SEEN_SHARDS to
+    override; ~20% of offers are duplicates."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from cdx_toolkit_ray.stages.dedup import _mix64
+    from cdx_toolkit_ray.state.seen import SeenFilterStage, ShardedSeenSet
+
+    n = int(os.environ.get("GRAFT_SEEN_ROWS", "10000000"))
+    shards = int(os.environ.get("GRAFT_SEEN_SHARDS", "8"))
+    seen = ShardedSeenSet(num_shards=shards, n_bits=1 << 27)
+
+    def to_hash(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        dup = ids.astype(np.uint64) % np.uint64(max(int(n * 0.8), 1))
+        return pa.table({"hash64": pa.array(_mix64(dup), pa.uint64())})
+
+    ds = ray.data.range(n, override_num_blocks=max(NUM_CPUS * 4, 32))
+    ds = ds.map_batches(to_hash, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(SeenFilterStage(seen), batch_format="pyarrow",
+                        batch_size=None)
+    t0 = time.time()
+    kept = consume(ds)
+    dt = time.time() - t0
+    print(json.dumps({
+        "metric": "url_seen offers/sec (%d shards)" % shards,
+        "value": round(n / dt, 1),
+        "unit": "offers/sec",
+        "offers": n,
+        "accepted": kept,
+        "sec": round(dt, 3),
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--seen-bench" in sys.argv:
+        seen_bench()
     else:
         main()

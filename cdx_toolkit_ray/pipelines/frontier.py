@@ -96,18 +96,25 @@ def make_robots_gate(robots_ref, default_delay_ms: int = DEFAULT_DELAY_MS):
 
         robots = _get_broadcast(robots_ref)
         hosts = batch["host"].to_numpy(zero_copy_only=False)
-        urls = batch["url"].to_numpy(zero_copy_only=False)
         n = len(hosts)
+        # delays: one dict lookup per DISTINCT host (factorize + take),
+        # not one per row
+        codes, uniq = pd.factorize(hosts)
+        entries = [robots.get(h) for h in uniq]
+        delay_u = np.array([e[0] if e is not None else default_delay_ms
+                            for e in entries], np.int64)
+        delays = delay_u[codes]
         blocked = np.zeros(n, dtype=bool)
-        delays = np.full(n, default_delay_ms, dtype=np.int64)
-        for i in range(n):
-            entry = robots.get(hosts[i])
-            if entry is None:
-                continue
-            delays[i] = entry[0]
-            if entry[1]:
+        # the disallow-prefix check needs per-row Python (urlsplit), but
+        # ONLY for rows of hosts that actually declare prefixes — on a
+        # real frontier a small minority
+        has_prefix = np.array([bool(e and e[1]) for e in entries])
+        if has_prefix.any():
+            urls = batch["url"].to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(has_prefix[codes]):
+                prefixes = robots[hosts[i]][1]
                 path = urlsplit(urls[i]).path or "/"
-                blocked[i] = path.startswith(entry[1])
+                blocked[i] = path.startswith(prefixes)
         batch = batch.append_column("robots_blocked", pa.array(blocked))
         batch = batch.append_column("crawl_delay_ms",
                                     pa.array(delays, pa.int64()))
@@ -248,10 +255,13 @@ def frontier_flow_from(ds: ray.data.Dataset, robots_ref, *,
     """
     from ..stages.dedup import first_wins_dedup
 
-    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    # canonicalization enters dedup as derive_fn: the winner pass runs
+    # it over all rows once; the filter pass matches raw sortkeys and
+    # canonicalizes only survivors (dedup.py first_wins_dedup).
     ds = first_wins_dedup(ds, "hash64",
                           [("priority", 19), ("seed_order", 44)],
-                          num_partitions=dedup_partitions)
+                          num_partitions=dedup_partitions,
+                          derive_fn=canonicalize_batch)
     ds = ds.map_batches(make_robots_gate(robots_ref), batch_size=None,
                         batch_format="pyarrow")
     return schedule_politeness(ds, num_salts=num_salts)

@@ -355,6 +355,22 @@ class SegmentedParquetWriter:
             else:
                 return name
 
+    def write_record(self, record: dict) -> None:
+        """One WARC-record dict (the ``fetch_warc_record`` shape) ->
+        one output row (reference writer parity, warc.py:170-177:
+        reference example loops call ``writer.write_record(record)``
+        per capture)."""
+        self.write_batch(pa.table({
+            "warc_type": pa.array([record.get("warc_type")], pa.string()),
+            "warc_target_uri": pa.array([record.get("warc_target_uri")],
+                                        pa.string()),
+            "warc_source_uri": pa.array([record.get("warc_source_uri")],
+                                        pa.string()),
+            "warc_source_range": pa.array([record.get("warc_source_range")],
+                                          pa.string()),
+            "payload": pa.array([record.get("payload")], pa.binary()),
+        }))
+
     def write_batch(self, batch: pa.Table) -> None:
         if self._writer is None:
             self._open_path = self._segment_name()

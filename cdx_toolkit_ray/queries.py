@@ -113,7 +113,8 @@ seeds AS (
 def derived_seeds(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
                                columns=["doc_id", "source"])
-    return ds.map_batches(derive_seeds_batch, batch_format="pyarrow")
+    return ds.map_batches(derive_seeds_batch, batch_format="pyarrow",
+                        batch_size=None)
 
 
 def _add_false_robots(batch: pa.Table) -> pa.Table:
@@ -122,12 +123,13 @@ def _add_false_robots(batch: pa.Table) -> pa.Table:
 
 
 def _frontier_over_seeds(sf_dir: str) -> ray.data.Dataset:
-    """seeds -> canonicalize -> first-wins dedup -> politeness slots."""
+    """seeds -> canonicalize-in-dedup -> first-wins -> politeness."""
     ds = derived_seeds(sf_dir)
-    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
     ds = first_wins_dedup(ds, "hash64",
-                          [("priority", 19), ("seed_order", 44)])
-    ds = ds.map_batches(_add_false_robots, batch_format="pyarrow")
+                          [("priority", 19), ("seed_order", 44)],
+                          derive_fn=canonicalize_batch)
+    ds = ds.map_batches(_add_false_robots, batch_format="pyarrow",
+                        batch_size=None)
     return schedule_politeness(ds)
 
 
@@ -138,14 +140,16 @@ def _frontier_over_seeds(sf_dir: str) -> ray.data.Dataset:
 def q_surt_canonicalize(sf_dir: str):
     """M5: SURT urlkey + host for the derived URL set."""
     ds = derived_seeds(sf_dir)
-    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow",
+                        batch_size=None)
     return ds.select_columns(["doc_id", "url", "urlkey", "host"])
 
 
 def q_exact_dedup(sf_dir: str):
     """§2.5 exact dedup: first (min doc_id) per distinct urlkey."""
     ds = derived_seeds(sf_dir)
-    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow",
+                        batch_size=None)
     out = exact_dedup(ds, key_col="urlkey", id_col="doc_id")
     return out.select_columns(["doc_id", "urlkey"])
 
@@ -171,7 +175,8 @@ def q_filter_cdx(sf_dir: str):
                                columns=["doc_id", "lang", "source", "text"])
     ds = ds.map_batches(
         FilterStage(["=lang:en", "~source:src1.?", "!text:spark"], "cc"),
-        batch_format="pyarrow")
+        batch_format="pyarrow",
+                        batch_size=None)
     return ds.select_columns(["doc_id", "lang", "source"])
 
 
@@ -185,10 +190,12 @@ def q_filter_ia(sf_dir: str):
 
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
                                columns=["doc_id", "lang"])
-    ds = ds.map_batches(add_mime, batch_format="pyarrow")
+    ds = ds.map_batches(add_mime, batch_format="pyarrow",
+                        batch_size=None)
     ds = ds.map_batches(
         FilterStage(["mimetype:text/e.*", "!statuscode:404"], "ia"),
-        batch_format="pyarrow")
+        batch_format="pyarrow",
+                        batch_size=None)
     return ds.select_columns(["doc_id", "mime"])
 
 
@@ -210,10 +217,12 @@ def q_time_window(sf_dir: str):
 
     ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
                                columns=["event_id", "ts", "event_type"])
-    ds = ds.map_batches(_add_ts14, batch_format="pyarrow")
+    ds = ds.map_batches(_add_ts14, batch_format="pyarrow",
+                        batch_size=None)
     matcher = CaptureMatcher(None, "20240105", "20240115",
                              ["=event_type:click"], "cc")
-    ds = ds.map_batches(matcher, batch_format="pyarrow")
+    ds = ds.map_batches(matcher, batch_format="pyarrow",
+                        batch_size=None)
     return ds.select_columns(["event_id", "timestamp", "event_type"])
 
 
@@ -228,8 +237,10 @@ def q_closest(sf_dir: str):
 
     ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
                                columns=["event_id", "ts"])
-    ds = ds.map_batches(_add_ts14, batch_format="pyarrow")
-    ds = ds.map_batches(add_delta, batch_format="pyarrow")
+    ds = ds.map_batches(_add_ts14, batch_format="pyarrow",
+                        batch_size=None)
+    ds = ds.map_batches(add_delta, batch_format="pyarrow",
+                        batch_size=None)
     ds = ds.sort(["closest_delta", "event_id"]).limit(25)
     return ds.select_columns(["event_id", "timestamp", "closest_delta"])
 
@@ -261,29 +272,38 @@ def q_join_lookup(sf_dir: str):
                         columns=["n_nationkey", "n_name"])
     nmap = dict(zip(nat["n_nationkey"].to_pylist(),
                     nat["n_name"].to_pylist()))
-    cmap = {
-        k: (n, m, nmap.get(nk))
-        for k, n, m, nk in zip(cust["c_custkey"].to_pylist(),
-                               cust["c_name"].to_pylist(),
-                               cust["c_mktsegment"].to_pylist(),
-                               cust["c_nationkey"].to_pylist())
-    }
-    ref = _ray.put(cmap)
+    # broadcast an Arrow lookup table + a sorted key index: the batch
+    # kernel is searchsorted + Table.take — no Python per row
+    ckeys = np.array(cust["c_custkey"].to_pylist(), np.int64)
+    order = np.argsort(ckeys, kind="stable")
+    side = pa.table({
+        "c_name": cust["c_name"].take(pa.array(order)),
+        "c_mktsegment": cust["c_mktsegment"].take(pa.array(order)),
+        "n_name": pa.array([nmap.get(k) for k in
+                            np.array(cust["c_nationkey"].to_pylist(),
+                                     np.int64)[order]], pa.string()),
+    })
+    ref = _ray.put((ckeys[order], side))
 
-    def lookup(df: pd.DataFrame) -> pd.DataFrame:
+    def lookup(batch: pa.Table) -> pa.Table:
         from .pipelines.frontier import _get_broadcast
 
-        m = _get_broadcast(ref)
-        tup = df["o_custkey"].map(m)
-        df = df[["o_orderkey"]].copy()
-        df["c_name"] = tup.map(lambda t: t[0])
-        df["c_mktsegment"] = tup.map(lambda t: t[1])
-        df["n_name"] = tup.map(lambda t: t[2])
-        return df
+        keys, tbl = _get_broadcast(ref)
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, k)
+        pos = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos] == k
+        batch = batch.filter(pa.array(hit))
+        taken = tbl.take(pa.array(pos[hit]))
+        out = pa.table({"o_orderkey": batch["o_orderkey"]})
+        for c in taken.column_names:
+            out = out.append_column(c, taken[c])
+        return out
 
     ds = ray.data.read_parquet(_tbl(sf_dir, "orders"),
                                columns=["o_orderkey", "o_custkey"])
-    return ds.map_batches(lookup, batch_format="pandas")
+    return ds.map_batches(lookup, batch_format="pyarrow",
+                        batch_size=None)
 
 
 def q_groupby_agg(sf_dir: str):
@@ -304,7 +324,8 @@ def q_groupby_agg(sf_dir: str):
     ds = ray.data.read_parquet(
         _tbl(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity"])
-    ds = ds.map_batches(partial, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None)
     return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("part_sum", alias_name="sum_qty"),
         Sum("part_cnt", alias_name="count_order"))
@@ -321,7 +342,8 @@ def q_token_stats(sf_dir: str):
     """Token counting (whitespace + BPE-ish regex)."""
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
                                columns=["doc_id", "text"])
-    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow",
+                        batch_size=None)
     return ds.select_columns(["doc_id", "n_tokens_ws", "n_tokens_re"])
 
 
@@ -329,7 +351,8 @@ def q_quality(sf_dir: str):
     """Quality scoring (integer components — SQL-checkable)."""
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
                                columns=["doc_id", "text"])
-    ds = ds.map_batches(quality_batch, batch_format="pyarrow")
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow",
+                        batch_size=None)
     return ds.select_columns(["doc_id", "n_chars_actual", "n_tokens_ws",
                               "n_stopwords"])
 
@@ -338,7 +361,8 @@ def q_lang_id(sf_dir: str):
     """Heuristic language ID (stopword-marker argmax, alpha tie-break)."""
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
                                columns=["doc_id", "text"])
-    ds = ds.map_batches(lang_id_batch, batch_format="pyarrow")
+    ds = ds.map_batches(lang_id_batch, batch_format="pyarrow",
+                        batch_size=None)
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
@@ -366,7 +390,8 @@ def q_distinct(sf_dir: str):
 
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
                                columns=["lang", "source"])
-    ds = ds.map_batches(local_distinct, batch_format="pyarrow")
+    ds = ds.map_batches(local_distinct, batch_format="pyarrow",
+                        batch_size=None)
     out = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="_c"))
     return out.select_columns(["lang", "source"])
 
@@ -422,8 +447,10 @@ def q_url_seen(sf_dir: str):
 
     seen = ShardedSeenSet(num_shards=4, n_bits=1 << 20, exact=True)
     ds = derived_seeds(sf_dir)
-    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
-    ds = ds.map_batches(SeenFilterStage(seen), batch_format="pyarrow")
+    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow",
+                        batch_size=None)
+    ds = ds.map_batches(SeenFilterStage(seen), batch_format="pyarrow",
+                        batch_size=None)
     return ds.select_columns(["urlkey"])
 
 
@@ -443,7 +470,8 @@ def q_row_sample(sf_dir: str):
 
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
                                columns=["doc_id", "lang", "source"])
-    return ds.map_batches(sample, batch_format="pyarrow")
+    return ds.map_batches(sample, batch_format="pyarrow",
+                        batch_size=None)
 
 
 def q_fetch_plan(sf_dir: str):
@@ -463,11 +491,13 @@ def q_fetch_plan(sf_dir: str):
 
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
                                columns=["doc_id"])
-    ds = ds.map_batches(add_status, batch_format="pyarrow")
+    ds = ds.map_batches(add_status, batch_format="pyarrow",
+                        batch_size=None)
     ds = ds.map_batches(
         make_status_classifier(RetryPolicy(minimum_interval=3.0),
                                max_retries=5),
-        batch_format="pyarrow")
+        batch_format="pyarrow",
+                        batch_size=None)
     return ds.select_columns(["doc_id", "status", "fetch_action",
                               "retry_budget_ms"])
 
@@ -486,13 +516,15 @@ def q_simhash_sigs(sf_dir: str):
     """SimHash signatures (deterministic, fixed hyperplane seeds)."""
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
                                columns=["doc_id", "text"])
-    ds = ds.map_batches(make_simhash_stage("text"), batch_format="pyarrow")
+    ds = ds.map_batches(make_simhash_stage("text"), batch_format="pyarrow",
+                        batch_size=None)
 
     def to_str(batch: pa.Table) -> pa.Table:
         s = pc.cast(batch["simhash"], pa.string())
         return pa.table({"doc_id": batch["doc_id"], "simhash": s})
 
-    return ds.map_batches(to_str, batch_format="pyarrow")
+    return ds.map_batches(to_str, batch_format="pyarrow",
+                        batch_size=None)
 
 
 def q_fingerprint(sf_dir: str):
@@ -500,13 +532,15 @@ def q_fingerprint(sf_dir: str):
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
                                columns=["doc_id", "text"])
     ds = ds.map_batches(make_fingerprint_stage("text"),
-                        batch_format="pyarrow")
+                        batch_format="pyarrow",
+                        batch_size=None)
 
     def to_str(batch: pa.Table) -> pa.Table:
         s = pc.cast(batch["fingerprint"], pa.string())
         return pa.table({"doc_id": batch["doc_id"], "fingerprint": s})
 
-    return ds.map_batches(to_str, batch_format="pyarrow")
+    return ds.map_batches(to_str, batch_format="pyarrow",
+                        batch_size=None)
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -564,7 +598,8 @@ def q_media_decode(sf_dir: str):
     def project(batch: pa.Table) -> pa.Table:
         return batch.select(["media_id", "media_type", "width", "height"])
 
-    return ds.map_batches(project, batch_format="pyarrow")
+    return ds.map_batches(project, batch_format="pyarrow",
+                        batch_size=None)
 
 
 def q_frame_sample(sf_dir: str):
@@ -581,7 +616,8 @@ def q_frame_sample(sf_dir: str):
     def project(batch: pa.Table) -> pa.Table:
         return batch.select(["media_id", "n_frames_sampled"])
 
-    return ds.map_batches(project, batch_format="pyarrow")
+    return ds.map_batches(project, batch_format="pyarrow",
+                        batch_size=None)
 
 
 def q_window_agg(sf_dir: str):
@@ -743,11 +779,13 @@ def q_wb_synthesis(sf_dir: str):
         batch = batch.append_column("resp_reason", pa.array(rre, pa.string()))
         return batch.append_column("resp_headers", pa.array(rhd, pa.string()))
 
-    ds = ds.map_batches(fake_replay, batch_format="pyarrow")
+    ds = ds.map_batches(fake_replay, batch_format="pyarrow",
+                        batch_size=None)
     ds = ds.map_batches(
         make_wb_synthesis_stage("https://wb.example/web",
                                 "2023-01-01T00:00:00Z"),
-        batch_format="pyarrow")
+        batch_format="pyarrow",
+                        batch_size=None)
     return ds.select_columns(["urlkey", "timestamp", "statusline",
                               "warc_headers_json", "anomaly"])
 
@@ -796,7 +834,8 @@ def q_content_extract(sf_dir: str):
         return batch.append_column("text_chars",
                                    pc.utf8_length(batch["text"]))
 
-    ds = ds.map_batches(lengths, batch_format="pyarrow")
+    ds = ds.map_batches(lengths, batch_format="pyarrow",
+                        batch_size=None)
     return ds.select_columns(["urlkey", "timestamp", "url", "text_chars"])
 
 

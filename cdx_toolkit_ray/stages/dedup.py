@@ -144,7 +144,8 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
                      num_partitions: int | None = None,
                      count_col: str = "n_dup_dropped",
                      strategy: str = "auto",
-                     broadcast_limit: int = 20_000_000) -> ray.data.Dataset:
+                     broadcast_limit: int = 20_000_000,
+                     derive_fn=None) -> ray.data.Dataset:
     """Scalable exact first-wins dedup: keep, per ``key_col`` group, the
     row minimizing the packed order key; append ``count_col`` = number
     of dropped duplicates.
@@ -182,6 +183,20 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
 
     Winner choice is arrival-order independent, so results are
     identical under any parallelism (north_rule determinism).
+
+    ``count_col=None`` skips duplicate counting entirely: partial
+    winner tables shrink to (key, sortkey) pairs — a third less combine
+    traffic — for pipelines that never read ``n_dup_dropped``.
+
+    ``derive_fn``: an optional map_batches fn producing ``key_col``
+    from the raw columns (e.g. SURT canonicalization). When given, the
+    EXPENSIVE derivation runs over all rows only ONCE (the winner-key
+    pass); the filter pass matches on ``sortkey`` alone — a pure
+    function of the raw order columns — and re-derives only the
+    SURVIVORS (~uniques). With a 30x duplication factor that removes
+    ~97% of the second derivation pass. Winner membership by sortkey
+    is exact because the packed key is unique per row (the contract
+    above).
     """
     from ray.data.aggregate import Count, Min
 
@@ -203,13 +218,18 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
             batch = batch.drop_columns(["_fw_key"])
         return batch.append_column("_fw_key", k)
 
-    ds = ds.map_batches(add_join_key, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-
     if strategy == "auto":
         ds = ds.materialize()
         strategy = "broadcast" if ds.count() <= broadcast_limit else "join"
     elif strategy == "broadcast":
         ds = ds.materialize()
+
+    # `derived` feeds the winner-key pass (needs key_col); `ds` stays
+    # the raw side the filter pass re-executes / reuses.
+    derived = ds.map_batches(derive_fn, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True) \
+        if derive_fn else ds
+    derived = derived.map_batches(add_join_key, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
     if strategy in ("broadcast", "broadcast_recompute"):
         # Map-side partial winner tables -> one distributed combine
@@ -222,12 +242,17 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
         # parallel recompute traded for zero object-store footprint.
         import ray as _ray
 
-        def merge_runs(k, s, c):
+        want_counts = count_col is not None
+
+        def merge_runs(k, s, c=None):
             order = np.lexsort((s, k))
-            k, s, c = k[order], s[order], c[order]
+            k, s = k[order], s[order]
             first = np.ones(len(k), dtype=bool)
             first[1:] = k[1:] != k[:-1]
             idx = np.flatnonzero(first)
+            if c is None:
+                return k[idx], s[idx], None
+            c = c[order]
             cnt = (np.add.reduceat(c, idx) if len(c)
                    else np.zeros(0, np.int64))
             return k[idx], s[idx], cnt
@@ -235,13 +260,17 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
         def partial_winners(batch: pa.Table) -> pa.Table:
             k = batch["_fw_key"].to_numpy(zero_copy_only=False)
             s = batch["sortkey"].to_numpy(zero_copy_only=False)
-            c = (batch["grp_rows"].to_numpy(zero_copy_only=False)
-                 if "grp_rows" in batch.column_names
-                 else np.ones(len(k), np.int64))
+            c = None
+            if want_counts:
+                c = (batch["grp_rows"].to_numpy(zero_copy_only=False)
+                     if "grp_rows" in batch.column_names
+                     else np.ones(len(k), np.int64))
             k2, s2, c2 = merge_runs(k, s, c)
-            return pa.table({"_fw_key": pa.array(k2, pa.int64()),
-                             "sortkey": pa.array(s2, pa.int64()),
-                             "grp_rows": pa.array(c2, pa.int64())})
+            out = {"_fw_key": pa.array(k2, pa.int64()),
+                   "sortkey": pa.array(s2, pa.int64())}
+            if want_counts:
+                out["grp_rows"] = pa.array(c2, pa.int64())
+            return pa.table(out)
 
         # Combine the per-block partials into the global winner table.
         # Ray Data's own groupby().aggregate() measured ~20x slower
@@ -253,11 +282,28 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
         # each bucket in parallel) so the driver only ever receives
         # DISTINCT winners, keeping driver work O(unique keys) no
         # matter the duplication factor.
-        parts = ds.map_batches(partial_winners, batch_size=None,
-                               zero_copy_batch=True,
-                               batch_format="pyarrow").materialize()
+        import os as _os
+        import time as _time
+
+        _timing = bool(_os.environ.get("GRAFT_TIMING"))
+        _t0 = _time.time()
+        # Project to the 16-byte (key, sortkey) pair FIRST (the
+        # projection fuses into the upstream map task, so only narrow
+        # columns ever leave it), then combine ACROSS blocks: a 4M-row
+        # batch window spans ~7 input blocks, so duplicates that
+        # straddle block boundaries collapse before the shuffle — with
+        # a 30x duplication factor this cuts the combine's input by
+        # whatever fraction of dup pairs co-occur within the window.
+        proj = derived.select_columns(["_fw_key", "sortkey"])
+        parts = proj.map_batches(partial_winners, batch_size=4_000_000,
+                                 zero_copy_batch=True,
+                                 batch_format="pyarrow").materialize()
         prefs = parts.to_arrow_refs()
         total_partials = parts.count()
+        if _timing:
+            print("[fwd] winner pass+materialize: %.2fs partials=%d"
+                  % (_time.time() - _t0, total_partials))
+        _t1 = _time.time()
 
         if total_partials <= 2_000_000 or len(prefs) < 2:
             refs = _ray.get(prefs)
@@ -265,17 +311,21 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
                 ptbl = pa.concat_tables(refs)
                 import polars as pl
 
+                aggs = [pl.col("sortkey").min()]
+                if want_counts:
+                    aggs.append(pl.col("grp_rows").sum())
                 agg = (pl.from_arrow(ptbl)
                        .group_by("_fw_key")
-                       .agg(pl.col("sortkey").min(),
-                            pl.col("grp_rows").sum())
+                       .agg(*aggs)
                        .sort("sortkey"))
                 wk = agg["sortkey"].to_numpy().astype(np.int64)
-                wc = agg["grp_rows"].to_numpy().astype(np.int64)
+                wc = (agg["grp_rows"].to_numpy().astype(np.int64)
+                      if want_counts else None)
             else:
-                wk = wc = np.zeros(0, np.int64)
+                wk = np.zeros(0, np.int64)
+                wc = np.zeros(0, np.int64) if want_counts else None
         else:
-            nbuckets = max(4, num_partitions)
+            nbuckets = max(8, num_partitions * 2)
 
             @_ray.remote
             def split_buckets(nb: int, *tbls):
@@ -298,9 +348,12 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
                 k2, s2, c2 = merge_runs(
                     t["_fw_key"].to_numpy(zero_copy_only=False),
                     t["sortkey"].to_numpy(zero_copy_only=False),
-                    t["grp_rows"].to_numpy(zero_copy_only=False))
-                return pa.table({"sortkey": pa.array(s2, pa.int64()),
-                                 "grp_rows": pa.array(c2, pa.int64())})
+                    (t["grp_rows"].to_numpy(zero_copy_only=False)
+                     if "grp_rows" in t.column_names else None))
+                out = {"sortkey": pa.array(s2, pa.int64())}
+                if c2 is not None:
+                    out["grp_rows"] = pa.array(c2, pa.int64())
+                return pa.table(out)
 
             chunk = max(1, (len(prefs) + 31) // 32)  # <=32 split tasks
             groups = [prefs[i:i + chunk]
@@ -311,9 +364,16 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
                       for p in range(nbuckets)]
             pieces = _ray.get(merged)
             wk = np.concatenate([p["sortkey"].to_numpy() for p in pieces])
-            wc = np.concatenate([p["grp_rows"].to_numpy() for p in pieces])
             order2 = np.argsort(wk, kind="stable")
-            wk, wc = wk[order2], wc[order2]
+            if want_counts:
+                wc = np.concatenate([p["grp_rows"].to_numpy()
+                                     for p in pieces])[order2]
+            else:
+                wc = None
+            wk = wk[order2]
+        if _timing:
+            print("[fwd] combine: %.2fs winners=%d"
+                  % (_time.time() - _t1, len(wk)))
         ref = _ray.put((wk, wc))
 
         def bfilter(batch: pa.Table) -> pa.Table:
@@ -325,30 +385,48 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
             pos_c = np.minimum(pos, max(len(keys) - 1, 0))
             hit = (keys[pos_c] == sk) if len(keys) else np.zeros(len(sk), bool)
             batch = batch.filter(pa.array(hit))
-            nd = counts[pos_c[hit]] - 1
-            batch = batch.append_column(count_col,
-                                        pa.array(nd, pa.int64()))
-            return batch.drop_columns(["sortkey", "_fw_key"])
+            if counts is not None:
+                nd = counts[pos_c[hit]] - 1
+                batch = batch.append_column(count_col,
+                                            pa.array(nd, pa.int64()))
+            return batch.drop_columns(
+                [c for c in ("sortkey", "_fw_key")
+                 if c in batch.column_names])
 
-        return ds.map_batches(bfilter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        out = ds.map_batches(bfilter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        if derive_fn is not None:
+            out = out.map_batches(derive_fn, batch_format="pyarrow",
+                                  batch_size=None, zero_copy_batch=True)
+        return out
 
-    winners = ds.groupby("_fw_key").aggregate(
+    winners = derived.groupby("_fw_key").aggregate(
         Min("sortkey", alias_name="win_sortkey"),
         Count(alias_name="grp_rows"),
     )
-    joined = ds.join(winners, join_type="inner",
-                     num_partitions=num_partitions,
-                     on=("_fw_key", "sortkey"),
-                     right_on=("_fw_key", "win_sortkey"))
+    # sortkeys are globally unique (the contract), so joining the RAW
+    # side on sortkey alone is exact and the raw rows never need the
+    # derived key column.
+    join_left = ds if derive_fn else derived
+    joined = join_left.join(winners, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=(("sortkey",) if derive_fn
+                                else ("_fw_key", "sortkey")),
+                            right_on=(("win_sortkey",) if derive_fn
+                                      else ("_fw_key", "win_sortkey")))
 
     def finalize(batch: pa.Table) -> pa.Table:
-        nd = pc.subtract(pc.cast(batch["grp_rows"], pa.int64()), 1)
-        batch = batch.append_column(count_col, nd)
+        if count_col is not None:
+            nd = pc.subtract(pc.cast(batch["grp_rows"], pa.int64()), 1)
+            batch = batch.append_column(count_col, nd)
         drop = [c for c in ("sortkey", "win_sortkey", "grp_rows", "_fw_key")
                 if c in batch.column_names]
         return batch.drop_columns(drop)
 
-    return joined.map_batches(finalize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    out = joined.map_batches(finalize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    if derive_fn is not None:
+        out = out.map_batches(derive_fn, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -770,12 +848,27 @@ def make_hyperplane_stage(vec_col: str, dim: int, n_planes: int = 16,
 def embedding_neardup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
                             id_col: str = "vec_id", dim: int = 64,
                             n_planes: int = 12, threshold: float = 0.95,
-                            seed: int = 7) -> ray.data.Dataset:
-    """Same-LSH-bucket pairs verified by exact cosine >= threshold."""
+                            seed: int = 7,
+                            max_bucket: int | None = 200_000
+                            ) -> ray.data.Dataset:
+    """Same-LSH-bucket pairs verified by exact cosine >= threshold.
+
+    Scale contract: the per-bucket verify is an all-pairs matmul —
+    O(bucket^2) work and memory. With ``n_planes`` chosen so buckets
+    stay small (expected corpus / 2^n_planes vectors) this is the
+    dominant useful compute; a degenerate bucket (e.g. a corpus of
+    near-identical embeddings) would quadratically blow up, so buckets
+    larger than ``max_bucket`` raise rather than silently stall — the
+    fix is more planes or pre-clustering, not a bigger box.
+    """
     ds = ds.map_batches(make_hyperplane_stage(vec_col, dim, n_planes, seed),
                         batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if max_bucket is not None and len(g) > max_bucket:
+            raise ValueError(
+                "embedding LSH bucket of %d vectors exceeds max_bucket=%d"
+                " (raise n_planes)" % (len(g), max_bucket))
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         g = g.sort_values(id_col)

@@ -40,42 +40,66 @@ LANG_MARKERS = {
 }
 
 
+def _pl_series(batch: pa.Table, text_col: str):
+    """Arrow column -> polars string Series with nulls as ''."""
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pl.Series("t", col).fill_null("")
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append ``n_tokens_ws`` (whitespace) and ``n_tokens_re``
-    (BPE-ish word/punct regex) counts."""
-    texts = batch[text_col].to_numpy(zero_copy_only=False)
-    ws = np.fromiter((len(WS_RE.findall(t or "")) for t in texts),
-                     np.int64, len(texts))
-    bpe = np.fromiter((len(BPE_RE.findall(t or "")) for t in texts),
-                      np.int64, len(texts))
-    batch = batch.append_column("n_tokens_ws", pa.array(ws, pa.int64()))
-    batch = batch.append_column("n_tokens_re", pa.array(bpe, pa.int64()))
+    (BPE-ish word/punct regex) counts.
+
+    Vectorized polars ``count_matches`` (Rust regex, unicode classes
+    match Python's) — the per-doc ``re.findall`` loop this replaces was
+    the token-level hot loop at corpus scale."""
+    s = _pl_series(batch, text_col)
+    ws = s.str.count_matches(r"\S+").cast(int).to_numpy()
+    # the alternation '\w+|[^\w\s]' partitions into two DISJOINT match
+    # classes, so its count is the sum of two cheap single-class counts
+    # (the fused alternation measured ~4x slower in the regex engine)
+    bpe = (s.str.count_matches(r"\w+")
+           + s.str.count_matches(r"[^\w\s]")).cast(int).to_numpy()
+    batch = batch.append_column("n_tokens_ws",
+                                pa.array(ws.astype(np.int64), pa.int64()))
+    batch = batch.append_column("n_tokens_re",
+                                pa.array(bpe.astype(np.int64), pa.int64()))
     return batch
 
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Append quality metrics: char count, whitespace-token count, mean
-    token length, stopword ratio (all SQL-reproducible)."""
-    texts = batch[text_col].to_numpy(zero_copy_only=False)
-    n = len(texts)
-    n_chars = np.empty(n, np.int64)
-    n_tok = np.empty(n, np.int64)
-    n_stop = np.empty(n, np.int64)
-    mean_len = np.empty(n, np.float64)
-    stop_ratio = np.empty(n, np.float64)
-    stopset = set(STOPWORDS)
-    for i, t in enumerate(texts):
-        t = t or ""
-        toks = WS_RE.findall(t)
-        n_chars[i] = len(t)
-        n_tok[i] = len(toks)
-        n_stop[i] = sum(1 for w in toks if w in stopset)
-        if toks:
-            mean_len[i] = sum(len(w) for w in toks) / len(toks)
-            stop_ratio[i] = n_stop[i] / len(toks)
-        else:
-            mean_len[i] = 0.0
-            stop_ratio[i] = 0.0
+    """Append quality metrics: char count, whitespace-token count,
+    stopword count, mean token length, stopword ratio — one polars
+    pass (extract_all + list kernels), no per-document Python."""
+    import polars as pl
+
+    s = _pl_series(batch, text_col)
+    df = pl.DataFrame({"t": s}).with_columns(
+        toks=pl.col("t").str.extract_all(r"\S+"),
+    ).with_columns(
+        n_chars_actual=pl.col("t").str.len_chars().cast(pl.Int64),
+        n_tokens_ws=pl.col("toks").list.len().cast(pl.Int64),
+        n_stopwords=pl.col("toks").list.eval(
+            pl.element().is_in(list(STOPWORDS))).list.sum()
+            .fill_null(0).cast(pl.Int64),
+        _tok_chars=pl.col("toks").list.eval(
+            pl.element().str.len_chars()).list.sum()
+            .fill_null(0).cast(pl.Int64),
+    )
+    n_chars = df["n_chars_actual"].to_numpy()
+    n_tok = df["n_tokens_ws"].to_numpy()
+    n_stop = df["n_stopwords"].to_numpy()
+    tok_chars = df["_tok_chars"].to_numpy()
+    safe = np.maximum(n_tok, 1)
+    mean_len = np.where(n_tok > 0, tok_chars / safe, 0.0)
+    stop_ratio = np.where(n_tok > 0, n_stop / safe, 0.0)
     for name, arr, typ in (("n_chars_actual", n_chars, pa.int64()),
                            ("n_tokens_ws", n_tok, pa.int64()),
                            ("n_stopwords", n_stop, pa.int64()),
@@ -93,20 +117,25 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text",
 
     Score per language = count of whitespace tokens in that language's
     marker set; winner = max score, ties broken alphabetically;
-    'und' (undetermined) when all scores are zero.
-    """
-    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    'und' (undetermined) when all scores are zero. One polars
+    extract_all + an is_in per language; argmax in numpy (langs sorted,
+    so argmax's first-max rule IS the alphabetical tie-break)."""
+    import polars as pl
+
     langs = sorted(LANG_MARKERS)
-    marker_sets = {l: set(LANG_MARKERS[l]) for l in langs}
-    out = np.empty(len(texts), dtype=object)
-    for i, t in enumerate(texts):
-        toks = WS_RE.findall((t or "").lower())
-        best_lang, best_score = "und", 0
-        for l in langs:
-            s = sum(1 for w in toks if w in marker_sets[l])
-            if s > best_score:
-                best_lang, best_score = l, s
-        out[i] = best_lang
+    s = _pl_series(batch, text_col)
+    df = pl.DataFrame({"t": s}).with_columns(
+        toks=pl.col("t").str.to_lowercase().str.extract_all(r"\S+"),
+    ).with_columns(**{
+        "s_" + l: pl.col("toks").list.eval(
+            pl.element().is_in(list(LANG_MARKERS[l]))).list.sum()
+            .fill_null(0).cast(pl.Int64)
+        for l in langs
+    })
+    scores = np.stack([df["s_" + l].to_numpy() for l in langs], axis=1)
+    best = np.argmax(scores, axis=1)
+    out = np.array(langs, dtype=object)[best]
+    out[scores.max(axis=1) == 0] = "und"
     return batch.append_column(out_col, pa.array(out, pa.string()))
 
 
@@ -119,17 +148,28 @@ def make_fingerprint_stage(text_col: str = "text", window: int = 4,
 
     def fingerprint(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
-        out = np.zeros(len(texts), dtype=np.uint64)
+        n = len(texts)
+        # hash every document's grams in ONE vectorized call, then
+        # reduce per-document slices (the per-doc hash call paid fixed
+        # vectorization overhead n times — same fix as minhash)
+        all_grams: list = []
+        bounds = np.zeros(n + 1, dtype=np.int64)
         for i, t in enumerate(texts):
             words = WS_RE.findall((t or "").lower())
-            if not words:
-                continue
-            if len(words) < window:
-                grams = [" ".join(words)]
-            else:
-                grams = [" ".join(words[j:j + window])
-                         for j in range(len(words) - window + 1)]
-            out[i] = _hash_text_array(grams).min()
+            if words:
+                if len(words) < window:
+                    all_grams.append(" ".join(words))
+                else:
+                    all_grams.extend(
+                        " ".join(words[j:j + window])
+                        for j in range(len(words) - window + 1))
+            bounds[i + 1] = len(all_grams)
+        out = np.zeros(n, dtype=np.uint64)
+        if all_grams:
+            hashes = _hash_text_array(np.asarray(all_grams, dtype=object))
+            has = bounds[1:] > bounds[:-1]
+            mins = np.minimum.reduceat(hashes, bounds[:-1][has])
+            out[has] = mins
         return batch.append_column(out_col, pa.array(out, pa.uint64()))
 
     return fingerprint

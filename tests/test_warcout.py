@@ -186,3 +186,46 @@ def test_content_stream_and_writer_knobs(fixture_dir):
                    gzip=False, warc_version="1.0")
     assert w.gzip is False and w.warc_version == "1.0"
     w.close()
+
+
+def test_reference_example_loop_shape(fixture_dir, tmp_path):
+    """The reference's examples/iter-and-warc.py:7-34 loop, ported by
+    changing only the package name and the source arguments."""
+    import cdx_toolkit_ray
+
+    cdx = cdx_toolkit_ray.CDXFetcher(
+        captures_root=fixture_dir["captures"],
+        pages_path=fixture_dir["pages"])
+    url = "*.big-portal.example"
+
+    warcinfo = {
+        "software": "cdx_toolkit_ray iter-and-warc example",
+        "isPartOf": "EXAMPLE-COMMONCRAWL",
+        "description": "warc extraction",
+        "format": "WARC file version 1.0",
+    }
+    import cdx_toolkit_ray.warc
+
+    writer = cdx_toolkit_ray.warc.get_writer(
+        str(tmp_path / "EXAMPLE"), "COMMONCRAWL", warcinfo,
+        warc_version="1.0")
+
+    wrote = 0
+    for obj in cdx.iter(url, limit=10, from_ts="2021", to="2024"):
+        status = obj["status"]
+        if status != "200":
+            continue
+        try:
+            record = obj.fetch_warc_record()
+        except RuntimeError:
+            continue
+        writer.write_record(record)
+        wrote += 1
+    writer.close()
+    assert wrote > 0
+    segs = glob.glob(str(tmp_path / "EXAMPLE-COMMONCRAWL-*.parquet"))
+    assert segs
+    total = sum(pq.read_metadata(s).num_rows for s in segs)
+    assert total == wrote
+    with open(str(tmp_path / "EXAMPLE-COMMONCRAWL.warcinfo.json")) as fd:
+        assert json.load(fd)["isPartOf"] == "EXAMPLE-COMMONCRAWL"
