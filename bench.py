@@ -182,11 +182,36 @@ def warmup(sf_dir: str, num_cpus: int) -> None:
     wide.map_batches(touch, batch_size=None).materialize()
 
     from cdx_toolkit_ray.canon import canonicalize_batch
+    from cdx_toolkit_ray.pipelines.frontier import scheduled_crawl_order
+    from cdx_toolkit_ray.stages.dedup import first_wins_dedup
+
+    # exercise every code path of the timed pipeline on a 20k-row
+    # prefix: fused read->canon->partial chain, the raw-task winner
+    # combine, and the scheduled_crawl_order exchange rounds (cold
+    # closure serialization + worker imports cost ~1-2s the first time
+    # a raw-task path runs — steady-state jobs never pay it per run)
+    import pyarrow as _pa
 
     ds = derive_frontier_seeds(sf_dir, num_cpus).limit(20000)
-    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    ds = ds.sort(["seed_order"])
-    consume(ds)
+    ds = first_wins_dedup(
+        ds, "hash64", [("priority", 19), ("seed_order", 44)],
+        strategy="broadcast_recompute",
+        derive_fn=lambda b: canonicalize_batch(b).drop_columns(["url"]),
+        count_col=None)
+
+    def flag(batch: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        batch = batch.append_column(
+            "crawl_delay_ms",
+            _pa.array(_np.full(batch.num_rows, 1000), _pa.int64()))
+        return batch.append_column(
+            "robots_blocked",
+            _pa.array(_np.zeros(batch.num_rows, bool)))
+
+    ds = ds.map_batches(flag, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True)
+    consume(scheduled_crawl_order(ds))
 
 
 def run_frontier(sf_dir: str, num_cpus: int) -> int:
@@ -200,7 +225,7 @@ def run_frontier(sf_dir: str, num_cpus: int) -> int:
     from cdx_toolkit_ray.canon import canonicalize_batch
     from cdx_toolkit_ray.pipelines.frontier import (
         _get_broadcast,
-        schedule_politeness,
+        scheduled_crawl_order,
     )
     from cdx_toolkit_ray.stages.dedup import first_wins_dedup
 
@@ -243,23 +268,11 @@ def run_frontier(sf_dir: str, num_cpus: int) -> int:
             "robots_blocked", pa.array(np.zeros(batch.num_rows, bool)))
 
     ds = ds.map_batches(add_flags, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    ds = schedule_politeness(ds)
-
-    def pack_order_key(batch: pa.Table) -> pa.Table:
-        # one packed int64 sort key instead of a 3-column comparator:
-        # (fetch_ms, priority, seed_order) <-> (36, 2, 25) bits, ranges
-        # asserted (fetch_ms caps at max_rank*6s << 2^36 here; a real
-        # deployment widens the packing or falls back to 3-key sort)
-        f = batch["fetch_ms"].to_numpy(zero_copy_only=False)
-        p = batch["priority"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = batch["seed_order"].to_numpy(zero_copy_only=False)
-        if len(f) and (f.max() >> 36 or p.max() >> 2 or s.max() >> 25):
-            raise ValueError("crawl-order packing out of range")
-        key = (f << np.int64(27)) | (p << np.int64(25)) | s
-        return batch.append_column("order_key", pa.array(key, pa.int64()))
-
-    ds = ds.map_batches(pack_order_key, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    ds = ds.sort("order_key")
+    # politeness + global (fetch_ms, priority, seed_order) order in one
+    # direct task-graph exchange (pipelines/frontier.py): the executor
+    # sorts this replaces were the flagship's fixed-cost tail — the part
+    # that did NOT shrink from N to 4N CPUs
+    ds = scheduled_crawl_order(ds)
     ds = ds.select_columns(["urlkey", "host", "host_rank", "fetch_ms"])
     return consume(ds)
 

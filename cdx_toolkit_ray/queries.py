@@ -156,9 +156,18 @@ def q_exact_dedup(sf_dir: str):
 
 def q_frontier_schedule(sf_dir: str):
     """Flagship north_rule pipeline: canonicalize -> first-wins dedup ->
-    per-host politeness slots under the virtual clock."""
-    ds = _frontier_over_seeds(sf_dir)
-    ds = ds.filter(expr="host_rank >= 0")
+    per-host politeness slots + global crawl order via the direct
+    task-graph exchange (pipelines/frontier.scheduled_crawl_order —
+    the same path bench.py times)."""
+    from .pipelines.frontier import scheduled_crawl_order
+
+    ds = derived_seeds(sf_dir)
+    ds = first_wins_dedup(ds, "hash64",
+                          [("priority", 19), ("seed_order", 44)],
+                          derive_fn=canonicalize_batch)
+    ds = ds.map_batches(_add_false_robots, batch_format="pyarrow",
+                        batch_size=None)
+    ds = scheduled_crawl_order(ds)
     return ds.select_columns(["urlkey", "host", "priority", "seed_order",
                               "n_dup_dropped", "host_rank", "fetch_ms"])
 

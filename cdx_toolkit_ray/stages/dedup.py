@@ -362,9 +362,15 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
                       for i in range(0, len(prefs), chunk)]
             splits = [split_buckets.options(num_returns=nbuckets)
                       .remote(nbuckets, *g) for g in groups]
+            if _timing:
+                _ray.wait([s[0] for s in splits],
+                          num_returns=len(splits))
+                print("[fwd] combine.split: %.2fs" % (_time.time() - _t1))
             merged = [merge_bucket.remote(*[s[p] for s in splits])
                       for p in range(nbuckets)]
             pieces = _ray.get(merged)
+            if _timing:
+                print("[fwd] combine.merge: %.2fs" % (_time.time() - _t1))
             wk = np.concatenate([p["sortkey"].to_numpy() for p in pieces])
             order2 = np.argsort(wk, kind="stable")
             if want_counts:

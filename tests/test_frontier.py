@@ -111,3 +111,62 @@ def test_salted_subqueues_preserve_schedule(fixture_dir):
     # sub-queue ids cover 0..S-1 on the hot host
     hot = [r["subqueue"] for r in salted if r["host"] == "big-portal.example"]
     assert set(hot) == {0, 1, 2, 3}
+
+
+def test_scheduled_crawl_order_matches_executor_path(fixture_dir):
+    """The direct task-graph exchange (politeness + global order in one
+    split/merge graph, stages/exchange.py) must be row-for-row identical
+    to the executor path it replaces, salted and unsalted."""
+    import ray.data as rd
+
+    import ray as _ray
+    from cdx_toolkit_ray.canon import canonicalize_batch
+    from cdx_toolkit_ray.pipelines.frontier import (
+        make_robots_gate,
+        schedule_politeness,
+        scheduled_crawl_order,
+    )
+    from cdx_toolkit_ray.stages.dedup import first_wins_dedup
+
+    robots_ref = _ray.put(load_robots(fixture_dir["robots"]))
+
+    def flagged():
+        ds = rd.read_parquet(fixture_dir["seeds"])
+        ds = first_wins_dedup(ds, "hash64",
+                              [("priority", 19), ("seed_order", 44)],
+                              derive_fn=canonicalize_batch)
+        return ds.map_batches(make_robots_gate(robots_ref),
+                              batch_size=None, batch_format="pyarrow")
+
+    for salts in (1, 3):
+        old = crawl_order(
+            schedule_politeness(flagged(), num_salts=salts)).to_pandas()
+        new = scheduled_crawl_order(flagged(), num_salts=salts).to_pandas()
+        assert list(old.columns) == list(new.columns)
+        assert old.reset_index(drop=True).equals(new.reset_index(drop=True))
+
+
+def test_scheduled_crawl_order_packing_fallback(fixture_dir):
+    """Out-of-range packed keys must fall back to the executor sort, not
+    corrupt the order."""
+    import ray as _ray
+    import ray.data as rd
+
+    from cdx_toolkit_ray.canon import canonicalize_batch
+    from cdx_toolkit_ray.pipelines.frontier import (
+        make_robots_gate,
+        scheduled_crawl_order,
+    )
+    from cdx_toolkit_ray.stages.dedup import first_wins_dedup
+
+    robots_ref = _ray.put(load_robots(fixture_dir["robots"]))
+    ds = rd.read_parquet(fixture_dir["seeds"])
+    ds = first_wins_dedup(ds, "hash64",
+                          [("priority", 19), ("seed_order", 44)],
+                          derive_fn=canonicalize_batch)
+    ds = ds.map_batches(make_robots_gate(robots_ref),
+                        batch_size=None, batch_format="pyarrow")
+    # order_bits too narrow for any seed_order >= 2 -> fallback path
+    out = scheduled_crawl_order(ds, order_bits=(36, 2, 1)).to_pandas()
+    ref = scheduled_crawl_order(ds).to_pandas()
+    assert out.reset_index(drop=True).equals(ref.reset_index(drop=True))
