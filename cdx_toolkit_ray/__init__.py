@@ -23,6 +23,18 @@ import os as _os
 # inherit it too.
 _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
+# Keep Arrow's jemalloc pool from returning dirty pages to the OS
+# between batches: the sandbox VM re-faults returned pages at
+# ~8-30 MB/s (BASELINE.md "Sandbox memory-fault tax"), so page churn
+# inside a worker costs far more than the retained RSS. Harmless on a
+# normal host; skipped when the build has no jemalloc pool.
+try:
+    import pyarrow as _pa
+
+    _pa.jemalloc_set_decay_ms(3_600_000)
+except (ImportError, NotImplementedError):  # pragma: no cover
+    pass
+
 from .canon import surt, hash64, Canonicalizer  # noqa: F401
 from .filters import compile_filters, FilterStage  # noqa: F401
 from .api import CDXFetcher  # noqa: F401

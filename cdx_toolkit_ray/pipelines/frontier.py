@@ -228,7 +228,8 @@ def schedule_politeness(ds: ray.data.Dataset, *, num_buckets: int = 64,
     return out.drop_columns(["host_bucket"])
 
 
-def scheduled_crawl_order(flow: ray.data.Dataset, *, num_buckets: int = 64,
+def scheduled_crawl_order(flow: ray.data.Dataset, *,
+                          num_buckets: int | None = None,
                           num_salts: int = 1, num_ranges: int | None = None,
                           order_bits: tuple = (36, 2, 25)) -> ray.data.Dataset:
     """Politeness + global crawl order as ONE direct task-graph exchange
@@ -250,6 +251,15 @@ def scheduled_crawl_order(flow: ray.data.Dataset, *, num_buckets: int = 64,
     """
     from ..canon import hash64_batch
     from ..stages.exchange import hash_bucket_apply
+
+    if num_buckets is None:
+        # split tasks emit num_buckets objects EACH: size the bucket
+        # count to the cluster so the round's object count grows with
+        # CPUs (64 buckets at 2 CPUs is ~2k tiny plasma objects whose
+        # fixed scheduling cost dwarfs the kernel work)
+        cpus = (int(ray.cluster_resources().get("CPU", 8))
+                if ray.is_initialized() else 8)
+        num_buckets = min(64, max(8, 2 * cpus))
 
     fb, pb, sb = order_bits
     kern = make_bucket_scheduler(num_salts)

@@ -307,7 +307,11 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
                   % (_time.time() - _t0, total_partials))
         _t1 = _time.time()
 
-        if total_partials <= 2_000_000 or len(prefs) < 2:
+        # threshold is env-overridable so tests can force the task-graph
+        # combine on fixture-size data
+        _thresh = int(_os.environ.get("GRAFT_FW_COMBINE_THRESHOLD",
+                                      "2000000"))
+        if total_partials <= _thresh or len(prefs) < 2:
             refs = _ray.get(prefs)
             if refs:
                 ptbl = pa.concat_tables(refs)
@@ -331,15 +335,27 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
 
             @_ray.remote
             def split_buckets(nb: int, *tbls):
-                # single-pass partition: argsort by bucket + take + slice
-                # (nb filter scans would read the block nb times);
-                # callers pass SEVERAL blocks per task so split/merge
-                # task fan-in stays bounded as block counts grow
+                # combiner BEFORE the exchange: reduce this task's whole
+                # chunk to one winner per key (callers size chunks to
+                # ~2M+ rows, so cross-block duplicates — which per-block
+                # partials can't see — fold here and never hit the
+                # wire), then emit the reduced set sliced by key-hash
+                # bucket (argsort + take + zero-copy slices; nb filter
+                # scans would read the data nb times)
                 tbl = pa.concat_tables(tbls)
-                k = tbl["_fw_key"].to_numpy(zero_copy_only=False)
-                b = k.view(np.uint64) % np.uint64(nb)
+                ck, cs, cc = merge_runs(
+                    tbl["_fw_key"].to_numpy(zero_copy_only=False),
+                    tbl["sortkey"].to_numpy(zero_copy_only=False),
+                    (tbl["grp_rows"].to_numpy(zero_copy_only=False)
+                     if "grp_rows" in tbl.column_names else None))
+                cols = {"_fw_key": pa.array(ck, pa.int64()),
+                        "sortkey": pa.array(cs, pa.int64())}
+                if cc is not None:
+                    cols["grp_rows"] = pa.array(cc, pa.int64())
+                t = pa.table(cols)
+                b = ck.view(np.uint64) % np.uint64(nb)
                 order = np.argsort(b, kind="stable")
-                t = tbl.take(pa.array(order))
+                t = t.take(pa.array(order))
                 bounds = np.searchsorted(b[order], np.arange(nb + 1))
                 return tuple(t.slice(bounds[p], bounds[p + 1] - bounds[p])
                              for p in range(nb))
@@ -357,7 +373,17 @@ def first_wins_dedup(ds: ray.data.Dataset, key_col: str, cols_bits,
                     out["grp_rows"] = pa.array(c2, pa.int64())
                 return pa.table(out)
 
-            chunk = max(1, (len(prefs) + 31) // 32)  # <=32 split tasks
+            # Split-task count: one per CPU for parallelism, but never
+            # so many that a task's chunk drops under ~1.2M rows — the
+            # in-task combiner needs a wide window to fold cross-block
+            # duplicates before they hit the exchange (tiny chunks
+            # degenerate to the old no-reduction split).
+            cpus = (int(_ray.cluster_resources().get("CPU", 8))
+                    if _ray.is_initialized() else 8)
+            floor_rows = max(_thresh // 2, 1)
+            n_split = max(1, min(len(prefs), cpus,
+                                 total_partials // floor_rows))
+            chunk = (len(prefs) + n_split - 1) // n_split
             groups = [prefs[i:i + chunk]
                       for i in range(0, len(prefs), chunk)]
             splits = [split_buckets.options(num_returns=nbuckets)

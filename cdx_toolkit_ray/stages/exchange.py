@@ -83,7 +83,17 @@ def _merge_range(sort_col: str, drop_sort_col: bool, *tbls):
     return t.drop_columns([sort_col]) if drop_sort_col else t
 
 
-def _chunked(refs: Sequence, max_tasks: int = 32):
+def _cluster_cpus() -> int:
+    return (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+
+
+def _chunked(refs: Sequence, max_tasks: int | None = None):
+    if max_tasks is None:
+        # one split task per CPU (min 8 so small clusters still
+        # parallelize the fetches); more tasks than CPUs only
+        # multiplies per-object scheduling cost
+        max_tasks = min(32, max(8, _cluster_cpus()))
     chunk = max(1, (len(refs) + max_tasks - 1) // max_tasks)
     return [refs[i:i + chunk] for i in range(0, len(refs), chunk)]
 
@@ -134,7 +144,7 @@ def hash_bucket_apply(ds: ray.data.Dataset, bucket_col: str,
 
     samples = [s for s in ray.get([m[1] for m in merged])
                if s is not None and len(s)]
-    nr = num_ranges or max(8, len(refs))
+    nr = num_ranges or max(4, min(_cluster_cpus(), len(refs)))
     if samples:
         alls = np.sort(np.concatenate(samples))
         qs = np.linspace(0, len(alls) - 1, nr + 1)[1:-1].astype(np.int64)

@@ -113,3 +113,35 @@ def test_minhash_skewed_corpus_distributed():
     assert (out.id_a == 0).all()
     assert sorted(out.id_b) == list(range(1, n))
     assert (out.jaccard == 1.0).all()
+
+
+def test_first_wins_task_graph_combine_matches_driver_merge(monkeypatch):
+    """The task-graph winner combine (split tasks run the in-task
+    combiner, then bucket-merge) must produce exactly the same winners
+    and duplicate counts as the small-input driver merge. Forced onto
+    fixture-size data via GRAFT_FW_COMBINE_THRESHOLD."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    n, blocks = 12_000, 12
+    key = rng.integers(0, 1_500, n)
+    tables = [pa.table({
+        "k": pa.array((key[i::blocks] * 2654435761 % (1 << 63))
+                      .astype(np.uint64)),
+        "priority": pa.array((key[i::blocks] % 4).astype(np.int64)),
+        "seed_order": pa.array(np.arange(i, n, blocks, dtype=np.int64)),
+    }) for i in range(blocks)]
+
+    def run():
+        ds = ray.data.from_arrow(tables)
+        out = dd.first_wins_dedup(
+            ds, "k", [("priority", 19), ("seed_order", 44)],
+            strategy="broadcast", count_col="n_dup")
+        return (out.to_pandas()
+                .sort_values("seed_order").reset_index(drop=True))
+
+    ref = run()  # driver polars merge (under default threshold)
+    monkeypatch.setenv("GRAFT_FW_COMBINE_THRESHOLD", "100")
+    forced = run()  # task-graph combine
+    assert ref.equals(forced)
+    assert forced["n_dup"].sum() == n - len(forced)
