@@ -514,11 +514,20 @@ def q_fetch_plan(sf_dir: str):
 # --- rows-only (no SQL oracle: stateful / sketch / fixture-based) ---------
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup candidate pairs, Jaccard-verified."""
+    """MinHash+LSH near-dup candidate pairs, Jaccard-verified.
+
+    Oracle-checked end to end: the DuckDB oracle replicates the whole
+    chain — FNV shingle hashes, the 64 (a*h+b) mod 2^64 permutation
+    minima (constants inlined from the fixed seed), the splitmix64
+    band fold, LSH candidate emission, and the exact-Jaccard verify —
+    so signature generation itself is value-checked. Output is the
+    integer (n_inter, n_union) pair evidence (floats stay out of the
+    value hash, same convention as ``ngram_jaccard``)."""
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
                                columns=["doc_id", "text"])
-    return minhash_dedup_pairs(ds, text_col="text", id_col="doc_id",
-                               threshold=0.0)
+    out = minhash_dedup_pairs(ds, text_col="text", id_col="doc_id",
+                              threshold=0.0)
+    return out.select_columns(["id_a", "id_b", "n_inter", "n_union"])
 
 
 def q_simhash_sigs(sf_dir: str):
@@ -863,6 +872,106 @@ _FNV_SQL = (
     " * 1099511628211) % 18446744073709551616)")
 
 
+def _sql_mulmod64(x: str, c: int) -> str:
+    """``x * c mod 2^64`` with HUGEINT-safe intermediates: the constant
+    is split at 32 bits so no product exceeds 2^96 (a full 64x64
+    multiply can reach 2^128-ish and overflows INT128)."""
+    chi, clo = c >> 32, c & 0xFFFFFFFF
+    return (f"(CAST({x} AS HUGEINT) * {clo} + "
+            f"(((CAST({x} AS HUGEINT) % 4294967296) * {chi}) % 4294967296)"
+            f" * 4294967296) % 18446744073709551616")
+
+
+def _sql_mix64(x: str) -> str:
+    """splitmix64 finalizer (stages/dedup._mix64) as one inline SQL
+    expression. Meant for use inside a list_reduce lambda where ``x``
+    is a lambda parameter: each of the ~32 leaf references is a cheap
+    variable read, not a re-evaluated subtree. (Chaining this through
+    lateral column aliases instead makes the binder substitute the
+    expression textually — exponential blowup; measured unrunnable.)"""
+    x1 = f"xor(CAST({x} AS UBIGINT), CAST({x} AS UBIGINT) >> 30)"
+    x2 = f"CAST({_sql_mulmod64(x1, 0xBF58476D1CE4E5B9)} AS UBIGINT)"
+    x3 = f"xor({x2}, {x2} >> 27)"
+    x4 = f"CAST({_sql_mulmod64(x3, 0x94D049BB133111EB)} AS UBIGINT)"
+    return f"xor({x4}, {x4} >> 31)"
+
+
+def _minhash_oracle(num_perm: int = 64, bands: int = 16,
+                    shingle_k: int = 5, seed: int = 1234) -> str:
+    """The ENTIRE MinHash+LSH chain in pure SQL, bit-faithful to
+    stages/dedup.py: word-5-shingles -> FNV-1a hashes (distinct) ->
+    per-permutation minima of (a*h + b) mod 2^64 with the RandomState
+    constants inlined -> 4-slot splitmix64 band fold -> candidate
+    pairs (min-id anchor per (band, band_hash) bucket, distinct) ->
+    exact shingle-hash Jaccard counts. Docs with no shingles get the
+    all-ones signature, as the kernel does."""
+    import numpy as _np
+
+    rpb = num_perm // bands
+    rng = _np.random.RandomState(seed)
+    a = rng.randint(1, 2 ** 62, size=num_perm).astype(_np.uint64) \
+        | _np.uint64(1)
+    b = rng.randint(0, 2 ** 62, size=num_perm).astype(_np.uint64)
+    perm_rows = ",".join(
+        "(%d, CAST(%d AS HUGEINT), CAST(%d AS HUGEINT))"
+        % (j, int(a[j]), int(b[j])) for j in range(num_perm))
+    gram = " || ' ' || ".join("words[i+%d]" % d for d in range(shingle_k))
+    slot_list = "[" + ", ".join(
+        f"CAST(max(CASE WHEN j % {rpb} = {s} THEN sig END) AS UBIGINT)"
+        for s in range(rpb)) + "]"
+    band_fold = ("list_reduce(list_prepend(CAST(0 AS UBIGINT), slots), "
+                 "(h, s) -> " + _sql_mix64("xor(h, s)") + ")")
+    return (r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS words
+           FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(words) < """ + str(shingle_k)
+            + r""" THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - """
+            + str(shingle_k - 2) + r"""), i -> """ + gram + r""")
+        END AS grams
+      FROM w),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, """ + _FNV_SQL.format(s="gram") + r""" AS h
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+perms AS (SELECT * FROM (VALUES """ + perm_rows + r""") t(j, a, b)),
+sig0 AS (SELECT s.doc_id, p.j,
+                min((CAST(s.h AS HUGEINT) * p.a + p.b)
+                    % 18446744073709551616) AS sig
+         FROM sh s CROSS JOIN perms p GROUP BY s.doc_id, p.j),
+sig AS (SELECT d.doc_id, p.j,
+               COALESCE(s.sig, CAST(18446744073709551615 AS HUGEINT))
+                 AS sig
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN perms p
+        LEFT JOIN sig0 s ON s.doc_id = d.doc_id AND s.j = p.j),
+bsl AS (SELECT doc_id, j // """ + str(rpb) + r""" AS band_id, """
+            + slot_list + r""" AS slots
+        FROM sig GROUP BY doc_id, band_id),
+bands_t AS MATERIALIZED (
+  SELECT doc_id, band_id, """ + band_fold + r""" AS band_hash FROM bsl),
+cand AS MATERIALIZED (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT min(doc_id) OVER (PARTITION BY band_id, band_hash) AS id_a,
+           doc_id AS id_b
+    FROM bands_t) WHERE id_b > id_a),
+isz AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+inter AS (SELECT c.id_a AS ia, c.id_b AS ib, count(*) AS ni
+          FROM cand c JOIN sh x ON x.doc_id = c.id_a
+                      JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h
+          GROUP BY ia, ib)
+SELECT c.id_a, c.id_b,
+       CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_inter,
+       CAST(COALESCE(za.ns, 0) + COALESCE(zb.ns, 0) - COALESCE(i.ni, 0)
+            AS BIGINT) AS n_union
+FROM cand c
+LEFT JOIN inter i ON i.ia = c.id_a AND i.ib = c.id_b
+LEFT JOIN isz za ON za.doc_id = c.id_a
+LEFT JOIN isz zb ON zb.doc_id = c.id_b
+""")
+
+
 def _fingerprint_oracle(window: int = 4) -> str:
     """Winnowing fingerprint in pure SQL: same \\S+ tokenization,
     word-``window``-grams, FNV-1a per gram, min per document."""
@@ -938,6 +1047,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 ORACLES: dict[str, str] = {
     "fingerprint": _fingerprint_oracle(),
     "simhash_sigs": _simhash_oracle(),
+    "minhash_pairs": _minhash_oracle(),
     "embedding_neardup": _embedding_neardup_oracle(),
     "row_sample": """
 SELECT doc_id, lang, source FROM documents

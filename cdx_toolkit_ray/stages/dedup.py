@@ -647,13 +647,20 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, text_col: str = "text",
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     """Exact word-k-shingle Jaccard (the verification kernel)."""
+    return jaccard_counts(text_a, text_b, k)[2]
+
+
+def jaccard_counts(text_a: str, text_b: str, k: int = 5):
+    """(n_inter, n_union, jaccard) over word-k-shingle HASH sets — the
+    integer counts are what the DuckDB oracle checks (floats stay out
+    of the value hash, same convention as ``ngram_jaccard``)."""
     a = set(_shingle_hashes(text_a, k).tolist())
     b = set(_shingle_hashes(text_b, k).tolist())
     if not a and not b:
-        return 1.0
-    if not a or not b:
-        return 0.0
-    return len(a & b) / len(a | b)
+        return 0, 0, 1.0
+    ni = len(a & b)
+    nu = len(a | b)
+    return ni, nu, (ni / nu if nu else 0.0)
 
 
 def minhash_dedup_pairs(ds: ray.data.Dataset, text_col: str = "text",
@@ -725,22 +732,26 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, text_col: str = "text",
         texts = g[text_col].to_numpy()
         ida = g["id_a"].to_numpy()
         idb = g["id_b"].to_numpy()
-        out_a, out_b, out_j = [], [], []
+        out_a, out_b, out_j, out_ni, out_nu = [], [], [], [], []
         i = 0
         n = len(g)
         while i + 1 < n:
             if pids[i] != pids[i + 1] or slots[i] == slots[i + 1]:
                 i += 1  # member missing (shouldn't happen)
                 continue
-            j = jaccard(texts[i], texts[i + 1], k)
+            ni, nu, j = jaccard_counts(texts[i], texts[i + 1], k)
             if j >= threshold:
                 out_a.append(int(ida[i]))
                 out_b.append(int(idb[i]))
                 out_j.append(float(j))
+                out_ni.append(ni)
+                out_nu.append(nu)
             i += 2
         return pd.DataFrame({"id_a": pd.Series(out_a, dtype=np.int64),
                              "id_b": pd.Series(out_b, dtype=np.int64),
-                             "jaccard": pd.Series(out_j, dtype=np.float64)})
+                             "jaccard": pd.Series(out_j, dtype=np.float64),
+                             "n_inter": pd.Series(out_ni, dtype=np.int64),
+                             "n_union": pd.Series(out_nu, dtype=np.int64)})
 
     return joined.groupby("verify_bucket").map_groups(
         verify_bucket_fn, batch_format="pandas")
