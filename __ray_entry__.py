@@ -40,7 +40,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query (omitted for stateful /
-    sketch / fixture-based pipelines -> driver's rows-only check)."""
-    from cdx_toolkit_ray.queries import ORACLES
+    sketch pipelines -> driver's rows-only check)."""
+    from cdx_toolkit_ray.queries import ORACLES, _fixture_root
 
+    # captures_query / content_extract / wb_synthesis / media oracles
+    # read deterministic generated tables from stable /tmp paths; make
+    # sure they exist even if the driver runs an oracle before its Ray
+    # twin
+    from cdx_toolkit_ray.stages.multimodal import fake_media_parquet
+
+    _fixture_root("/root/testdata/sf0.01")
+    fake_media_parquet(n=256, seed=42)
     return dict(ORACLES)

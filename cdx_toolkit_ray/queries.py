@@ -601,15 +601,33 @@ def q_ann_ivf(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def q_ann_ivf_full(sf_dir: str):
+    """IVF top-k probing EVERY cell (nprobe = n_centroids): the whole
+    IVF machinery — codebook training, cell assignment, probe-side
+    pruning, per-cell scan, top-k merge — degrades provably to exact
+    brute force, so the brute-force SQL oracle value-checks it. The
+    nprobe<cells scale path stays covered by q_ann_ivf (rows) plus the
+    recall tests."""
+    from .stages.ann import ivf_topk
+
+    emb = pq.read_table(_tbl(sf_dir, "embeddings"))
+    qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, qvec, k=10, n_centroids=8, nprobe=8)
+    return out.select_columns(["vec_id"])
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal decode plumbing: opaque binary payloads through the
     MediaDecoder actor pool (stubbed codec, real Ray-side schema /
-    batching / actor signature). Payloads derived deterministically
-    from doc_id so the run is reproducible."""
-    from .stages.multimodal import MediaDecoder, fake_media_table
+    batching / actor signature). Oracle-checked: the deterministic
+    payload table is persisted to parquet and the DuckDB oracle parses
+    the same 8-byte (width, height) headers via hex(payload)."""
+    from .stages.multimodal import MediaDecoder, fake_media_parquet
 
-    tbl = fake_media_table(n=256, seed=42)
-    ds = ray.data.from_arrow(tbl).map_batches(
+    ds = ray.data.read_parquet(fake_media_parquet(n=256, seed=42))
+    ds = ds.map_batches(
         MediaDecoder, fn_constructor_kwargs={"decoder": "fake"},
         batch_format="pyarrow", batch_size=32, concurrency=2)
 
@@ -622,11 +640,12 @@ def q_media_decode(sf_dir: str):
 
 def q_frame_sample(sf_dir: str):
     """Multimodal frame sampling: every 4th fixed-size slice of each
-    video payload via the FrameSampler actor pool."""
-    from .stages.multimodal import FrameSampler, fake_media_table
+    video payload via the FrameSampler actor pool. Oracle-checked via
+    the persisted payload table (frame count is a pure function of
+    octet_length)."""
+    from .stages.multimodal import FrameSampler, fake_media_parquet
 
-    tbl = fake_media_table(n=256, seed=42)
-    ds = ray.data.from_arrow(tbl)
+    ds = ray.data.read_parquet(fake_media_parquet(n=256, seed=42))
     ds = ds.filter(expr="media_type == 'video'")
     ds = ds.map_batches(FrameSampler, batch_format="pyarrow",
                         batch_size=32, concurrency=2)
@@ -808,6 +827,9 @@ def q_wb_synthesis(sf_dir: str):
                               "warc_headers_json", "anomaly"])
 
 
+_FIXTURE_LINK = "/tmp/cdxray_fixtures_current"
+
+
 def _fixture_root(sf_dir: str) -> str:
     import hashlib
     import os
@@ -820,6 +842,16 @@ def _fixture_root(sf_dir: str) -> str:
         n = 5000 if "0.01" in sf_dir else 1000
         fixtures.generate(root, n_pages=n, seed=42)
         open(root + "/.done", "w").close()
+    # stable alias for the DuckDB oracles (their SQL is static text, so
+    # it can't hash sf_dir the way this function does); fixtures are
+    # deterministic, so any same-scale root behind the link is
+    # value-identical
+    tmp = _FIXTURE_LINK + ".tmp-%d" % os.getpid()
+    try:
+        os.symlink(root, tmp)
+        os.replace(tmp, _FIXTURE_LINK)
+    except OSError:  # pragma: no cover - best-effort alias
+        pass
     return root
 
 
@@ -840,7 +872,14 @@ def q_captures_query(sf_dir: str):
 
 def q_content_extract(sf_dir: str):
     """J1+M15: captures joined to page content, utf-8/replace text
-    extraction (byte-identical invariant), fgrep filters."""
+    extraction, fgrep filters.
+
+    Oracle-checked: time window + domain match + fgrep + the
+    dedup-to-one-page-per-url content join, evidenced as the content
+    BYTE length (SQL octet_length). The utf-8/replace decode itself
+    stays byte-identity-checked in tests/test_warcout.py — 233 fixture
+    pages are deliberately invalid utf-8, and Python's replacement
+    semantics aren't expressible in DuckDB."""
     from .pipelines.warcout import extract_content
 
     root = _fixture_root(sf_dir)
@@ -849,12 +888,14 @@ def q_content_extract(sf_dir: str):
                          from_ts="202201", to="202312")
 
     def lengths(batch: pa.Table) -> pa.Table:
-        return batch.append_column("text_chars",
-                                   pc.utf8_length(batch["text"]))
+        return batch.append_column(
+            "content_bytes",
+            pc.cast(pc.binary_length(batch["html"]), pa.int64()))
 
     ds = ds.map_batches(lengths, batch_format="pyarrow",
                         batch_size=None)
-    return ds.select_columns(["urlkey", "timestamp", "url", "text_chars"])
+    return ds.select_columns(["urlkey", "timestamp", "url",
+                              "content_bytes"])
 
 
 # ---------------------------------------------------------------------------
@@ -1048,6 +1089,77 @@ ORACLES: dict[str, str] = {
     "fingerprint": _fingerprint_oracle(),
     "simhash_sigs": _simhash_oracle(),
     "minhash_pairs": _minhash_oracle(),
+    # captures/content oracles read the deterministic fixture tables
+    # through the stable alias (refreshed by _fixture_root; the driver
+    # runs the Ray query first, which generates them). Crawl-partition
+    # selection (M16/J4) prunes reads only — the engine re-filters by
+    # actual timestamp, so a flat timestamp-window scan is the
+    # equivalent relation.
+    "captures_query": """
+SELECT urlkey, timestamp, url, status, digest
+FROM read_parquet('%s/captures/**/*.parquet')
+WHERE (urlkey LIKE 'example,big-portal)%%'
+       OR urlkey LIKE 'example,big-portal,%%')
+  AND timestamp >= '20220101000000' AND timestamp <= '20231231235959'
+  AND status = '200'
+""" % _FIXTURE_LINK,
+    "content_extract": """
+WITH pg AS (SELECT url, max(html) AS html
+            FROM read_parquet('%s/pages.parquet') GROUP BY url)
+SELECT c.urlkey, c.timestamp, c.url,
+       CAST(octet_length(pg.html) AS BIGINT) AS content_bytes
+FROM read_parquet('%s/captures/**/*.parquet') c
+JOIN pg ON pg.url = c.url
+WHERE (c.urlkey LIKE 'example)%%' OR c.urlkey LIKE 'example,%%')
+  AND c.timestamp >= '20220101000000'
+  AND c.timestamp <= '20231231235959'
+  AND contains(c.url, '/p/')
+""" % (_FIXTURE_LINK, _FIXTURE_LINK),
+    # S7/M12/M14 synthesis under the deterministic fake replay: the
+    # output is a pure function of (url, timestamp, status). Fixture
+    # URLs only need :?=& percent-encoded (quote() keeps letters,
+    # digits, '_.-~' and '/').
+    "wb_synthesis": """
+SELECT urlkey, timestamp,
+       CASE status WHEN '301' THEN '301 Moved Permanently'
+                   WHEN '-' THEN '200 OK'
+                   ELSE status || ' OK' END AS statusline,
+       '{"WARC-Creation-Date": "2023-01-01T00:00:00Z", '
+         || '"WARC-Date": "2022-12-01T16:00:00Z", '
+         || '"WARC-Source-URI": "https://wb.example/web/' || timestamp
+         || 'id_/'
+         || replace(replace(replace(replace(url, ':', '%%3A'),
+                                    '?', '%%3F'), '=', '%%3D'), '&', '%%26')
+         || '"}'
+         AS warc_headers_json,
+       CASE WHEN status = '-' THEN 'revisit_vivified' END AS anomaly
+FROM read_parquet('%s/captures/**/*.parquet')
+WHERE timestamp >= '20220101000000' AND timestamp <= '20231231235959'
+""" % _FIXTURE_LINK,
+    # multimodal: the fake-decoder outputs are pure functions of the
+    # persisted payload bytes — width/height from the 8-byte big-endian
+    # header, frame count from octet_length (frames start at byte 8,
+    # 64 bytes each, every 4th picked)
+    # probe-all IVF is exactly brute-force cosine top-k
+    "ann_ivf_full": """
+SELECT vec_id FROM embeddings
+ORDER BY list_cosine_similarity(embedding,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10
+""",
+    "media_decode": """
+SELECT media_id, media_type,
+       CAST(('0x' || substring(hex(payload), 1, 8)) AS INTEGER) AS width,
+       CAST(('0x' || substring(hex(payload), 9, 8)) AS INTEGER) AS height
+FROM read_parquet('/tmp/cdxray_media_n256_s42.parquet')
+""",
+    "frame_sample": """
+SELECT media_id,
+       CAST((((octet_length(payload) - 9) // 64) // 4) + 1 AS INTEGER)
+         AS n_frames_sampled
+FROM read_parquet('/tmp/cdxray_media_n256_s42.parquet')
+WHERE media_type = 'video'
+""",
     "embedding_neardup": _embedding_neardup_oracle(),
     "row_sample": """
 SELECT doc_id, lang, source FROM documents
@@ -1313,6 +1425,7 @@ QUERIES = {
     "captures_query": q_captures_query,
     "content_extract": q_content_extract,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_full": q_ann_ivf_full,
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,
     "wb_synthesis": q_wb_synthesis,

@@ -50,6 +50,23 @@ def fake_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     }, schema=MEDIA_SCHEMA)
 
 
+def fake_media_parquet(n: int = 256, seed: int = 42) -> str:
+    """Write :func:`fake_media_table` to a deterministic /tmp path and
+    return it — the shared input for the media catalog queries and
+    their DuckDB oracles (which parse the same payload headers via
+    ``hex(payload)``)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = "/tmp/cdxray_media_n%d_s%d.parquet" % (n, seed)
+    if not os.path.exists(path):
+        tmp = path + ".tmp-%d" % os.getpid()
+        pq.write_table(fake_media_table(n, seed), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 class MediaDecoder:
     """Actor-pool stage: payload -> decoded features.
 
