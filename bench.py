@@ -340,6 +340,7 @@ def main() -> None:
             ("captures_query", lambda: consume(Q.q_captures_query(SF_DIR))),
             ("content_extract",
              lambda: consume(Q.q_content_extract(SF_DIR))),
+            ("corpus_clean", lambda: consume(Q.q_corpus_clean(SF_DIR))),
         ]
         for name, fn in others:
             t = time.time()

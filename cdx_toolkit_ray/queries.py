@@ -601,6 +601,20 @@ def q_ann_ivf(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def q_corpus_clean(sf_dir: str):
+    """Composite training-data pipeline (pipelines/corpus.py): quality
+    gate -> exact text dedup -> MinHash near-dup removal via LEFT ANTI
+    join. Oracle-checked end to end — the SQL composes the gate, the
+    row_number dedup, the full MinHash chain over the survivor CTE,
+    and the integer-form threshold drop."""
+    from .pipelines.corpus import corpus_clean
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return corpus_clean(ds, min_tokens=30, stopword_pct=4,
+                        jaccard_threshold=0.5)
+
+
 def q_ann_ivf_full(sf_dir: str):
     """IVF top-k probing EVERY cell (nprobe = n_centroids): the whole
     IVF machinery — codebook training, cell assignment, probe-side
@@ -938,7 +952,8 @@ def _sql_mix64(x: str) -> str:
 
 
 def _minhash_oracle(num_perm: int = 64, bands: int = 16,
-                    shingle_k: int = 5, seed: int = 1234) -> str:
+                    shingle_k: int = 5, seed: int = 1234,
+                    src: str = "documents") -> str:
     """The ENTIRE MinHash+LSH chain in pure SQL, bit-faithful to
     stages/dedup.py: word-5-shingles -> FNV-1a hashes (distinct) ->
     per-permutation minima of (a*h + b) mod 2^64 with the RandomState
@@ -964,7 +979,7 @@ def _minhash_oracle(num_perm: int = 64, bands: int = 16,
                  "(h, s) -> " + _sql_mix64("xor(h, s)") + ")")
     return (r"""
 WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS words
-           FROM documents),
+           FROM """ + src + r"""),
 g AS (SELECT doc_id,
         CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
              WHEN len(words) < """ + str(shingle_k)
@@ -984,7 +999,7 @@ sig0 AS (SELECT s.doc_id, p.j,
 sig AS (SELECT d.doc_id, p.j,
                COALESCE(s.sig, CAST(18446744073709551615 AS HUGEINT))
                  AS sig
-        FROM (SELECT DISTINCT doc_id FROM documents) d
+        FROM (SELECT DISTINCT doc_id FROM """ + src + r""") d
         CROSS JOIN perms p
         LEFT JOIN sig0 s ON s.doc_id = d.doc_id AND s.j = p.j),
 bsl AS (SELECT doc_id, j // """ + str(rpb) + r""" AS band_id, """
@@ -1089,6 +1104,31 @@ ORACLES: dict[str, str] = {
     "fingerprint": _fingerprint_oracle(),
     "simhash_sigs": _simhash_oracle(),
     "minhash_pairs": _minhash_oracle(),
+    # the corpus_clean composite: gate + exact-dedup CTEs, the whole
+    # MinHash chain nested over the survivor CTE, integer-form
+    # threshold (2*ni >= nu <=> jaccard >= 0.5, exact for integers)
+    "corpus_clean": r"""
+WITH gated AS (
+  SELECT * FROM (
+    SELECT doc_id, text,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+             AS n_tokens_ws,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+                x -> x IN ('the','a','of','and','to','in','is','for')))
+             AS BIGINT) AS n_stopwords
+    FROM documents)
+  WHERE n_tokens_ws >= 30 AND n_stopwords * 100 >= n_tokens_ws * 4),
+dedupq AS (
+  SELECT doc_id, text, n_tokens_ws, n_chars_actual FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id)
+           AS rn
+    FROM gated) WHERE rn = 1),
+pairs AS (""" + _minhash_oracle(src="dedupq") + r"""),
+drops AS (SELECT DISTINCT id_b FROM pairs WHERE 2 * n_inter >= n_union)
+SELECT doc_id, n_tokens_ws, n_chars_actual FROM dedupq
+WHERE doc_id NOT IN (SELECT id_b FROM drops)
+""",
     # captures/content oracles read the deterministic fixture tables
     # through the stable alias (refreshed by _fixture_root; the driver
     # runs the Ray query first, which generates them). Crawl-partition
@@ -1426,6 +1466,7 @@ QUERIES = {
     "content_extract": q_content_extract,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_full": q_ann_ivf_full,
+    "corpus_clean": q_corpus_clean,
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,
     "wb_synthesis": q_wb_synthesis,

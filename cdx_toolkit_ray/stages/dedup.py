@@ -722,8 +722,28 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, text_col: str = "text",
     k = kwargs.get("shingle_k", 5)
     if num_partitions is None:
         num_partitions = default_join_partitions()
+    # materialize the candidate list: it is tiny relative to the corpus
+    # (bounded by the anchor emission), the membership join is a
+    # barrier over it anyway, and Ray's hash join cannot take a
+    # fully-empty side (schema-less empty partitions) — a clean corpus
+    # shard with ZERO candidates must short-circuit, not crash
     cands = minhash_lsh_candidates(ds, text_col, id_col, **kwargs) \
-        .select_columns(["id_a", "id_b"])
+        .select_columns(["id_a", "id_b"]).materialize()
+    n_cands = cands.count()
+    if n_cands == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+            "n_inter": pa.array([], pa.int64()),
+            "n_union": pa.array([], pa.int64()),
+        }))
+    # repartition heals the schema-less EMPTY blocks that sparse
+    # groupby.map_groups stages emit for empty partitions — a hash-join
+    # partition built solely from those has no key column and aborts
+    # (pyarrow "No match for key field"); it also right-sizes the block
+    # count for the membership join
+    cands = cands.repartition(max(1, min(num_partitions, n_cands)))
 
     def membership(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)

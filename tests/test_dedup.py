@@ -145,3 +145,40 @@ def test_first_wins_task_graph_combine_matches_driver_merge(monkeypatch):
     forced = run()  # task-graph combine
     assert ref.equals(forced)
     assert forced["n_dup"].sum() == n - len(forced)
+
+
+def test_minhash_pairs_empty_candidates_short_circuit():
+    """A corpus shard with ZERO LSH candidates must return a typed
+    empty pair table, not crash the membership join (Ray's hash join
+    cannot take a fully-empty side)."""
+    rows = [{"doc_id": i,
+             "text": "totally distinct subject %d covering topic %d "
+                     "with vocabulary %d %d" % (i, i * 3, i * 7, i * 11)}
+            for i in range(20)]
+    out = dd.minhash_dedup_pairs(ray.data.from_items(rows),
+                                 text_col="text", id_col="doc_id",
+                                 threshold=0.5)
+    assert out.schema().names == ["id_a", "id_b", "jaccard",
+                                  "n_inter", "n_union"]
+    assert out.count() == 0
+
+
+def test_corpus_clean_composite(corpus):
+    """Gate -> exact dedup -> near-dup anti-join end to end: the exact
+    duplicate keeps its min id, the near-duplicate of the surviving
+    anchor is dropped, short gibberish rows never pass the gate."""
+    from cdx_toolkit_ray.pipelines.corpus import corpus_clean
+
+    extra = ray.data.from_items(
+        [{"doc_id": 200, "text": "tiny"},                  # fails gate
+         {"doc_id": 201, "text": " ".join(["zz"] * 40)}])  # no stopwords
+    ds = corpus.union(extra)
+    out = corpus_clean(ds, min_tokens=10, stopword_pct=5,
+                       jaccard_threshold=0.5).to_pandas()
+    ids = set(out["doc_id"])
+    assert 100 in ids          # exact-dup winner (min id)
+    assert 101 not in ids      # exact-dup loser
+    assert 102 not in ids      # near-dup of 100 (one word changed)
+    assert 200 not in ids and 201 not in ids   # gated
+    # the generic 40 docs have no stopwords -> gated out too
+    assert ids == {100}
