@@ -530,6 +530,35 @@ def q_minhash_pairs(sf_dir: str):
     return out.select_columns(["id_a", "id_b", "n_inter", "n_union"])
 
 
+def q_cc_components(sf_dir: str):
+    """Connected components of the verified near-dup pair graph
+    (stages/components.connected_components): distributed hash-to-min
+    label propagation with pointer jumping — two exchanges per round,
+    O(log diameter) rounds, driver holds only the convergence scalar.
+    Oracle: the full MinHash chain feeding a recursive-CTE closure."""
+    from .stages.components import connected_components
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, text_col="text", id_col="doc_id",
+                                threshold=0.5)
+    return connected_components(pairs)
+
+
+def q_fuzzy_dedup(sf_dir: str):
+    """Cluster-level fuzzy dedup (stages/components.fuzzy_dedup): keep
+    exactly ONE representative (min id) per near-dup connected
+    component — the correct 100-TB semantics where pair-wise ``id_b``
+    drops over-delete chains. Output: survivors with their component
+    id and full cluster size (sum(cluster_size) == corpus rows)."""
+    from .stages.components import fuzzy_dedup
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return fuzzy_dedup(ds, text_col="text", id_col="doc_id",
+                       threshold=0.5)
+
+
 def q_simhash_sigs(sf_dir: str):
     """SimHash signatures (deterministic, fixed hyperplane seeds)."""
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
@@ -1028,6 +1057,38 @@ LEFT JOIN isz zb ON zb.doc_id = c.id_b
 """)
 
 
+def _cc_oracle(with_corpus: bool = False) -> str:
+    """Connected components of the verified (2*n_inter >= n_union, i.e.
+    Jaccard >= 0.5) near-dup pair graph in pure SQL: the full MinHash
+    chain feeds a recursive-CTE reachability closure whose min label
+    per node IS the component id (same fixpoint the distributed
+    hash-to-min loop converges to). ``with_corpus`` extends to the
+    fuzzy_dedup output: one surviving representative per component,
+    singletons included, with full cluster sizes."""
+    base = (r"""
+WITH RECURSIVE pairs AS (""" + _minhash_oracle() + r"""),
+verified AS (SELECT id_a, id_b FROM pairs WHERE 2 * n_inter >= n_union),
+edges AS (SELECT id_a AS a, id_b AS b FROM verified
+          UNION SELECT id_b, id_a FROM verified),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)""")
+    if not with_corpus:
+        return base + "\nSELECT node, component FROM comp\n"
+    return base + (r""",
+assigned AS (SELECT d.doc_id,
+                    COALESCE(c.component, d.doc_id) AS component
+             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+sizes AS (SELECT component, count(*) AS cluster_size
+          FROM assigned GROUP BY component)
+SELECT a.doc_id, a.component, s.cluster_size
+FROM assigned a JOIN sizes s USING (component)
+WHERE a.doc_id = a.component
+""")
+
+
 def _fingerprint_oracle(window: int = 4) -> str:
     """Winnowing fingerprint in pure SQL: same \\S+ tokenization,
     word-``window``-grams, FNV-1a per gram, min per document."""
@@ -1104,6 +1165,8 @@ ORACLES: dict[str, str] = {
     "fingerprint": _fingerprint_oracle(),
     "simhash_sigs": _simhash_oracle(),
     "minhash_pairs": _minhash_oracle(),
+    "cc_components": _cc_oracle(),
+    "fuzzy_dedup": _cc_oracle(with_corpus=True),
     # the corpus_clean composite: gate + exact-dedup CTEs, the whole
     # MinHash chain nested over the survivor CTE, integer-form
     # threshold (2*ni >= nu <=> jaccard >= 0.5, exact for integers)
@@ -1459,6 +1522,8 @@ QUERIES = {
     "range_join": q_range_join,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
+    "cc_components": q_cc_components,
+    "fuzzy_dedup": q_fuzzy_dedup,
     "simhash_sigs": q_simhash_sigs,
     "fingerprint": q_fingerprint,
     "embedding_neardup": q_embedding_neardup,

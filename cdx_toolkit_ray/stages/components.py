@@ -1,0 +1,228 @@
+"""Distributed connected components + cluster-level fuzzy dedup.
+
+The missing endgame of MinHash dedup at 100-TB scale: the verified
+near-dup PAIRS (stages/dedup.minhash_dedup_pairs) form a graph whose
+connected components are the duplicate clusters; a real pretraining
+pipeline keeps exactly ONE representative per cluster (pair-wise
+``id_b`` drops over-delete chains: A~B, B~C drops B and C even though
+C may only be near B). This module computes the components with a
+hash-to-min label-propagation loop where EVERY round is a distributed
+Ray Data exchange — the driver holds only per-round scalar counters,
+never a node, edge, or label table.
+
+Algorithm (hash-to-min with pointer jumping, cf. the MapReduce CC
+literature — Rastogi et al., "Finding Connected Components in
+Map-Reduce in Logarithmic Rounds", ICDE 2013):
+
+  labels <- {node: node}
+  repeat:
+    1. propagate: edges ⋈ labels(src) -> (dst, label_src)   [hash join]
+    2. min-combine: union with self rows, groupby(node) min  [one shuffle]
+    3. pointer jump: label' <- labels(label)                 [hash join]
+  until no label changed
+
+With identity init, labels only ever decrease and converge to the
+component minimum; pointer jumping makes the round count O(log
+diameter) instead of O(diameter). Per round the state is O(V) for the
+pair-graph's node set — a small minority of the corpus (only docs in
+at least one verified pair) — and each step is a balanced hash
+exchange, so the loop scales exactly like the engine's joins.
+
+Convergence bookkeeping: a round is a fixpoint iff label'(v) == old
+label(v) for every v. Because edges are stored bidirectionally, that
+implies label(u) == label(v) across every edge AND every label is a
+root (label(label) == label) — i.e. labels are constant per component
+and equal to the component min.
+
+The per-round ``materialize()`` on the O(V) label table is the
+checkpoint that keeps iteration N+1 from re-executing rounds 1..N
+(Ray Datasets are lazy); it is deliberate, bounded state — NOT a
+whole-corpus materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+
+def _heal(ds: ray.data.Dataset, n: int) -> ray.data.Dataset:
+    """Repartition to heal the schema-less empty blocks sparse groupby
+    stages emit (they poison downstream hash-join partitions) and to
+    re-balance after a filter."""
+    return ds.repartition(max(1, n))
+
+
+def connected_components(pairs: ray.data.Dataset, *, col_a: str = "id_a",
+                         col_b: str = "id_b",
+                         num_partitions: int | None = None,
+                         max_rounds: int = 64) -> ray.data.Dataset:
+    """(node:int64, component:int64) per distinct node of ``pairs``,
+    where ``component`` is the minimum node id reachable from ``node``.
+
+    ``pairs`` is an undirected edge list ((a, b) implies (b, a); self
+    pairs and duplicates are fine). Raises RuntimeError if the loop
+    exceeds ``max_rounds`` (= graph diameter > ~2^64 under pointer
+    jumping — unreachable in practice; the guard turns a scheduling
+    bug into a loud failure instead of an infinite loop).
+    """
+    from .dedup import default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    def both_dirs_plus_self(batch: pa.Table) -> pa.Table:
+        a = batch[col_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[col_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-block self loops (deduped below): a self edge delivers the
+        # node's OWN label into the min-combine, so no separate union
+        # with the label table is needed per round
+        uniq = np.unique(np.concatenate([a, b]))
+        return pa.table({
+            "src": np.concatenate([a, b, uniq]),
+            "dst": np.concatenate([b, a, uniq]),
+            "is_self": np.concatenate(
+                [np.zeros(2 * len(a), np.int8), np.ones(len(uniq), np.int8)]),
+        })
+
+    edges = pairs.map_batches(both_dirs_plus_self, batch_format="pyarrow",
+                              batch_size=None)
+    # distinct-ify (self loops may repeat across blocks) in one shuffle;
+    # Max(is_self) keeps the flag when a real (v,v) pair coincides
+    edges = edges.groupby(["src", "dst"]).aggregate(
+        Max("is_self", alias_name="is_self"))
+    edges = _heal(edges, num_partitions).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64())}))
+    # the loop pays a fixed scheduling cost per exchange that scales
+    # with the partition count; size the per-round exchanges to the
+    # edge volume (full width only once ~128k rows/partition is real
+    # work) — num_partitions stays the ceiling for the 100-TB case
+    n_parts = max(1, min(num_partitions, (n_edges + (1 << 17) - 1) >> 17))
+
+    # labels <- identity over the node set (= the self-loop rows)
+    labels = edges.filter(expr="is_self == 1").map_batches(
+        lambda t: pa.table({"node": t["src"], "component": t["src"]}),
+        batch_format="pyarrow", batch_size=None)
+    labels = _heal(labels, n_parts).materialize()
+
+    for _round in range(max_rounds):
+        # shortcut edges component(v) -> v make the round deliver
+        # label(label(v)) to v — pointer jumping folded into the same
+        # join, keeping every round at exactly two exchanges
+        shortcuts = labels.map_batches(
+            lambda t: pa.table({"src": t["component"], "dst": t["node"],
+                                "is_self": pa.array(
+                                    np.zeros(len(t), np.int8))}),
+            batch_format="pyarrow", batch_size=None)
+        delivered = edges.union(shortcuts).join(
+            labels, "inner", n_parts,
+            on=("src",), right_on=("node",))
+
+        def tag(batch: pa.Table) -> pa.Table:
+            comp = batch["component"]
+            self_mask = pc.equal(batch["is_self"], 1)
+            return pa.table({
+                "node": batch["dst"],
+                "cand": comp,
+                # only the self row carries the previous label; groupby
+                # Max(ignore_nulls) recovers it for the change check
+                "old": pc.if_else(self_mask, comp,
+                                  pa.nulls(len(batch), pa.int64())),
+            })
+
+        combined = delivered.map_batches(
+            tag, batch_format="pyarrow", batch_size=None) \
+            .groupby("node") \
+            .aggregate(Min("cand", alias_name="component"),
+                       Max("old", alias_name="old"))
+        combined = combined.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "component": t["component"],
+                "_changed": pc.cast(pc.not_equal(t["component"], t["old"]),
+                                    pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+        # no repartition here: the aggregate's output blocks are already
+        # keyed and sized by the shuffle; the next round's join takes
+        # them as-is (one fewer exchange per round)
+        combined = combined.materialize()
+        changed = combined.sum("_changed")
+        labels = combined.drop_columns(["_changed"])
+        if not changed:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds")
+
+
+def fuzzy_dedup(ds: ray.data.Dataset, *, text_col: str = "text",
+                id_col: str = "doc_id", threshold: float = 0.5,
+                num_partitions: int | None = None,
+                **minhash_kwargs) -> ray.data.Dataset:
+    """Cluster-level near-dup removal: corpus -> survivors
+    (id, component, cluster_size), exactly ONE representative (min id)
+    per connected component of the verified near-dup pair graph.
+
+    Docs in no pair survive as their own singleton cluster
+    (component = own id, cluster_size = 1). ``cluster_size`` counts
+    ALL member docs of the component, so
+    ``sum(cluster_size) == count(corpus)`` — the invariant the oracle
+    checks.
+
+    Every stage is distributed: the pair graph, the component labels,
+    and the membership join all stay Datasets; the driver sees only
+    the CC round counters.
+    """
+    from .dedup import default_join_partitions, minhash_dedup_pairs
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
+    pairs = minhash_dedup_pairs(ds, text_col=text_col, id_col=id_col,
+                                threshold=threshold,
+                                num_partitions=num_partitions,
+                                **minhash_kwargs)
+    cc = connected_components(pairs, num_partitions=num_partitions)
+    cc = cc.materialize()  # reused three times below; O(pair nodes)
+
+    corpus_ids = ds.select_columns([id_col])
+    n_cc = cc.count()
+    if n_cc == 0:
+        return corpus_ids.map_batches(
+            lambda t: pa.table({
+                id_col: t[id_col],
+                "component": t[id_col],
+                "cluster_size": pa.array([1] * len(t), pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+
+    # assignment for the whole corpus: left join against the pair-graph
+    # labels, singletons keep their own id
+    assigned = corpus_ids.join(cc, "left_outer", num_partitions,
+                               on=(id_col,), right_on=("node",))
+
+    def fill_component(batch: pa.Table) -> pa.Table:
+        comp = pc.coalesce(batch["component"], batch[id_col])
+        return pa.table({id_col: batch[id_col],
+                         "component": pc.cast(comp, pa.int64())})
+
+    assigned = _heal(
+        assigned.map_batches(fill_component, batch_format="pyarrow",
+                             batch_size=None),
+        num_partitions).materialize()
+
+    sizes = _heal(
+        assigned.groupby("component").aggregate(
+            Count(alias_name="cluster_size")),
+        num_partitions)
+    # representative = min id = the component label itself
+    survivors = assigned.filter(
+        expr=f"{id_col} == component").join(
+            sizes, "inner", num_partitions,
+            on=("component",), right_on=("component",))
+    return survivors.select_columns([id_col, "component", "cluster_size"])
