@@ -559,6 +559,83 @@ def q_fuzzy_dedup(sf_dir: str):
                        threshold=0.5)
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/decontam.decontaminate):
+    test side = doc_id % 37 == 0 (deterministic split), broadcast
+    n-gram index, zero-shuffle scoring map over the train stream.
+    Oracle replicates the gram/FNV chain on both sides in SQL."""
+    from .stages.decontam import decontaminate
+
+    docs = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                                 columns=["doc_id", "text"])
+
+    def split(test: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 37 == 0) if test else (ids % 37 != 0)
+            return batch.filter(pa.array(mask))
+        return fn
+
+    test = docs.map_batches(split(True), batch_format="pyarrow",
+                            batch_size=None)
+    train = docs.map_batches(split(False), batch_format="pyarrow",
+                             batch_size=None)
+    out = decontaminate(train, test)
+    return out.select_columns(["doc_id", "n_grams", "n_hits",
+                               "contaminated"])
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition/boilerplate signals
+    (stages/textstats.repetition_stats): integer word / distinct-word /
+    top-word / bigram / top-bigram counts per document, zero-shuffle
+    streaming map."""
+    from .stages.textstats import repetition_stats
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return repetition_stats(ds).select_columns(
+        ["doc_id", "n_words", "n_distinct_words", "top_word_count",
+         "n_2grams", "top_2gram_count"])
+
+
+def q_pii_redact(sf_dir: str):
+    """PII detect + redact (stages/pii.py) over a derived PII-bearing
+    view: docs with doc_id % 7 == 0 get a deterministic closed-form
+    email/IP/phone suffix (both sides construct the identical text),
+    then the streaming redaction stage masks them. The oracle
+    value-checks the REDACTED STRING byte-for-byte plus the three
+    match counts."""
+    from .stages.pii import pii_redact
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(batch["doc_id"].combine_chunks()),
+            "t": pl.from_arrow(batch["text"].combine_chunks()),
+        })
+        i = pl.col("doc_id")
+        suffix = pl.format(
+            " contact user{}@example.com from 10.{}.{}.{} "
+            "call 415-555-{}",
+            i, i % 200, i % 250, i % 100,
+            (i % 10000).cast(pl.String).str.zfill(4))
+        df = df.select(
+            "doc_id",
+            text=pl.col("t") + pl.when(i % 7 == 0).then(suffix)
+                                 .otherwise(pl.lit("")))
+        return df.to_arrow()
+
+    aug = ds.map_batches(augment, batch_format="pyarrow",
+                         batch_size=None)
+    return pii_redact(aug).select_columns(
+        ["doc_id", "n_email", "n_ip", "n_phone", "redacted"])
+
+
 def q_simhash_sigs(sf_dir: str):
     """SimHash signatures (deterministic, fixed hyperplane seeds)."""
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
@@ -1057,6 +1134,110 @@ LEFT JOIN isz zb ON zb.doc_id = c.id_b
 """)
 
 
+def _gram_sh_cte(shingle_k: int = 5, src: str = "documents") -> str:
+    """CTE list ``w, g, sh``: per-doc distinct word-k-gram FNV hashes,
+    same gram convention as stages/dedup.doc_gram_hashes (and as the
+    MinHash oracle's chain)."""
+    gram = " || ' ' || ".join("words[i+%d]" % d for d in range(shingle_k))
+    return (r"""
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS words
+      FROM """ + src + r"""),
+g AS (SELECT doc_id,
+        CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(words) < """ + str(shingle_k)
+            + r""" THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - """
+            + str(shingle_k - 2) + r"""), i -> """ + gram + r""")
+        END AS grams
+      FROM w),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, """ + _FNV_SQL.format(s="gram") + r""" AS h
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g))""")
+
+
+def _decontam_oracle(shingle_k: int = 5, modulus: int = 37,
+                     min_hits: int = 1) -> str:
+    """Decontamination in pure SQL: the gram/FNV chain on both sides,
+    test = docs with doc_id %% modulus == 0, train = the rest."""
+    return ("WITH " + _gram_sh_cte(shingle_k) + r""",
+test AS (SELECT DISTINCT h FROM sh WHERE doc_id % """ + str(modulus)
+            + r""" = 0),
+tr AS (SELECT doc_id, count(*) AS n_grams,
+              sum(CASE WHEN h IN (SELECT h FROM test) THEN 1 ELSE 0 END)
+                AS n_hits
+       FROM sh WHERE doc_id % """ + str(modulus) + r""" <> 0
+       GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(t.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN COALESCE(t.n_hits, 0) >= """ + str(min_hits)
+            + r""" THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN tr t ON t.doc_id = d.doc_id
+WHERE d.doc_id % """ + str(modulus) + r""" <> 0
+""")
+
+
+_REPETITION_SQL = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS words
+           FROM documents),
+u AS (SELECT doc_id, unnest(words) AS word FROM w),
+wc AS (SELECT doc_id, word, count(*) AS c FROM u GROUP BY doc_id, word),
+pw AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct_words,
+              max(c) AS top_word_count
+       FROM wc GROUP BY doc_id),
+g AS (SELECT doc_id,
+        CASE WHEN len(words) < 2 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(words)),
+                                 i -> words[i] || ' ' || words[i+1])
+        END AS grams FROM w),
+ug AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM ug GROUP BY doc_id, gram),
+pg AS (SELECT doc_id, sum(c) AS n_2grams, max(c) AS top_2gram_count
+       FROM gc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(pw.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(pw.n_distinct_words, 0) AS BIGINT)
+         AS n_distinct_words,
+       CAST(COALESCE(pw.top_word_count, 0) AS BIGINT) AS top_word_count,
+       CAST(COALESCE(pg.n_2grams, 0) AS BIGINT) AS n_2grams,
+       CAST(COALESCE(pg.top_2gram_count, 0) AS BIGINT) AS top_2gram_count
+FROM documents d
+LEFT JOIN pw ON pw.doc_id = d.doc_id
+LEFT JOIN pg ON pg.doc_id = d.doc_id
+"""
+
+
+def _pii_oracle() -> str:
+    """PII redaction in pure SQL over the same derived PII-bearing
+    view; the regexes are alternation-free with identical semantics in
+    RE2 and rust-regex (stages/pii.py PATTERNS)."""
+    from .stages.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return (r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN
+           ' contact user' || doc_id || '@example.com from 10.'
+           || (doc_id % 200) || '.' || (doc_id % 250) || '.'
+           || (doc_id % 100) || ' call 415-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '""" + EMAIL_RE + r"""')) AS BIGINT)
+    AS n_email,
+  CAST(len(regexp_extract_all(t, '""" + IPV4_RE + r"""')) AS BIGINT)
+    AS n_ip,
+  CAST(len(regexp_extract_all(t, '""" + PHONE_RE + r"""')) AS BIGINT)
+    AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '""" + EMAIL_RE + r"""', '<EMAIL>', 'g'),
+      '""" + IPV4_RE + r"""', '<IP>', 'g'),
+      '""" + PHONE_RE + r"""', '<PHONE>', 'g') AS redacted
+FROM aug
+""")
+
+
 def _cc_oracle(with_corpus: bool = False) -> str:
     """Connected components of the verified (2*n_inter >= n_union, i.e.
     Jaccard >= 0.5) near-dup pair graph in pure SQL: the full MinHash
@@ -1166,6 +1347,9 @@ ORACLES: dict[str, str] = {
     "simhash_sigs": _simhash_oracle(),
     "minhash_pairs": _minhash_oracle(),
     "cc_components": _cc_oracle(),
+    "decontaminate": _decontam_oracle(),
+    "pii_redact": _pii_oracle(),
+    "repetition": _REPETITION_SQL,
     "fuzzy_dedup": _cc_oracle(with_corpus=True),
     # the corpus_clean composite: gate + exact-dedup CTEs, the whole
     # MinHash chain nested over the survivor CTE, integer-form
@@ -1523,6 +1707,9 @@ QUERIES = {
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
     "cc_components": q_cc_components,
+    "decontaminate": q_decontaminate,
+    "pii_redact": q_pii_redact,
+    "repetition": q_repetition,
     "fuzzy_dedup": q_fuzzy_dedup,
     "simhash_sigs": q_simhash_sigs,
     "fingerprint": q_fingerprint,

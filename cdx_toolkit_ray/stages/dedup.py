@@ -479,6 +479,53 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(_hash_text_array(joined))
 
 
+def doc_gram_hashes(texts: pa.Array | pa.ChunkedArray, shingle_k: int):
+    """Distinct word-k-gram FNV hashes per document, fully vectorized:
+    polars builds the word lists and the k-gram strings (shift-over-doc
+    + concat_str — native string kernels, no per-document Python), the
+    FNV hash is the length-sorted batch kernel. Gram convention (same
+    as the SQL oracles): >= k words -> one gram per window position;
+    1..k-1 words -> the single all-words gram; 0 words -> no grams.
+
+    Returns ``(doc_idx, hashes)`` sorted by (doc_idx, hash) with
+    per-document duplicates removed; ``doc_idx`` indexes into
+    ``texts`` (docs with no grams are absent).
+    """
+    import polars as pl
+
+    from ..canon import hash64_batch
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    df = pl.DataFrame({"t": pl.from_arrow(texts)}) \
+        .with_row_index("d").with_columns(
+            w=pl.col("t").fill_null("").str.to_lowercase()
+                .str.extract_all(r"\w+")).drop("t")
+    wlen = pl.col("w").list.len()
+
+    big = df.filter(wlen >= shingle_k).explode("w")
+    big = big.with_columns([
+        pl.col("w").shift(-i).over("d").alias("_w%d" % i)
+        for i in range(1, shingle_k)])
+    big = big.filter(pl.col("_w%d" % (shingle_k - 1)).is_not_null())
+    big = big.select(
+        "d", g=pl.concat_str(
+            ["w"] + ["_w%d" % i for i in range(1, shingle_k)],
+            separator=" "))
+    small = df.filter((wlen > 0) & (wlen < shingle_k)).select(
+        "d", g=pl.col("w").list.join(" "))
+
+    grams = pl.concat([big, small]) if small.height else big
+    d = grams["d"].to_numpy().astype(np.int64)
+    hashes = hash64_batch(grams["g"].to_arrow())
+
+    order = np.lexsort((hashes, d))
+    ds_, hs_ = d[order], hashes[order]
+    keep = np.ones(len(ds_), bool)
+    keep[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+    return ds_[keep], hs_[keep]
+
+
 def make_minhash_stage(text_col: str, num_perm: int = 64, shingle_k: int = 5,
                        seed: int = 1234):
     """map_batches fn: append ``minhash`` (fixed-size uint64 list).
@@ -491,49 +538,11 @@ def make_minhash_stage(text_col: str, num_perm: int = 64, shingle_k: int = 5,
     b = rng.randint(0, 2 ** 62, size=num_perm).astype(np.uint64)
 
     def minhash(batch: pa.Table) -> pa.Table:
-        # fully vectorized: polars builds the word lists and the
-        # k-gram strings (shift-over-doc + concat_str — native string
-        # kernels, no per-document Python), the FNV hash is the
-        # length-sorted batch kernel, and the per-doc permutation
-        # minima are one (grams x num_perm) wraparound matmul reduced
+        # per-doc distinct gram hashes (vectorized helper); the per-doc
+        # permutation minima are one 1-D pass per permutation reduced
         # with np.minimum.reduceat over doc boundaries
-        import polars as pl
-
-        from ..canon import hash64_batch
-
         n = batch.num_rows
-        df = pl.DataFrame({
-            "t": pl.from_arrow(batch[text_col].combine_chunks()),
-        }).with_row_index("d").with_columns(
-            w=pl.col("t").fill_null("").str.to_lowercase()
-                .str.extract_all(r"\w+")).drop("t")
-        wlen = pl.col("w").list.len()
-
-        # docs with >= k words: one gram per window position
-        big = df.filter(wlen >= shingle_k).explode("w")
-        big = big.with_columns([
-            pl.col("w").shift(-i).over("d").alias("_w%d" % i)
-            for i in range(1, shingle_k)])
-        big = big.filter(pl.col("_w%d" % (shingle_k - 1)).is_not_null())
-        big = big.select(
-            "d", g=pl.concat_str(
-                ["w"] + ["_w%d" % i for i in range(1, shingle_k)],
-                separator=" "))
-        # docs with 1..k-1 words: the single all-words gram
-        small = df.filter((wlen > 0) & (wlen < shingle_k)).select(
-            "d", g=pl.col("w").list.join(" "))
-
-        grams = pl.concat([big, small]) if small.height else big
-        d = grams["d"].to_numpy().astype(np.int64)
-        hashes = hash64_batch(grams["g"].to_arrow())
-
-        # per-doc distinct hashes: sort by (doc, hash), drop adjacent
-        # duplicates; empty-gram docs fall out and get the all-ones row
-        order = np.lexsort((hashes, d))
-        ds_, hs_ = d[order], hashes[order]
-        keep = np.ones(len(ds_), bool)
-        keep[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
-        du, hu = ds_[keep], hs_[keep]
+        du, hu = doc_gram_hashes(batch[text_col], shingle_k)
 
         sigs = np.full((n, num_perm), np.uint64(0xFFFFFFFFFFFFFFFF),
                        dtype=np.uint64)

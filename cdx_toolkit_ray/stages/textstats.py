@@ -173,3 +173,58 @@ def make_fingerprint_stage(text_col: str = "text", window: int = 4,
         return batch.append_column(out_col, pa.array(out, pa.uint64()))
 
     return fingerprint
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals, all integer-form (Rae et al.
+    2021 §A1.1 use fractional thresholds; the integer counts carry the
+    same information and value-check exactly against SQL):
+
+    ``n_words`` (all ``\\w+`` occurrences, lowercased), ``n_distinct_words``,
+    ``top_word_count`` (occurrences of the most frequent word),
+    ``n_2grams`` (word-bigram windows) and ``top_2gram_count``.
+    A boilerplate page shows high top_*_count relative to n_*; the
+    threshold policy stays a downstream filter.
+
+    Fully vectorized: polars explode + two group_bys inside the batch —
+    no per-document Python, no shuffle.
+    """
+    import polars as pl
+
+    n = batch.num_rows
+    df = pl.DataFrame({"t": pl.from_arrow(
+        batch[text_col].combine_chunks())}).with_row_index("d") \
+        .with_columns(w=pl.col("t").fill_null("").str.to_lowercase()
+                      .str.extract_all(r"\w+")).drop("t")
+    words = df.explode("w").drop_nulls("w")
+    wc = words.group_by("d", "w").len()
+    pw = wc.group_by("d").agg(
+        n_words=pl.col("len").sum().cast(pl.Int64),
+        n_distinct_words=pl.len().cast(pl.Int64),
+        top_word_count=pl.col("len").max().cast(pl.Int64))
+    big = words.with_columns(w2=pl.col("w").shift(-1).over("d")) \
+        .drop_nulls("w2") \
+        .select("d", g=pl.concat_str(["w", "w2"], separator=" "))
+    gc = big.group_by("d", "g").len()
+    pg = gc.group_by("d").agg(
+        n_2grams=pl.col("len").sum().cast(pl.Int64),
+        top_2gram_count=pl.col("len").max().cast(pl.Int64))
+
+    cols = {"n_words": pw, "n_distinct_words": pw, "top_word_count": pw,
+            "n_2grams": pg, "top_2gram_count": pg}
+    arrays = {}
+    for name, src in cols.items():
+        out = np.zeros(n, np.int64)
+        d = src["d"].to_numpy().astype(np.int64)
+        out[d] = src[name].to_numpy()
+        arrays[name] = out
+    for name, arr in arrays.items():
+        batch = batch.append_column(name, pa.array(arr, pa.int64()))
+    return batch
+
+
+def repetition_stats(ds, text_col: str = "text"):
+    """Streaming repetition-signal pass (map_batches, zero shuffles)."""
+    return ds.map_batches(
+        lambda b: repetition_batch(b, text_col),
+        batch_format="pyarrow", batch_size=None)
