@@ -636,6 +636,56 @@ def q_pii_redact(sf_dir: str):
         ["doc_id", "n_email", "n_ip", "n_phone", "redacted"])
 
 
+def q_chunk_docs(sf_dir: str):
+    """Sequence windowing (stages/chunk.chunk_documents): each doc's
+    \\w+ token stream cut into 64-word windows every 48 words
+    (overlapping tail), one output row per window — pure streaming
+    flat-map, zero shuffles. Oracle rebuilds the windows with
+    range/list_slice in SQL."""
+    from .stages.chunk import chunk_documents
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_size=64, stride=48).select_columns(
+        ["doc_id", "chunk_id", "chunk_start", "n_tokens", "chunk_text"])
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language quota sample (stages/sampling.stratified_sample):
+    the 10 docs with the smallest seeded FNV hash per lang, local
+    per-batch prune before the groupby so only candidates shuffle."""
+    from .stages.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "lang"])
+    out = stratified_sample(ds, group_col="lang", k=10, seed=0)
+    return out.select_columns(["lang", "doc_id", "skey", "samp_rank"])
+
+
+def q_sharded_shuffle(sf_dir: str):
+    """Deterministic sharded shuffle (stages/sampling.sharded_shuffle):
+    seeded hash key -> shard = key % 16 -> in-shard rank; the
+    reproducible, per-shard-resumable global shuffle for training
+    order."""
+    from .stages.sampling import sharded_shuffle
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    out = sharded_shuffle(ds, n_shards=16, seed=0)
+    return out.select_columns(["doc_id", "skey", "shard", "shard_pos"])
+
+
+def q_doc_freq(sf_dir: str):
+    """Corpus document frequency (stages/textstats.doc_frequency):
+    distinct-(word, doc) partials per block, one Sum groupby, min_df
+    threshold after the merge."""
+    from .stages.textstats import doc_frequency
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return doc_frequency(ds, min_df=2)
+
+
 def q_simhash_sigs(sf_dir: str):
     """SimHash signatures (deterministic, fixed hyperplane seeds)."""
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
@@ -1342,7 +1392,64 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """ % ("\n  + ".join(terms), threshold))
 
 
+def _seeded_key_sql(id_col: str = "doc_id", seed: int = 0) -> str:
+    """SQL for stages/sampling._seeded_key: FNV-1a 64 over
+    ``"{seed}:{id}"`` as UBIGINT (seed-prefix for avalanche)."""
+    expr = "('%d:' || CAST(%s AS VARCHAR))" % (seed, id_col)
+    return "CAST(" + _FNV_SQL.format(s=expr) + " AS UBIGINT)"
+
+
+_CHUNK_SQL = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS words
+           FROM documents),
+s AS (SELECT doc_id, words, unnest(range(0, len(words), 48)) AS start
+      FROM w WHERE len(words) > 0)
+SELECT doc_id,
+       CAST(start // 48 AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(least(64, len(words) - start) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(words, start + 1, start + 64), ' ')
+         AS chunk_text
+FROM s
+"""
+
+_STRAT_SAMPLE_SQL = ("""
+WITH h AS (SELECT lang, doc_id, """ + _seeded_key_sql() + r""" AS skey
+           FROM documents),
+r AS (SELECT lang, doc_id, skey,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY skey, doc_id) AS rn
+      FROM h)
+SELECT lang, doc_id, skey, CAST(rn AS BIGINT) AS samp_rank
+FROM r WHERE rn <= 10
+""")
+
+_SHARDED_SHUFFLE_SQL = ("""
+WITH h AS (SELECT doc_id, """ + _seeded_key_sql() + r""" AS skey
+           FROM documents),
+s AS (SELECT doc_id, skey, CAST(skey % 16 AS BIGINT) AS shard FROM h)
+SELECT doc_id, skey, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY skey, doc_id) - 1 AS BIGINT)
+         AS shard_pos
+FROM s
+""")
+
+_DOC_FREQ_SQL = r"""
+WITH u AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '\w+')) AS word
+           FROM documents),
+d AS (SELECT DISTINCT doc_id, word FROM u)
+SELECT word, CAST(count(*) AS BIGINT) AS df
+FROM d GROUP BY word HAVING count(*) >= 2
+"""
+
+
 ORACLES: dict[str, str] = {
+    "chunk_docs": _CHUNK_SQL,
+    "stratified_sample": _STRAT_SAMPLE_SQL,
+    "sharded_shuffle": _SHARDED_SHUFFLE_SQL,
+    "doc_freq": _DOC_FREQ_SQL,
     "fingerprint": _fingerprint_oracle(),
     "simhash_sigs": _simhash_oracle(),
     "minhash_pairs": _minhash_oracle(),
@@ -1710,6 +1817,10 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pii_redact": q_pii_redact,
     "repetition": q_repetition,
+    "chunk_docs": q_chunk_docs,
+    "stratified_sample": q_stratified_sample,
+    "sharded_shuffle": q_sharded_shuffle,
+    "doc_freq": q_doc_freq,
     "fuzzy_dedup": q_fuzzy_dedup,
     "simhash_sigs": q_simhash_sigs,
     "fingerprint": q_fingerprint,

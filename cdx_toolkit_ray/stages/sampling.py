@@ -1,0 +1,98 @@
+"""Deterministic corpus sampling and shuffling.
+
+Two training-data operators the reference lacks (its only sampling is
+the page-count estimate, cdx_toolkit/__init__.py:43-50 — §2 O6):
+
+- **Stratified sampling**: keep exactly ``k`` documents per group
+  (language / source / domain), chosen by a seeded hash rank so the
+  draw is uniform-ish, reproducible, and independent of arrival order.
+  The scale shape is local-prune-then-shuffle: every batch keeps at
+  most ``k`` candidates per group before the ``groupby``, so the
+  all-to-all moves O(groups x k x batches) candidate rows, never the
+  corpus.
+
+- **Deterministic sharded shuffle**: the reproducible global shuffle a
+  training run needs. Each row gets a seeded hash key; ``shard = key %
+  n_shards`` places it, and rank within the shard is the in-shard sort
+  order by (key, id). Equivalent to a seeded ``random_shuffle`` but
+  restartable (same seed -> same order), resumable per shard (each
+  shard is an independent output partition), and cheaper: one balanced
+  hash shuffle + per-shard sort instead of a full range sort.
+
+Hash = FNV-1a 64 over ``"{seed}:{id}"`` (canon.hash64_batch), the same
+primitive the SQL oracles replicate, so both operators value-check
+against DuckDB ``row_number()`` windows. The seed is the PREFIX, not a
+suffix: FNV-1a folds bytes left-to-right, so a trailing-seed change
+only shifts hashes by ~seed_delta x prime and barely reorders them —
+a prefix change avalanches through every subsequent byte.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _seeded_key(ids, seed: int) -> np.ndarray:
+    """uint64 FNV-1a of ``"{seed}:{id}"`` — order-free, reproducible."""
+    from ..canon import hash64_batch
+
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    import pyarrow.compute as pc
+
+    keys = pc.binary_join_element_wise(
+        str(seed), pc.cast(ids, pa.string()), ":")
+    return hash64_batch(keys)
+
+
+def stratified_sample(ds: ray.data.Dataset, group_col: str,
+                      id_col: str = "doc_id", k: int = 10,
+                      seed: int = 0) -> ray.data.Dataset:
+    """Exactly min(k, group size) rows per group, the ones with the
+    smallest seeded hash of ``id_col``; adds ``skey`` (the hash) and
+    ``samp_rank`` (1..k within the group)."""
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["skey"] = _seeded_key(batch[id_col], seed)
+        df = df.sort_values([group_col, "skey", id_col])
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(k),
+            preserve_index=False)
+
+    def final_select(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["skey", id_col]).head(k).copy()
+        g["samp_rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow",
+                            batch_size=None)
+    return pruned.groupby(group_col).map_groups(final_select,
+                                                batch_format="pandas")
+
+
+def sharded_shuffle(ds: ray.data.Dataset, id_col: str = "doc_id",
+                    n_shards: int = 16, seed: int = 0) -> ray.data.Dataset:
+    """Deterministic global shuffle: adds ``skey`` (seeded hash),
+    ``shard`` (skey % n_shards) and ``shard_pos`` (0-based rank within
+    the shard by (skey, id)). Reading shards 0..n-1 in shard_pos order
+    is the shuffled corpus order; any shard can be re-derived alone."""
+
+    def key_stage(batch: pa.Table) -> pa.Table:
+        skey = _seeded_key(batch[id_col], seed)
+        batch = batch.append_column("skey", pa.array(skey, pa.uint64()))
+        return batch.append_column(
+            "shard", pa.array((skey % n_shards).astype(np.int64)))
+
+    def order_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["skey", id_col]).copy()
+        g["shard_pos"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    keyed = ds.map_batches(key_stage, batch_format="pyarrow",
+                           batch_size=None)
+    return keyed.groupby("shard").map_groups(order_shard,
+                                             batch_format="pandas")

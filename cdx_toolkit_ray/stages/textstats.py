@@ -228,3 +228,43 @@ def repetition_stats(ds, text_col: str = "text"):
     return ds.map_batches(
         lambda b: repetition_batch(b, text_col),
         batch_format="pyarrow", batch_size=None)
+
+
+def doc_frequency(ds, text_col: str = "text", id_col: str = "doc_id",
+                  min_df: int = 2):
+    """Corpus document frequency: ``(word, df)`` for every lowercased
+    ``\\w+`` word appearing in at least ``min_df`` documents — the
+    distributed half of TF-IDF (idf = ln(N/df) is a driver-side scalar
+    transform on this output).
+
+    Scale shape: the per-batch kernel collapses each block to DISTINCT
+    (word, doc) pairs and pre-counts them per word, so the ``groupby``
+    shuffle moves one partial-count row per (word, block) — vocabulary
+    x blocks, never words x documents. The ``min_df`` filter runs
+    after the merge (a word's partials may be spread across blocks).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "d": pl.from_arrow(batch[id_col].combine_chunks()),
+            "t": pl.from_arrow(batch[text_col].combine_chunks()),
+        }).with_columns(w=pl.col("t").fill_null("").str.to_lowercase()
+                        .str.extract_all(r"\w+")).drop("t")
+        pairs = df.explode("w").drop_nulls("w").unique(["d", "w"])
+        part = pairs.group_by("w").len()
+        return pa.table({"word": part["w"].to_arrow(),
+                         "df_part": part["len"].cast(pl.Int64).to_arrow()})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    merged = parts.groupby("word").aggregate(
+        Sum("df_part", alias_name="df"))
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["df"], min_df))
+
+    return merged.map_batches(threshold, batch_format="pyarrow",
+                              batch_size=None)

@@ -1,0 +1,101 @@
+"""Chunking, sampling/shuffle, and doc-frequency stages."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from cdx_toolkit_ray.stages.chunk import chunk_documents
+from cdx_toolkit_ray.stages.sampling import (
+    sharded_shuffle,
+    stratified_sample,
+)
+from cdx_toolkit_ray.stages.textstats import doc_frequency
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs(rows):
+    return ray.data.from_items(rows)
+
+
+def test_chunk_windows():
+    words = ["w%d" % i for i in range(100)]
+    ds = _docs([{"doc_id": 1, "text": " ".join(words)},
+                {"doc_id": 2, "text": "only three words"},
+                {"doc_id": 3, "text": ""},
+                {"doc_id": 4, "text": None}])
+    out = chunk_documents(ds, chunk_size=64, stride=48).to_pandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    assert list(d1.chunk_start) == [0, 48, 96]
+    assert list(d1.n_tokens) == [64, 52, 4]
+    assert d1.iloc[0].chunk_text == " ".join(words[:64])
+    assert d1.iloc[2].chunk_text == " ".join(words[96:])
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].n_tokens == 3
+    # empty / null docs emit no chunks (flat-map semantics)
+    assert set(out.doc_id) == {1, 2}
+
+
+def test_chunk_rejects_bad_params():
+    ds = _docs([{"doc_id": 1, "text": "a b"}])
+    with pytest.raises(ValueError):
+        chunk_documents(ds, chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(ds, stride=-1)
+
+
+def test_stratified_sample_quota_and_determinism():
+    rows = [{"doc_id": i, "lang": "abcd"[i % 4]} for i in range(200)]
+    ds = _docs(rows)
+    out = stratified_sample(ds, group_col="lang", k=5, seed=7) \
+        .to_pandas().sort_values(["lang", "samp_rank"])
+    assert (out.groupby("lang").size() == 5).all()
+    assert all(list(g.samp_rank) == [1, 2, 3, 4, 5]
+               for _, g in out.groupby("lang"))
+    # reproducible across runs
+    out2 = stratified_sample(_docs(rows), group_col="lang", k=5,
+                             seed=7).to_pandas() \
+        .sort_values(["lang", "samp_rank"])
+    assert list(out.doc_id) == list(out2.doc_id)
+    # different seed -> (almost surely) different draw
+    out3 = stratified_sample(_docs(rows), group_col="lang", k=5,
+                             seed=8).to_pandas() \
+        .sort_values(["lang", "samp_rank"])
+    assert list(out.doc_id) != list(out3.doc_id)
+
+
+def test_stratified_sample_small_groups():
+    ds = _docs([{"doc_id": 1, "lang": "xx"}, {"doc_id": 2, "lang": "xx"},
+                {"doc_id": 3, "lang": "yy"}])
+    out = stratified_sample(ds, group_col="lang", k=10).to_pandas()
+    assert len(out[out.lang == "xx"]) == 2
+    assert len(out[out.lang == "yy"]) == 1
+
+
+def test_sharded_shuffle_partitions_and_order():
+    rows = [{"doc_id": i} for i in range(300)]
+    out = sharded_shuffle(_docs(rows), n_shards=8, seed=3).to_pandas()
+    assert len(out) == 300 and set(out.doc_id) == set(range(300))
+    assert out.shard.between(0, 7).all()
+    assert (out.shard == (out.skey % 8).astype(np.int64)).all()
+    for _, g in out.groupby("shard"):
+        g = g.sort_values("shard_pos")
+        assert list(g.shard_pos) == list(range(len(g)))
+        # in-shard order is by (skey, doc_id)
+        assert list(g.skey) == sorted(g.skey)
+    out2 = sharded_shuffle(_docs(rows), n_shards=8, seed=3).to_pandas()
+    key = ["shard", "shard_pos"]
+    assert list(out.sort_values(key).doc_id) == \
+        list(out2.sort_values(key).doc_id)
+
+
+def test_doc_frequency_counts():
+    ds = _docs([
+        {"doc_id": 1, "text": "the cat sat the mat"},
+        {"doc_id": 2, "text": "The dog sat"},
+        {"doc_id": 3, "text": "a cat"},
+    ])
+    out = doc_frequency(ds, min_df=2).to_pandas() \
+        .set_index("word")["df"].to_dict()
+    # 'the' appears twice in doc 1 but counts once per doc
+    assert out == {"the": 2, "cat": 2, "sat": 2}
