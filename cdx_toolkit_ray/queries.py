@@ -686,6 +686,71 @@ def q_doc_freq(sf_dir: str):
     return doc_frequency(ds, min_df=2)
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Per-doc top-5 TF-IDF terms (stages/textstats.tfidf_topk):
+    word-hash-bucket df + integer micro-score + per-doc rank, pruned
+    to k inside the word bucket before the doc shuffle."""
+    from .stages.textstats import tfidf_topk
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    out = tfidf_topk(ds, k=5)
+    return out.select_columns(
+        ["doc_id", "word", "tf", "df", "score_1e6", "term_rank"])
+
+
+def q_pack_chunks(sf_dir: str):
+    """Concat-and-cut sequence packing (stages/chunk.pack_chunks):
+    chunk windows laid head-to-tail per shard in seeded deterministic
+    order, cut every 256 tokens; each chunk gets (shard, seq_id,
+    seq_off) — the training-sequence assignment."""
+    from .stages.chunk import chunk_documents, pack_chunks
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    chunks = chunk_documents(ds, chunk_size=64, stride=48)
+    out = pack_chunks(chunks, seq_len=256, n_shards=8, seed=0)
+    return out.select_columns(
+        ["doc_id", "chunk_id", "shard", "tok_off", "seq_id", "seq_off"])
+
+
+def q_group_quantiles(sf_dir: str):
+    """Per-language exact n_chars quantiles
+    (stages/textstats.group_quantiles): distinct-(group,value) partial
+    counts per block, one groupby, histogram-cumsum kernel."""
+    from .stages.textstats import group_quantiles
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["lang", "n_chars"])
+    return group_quantiles(ds, group_col="lang", value_col="n_chars")
+
+
+def q_kmeans_assign(sf_dir: str):
+    """K-means assignment under deterministic seeded init
+    (stages/cluster): centroids = the 8 embeddings with the smallest
+    seeded FNV hash of vec_id, every row assigned to its nearest
+    (squared-L2 argmin, lowest-index tie-break)."""
+    from .stages.cluster import kmeans_assign, kmeans_init
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    cents = kmeans_init(ds, k=8, seed=0)
+    return kmeans_assign(ds, cents)
+
+
+def q_kmeans(sf_dir: str):
+    """Full k-means (3 Lloyd iterations, streaming partial-sum
+    passes). Iterated float centroid means are not SQL-reproducible
+    bit-for-bit, so this entry is rows-only; the assignment step and
+    the init are hash-checked via `kmeans_assign`, and
+    tests/test_cluster.py checks convergence."""
+    from .stages.cluster import kmeans
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    return kmeans(ds, k=8, n_iters=3, seed=0)
+
+
 def q_simhash_sigs(sf_dir: str):
     """SimHash signatures (deterministic, fixed hyperplane seeds)."""
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
@@ -1435,6 +1500,69 @@ SELECT doc_id, skey, shard,
 FROM s
 """)
 
+_TFIDF_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '\w+')) AS word
+        FROM documents)
+  GROUP BY doc_id, word),
+n AS (SELECT count(*) AS nd FROM documents),
+dfv AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf
+        GROUP BY word),
+s AS (SELECT tf.doc_id, tf.word, tf.tf, dfv.df,
+             CAST(floor(tf.tf * ln(CAST(n.nd AS DOUBLE) / dfv.df)
+                        * 1e6 + 0.5) AS BIGINT) AS score_1e6
+      FROM tf, dfv, n WHERE tf.word = dfv.word),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_1e6 DESC, word)
+             AS term_rank FROM s)
+SELECT doc_id, word, tf, df, score_1e6,
+       CAST(term_rank AS BIGINT) AS term_rank
+FROM r WHERE term_rank <= 5
+"""
+
+_PACK_SQL = ("""
+WITH c AS (""" + _CHUNK_SQL + """),
+h AS (SELECT doc_id, chunk_id, n_tokens,
+             """ + _seeded_key_sql() + r""" AS skey
+      FROM c),
+s AS (SELECT doc_id, chunk_id, n_tokens, skey,
+             CAST(skey % 8 AS BIGINT) AS shard FROM h),
+o AS (SELECT doc_id, chunk_id, shard,
+             sum(n_tokens) OVER (PARTITION BY shard
+                                 ORDER BY skey, doc_id, chunk_id
+                                 ROWS UNBOUNDED PRECEDING)
+               - n_tokens AS tok_off
+      FROM s)
+SELECT doc_id, chunk_id, shard, CAST(tok_off AS BIGINT) AS tok_off,
+       CAST(tok_off // 256 AS BIGINT) AS seq_id,
+       CAST(tok_off % 256 AS BIGINT) AS seq_off
+FROM o
+""")
+
+_GROUP_QUANTILES_SQL = "\nUNION ALL\n".join(
+    "SELECT lang, CAST(%d AS BIGINT) AS q_pct, "
+    "CAST(quantile_disc(n_chars, %s) AS BIGINT) AS value "
+    "FROM documents GROUP BY lang" % (p, p / 100)
+    for p in (25, 50, 75, 90))
+
+_KMEANS_ASSIGN_SQL = ("""
+WITH h AS (SELECT vec_id, embedding,
+                  """ + _seeded_key_sql("vec_id") + r""" AS skey
+           FROM embeddings),
+c AS (SELECT embedding AS cvec,
+             row_number() OVER (ORDER BY skey, vec_id) - 1 AS cluster
+      FROM h QUALIFY row_number() OVER (ORDER BY skey, vec_id) <= 8),
+d AS (SELECT e.vec_id, c.cluster,
+             list_distance(CAST(e.embedding AS DOUBLE[]),
+                           CAST(c.cvec AS DOUBLE[])) AS dist
+      FROM embeddings e CROSS JOIN c)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM d
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dist, cluster) = 1
+""")
+
 _DOC_FREQ_SQL = r"""
 WITH u AS (SELECT doc_id,
                   unnest(regexp_extract_all(lower(text), '\w+')) AS word
@@ -1447,6 +1575,10 @@ FROM d GROUP BY word HAVING count(*) >= 2
 
 ORACLES: dict[str, str] = {
     "chunk_docs": _CHUNK_SQL,
+    "tfidf_topk": _TFIDF_SQL,
+    "pack_chunks": _PACK_SQL,
+    "group_quantiles": _GROUP_QUANTILES_SQL,
+    "kmeans_assign": _KMEANS_ASSIGN_SQL,
     "stratified_sample": _STRAT_SAMPLE_SQL,
     "sharded_shuffle": _SHARDED_SHUFFLE_SQL,
     "doc_freq": _DOC_FREQ_SQL,
@@ -1818,6 +1950,11 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "repetition": q_repetition,
     "chunk_docs": q_chunk_docs,
+    "tfidf_topk": q_tfidf_topk,
+    "pack_chunks": q_pack_chunks,
+    "group_quantiles": q_group_quantiles,
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans": q_kmeans,
     "stratified_sample": q_stratified_sample,
     "sharded_shuffle": q_sharded_shuffle,
     "doc_freq": q_doc_freq,

@@ -82,3 +82,57 @@ def chunk_documents(ds: ray.data.Dataset, text_col: str = "text",
         lambda b: chunk_documents_batch(b, text_col, id_col,
                                         chunk_size, stride),
         batch_format="pyarrow", batch_size=None)
+
+
+def pack_chunks(ds: ray.data.Dataset, token_col: str = "n_tokens",
+                id_col: str = "doc_id", chunk_col: str = "chunk_id",
+                seq_len: int = 256, n_shards: int = 8,
+                seed: int = 0) -> ray.data.Dataset:
+    """Concat-and-cut sequence packing: lay chunk token windows
+    head-to-tail and cut every ``seq_len`` tokens — the assignment step
+    that turns chunk windows into fixed-length training sequences
+    (GPT-style packing; a straddling chunk belongs to the sequence
+    where it STARTS, with ``seq_off`` recording the in-sequence start).
+
+    Adds per row: ``shard`` (seeded hash of the doc id % n_shards),
+    ``tok_off`` (token offset of this chunk within its shard's stream,
+    in deterministic (skey, doc, chunk) order), ``seq_id``
+    (tok_off // seq_len) and ``seq_off`` (tok_off % seq_len).
+
+    Scale shape: packing needs an ordered prefix sum, which is
+    sequential — so it runs independently per shard, one balanced
+    ``groupby(shard)`` with a fully vectorized cumsum kernel inside.
+    ``(shard, seq_id)`` is the global sequence key; any shard can be
+    re-derived alone (deterministic seed -> resumable per shard).
+    Size ``n_shards`` so one shard's chunk METADATA (ids + token
+    counts, not text) fits a worker; at 100 TB that means thousands of
+    shards, still one task each.
+    """
+    import pandas as pd
+
+    from .sampling import _seeded_key
+
+    def key_stage(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        skey = _seeded_key(batch[id_col], seed)
+        batch = batch.append_column("skey", pa.array(skey, pa.uint64()))
+        return batch.append_column(
+            "shard", pa.array((skey % n_shards).astype(np.int64)))
+
+    def pack_shard(g: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        g = g.sort_values(["skey", id_col, chunk_col],
+                          kind="stable").copy()
+        n = g[token_col].to_numpy(np.int64)
+        off = np.cumsum(n) - n
+        g["tok_off"] = off
+        g["seq_id"] = off // seq_len
+        g["seq_off"] = off % seq_len
+        return g.drop(columns=["skey"])
+
+    keyed = ds.map_batches(key_stage, batch_format="pyarrow",
+                           batch_size=None)
+    return keyed.groupby("shard").map_groups(pack_shard,
+                                             batch_format="pandas")

@@ -268,3 +268,139 @@ def doc_frequency(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return merged.map_batches(threshold, batch_format="pyarrow",
                               batch_size=None)
+
+
+def tfidf_topk(ds, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 5, n_buckets: int = 32, n_docs: int | None = None):
+    """Per-document top-``k`` TF-IDF terms: for every document, the
+    ``k`` words with the largest ``tf * ln(N / df)``, emitted as
+    ``(doc_id, word, tf, df, score_1e6, term_rank)``.
+
+    The score is carried as ``score_1e6 = floor(tf * ln(N/df) * 1e6
+    + 0.5)`` (int64): an integer micro-score makes the ranking — and
+    the DuckDB oracle's value hash — independent of float formatting,
+    and the (score desc, word asc) tie-break makes ranks deterministic.
+
+    Scale shape (nothing lands on the driver):
+    1. per-batch polars kernel -> distinct ``(doc, word, tf)`` triples
+       (a doc lives in exactly one batch, so triples are globally
+       distinct) tagged ``wb = hash64(word) % n_buckets``;
+    2. ``groupby(wb)`` co-locates each word's rows; a vectorized
+       factorize+bincount kernel computes ``df`` and the micro-score,
+       then prunes to the per-doc top-k WITHIN the bucket, so at most
+       ``k x docs`` candidate rows enter the second shuffle;
+    3. ``groupby(doc bucket)`` + vectorized per-doc rank keeps the
+       global top-k.
+    ``N`` (corpus doc count) is the one driver-side scalar — a
+    metadata count over the id column.
+
+    Reference role: beyond-reference training-data operator (the
+    reference streams captures, cdx_toolkit/__init__.py:157-205, and
+    computes no term statistics).
+    """
+    from ..canon import hash64_batch
+
+    if n_docs is None:
+        n_docs = ds.count()
+    n_f = float(n_docs)
+
+    def triples(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(batch[id_col].combine_chunks()),
+            "t": pl.from_arrow(batch[text_col].combine_chunks()),
+        }).with_columns(w=pl.col("t").cast(pl.String).fill_null("")
+                        .str.to_lowercase().str.extract_all(r"\w+")
+                        ).drop("t")
+        tf = (df.explode("w").drop_nulls("w")
+                .group_by("doc_id", "w").len())
+        words = tf["w"].to_arrow()
+        wb = (hash64_batch(words) % n_buckets).astype(np.int64)
+        return pa.table({
+            "doc_id": tf["doc_id"].to_arrow(),
+            "word": words,
+            "tf": tf["len"].cast(pl.Int64).to_arrow(),
+            "wb": pa.array(wb),
+        })
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # df per word: each row is one distinct (doc, word)
+        codes, uniq = pd.factorize(g["word"], sort=False)
+        dfc = np.bincount(codes, minlength=len(uniq))
+        g = g.copy()
+        g["df"] = dfc[codes].astype(np.int64)
+        tf = g["tf"].to_numpy(np.int64)
+        g["score_1e6"] = np.floor(
+            tf * np.log(n_f / g["df"].to_numpy(np.float64)) * 1e6
+            + 0.5).astype(np.int64)
+        # per-doc local top-k inside this word bucket
+        g = g.sort_values(["doc_id", "score_1e6", "word"],
+                          ascending=[True, False, True], kind="stable")
+        g = g.groupby("doc_id", sort=False).head(k)
+        g["db"] = (g["doc_id"].to_numpy(np.uint64)
+                   % np.uint64(n_buckets)).astype(np.int64)
+        return g.drop(columns=["wb"])
+
+    def final_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score_1e6", "word"],
+                          ascending=[True, False, True], kind="stable")
+        g = g.groupby("doc_id", sort=False).head(k).copy()
+        g["term_rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        return g.drop(columns=["db"])
+
+    t = ds.map_batches(triples, batch_format="pyarrow", batch_size=None)
+    scored = t.groupby("wb").map_groups(score_bucket,
+                                        batch_format="pandas")
+    return scored.groupby("db").map_groups(final_rank,
+                                           batch_format="pandas")
+
+
+def group_quantiles(ds, group_col: str, value_col: str,
+                    q_pcts: tuple[int, ...] = (25, 50, 75, 90)):
+    """Exact per-group discrete quantiles (DuckDB ``quantile_disc``
+    semantics: the value at 0-based sorted index ``max(0,
+    ceil(q*n)-1)``), emitted long-form as ``(group, q_pct, value)``.
+
+    Scale shape: each batch compresses to distinct ``(group, value,
+    cnt)`` partial counts before the shuffle, so the all-to-all moves
+    one row per distinct value per group per block — for discrete
+    metrics (token counts, char lengths, status codes) that is
+    orders of magnitude below row count. The per-group kernel merges
+    the partials (value-sorted cumsum) and reads each quantile off the
+    cumulative histogram. For continuous values this degrades to a
+    full shuffle; bucket or round first.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        t = pl.DataFrame({
+            "g": pl.from_arrow(batch[group_col].combine_chunks()),
+            "v": pl.from_arrow(batch[value_col].combine_chunks()),
+        }).group_by("g", "v").len()
+        return pa.table({group_col: t["g"].to_arrow(),
+                         "v": t["v"].to_arrow(),
+                         "cnt": t["len"].cast(pl.Int64).to_arrow()})
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        agg = g.groupby("v")["cnt"].sum().sort_index()
+        vals = agg.index.to_numpy()
+        cum = agg.to_numpy().cumsum()
+        n = int(cum[-1])
+        out_v = []
+        for p in q_pcts:
+            idx = max(0, math.ceil(p / 100 * n) - 1)
+            out_v.append(vals[int(np.searchsorted(cum, idx + 1))])
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]] * len(q_pcts),
+            "q_pct": np.asarray(q_pcts, np.int64),
+            "value": np.asarray(out_v, np.int64),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    return parts.groupby(group_col).map_groups(quantiles,
+                                               batch_format="pandas")
