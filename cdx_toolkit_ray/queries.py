@@ -751,6 +751,59 @@ def q_kmeans(sf_dir: str):
     return kmeans(ds, k=8, n_iters=3, seed=0)
 
 
+def q_lm_score(sf_dir: str):
+    """Unigram-LM quality score (stages/lm.unigram_lm_score): per-doc
+    negative log-likelihood in integer micro-nats under the corpus's
+    own unigram distribution — the CCNet-style perplexity proxy."""
+    from .stages.lm import unigram_lm_score
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return unigram_lm_score(ds)
+
+
+def q_inverted_search(sf_dir: str):
+    """Inverted-index term search (stages/invindex): build the
+    hive-partitioned posting index under /tmp, then AND-search it
+    reading only the query terms' word-hash buckets."""
+    import tempfile
+
+    from .stages.invindex import build_inverted_index, search_index
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    with tempfile.TemporaryDirectory(prefix="invidx_") as tmp:
+        idx = build_inverted_index(ds, tmp + "/idx", n_buckets=32)
+        out = search_index(idx, ["vector", "spark"], mode="and")
+        # materialize before the index dir vanishes
+        return out.to_pandas()
+
+
+def q_mixture_sample(sf_dir: str):
+    """Weighted domain-mixture sampling (stages/sampling
+    .mixture_sample): per-language keep probabilities via exact
+    integer compare on the seeded hash."""
+    from .stages.sampling import mixture_sample
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "lang", "n_chars"])
+    out = mixture_sample(ds, "lang",
+                         {"en": 0.25, "de": 0.75, "zh": 0.5},
+                         default=1.0, seed=0)
+    return out.select_columns(["doc_id", "lang", "n_chars", "skey"])
+
+
+def q_quantile_gate(sf_dir: str):
+    """Adaptive per-group quality gate (stages/textstats
+    .quantile_gate): drop each language's shortest quartile by
+    n_chars; survivors carry their group threshold."""
+    from .stages.textstats import quantile_gate
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "lang", "n_chars"])
+    return quantile_gate(ds, "lang", "n_chars", q_pct=25)
+
+
 def q_simhash_sigs(sf_dir: str):
     """SimHash signatures (deterministic, fixed hyperplane seeds)."""
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
@@ -1563,6 +1616,69 @@ QUALIFY row_number() OVER (PARTITION BY vec_id
                            ORDER BY dist, cluster) = 1
 """)
 
+_LM_SCORE_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '\w+')) AS word
+        FROM documents)
+  GROUP BY doc_id, word),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM tf),
+cnt AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cnt FROM tf
+        GROUP BY word),
+term AS (SELECT tf.doc_id, tf.tf,
+                CAST(floor(tf.tf * ln(tot.t / cnt.cnt) * 1e6 + 0.5)
+                     AS BIGINT) AS t6
+         FROM tf JOIN cnt USING (word) CROSS JOIN tot)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+       CAST(sum(t6) AS BIGINT) AS nll_sum_1e6,
+       CAST(sum(t6) // sum(tf) AS BIGINT) AS nll_per_tok_1e6
+FROM term GROUP BY doc_id
+"""
+
+_INV_SEARCH_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '\w+')) AS word
+        FROM documents)
+  GROUP BY doc_id, word)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(tf) AS BIGINT) AS tf_sum
+FROM tf WHERE word IN ('vector', 'spark')
+GROUP BY doc_id HAVING count(*) = 2
+"""
+
+def _mixture_sql() -> str:
+    # splitmix64-finalized seeded key (sampling.mixture_sample): the
+    # raw FNV key is a CTE column, the mix steps are MATERIALIZED so
+    # the binder never textually re-expands the FNV tree
+    return ("""
+WITH h AS MATERIALIZED (SELECT doc_id, lang, n_chars,
+                  """ + _seeded_key_sql() + """ AS raw
+           FROM documents),
+m AS MATERIALIZED (SELECT doc_id, lang, n_chars,
+                  """ + _sql_mix64("raw") + r""" AS skey
+           FROM h)
+SELECT doc_id, lang, n_chars, skey FROM m
+WHERE skey < CASE lang
+  WHEN 'en' THEN CAST(%d AS UBIGINT)
+  WHEN 'de' THEN CAST(%d AS UBIGINT)
+  WHEN 'zh' THEN CAST(%d AS UBIGINT)
+  ELSE CAST(%d AS UBIGINT) END
+""" % (int(0.25 * 2.0 ** 64), int(0.75 * 2.0 ** 64),
+       int(0.5 * 2.0 ** 64), (1 << 64) - 1))
+
+_QUANTILE_GATE_SQL = r"""
+WITH q AS (SELECT lang,
+                  CAST(quantile_disc(n_chars, 0.25) AS BIGINT)
+                    AS q_thresh
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars, q.q_thresh
+FROM documents d JOIN q USING (lang)
+WHERE d.n_chars >= q.q_thresh
+"""
+
 _DOC_FREQ_SQL = r"""
 WITH u AS (SELECT doc_id,
                   unnest(regexp_extract_all(lower(text), '\w+')) AS word
@@ -1579,6 +1695,10 @@ ORACLES: dict[str, str] = {
     "pack_chunks": _PACK_SQL,
     "group_quantiles": _GROUP_QUANTILES_SQL,
     "kmeans_assign": _KMEANS_ASSIGN_SQL,
+    "lm_score": _LM_SCORE_SQL,
+    "inverted_search": _INV_SEARCH_SQL,
+    "mixture_sample": _mixture_sql(),
+    "quantile_gate": _QUANTILE_GATE_SQL,
     "stratified_sample": _STRAT_SAMPLE_SQL,
     "sharded_shuffle": _SHARDED_SHUFFLE_SQL,
     "doc_freq": _DOC_FREQ_SQL,
@@ -1955,6 +2075,10 @@ QUERIES = {
     "group_quantiles": q_group_quantiles,
     "kmeans_assign": q_kmeans_assign,
     "kmeans": q_kmeans,
+    "lm_score": q_lm_score,
+    "inverted_search": q_inverted_search,
+    "mixture_sample": q_mixture_sample,
+    "quantile_gate": q_quantile_gate,
     "stratified_sample": q_stratified_sample,
     "sharded_shuffle": q_sharded_shuffle,
     "doc_freq": q_doc_freq,

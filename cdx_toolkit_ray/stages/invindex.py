@@ -1,0 +1,147 @@
+"""Distributed inverted text index: build hive-partitioned posting
+lists, search by reading ONLY the query terms' partitions.
+
+The text twin of the IVF vector index (stages/ann.py:171-217): the
+corpus is exploded to ``(word, doc_id, tf)`` postings, hive-partitioned
+by ``wb = hash64(word) % n_buckets``; a term search then touches only
+the buckets its terms hash to — every other posting's row groups never
+leave storage. That prune-at-the-read layout is the piece that makes
+term lookup viable at 100 TB: query cost scales with the matched
+postings, not the corpus.
+
+Search semantics: AND (doc must contain every term) or OR (any term),
+returning ``(doc_id, n_matched, tf_sum)`` — matched distinct terms and
+their total occurrences. The intersection runs as one ``groupby(doc)``
+over only the matching postings (already pruned to the query terms),
+so the shuffle moves the CANDIDATE postings, never the index.
+
+Reference role: beyond-reference training-data operator (the
+reference's only lookup structure is the CDX index it queries
+remotely, cdx_toolkit/commoncrawl.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def postings(ds: ray.data.Dataset, text_col: str = "text",
+             id_col: str = "doc_id", n_buckets: int = 32
+             ) -> ray.data.Dataset:
+    """Explode documents to distinct ``(word, doc_id, tf, wb)`` posting
+    rows (lowercased ``\\w+`` tokens), one streaming pass."""
+    from ..canon import hash64_batch
+
+    def explode(batch: pa.Table) -> pa.Table:
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        df = pl.DataFrame({
+            id_col: pl.from_arrow(batch[id_col].combine_chunks()),
+            "t": pl.from_arrow(batch[text_col].combine_chunks()),
+        }).with_columns(w=pl.col("t").cast(pl.String).fill_null("")
+                        .str.to_lowercase().str.extract_all(r"\w+")
+                        ).drop("t")
+        tf = (df.explode("w").drop_nulls("w")
+                .group_by(id_col, "w").len())
+        words = tf["w"].to_arrow()
+        wb = (hash64_batch(words) % n_buckets).astype(np.int64)
+        return pa.table({
+            "word": words,
+            id_col: tf[id_col].to_arrow(),
+            "tf": tf["len"].cast(pl.Int64).to_arrow(),
+            "wb": pa.array(wb),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def build_inverted_index(ds: ray.data.Dataset, out_dir: str,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n_buckets: int = 32) -> str:
+    """Materialize the index as hive-partitioned Parquet — one
+    ``wb=<b>/`` directory per word-hash bucket (resumable / appendable
+    per bucket) plus a meta file recording the bucket modulus."""
+    p = postings(ds, text_col, id_col, n_buckets)
+    p.write_parquet(out_dir, partition_cols=["wb"])
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
+    return out_dir
+
+
+def _term_buckets(terms: list[str], n_buckets: int) -> dict[str, int]:
+    from ..canon import hash64_batch
+
+    h = hash64_batch(pa.array([t.lower() for t in terms], pa.string()))
+    return {t.lower(): int(b) for t, b in zip(terms, h % n_buckets)}
+
+
+def search_index(index_dir: str, terms: list[str], mode: str = "and"
+                 ) -> ray.data.Dataset:
+    """Search a ``build_inverted_index`` layout reading ONLY the
+    buckets the query terms hash to."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    tb = _term_buckets(terms, meta["n_buckets"])
+    paths: list[str] = []
+    for b in sorted(set(tb.values())):
+        paths.extend(sorted(glob.glob(
+            os.path.join(index_dir, "wb=%d" % b, "*.parquet"))))
+    id_col = meta["id_col"]
+    if not paths:
+        return ray.data.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "n_matched": pa.array([], pa.int64()),
+             "tf_sum": pa.array([], pa.int64())}))
+    posts = ray.data.read_parquet(paths, columns=["word", id_col, "tf"])
+    return _match(posts, terms, mode, id_col)
+
+
+def search_terms(ds: ray.data.Dataset, terms: list[str],
+                 mode: str = "and", text_col: str = "text",
+                 id_col: str = "doc_id") -> ray.data.Dataset:
+    """In-stream variant (no materialized index): explode + prune to
+    the query terms per batch, then the same intersection groupby.
+    Single-pass twin of ``search_index`` for correctness checks."""
+    p = postings(ds, text_col, id_col, n_buckets=1)
+    return _match(p, terms, mode, id_col)
+
+
+def _match(posts: ray.data.Dataset, terms: list[str], mode: str,
+           id_col: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    want = pa.array(sorted({t.lower() for t in terms}), pa.string())
+    n_terms = len(want)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["word"], value_set=want)
+        return batch.select(["word", id_col, "tf"]).filter(keep)
+
+    from ray.data.aggregate import Count, Sum
+
+    matched = posts.map_batches(prune, batch_format="pyarrow",
+                                batch_size=None)
+    # postings are distinct (word, doc) rows, so Count == n matched terms
+    agg = matched.groupby(id_col).aggregate(
+        Count(alias_name="n_matched"), Sum("tf", alias_name="tf_sum"))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: batch[id_col],
+            "n_matched": batch["n_matched"].cast(pa.int64()),
+            "tf_sum": batch["tf_sum"].cast(pa.int64()),
+        })
+        if mode == "and":
+            return t.filter(pc.equal(t["n_matched"], n_terms))
+        return t
+
+    return agg.map_batches(gate, batch_format="pyarrow",
+                           batch_size=None)

@@ -74,6 +74,46 @@ def stratified_sample(ds: ray.data.Dataset, group_col: str,
                                                 batch_format="pandas")
 
 
+def mixture_sample(ds: ray.data.Dataset, group_col: str,
+                   fractions: dict[str, float], id_col: str = "doc_id",
+                   default: float = 0.0, seed: int = 0
+                   ) -> ray.data.Dataset:
+    """Weighted domain-mixture sampling: keep each row independently
+    with its group's probability — the "mix 30% web, 60% books, 10%
+    code" re-weighting step of a training-data pipeline.
+
+    Deterministic Bernoulli via the seeded hash: row kept iff
+    ``skey < floor(frac * 2^64)`` (exact integer compare, so the same
+    (seed, id) decision reproduces everywhere — across retries, resumed
+    runs, and the SQL oracle). Groups absent from ``fractions`` keep
+    ``default``. Zero shuffles: one streaming vectorized filter.
+
+    The FNV key is passed through the splitmix64 finalizer
+    (dedup._mix64): the threshold compare uses the hash's HIGH bits,
+    where raw FNV-1a of short same-prefix strings (small integer ids)
+    is measurably non-uniform — rank-based uses (stratified sample,
+    sharded shuffle) only need relative order within a group, but a
+    quantile cut needs uniformity.
+    """
+    from .dedup import _mix64
+
+    lut = {g: min(int(f * 2.0 ** 64), (1 << 64) - 1)
+           for g, f in fractions.items()}
+    dflt = min(int(default * 2.0 ** 64), (1 << 64) - 1)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        skey = _mix64(_seeded_key(batch[id_col], seed))
+        grp = batch[group_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(grp, sort=False)
+        thresh = np.array([lut.get(g, dflt) for g in uniq],
+                          dtype=np.uint64)
+        keep = skey < thresh[codes]
+        return batch.append_column(
+            "skey", pa.array(skey, pa.uint64())).filter(pa.array(keep))
+
+    return ds.map_batches(gate, batch_format="pyarrow", batch_size=None)
+
+
 def sharded_shuffle(ds: ray.data.Dataset, id_col: str = "doc_id",
                     n_shards: int = 16, seed: int = 0) -> ray.data.Dataset:
     """Deterministic global shuffle: adds ``skey`` (seeded hash),

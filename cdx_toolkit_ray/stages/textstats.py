@@ -404,3 +404,36 @@ def group_quantiles(ds, group_col: str, value_col: str,
                            batch_size=None)
     return parts.groupby(group_col).map_groups(quantiles,
                                                batch_format="pandas")
+
+
+def quantile_gate(ds, group_col: str, value_col: str, q_pct: int = 25,
+                  keep: str = "above"):
+    """Adaptive per-group quality gate: drop every row whose
+    ``value_col`` is below (``keep="above"``) or above its OWN group's
+    ``q_pct`` quantile — e.g. "drop the shortest quartile of documents
+    per language", the data-driven twin of a fixed length threshold
+    (a fixed cut over mixed languages mostly removes one language).
+
+    Adds ``q_thresh`` (the group's threshold) to surviving rows.
+
+    Scale shape: the thresholds come from :func:`group_quantiles`
+    (distinct-value partials, one small shuffle); the result is one row
+    per group — collected to the driver (bounded by the number of
+    groups, thousands at most) and applied as a broadcast vectorized
+    filter. The corpus itself streams through exactly one map_batches
+    pass; it is read twice (once for partials, once for the gate),
+    which beats shuffling it once.
+    """
+    q = group_quantiles(ds, group_col, value_col, q_pcts=(q_pct,))
+    lut = {r[group_col]: r["value"] for r in q.take_all()}
+
+    def gate(batch: pa.Table) -> pa.Table:
+        grp = batch[group_col].to_numpy(zero_copy_only=False)
+        val = batch[value_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(grp, sort=False)
+        thr = np.array([lut[g] for g in uniq], dtype=np.int64)[codes]
+        ok = val >= thr if keep == "above" else val <= thr
+        return batch.append_column(
+            "q_thresh", pa.array(thr)).filter(pa.array(ok))
+
+    return ds.map_batches(gate, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,150 @@
+"""Unigram-LM score, inverted index, mixture sampling, quantile gate."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from cdx_toolkit_ray.stages.invindex import (
+    _term_buckets,
+    build_inverted_index,
+    search_index,
+    search_terms,
+)
+from cdx_toolkit_ray.stages.lm import unigram_lm_score
+from cdx_toolkit_ray.stages.sampling import mixture_sample
+from cdx_toolkit_ray.stages.textstats import quantile_gate
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+DOCS = [
+    {"doc_id": 0, "text": "the cat sat on the mat"},
+    {"doc_id": 1, "text": "the dog sat on the log"},
+    {"doc_id": 2, "text": "quantum zebra flux"},
+    {"doc_id": 3, "text": "the the the cat cat dog"},
+    {"doc_id": 4, "text": ""},
+]
+
+
+def _driver_lm(docs):
+    """Reference unigram NLL in micro-nats, straight numpy."""
+    from collections import Counter
+
+    tfs = {d["doc_id"]: Counter(d["text"].lower().split())
+           for d in docs}
+    cnt = Counter()
+    for c in tfs.values():
+        cnt.update(c)
+    total = sum(cnt.values())
+    out = {}
+    for did, c in tfs.items():
+        if not c:
+            continue
+        nll = sum(int(np.floor(tf * np.log(total / cnt[w]) * 1e6 + 0.5))
+                  for w, tf in c.items())
+        ntok = sum(c.values())
+        out[did] = (ntok, nll, nll // ntok)
+    return out
+
+def test_unigram_lm_matches_driver():
+    got = (unigram_lm_score(ray.data.from_items(DOCS))
+           .to_pandas().set_index("doc_id").sort_index())
+    want = _driver_lm(DOCS)
+    assert set(got.index) == set(want)  # empty doc emits no tokens
+    for did, (ntok, nll, per) in want.items():
+        row = got.loc[did]
+        assert (row.n_tok, row.nll_sum_1e6, row.nll_per_tok_1e6) \
+            == (ntok, nll, per)
+
+
+def test_unigram_lm_rare_tokens_score_higher():
+    got = (unigram_lm_score(ray.data.from_items(DOCS))
+           .to_pandas().set_index("doc_id"))
+    # doc 2 is all-rare words; doc 3 is all-frequent words
+    assert got.loc[2].nll_per_tok_1e6 > got.loc[3].nll_per_tok_1e6
+
+
+def test_unigram_lm_bucketing_invariant():
+    a = (unigram_lm_score(ray.data.from_items(DOCS), n_buckets=2)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (unigram_lm_score(ray.data.from_items(DOCS), n_buckets=64)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_inverted_index_and_or(tmp_path):
+    ds = ray.data.from_items(DOCS)
+    idx = build_inverted_index(ds, str(tmp_path / "idx"), n_buckets=8)
+    got = (search_index(idx, ["the", "cat"], mode="and")
+           .to_pandas().sort_values("doc_id"))
+    assert list(got.doc_id) == [0, 3]
+    # doc 3: the x3 + cat x2 -> tf_sum 5, both terms matched
+    assert got.set_index("doc_id").loc[3].tolist() == [2, 5]
+    got_or = (search_index(idx, ["cat", "zebra"], mode="or")
+              .to_pandas().sort_values("doc_id"))
+    assert list(got_or.doc_id) == [0, 2, 3]
+
+
+def test_inverted_index_prunes_buckets(tmp_path):
+    ds = ray.data.from_items(DOCS)
+    idx = build_inverted_index(ds, str(tmp_path / "idx"), n_buckets=8)
+    tb = _term_buckets(["cat"], 8)
+    all_parts = {os.path.basename(p) for p in glob.glob(idx + "/wb=*")}
+    assert len(all_parts) > 1  # corpus spans several buckets
+    # the search only globs the term's bucket dir(s)
+    assert set(tb.values()) <= {int(p.split("=")[1]) for p in all_parts}
+
+
+def test_search_index_matches_in_stream(tmp_path):
+    ds = ray.data.from_items(DOCS)
+    idx = build_inverted_index(ds, str(tmp_path / "idx"), n_buckets=4)
+    a = (search_index(idx, ["sat", "on"], mode="and")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (search_terms(ds, ["sat", "on"], mode="and")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_search_missing_term_empty(tmp_path):
+    ds = ray.data.from_items(DOCS)
+    idx = build_inverted_index(ds, str(tmp_path / "idx"), n_buckets=4)
+    assert search_index(idx, ["notaword", "cat"]).count() == 0
+
+
+def test_mixture_sample_deterministic_and_weighted():
+    rows = [{"doc_id": i, "grp": "a" if i % 2 else "b"}
+            for i in range(4000)]
+    ds = ray.data.from_items(rows)
+    out = mixture_sample(ds, "grp", {"a": 0.25, "b": 0.9},
+                         seed=3).to_pandas()
+    frac = out.groupby("grp").size() / 2000
+    assert abs(frac["a"] - 0.25) < 0.05 and abs(frac["b"] - 0.9) < 0.05
+    # same seed -> identical survivor set, regardless of arrival order
+    out2 = mixture_sample(ray.data.from_items(rows[::-1]), "grp",
+                          {"a": 0.25, "b": 0.9}, seed=3).to_pandas()
+    assert set(out.doc_id) == set(out2.doc_id)
+    # unknown group keeps `default`
+    out3 = mixture_sample(ds, "grp", {"a": 0.25}, default=1.0,
+                          seed=3).to_pandas()
+    assert (out3.groupby("grp").size()["b"]) == 2000
+
+
+def test_quantile_gate_drops_bottom_quartile():
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "doc_id": np.arange(1000),
+        "lang": rng.choice(["en", "de"], 1000),
+        "n_chars": rng.integers(0, 1000, 1000),
+    })
+    out = quantile_gate(ray.data.from_pandas(df), "lang", "n_chars",
+                        q_pct=25).to_pandas()
+    for lang, g in df.groupby("lang"):
+        thr = np.sort(g.n_chars.to_numpy())[
+            max(0, int(np.ceil(0.25 * len(g))) - 1)]
+        surv = out[out.lang == lang]
+        assert (surv.q_thresh == thr).all()
+        assert len(surv) == (g.n_chars >= thr).sum()
+        assert (surv.n_chars >= thr).all()
