@@ -79,15 +79,36 @@ def unigram_lm_score(ds: ray.data.Dataset, text_col: str = "text",
 
     t = ds.map_batches(triples, batch_format="pyarrow", batch_size=None)
     if total_tokens is None:
-        from ray.data.aggregate import Sum
+        # corpus token total: one light pass (regex count per batch, no
+        # explode/groupby), one partial row per block, summed on the
+        # driver — O(blocks) driver work (Dataset.aggregate(Sum) costs
+        # a full shuffle round's fixed overhead for a single scalar;
+        # measured ~15s vs <2s at sf0.1)
+        def count_tokens(batch: pa.Table) -> pa.Table:
+            import os
 
-        # one scalar off the triples stream; the stream is recomputed
-        # for the scoring pass (lineage recompute beats materializing
-        # the token-level table)
-        total_tokens = t.aggregate(Sum("tf"))["sum(tf)"]
+            os.environ.setdefault("POLARS_MAX_THREADS", "1")
+            import polars as pl
+
+            s = pl.Series(batch[text_col].combine_chunks()) \
+                .cast(pl.String).fill_null("")
+            n = s.str.count_matches(r"\w+").sum()
+            return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+        parts = ds.map_batches(count_tokens, batch_format="pyarrow",
+                               batch_size=None).take_all()
+        total_tokens = sum(r["n"] for r in parts)
     t_f = float(total_tokens)
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # Both shuffles run on the direct task-graph exchange
+    # (stages/exchange.hash_bucket_apply): the shuffled stream is tiny
+    # (distinct triples, then docs x buckets partials), so the
+    # executor groupby's sampling round + barriers dominate —
+    # measured 18.2s for groupby(doc).aggregate(Sum,Sum) over 73k
+    # partial rows / 5k docs vs <1s through the exchange.
+
+    def score_bucket(tbl: pa.Table) -> pa.Table:
+        g = tbl.to_pandas()
         codes, uniq = pd.factorize(g["word"], sort=False)
         tf = g["tf"].to_numpy(np.int64)
         cnt = np.bincount(codes, weights=tf, minlength=len(uniq))
@@ -95,25 +116,27 @@ def unigram_lm_score(ds: ray.data.Dataset, text_col: str = "text",
                         + 0.5).astype(np.int64)
         part = pd.DataFrame({id_col: g[id_col].to_numpy(),
                              "nll_part": term, "tok_part": tf})
-        return part.groupby(id_col, sort=False, as_index=False).sum()
+        out = part.groupby(id_col, sort=False, as_index=False).sum()
+        out["db"] = (out[id_col].to_numpy(np.uint64)
+                     % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    parts = t.groupby("wb").map_groups(score_bucket,
-                                       batch_format="pandas")
-    from ray.data.aggregate import Sum
-
-    merged = parts.groupby(id_col).aggregate(
-        Sum("nll_part", alias_name="nll_sum_1e6"),
-        Sum("tok_part", alias_name="n_tok"))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        nll = batch["nll_sum_1e6"].to_numpy(zero_copy_only=False)
-        ntok = batch["n_tok"].to_numpy(zero_copy_only=False)
+    def merge_docs(tbl: pa.Table) -> pa.Table:
+        g = tbl.to_pandas()
+        m = (g.groupby(id_col, sort=False, as_index=False)
+             [["nll_part", "tok_part"]].sum())
+        nll = m["nll_part"].to_numpy(np.int64)
+        ntok = m["tok_part"].to_numpy(np.int64)
         return pa.table({
-            id_col: batch[id_col],
-            "n_tok": pa.array(ntok.astype(np.int64)),
-            "nll_sum_1e6": pa.array(nll.astype(np.int64)),
-            "nll_per_tok_1e6": pa.array((nll // ntok).astype(np.int64)),
+            id_col: pa.array(m[id_col]),
+            "n_tok": pa.array(ntok),
+            "nll_sum_1e6": pa.array(nll),
+            "nll_per_tok_1e6": pa.array(nll // ntok),
         })
 
-    return merged.map_batches(finish, batch_format="pyarrow",
-                              batch_size=None)
+    from .exchange import hash_bucket_apply
+
+    parts = hash_bucket_apply(t, "wb", score_bucket,
+                              num_buckets=n_buckets)
+    return hash_bucket_apply(parts, "db", merge_docs,
+                             num_buckets=n_buckets)
