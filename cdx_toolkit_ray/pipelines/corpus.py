@@ -69,9 +69,15 @@ def corpus_clean(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     # the repartition rebalances blocks after the dedup shuffle AND
     # heals the schema-less empty blocks sparse map_groups stages emit
     # (they poison downstream hash-join partitions); it's one extra
-    # balanced exchange over data the dedup already moved once
+    # balanced exchange over data the dedup already moved once.
+    # materialize() = the checkpoint the module docstring calls for:
+    # the survivor stream is consumed by BOTH the LSH chain (itself
+    # multi-pass) and the final membership join — without it every
+    # consumer re-executes the gate+dedup prefix (measured 80-120s ->
+    # ~25s at sf0.1). Survivors are the post-dedup narrow stream; at
+    # 100-TB scale swap for write_parquet/read_parquet as documented.
     survivors = exact_dedup(gated, text_col, id_col) \
-        .repartition(num_partitions)
+        .repartition(num_partitions).materialize()
 
     pairs = minhash_dedup_pairs(survivors, text_col=text_col,
                                 id_col=id_col,
