@@ -324,11 +324,15 @@ def tfidf_topk(ds, text_col: str = "text", id_col: str = "doc_id",
             "wb": pa.array(wb),
         })
 
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # both shuffles run on the direct task-graph exchange — the
+    # shuffled stream (distinct triples, then k x docs candidates) is
+    # small, so executor-groupby sampling+barrier fixed costs dominate
+    # (same finding as lm.unigram_lm_score, measured there)
+    def score_bucket(tbl: pa.Table) -> pa.Table:
         # df per word: each row is one distinct (doc, word)
+        g = tbl.to_pandas()
         codes, uniq = pd.factorize(g["word"], sort=False)
         dfc = np.bincount(codes, minlength=len(uniq))
-        g = g.copy()
         g["df"] = dfc[codes].astype(np.int64)
         tf = g["tf"].to_numpy(np.int64)
         g["score_1e6"] = np.floor(
@@ -340,20 +344,25 @@ def tfidf_topk(ds, text_col: str = "text", id_col: str = "doc_id",
         g = g.groupby("doc_id", sort=False).head(k)
         g["db"] = (g["doc_id"].to_numpy(np.uint64)
                    % np.uint64(n_buckets)).astype(np.int64)
-        return g.drop(columns=["wb"])
+        return pa.Table.from_pandas(g.drop(columns=["wb"]),
+                                    preserve_index=False)
 
-    def final_rank(g: pd.DataFrame) -> pd.DataFrame:
+    def final_rank(tbl: pa.Table) -> pa.Table:
+        g = tbl.to_pandas()
         g = g.sort_values(["doc_id", "score_1e6", "word"],
                           ascending=[True, False, True], kind="stable")
         g = g.groupby("doc_id", sort=False).head(k).copy()
         g["term_rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
-        return g.drop(columns=["db"])
+        return pa.Table.from_pandas(g.drop(columns=["db"]),
+                                    preserve_index=False)
+
+    from .exchange import hash_bucket_apply
 
     t = ds.map_batches(triples, batch_format="pyarrow", batch_size=None)
-    scored = t.groupby("wb").map_groups(score_bucket,
-                                        batch_format="pandas")
-    return scored.groupby("db").map_groups(final_rank,
-                                           batch_format="pandas")
+    scored = hash_bucket_apply(t, "wb", score_bucket,
+                               num_buckets=n_buckets)
+    return hash_bucket_apply(scored, "db", final_rank,
+                             num_buckets=n_buckets)
 
 
 def group_quantiles(ds, group_col: str, value_col: str,
