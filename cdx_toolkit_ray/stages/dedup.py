@@ -645,10 +645,15 @@ def _distinct_pairs(pairs: ray.data.Dataset,
 
     pairs = pairs.map_batches(add_bucket, batch_format="pyarrow",
                               batch_size=None)
-    out = pairs.groupby("pair_bucket").map_groups(
-        lambda g: g.drop_duplicates(["id_a", "id_b"]),
-        batch_format="pandas")
-    return out.drop_columns(["pair_bucket"])
+    from .exchange import hash_bucket_apply
+
+    def drop_dupes(tbl: pa.Table) -> pa.Table:
+        g = tbl.to_pandas().drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(g.drop(columns=["pair_bucket"]),
+                                    preserve_index=False)
+
+    return hash_bucket_apply(pairs, "pair_bucket", drop_dupes,
+                             num_buckets=num_buckets)
 
 
 def _bucketed_candidate_pairs(exploded: ray.data.Dataset, key_cols,
@@ -665,8 +670,21 @@ def _bucketed_candidate_pairs(exploded: ray.data.Dataset, key_cols,
 
     exploded = exploded.map_batches(add_bucket, batch_format="pyarrow",
                                     batch_size=None)
-    pairs = exploded.groupby("grp_bucket").map_groups(
-        _emit_bucket_pairs(key_cols, id_col), batch_format="pandas")
+    from .exchange import hash_bucket_apply
+
+    emit = _emit_bucket_pairs(key_cols, id_col)
+
+    def emit_arrow(tbl: pa.Table) -> pa.Table:
+        # id dtype survives even for the empty-bucket frame
+        out = emit(tbl.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # both candidate shuffles run on the direct task-graph exchange
+    # (streams here are bucket-coded and small next to the corpus; the
+    # executor groupby's sampling+barrier tail dominates — same
+    # finding as lm/tfidf, A/B-measured there)
+    pairs = hash_bucket_apply(exploded, "grp_bucket", emit_arrow,
+                              num_buckets=num_buckets)
     return _distinct_pairs(pairs)
 
 
@@ -812,8 +830,14 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, text_col: str = "text",
                              "n_inter": pd.Series(out_ni, dtype=np.int64),
                              "n_union": pd.Series(out_nu, dtype=np.int64)})
 
-    return joined.groupby("verify_bucket").map_groups(
-        verify_bucket_fn, batch_format="pandas")
+    from .exchange import hash_bucket_apply
+
+    def verify_arrow(tbl: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(verify_bucket_fn(tbl.to_pandas()),
+                                    preserve_index=False)
+
+    return hash_bucket_apply(joined, "verify_bucket", verify_arrow,
+                             num_buckets=verify_buckets)
 
 
 def _word_shingle_set(text: str, k: int) -> set:

@@ -43,14 +43,23 @@ def _split_by_code(tbl: pa.Table, codes: np.ndarray, n: int):
     return [t.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(n)]
 
 
+def _as_arrow(tbl) -> pa.Table:
+    """Some upstreams (pandas-block map_groups stages) hand
+    ``to_arrow_refs`` pandas blocks; coerce worker-side."""
+    if isinstance(tbl, pa.Table):
+        return tbl
+    return pa.Table.from_pandas(tbl, preserve_index=False)
+
+
 @ray.remote
-def _nrows(tbl: pa.Table) -> int:
-    return tbl.num_rows
+def _nrows(tbl) -> int:
+    return tbl.num_rows if isinstance(tbl, pa.Table) else len(tbl)
 
 
 @ray.remote
 def _split_hash(bucket_col: str, nb: int, *tbls):
-    tbl = pa.concat_tables(tbls)
+    tbl = pa.concat_tables([_as_arrow(t) for t in tbls],
+                           promote_options="permissive")
     codes = tbl[bucket_col].to_numpy(zero_copy_only=False).astype(np.int64)
     return tuple(_split_by_code(tbl, codes, nb))
 
@@ -128,7 +137,14 @@ def hash_bucket_apply(ds: ray.data.Dataset, bucket_col: str,
     counts = ray.get([_nrows.remote(r) for r in refs])
     refs = [r for r, n in zip(refs, counts) if n]
     if not refs:
-        return mat
+        # empty input: run merge_fn once over an empty typed table so
+        # the OUTPUT schema (what downstream select_columns sees) is
+        # merge_fn's, not the input's
+        try:
+            empty = mat.schema().base_schema.empty_table()
+            return ray.data.from_arrow(merge_fn(empty))
+        except Exception:
+            return mat
 
     nb = num_buckets
     splits = [_split_hash.options(num_returns=nb).remote(bucket_col, nb, *g)
