@@ -17,6 +17,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from .exchange import hash_bucket_apply
+
 _TS_BITS = np.int64(40)
 
 
@@ -26,6 +28,32 @@ def _mix_bucket(keys: np.ndarray, num_buckets: int) -> np.ndarray:
     x *= np.uint64(0xFF51AFD7ED558CCD)
     x ^= x >> np.uint64(33)
     return (x % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _sided(merge, *, l_only: set | None, r_only: set):
+    """Adapt a two-frame merge kernel to one exchange-bucket table.
+
+    The unioned stream carries the SUPERSET schema, each side's missing
+    columns null-filled; a whole-bucket ``to_pandas`` would promote
+    int64-with-null payload columns to float64 and corrupt integer
+    outputs. Split by ``_side`` and drop the other side's columns in
+    ARROW first, so each side converts null-free at its true dtype.
+    """
+    structural = {"_k", "_ts", "_side", "_bucket"}
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        cols = set(tbl.column_names)
+        ro = r_only & cols
+        lo = (l_only if l_only is not None
+              else cols - structural - ro) & cols
+        side = tbl["_side"].to_numpy(zero_copy_only=False)
+        lg = tbl.drop_columns(sorted(ro)) \
+            .filter(pa.array(side == 0)).to_pandas()
+        rg = tbl.drop_columns(sorted(lo)) \
+            .filter(pa.array(side == 1)).to_pandas()
+        return pa.Table.from_pandas(merge(lg, rg), preserve_index=False)
+
+    return fn
 
 
 def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset,
@@ -75,11 +103,8 @@ def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset,
     r_payload = ["_r_" + c for c in right_cols]
     tie = "_r_" + tie_col
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lmask = g["_side"].to_numpy() == 0
-        lg = g[lmask]
-        rg = g[~lmask]
-        left_cols = [c for c in g.columns
+    def merge(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        left_cols = [c for c in lg.columns
                      if c not in ("_side", "_bucket") and c not in r_payload]
         if not len(lg) or not len(rg):
             return pd.DataFrame({c: [] for c in
@@ -128,7 +153,15 @@ def asof_join_backward(left: ray.data.Dataset, right: ray.data.Dataset,
             out[c] = rg["_r_" + c].to_numpy()[take]
         return pd.DataFrame(out)
 
-    return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
+    # task-graph exchange instead of groupby.map_groups (fixed-cost
+    # tail, same A/B finding as lm/tfidf). The wrapper splits sides in
+    # ARROW before to_pandas: the unioned superset schema carries each
+    # side's missing columns as nulls, and a whole-group to_pandas
+    # would promote int64-with-null payload columns to float64.
+    return hash_bucket_apply(
+        both, "_bucket",
+        _sided(merge, l_only=None, r_only=set(r_payload)),
+        num_buckets=num_buckets)
 
 
 def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
@@ -186,11 +219,8 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     both = lt.union(rt)
     r_payload = ["_r_" + c for c in right_cols]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lmask = g["_side"].to_numpy() == 0
-        lg = g[lmask]
-        rg = g[~lmask]
-        left_cols = [c for c in g.columns
+    def merge(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        left_cols = [c for c in lg.columns
                      if c not in ("_side", "_bucket", "_lo", "_hi")
                      and c not in r_payload]
         empty = {c: [] for c in
@@ -282,4 +312,8 @@ def range_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
             out[c] = rg["_r_" + c].to_numpy()[ri]
         return pd.DataFrame(out)
 
-    return both.groupby("_bucket").map_groups(merge, batch_format="pandas")
+    return hash_bucket_apply(
+        both, "_bucket",
+        _sided(merge, l_only=None,
+               r_only=set(r_payload) | {"_lo", "_hi"}),
+        num_buckets=num_buckets)

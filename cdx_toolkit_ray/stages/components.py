@@ -46,7 +46,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Max, Min
+
+
+def _node_bucket(keys: np.ndarray, n: int) -> np.ndarray:
+    """Balanced bucket codes from int64 node ids (murmur-style mix —
+    raw ids may be dense sequences whose low bits correlate)."""
+    x = keys.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return (x % np.uint64(n)).astype(np.int64)
 
 
 def _heal(ds: ray.data.Dataset, n: int) -> ray.data.Dataset:
@@ -88,13 +97,44 @@ def connected_components(pairs: ray.data.Dataset, *, col_a: str = "id_a",
                 [np.zeros(2 * len(a), np.int8), np.ones(len(uniq), np.int8)]),
         })
 
+    from .exchange import hash_bucket_apply
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = s * np.uint64(0x9E3779B97F4A7C15) ^ d
+        h ^= h >> np.uint64(33)
+        return batch.append_column(
+            "_eb", pa.array((h % np.uint64(num_partitions))
+                            .astype(np.int64)))
+
+    def distinct_edges(tbl: pa.Table) -> pa.Table:
+        # distinct (src, dst) with Max(is_self): one lexsort +
+        # run-length pass, no per-group Python
+        s = tbl["src"].to_numpy(zero_copy_only=False)
+        d = tbl["dst"].to_numpy(zero_copy_only=False)
+        f = tbl["is_self"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        ss, ds_, fs = s[order], d[order], f[order]
+        new_run = np.ones(len(ss), bool)
+        new_run[1:] = (ss[1:] != ss[:-1]) | (ds_[1:] != ds_[:-1])
+        starts = np.flatnonzero(new_run)
+        is_self = np.maximum.reduceat(fs, starts) if len(starts) \
+            else fs[:0]
+        return pa.table({"src": pa.array(ss[starts]),
+                         "dst": pa.array(ds_[starts]),
+                         "is_self": pa.array(is_self)})
+
     edges = pairs.map_batches(both_dirs_plus_self, batch_format="pyarrow",
-                              batch_size=None)
-    # distinct-ify (self loops may repeat across blocks) in one shuffle;
-    # Max(is_self) keeps the flag when a real (v,v) pair coincides
-    edges = edges.groupby(["src", "dst"]).aggregate(
-        Max("is_self", alias_name="is_self"))
-    edges = _heal(edges, num_partitions).materialize()
+                              batch_size=None) \
+        .map_batches(add_pair_bucket, batch_format="pyarrow",
+                     batch_size=None)
+    # distinct-ify (self loops may repeat across blocks) via the
+    # task-graph exchange (groupby.aggregate pays a per-group
+    # aggregator tail; the edge stream is the narrow side of the op)
+    edges = hash_bucket_apply(
+        edges, "_eb", distinct_edges,
+        num_buckets=num_partitions).materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return ray.data.from_arrow(pa.table({
@@ -125,34 +165,49 @@ def connected_components(pairs: ray.data.Dataset, *, col_a: str = "id_a",
             labels, "inner", n_parts,
             on=("src",), right_on=("node",))
 
+        _sent = np.int64(np.iinfo(np.int64).max)
+
         def tag(batch: pa.Table) -> pa.Table:
             comp = batch["component"]
             self_mask = pc.equal(batch["is_self"], 1)
+            node = batch["dst"].to_numpy(zero_copy_only=False)
             return pa.table({
                 "node": batch["dst"],
                 "cand": comp,
-                # only the self row carries the previous label; groupby
-                # Max(ignore_nulls) recovers it for the change check
+                # only the self row carries the previous label
+                # (sentinel elsewhere; min-reduce recovers it)
                 "old": pc.if_else(self_mask, comp,
-                                  pa.nulls(len(batch), pa.int64())),
+                                  pa.scalar(_sent, pa.int64())),
+                "_nb": pa.array(
+                    _node_bucket(node, n_parts)),
             })
 
-        combined = delivered.map_batches(
-            tag, batch_format="pyarrow", batch_size=None) \
-            .groupby("node") \
-            .aggregate(Min("cand", alias_name="component"),
-                       Max("old", alias_name="old"))
-        combined = combined.map_batches(
-            lambda t: pa.table({
-                "node": t["node"],
-                "component": t["component"],
-                "_changed": pc.cast(pc.not_equal(t["component"], t["old"]),
-                                    pa.int64())}),
-            batch_format="pyarrow", batch_size=None)
-        # no repartition here: the aggregate's output blocks are already
-        # keyed and sized by the shuffle; the next round's join takes
-        # them as-is (one fewer exchange per round)
-        combined = combined.materialize()
+        def min_combine(tbl: pa.Table) -> pa.Table:
+            # per-node Min(cand) + the self row's old label + change
+            # flag, one argsort + reduceat pass (groupby.aggregate's
+            # per-group tail measured ~10x slower on many small groups)
+            node = tbl["node"].to_numpy(zero_copy_only=False)
+            cand = tbl["cand"].to_numpy(zero_copy_only=False)
+            old = tbl["old"].to_numpy(zero_copy_only=False)
+            order = np.argsort(node, kind="stable")
+            ns = node[order]
+            new_run = np.ones(len(ns), bool)
+            new_run[1:] = ns[1:] != ns[:-1]
+            starts = np.flatnonzero(new_run)
+            comp = np.minimum.reduceat(cand[order], starts) if len(starts) \
+                else cand[:0]
+            oldv = np.minimum.reduceat(old[order], starts) if len(starts) \
+                else old[:0]
+            return pa.table({
+                "node": pa.array(ns[starts] if len(starts) else ns),
+                "component": pa.array(comp),
+                "_changed": pa.array((comp != oldv).astype(np.int64)),
+            })
+
+        combined = hash_bucket_apply(
+            delivered.map_batches(tag, batch_format="pyarrow",
+                                  batch_size=None),
+            "_nb", min_combine, num_buckets=n_parts).materialize()
         changed = combined.sum("_changed")
         labels = combined.drop_columns(["_changed"])
         if not changed:
@@ -216,10 +271,23 @@ def fuzzy_dedup(ds: ray.data.Dataset, *, text_col: str = "text",
                              batch_size=None),
         num_partitions).materialize()
 
-    sizes = _heal(
-        assigned.groupby("component").aggregate(
-            Count(alias_name="cluster_size")),
-        num_partitions)
+    from .exchange import hash_bucket_apply
+
+    def add_cb(batch: pa.Table) -> pa.Table:
+        c = batch["component"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_cb", pa.array(_node_bucket(c, num_partitions)))
+
+    def count_sizes(tbl: pa.Table) -> pa.Table:
+        c = tbl["component"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table({"component": pa.array(uniq),
+                         "cluster_size": pa.array(cnt.astype(np.int64))})
+
+    sizes = hash_bucket_apply(
+        assigned.select_columns(["component"]).map_batches(
+            add_cb, batch_format="pyarrow", batch_size=None),
+        "_cb", count_sizes, num_buckets=num_partitions)
     # representative = min id = the component label itself
     survivors = assigned.filter(
         expr=f"{id_col} == component").join(

@@ -61,7 +61,10 @@ def _split_hash(bucket_col: str, nb: int, *tbls):
     tbl = pa.concat_tables([_as_arrow(t) for t in tbls],
                            promote_options="permissive")
     codes = tbl[bucket_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    return tuple(_split_by_code(tbl, codes, nb))
+    slices = _split_by_code(tbl, codes, nb)
+    # with num_returns=1 Ray returns the value as-is — a 1-tuple here
+    # would reach the merge side unexploded
+    return slices[0] if nb == 1 else tuple(slices)
 
 
 @ray.remote
@@ -69,7 +72,8 @@ def _merge_bucket(merge_fn, sample_col, sample_every: int, *tbls):
     """Concat one bucket's slices, apply ``merge_fn``, and (optionally)
     return every ``sample_every``-th value of ``sample_col`` as the
     boundary-sample side output for a downstream range exchange."""
-    t = pa.concat_tables([x for x in tbls if x.num_rows] or [tbls[0]])
+    t = pa.concat_tables([x for x in tbls if x.num_rows] or [tbls[0]],
+                         promote_options="permissive")
     t = merge_fn(t)
     if sample_col is None:
         return t, None
@@ -81,12 +85,14 @@ def _merge_bucket(merge_fn, sample_col, sample_every: int, *tbls):
 def _split_range(sort_col: str, bounds: np.ndarray, tbl: pa.Table):
     v = tbl[sort_col].to_numpy(zero_copy_only=False)
     codes = np.searchsorted(bounds, v, side="right")
-    return tuple(_split_by_code(tbl, codes, len(bounds) + 1))
+    slices = _split_by_code(tbl, codes, len(bounds) + 1)
+    return slices[0] if len(slices) == 1 else tuple(slices)
 
 
 @ray.remote
 def _merge_range(sort_col: str, drop_sort_col: bool, *tbls):
-    t = pa.concat_tables([x for x in tbls if x.num_rows] or [tbls[0]])
+    t = pa.concat_tables([x for x in tbls if x.num_rows] or [tbls[0]],
+                         promote_options="permissive")
     v = t[sort_col].to_numpy(zero_copy_only=False)
     t = t.take(pa.array(np.argsort(v, kind="stable")))
     return t.drop_columns([sort_col]) if drop_sort_col else t
