@@ -356,6 +356,19 @@ def q_token_stats(sf_dir: str):
     return ds.select_columns(["doc_id", "n_tokens_ws", "n_tokens_re"])
 
 
+def q_normalize_text(sf_dir: str):
+    """Canonical text form: lower -> NFC -> collapse whitespace ->
+    trim (stages/textstats.normalize_batch, polars fast path with a
+    scalar non-ASCII fallback)."""
+    from .stages.textstats import normalize_batch
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(normalize_batch, batch_format="pyarrow",
+                        batch_size=None)
+    return ds.select_columns(["doc_id", "text_norm"])
+
+
 def q_quality(sf_dir: str):
     """Quality scoring (integer components — SQL-checkable)."""
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
@@ -446,6 +459,19 @@ def q_ngram_jaccard(sf_dir: str):
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
                                columns=["doc_id", "text"])
     return ngram_jaccard_pairs(ds, text_col="text", id_col="doc_id", k=2)
+
+
+def q_repeated_spans(sf_dir: str):
+    """Cross-document repeated-span counts (Lee et al. 2022 signal):
+    per doc, distinct word-5-gram count and how many of those grams
+    appear in >= 2 distinct documents corpus-wide. Two narrow
+    (doc_id, hash) exchanges; text never shuffles."""
+    from .stages.spans import repeated_span_stats
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return repeated_span_stats(ds, text_col="text", id_col="doc_id",
+                               span_k=5, min_docs=2)
 
 
 def q_url_seen(sf_dir: str):
@@ -1705,6 +1731,14 @@ ORACLES: dict[str, str] = {
     "fingerprint": _fingerprint_oracle(),
     "simhash_sigs": _simhash_oracle(),
     "minhash_pairs": _minhash_oracle(),
+    "repeated_spans": ("WITH " + _gram_sh_cte(5) + r""",
+rep AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) FILTER (WHERE r.h IS NOT NULL) AS BIGINT)
+         AS n_repeated_spans
+FROM sh s LEFT JOIN rep r ON r.h = s.h
+GROUP BY s.doc_id
+"""),
     "cc_components": _cc_oracle(),
     "decontaminate": _decontam_oracle(),
     "pii_redact": _pii_oracle(),
@@ -1926,6 +1960,12 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
     "project_rename": """
 SELECT event_id, event_type AS etype, user_id FROM events
 """,
+    "normalize_text": r"""
+SELECT doc_id,
+       trim(regexp_replace(nfc_normalize(lower(text)),
+                           '[ \t\n\r\f\v]+', ' ', 'g')) AS text_norm
+FROM documents
+""",
     "token_stats": r"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws,
@@ -2050,6 +2090,7 @@ QUERIES = {
     "groupby_agg": q_groupby_agg,
     "project_rename": q_project_rename,
     "token_stats": q_token_stats,
+    "normalize_text": q_normalize_text,
     "quality": q_quality,
     "lang_id": q_lang_id,
     "ann_topk": q_ann_topk,
@@ -2057,6 +2098,7 @@ QUERIES = {
     "union_streams": q_union_streams,
     "topk_per_group": q_topk_per_group,
     "ngram_jaccard": q_ngram_jaccard,
+    "repeated_spans": q_repeated_spans,
     "url_seen": q_url_seen,
     "row_sample": q_row_sample,
     "fetch_plan": q_fetch_plan,

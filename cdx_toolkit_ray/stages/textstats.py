@@ -53,6 +53,51 @@ def _pl_series(batch: pa.Table, text_col: str):
     return pl.Series("t", col).fill_null("")
 
 
+_NONASCII_RE = re.compile(r"[^\x00-\x7F]")
+_WSRUN_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def normalize_batch(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "text_norm") -> pa.Table:
+    """Append the canonical text form: lowercase -> unicode NFC ->
+    collapse ASCII-whitespace runs to one space -> trim spaces.
+
+    SQL-equivalent (the oracle):
+    ``trim(regexp_replace(nfc_normalize(lower(text)),
+    '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))``. Nulls propagate.
+
+    Two-path kernel, same shape as canon.py's fast path: pure-ASCII
+    rows (the overwhelming majority of web text post language filter,
+    and NFC-invariant by construction) run entirely in polars; rows
+    containing any non-ASCII byte take a scalar Python fallback
+    (``str.lower`` + ``unicodedata.normalize``), whose casing can
+    differ from utf8proc's on exotic code points — acceptable drift
+    for a normalizer whose job is stable keys, and covered by unit
+    tests on the fallback path.
+    """
+    import unicodedata
+
+    s = _pl_series(batch, text_col)
+    norm = (s.str.to_lowercase()
+            .str.replace_all(r"[ \t\n\r\f\v]+", " ")
+            .str.strip_chars(" "))
+    out = norm.to_list()
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    nulls = np.asarray(pc.is_null(col))
+    texts = col.to_numpy(zero_copy_only=False)
+    for i in np.flatnonzero(~nulls):
+        t = texts[i]
+        if t and _NONASCII_RE.search(t):
+            x = unicodedata.normalize("NFC", t.lower())
+            out[i] = _WSRUN_RE.sub(" ", x).strip(" ")
+    out_arr = pa.array(out, pa.string())
+    out_arr = pc.if_else(pa.array(nulls), pa.nulls(len(out), pa.string()),
+                         out_arr)
+    return batch.append_column(out_col, out_arr)
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append ``n_tokens_ws`` (whitespace) and ``n_tokens_re``
     (BPE-ish word/punct regex) counts.

@@ -127,3 +127,28 @@ def test_frame_sampler():
     for r in out:
         assert r["n_frames_sampled"] >= 0
         assert len(r["sampled_frames"]) <= len(r["payload"])
+
+
+def test_normalize_batch_ascii_and_fallback():
+    import duckdb
+    import pandas as pd
+
+    from cdx_toolkit_ray.queries import ORACLES
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["Mixed   CASE\twith\n\nruns ", "  trim me  ", None,
+                 "Café au\tLait Àbc",     # non-ascii fallback
+                 "Über  straße"],
+    })
+    got = ray.data.from_pandas(docs).map_batches(
+        textstats.normalize_batch, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)[["doc_id", "text_norm"]]
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(ORACLES["normalize_text"] + " ORDER BY doc_id") \
+        .df().astype({"doc_id": "int64"}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["text_norm"][0] == "mixed case with runs"
+    assert got["text_norm"][3] == "café au lait àbc"
