@@ -611,6 +611,36 @@ def q_decontaminate(sf_dir: str):
                                "contaminated"])
 
 
+def q_bloom_decontam(sf_dir: str):
+    """Bloom-gated decontamination (stages/bloom.bloom_decontaminate):
+    same %37 split as `decontaminate` but the test index is a
+    distributed-built fixed-size bitmap (tree-OR of per-block
+    partials) — the scale path for test sides too big to collect.
+    At the catalog sizing (2^24 bits, ~1e-15 FP/lookup) the bloom
+    result provably-almost-surely equals the exact pass, so it shares
+    the exact oracle; the superset-of-exact property at lossy sizings
+    is test-asserted (tests/test_bloom.py)."""
+    from .stages.bloom import bloom_decontaminate
+
+    docs = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                                 columns=["doc_id", "text"])
+
+    def split(test: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 37 == 0) if test else (ids % 37 != 0)
+            return batch.filter(pa.array(mask))
+        return fn
+
+    test = docs.map_batches(split(True), batch_format="pyarrow",
+                            batch_size=None)
+    train = docs.map_batches(split(False), batch_format="pyarrow",
+                             batch_size=None)
+    out = bloom_decontaminate(train, test, num_bits=1 << 24)
+    return out.select_columns(["doc_id", "n_grams", "n_hits",
+                               "contaminated"])
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition/boilerplate signals
     (stages/textstats.repetition_stats): integer word / distinct-word /
@@ -1741,6 +1771,13 @@ GROUP BY s.doc_id
 """),
     "cc_components": _cc_oracle(),
     "decontaminate": _decontam_oracle(),
+    # the bloom gate's oracle is the EXACT pass: with 2^24 bits over
+    # the fixture test side the false-positive probability per lookup
+    # is ~1e-15 (bloom_fp_rate), and the filter is deterministic, so
+    # bloom == exact is a checkable (and checked) property here; the
+    # superset guarantee at lossy sizings is test-asserted instead
+    # (tests/test_bloom.py)
+    "bloom_decontam": _decontam_oracle(),
     "pii_redact": _pii_oracle(),
     "repetition": _REPETITION_SQL,
     "fuzzy_dedup": _cc_oracle(with_corpus=True),
@@ -2109,6 +2146,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "cc_components": q_cc_components,
     "decontaminate": q_decontaminate,
+    "bloom_decontam": q_bloom_decontam,
     "pii_redact": q_pii_redact,
     "repetition": q_repetition,
     "chunk_docs": q_chunk_docs,
