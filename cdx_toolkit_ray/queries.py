@@ -388,6 +388,41 @@ def q_lang_id(sf_dir: str):
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+def q_embed_quantize(sf_dir: str):
+    """Symmetric int8 embedding quantization
+    (stages/ann.quantize_batch): zero-shuffle streaming map; exploded
+    to (vec_id, dim_idx, qval, max_abs) scalars for the value check —
+    the stage itself keeps the list<int8> column."""
+    from .stages.ann import quantize_batch
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    ds = ds.map_batches(quantize_batch, batch_format="pyarrow",
+                        batch_size=None)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        q = batch["qvec"]
+        if isinstance(q, pa.ChunkedArray):
+            q = q.combine_chunks()
+        offsets = q.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(offsets)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        ma = batch["max_abs"].to_numpy(zero_copy_only=False)
+        first = offsets[0]
+        dim_idx = (np.arange(offsets[-1] - first)
+                   - np.repeat(offsets[:-1] - first, lengths))
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, lengths), pa.int64()),
+            "dim_idx": pa.array(dim_idx, pa.int64()),
+            "qval": pa.array(q.values.to_numpy(zero_copy_only=False)
+                             [first:].astype(np.int64)),
+            "max_abs": pa.array(np.repeat(ma, lengths), pa.float64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k: broadcast query vector, per-batch
     numpy matmul, global top-k by sort+limit."""
@@ -2041,6 +2076,21 @@ SELECT doc_id,
             ELSE 'fr' END AS lang_pred
 FROM sc
 """,
+    "embed_quantize": """
+WITH q AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x)))
+              AS DOUBLE) AS max_abs
+  FROM embeddings),
+e AS (SELECT vec_id, max_abs, embedding,
+             unnest(range(1, len(embedding) + 1)) AS i FROM q)
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim_idx,
+       CAST(CASE WHEN max_abs = 0 THEN 0
+            ELSE round(CAST(embedding[i] AS DOUBLE) * 127.0 / max_abs)
+            END AS BIGINT) AS qval,
+       max_abs
+FROM e
+""",
     "ann_topk": """
 SELECT vec_id FROM embeddings
 ORDER BY list_cosine_similarity(embedding,
@@ -2131,6 +2181,7 @@ QUERIES = {
     "quality": q_quality,
     "lang_id": q_lang_id,
     "ann_topk": q_ann_topk,
+    "embed_quantize": q_embed_quantize,
     "distinct": q_distinct,
     "union_streams": q_union_streams,
     "topk_per_group": q_topk_per_group,

@@ -152,3 +152,27 @@ def test_normalize_batch_ascii_and_fallback():
     pd.testing.assert_frame_equal(got, want)
     assert got["text_norm"][0] == "mixed case with runs"
     assert got["text_norm"][3] == "café au lait àbc"
+
+
+def test_quantize_batch_properties():
+    rng = np.random.default_rng(5)
+    rows = [rng.normal(size=rng.integers(1, 9)).astype(np.float32)
+            for _ in range(50)]
+    rows.append(np.zeros(4, np.float32))        # all-zero vector
+    rows.append(np.array([], np.float32))       # empty vector
+    tbl = pa.table({"vec_id": pa.array(range(len(rows)), pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in rows],
+                                          pa.list_(pa.float32()))})
+    out = ann.quantize_batch(tbl)
+    q = out["qvec"].to_pylist()
+    ma = out["max_abs"].to_pylist()
+    for r, qv, m in zip(rows, q, ma):
+        assert len(qv) == len(r)
+        if len(r) == 0 or not r.any():
+            assert m == 0.0 and all(v == 0 for v in qv)
+            continue
+        assert m == pytest.approx(np.abs(r).max(), rel=0, abs=0)
+        deq = np.array(qv, np.float64) * m / 127.0
+        # dequantization error bound: half a quantization step
+        assert np.abs(deq - r.astype(np.float64)).max() <= m / 254 + 1e-12
+        assert max(abs(v) for v in qv) == 127  # max element saturates
