@@ -1036,6 +1036,17 @@ def q_frame_sample(sf_dir: str):
                         batch_size=None)
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (stages/sessions.sessionize): 30-min
+    gap, per-(user, session) aggregates; one user-bucket exchange, all
+    session logic as run-length passes in the merge kernel."""
+    from .stages.sessions import sessionize
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["event_id", "user_id", "ts"])
+    return sessionize(ds, gap_us=30 * 60 * 1_000_000, level="session")
+
+
 def q_window_agg(sf_dir: str):
     """Tumbling-window aggregate (§2.8 streaming semantics extension):
     events bucketed into 1-hour windows, per (event_type, window)
@@ -2137,6 +2148,25 @@ FROM pairs
     "url_seen": "WITH " + _SEEDS_CTE + """
 SELECT DISTINCT urlkey FROM seeds
 """,
+    "sessionize": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM o)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS t_start_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS t_end_us
+FROM s GROUP BY user_id, session_idx
+""",
     "window_agg": """
 SELECT event_type, strftime(date_trunc('hour', ts), '%Y%m%d%H') AS win,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
@@ -2191,6 +2221,7 @@ QUERIES = {
     "row_sample": q_row_sample,
     "fetch_plan": q_fetch_plan,
     "window_agg": q_window_agg,
+    "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     # rows-only (no SQL equivalent)

@@ -1,0 +1,106 @@
+"""Gap-based sessionization over an event stream.
+
+The classic weblog / interaction-log window operator: events of one
+user belong to the same session while consecutive gaps stay within
+``gap_us``; a larger gap opens a new session. Ray Data has no ordered
+window-function operator, so this composes the engine's hash exchange
+with a vectorized multi-user kernel: bucket by ``hash(user) % B``
+(every user's events co-locate in ONE merge task — the partitioning
+assumption, same contract as the as-of join), one lexsort per bucket,
+then the session boundaries, indices and per-session aggregates all
+fall out of run-length passes. No per-user Python, no per-row Python.
+
+Skew note: a single pathological user costs one task O(events(user)
+log events(user)) — the same bound any PARTITION BY window engine
+pays; salt-split is NOT applicable (sessions are order-dependent
+within a user).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .dedup import _mix64
+from .exchange import hash_bucket_apply
+
+
+def sessionize(ds: ray.data.Dataset, *, user_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               gap_us: int = 30 * 60 * 1_000_000,
+               level: str = "session",
+               num_buckets: int = 32) -> ray.data.Dataset:
+    """Assign gap-based sessions.
+
+    ``level="session"`` -> one row per (user, session):
+    ``(user_id, session_idx, n_events, t_start_us, t_end_us)``.
+    ``level="event"`` -> one row per event:
+    ``(event_id, user_id, session_idx, ts_us)``.
+    ``session_idx`` counts from 0 per user in ``(ts, event_id)``
+    order; ties on ts break by ascending event id (deterministic under
+    any parallelism).
+    """
+    if level not in ("session", "event"):
+        raise ValueError("level must be 'session' or 'event'")
+    nb = np.uint64(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_ub", pa.array((_mix64(u.astype(np.uint64)) % nb)
+                            .astype(np.int64)))
+
+    keyed = ds.select_columns([id_col, user_col, ts_col]).map_batches(
+        add_bucket, batch_format="pyarrow", batch_size=None)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = tbl[user_col].to_numpy(zero_copy_only=False)
+        ts = tbl[ts_col].to_numpy(zero_copy_only=False)
+        ts = ts.astype("datetime64[us]").view(np.int64) \
+            if ts.dtype.kind == "M" else ts.astype(np.int64)
+        ev = tbl[id_col].to_numpy(zero_copy_only=False)
+        n = len(u)
+        if not n:
+            if level == "session":
+                return pa.table({
+                    "user_id": pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "t_start_us": pa.array([], pa.int64()),
+                    "t_end_us": pa.array([], pa.int64())})
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64())})
+        order = np.lexsort((ev, ts, u))
+        us, tss, evs = u[order], ts[order], ev[order]
+        new_user = np.ones(n, bool)
+        new_user[1:] = us[1:] != us[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= (tss[1:] - tss[:-1]) > gap_us
+        sess_run = np.cumsum(new_sess) - 1            # global in bucket
+        user_run = np.cumsum(new_user) - 1
+        # session_idx = this session's global run id minus the user's
+        # FIRST session run id
+        first_run_of_user = sess_run[np.flatnonzero(new_user)]
+        sidx = sess_run - first_run_of_user[user_run]
+        if level == "event":
+            return pa.table({
+                "event_id": pa.array(evs, pa.int64()),
+                "user_id": pa.array(us, pa.int64()),
+                "session_idx": pa.array(sidx, pa.int64()),
+                "ts_us": pa.array(tss, pa.int64())})
+        starts = np.flatnonzero(new_sess)
+        n_events = np.diff(np.append(starts, n))
+        return pa.table({
+            "user_id": pa.array(us[starts], pa.int64()),
+            "session_idx": pa.array(sidx[starts], pa.int64()),
+            "n_events": pa.array(n_events.astype(np.int64)),
+            "t_start_us": pa.array(tss[starts], pa.int64()),
+            "t_end_us": pa.array(tss[np.append(starts[1:], n) - 1],
+                                 pa.int64())})
+
+    return hash_bucket_apply(keyed, "_ub", per_bucket,
+                             num_buckets=num_buckets)

@@ -1,0 +1,85 @@
+"""Gap-based sessionization vs DuckDB window functions."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from cdx_toolkit_ray.stages.sessions import sessionize
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+GAP_US = 10 * 60 * 1_000_000  # 10 minutes
+
+
+@pytest.fixture(scope="module")
+def events():
+    rng = np.random.default_rng(9)
+    rows = []
+    eid = 0
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    for user in range(12):
+        t = base + np.timedelta64(int(rng.integers(0, 3600)), "s")
+        for _ in range(int(rng.integers(1, 40))):
+            rows.append({"event_id": eid, "user_id": user,
+                         "ts": pd.Timestamp(t)})
+            eid += 1
+            # mix of intra-session gaps and session-breaking gaps
+            step = int(rng.choice([5, 60, 300, 1200, 7200]))
+            t = t + np.timedelta64(step, "s")
+    # tie-break case: two events at the identical timestamp
+    rows.append({"event_id": eid, "user_id": 0,
+                 "ts": rows[0]["ts"]})
+    return pd.DataFrame(rows)
+
+
+def test_session_level_matches_sql(events):
+    got = sessionize(ray.data.from_pandas(events), gap_us=GAP_US,
+                     num_buckets=5).to_pandas() \
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", events)
+    want = con.execute(f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM o)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS t_start_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS t_end_us
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+""").df().astype({c: "int64" for c in
+                  ("user_id", "session_idx", "n_events",
+                   "t_start_us", "t_end_us")}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.groupby("user_id")["session_idx"].min() == 0).all()
+
+
+def test_event_level_consistent_with_session_level(events):
+    ev = sessionize(ray.data.from_pandas(events), gap_us=GAP_US,
+                    level="event").to_pandas()
+    se = sessionize(ray.data.from_pandas(events), gap_us=GAP_US,
+                    level="session").to_pandas()
+    roll = ev.groupby(["user_id", "session_idx"]).agg(
+        n_events=("event_id", "size"), t_start_us=("ts_us", "min"),
+        t_end_us=("ts_us", "max")).reset_index()
+    merged = roll.merge(se, on=["user_id", "session_idx"],
+                        suffixes=("_ev", "_se"))
+    assert len(merged) == len(se) == len(roll)
+    for c in ("n_events", "t_start_us", "t_end_us"):
+        assert (merged[c + "_ev"] == merged[c + "_se"]).all()
+    # every event appears exactly once
+    assert ev["event_id"].is_unique and len(ev) == len(events)
+
+
+def test_bad_level_raises(events):
+    with pytest.raises(ValueError):
+        sessionize(ray.data.from_pandas(events), level="nope")
