@@ -1036,6 +1036,119 @@ def q_frame_sample(sf_dir: str):
                         batch_size=None)
 
 
+def q_top_revenue(sf_dir: str):
+    """TPC-H Q3-shaped multi-join: segment-filtered customers
+    (broadcast — the genuinely small side) semi-join orders map-side,
+    lineitem pre-aggregated per order INSIDE each batch before the
+    one distributed hash join, final per-order sum on the task-graph
+    exchange, global top-10 by revenue. Integer cents end-to-end so
+    the float product rounds identically in SQL."""
+    import ray as _ray
+
+    from .stages.exchange import hash_bucket_apply
+
+    cutoff = np.datetime64("1997-01-01", "us").view(np.int64)
+
+    cust = pq.read_table(_tbl(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+    ckeys = np.sort(keys["c_custkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+    ckeys_ref = _ray.put(ckeys)
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        from .pipelines.frontier import _get_broadcast
+
+        ck = _get_broadcast(ckeys_ref)
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        cu = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        if len(ck):
+            pos = np.searchsorted(ck, cu)
+            pos[pos == len(ck)] = 0
+            keep = (od < cutoff) & (ck[pos] == cu)
+        else:
+            keep = np.zeros(len(cu), bool)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+            "o_date_us": pa.array(od[keep], pa.int64()),
+        })
+
+    orders = ray.data.read_parquet(
+        _tbl(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(orders_filter, batch_format="pyarrow",
+                     batch_size=None)
+
+    def lineitem_partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        keep = sd > cutoff
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        price = batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+            .astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        oks = ok[order]
+        new_run = np.ones(len(oks), bool)
+        new_run[1:] = oks[1:] != oks[:-1]
+        starts = np.flatnonzero(new_run)
+        part = np.add.reduceat(cents[order], starts) if len(starts) \
+            else cents[:0]
+        return pa.table({
+            "l_orderkey": pa.array(oks[starts] if len(starts) else oks,
+                                   pa.int64()),
+            "cents": pa.array(part, pa.int64()),
+        })
+
+    line = ray.data.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]) \
+        .map_batches(lineitem_partial, batch_format="pyarrow",
+                     batch_size=None)
+
+    from .stages.dedup import default_join_partitions
+
+    joined = line.join(orders, "inner", default_join_partitions(),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def add_ob(batch: pa.Table) -> pa.Table:
+        from .stages.dedup import _mix64
+
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_ob", pa.array((_mix64(k.astype(np.uint64))
+                             % np.uint64(16)).astype(np.int64)))
+
+    def sum_orders(tbl: pa.Table) -> pa.Table:
+        k = tbl["l_orderkey"].to_numpy(zero_copy_only=False)
+        c = tbl["cents"].to_numpy(zero_copy_only=False)
+        d = tbl["o_date_us"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        new_run = np.ones(len(ks), bool)
+        new_run[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new_run)
+        rev = np.add.reduceat(c[order], starts) if len(starts) else c[:0]
+        return pa.table({
+            "o_orderkey": pa.array(ks[starts] if len(starts) else ks,
+                                   pa.int64()),
+            "o_date_us": pa.array(d[order][starts] if len(starts)
+                                  else d[:0], pa.int64()),
+            "revenue_cents": pa.array(rev, pa.int64()),
+        })
+
+    summed = hash_bucket_apply(
+        joined.map_batches(add_ob, batch_format="pyarrow",
+                           batch_size=None),
+        "_ob", sum_orders, num_buckets=16)
+    return summed.sort(["revenue_cents", "o_orderkey"],
+                       descending=[True, False]).limit(10)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization (stages/sessions.sessionize): 30-min
     gap, per-(user, session) aggregates; one user-bucket exchange, all
@@ -2148,6 +2261,22 @@ FROM pairs
     "url_seen": "WITH " + _SEEDS_CTE + """
 SELECT DISTINCT urlkey FROM seeds
 """,
+    "top_revenue": """
+WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+o AS (SELECT o_orderkey, o_orderdate FROM orders
+      JOIN c ON o_custkey = c_custkey
+      WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+l AS (SELECT l_orderkey,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-01-01')
+SELECT o.o_orderkey, CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_date_us,
+       CAST(sum(l.cents) AS BIGINT) AS revenue_cents
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10
+""",
     "sessionize": """
 WITH o AS (
   SELECT user_id, ts, event_id,
@@ -2222,6 +2351,7 @@ QUERIES = {
     "fetch_plan": q_fetch_plan,
     "window_agg": q_window_agg,
     "sessionize": q_sessionize,
+    "top_revenue": q_top_revenue,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     # rows-only (no SQL equivalent)

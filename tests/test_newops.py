@@ -2,6 +2,8 @@
 IVF ANN / actor-pool URL-seen query catalog entries (SURVEY.md §2.5,
 §2.6, and the training-data operator set)."""
 
+import numpy as np
+import pyarrow as pa
 import pytest
 import ray.data
 
@@ -291,3 +293,43 @@ def test_asof_join_left_ts_guard():
                            left_key="k", right_key="k",
                            left_ts="ts", right_ts="ts",
                            right_cols=["rid"], num_buckets=2).to_pandas()
+
+
+def test_top_revenue_matches_duckdb(tmp_path):
+    """TPC-H Q3-shaped multi-join catalog query vs its oracle on a
+    tiny synthetic warehouse (exercises the empty-segment guard too)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    from cdx_toolkit_ray import queries as Q
+
+    rng = np.random.default_rng(13)
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(30, dtype=np.int64),
+        "c_mktsegment": [["BUILDING", "AUTOMOBILE", "MACHINERY"][i % 3]
+                         for i in range(30)]})
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(200, dtype=np.int64),
+        "o_custkey": rng.integers(0, 30, 200),
+        "o_orderdate": pd.to_datetime("1995-01-01")
+        + pd.to_timedelta(rng.integers(0, 1500, 200), unit="D")})
+    line = pd.DataFrame({
+        "l_orderkey": rng.integers(0, 200, 800),
+        "l_extendedprice": rng.uniform(10, 5000, 800).round(2),
+        "l_discount": rng.choice([0.0, 0.05, 0.1], 800),
+        "l_shipdate": pd.to_datetime("1995-01-01")
+        + pd.to_timedelta(rng.integers(0, 1500, 800), unit="D")})
+    for name, df in (("customer", cust), ("orders", orders),
+                     ("lineitem", line)):
+        pq_.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                        str(tmp_path / f"{name}.parquet"))
+    got = Q.QUERIES["top_revenue"](str(tmp_path)).to_pandas() \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    want = con.execute(Q.ORACLES["top_revenue"]).df() \
+        .astype({"o_orderkey": "int64"}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
