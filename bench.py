@@ -344,6 +344,10 @@ def main() -> None:
             ("tfidf_topk", lambda: consume(Q.q_tfidf_topk(SF_DIR))),
             ("lm_score", lambda: consume(Q.q_lm_score(SF_DIR))),
             ("kmeans", lambda: consume(Q.q_kmeans(SF_DIR))),
+            ("repeated_spans",
+             lambda: consume(Q.q_repeated_spans(SF_DIR))),
+            ("sessionize", lambda: consume(Q.q_sessionize(SF_DIR))),
+            ("top_revenue", lambda: consume(Q.q_top_revenue(SF_DIR))),
         ]
         for name, fn in others:
             t = time.time()

@@ -1036,6 +1036,18 @@ def q_frame_sample(sf_dir: str):
                         batch_size=None)
 
 
+def q_rolling_sum(sf_dir: str):
+    """Per-user moving-window sum (stages/sessions.rolling_sum):
+    5-row trailing window in (ts, event_id) order, integer cents —
+    the ROWS BETWEEN window-function replica."""
+    from .stages.sessions import rolling_sum
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    return rolling_sum(ds, window=5)
+
+
 def q_top_revenue(sf_dir: str):
     """TPC-H Q3-shaped multi-join: segment-filtered customers
     (broadcast — the genuinely small side) semi-join orders map-side,
@@ -2261,6 +2273,15 @@ FROM pairs
     "url_seen": "WITH " + _SEEDS_CTE + """
 SELECT DISTINCT urlkey FROM seeds
 """,
+    "rolling_sum": """
+SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum_cents,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n
+FROM (SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
     "top_revenue": """
 WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
 o AS (SELECT o_orderkey, o_orderdate FROM orders
@@ -2352,6 +2373,7 @@ QUERIES = {
     "window_agg": q_window_agg,
     "sessionize": q_sessionize,
     "top_revenue": q_top_revenue,
+    "rolling_sum": q_rolling_sum,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     # rows-only (no SQL equivalent)

@@ -104,3 +104,73 @@ def sessionize(ds: ray.data.Dataset, *, user_col: str = "user_id",
 
     return hash_bucket_apply(keyed, "_ub", per_bucket,
                              num_buckets=num_buckets)
+
+
+def rolling_sum(ds: ray.data.Dataset, *, user_col: str = "user_id",
+                ts_col: str = "ts", id_col: str = "event_id",
+                value_col: str = "value", window: int = 5,
+                num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-key moving-window aggregate: for every event, the sum and
+    count of the last ``window`` rows (inclusive) of its user in
+    ``(ts, event_id)`` order — SQL's ``SUM(...) OVER (PARTITION BY user
+    ORDER BY ts, id ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    Values are carried as integer cents (``round_half_away(v * 100)``)
+    so the windowed sums are order-exact and SQL-checkable. Same
+    partitioning contract as ``sessionize`` (user-bucket exchange, one
+    lexsort + prefix-sum pass per bucket — the per-user reset is a
+    clamp of the window start to the user's first row, no per-user
+    Python).
+    """
+    nb = np.uint64(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch[user_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        cents = np.where(v >= 0, np.floor(v * 100.0 + 0.5),
+                         np.ceil(v * 100.0 - 0.5)).astype(np.int64)
+        batch = batch.select([id_col, user_col, ts_col])
+        batch = batch.append_column("_cents", pa.array(cents))
+        return batch.append_column(
+            "_ub", pa.array((_mix64(u.astype(np.uint64)) % nb)
+                            .astype(np.int64)))
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                           batch_size=None)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = tbl[user_col].to_numpy(zero_copy_only=False)
+        ts = tbl[ts_col].to_numpy(zero_copy_only=False)
+        ts = ts.astype("datetime64[us]").view(np.int64) \
+            if ts.dtype.kind == "M" else ts.astype(np.int64)
+        ev = tbl[id_col].to_numpy(zero_copy_only=False)
+        cents = tbl["_cents"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        if not n:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "roll_sum_cents": pa.array([], pa.int64()),
+                "roll_n": pa.array([], pa.int64())})
+        order = np.lexsort((ev, ts, u))
+        us, tss, evs, cs_ = u[order], ts[order], ev[order], cents[order]
+        new_user = np.ones(n, bool)
+        new_user[1:] = us[1:] != us[:-1]
+        ustart = np.flatnonzero(new_user)
+        user_run = np.cumsum(new_user) - 1
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(idx - window + 1, ustart[user_run])
+        prefix = np.cumsum(cs_)
+        # sum(lo..i) = prefix[i] - prefix[lo-1]; when lo spans back
+        # into a previous user the clamp above prevents it
+        roll = prefix - np.where(lo > 0, prefix[lo - 1], 0)
+        return pa.table({
+            "event_id": pa.array(evs, pa.int64()),
+            "user_id": pa.array(us, pa.int64()),
+            "ts_us": pa.array(tss, pa.int64()),
+            "roll_sum_cents": pa.array(roll, pa.int64()),
+            "roll_n": pa.array(idx - lo + 1, pa.int64())})
+
+    return hash_bucket_apply(keyed, "_ub", per_bucket,
+                              num_buckets=num_buckets)

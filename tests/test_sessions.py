@@ -83,3 +83,30 @@ def test_event_level_consistent_with_session_level(events):
 def test_bad_level_raises(events):
     with pytest.raises(ValueError):
         sessionize(ray.data.from_pandas(events), level="nope")
+
+
+def test_rolling_sum_matches_sql(events):
+    from cdx_toolkit_ray.stages.sessions import rolling_sum
+
+    rng = np.random.default_rng(4)
+    ev = events.copy()
+    ev["value"] = rng.uniform(-50, 50, len(ev)).round(2)
+    got = rolling_sum(ray.data.from_pandas(ev), window=3,
+                      num_buckets=4).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute("""
+SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum_cents,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n
+FROM (SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY event_id""").df().astype(
+        {c: "int64" for c in ("event_id", "user_id", "ts_us",
+                              "roll_sum_cents", "roll_n")}) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["roll_n"].max() == 3 and got["roll_n"].min() == 1
