@@ -786,21 +786,70 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, text_col: str = "text",
             "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
         })
 
-    members = cands.map_batches(membership, batch_format="pyarrow",
-                                batch_size=None)
-    corpus = ds.select_columns([id_col, text_col])
-    joined = members.join(corpus, "inner", num_partitions,
-                          on=("member_id",), right_on=(id_col,))
+    jb = np.uint64(num_partitions)
 
-    def add_vb(batch: pa.Table) -> pa.Table:
-        pid = batch["pair_id"].to_numpy(zero_copy_only=False)
+    def add_members_jb(batch: pa.Table) -> pa.Table:
+        batch = membership(batch)
+        m = batch["member_id"].to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "verify_bucket",
-            pa.array((pid.astype(np.uint64) % np.uint64(verify_buckets))
-                     .astype(np.int64)))
+            "_jb", pa.array((_mix64(m.astype(np.uint64)) % jb)
+                            .astype(np.int64)))
 
-    joined = joined.map_batches(add_vb, batch_format="pyarrow",
+    def add_corpus_jb(batch: pa.Table) -> pa.Table:
+        batch = pa.table({
+            "member_id": pc.cast(batch[id_col], pa.int64()),
+            text_col: batch[text_col],
+        })
+        m = batch["member_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_jb", pa.array((_mix64(m.astype(np.uint64)) % jb)
+                            .astype(np.int64)))
+
+    members = cands.map_batches(add_members_jb, batch_format="pyarrow",
                                 batch_size=None)
+    corpus = ds.select_columns([id_col, text_col]).map_batches(
+        add_corpus_jb, batch_format="pyarrow", batch_size=None)
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        # membership x corpus inner join inside one bucket (both sides
+        # bucketed by the member/doc id). Sides split in ARROW first —
+        # the unioned superset schema null-fills each side's missing
+        # columns, and to_pandas on the whole bucket would promote the
+        # int64 pair columns to float64 (same trick as asof._sided).
+        member_cols = ["member_id", "pair_id", "slot", "id_a", "id_b"]
+        # member rows always carry slot; corpus rows get it null-filled
+        # by the union's schema promotion (text may legitimately be
+        # null, so slot — an engine-set column — is the side marker)
+        is_member = pa.array(pc.is_valid(tbl["slot"]))
+        ctab = tbl.filter(pc.invert(is_member))
+        mtab = tbl.filter(is_member)
+        cid = ctab["member_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cid, kind="stable")
+        cid = cid[order]
+        texts = ctab[text_col].to_numpy(zero_copy_only=False)[order]
+        mid = mtab["member_id"].to_numpy(zero_copy_only=False)
+        if len(cid):
+            pos = np.searchsorted(cid, mid)
+            pos[pos == len(cid)] = 0
+            hit = cid[pos] == mid
+        else:
+            pos = np.zeros(len(mid), np.int64)
+            hit = np.zeros(len(mid), bool)
+        out = {c: mtab[c].to_numpy(zero_copy_only=False)[hit]
+               for c in member_cols}
+        pid = out["pair_id"]
+        return pa.table({
+            **{c: pa.array(out[c]) for c in member_cols},
+            text_col: pa.array(texts[pos[hit]], pa.string()),
+            "verify_bucket": pa.array(
+                (pid.astype(np.uint64) % np.uint64(verify_buckets))
+                .astype(np.int64)),
+        })
+
+    from .exchange import hash_bucket_apply
+
+    joined = hash_bucket_apply(members.union(corpus), "_jb", join_bucket,
+                               num_buckets=num_partitions)
 
     def verify_bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["pair_id", "slot", "id_a"])
