@@ -620,6 +620,23 @@ def q_fuzzy_dedup(sf_dir: str):
                        threshold=0.5)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (stages/semdedup.semantic_dedup):
+    seeded k-means partition of the embedding space, within-cluster
+    exact-cosine pairs (>= 0.4; one cluster-keyed exchange, per-cluster
+    matmul), connected components, min-id survivor per component.
+    Oracle replicates the whole chain: seeded centroid init + nearest-
+    centroid assignment (the kmeans_assign SQL), within-cluster
+    list_cosine_similarity pairs, recursive-CTE closure, survivor
+    select with full cluster sizes."""
+    from .stages.semdedup import semantic_dedup
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, vec_col="embedding", id_col="vec_id",
+                          k=8, threshold=0.4, seed=0)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (stages/decontam.decontaminate):
     test side = doc_id % 37 == 0 (deterministic split), broadcast
@@ -1665,6 +1682,50 @@ WHERE a.doc_id = a.component
 """)
 
 
+def _semdedup_oracle(k: int = 8, threshold: float = 0.4) -> str:
+    """SemDeDup chain in pure SQL: seeded k-means init + nearest-
+    centroid assignment (same CTEs the kmeans_assign oracle proves),
+    within-cluster cosine pairs, recursive reachability closure, min-id
+    survivors with full cluster sizes. The synthetic embeddings leave
+    >= 1e-5 margin around ``threshold`` (measured at sf0.01/sf0.1), so
+    the numpy-vs-DuckDB ~1e-13 cosine difference cannot flip a pair."""
+    return (r"""
+WITH RECURSIVE h AS (SELECT vec_id, embedding,
+                            """ + _seeded_key_sql("vec_id") + r""" AS skey
+           FROM embeddings),
+c AS (SELECT embedding AS cvec,
+             row_number() OVER (ORDER BY skey, vec_id) - 1 AS cluster
+      FROM h QUALIFY row_number() OVER (ORDER BY skey, vec_id) <= %d),
+d AS (SELECT e.vec_id, e.embedding, c.cluster,
+             list_distance(CAST(e.embedding AS DOUBLE[]),
+                           CAST(c.cvec AS DOUBLE[])) AS dist
+      FROM embeddings e CROSS JOIN c),
+a AS (SELECT vec_id, embedding, cluster FROM d
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cluster) = 1),
+p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                   CAST(y.embedding AS DOUBLE[])) >= %r),
+edges AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+assigned AS (SELECT em.vec_id,
+                    COALESCE(cm.component, em.vec_id) AS component
+             FROM embeddings em LEFT JOIN comp cm ON cm.node = em.vec_id),
+sizes AS (SELECT component, count(*) AS cluster_size
+          FROM assigned GROUP BY component)
+SELECT s2.vec_id, CAST(s2.component AS BIGINT) AS component,
+       CAST(z.cluster_size AS BIGINT) AS cluster_size
+FROM assigned s2 JOIN sizes z USING (component)
+WHERE s2.vec_id = s2.component
+""" % (k, threshold))
+
+
 def _fingerprint_oracle(window: int = 4) -> str:
     """Winnowing fingerprint in pure SQL: same \\S+ tokenization,
     word-``window``-grams, FNV-1a per gram, min per document."""
@@ -1952,6 +2013,7 @@ GROUP BY s.doc_id
     "pii_redact": _pii_oracle(),
     "repetition": _REPETITION_SQL,
     "fuzzy_dedup": _cc_oracle(with_corpus=True),
+    "semantic_dedup": _semdedup_oracle(),
     # the corpus_clean composite: gate + exact-dedup CTEs, the whole
     # MinHash chain nested over the survivor CTE, integer-form
     # threshold (2*ni >= nu <=> jaccard >= 0.5, exact for integers)
@@ -2397,6 +2459,7 @@ QUERIES = {
     "sharded_shuffle": q_sharded_shuffle,
     "doc_freq": q_doc_freq,
     "fuzzy_dedup": q_fuzzy_dedup,
+    "semantic_dedup": q_semantic_dedup,
     "simhash_sigs": q_simhash_sigs,
     "fingerprint": q_fingerprint,
     "embedding_neardup": q_embedding_neardup,

@@ -243,6 +243,25 @@ def fuzzy_dedup(ds: ray.data.Dataset, *, text_col: str = "text",
                                 threshold=threshold,
                                 num_partitions=num_partitions,
                                 **minhash_kwargs)
+    return survivors_from_pairs(ds, pairs, id_col=id_col,
+                                num_partitions=num_partitions)
+
+
+def survivors_from_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
+                         *, id_col: str = "doc_id",
+                         num_partitions: int | None = None
+                         ) -> ray.data.Dataset:
+    """Corpus + near-dup pair graph (id_a, id_b) -> survivors
+    (id, component, cluster_size): exactly ONE representative (min id)
+    per connected component, singletons kept as their own cluster.
+    The reusable back half of ``fuzzy_dedup`` — any candidate
+    generator (MinHash, SimHash, semantic/embedding) plugs in here.
+    """
+    from .dedup import default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+
     cc = connected_components(pairs, num_partitions=num_partitions)
     cc = cc.materialize()  # reused three times below; O(pair nodes)
 
