@@ -620,6 +620,23 @@ def q_fuzzy_dedup(sf_dir: str):
                        threshold=0.5)
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters without a full groupby
+    (stages/sketch.heavy_hitters): per-block Misra-Gries candidate
+    pass (zero shuffle, provable containment), broadcast exact-verify
+    pass, tiny candidate-keyed reduce. The counts are exact, so the
+    oracle is the plain GROUP BY ... HAVING the sketch avoids.
+    Absolute threshold (the events-per-user distribution is sf-
+    invariant by construction; num_counters matches the MG guarantee
+    m >= n/threshold at the catalog scales)."""
+    from .stages.sketch import heavy_hitters
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["user_id"])
+    return heavy_hitters(ds, "user_id", threshold=80, count_col="n_rows",
+                         num_counters=2048)
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic dedup (stages/semdedup.semantic_dedup):
     seeded k-means partition of the embedding space, within-cluster
@@ -2014,6 +2031,10 @@ GROUP BY s.doc_id
     "repetition": _REPETITION_SQL,
     "fuzzy_dedup": _cc_oracle(with_corpus=True),
     "semantic_dedup": _semdedup_oracle(),
+    "heavy_hitters": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY user_id HAVING count(*) >= 80
+""",
     # the corpus_clean composite: gate + exact-dedup CTEs, the whole
     # MinHash chain nested over the survivor CTE, integer-form
     # threshold (2*ni >= nu <=> jaccard >= 0.5, exact for integers)
@@ -2460,6 +2481,7 @@ QUERIES = {
     "doc_freq": q_doc_freq,
     "fuzzy_dedup": q_fuzzy_dedup,
     "semantic_dedup": q_semantic_dedup,
+    "heavy_hitters": q_heavy_hitters,
     "simhash_sigs": q_simhash_sigs,
     "fingerprint": q_fingerprint,
     "embedding_neardup": q_embedding_neardup,

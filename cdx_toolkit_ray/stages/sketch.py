@@ -1,0 +1,145 @@
+"""Frequency sketches: exact heavy hitters without a full groupby.
+
+The frontier's politeness stage salts hot hosts — but finding WHICH
+keys are hot is itself a wide query, and the naive answer (groupby the
+whole key column) shuffles every row to count keys that overwhelmingly
+occur once. This module implements the standard two-pass exact
+heavy-hitters scheme (Misra-Gries 1982 candidates + an exact verify
+restricted to them), which never shuffles the raw stream:
+
+1. **Candidate pass** (zero shuffle): every block runs a vectorized
+   Misra-Gries summary with ``m`` counters — by the MG guarantee, any
+   key with block count > block_rows/(m+1) survives the block's
+   summary, so summing over blocks any key with GLOBAL count >
+   n/(m+1) survives in at least one block. With ``m >= 1/phi`` the
+   candidate set provably contains every key of frequency >= phi.
+   The candidate union is bounded by blocks x m keys (driver-side,
+   like the IVF codebook sample — NOT proportional to rows).
+2. **Verify pass** (zero shuffle + one tiny reduce): the sorted
+   candidate array is broadcast via ``ray.put``; each block counts
+   ONLY candidate keys (searchsorted + bincount), and a hash exchange
+   over the candidate keys (bounded above) sums the partials and
+   applies the threshold. Counts are exact, not estimates.
+
+Vectorized MG per block: one np.unique count of the block (exact
+within a block) followed by a top-(m) cut is a valid MG summary — it
+dominates the streaming variant's counts, so the containment guarantee
+carries over while staying a single vectorized pass.
+
+At 10^10 rows / 32-byte keys and m=1024, blocks of 1M rows produce a
+10^4-block x 1024-key candidate pool (~10M keys worst case, deduped on
+the driver) — bounded by parallelism, not data; phi-scale thresholds
+keep m small. For *estimated* counts of NON-heavy keys use a count-min
+sketch instead; exactness for the heavy tail is the point here.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _block_candidates(key_col: str, m: int):
+    """Per-block top-m-by-count summary (a dominating MG summary)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({key_col: batch[key_col]})
+        counts = pc.value_counts(batch[key_col].combine_chunks())
+        vals, cnts = counts.field("values"), counts.field("counts")
+        if len(vals) > m:
+            order = pc.select_k_unstable(
+                pa.table({"c": cnts}), m, [("c", "descending")])
+            vals = vals.take(order)
+        return pa.table({key_col: vals})
+
+    return fn
+
+
+def heavy_hitters(ds: ray.data.Dataset, key_col: str, *,
+                  threshold: int | None = None, phi: float | None = None,
+                  num_counters: int | None = None,
+                  count_col: str = "n_rows",
+                  num_buckets: int = 16) -> ray.data.Dataset:
+    """Exact (key, count) for every key with count >= threshold.
+
+    Exactly one of ``threshold`` (absolute count) or ``phi`` (fraction
+    of total rows; threshold = ceil(phi * n)) must be given.
+    ``num_counters`` defaults to the smallest m honoring the MG
+    containment guarantee for the requested threshold and may be
+    raised to shrink the candidate pool's false-positive share.
+    """
+    if (threshold is None) == (phi is None):
+        raise ValueError("give exactly one of threshold= or phi=")
+    n = ds.count()
+    if phi is not None:
+        if not (0 < phi <= 1):
+            raise ValueError("phi must be in (0, 1]")
+        threshold = max(1, math.ceil(phi * n))
+    # MG guarantee needs global_count > n/(m+1) => m >= n/threshold
+    m = num_counters or (max(1, math.ceil(n / max(threshold, 1)))
+                         if n else 1)
+
+    cands = ds.select_columns([key_col]).map_batches(
+        _block_candidates(key_col, m), batch_format="pyarrow",
+        batch_size=None)
+    # bounded: <= blocks x m keys, deduped here (the one driver-side
+    # structure, same budget class as the IVF codebook sample)
+    cand_tbl = pa.concat_tables(
+        ray.get(cands.to_arrow_refs())).combine_chunks()
+    uniq = pc.unique(cand_tbl[key_col]).sort()
+    if len(uniq) == 0:
+        return ray.data.from_arrow(pa.table(
+            {key_col: uniq, count_col: pa.array([], pa.int64())}))
+    cref = ray.put(uniq)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cref)
+        idx = pc.index_in(batch[key_col].combine_chunks(), cand)
+        valid = idx.drop_null().to_numpy(zero_copy_only=False)
+        if len(valid) == 0:
+            return pa.table({key_col: cand.slice(0, 0),
+                             count_col: pa.array([], pa.int64())})
+        bc = np.bincount(valid, minlength=len(cand))
+        nz = np.flatnonzero(bc)
+        return pa.table({key_col: cand.take(pa.array(nz)),
+                         count_col: pa.array(bc[nz].astype(np.int64))})
+
+    partials = ds.select_columns([key_col]).map_batches(
+        partial_counts, batch_format="pyarrow", batch_size=None)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = pc.cast(pc.index_in(batch[key_col].combine_chunks(),
+                                ray.get(cref)), pa.int64())
+        return batch.append_column(
+            "_hb", pc.cast(pc.bit_wise_and(h, num_buckets - 1)
+                           if (num_buckets & (num_buckets - 1)) == 0
+                           else pa.array(h.to_numpy(zero_copy_only=False)
+                                         % num_buckets), pa.int64()))
+
+    thr = threshold
+
+    def reduce_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({key_col: tbl[key_col],
+                             count_col: pa.array([], pa.int64())})
+        g = tbl.group_by(key_col).aggregate([(count_col, "sum")])
+        total = g[count_col + "_sum"]
+        keep = pc.greater_equal(total, thr)
+        g = g.filter(keep)
+        return pa.table({key_col: g[key_col],
+                         count_col: pc.cast(g[count_col + "_sum"],
+                                            pa.int64())})
+
+    from .exchange import hash_bucket_apply
+
+    partials = partials.map_batches(add_bucket, batch_format="pyarrow",
+                                    batch_size=None)
+    return hash_bucket_apply(partials, "_hb", reduce_bucket,
+                             num_buckets=num_buckets)
