@@ -34,10 +34,15 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 
 from ..stages.dedup import exact_dedup, minhash_dedup_pairs
 from ..stages.textstats import quality_batch
+
+# anti-join broadcast budget: 5M int64 victim ids = 40 MB in every
+# worker's plasma — past this the distributed left_anti join takes over
+_DROP_BROADCAST_MAX = 5_000_000
 
 
 def corpus_clean(ds: ray.data.Dataset, *, id_col: str = "doc_id",
@@ -89,7 +94,26 @@ def corpus_clean(ds: ray.data.Dataset, *, id_col: str = "doc_id",
     # hash join cannot take a fully-empty side)
     drops = pairs.select_columns(["id_b"]).materialize()
     n_drops = drops.count()
-    if n_drops:
+    if n_drops and n_drops <= _DROP_BROADCAST_MAX:
+        # near-dup victims are a shrinking fraction of the corpus:
+        # broadcast the sorted id array once (<=40 MB at the budget)
+        # and anti-join as a zero-shuffle searchsorted filter
+        drop_ids = np.unique(np.concatenate(
+            [t["id_b"].to_numpy(zero_copy_only=False)
+             for t in ray.get(drops.to_arrow_refs()) if t.num_rows]))
+        dref = ray.put(drop_ids)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            di = ray.get(dref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(di, ids)
+            pos[pos == len(di)] = 0
+            return batch.filter(pa.array(di[pos] != ids))
+
+        survivors = survivors.map_batches(anti, batch_format="pyarrow",
+                                          batch_size=None)
+    elif n_drops:
+        # scale fallback: both sides stay distributed
         drops = drops.repartition(max(1, min(num_partitions, n_drops)))
         survivors = survivors.join(drops, "left_anti", num_partitions,
                                    on=(id_col,), right_on=("id_b",))

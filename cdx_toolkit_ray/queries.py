@@ -1085,10 +1085,12 @@ def q_rolling_sum(sf_dir: str):
 def q_top_revenue(sf_dir: str):
     """TPC-H Q3-shaped multi-join: segment-filtered customers
     (broadcast — the genuinely small side) semi-join orders map-side,
-    lineitem pre-aggregated per order INSIDE each batch before the
-    one distributed hash join, final per-order sum on the task-graph
-    exchange, global top-10 by revenue. Integer cents end-to-end so
-    the float product rounds identically in SQL."""
+    lineitem pre-aggregated per order INSIDE each batch, then ONE
+    task-graph exchange co-locates both sides by orderkey (union with
+    a side marker, the as-of join's pattern) whose merge kernel joins,
+    sums, and emits only its bucket's top-10 — the driver merges
+    O(buckets x 10) rows. Integer cents end-to-end so the float
+    product rounds identically in SQL."""
     import ray as _ray
 
     from .stages.exchange import hash_bucket_apply
@@ -1115,9 +1117,13 @@ def q_top_revenue(sf_dir: str):
             keep = (od < cutoff) & (ck[pos] == cu)
         else:
             keep = np.zeros(len(cu), bool)
+        n = int(keep.sum())
         return pa.table({
-            "o_orderkey": batch["o_orderkey"].filter(pa.array(keep)),
+            "key": pc.cast(batch["o_orderkey"].filter(pa.array(keep)),
+                           pa.int64()),
+            "cents": pa.array(np.zeros(n, np.int64)),
             "o_date_us": pa.array(od[keep], pa.int64()),
+            "is_order": pa.array(np.ones(n, np.int8)),
         })
 
     orders = ray.data.read_parquet(
@@ -1143,10 +1149,12 @@ def q_top_revenue(sf_dir: str):
         starts = np.flatnonzero(new_run)
         part = np.add.reduceat(cents[order], starts) if len(starts) \
             else cents[:0]
+        nk = len(starts)
         return pa.table({
-            "l_orderkey": pa.array(oks[starts] if len(starts) else oks,
-                                   pa.int64()),
+            "key": pa.array(oks[starts] if nk else oks, pa.int64()),
             "cents": pa.array(part, pa.int64()),
+            "o_date_us": pa.array(np.zeros(nk, np.int64)),
+            "is_order": pa.array(np.zeros(nk, np.int8)),
         })
 
     line = ray.data.read_parquet(
@@ -1156,43 +1164,57 @@ def q_top_revenue(sf_dir: str):
         .map_batches(lineitem_partial, batch_format="pyarrow",
                      batch_size=None)
 
-    from .stages.dedup import default_join_partitions
-
-    joined = line.join(orders, "inner", default_join_partitions(),
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+    both = line.union(orders)
 
     def add_ob(batch: pa.Table) -> pa.Table:
         from .stages.dedup import _mix64
 
-        k = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        k = batch["key"].to_numpy(zero_copy_only=False)
         return batch.append_column(
             "_ob", pa.array((_mix64(k.astype(np.uint64))
                              % np.uint64(16)).astype(np.int64)))
 
-    def sum_orders(tbl: pa.Table) -> pa.Table:
-        k = tbl["l_orderkey"].to_numpy(zero_copy_only=False)
+    def join_sum_topk(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "o_date_us": pa.array([], pa.int64()),
+                          "revenue_cents": pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        k = tbl["key"].to_numpy(zero_copy_only=False)
+        sd = tbl["is_order"].to_numpy(zero_copy_only=False)
         c = tbl["cents"].to_numpy(zero_copy_only=False)
         d = tbl["o_date_us"].to_numpy(zero_copy_only=False)
         order = np.argsort(k, kind="stable")
-        ks = k[order]
+        ks, sds = k[order], sd[order]
         new_run = np.ones(len(ks), bool)
         new_run[1:] = ks[1:] != ks[:-1]
         starts = np.flatnonzero(new_run)
-        rev = np.add.reduceat(c[order], starts) if len(starts) else c[:0]
-        return pa.table({
-            "o_orderkey": pa.array(ks[starts] if len(starts) else ks,
-                                   pa.int64()),
-            "o_date_us": pa.array(d[order][starts] if len(starts)
-                                  else d[:0], pa.int64()),
-            "revenue_cents": pa.array(rev, pa.int64()),
-        })
+        is_line = sds == 0
+        rev = np.add.reduceat(np.where(is_line, c[order], 0), starts)
+        n_ord = np.add.reduceat(sds.astype(np.int64), starts)
+        n_line = np.add.reduceat(is_line.astype(np.int64), starts)
+        odate = np.add.reduceat(np.where(is_line, 0, d[order]), starts)
+        keep = (n_ord > 0) & (n_line > 0)  # inner-join semantics
+        if not keep.any():
+            return empty
+        keys_u = ks[starts][keep]
+        rev, odate = rev[keep], odate[keep]
+        top = np.lexsort((keys_u, -rev))[:10]
+        return pa.table({"o_orderkey": pa.array(keys_u[top], pa.int64()),
+                         "o_date_us": pa.array(odate[top], pa.int64()),
+                         "revenue_cents": pa.array(rev[top], pa.int64())})
 
     summed = hash_bucket_apply(
-        joined.map_batches(add_ob, batch_format="pyarrow",
-                           batch_size=None),
-        "_ob", sum_orders, num_buckets=16)
-    return summed.sort(["revenue_cents", "o_orderkey"],
-                       descending=[True, False]).limit(10)
+        both.map_batches(add_ob, batch_format="pyarrow",
+                         batch_size=None),
+        "_ob", join_sum_topk, num_buckets=16)
+    # bounded driver merge: 16 buckets x <=10 rows
+    final = pa.concat_tables(
+        _ray.get(summed.to_arrow_refs())).combine_chunks()
+    rev = final["revenue_cents"].to_numpy(zero_copy_only=False)
+    ok = final["o_orderkey"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((ok, -rev))[:10]
+    return ray.data.from_arrow(final.take(pa.array(top)))
 
 
 def q_sessionize(sf_dir: str):

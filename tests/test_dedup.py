@@ -182,3 +182,19 @@ def test_corpus_clean_composite(corpus):
     assert 200 not in ids and 201 not in ids   # gated
     # the generic 40 docs have no stopwords -> gated out too
     assert ids == {100}
+
+
+def test_corpus_clean_join_fallback_matches_broadcast(corpus,
+                                                      monkeypatch):
+    """Forcing the distributed left_anti path (broadcast budget = 0)
+    must produce the same survivors as the broadcast anti filter."""
+    from cdx_toolkit_ray.pipelines import corpus as cmod
+
+    want = cmod.corpus_clean(corpus, min_tokens=10, stopword_pct=5,
+                             jaccard_threshold=0.5).to_pandas()
+    monkeypatch.setattr(cmod, "_DROP_BROADCAST_MAX", 0)
+    got = cmod.corpus_clean(corpus, min_tokens=10, stopword_pct=5,
+                            jaccard_threshold=0.5).to_pandas()
+    key = ["doc_id", "n_tokens_ws", "n_chars_actual"]
+    assert sorted(map(tuple, got[key].values.tolist())) == \
+        sorted(map(tuple, want[key].values.tolist()))
