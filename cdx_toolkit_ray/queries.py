@@ -620,6 +620,20 @@ def q_fuzzy_dedup(sf_dir: str):
                        threshold=0.5)
 
 
+def q_fuzzy_dedup_best(sf_dir: str):
+    """Quality-aware fuzzy dedup: same near-dup components as
+    `fuzzy_dedup` but the survivor is the LONGEST member (max n_chars,
+    ties -> min id) — the keep-the-best-document policy
+    (components.survivors_from_pairs score_col=). Winner + size come
+    from one component-keyed exchange kernel."""
+    from .stages.components import fuzzy_dedup
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text", "n_chars"])
+    return fuzzy_dedup(ds, text_col="text", id_col="doc_id",
+                       threshold=0.5, score_col="n_chars")
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact heavy hitters without a full groupby
     (stages/sketch.heavy_hitters): per-block Misra-Gries candidate
@@ -1689,14 +1703,16 @@ FROM aug
 """)
 
 
-def _cc_oracle(with_corpus: bool = False) -> str:
+def _cc_oracle(with_corpus: bool = False,
+               best_col: str | None = None) -> str:
     """Connected components of the verified (2*n_inter >= n_union, i.e.
     Jaccard >= 0.5) near-dup pair graph in pure SQL: the full MinHash
     chain feeds a recursive-CTE reachability closure whose min label
     per node IS the component id (same fixpoint the distributed
     hash-to-min loop converges to). ``with_corpus`` extends to the
     fuzzy_dedup output: one surviving representative per component,
-    singletons included, with full cluster sizes."""
+    singletons included, with full cluster sizes; ``best_col`` swaps
+    the representative policy to highest-score (ties -> min id)."""
     base = (r"""
 WITH RECURSIVE pairs AS (""" + _minhash_oracle() + r"""),
 verified AS (SELECT id_a, id_b FROM pairs WHERE 2 * n_inter >= n_union),
@@ -1709,7 +1725,8 @@ reach(node, lab) AS (
 comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)""")
     if not with_corpus:
         return base + "\nSELECT node, component FROM comp\n"
-    return base + (r""",
+    if best_col is None:
+        return base + (r""",
 assigned AS (SELECT d.doc_id,
                     COALESCE(c.component, d.doc_id) AS component
              FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
@@ -1719,6 +1736,20 @@ SELECT a.doc_id, a.component, s.cluster_size
 FROM assigned a JOIN sizes s USING (component)
 WHERE a.doc_id = a.component
 """)
+    return base + (r""",
+assigned AS (SELECT d.doc_id, d.%(bc)s,
+                    COALESCE(c.component, d.doc_id) AS component
+             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+sizes AS (SELECT component, count(*) AS cluster_size
+          FROM assigned GROUP BY component),
+win AS (SELECT doc_id, %(bc)s, component,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY %(bc)s DESC, doc_id) AS rn
+        FROM assigned)
+SELECT w.doc_id, w.component, s.cluster_size, w.%(bc)s
+FROM win w JOIN sizes s USING (component)
+WHERE w.rn = 1
+""" % {"bc": best_col})
 
 
 def _semdedup_oracle(k: int = 8, threshold: float = 0.4) -> str:
@@ -2052,6 +2083,7 @@ GROUP BY s.doc_id
     "pii_redact": _pii_oracle(),
     "repetition": _REPETITION_SQL,
     "fuzzy_dedup": _cc_oracle(with_corpus=True),
+    "fuzzy_dedup_best": _cc_oracle(with_corpus=True, best_col="n_chars"),
     "semantic_dedup": _semdedup_oracle(),
     "heavy_hitters": """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
@@ -2504,6 +2536,7 @@ QUERIES = {
     "fuzzy_dedup": q_fuzzy_dedup,
     "semantic_dedup": q_semantic_dedup,
     "heavy_hitters": q_heavy_hitters,
+    "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "simhash_sigs": q_simhash_sigs,
     "fingerprint": q_fingerprint,
     "embedding_neardup": q_embedding_neardup,

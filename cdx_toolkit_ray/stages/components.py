@@ -218,10 +218,12 @@ def connected_components(pairs: ray.data.Dataset, *, col_a: str = "id_a",
 
 def fuzzy_dedup(ds: ray.data.Dataset, *, text_col: str = "text",
                 id_col: str = "doc_id", threshold: float = 0.5,
+                score_col: str | None = None,
                 num_partitions: int | None = None,
                 **minhash_kwargs) -> ray.data.Dataset:
     """Cluster-level near-dup removal: corpus -> survivors
-    (id, component, cluster_size), exactly ONE representative (min id)
+    (id, component, cluster_size), exactly ONE representative (min id
+    by default; highest-``score_col`` member with ``score_col=``)
     per connected component of the verified near-dup pair graph.
 
     Docs in no pair survive as their own singleton cluster
@@ -244,18 +246,31 @@ def fuzzy_dedup(ds: ray.data.Dataset, *, text_col: str = "text",
                                 num_partitions=num_partitions,
                                 **minhash_kwargs)
     return survivors_from_pairs(ds, pairs, id_col=id_col,
+                                score_col=score_col,
                                 num_partitions=num_partitions)
 
 
 def survivors_from_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
                          *, id_col: str = "doc_id",
+                         score_col: str | None = None,
                          num_partitions: int | None = None
                          ) -> ray.data.Dataset:
     """Corpus + near-dup pair graph (id_a, id_b) -> survivors
-    (id, component, cluster_size): exactly ONE representative (min id)
-    per connected component, singletons kept as their own cluster.
+    (id, component, cluster_size): exactly ONE representative per
+    connected component, singletons kept as their own cluster.
     The reusable back half of ``fuzzy_dedup`` — any candidate
     generator (MinHash, SimHash, semantic/embedding) plugs in here.
+
+    Representative policy: min id (default — the component label
+    itself, arrival-order independent) or, with ``score_col``, the
+    member with the HIGHEST score (ties -> min id) — the policy real
+    pipelines want ("keep the best document of each near-dup
+    cluster"); the winning score is carried in the output then.
+    Scores are integer-form (quantize floats first — the same
+    convention as the pipeline's integer-form quality gates).
+
+    One component-keyed exchange does winner + size in a single
+    kernel; the driver sees only the CC round counters.
     """
     from .dedup import default_join_partitions
 
@@ -263,53 +278,70 @@ def survivors_from_pairs(ds: ray.data.Dataset, pairs: ray.data.Dataset,
         num_partitions = default_join_partitions()
 
     cc = connected_components(pairs, num_partitions=num_partitions)
-    cc = cc.materialize()  # reused three times below; O(pair nodes)
+    cc = cc.materialize()  # consumed after a driver count; O(pair nodes)
 
-    corpus_ids = ds.select_columns([id_col])
+    cols = [id_col] + ([score_col] if score_col else [])
+    corpus = ds.select_columns(cols)
     n_cc = cc.count()
     if n_cc == 0:
-        return corpus_ids.map_batches(
-            lambda t: pa.table({
-                id_col: t[id_col],
-                "component": t[id_col],
-                "cluster_size": pa.array([1] * len(t), pa.int64())}),
-            batch_format="pyarrow", batch_size=None)
+        def singletons(t: pa.Table) -> pa.Table:
+            out = {id_col: t[id_col], "component": t[id_col],
+                   "cluster_size": pa.array([1] * len(t), pa.int64())}
+            if score_col:
+                out[score_col] = t[score_col]
+            return pa.table(out)
+
+        return corpus.map_batches(singletons, batch_format="pyarrow",
+                                  batch_size=None)
 
     # assignment for the whole corpus: left join against the pair-graph
     # labels, singletons keep their own id
-    assigned = corpus_ids.join(cc, "left_outer", num_partitions,
-                               on=(id_col,), right_on=("node",))
+    assigned = corpus.join(cc, "left_outer", num_partitions,
+                           on=(id_col,), right_on=("node",))
 
     def fill_component(batch: pa.Table) -> pa.Table:
         comp = pc.coalesce(batch["component"], batch[id_col])
-        return pa.table({id_col: batch[id_col],
-                         "component": pc.cast(comp, pa.int64())})
+        out = {id_col: batch[id_col],
+               "component": pc.cast(comp, pa.int64())}
+        if score_col:
+            out[score_col] = batch[score_col]
+        t = pa.table(out)
+        c = t["component"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_cb", pa.array(_node_bucket(c, num_partitions)))
 
-    assigned = _heal(
-        assigned.map_batches(fill_component, batch_format="pyarrow",
-                             batch_size=None),
-        num_partitions).materialize()
+    assigned = assigned.map_batches(fill_component,
+                                    batch_format="pyarrow",
+                                    batch_size=None)
 
     from .exchange import hash_bucket_apply
 
-    def add_cb(batch: pa.Table) -> pa.Table:
-        c = batch["component"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "_cb", pa.array(_node_bucket(c, num_partitions)))
+    def reduce_components(tbl: pa.Table) -> pa.Table:
+        sch = {id_col: pa.int64(), "component": pa.int64(),
+               "cluster_size": pa.int64()}
+        if score_col:
+            sch[score_col] = pa.int64()
+        if tbl.num_rows == 0:
+            return pa.schema(list(sch.items())).empty_table()
+        comp = tbl["component"].to_numpy(zero_copy_only=False)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        if score_col:
+            sc = tbl[score_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, -sc, comp))
+        else:
+            order = np.lexsort((ids, comp))
+        comp_s = comp[order]
+        new_run = np.ones(len(comp_s), bool)
+        new_run[1:] = comp_s[1:] != comp_s[:-1]
+        starts = np.flatnonzero(new_run)
+        sizes = np.diff(np.r_[starts, len(comp_s)])
+        win = order[starts]  # first of each run = policy winner
+        out = {id_col: pa.array(ids[win].astype(np.int64)),
+               "component": pa.array(comp_s[starts].astype(np.int64)),
+               "cluster_size": pa.array(sizes.astype(np.int64))}
+        if score_col:
+            out[score_col] = pa.array(sc[win].astype(np.int64))
+        return pa.table(out)
 
-    def count_sizes(tbl: pa.Table) -> pa.Table:
-        c = tbl["component"].to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(c, return_counts=True)
-        return pa.table({"component": pa.array(uniq),
-                         "cluster_size": pa.array(cnt.astype(np.int64))})
-
-    sizes = hash_bucket_apply(
-        assigned.select_columns(["component"]).map_batches(
-            add_cb, batch_format="pyarrow", batch_size=None),
-        "_cb", count_sizes, num_buckets=num_partitions)
-    # representative = min id = the component label itself
-    survivors = assigned.filter(
-        expr=f"{id_col} == component").join(
-            sizes, "inner", num_partitions,
-            on=("component",), right_on=("component",))
-    return survivors.select_columns([id_col, "component", "cluster_size"])
+    return hash_bucket_apply(assigned, "_cb", reduce_components,
+                             num_buckets=num_partitions)

@@ -128,3 +128,29 @@ def test_fuzzy_dedup_cluster_semantics(dup_corpus):
     # uniques survive as singletons
     for i in range(20, 30):
         assert by_id[i] == 1
+
+
+def test_fuzzy_dedup_best_score_policy(dup_corpus):
+    """score_col= swaps the representative to the highest-score member
+    (ties -> min id); components and sizes are unchanged."""
+    def add_score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # doc 2 outscores the rest of its chain; tie inside pair 10/11
+        score = np.where(ids == 2, 100, 7).astype(np.int64)
+        return t.append_column("score", pa.array(score))
+
+    scored = dup_corpus.map_batches(add_score, batch_format="pyarrow",
+                                    batch_size=None)
+    out = fuzzy_dedup(scored, threshold=0.5, shingle_k=3,
+                      score_col="score").to_pandas()
+    assert out["cluster_size"].sum() == dup_corpus.count()
+    by_comp = out.set_index("component")
+    # chain 0~1~2: winner is the high scorer, not the min id
+    assert by_comp.loc[0, "doc_id"] == 2
+    assert by_comp.loc[0, "cluster_size"] == 3
+    assert by_comp.loc[0, "score"] == 100
+    # tie in the exact pair -> min id wins
+    assert by_comp.loc[10, "doc_id"] == 10
+    # singleton components keep themselves
+    for i in range(20, 30):
+        assert by_comp.loc[i, "doc_id"] == i
