@@ -620,6 +620,41 @@ def q_fuzzy_dedup(sf_dir: str):
                        threshold=0.5)
 
 
+def q_count_min(sf_dir: str):
+    """Count-min sketch point estimates per distinct user
+    (stages/sketch.count_min_build/_estimate): depth x width partial
+    matrices tree-summed by Ray tasks, matrix broadcast once, per-key
+    min-over-rows estimate. width=256 forces real collisions so the
+    output demonstrably differs from exact counts — and still
+    hash-matches, because the sketch is deterministic and the oracle
+    replicates its exact cell sums (salts inlined)."""
+    from .stages.exchange import hash_bucket_apply
+    from .stages.sketch import count_min_build, count_min_stage
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["user_id"])
+    matrix = count_min_build(ds, "user_id", width=256, depth=4, seed=0)
+    mref = ray.put(matrix)
+
+    def block_uniq(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch["user_id"].combine_chunks())
+        t = pa.table({"user_id": u})
+        ids = u.to_numpy(zero_copy_only=False)
+        return t.append_column("_ub", pa.array(
+            (ids % 8).astype(np.int64)))
+
+    def drop_dupes(tbl: pa.Table) -> pa.Table:
+        u = pc.unique(tbl["user_id"].combine_chunks())
+        return pa.table({"user_id": u})
+
+    uniq = hash_bucket_apply(
+        ds.map_batches(block_uniq, batch_format="pyarrow",
+                       batch_size=None),
+        "_ub", drop_dupes, num_buckets=8)
+    return uniq.map_batches(count_min_stage(mref, "user_id", seed=0),
+                            batch_format="pyarrow", batch_size=None)
+
+
 def q_fuzzy_dedup_best(sf_dir: str):
     """Quality-aware fuzzy dedup: same near-dup components as
     `fuzzy_dedup` but the survivor is the LONGEST member (max n_chars,
@@ -1752,6 +1787,33 @@ WHERE w.rn = 1
 """ % {"bc": best_col})
 
 
+def _count_min_oracle(width: int = 256, depth: int = 4,
+                      seed: int = 0) -> str:
+    """The count-min sketch's own arithmetic in SQL: per-row salts
+    inlined, splitmix64 cell index, exact cell sums, min over rows.
+    Approximate operator, exact oracle — the estimates themselves are
+    deterministic."""
+    from .stages.sketch import cm_salts
+
+    rows = ", ".join("(%d, CAST(%d AS HUGEINT))" % (j, int(s))
+                     for j, s in enumerate(cm_salts(depth, seed)))
+    return (r"""
+WITH c(j, cj) AS (VALUES %(rows)s),
+x AS (SELECT e.user_id, c.j,
+             CAST((CAST(e.user_id AS HUGEINT) + c.cj)
+                  %% 18446744073709551616 AS UBIGINT) AS v
+      FROM events e CROSS JOIN c),
+hh AS (SELECT user_id, j,
+              CAST(%(mix)s %% %(width)d AS BIGINT) AS cell
+       FROM x),
+cells AS (SELECT j, cell, count(*) AS cnt FROM hh GROUP BY j, cell),
+keys AS (SELECT DISTINCT user_id, j, cell FROM hh)
+SELECT k.user_id, CAST(min(cl.cnt) AS BIGINT) AS cm_est
+FROM keys k JOIN cells cl USING (j, cell)
+GROUP BY k.user_id
+""" % {"rows": rows, "width": width, "mix": _sql_mix64("v")})
+
+
 def _semdedup_oracle(k: int = 8, threshold: float = 0.4) -> str:
     """SemDeDup chain in pure SQL: seeded k-means init + nearest-
     centroid assignment (same CTEs the kmeans_assign oracle proves),
@@ -2084,6 +2146,7 @@ GROUP BY s.doc_id
     "repetition": _REPETITION_SQL,
     "fuzzy_dedup": _cc_oracle(with_corpus=True),
     "fuzzy_dedup_best": _cc_oracle(with_corpus=True, best_col="n_chars"),
+    "count_min": _count_min_oracle(),
     "semantic_dedup": _semdedup_oracle(),
     "heavy_hitters": """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
@@ -2537,6 +2600,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "heavy_hitters": q_heavy_hitters,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
+    "count_min": q_count_min,
     "simhash_sigs": q_simhash_sigs,
     "fingerprint": q_fingerprint,
     "embedding_neardup": q_embedding_neardup,

@@ -142,7 +142,16 @@ def kmeans(ds: ray.data.Dataset, vec_col: str = "embedding",
            id_col: str = "vec_id", k: int = 8, n_iters: int = 3,
            seed: int = 0) -> ray.data.Dataset:
     """Full pipeline: seeded deterministic init -> ``n_iters`` Lloyd
-    passes -> assignment Dataset (id, cluster)."""
+    passes -> assignment Dataset (id, cluster).
+
+    The narrow (id, vec) stream is materialized once up front: init +
+    each Lloyd pass + the final assignment all re-consume it, and
+    without the checkpoint every pass re-executes the upstream read
+    (n_iters + 2 reads). The materialized footprint is id + embedding
+    only — at a scale where even that exceeds the object store, swap
+    for a write_parquet/read_parquet checkpoint (the corpus_clean
+    convention)."""
+    ds = ds.select_columns([id_col, vec_col]).materialize()
     cents = kmeans_init(ds, vec_col, id_col, k, seed)
     if n_iters > 0:
         cents, _ = kmeans_iterate(ds, cents, n_iters, vec_col, id_col)

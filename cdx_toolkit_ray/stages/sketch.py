@@ -143,3 +143,101 @@ def heavy_hitters(ds: ray.data.Dataset, key_col: str, *,
                                     batch_size=None)
     return hash_bucket_apply(partials, "_hb", reduce_bucket,
                              num_buckets=num_buckets)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: mergeable approximate frequencies
+# --------------------------------------------------------------------------
+#
+# The complement of the exact heavy-hitters pass above: O(depth x width)
+# memory for an ESTIMATE of every key's count (one-sided error — never
+# an underestimate; overestimate <= 2n/width with prob 1 - 2^-depth,
+# Cormode & Muthukrishnan 2005). Build is per-block partial matrices
+# summed by a binary task tree (the bloom.py pattern); the driver holds
+# only refs until the final depth x width matrix (KBs).
+#
+# The sketch is DETERMINISTIC given (seed, width, depth) — row j's cell
+# for key k is splitmix64(k + C_j) % width with C_j drawn once from the
+# seeded RNG — so its estimates are exactly reproducible in SQL: the
+# oracle replicates the same cell sums and min-over-rows, making this
+# an approximate operator with a hash-matchable oracle.
+
+def cm_salts(depth: int, seed: int) -> np.ndarray:
+    """The per-row mixing constants (inlined into the SQL oracle)."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(1, 2 ** 62, size=depth).astype(np.uint64)
+
+
+def _cm_cells(keys: np.ndarray, salts: np.ndarray,
+              width: int) -> np.ndarray:
+    """(len(keys), depth) cell indices; uint64 wrap-around add."""
+    from .dedup import _mix64
+
+    k = keys.astype(np.uint64)
+    return np.stack([(_mix64(k + s) % np.uint64(width)).astype(np.int64)
+                     for s in salts], axis=1)
+
+
+@ray.remote
+def _partial_cm(key_col: str, width: int, salts: np.ndarray, *tbls):
+    depth = len(salts)
+    m = np.zeros((depth, width), dtype=np.int64)
+    for t in tbls:
+        if not t.num_rows or key_col not in t.column_names:
+            continue
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        cells = _cm_cells(keys, salts, width)
+        for j in range(depth):
+            m[j] += np.bincount(cells[:, j], minlength=width)
+    return m
+
+
+@ray.remote
+def _sum_fold(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def count_min_build(ds: ray.data.Dataset, key_col: str, *,
+                    width: int = 1024, depth: int = 4,
+                    seed: int = 0) -> np.ndarray:
+    """Build the depth x width count matrix over an integer key column
+    (non-negative for SQL-oracle parity; any int64 works engine-side).
+    """
+    salts = cm_salts(depth, seed)
+    refs = ds.select_columns([key_col]).materialize().to_arrow_refs()
+    if not refs:
+        return np.zeros((depth, width), dtype=np.int64)
+    chunk = max(1, (len(refs) + 31) // 32)
+    parts = [_partial_cm.remote(key_col, width, salts,
+                                *refs[i:i + chunk])
+             for i in range(0, len(refs), chunk)]
+    while len(parts) > 1:
+        nxt = [_sum_fold.remote(parts[i], parts[i + 1])
+               for i in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return ray.get(parts[0])
+
+
+def count_min_estimate(matrix: np.ndarray, keys: np.ndarray, *,
+                       seed: int = 0) -> np.ndarray:
+    """Vectorized point estimates: min over rows of each key's cell."""
+    depth, width = matrix.shape
+    cells = _cm_cells(np.asarray(keys), cm_salts(depth, seed), width)
+    return np.min(matrix[np.arange(depth)[None, :], cells], axis=1)
+
+
+def count_min_stage(matrix_ref, key_col: str, *, seed: int = 0,
+                    out_col: str = "cm_est"):
+    """map_batches stage appending the sketch estimate per row —
+    the broadcast-read pattern (``ray.put`` the matrix once)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = ray.get(matrix_ref)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        est = count_min_estimate(m, keys)
+        return batch.append_column(out_col,
+                                   pa.array(est.astype(np.int64)))
+
+    return fn

@@ -77,3 +77,78 @@ def test_heavy_hitters_int_keys():
                              override_num_blocks=8)
     got = heavy_hitters(ds, "uid", threshold=100).to_pandas()
     assert dict(zip(got.uid, got.n_rows)) == {0: 501}
+
+
+# --- count-min sketch -----------------------------------------------------
+
+def _cm_corpus(n=30000, seed=9):
+    rng = np.random.default_rng(seed)
+    # heavy head + long tail
+    keys = np.concatenate([rng.integers(0, 5, n // 2),
+                           rng.integers(100, 100 + n, n - n // 2)])
+    rng.shuffle(keys)
+    return keys.astype(np.int64)
+
+
+def test_count_min_never_underestimates():
+    from cdx_toolkit_ray.stages.sketch import (count_min_build,
+                                               count_min_estimate)
+
+    keys = _cm_corpus()
+    ds = ray.data.from_items([{"k": int(k)} for k in keys],
+                             override_num_blocks=8)
+    m = count_min_build(ds, "k", width=512, depth=4, seed=1)
+    exact = collections.Counter(keys.tolist())
+    qk = np.array(sorted(exact), dtype=np.int64)[:2000]
+    est = count_min_estimate(m, qk, seed=1)
+    truth = np.array([exact[int(k)] for k in qk])
+    assert (est >= truth).all()          # one-sided error, always
+    # total mass conserved per row
+    assert (m.sum(axis=1) == len(keys)).all()
+    # Markov bound: E[overestimate] <= n/width; allow 10x slack on the
+    # MEAN (the bound is per-row expectation, depth takes the min)
+    assert (est - truth).mean() <= 10 * len(keys) / 512
+
+
+def test_count_min_heavy_keys_near_exact():
+    """With width >> distinct tail mass per cell, the heavy head's
+    estimates are exact or nearly so."""
+    from cdx_toolkit_ray.stages.sketch import (count_min_build,
+                                               count_min_estimate)
+
+    keys = _cm_corpus(n=8000)
+    ds = ray.data.from_items([{"k": int(k)} for k in keys],
+                             override_num_blocks=4)
+    m = count_min_build(ds, "k", width=1 << 14, depth=4, seed=0)
+    exact = collections.Counter(keys.tolist())
+    hot = np.arange(5, dtype=np.int64)
+    est = count_min_estimate(m, hot, seed=0)
+    truth = np.array([exact[int(k)] for k in hot])
+    assert (est - truth <= 2).all()
+
+
+def test_count_min_build_is_mergeable_and_deterministic():
+    from cdx_toolkit_ray.stages.sketch import count_min_build
+
+    keys = _cm_corpus(n=4000)
+    rows = [{"k": int(k)} for k in keys]
+    a = count_min_build(ray.data.from_items(rows, override_num_blocks=2),
+                        "k", width=128, depth=3, seed=7)
+    b = count_min_build(ray.data.from_items(rows[::-1],
+                                            override_num_blocks=16),
+                        "k", width=128, depth=3, seed=7)
+    assert np.array_equal(a, b)   # order- and partitioning-free
+
+
+def test_count_min_stage_appends_estimates():
+    from cdx_toolkit_ray.stages.sketch import (count_min_build,
+                                               count_min_stage)
+    import ray as _ray
+
+    rows = [{"k": 1}] * 50 + [{"k": 2}] * 3
+    ds = ray.data.from_items(rows)
+    m = count_min_build(ds, "k", width=64, depth=4, seed=0)
+    out = ds.map_batches(count_min_stage(_ray.put(m), "k", seed=0),
+                         batch_format="pyarrow").to_pandas()
+    assert (out[out.k == 1].cm_est >= 50).all()
+    assert (out[out.k == 2].cm_est >= 3).all()
