@@ -1,0 +1,52 @@
+"""ray-job-submit entrypoint (cdx_toolkit_ray/jobs.py): arg surface,
+JSON result contract, and the resume-skips-completed-buckets behavior.
+Runs main() in-process against the session Ray (the guarded init is a
+no-op there — exactly what happens inside a submitted cluster job)."""
+
+import json
+
+import pytest
+
+from cdx_toolkit_ray import jobs
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _run(capsys, fixture_dir, out_dir, **kw):
+    argv = ["--seeds", fixture_dir["seeds"],
+            "--robots", fixture_dir["robots"],
+            "--out", out_dir, "--num-buckets", "4"]
+    for k, v in kw.items():
+        argv += ["--" + k.replace("_", "-"), str(v)]
+    rc = jobs.main(argv)
+    assert rc == 0
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def test_job_runs_and_resumes(fixture_dir, tmp_path, capsys):
+    out = str(tmp_path / "frontier_out")
+    r1 = _run(capsys, fixture_dir, out)
+    assert sorted(r1["ran_buckets"]) == [0, 1, 2, 3]
+    assert r1["skipped_buckets"] == []
+    assert r1["wall_sec"] > 0 and r1["out_dir"] == out
+
+    # identical resubmission: every bucket skipped, nothing re-runs
+    r2 = _run(capsys, fixture_dir, out)
+    assert r2["ran_buckets"] == []
+    assert sorted(r2["skipped_buckets"]) == [0, 1, 2, 3]
+
+
+def test_job_seen_checkpoint(fixture_dir, tmp_path, capsys):
+    out = str(tmp_path / "fo2")
+    ck = str(tmp_path / "seen_ck")
+    r = _run(capsys, fixture_dir, out, seen_checkpoint=ck)
+    assert r["ran_buckets"]
+    import os
+    assert os.path.isdir(ck) and os.listdir(ck)
+
+
+def test_job_parser_requires_io():
+    with pytest.raises(SystemExit):
+        jobs.make_parser().parse_args([])
