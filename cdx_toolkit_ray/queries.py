@@ -620,6 +620,19 @@ def q_fuzzy_dedup(sf_dir: str):
                        threshold=0.5)
 
 
+def q_holdout_split(sf_dir: str):
+    """Leakage-free train/val split (stages/sampling.holdout_split):
+    the split decision hashes the GROUP (source), so near-dups within
+    a source can never straddle the split. Zero shuffles; exact
+    integer threshold compare on the splitmix64-finalized seeded
+    group key (the mixture_sample convention)."""
+    from .stages.sampling import holdout_split
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "source"])
+    return holdout_split(ds, group_col="source", val_frac=0.25, seed=0)
+
+
 def q_count_min(sf_dir: str):
     """Count-min sketch point estimates per distinct user
     (stages/sketch.count_min_build/_estimate): depth x width partial
@@ -2147,6 +2160,18 @@ GROUP BY s.doc_id
     "fuzzy_dedup": _cc_oracle(with_corpus=True),
     "fuzzy_dedup_best": _cc_oracle(with_corpus=True, best_col="n_chars"),
     "count_min": _count_min_oracle(),
+    "holdout_split": ("""
+WITH h AS MATERIALIZED (SELECT DISTINCT source,
+                  """ + _seeded_key_sql("source") + """ AS raw
+           FROM documents),
+m AS MATERIALIZED (SELECT source,
+                  """ + _sql_mix64("raw") + """ AS gkey
+           FROM h)
+SELECT d.doc_id, d.source,
+       CASE WHEN m.gkey < CAST(%d AS UBIGINT)
+            THEN 'val' ELSE 'train' END AS split
+FROM documents d JOIN m USING (source)
+""" % int(0.25 * 2.0 ** 64)),
     "semantic_dedup": _semdedup_oracle(),
     "heavy_hitters": """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
@@ -2601,6 +2626,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "count_min": q_count_min,
+    "holdout_split": q_holdout_split,
     "simhash_sigs": q_simhash_sigs,
     "fingerprint": q_fingerprint,
     "embedding_neardup": q_embedding_neardup,

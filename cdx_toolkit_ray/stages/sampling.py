@@ -136,3 +136,37 @@ def sharded_shuffle(ds: ray.data.Dataset, id_col: str = "doc_id",
                            batch_size=None)
     return keyed.groupby("shard").map_groups(order_shard,
                                              batch_format="pandas")
+
+
+def holdout_split(ds: ray.data.Dataset, group_col: str,
+                  val_frac: float = 0.1, seed: int = 0,
+                  out_col: str = "split") -> ray.data.Dataset:
+    """Leakage-free train/validation split: the decision is a function
+    of the GROUP (e.g. host), never the row, so all documents of a
+    host land on the same side — near-duplicates within a host can't
+    straddle the split and leak validation content into training.
+
+    Deterministic: group g goes to validation iff
+    ``mix64(fnv("{seed}:{g}")) < floor(val_frac * 2^64)`` (exact
+    integer compare; same convention as mixture_sample so the SQL
+    oracle replicates the assignment bit-for-bit). Zero shuffles —
+    one streaming vectorized pass; the expected validation share is
+    ``val_frac`` of GROUPS (weight by rows instead and a single hot
+    host could swallow the whole budget).
+    """
+    if not (0.0 <= val_frac <= 1.0):
+        raise ValueError("val_frac must be in [0, 1]")
+    from .dedup import _mix64
+
+    thresh = np.uint64(min(int(val_frac * 2.0 ** 64), (1 << 64) - 1))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        grp = batch[group_col]
+        codes, uniq = pd.factorize(
+            grp.to_numpy(zero_copy_only=False), sort=False)
+        gkey = _mix64(_seeded_key(pa.array(uniq), seed))
+        is_val = (gkey < thresh)[codes]
+        return batch.append_column(
+            out_col, pa.array(np.where(is_val, "val", "train")))
+
+    return ds.map_batches(tag, batch_format="pyarrow", batch_size=None)

@@ -99,3 +99,43 @@ def test_doc_frequency_counts():
         .set_index("word")["df"].to_dict()
     # 'the' appears twice in doc 1 but counts once per doc
     assert out == {"the": 2, "cat": 2, "sat": 2}
+
+
+def test_holdout_split_group_atomic_and_deterministic():
+    """Every group lands wholly on one side; assignment is seed-stable
+    and arrival-order independent."""
+    from cdx_toolkit_ray.stages.sampling import holdout_split
+
+    rows = [{"doc_id": i, "host": "h%d" % (i % 40)} for i in range(400)]
+    out = holdout_split(ray.data.from_items(rows), "host",
+                        val_frac=0.3, seed=1).to_pandas()
+    sides = out.groupby("host")["split"].nunique()
+    assert (sides == 1).all()                 # no group straddles
+    assert set(out["split"]) == {"train", "val"}
+    frac = (out.drop_duplicates("host")["split"] == "val").mean()
+    assert 0.1 < frac < 0.5                   # ~0.3 of GROUPS
+
+    rev = holdout_split(ray.data.from_items(rows[::-1]), "host",
+                        val_frac=0.3, seed=1).to_pandas()
+    a = out.sort_values("doc_id")["split"].tolist()
+    b = rev.sort_values("doc_id")["split"].tolist()
+    assert a == b                             # order-free
+
+    other = holdout_split(ray.data.from_items(rows), "host",
+                          val_frac=0.3, seed=2).to_pandas()
+    assert other.sort_values("doc_id")["split"].tolist() != a
+
+
+def test_holdout_split_edges():
+    from cdx_toolkit_ray.stages.sampling import holdout_split
+
+    rows = [{"doc_id": i, "host": "h%d" % i} for i in range(20)]
+    all_train = holdout_split(ray.data.from_items(rows), "host",
+                              val_frac=0.0).to_pandas()
+    assert (all_train["split"] == "train").all()
+    all_val = holdout_split(ray.data.from_items(rows), "host",
+                            val_frac=1.0).to_pandas()
+    assert (all_val["split"] == "val").all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        holdout_split(ray.data.from_items(rows), "host", val_frac=1.5)
