@@ -620,6 +620,20 @@ def q_fuzzy_dedup(sf_dir: str):
                        threshold=0.5)
 
 
+def q_recrawl(sf_dir: str):
+    """Change-rate-driven recrawl schedule (stages/recrawl): per page
+    (user_id as the page key, event_type as the content digest),
+    capture count / distinct versions / observed change interval ->
+    clamped next-fetch time. Per-block partial reduce to distinct
+    (key, version) rows, one key-bucket exchange."""
+    from .stages.recrawl import recrawl_schedule
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["user_id", "ts", "event_type"])
+    return recrawl_schedule(ds, key_col="user_id", ts_col="ts",
+                            digest_col="event_type")
+
+
 def q_holdout_split(sf_dir: str):
     """Leakage-free train/val split (stages/sampling.holdout_split):
     the split decision hashes the GROUP (source), so near-dups within
@@ -2160,6 +2174,25 @@ GROUP BY s.doc_id
     "fuzzy_dedup": _cc_oracle(with_corpus=True),
     "fuzzy_dedup_best": _cc_oracle(with_corpus=True, best_col="n_chars"),
     "count_min": _count_min_oracle(),
+    "recrawl": """
+WITH p AS (SELECT user_id AS key, count(*) AS n_caps,
+                  count(DISTINCT event_type) AS n_versions,
+                  epoch_us(min(ts)) AS first_us,
+                  epoch_us(max(ts)) AS last_us
+           FROM events GROUP BY user_id),
+i AS (SELECT key, n_caps, n_versions, last_us,
+             CASE WHEN n_caps <= 1 OR n_versions <= 1 THEN 604800000000
+                  ELSE least(greatest((last_us - first_us)
+                                      // (n_versions - 1),
+                                      86400000000), 2592000000000) END AS interval_us
+      FROM p)
+SELECT key, CAST(n_caps AS BIGINT) AS n_caps,
+       CAST(n_versions AS BIGINT) AS n_versions,
+       CAST(last_us AS BIGINT) AS last_us,
+       CAST(interval_us AS BIGINT) AS interval_us,
+       CAST(last_us + interval_us AS BIGINT) AS next_fetch_us
+FROM i
+""",
     "holdout_split": ("""
 WITH h AS MATERIALIZED (SELECT DISTINCT source,
                   """ + _seeded_key_sql("source") + """ AS raw
@@ -2627,6 +2660,7 @@ QUERIES = {
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "count_min": q_count_min,
     "holdout_split": q_holdout_split,
+    "recrawl": q_recrawl,
     "simhash_sigs": q_simhash_sigs,
     "fingerprint": q_fingerprint,
     "embedding_neardup": q_embedding_neardup,

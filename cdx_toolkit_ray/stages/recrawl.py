@@ -1,0 +1,137 @@
+"""Change-rate-driven recrawl scheduling from capture history.
+
+The crawl-side twin of the politeness scheduler: given the capture
+history of each page (its CDX rows — timestamp + content digest, the
+reference's (urlkey, timestamp, digest) triple, cdx_toolkit
+README.md:207-212), estimate how often the page actually changes and
+schedule the next fetch accordingly — the standard freshness policy
+(Cho & Garcia-Molina 2003): pages that changed k times over an
+observed span get revisited about every span/k; pages never observed
+to change decay to the maximum interval.
+
+Deterministic integer semantics (so the DuckDB oracle compares
+bit-for-bit):
+
+* per page key: ``n_caps`` captures, ``n_versions`` distinct digests,
+  first/last capture time (µs)
+* ``changes = n_versions - 1``
+* ``interval_us = base`` when fewer than 2 captures or no observed
+  change, else ``clamp((last - first) // changes, lo, hi)``
+* ``next_fetch_us = last + interval_us``
+
+Dataflow: per-block partial reduce to distinct (key, digest-hash)
+rows carrying (count, min, max) — the shuffle moves one row per
+distinct (page, version) per block, not one per capture — then one
+key-bucket task-graph exchange whose kernel folds pairs to pages with
+two run-length passes. Digests travel as FNV-1a 64 hashes (a collision
+would undercount versions; at 64 bits that is negligible and the
+fixture oracle counts the same strings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..canon import hash64_batch
+
+
+def _run_starts(sorted_codes: np.ndarray) -> np.ndarray:
+    new = np.ones(len(sorted_codes), bool)
+    new[1:] = sorted_codes[1:] != sorted_codes[:-1]
+    return np.flatnonzero(new)
+
+
+def recrawl_schedule(ds: ray.data.Dataset, *, key_col: str,
+                     ts_col: str, digest_col: str,
+                     base_interval_us: int = 7 * 86400 * 1_000_000,
+                     min_interval_us: int = 86400 * 1_000_000,
+                     max_interval_us: int = 30 * 86400 * 1_000_000,
+                     num_buckets: int = 32) -> ray.data.Dataset:
+    """Capture history -> (key, n_caps, n_versions, last_us,
+    interval_us, next_fetch_us). ``ts_col`` must be a timestamp[us]
+    or int64-µs column."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].to_numpy(zero_copy_only=False)
+        if ts.dtype.kind == "M":
+            ts = ts.astype("datetime64[us]").view(np.int64)
+        else:
+            ts = ts.astype(np.int64)
+        dig = hash64_batch(batch[digest_col]).astype(np.uint64)
+        order = np.lexsort((dig, k))
+        ks, ds_, tss = k[order], dig[order], ts[order]
+        # run starts over the (key, digest) pair, vectorized
+        new = np.ones(len(ks), bool)
+        new[1:] = (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(ks)])
+        mins = np.minimum.reduceat(tss, starts)
+        maxs = np.maximum.reduceat(tss, starts)
+        return pa.table({
+            "key": pa.array(ks[starts].astype(np.int64)),
+            "dig": pa.array(ds_[starts], pa.uint64()),
+            "n": pa.array(n.astype(np.int64)),
+            "min_us": pa.array(mins, pa.int64()),
+            "max_us": pa.array(maxs, pa.int64()),
+            "_kb": pa.array((ks[starts].astype(np.uint64)
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+
+    base, lo, hi = base_interval_us, min_interval_us, max_interval_us
+
+    def reduce_pages(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("key", pa.int64()), ("n_caps", pa.int64()),
+                         ("n_versions", pa.int64()),
+                         ("last_us", pa.int64()),
+                         ("interval_us", pa.int64()),
+                         ("next_fetch_us", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        k = tbl["key"].to_numpy(zero_copy_only=False)
+        dg = tbl["dig"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        mn = tbl["min_us"].to_numpy(zero_copy_only=False)
+        mx = tbl["max_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dg, k))
+        k, dg, n, mn, mx = (k[order], dg[order], n[order], mn[order],
+                            mx[order])
+        # fold cross-block duplicates of the same (key, digest) pair
+        new = np.ones(len(k), bool)
+        new[1:] = (k[1:] != k[:-1]) | (dg[1:] != dg[:-1])
+        ps = np.flatnonzero(new)
+        pk = k[ps]
+        pn = np.add.reduceat(n, ps)
+        pmn = np.minimum.reduceat(mn, ps)
+        pmx = np.maximum.reduceat(mx, ps)
+        # fold pairs to pages
+        ks = _run_starts(pk)
+        n_caps = np.add.reduceat(pn, ks)
+        n_ver = np.diff(np.r_[ks, len(pk)])
+        first = np.minimum.reduceat(pmn, ks)
+        last = np.maximum.reduceat(pmx, ks)
+        changes = n_ver - 1
+        span = last - first
+        with np.errstate(divide="ignore", invalid="ignore"):
+            est = np.where(changes > 0, span // np.maximum(changes, 1),
+                           base)
+        interval = np.where((n_caps <= 1) | (changes == 0), base,
+                            np.clip(est, lo, hi)).astype(np.int64)
+        return pa.table({
+            "key": pa.array(pk[ks].astype(np.int64)),
+            "n_caps": pa.array(n_caps.astype(np.int64)),
+            "n_versions": pa.array(n_ver.astype(np.int64)),
+            "last_us": pa.array(last, pa.int64()),
+            "interval_us": pa.array(interval),
+            "next_fetch_us": pa.array(last + interval, pa.int64()),
+        })
+
+    from .exchange import hash_bucket_apply
+
+    return hash_bucket_apply(partials, "_kb", reduce_pages,
+                             num_buckets=num_buckets)

@@ -1,0 +1,82 @@
+"""Change-rate recrawl scheduling (stages/recrawl)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from cdx_toolkit_ray.stages.recrawl import recrawl_schedule
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+DAY = 86400 * 1_000_000
+BASE, LO, HI = 7 * DAY, DAY, 30 * DAY
+
+
+def _hist(rows):
+    t0 = np.datetime64("2024-01-01", "us").view(np.int64)
+    items = [{"page": k, "ts": int(t0 + off), "digest": d}
+             for k, off, d in rows]
+    return ray.data.from_items(items, override_num_blocks=4)
+
+
+def _sched(ds, **kw):
+    out = recrawl_schedule(ds, key_col="page", ts_col="ts",
+                           digest_col="digest", **kw).to_pandas()
+    return out.set_index("key")
+
+
+def test_recrawl_policies():
+    rows = []
+    # page 1: never changes across 10 captures -> base interval
+    rows += [(1, i * 3 * DAY, "same") for i in range(10)]
+    # page 2: changes every capture, hourly -> clamped to LO
+    rows += [(2, i * DAY // 24, "v%d" % i) for i in range(8)]
+    # page 3: two versions over 20 days -> span//1 clamped to HI? no,
+    # 20 days < HI -> exactly 20 days
+    rows += [(3, 0, "a"), (3, 20 * DAY, "b")]
+    # page 4: single capture -> base
+    rows += [(4, 5 * DAY, "x")]
+    # page 5: two versions over 200 days -> clamped to HI
+    rows += [(5, 0, "a"), (5, 200 * DAY, "b")]
+    s = _sched(_hist(rows))
+    assert s.loc[1, "interval_us"] == BASE and s.loc[1, "n_versions"] == 1
+    assert s.loc[2, "interval_us"] == LO
+    assert s.loc[3, "interval_us"] == 20 * DAY
+    assert s.loc[4, "interval_us"] == BASE and s.loc[4, "n_caps"] == 1
+    assert s.loc[5, "interval_us"] == HI
+    # next fetch = last + interval, everywhere
+    assert (s["next_fetch_us"] == s["last_us"] + s["interval_us"]).all()
+
+
+def test_recrawl_cross_block_merge_and_counts():
+    # same page's captures scattered across many blocks
+    rows = [(7, i * DAY, "v%d" % (i % 3)) for i in range(30)]
+    ds = _hist(rows)
+    s = _sched(ds)
+    assert s.loc[7, "n_caps"] == 30
+    assert s.loc[7, "n_versions"] == 3
+    # interval = span // changes = 29 days // 2, within [LO, HI]
+    assert s.loc[7, "interval_us"] == 29 * DAY // 2
+
+
+def test_recrawl_matches_pandas_reference():
+    rng = np.random.default_rng(3)
+    rows = [(int(rng.integers(0, 25)), int(rng.integers(0, 60) * DAY),
+             "d%d" % rng.integers(0, 4)) for _ in range(600)]
+    s = _sched(_hist(rows))
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["page", "off", "digest"])
+    t0 = np.datetime64("2024-01-01", "us").view(np.int64)
+    df["ts"] = t0 + df["off"]
+    g = df.groupby("page").agg(n=("ts", "size"),
+                               d=("digest", "nunique"),
+                               first=("ts", "min"), last=("ts", "max"))
+    for page, r in g.iterrows():
+        want = (BASE if (r.n <= 1 or r.d <= 1)
+                else int(np.clip((r["last"] - r["first"]) // (r.d - 1),
+                                 LO, HI)))
+        assert s.loc[page, "interval_us"] == want, page
+        assert s.loc[page, "n_caps"] == r.n
+        assert s.loc[page, "n_versions"] == r.d
