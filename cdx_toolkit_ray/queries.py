@@ -1545,6 +1545,39 @@ def q_content_extract(sf_dir: str):
                               "content_bytes"])
 
 
+def q_extract_links(sf_dir: str):
+    """Outlink harvest (the discover half of the crawl loop, reference
+    examples/iter-and-warc.py composition): vectorized href extraction
+    + relative-URL resolution over the fixture pages table."""
+    from .stages.links import extract_links
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return extract_links(pages)
+
+
+def q_crawl_bfs(sf_dir: str):
+    """Bounded-hop BFS crawl expansion: seeds (root pages) -> sharded
+    URL-seen gate -> hash-bucket exchange join against the link table,
+    per hop; output (url, hop-first-reached). Oracle: hop-capped
+    recursive CTE with min-hop aggregation."""
+    from .stages.links import crawl_bfs, extract_links
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    links = extract_links(pages)
+    # seed rule (same predicate in the oracle): root pages — url ends
+    # with '.example/' (host root, no path, no query)
+    seeds = (ray.data.read_parquet(root + "/pages.parquet",
+                                   columns=["url"])
+             .map_batches(lambda b: b.filter(
+                 pc.ends_with(b["url"], ".example/")),
+                 batch_format="pyarrow", batch_size=None))
+    return crawl_bfs(links, seeds, max_hops=4)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB; the driver pre-registers the table views)
 # ---------------------------------------------------------------------------
@@ -2261,6 +2294,54 @@ WHERE (c.urlkey LIKE 'example)%%' OR c.urlkey LIKE 'example,%%')
   AND c.timestamp <= '20231231235959'
   AND contains(c.url, '/p/')
 """ % (_FIXTURE_LINK, _FIXTURE_LINK),
+    # Outlink harvest: same href regex + resolution rule as
+    # stages/links.extract_links (absolute kept, root-relative resolved
+    # against the page origin, everything else dropped).
+    "extract_links": r"""
+WITH hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s/pages.parquet')),
+resolved AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs)
+SELECT src_url, dst_url,
+       regexp_extract(dst_url, '://([^/]+)', 1) AS dst_host
+FROM resolved WHERE dst_url IS NOT NULL
+""" % _FIXTURE_LINK,
+    # Hop-capped transitive closure from the root-page seed set with
+    # min-hop aggregation == BFS first-reached level (the recursive
+    # term re-expands revisits at higher hops, but any node they could
+    # reach was already reached via the lower-hop expansion).
+    "crawl_bfs": r"""
+WITH RECURSIVE
+hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s/pages.parquet')),
+links AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs
+  WHERE dst_url IS NOT NULL),
+walk(url, hop) AS (
+  SELECT DISTINCT url, CAST(0 AS BIGINT) FROM
+    read_parquet('%s/pages.parquet') WHERE url LIKE '%%.example/'
+  UNION
+  SELECT l.dst_url, w.hop + 1
+  FROM walk w JOIN links l ON l.src_url = w.url
+  WHERE w.hop < 4)
+SELECT url, MIN(hop) AS hop FROM walk GROUP BY url
+""" % (_FIXTURE_LINK, _FIXTURE_LINK),
     # S7/M12/M14 synthesis under the deterministic fake replay: the
     # output is a pure function of (url, timestamp, status). Fixture
     # URLs only need :?=& percent-encoded (quote() keeps letters,
@@ -2666,6 +2747,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "captures_query": q_captures_query,
     "content_extract": q_content_extract,
+    "extract_links": q_extract_links,
+    "crawl_bfs": q_crawl_bfs,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_full": q_ann_ivf_full,
     "corpus_clean": q_corpus_clean,

@@ -1,0 +1,134 @@
+"""Outlink extraction + BFS crawl expansion (stages/links.py) — the
+discover half of the crawl loop the reference leaves to user code
+(examples/iter-and-warc.py composition over obj.content)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _pages(rows):
+    return ray.data.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+def test_extract_links_resolution_rules():
+    from cdx_toolkit_ray.stages.links import extract_links
+
+    pages = _pages([
+        ("https://a.example/page",
+         "<a href='/p/1'>x</a> <a href='https://b.example/abs'>y</a> "
+         "<a href='mailto:z@q'>m</a> <a href='rel/path'>r</a>"),
+        ("http://www.c.example/", "<a href='/only'>o</a>"),
+        ("https://d.example/none", "no links here"),
+    ])
+    got = extract_links(pages).to_pandas()
+    rows = set(map(tuple, got.to_numpy()))
+    # absolute kept; root-relative resolved against origin (www kept);
+    # mailto and path-relative dropped; linkless page emits nothing
+    assert rows == {
+        ("https://a.example/page", "https://a.example/p/1", "a.example"),
+        ("https://a.example/page", "https://b.example/abs", "b.example"),
+        ("http://www.c.example/", "http://www.c.example/only",
+         "www.c.example"),
+    }
+
+
+def test_extract_links_duplicates_preserved():
+    from cdx_toolkit_ray.stages.links import extract_links
+
+    pages = _pages([("https://a.example/",
+                     "<a href='/x'>1</a><a href='/x'>2</a>")])
+    got = extract_links(pages).to_pandas()
+    assert len(got) == 2 and set(got["dst_url"]) == {"https://a.example/x"}
+
+
+def _graph():
+    # s -> a -> b -> c -> a (cycle); s -> b (shortcut); d isolated src
+    edges = [("s", "a"), ("a", "b"), ("b", "c"), ("c", "a"),
+             ("s", "b"), ("d", "x")]
+    return ray.data.from_arrow(pa.table({
+        "src_url": pa.array([e[0] for e in edges], pa.string()),
+        "dst_url": pa.array([e[1] for e in edges], pa.string()),
+    }))
+
+
+def _seeds(urls):
+    return ray.data.from_arrow(pa.table({"url": pa.array(urls,
+                                                         pa.string())}))
+
+
+EXPECT = {"s": 0, "a": 1, "b": 1, "c": 2}
+
+
+def test_crawl_bfs_min_hop_with_cycle():
+    from cdx_toolkit_ray.stages.links import crawl_bfs
+
+    got = crawl_bfs(_graph(), _seeds(["s"]), max_hops=4).to_pandas()
+    assert dict(zip(got["url"], got["hop"])) == EXPECT
+    assert got["hop"].dtype == np.int64
+
+
+def test_crawl_bfs_exchange_path_matches_broadcast():
+    from cdx_toolkit_ray.stages.links import crawl_bfs
+
+    got = crawl_bfs(_graph(), _seeds(["s"]), max_hops=4,
+                    broadcast_threshold=0, num_buckets=4).to_pandas()
+    assert dict(zip(got["url"], got["hop"])) == EXPECT
+
+
+def test_crawl_bfs_hop_budget_and_duplicate_seeds():
+    from cdx_toolkit_ray.stages.links import crawl_bfs
+
+    got = crawl_bfs(_graph(), _seeds(["s", "s", "a"]),
+                    max_hops=1).to_pandas()
+    # duplicate seed collapses; 'a' is a seed so hop 0; budget stops at 1
+    assert dict(zip(got["url"], got["hop"])) == {"s": 0, "a": 0, "b": 1}
+
+
+def test_crawl_bfs_oracle_parity_on_fixture(fixture_dir):
+    """Ray BFS == DuckDB hop-capped recursive closure on the fixture
+    link graph (the catalog oracle at test scale)."""
+    import duckdb
+
+    from cdx_toolkit_ray.stages.links import crawl_bfs, extract_links
+
+    pages_path = fixture_dir["pages"]
+    pages = ray.data.read_parquet(pages_path, columns=["url", "text"])
+    links = extract_links(pages)
+    import pyarrow.compute as pc
+    seeds = (ray.data.read_parquet(pages_path, columns=["url"])
+             .map_batches(lambda b: b.filter(
+                 pc.ends_with(b["url"], ".example/")),
+                 batch_format="pyarrow", batch_size=None))
+    got = crawl_bfs(links, seeds, max_hops=3).to_pandas()
+
+    want = duckdb.sql(r"""
+WITH RECURSIVE
+hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s')),
+links AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs WHERE dst_url IS NOT NULL),
+walk(url, hop) AS (
+  SELECT DISTINCT url, CAST(0 AS BIGINT)
+  FROM read_parquet('%s') WHERE url LIKE '%%.example/'
+  UNION
+  SELECT l.dst_url, w.hop + 1 FROM walk w
+  JOIN links l ON l.src_url = w.url WHERE w.hop < 3)
+SELECT url, MIN(hop) AS hop FROM walk GROUP BY url
+""" % (pages_path, pages_path)).df()
+    assert (dict(zip(got["url"], got["hop"]))
+            == dict(zip(want["url"], want["hop"])))
