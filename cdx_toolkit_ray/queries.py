@@ -1557,6 +1557,34 @@ def q_extract_links(sf_dir: str):
     return extract_links(pages)
 
 
+def q_link_rank(sf_dir: str):
+    """Link-graph crawl prioritization: 3 iterations of fixed-point
+    integer PageRank over the fixture outlink graph (crawl frontiers
+    order fetches by link authority). All-integer recurrence -> the
+    SQL oracle matches bit-for-bit with no float reduction-order
+    hazard."""
+    from .stages.links import extract_links, link_rank
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return link_rank(extract_links(pages), iterations=3)
+
+
+def q_strip_tags(sf_dir: str):
+    """Markup-strip plain-text extraction (the boilerplate-removal
+    step of a training-data pipeline) over the fixture pages table;
+    exact string oracle via SQL regexp_replace."""
+    from .stages.text import strip_tags_batch
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return (pages.map_batches(strip_tags_batch, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)
+            .select_columns(["url", "plain"]))
+
+
 def q_crawl_bfs(sf_dir: str):
     """Bounded-hop BFS crawl expansion: seeds (root pages) -> sharded
     URL-seen gate -> hash-bucket exchange join against the link table,
@@ -2294,6 +2322,59 @@ WHERE (c.urlkey LIKE 'example)%%' OR c.urlkey LIKE 'example,%%')
   AND c.timestamp <= '20231231235959'
   AND contains(c.url, '/p/')
 """ % (_FIXTURE_LINK, _FIXTURE_LINK),
+    # Fixed-point integer PageRank, 3 unrolled iterations — same
+    # recurrence as stages/links.link_rank (DIV = integer floor
+    # division, so any join/sum order gives identical values).
+    "link_rank": r"""
+WITH hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s/pages.parquet')),
+links AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs WHERE dst_url IS NOT NULL),
+nodes AS (SELECT DISTINCT url FROM (
+  SELECT src_url AS url FROM links
+  UNION ALL SELECT dst_url AS url FROM links)),
+outdeg AS (SELECT src_url AS url, COUNT(*) AS d FROM links
+           GROUP BY src_url),
+r0 AS (SELECT url, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+r1 AS (SELECT n.url, CAST(150000
+         + COALESCE(SUM((r.rank // o.d) * 85 // 100), 0) AS BIGINT) AS rank
+       FROM nodes n
+       LEFT JOIN links l ON l.dst_url = n.url
+       LEFT JOIN r0 r ON r.url = l.src_url
+       LEFT JOIN outdeg o ON o.url = l.src_url
+       GROUP BY n.url),
+r2 AS (SELECT n.url, CAST(150000
+         + COALESCE(SUM((r.rank // o.d) * 85 // 100), 0) AS BIGINT) AS rank
+       FROM nodes n
+       LEFT JOIN links l ON l.dst_url = n.url
+       LEFT JOIN r1 r ON r.url = l.src_url
+       LEFT JOIN outdeg o ON o.url = l.src_url
+       GROUP BY n.url),
+r3 AS (SELECT n.url, CAST(150000
+         + COALESCE(SUM((r.rank // o.d) * 85 // 100), 0) AS BIGINT) AS rank
+       FROM nodes n
+       LEFT JOIN links l ON l.dst_url = n.url
+       LEFT JOIN r2 r ON r.url = l.src_url
+       LEFT JOIN outdeg o ON o.url = l.src_url
+       GROUP BY n.url)
+SELECT url, rank FROM r3
+""" % _FIXTURE_LINK,
+    # Markup strip: tag runs -> one space, whitespace collapsed, ends
+    # trimmed — exact-string parity with stages/text.strip_tags_batch.
+    "strip_tags": r"""
+SELECT url,
+       trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                           '\s+', ' ', 'g')) AS plain
+FROM read_parquet('%s/pages.parquet')
+""" % _FIXTURE_LINK,
     # Outlink harvest: same href regex + resolution rule as
     # stages/links.extract_links (absolute kept, root-relative resolved
     # against the page origin, everything else dropped).
@@ -2749,6 +2830,8 @@ QUERIES = {
     "content_extract": q_content_extract,
     "extract_links": q_extract_links,
     "crawl_bfs": q_crawl_bfs,
+    "strip_tags": q_strip_tags,
+    "link_rank": q_link_rank,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_full": q_ann_ivf_full,
     "corpus_clean": q_corpus_clean,

@@ -149,6 +149,145 @@ def _expand_bucket(tbl: pa.Table) -> pa.Table:
     return pa.table({"url": dst.cast(pa.string())})
 
 
+def link_rank(links: ray.data.Dataset, *, iterations: int = 3,
+              num_buckets: int = 32, scale: int = 1_000_000,
+              damping_num: int = 85, damping_den: int = 100
+              ) -> ray.data.Dataset:
+    """Fixed-point PageRank-style crawl priority over the link graph.
+
+    Every url appearing as src or dst is a node; each link row is one
+    (parallel-edge-counting) edge. Ranks are nonnegative int64 in
+    units of ``1/scale``:
+
+        rank_0(u)   = scale
+        rank_t+1(u) = (1 - d) * scale  +  sum over edges v->u of
+                      (rank_t(v) DIV outdeg(v)) * damping_num DIV damping_den
+
+    with DIV = floor division — all-integer, so the result is
+    deterministic under ANY summation order and the DuckDB oracle
+    (same recurrence in SQL ``//``) matches bit-for-bit; no float
+    reduction-order hazard. Dangling nodes (no outlinks) keep their
+    mass, the standard simplification.
+
+    Dataflow: one distinct-nodes exchange, then per iteration (a) an
+    exchange keyed by ``hash64(src)`` co-locating each node's rank row
+    with ALL its outgoing edges (outdegree falls out per bucket for
+    free) emitting (dst, contribution) plus a zero stub per node, and
+    (b) an exchange keyed by the receiving url summing contributions
+    + the base term. The driver holds only block refs; per-iteration
+    traffic is two narrow (url, int64) streams.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    nbu = np.uint64(num_buckets)
+    base = (scale * (damping_den - damping_num)) // damping_den
+
+    def edges_in(batch: pa.Table) -> pa.Table:
+        src = batch["src_url"].cast(pa.string())
+        h = hash64_batch(src)
+        n = batch.num_rows
+        return pa.table({
+            "bucket": pa.array((h % nbu).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "url": src,
+            "dst": batch["dst_url"].cast(pa.string()),
+            "val": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+
+    def ranks_in(batch: pa.Table) -> pa.Table:
+        url = batch["url"].cast(pa.string())
+        h = hash64_batch(url)
+        n = batch.num_rows
+        return pa.table({
+            "bucket": pa.array((h % nbu).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+            "url": url,
+            "dst": pa.array([None] * n, pa.string()),
+            "val": batch["rank"].cast(pa.int64()),
+        })
+
+    def node_urls(batch: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([batch["src_url"].cast(pa.string())
+                              .combine_chunks(),
+                              batch["dst_url"].cast(pa.string())
+                              .combine_chunks()])
+        h = hash64_batch(u)
+        return pa.table({
+            "bucket": pa.array((h % nbu).astype(np.int64), pa.int64()),
+            "url": u,
+        })
+
+    def distinct_nodes(tbl: pa.Table) -> pa.Table:
+        u = pc.unique(tbl["url"].combine_chunks())
+        return pa.table({
+            "url": u.cast(pa.string()),
+            "rank": pa.array(np.full(len(u), scale, np.int64),
+                             pa.int64()),
+        })
+
+    def scatter(tbl: pa.Table) -> pa.Table:
+        """Per src bucket: rank rows + this node's out-edges -> one
+        (dst, contribution) row per edge + a zero stub per node."""
+        kind = tbl["kind"].to_numpy(zero_copy_only=False)
+        ranks = tbl.filter(pa.array(kind == 1))
+        edges = tbl.filter(pa.array(kind == 0))
+        r_url = ranks["url"].combine_chunks()
+        r_val = ranks["val"].to_numpy(zero_copy_only=False)
+        order = np.argsort(r_url.to_numpy(zero_copy_only=False))
+        sorted_urls = r_url.take(pa.array(order))
+        sorted_vals = r_val[order]
+        out_url, out_val = [r_url], [np.zeros(len(r_url), np.int64)]
+        if edges.num_rows:
+            e_src = edges["url"].combine_chunks()
+            idx = np.searchsorted(
+                sorted_urls.to_numpy(zero_copy_only=False),
+                e_src.to_numpy(zero_copy_only=False))
+            # every edge src has a rank row (node set = src union dst)
+            deg = np.bincount(idx, minlength=len(sorted_vals))
+            contrib = ((sorted_vals[idx] // deg[idx])
+                       * damping_num) // damping_den
+            out_url.append(edges["dst"].combine_chunks())
+            out_val.append(contrib.astype(np.int64))
+        url = pa.concat_arrays([a.cast(pa.string()) for a in out_url])
+        val = np.concatenate(out_val)
+        h = hash64_batch(url)
+        return pa.table({
+            "bucket": pa.array((h % nbu).astype(np.int64), pa.int64()),
+            "url": url,
+            "val": pa.array(val, pa.int64()),
+        })
+
+    def gather(tbl: pa.Table) -> pa.Table:
+        """Per dst bucket: rank = base + sum(contributions). Integer
+        accumulation via add.at (bincount's float weights would break
+        the exact-arithmetic contract past 2^53)."""
+        url = tbl["url"].combine_chunks()
+        val = tbl["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = url.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        sums = np.zeros(len(enc.dictionary), np.int64)
+        np.add.at(sums, idx, val)
+        return pa.table({
+            "url": enc.dictionary.cast(pa.string()),
+            "rank": pa.array(sums + base, pa.int64()),
+        })
+
+    nodes_in = links.map_batches(node_urls, batch_format="pyarrow",
+                                 batch_size=None)
+    ranks = hash_bucket_apply(nodes_in, "bucket", distinct_nodes,
+                              num_buckets=num_buckets)
+    edges_keyed = links.map_batches(edges_in, batch_format="pyarrow",
+                                    batch_size=None).materialize()
+    for _ in range(iterations):
+        both = ranks.map_batches(ranks_in, batch_format="pyarrow",
+                                 batch_size=None).union(edges_keyed)
+        contribs = hash_bucket_apply(both, "bucket", scatter,
+                                     num_buckets=num_buckets)
+        ranks = hash_bucket_apply(contribs, "bucket", gather,
+                                  num_buckets=num_buckets)
+    return ranks
+
+
 def crawl_bfs(links: ray.data.Dataset, seeds: ray.data.Dataset, *,
               max_hops: int = 4, num_buckets: int = 32,
               num_shards: int = 8, n_bits: int = 1 << 22,

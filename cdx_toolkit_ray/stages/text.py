@@ -29,6 +29,34 @@ def decode_html_batch(batch: pa.Table, html_col: str = "html",
     return batch.append_column(out_col, pa.array(out, type=pa.string()))
 
 
+def strip_tags_batch(batch: pa.Table, text_col: str = "text",
+                     out_col: str = "plain") -> pa.Table:
+    """Append ``out_col`` = markup-stripped plain text: every
+    ``<...>`` run replaced by one space, whitespace collapsed, ends
+    trimmed. The boilerplate-removal step of a training-data pipeline
+    (a heuristic stand-in for a real extractor like trafilatura, which
+    isn't in this container), fully vectorized (polars regex kernels)
+    and SQL-expressible (regexp_replace + trim) so the oracle checks
+    the exact strings."""
+    import polars as pl
+
+    if batch.num_rows == 0:
+        return batch.append_column(out_col, pa.array([], pa.string()))
+    plain = (
+        pl.from_arrow(batch.select([text_col]))
+        .select(
+            pl.col(text_col)
+            .str.replace_all(r"<[^>]*>", " ")
+            .str.replace_all(r"\s+", " ")
+            .str.strip_chars(" ")
+            .alias(out_col))
+        .to_arrow()[out_col]
+    )
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, plain.cast(pa.string()))
+
+
 class TextExtractor:
     """Actor-pool stage: html -> text (+ optional length columns)."""
 

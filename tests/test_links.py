@@ -91,6 +91,59 @@ def test_crawl_bfs_hop_budget_and_duplicate_seeds():
     assert dict(zip(got["url"], got["hop"])) == {"s": 0, "a": 0, "b": 1}
 
 
+def test_link_rank_matches_serial_fixed_point():
+    from cdx_toolkit_ray.stages.links import link_rank
+
+    edges = [("s", "a"), ("a", "b"), ("b", "c"), ("c", "a"),
+             ("s", "b"), ("d", "x")]
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([e[0] for e in edges], pa.string()),
+        "dst_url": pa.array([e[1] for e in edges], pa.string())}))
+    df = link_rank(links, iterations=3, num_buckets=4).to_pandas()
+    got = dict(zip(df["url"], df["rank"]))
+
+    SCALE, BASE = 1_000_000, 150_000
+    nodes = sorted({u for e in edges for u in e})
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {u: SCALE for u in nodes}
+    for _ in range(3):
+        nxt = {u: BASE for u in nodes}
+        for s, d in edges:
+            nxt[d] += (r[s] // deg[s]) * 85 // 100
+        r = nxt
+    assert got == r
+    assert df["rank"].dtype == np.int64
+
+
+def test_link_rank_zero_iterations_is_uniform():
+    from cdx_toolkit_ray.stages.links import link_rank
+
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array(["a", "b"], pa.string()),
+        "dst_url": pa.array(["b", "c"], pa.string())}))
+    df = link_rank(links, iterations=0).to_pandas()
+    assert dict(zip(df["url"], df["rank"])) == {
+        "a": 1_000_000, "b": 1_000_000, "c": 1_000_000}
+
+
+def test_strip_tags_exact_strings():
+    from cdx_toolkit_ray.stages.text import strip_tags_batch
+
+    batch = pa.table({
+        "url": pa.array(["u1", "u2", "u3"], pa.string()),
+        "text": pa.array([
+            "<html><body>  a  <b>bold</b>\n tail </body></html>",
+            "no markup   here",
+            "<only><tags/>",
+        ], pa.string()),
+    })
+    out = strip_tags_batch(batch)
+    assert out["plain"].to_pylist() == ["a bold tail", "no markup here",
+                                        ""]
+
+
 def test_crawl_bfs_oracle_parity_on_fixture(fixture_dir):
     """Ray BFS == DuckDB hop-capped recursive closure on the fixture
     link graph (the catalog oracle at test scale)."""
