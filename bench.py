@@ -348,6 +348,11 @@ def main() -> None:
              lambda: consume(Q.q_repeated_spans(SF_DIR))),
             ("sessionize", lambda: consume(Q.q_sessionize(SF_DIR))),
             ("top_revenue", lambda: consume(Q.q_top_revenue(SF_DIR))),
+            ("extract_links",
+             lambda: consume(Q.q_extract_links(SF_DIR))),
+            ("strip_tags", lambda: consume(Q.q_strip_tags(SF_DIR))),
+            ("link_rank", lambda: consume(Q.q_link_rank(SF_DIR))),
+            ("crawl_bfs", lambda: consume(Q.q_crawl_bfs(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the
