@@ -303,11 +303,19 @@ def crawl_bfs(links: ray.data.Dataset, seeds: ray.data.Dataset, *,
 
     Per-hop join policy (same auto-select as the content join,
     pipelines/warcout.py): a frontier at or under ``broadcast_threshold``
-    rows is ``ray.put`` once as a value set and probed inside
-    ``map_batches`` over the link table (one task round, no exchange);
-    a larger frontier goes through the hash-bucket exchange keyed by
-    ``hash64(src_url)``. The frontier row count needed for the choice
-    is already on hand (the loop's termination check).
+    rows is reduced to a value-set object (in a task — the driver never
+    touches rows) and probed against each link block (one task round,
+    no exchange); a larger frontier goes through the hash-bucket
+    exchange keyed by ``hash64(src_url)``. The frontier row count
+    needed for the choice is already on hand (the loop's termination
+    check).
+
+    The hop loop runs as direct task rounds over block refs (the
+    stages/exchange.py pattern) rather than one streaming-executor
+    launch per hop: at fixture scale each executor launch costs ~1 s of
+    fixed latency x hops, which dominated an iterative operator whose
+    per-hop kernel work is milliseconds. The driver holds only refs and
+    per-hop counts.
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
@@ -317,61 +325,88 @@ def crawl_bfs(links: ray.data.Dataset, seeds: ray.data.Dataset, *,
     linksk = links.map_batches(_key_links(num_buckets),
                                batch_format="pyarrow",
                                batch_size=None).materialize()
+    link_refs = linksk.to_arrow_refs()
     keyf = _key_frontier(num_buckets)
 
-    def stamp(batch: pa.Table) -> pa.Table:
-        h = hash64_batch(batch[url_col]).view(np.int64)
-        return pa.table({
-            "url": batch[url_col].cast(pa.string()),
-            "hash64": pa.array(h, pa.int64()),
-        })
-
-    frontier = seeds.map_batches(stamp, batch_format="pyarrow",
-                                 batch_size=None)
-    per_hop: list[ray.data.Dataset] = []
+    frontier_refs = [r for r in
+                     (seeds.select_columns([url_col]).materialize()
+                      .to_arrow_refs())]
+    survivors: list = []
     for hop in range(max_hops + 1):
-        new = (frontier
-               .map_batches(gate, batch_format="pyarrow", batch_size=None)
-               .select_columns(["url"])
-               .materialize())
-        n_new = new.count()
-        if n_new == 0:
+        gated = [_gate_block.options(num_returns=2).remote(
+            gate, url_col if hop == 0 else "url", hop, r)
+            for r in frontier_refs]
+        counts = ray.get([g[1] for g in gated])
+        total = int(sum(counts))
+        if total == 0:
             break
-        per_hop.append(new.add_column(
-            "hop", lambda df, h=hop: np.full(len(df), h, np.int64)))
+        hop_refs = [g[0] for g, n in zip(gated, counts) if n]
+        survivors.extend(hop_refs)
         if hop == max_hops:
             break
-        if n_new <= broadcast_threshold:
-            # drop schema-less zero-row blocks (upstream filter stages
-            # emit them) before concat — same guard hash_bucket_apply
-            blocks = [b for b in ray.get(new.to_arrow_refs())
-                      if b.num_rows]
-            urls = pa.concat_tables(blocks)["url"].cast(pa.string())
-            fset = ray.put(pc.unique(urls.combine_chunks()))
-
-            def probe(batch: pa.Table, ref=fset) -> pa.Table:
-                vs = ray.get(ref) if isinstance(
-                    ref, ray.ObjectRef) else ref
-                hit = pc.is_in(batch["key_url"], value_set=vs)
-                dst = pc.unique(
-                    batch.filter(hit)["dst_url"].combine_chunks())
-                return pa.table({"url": dst.cast(pa.string())})
-
-            nxt = linksk.map_batches(probe, batch_format="pyarrow",
-                                     batch_size=None)
+        if total <= broadcast_threshold:
+            fset = _unique_urls.remote(*hop_refs)
+            frontier_refs = [_probe_block.remote(lr, fset)
+                             for lr in link_refs]
         else:
-            both = new.map_batches(keyf, batch_format="pyarrow",
-                                   batch_size=None).union(linksk)
+            both = (ray.data.from_arrow_refs(hop_refs)
+                    .map_batches(keyf, batch_format="pyarrow",
+                                 batch_size=None)
+                    .union(linksk))
             nxt = hash_bucket_apply(both, "bucket", _expand_bucket,
                                     num_buckets=num_buckets)
-        frontier = nxt.map_batches(stamp, batch_format="pyarrow",
-                                   batch_size=None)
+            frontier_refs = nxt.to_arrow_refs()
 
-    if not per_hop:
+    if not survivors:
         return ray.data.from_arrow(pa.table(
             {"url": pa.array([], pa.string()),
              "hop": pa.array([], pa.int64())}))
-    out = per_hop[0]
-    for d in per_hop[1:]:
-        out = out.union(d)
-    return out
+    return ray.data.from_arrow_refs(survivors)
+
+
+@ray.remote(num_returns=2)
+def _gate_block(gate, url_col: str, hop: int, tbl: pa.Table):
+    """Offer one frontier block to the seen shards (routed actor
+    calls happen inside ``gate``); return (survivors + hop stamp,
+    row count)."""
+    empty = pa.table({"url": pa.array([], pa.string()),
+                      "hop": pa.array([], pa.int64())})
+    if tbl is None or tbl.num_rows == 0:
+        return empty, 0
+    url = tbl[url_col].cast(pa.string())
+    h = hash64_batch(url).view(np.int64)
+    stamped = pa.table({"url": url,
+                        "hash64": pa.array(h, pa.int64())})
+    out = gate(stamped)
+    if out.num_rows == 0:
+        return empty, 0
+    res = pa.table({
+        "url": out["url"].cast(pa.string()),
+        "hop": pa.array(np.full(out.num_rows, hop, np.int64),
+                        pa.int64()),
+    })
+    return res, res.num_rows
+
+
+@ray.remote
+def _unique_urls(*tbls: pa.Table):
+    """Distinct url value set of the hop's survivor blocks (stays in
+    the object store; the probe round reads it by ref)."""
+    arrs = [t["url"].combine_chunks().cast(pa.string())
+            for t in tbls if t.num_rows]
+    if not arrs:
+        return pa.array([], pa.string())
+    return pc.unique(pa.concat_arrays(
+        [a if isinstance(a, pa.Array) else a.combine_chunks()
+         for a in arrs]))
+
+
+@ray.remote
+def _probe_block(link_tbl: pa.Table, value_set) -> pa.Table:
+    """Distinct dsts of one link block whose src is in the frontier
+    value set (exact string membership)."""
+    if link_tbl.num_rows == 0 or len(value_set) == 0:
+        return pa.table({"url": pa.array([], pa.string())})
+    hit = pc.is_in(link_tbl["key_url"], value_set=value_set)
+    dst = pc.unique(link_tbl.filter(hit)["dst_url"].combine_chunks())
+    return pa.table({"url": dst.cast(pa.string())})
