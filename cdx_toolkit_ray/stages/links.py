@@ -169,123 +169,158 @@ def link_rank(links: ray.data.Dataset, *, iterations: int = 3,
     reduction-order hazard. Dangling nodes (no outlinks) keep their
     mass, the standard simplification.
 
-    Dataflow: one distinct-nodes exchange, then per iteration (a) an
-    exchange keyed by ``hash64(src)`` co-locating each node's rank row
-    with ALL its outgoing edges (outdegree falls out per bucket for
-    free) emitting (dst, contribution) plus a zero stub per node, and
-    (b) an exchange keyed by the receiving url summing contributions
-    + the base term. The driver holds only block refs; per-iteration
-    traffic is two narrow (url, int64) streams.
+    Dataflow (the partitioned-cached PageRank shape): the edge table is
+    shuffled by ``hash64(src) % num_buckets`` ONCE and each bucket's
+    slice stays in the object store for every iteration — re-splitting
+    the (dominant) edge stream per iteration would cost an extra full
+    shuffle each round. An iteration is then two direct task rounds:
+    scatter (bucket b's rank rows + its cached out-edges -> per-edge
+    contributions + a zero stub per node, pre-split by the receiving
+    url's bucket) and gather (integer sum + base per url). Rank state
+    lives bucket-aligned in the object store; the driver holds refs
+    only. Per-iteration traffic is the narrow (url, int64) contribution
+    stream — never the edges.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
-    nbu = np.uint64(num_buckets)
+    nb = num_buckets
     base = (scale * (damping_den - damping_num)) // damping_den
+    nbu = np.uint64(nb)
 
-    def edges_in(batch: pa.Table) -> pa.Table:
+    def key_edges(batch: pa.Table) -> pa.Table:
         src = batch["src_url"].cast(pa.string())
         h = hash64_batch(src)
-        n = batch.num_rows
         return pa.table({
             "bucket": pa.array((h % nbu).astype(np.int64), pa.int64()),
-            "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
-            "url": src,
+            "src": src,
             "dst": batch["dst_url"].cast(pa.string()),
-            "val": pa.array(np.zeros(n, np.int64), pa.int64()),
         })
 
-    def ranks_in(batch: pa.Table) -> pa.Table:
-        url = batch["url"].cast(pa.string())
-        h = hash64_batch(url)
-        n = batch.num_rows
-        return pa.table({
-            "bucket": pa.array((h % nbu).astype(np.int64), pa.int64()),
-            "kind": pa.array(np.ones(n, np.int8), pa.int8()),
-            "url": url,
-            "dst": pa.array([None] * n, pa.string()),
-            "val": batch["rank"].cast(pa.int64()),
-        })
+    from .exchange import _chunked, _split_hash
 
-    def node_urls(batch: pa.Table) -> pa.Table:
-        u = pa.concat_arrays([batch["src_url"].cast(pa.string())
-                              .combine_chunks(),
-                              batch["dst_url"].cast(pa.string())
-                              .combine_chunks()])
-        h = hash64_batch(u)
-        return pa.table({
-            "bucket": pa.array((h % nbu).astype(np.int64), pa.int64()),
-            "url": u,
-        })
+    keyed = links.map_batches(key_edges, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    refs = keyed.to_arrow_refs()
+    splits = [_split_hash.options(num_returns=nb).remote("bucket", nb, *g)
+              for g in _chunked(refs)]
+    if nb == 1:
+        splits = [[s] for s in splits]
+    edges_b = [_lr_concat.remote(*[sp[b] for sp in splits])
+               for b in range(nb)]
 
-    def distinct_nodes(tbl: pa.Table) -> pa.Table:
-        u = pc.unique(tbl["url"].combine_chunks())
-        return pa.table({
-            "url": u.cast(pa.string()),
-            "rank": pa.array(np.full(len(u), scale, np.int64),
-                             pa.int64()),
-        })
+    node_slices = [_lr_emit_nodes.options(num_returns=nb).remote(nb, e)
+                   for e in edges_b]
+    if nb == 1:
+        node_slices = [[s] for s in node_slices]
+    ranks_b = [_lr_init_ranks.remote(scale, *[ns[b] for ns in node_slices])
+               for b in range(nb)]
 
-    def scatter(tbl: pa.Table) -> pa.Table:
-        """Per src bucket: rank rows + this node's out-edges -> one
-        (dst, contribution) row per edge + a zero stub per node."""
-        kind = tbl["kind"].to_numpy(zero_copy_only=False)
-        ranks = tbl.filter(pa.array(kind == 1))
-        edges = tbl.filter(pa.array(kind == 0))
-        r_url = ranks["url"].combine_chunks()
-        r_val = ranks["val"].to_numpy(zero_copy_only=False)
-        order = np.argsort(r_url.to_numpy(zero_copy_only=False))
-        sorted_urls = r_url.take(pa.array(order))
-        sorted_vals = r_val[order]
-        out_url, out_val = [r_url], [np.zeros(len(r_url), np.int64)]
-        if edges.num_rows:
-            e_src = edges["url"].combine_chunks()
-            idx = np.searchsorted(
-                sorted_urls.to_numpy(zero_copy_only=False),
-                e_src.to_numpy(zero_copy_only=False))
-            # every edge src has a rank row (node set = src union dst)
-            deg = np.bincount(idx, minlength=len(sorted_vals))
-            contrib = ((sorted_vals[idx] // deg[idx])
-                       * damping_num) // damping_den
-            out_url.append(edges["dst"].combine_chunks())
-            out_val.append(contrib.astype(np.int64))
-        url = pa.concat_arrays([a.cast(pa.string()) for a in out_url])
-        val = np.concatenate(out_val)
-        h = hash64_batch(url)
-        return pa.table({
-            "bucket": pa.array((h % nbu).astype(np.int64), pa.int64()),
-            "url": url,
-            "val": pa.array(val, pa.int64()),
-        })
-
-    def gather(tbl: pa.Table) -> pa.Table:
-        """Per dst bucket: rank = base + sum(contributions). Integer
-        accumulation via add.at (bincount's float weights would break
-        the exact-arithmetic contract past 2^53)."""
-        url = tbl["url"].combine_chunks()
-        val = tbl["val"].to_numpy(zero_copy_only=False).astype(np.int64)
-        enc = url.dictionary_encode()
-        idx = enc.indices.to_numpy(zero_copy_only=False)
-        sums = np.zeros(len(enc.dictionary), np.int64)
-        np.add.at(sums, idx, val)
-        return pa.table({
-            "url": enc.dictionary.cast(pa.string()),
-            "rank": pa.array(sums + base, pa.int64()),
-        })
-
-    nodes_in = links.map_batches(node_urls, batch_format="pyarrow",
-                                 batch_size=None)
-    ranks = hash_bucket_apply(nodes_in, "bucket", distinct_nodes,
-                              num_buckets=num_buckets)
-    edges_keyed = links.map_batches(edges_in, batch_format="pyarrow",
-                                    batch_size=None).materialize()
     for _ in range(iterations):
-        both = ranks.map_batches(ranks_in, batch_format="pyarrow",
-                                 batch_size=None).union(edges_keyed)
-        contribs = hash_bucket_apply(both, "bucket", scatter,
-                                     num_buckets=num_buckets)
-        ranks = hash_bucket_apply(contribs, "bucket", gather,
-                                  num_buckets=num_buckets)
-    return ranks
+        contrib = [_lr_scatter.options(num_returns=nb).remote(
+            nb, damping_num, damping_den, edges_b[b], ranks_b[b])
+            for b in range(nb)]
+        if nb == 1:
+            contrib = [[c] for c in contrib]
+        ranks_b = [_lr_gather.remote(base, *[cs[b] for cs in contrib])
+                   for b in range(nb)]
+    return ray.data.from_arrow_refs(ranks_b)
+
+
+def _lr_bucket_slices(url: pa.Array, extra: np.ndarray | None,
+                      nb: int) -> list[pa.Table]:
+    """Split (url[, val]) rows into nb slices by hash64(url) % nb."""
+    h = (hash64_batch(url) % np.uint64(nb)).astype(np.int64)
+    cols = {"url": url.cast(pa.string())}
+    if extra is not None:
+        cols["val"] = pa.array(extra, pa.int64())
+    tbl = pa.table(cols)
+    order = np.argsort(h, kind="stable")
+    t = tbl.take(pa.array(order))
+    bounds = np.searchsorted(h[order], np.arange(nb + 1))
+    return [t.slice(bounds[p], bounds[p + 1] - bounds[p])
+            for p in range(nb)]
+
+
+@ray.remote
+def _lr_concat(*tbls: pa.Table) -> pa.Table:
+    return pa.concat_tables([t for t in tbls if t.num_rows]
+                            or [tbls[0]], promote_options="permissive")
+
+
+@ray.remote
+def _lr_emit_nodes(nb: int, edges: pa.Table):
+    """Route one edge bucket's endpoint urls to their own buckets."""
+    u = pa.concat_arrays([
+        edges["src"].combine_chunks().cast(pa.string()),
+        edges["dst"].combine_chunks().cast(pa.string())])
+    slices = _lr_bucket_slices(u, None, nb)
+    return slices[0] if nb == 1 else tuple(slices)
+
+
+@ray.remote
+def _lr_init_ranks(scale: int, *tbls: pa.Table) -> pa.Table:
+    """Distinct urls of one bucket -> uniform initial rank."""
+    arrs = [t["url"].combine_chunks() for t in tbls if t.num_rows]
+    if not arrs:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64())})
+    u = pc.unique(pa.concat_arrays(arrs))
+    return pa.table({
+        "url": u.cast(pa.string()),
+        "rank": pa.array(np.full(len(u), scale, np.int64), pa.int64()),
+    })
+
+
+@ray.remote
+def _lr_scatter(nb: int, damping_num: int, damping_den: int,
+                edges: pa.Table, ranks: pa.Table):
+    """Bucket b's rank rows + cached out-edges -> (dst, contribution)
+    per edge + a zero stub per node, pre-split by receiver bucket.
+    Outdegree falls out per bucket (all of a src's edges are here)."""
+    r_url = ranks["url"].combine_chunks()
+    r_val = ranks["rank"].to_numpy(zero_copy_only=False)
+    out_url = [r_url]
+    out_val = [np.zeros(len(r_url), np.int64)]
+    if edges.num_rows and len(r_url):
+        ru = r_url.to_numpy(zero_copy_only=False)
+        order = np.argsort(ru)
+        sorted_urls = ru[order]
+        sorted_vals = r_val[order]
+        e_src = edges["src"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        idx = np.searchsorted(sorted_urls, e_src)
+        # every edge src has a rank row here (node set = src union dst,
+        # bucketed by the same hash)
+        deg = np.bincount(idx, minlength=len(sorted_vals))
+        contrib = ((sorted_vals[idx] // deg[idx])
+                   * damping_num) // damping_den
+        out_url.append(edges["dst"].combine_chunks())
+        out_val.append(contrib.astype(np.int64))
+    url = pa.concat_arrays([a.cast(pa.string()) for a in out_url])
+    slices = _lr_bucket_slices(url, np.concatenate(out_val), nb)
+    return slices[0] if nb == 1 else tuple(slices)
+
+
+@ray.remote
+def _lr_gather(base: int, *tbls: pa.Table) -> pa.Table:
+    """rank = base + integer sum of one bucket's contributions
+    (add.at, not bincount — float weights would break the exact-
+    arithmetic contract past 2^53)."""
+    live = [t for t in tbls if t.num_rows]
+    if not live:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64())})
+    t = pa.concat_tables(live, promote_options="permissive")
+    url = t["url"].combine_chunks()
+    val = t["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = url.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    sums = np.zeros(len(enc.dictionary), np.int64)
+    np.add.at(sums, idx, val)
+    return pa.table({
+        "url": enc.dictionary.cast(pa.string()),
+        "rank": pa.array(sums + base, pa.int64()),
+    })
 
 
 def crawl_bfs(links: ray.data.Dataset, seeds: ray.data.Dataset, *,
