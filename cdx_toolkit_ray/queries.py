@@ -1557,6 +1557,22 @@ def q_extract_links(sf_dir: str):
     return extract_links(pages)
 
 
+def q_crawl_delta(sf_dir: str):
+    """Incremental-crawl diff: latest capture per urlkey in crawl
+    CC-MAIN-2023-14 vs CC-MAIN-2023-50 -> added/gone/changed/same.
+    Per-block latest-fold before the shuffle; one key-bucket exchange.
+    Oracle: two row_number windows + FULL OUTER JOIN."""
+    from .stages.recrawl import crawl_delta
+
+    root = _fixture_root(sf_dir)
+    cols = ["urlkey", "timestamp", "digest"]
+    a = ray.data.read_parquet(root + "/captures/crawl=CC-MAIN-2023-14",
+                              columns=cols)
+    b = ray.data.read_parquet(root + "/captures/crawl=CC-MAIN-2023-50",
+                              columns=cols)
+    return crawl_delta(a, b)
+
+
 def q_link_rank(sf_dir: str):
     """Link-graph crawl prioritization: 3 iterations of fixed-point
     integer PageRank over the fixture outlink graph (crawl frontiers
@@ -2322,6 +2338,28 @@ WHERE (c.urlkey LIKE 'example)%%' OR c.urlkey LIKE 'example,%%')
   AND c.timestamp <= '20231231235959'
   AND contains(c.url, '/p/')
 """ % (_FIXTURE_LINK, _FIXTURE_LINK),
+    # Cross-crawl diff: latest row per urlkey per crawl (ts DESC,
+    # digest DESC — the kernel's lexicographic-max rule), full outer
+    # join, status classification.
+    "crawl_delta": """
+WITH a AS (SELECT urlkey, digest FROM (
+    SELECT urlkey, digest, row_number() OVER (
+      PARTITION BY urlkey ORDER BY timestamp DESC, digest DESC) AS rn
+    FROM read_parquet('%s/captures/crawl=CC-MAIN-2023-14/*.parquet'))
+  WHERE rn = 1),
+b AS (SELECT urlkey, digest FROM (
+    SELECT urlkey, digest, row_number() OVER (
+      PARTITION BY urlkey ORDER BY timestamp DESC, digest DESC) AS rn
+    FROM read_parquet('%s/captures/crawl=CC-MAIN-2023-50/*.parquet'))
+  WHERE rn = 1)
+SELECT COALESCE(a.urlkey, b.urlkey) AS urlkey,
+       CASE WHEN a.urlkey IS NULL THEN 'added'
+            WHEN b.urlkey IS NULL THEN 'gone'
+            WHEN a.digest = b.digest THEN 'same'
+            ELSE 'changed' END AS status,
+       a.digest AS digest_a, b.digest AS digest_b
+FROM a FULL OUTER JOIN b ON a.urlkey = b.urlkey
+""" % (_FIXTURE_LINK, _FIXTURE_LINK),
     # Fixed-point integer PageRank, 3 unrolled iterations — same
     # recurrence as stages/links.link_rank (DIV = integer floor
     # division, so any join/sum order gives identical values).
@@ -2832,6 +2870,7 @@ QUERIES = {
     "crawl_bfs": q_crawl_bfs,
     "strip_tags": q_strip_tags,
     "link_rank": q_link_rank,
+    "crawl_delta": q_crawl_delta,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_full": q_ann_ivf_full,
     "corpus_clean": q_corpus_clean,

@@ -135,3 +135,104 @@ def recrawl_schedule(ds: ray.data.Dataset, *, key_col: str,
 
     return hash_bucket_apply(partials, "_kb", reduce_pages,
                              num_buckets=num_buckets)
+
+
+def crawl_delta(a: ray.data.Dataset, b: ray.data.Dataset, *,
+                key_col: str = "urlkey", ts_col: str = "timestamp",
+                digest_col: str = "digest",
+                num_buckets: int = 32) -> ray.data.Dataset:
+    """Cross-crawl diff: compare the LATEST capture per key in snapshot
+    ``a`` (the older crawl) vs snapshot ``b`` -> one row per key with
+    ``status`` in {added, gone, changed, same} plus both digests (null
+    on the absent side). The anti-join-flavored primitive of an
+    incremental crawl: 'added' keys are the fetch list, 'changed' keys
+    feed the recrawl scheduler.
+
+    Latest = max ``(ts, digest)`` lexicographic (CDX 14-digit
+    timestamps sort chronologically as strings; the digest tie-break
+    makes equal-timestamp rows deterministic) — the same rule as the
+    oracle's ``row_number() OVER (ORDER BY ts DESC, digest DESC)``.
+
+    Dataflow: each block reduces to one latest row per key per side
+    BEFORE the shuffle (the exchange moves one narrow row per distinct
+    key per block, not one per capture), then one key-bucket exchange
+    whose kernel re-folds per (key, side) and emits the comparison.
+    """
+
+    def partial(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            sch = pa.schema([("_kb", pa.int64()), ("key", pa.string()),
+                             ("side", pa.int8()), ("ts", pa.string()),
+                             ("dig", pa.string())])
+            if batch.num_rows == 0:
+                return sch.empty_table()
+            k = batch[key_col].to_numpy(zero_copy_only=False)
+            ts = batch[ts_col].to_numpy(zero_copy_only=False)
+            dg = batch[digest_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((dg, ts, k))
+            k, ts, dg = k[order], ts[order], dg[order]
+            last = np.ones(len(k), bool)
+            last[:-1] = k[1:] != k[:-1]
+            li = np.flatnonzero(last)
+            key = pa.array(k[li], pa.string())
+            kb = (hash64_batch(key) % np.uint64(num_buckets)
+                  ).astype(np.int64)
+            return pa.table({
+                "_kb": pa.array(kb, pa.int64()),
+                "key": key,
+                "side": pa.array(np.full(len(li), side, np.int8)),
+                "ts": pa.array(ts[li], pa.string()),
+                "dig": pa.array(dg[li], pa.string()),
+            })
+        return fn
+
+    def compare(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("urlkey", pa.string()),
+                         ("status", pa.string()),
+                         ("digest_a", pa.string()),
+                         ("digest_b", pa.string())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        k = tbl["key"].to_numpy(zero_copy_only=False)
+        sd = tbl["side"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        dg = tbl["dig"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dg, ts, sd, k))
+        k, sd, dg = k[order], sd[order], dg[order]
+        # last row of each (key, side) run = that side's latest
+        last = np.ones(len(k), bool)
+        last[:-1] = (k[1:] != k[:-1]) | (sd[1:] != sd[:-1])
+        li = np.flatnonzero(last)
+        lk, ls, ld = k[li], sd[li], dg[li]
+        ks = _run_starts(lk)
+        cnt = np.diff(np.r_[ks, len(lk)])
+        n = len(ks)
+        dig_a = np.full(n, None, dtype=object)
+        dig_b = np.full(n, None, dtype=object)
+        status = np.empty(n, dtype=object)
+        both = cnt == 2
+        bi = ks[both]
+        dig_a[both] = ld[bi]
+        dig_b[both] = ld[bi + 1]
+        status[both] = np.where(ld[bi] == ld[bi + 1], "same", "changed")
+        only = ~both
+        oi = ks[only]
+        is_a = ls[oi] == 0
+        dig_a[only] = np.where(is_a, ld[oi], None)
+        dig_b[only] = np.where(is_a, None, ld[oi])
+        status[only] = np.where(is_a, "gone", "added")
+        return pa.table({
+            "urlkey": pa.array(lk[ks], pa.string()),
+            "status": pa.array(status, pa.string()),
+            "digest_a": pa.array(dig_a, pa.string()),
+            "digest_b": pa.array(dig_b, pa.string()),
+        })
+
+    from .exchange import hash_bucket_apply
+
+    keyed = (a.map_batches(partial(0), batch_format="pyarrow",
+                           batch_size=None)
+             .union(b.map_batches(partial(1), batch_format="pyarrow",
+                                  batch_size=None)))
+    return hash_bucket_apply(keyed, "_kb", compare,
+                             num_buckets=num_buckets)

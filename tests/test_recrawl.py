@@ -80,3 +80,46 @@ def test_recrawl_matches_pandas_reference():
         assert s.loc[page, "interval_us"] == want, page
         assert s.loc[page, "n_caps"] == r.n
         assert s.loc[page, "n_versions"] == r.d
+
+
+def _snap(rows):
+    return ray.data.from_arrow(pa.table({
+        "urlkey": pa.array([r[0] for r in rows], pa.string()),
+        "timestamp": pa.array([r[1] for r in rows], pa.string()),
+        "digest": pa.array([r[2] for r in rows], pa.string()),
+    }))
+
+
+def test_crawl_delta_statuses():
+    from cdx_toolkit_ray.stages.recrawl import crawl_delta
+
+    a = _snap([("u1", "20230101000000", "D1"),
+               ("u2", "20230101000000", "D2"),
+               ("u3", "20230101000000", "D3"),
+               # u4 has two captures in A: latest (by ts) wins
+               ("u4", "20230101000000", "OLD"),
+               ("u4", "20230201000000", "D4")])
+    b = _snap([("u1", "20230601000000", "D1"),       # same
+               ("u2", "20230601000000", "D2x"),      # changed
+               ("u4", "20230601000000", "D4"),       # same (latest A)
+               ("u5", "20230601000000", "D5")])      # added
+    df = crawl_delta(a, b, num_buckets=4).to_pandas()
+    got = dict(zip(df["urlkey"], df["status"]))
+    assert got == {"u1": "same", "u2": "changed", "u3": "gone",
+                   "u4": "same", "u5": "added"}
+    row = df[df["urlkey"] == "u2"].iloc[0]
+    assert (row["digest_a"], row["digest_b"]) == ("D2", "D2x")
+    gone = df[df["urlkey"] == "u3"].iloc[0]
+    assert gone["digest_b"] is None and gone["digest_a"] == "D3"
+
+
+def test_crawl_delta_equal_ts_digest_tiebreak():
+    from cdx_toolkit_ray.stages.recrawl import crawl_delta
+
+    # two captures with the SAME timestamp: max digest wins on both
+    # sides (the deterministic rule the SQL oracle replicates)
+    a = _snap([("u", "20230101000000", "AAA"),
+               ("u", "20230101000000", "ZZZ")])
+    b = _snap([("u", "20230601000000", "ZZZ")])
+    df = crawl_delta(a, b, num_buckets=2).to_pandas()
+    assert df.iloc[0]["status"] == "same"
