@@ -353,6 +353,7 @@ def main() -> None:
             ("strip_tags", lambda: consume(Q.q_strip_tags(SF_DIR))),
             ("link_rank", lambda: consume(Q.q_link_rank(SF_DIR))),
             ("crawl_bfs", lambda: consume(Q.q_crawl_bfs(SF_DIR))),
+            ("crawl_delta", lambda: consume(Q.q_crawl_delta(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the

@@ -1557,6 +1557,17 @@ def q_extract_links(sf_dir: str):
     return extract_links(pages)
 
 
+def q_host_graph(sf_dir: str):
+    """Host-level contraction of the link graph (crawl budgeting):
+    map-side partial pair counts, one pair-bucket exchange sum."""
+    from .stages.links import extract_links, host_graph
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return host_graph(extract_links(pages))
+
+
 def q_crawl_delta(sf_dir: str):
     """Incremental-crawl diff: latest capture per urlkey in crawl
     CC-MAIN-2023-14 vs CC-MAIN-2023-50 -> added/gone/changed/same.
@@ -2338,6 +2349,26 @@ WHERE (c.urlkey LIKE 'example)%%' OR c.urlkey LIKE 'example,%%')
   AND c.timestamp <= '20231231235959'
   AND contains(c.url, '/p/')
 """ % (_FIXTURE_LINK, _FIXTURE_LINK),
+    # Host-level link-graph contraction: same href/resolution chain,
+    # then host extraction + pair counts.
+    "host_graph": r"""
+WITH hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s/pages.parquet')),
+links AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs WHERE dst_url IS NOT NULL)
+SELECT regexp_extract(src_url, '://([^/]+)', 1) AS src_host,
+       regexp_extract(dst_url, '://([^/]+)', 1) AS dst_host,
+       COUNT(*) AS n_links
+FROM links GROUP BY 1, 2
+""" % _FIXTURE_LINK,
     # Cross-crawl diff: latest row per urlkey per crawl (ts DESC,
     # digest DESC — the kernel's lexicographic-max rule), full outer
     # join, status classification.
@@ -2871,6 +2902,7 @@ QUERIES = {
     "strip_tags": q_strip_tags,
     "link_rank": q_link_rank,
     "crawl_delta": q_crawl_delta,
+    "host_graph": q_host_graph,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_full": q_ann_ivf_full,
     "corpus_clean": q_corpus_clean,

@@ -445,3 +445,72 @@ def _probe_block(link_tbl: pa.Table, value_set) -> pa.Table:
     hit = pc.is_in(link_tbl["key_url"], value_set=value_set)
     dst = pc.unique(link_tbl.filter(hit)["dst_url"].combine_chunks())
     return pa.table({"url": dst.cast(pa.string())})
+
+
+def host_graph(links: ray.data.Dataset, *,
+               num_buckets: int = 32) -> ray.data.Dataset:
+    """Contract the url-level link graph to the host level:
+    (src_host, dst_host, n_links). The crawl-budgeting view — which
+    hosts point at which, and how hard.
+
+    Map-side partial aggregation: each block folds its rows to distinct
+    (src_host, dst_host) pairs with counts BEFORE the shuffle, so the
+    exchange moves one row per distinct pair per block (a boilerplate
+    site linking a CDN a million times costs its block one row), then
+    one pair-bucket exchange sums the partials.
+    """
+    nbu = np.uint64(num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        sch = pa.schema([("_pb", pa.int64()), ("src_host", pa.string()),
+                         ("dst_host", pa.string()), ("n_links", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        agg = (
+            pl.from_arrow(batch.select(["src_url", "dst_host"]))
+            .with_columns(pl.col("src_url").str.extract(_HOST_RE, 1)
+                          .alias("src_host"))
+            .group_by(["src_host", "dst_host"])
+            .agg(pl.len().cast(pl.Int64).alias("n_links"))
+            .with_columns(pl.concat_str(["src_host", "dst_host"],
+                                        separator="\x00").alias("pair"))
+            .to_arrow()
+        )
+        pb = (hash64_batch(agg["pair"].combine_chunks())
+              % nbu).astype(np.int64)
+        return pa.table({
+            "_pb": pa.array(pb, pa.int64()),
+            "src_host": agg["src_host"].cast(pa.string()),
+            "dst_host": agg["dst_host"].cast(pa.string()),
+            "n_links": agg["n_links"].cast(pa.int64()),
+        })
+
+    def reduce_pairs(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("src_host", pa.string()),
+                         ("dst_host", pa.string()),
+                         ("n_links", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        s = tbl["src_host"].to_numpy(zero_copy_only=False)
+        d = tbl["dst_host"].to_numpy(zero_copy_only=False)
+        n = tbl["n_links"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d, n = s[order], d[order], n[order]
+        new = np.ones(len(s), bool)
+        new[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        ps = np.flatnonzero(new)
+        return pa.table({
+            "src_host": pa.array(s[ps], pa.string()),
+            "dst_host": pa.array(d[ps], pa.string()),
+            "n_links": pa.array(np.add.reduceat(n, ps).astype(np.int64),
+                                pa.int64()),
+        })
+
+    from .exchange import hash_bucket_apply
+
+    partials = links.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None)
+    return hash_bucket_apply(partials, "_pb", reduce_pairs,
+                             num_buckets=num_buckets)

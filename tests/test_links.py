@@ -185,3 +185,19 @@ SELECT url, MIN(hop) AS hop FROM walk GROUP BY url
 """ % (pages_path, pages_path)).df()
     assert (dict(zip(got["url"], got["hop"]))
             == dict(zip(want["url"], want["hop"])))
+
+
+def test_host_graph_partial_aggregation():
+    from cdx_toolkit_ray.stages.links import extract_links, host_graph
+
+    pages = _pages([
+        ("https://a.example/1", "<a href='/x'>1</a><a href='/y'>2</a>"),
+        ("https://a.example/2", "<a href='https://b.example/z'>3</a>"),
+        ("http://www.a.example/3", "<a href='/w'>4</a>"),
+    ])
+    df = host_graph(extract_links(pages), num_buckets=4).to_pandas()
+    got = {(r.src_host, r.dst_host): r.n_links
+           for r in df.itertuples()}
+    assert got == {("a.example", "a.example"): 2,
+                   ("a.example", "b.example"): 1,
+                   ("www.a.example", "www.a.example"): 1}
