@@ -346,6 +346,7 @@ def main() -> None:
             ("kmeans", lambda: consume(Q.q_kmeans(SF_DIR))),
             ("repeated_spans",
              lambda: consume(Q.q_repeated_spans(SF_DIR))),
+            ("cut_spans", lambda: consume(Q.q_cut_spans(SF_DIR))),
             ("sessionize", lambda: consume(Q.q_sessionize(SF_DIR))),
             ("top_revenue", lambda: consume(Q.q_top_revenue(SF_DIR))),
             ("extract_links",

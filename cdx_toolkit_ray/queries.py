@@ -509,6 +509,20 @@ def q_repeated_spans(sf_dir: str):
                                span_k=5, min_docs=2)
 
 
+def q_cut_spans(sf_dir: str):
+    """Cross-document repeated-span REMOVAL (the action half of Lee
+    et al. 2022): every word covered by a word-5-gram shared by >= 2
+    distinct documents is cut; survivors re-joined as clean_text. One
+    narrow (doc_id, hash) exchange builds the repeated-gram set
+    (broadcast once), then a stateless vectorized rewrite pass."""
+    from .stages.spans import cut_repeated_spans
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return cut_repeated_spans(ds, text_col="text", id_col="doc_id",
+                              span_k=5, min_docs=2)
+
+
 def q_url_seen(sf_dir: str):
     """T7 sharded URL-seen actor pool (exact mode): every accepted
     offer is a first-seen canonical URL, so the surviving urlkey set
@@ -1770,6 +1784,57 @@ sh AS MATERIALIZED (
   FROM (SELECT doc_id, unnest(grams) AS gram FROM g))""")
 
 
+def _cut_spans_oracle(k: int = 5, min_docs: int = 2) -> str:
+    """Repeated-span removal in pure SQL: position-carrying grams
+    (the `_gram_sh_cte` convention plus a 0-based window start), the
+    repeated set as a distinct-doc HAVING, word coverage as an
+    unnested position range, survivors re-joined in word order."""
+    gram = " || ' ' || ".join("words[i+%d]" % d for d in range(k))
+    fnv = _FNV_SQL.format(s="gram")
+    return (r"""
+WITH w AS (SELECT doc_id,
+                  regexp_extract_all(lower(coalesce(text, '')), '\w+')
+                    AS words
+           FROM documents),
+gp AS (SELECT doc_id, len(words) AS n_words,
+        CASE WHEN len(words) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(words) < """ + str(k)
+            + r""" THEN [array_to_string(words, ' ')]
+             ELSE list_transform(range(1, len(words) - """
+            + str(k - 2) + r"""), i -> """ + gram + r""")
+        END AS grams
+       FROM w),
+ge AS (SELECT doc_id, n_words,
+              unnest(grams) AS gram,
+              unnest(range(0, len(grams))) AS pos
+       FROM gp),
+gh AS MATERIALIZED (
+  SELECT doc_id, n_words, pos, """ + fnv + r""" AS h FROM ge),
+rep AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM gh)
+        GROUP BY h HAVING count(*) >= """ + str(min_docs) + r"""),
+covw AS (SELECT DISTINCT doc_id, wp FROM (
+           SELECT doc_id, unnest(range(pos, least(pos + """ + str(k)
+            + r""", n_words))) AS wp
+           FROM gh WHERE h IN (SELECT h FROM rep))),
+tok AS (SELECT doc_id, unnest(words) AS word,
+               unnest(range(0, len(words))) AS wp
+        FROM w),
+kept AS (SELECT t.doc_id, t.wp, t.word
+         FROM tok t LEFT JOIN covw c
+           ON c.doc_id = t.doc_id AND c.wp = t.wp
+         WHERE c.wp IS NULL),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(word, ' ' ORDER BY wp) AS clean_text
+        FROM kept GROUP BY doc_id),
+out AS (SELECT w.doc_id,
+               CAST(len(w.words) AS BIGINT) AS n_words,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(a.clean_text, '') AS clean_text
+        FROM w LEFT JOIN agg a ON a.doc_id = w.doc_id)
+SELECT * FROM out
+""")
+
+
 def _decontam_oracle(shingle_k: int = 5, modulus: int = 37,
                      min_hits: int = 1) -> str:
     """Decontamination in pure SQL: the gram/FNV chain on both sides,
@@ -2248,6 +2313,7 @@ SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
 FROM sh s LEFT JOIN rep r ON r.h = s.h
 GROUP BY s.doc_id
 """),
+    "cut_spans": _cut_spans_oracle(),
     "cc_components": _cc_oracle(),
     "decontaminate": _decontam_oracle(),
     # the bloom gate's oracle is the EXACT pass: with 2^24 bits over
@@ -2856,6 +2922,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "ngram_jaccard": q_ngram_jaccard,
     "repeated_spans": q_repeated_spans,
+    "cut_spans": q_cut_spans,
     "url_seen": q_url_seen,
     "row_sample": q_row_sample,
     "fetch_plan": q_fetch_plan,
