@@ -1571,6 +1571,19 @@ def q_extract_links(sf_dir: str):
     return extract_links(pages)
 
 
+def q_anchor_stats(sf_dir: str):
+    """Inbound anchor-text aggregation per link target (the classic
+    web-graph relevance signal): n_refs, distinct referring hosts, and
+    the modal anchor text with a deterministic tie-break. Map-side
+    partial counts, one dst-keyed exchange; page text never shuffles."""
+    from .stages.links import anchor_stats
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return anchor_stats(pages)
+
+
 def q_host_graph(sf_dir: str):
     """Host-level contraction of the link graph (crawl budgeting):
     map-side partial pair counts, one pair-bucket exchange sum."""
@@ -2530,6 +2543,48 @@ SELECT src_url, dst_url,
        regexp_extract(dst_url, '://([^/]+)', 1) AS dst_host
 FROM resolved WHERE dst_url IS NOT NULL
 """ % _FIXTURE_LINK,
+    # Anchor-text aggregation per link target: whole-tag harvest, the
+    # same href resolution rule, then per-dst counts + modal anchor
+    # with (count DESC, anchor ASC) tie-break — matches
+    # stages/links.anchor_stats exactly.
+    "anchor_stats": r"""
+WITH tags AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text,
+                '<a href=''[^'']*''>[^<]*</a>')) AS tag
+  FROM read_parquet('%s/pages.parquet')),
+parts AS (
+  SELECT src_url,
+         regexp_extract(tag, 'href=''([^'']*)''', 1) AS href,
+         regexp_extract(tag, '>([^<]*)</a>', 1) AS anchor
+  FROM tags),
+resolved AS (
+  SELECT src_url, anchor,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM parts),
+base AS (
+  SELECT dst_url, regexp_extract(src_url, '://([^/]+)', 1) AS src_host,
+         anchor
+  FROM resolved WHERE dst_url IS NOT NULL),
+ranked AS (
+  SELECT dst_url, anchor, count(*) AS c,
+         row_number() OVER (PARTITION BY dst_url
+                            ORDER BY count(*) DESC, anchor ASC) AS rn
+  FROM base GROUP BY dst_url, anchor),
+tot AS (
+  SELECT dst_url, CAST(count(*) AS BIGINT) AS n_refs,
+         CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+  FROM base GROUP BY dst_url),
+outv AS (
+  SELECT t.dst_url, t.n_refs, t.n_src_hosts, r.anchor AS top_anchor,
+         CAST(r.c AS BIGINT) AS top_anchor_refs
+  FROM tot t JOIN ranked r ON r.dst_url = t.dst_url AND r.rn = 1)
+SELECT * FROM outv
+""" % _FIXTURE_LINK,
     # Hop-capped transitive closure from the root-page seed set with
     # min-hop aggregation == BFS first-reached level (the recursive
     # term re-expands revisits at higher hops, but any node they could
@@ -2965,6 +3020,7 @@ QUERIES = {
     "captures_query": q_captures_query,
     "content_extract": q_content_extract,
     "extract_links": q_extract_links,
+    "anchor_stats": q_anchor_stats,
     "crawl_bfs": q_crawl_bfs,
     "strip_tags": q_strip_tags,
     "link_rank": q_link_rank,

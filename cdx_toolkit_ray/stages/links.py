@@ -514,3 +514,118 @@ def host_graph(links: ray.data.Dataset, *,
                                  batch_size=None)
     return hash_bucket_apply(partials, "_pb", reduce_pairs,
                              num_buckets=num_buckets)
+
+
+# Full anchor tag (href + visible text), fixture quote convention —
+# same caveat as HREF_RE: real HTML would widen this.
+ANCHOR_TAG_RE = r"<a href='[^']*'>[^<]*</a>"
+
+
+def anchor_stats(pages: ray.data.Dataset, *, url_col: str = "url",
+                 text_col: str = "text",
+                 num_buckets: int = 32) -> ray.data.Dataset:
+    """Inbound anchor-text aggregation per link target — the classic
+    web-graph relevance signal (anchor text describes the TARGET, not
+    the source; reference users compose it by hand from obj.content
+    loops, reference __init__.py:122-127).
+
+    Output per dst_url: ``n_refs`` (inbound anchor count), ``n_src_hosts``
+    (distinct referring hosts), ``top_anchor`` (most frequent anchor
+    text; ties -> lexicographically smallest, so the result is
+    arrival-order independent and SQL-checkable), ``top_anchor_refs``.
+
+    Dataflow: a vectorized harvest pass extracts whole anchor tags and
+    resolves hrefs exactly like ``extract_links`` (absolute kept,
+    root-relative resolved against the page origin, rest dropped),
+    then folds each block to distinct (dst_url, src_host, anchor)
+    partial counts BEFORE the shuffle; one dst-keyed exchange merges
+    the partials and ranks anchors per target. Page text never
+    shuffles — only the narrow partial-count stream does.
+    """
+    nbu = np.uint64(num_buckets)
+
+    part_sch = pa.schema([("_db", pa.int64()), ("dst_url", pa.string()),
+                          ("src_host", pa.string()),
+                          ("anchor", pa.string()), ("c", pa.int64())])
+
+    def harvest(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if batch.num_rows == 0:
+            return part_sch.empty_table()
+        df = pl.from_arrow(batch.select([url_col, text_col]))
+        if url_col != "src_url":
+            df = df.rename({url_col: "src_url"})
+        out = (
+            df.with_columns(
+                pl.col(text_col).str.extract_all(ANCHOR_TAG_RE)
+                .alias("tag"))
+            .drop(text_col)
+            .explode("tag")
+            .drop_nulls("tag")
+            .with_columns(
+                href=pl.col("tag").str.extract(r"href='([^']*)'", 1),
+                anchor=pl.col("tag").str.extract(r">([^<]*)</a>", 1))
+            .drop("tag")
+        )
+        origin = pl.col("src_url").str.extract(_ORIGIN_RE, 1)
+        dst = (
+            pl.when(pl.col("href").str.contains("://", literal=True))
+            .then(pl.col("href"))
+            .when(pl.col("href").str.starts_with("/"))
+            .then(origin + pl.col("href"))
+            .otherwise(None)
+        )
+        agg = (
+            out.with_columns(dst.alias("dst_url"))
+            .drop_nulls("dst_url")
+            .with_columns(pl.col("src_url").str.extract(_HOST_RE, 1)
+                          .alias("src_host"))
+            .group_by(["dst_url", "src_host", "anchor"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+        if agg.num_rows == 0:
+            return part_sch.empty_table()
+        db = (hash64_batch(agg["dst_url"].combine_chunks())
+              % nbu).astype(np.int64)
+        return pa.table({
+            "_db": pa.array(db, pa.int64()),
+            "dst_url": agg["dst_url"].cast(pa.string()),
+            "src_host": agg["src_host"].cast(pa.string()),
+            "anchor": agg["anchor"].cast(pa.string()),
+            "c": agg["c"].cast(pa.int64()),
+        })
+
+    out_sch = pa.schema([("dst_url", pa.string()), ("n_refs", pa.int64()),
+                         ("n_src_hosts", pa.int64()),
+                         ("top_anchor", pa.string()),
+                         ("top_anchor_refs", pa.int64())])
+
+    def per_target(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if tbl.num_rows == 0:
+            return out_sch.empty_table()
+        df = pl.from_arrow(tbl.select(
+            ["dst_url", "src_host", "anchor", "c"]))
+        tot = df.group_by("dst_url").agg(
+            n_refs=pl.col("c").sum(),
+            n_src_hosts=pl.col("src_host").n_unique().cast(pl.Int64))
+        top = (
+            df.group_by(["dst_url", "anchor"]).agg(pl.col("c").sum())
+            .sort(["dst_url", "c", "anchor"],
+                  descending=[False, True, False])
+            .group_by("dst_url", maintain_order=True)
+            .first()
+            .rename({"anchor": "top_anchor", "c": "top_anchor_refs"})
+        )
+        return (tot.join(top, on="dst_url")
+                .select(["dst_url", "n_refs", "n_src_hosts",
+                         "top_anchor", "top_anchor_refs"])
+                .to_arrow().cast(out_sch))
+
+    partials = pages.map_batches(harvest, batch_format="pyarrow",
+                                 batch_size=None, zero_copy_batch=True)
+    return hash_bucket_apply(partials, "_db", per_target,
+                             num_buckets=num_buckets)

@@ -201,3 +201,50 @@ def test_host_graph_partial_aggregation():
     assert got == {("a.example", "a.example"): 2,
                    ("a.example", "b.example"): 1,
                    ("www.a.example", "www.a.example"): 1}
+
+
+def test_anchor_stats_synthetic():
+    """Varied anchors: modal pick, tie-break, host dedup, resolution."""
+    from cdx_toolkit_ray.stages.links import anchor_stats
+
+    pages = _pages([
+        # three refs to /x: "home" twice (from two hosts), "start" once
+        ("https://a.example/1",
+         "<a href='https://t.example/x'>home</a>"),
+        ("https://b.example/2",
+         "<a href='https://t.example/x'>home</a>"
+         "<a href='https://t.example/x'>start</a>"),
+        # tie on /y: "aa" and "bb" once each -> lexicographic "aa" wins
+        ("https://a.example/3",
+         "<a href='/y'>bb</a><a href='/y'>aa</a>"),
+        # path-relative + fragment anchors are dropped entirely
+        ("https://c.example/4",
+         "<a href='rel/path'>nope</a><a href='#f'>nah</a>"),
+    ])
+    got = anchor_stats(pages, num_buckets=3) \
+        .to_pandas().set_index("dst_url").sort_index()
+    assert set(got.index) == {"https://t.example/x", "https://a.example/y"}
+    x = got.loc["https://t.example/x"]
+    assert (x.n_refs, x.n_src_hosts, x.top_anchor, x.top_anchor_refs) \
+        == (3, 2, "home", 2)
+    y = got.loc["https://a.example/y"]
+    assert (y.n_refs, y.n_src_hosts, y.top_anchor, y.top_anchor_refs) \
+        == (2, 1, "aa", 1)
+
+
+def test_anchor_stats_matches_sql_on_fixture(fixture_dir):
+    import duckdb
+    import pandas as pd
+
+    from cdx_toolkit_ray.queries import ORACLES
+    from cdx_toolkit_ray.stages.links import anchor_stats
+
+    pages_path = fixture_dir["pages"]
+    pages = ray.data.read_parquet(pages_path, columns=["url", "text"])
+    got = anchor_stats(pages).to_pandas() \
+        .sort_values("dst_url").reset_index(drop=True)
+    want = duckdb.sql(
+        ORACLES["anchor_stats"].replace(
+            "/tmp/cdxray_fixtures_current/pages.parquet", pages_path)
+        + " ORDER BY dst_url").df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
