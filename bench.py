@@ -353,6 +353,8 @@ def main() -> None:
              lambda: consume(Q.q_extract_links(SF_DIR))),
             ("anchor_stats",
              lambda: consume(Q.q_anchor_stats(SF_DIR))),
+            ("hll_distinct",
+             lambda: consume(Q.q_hll_distinct(SF_DIR))),
             ("strip_tags", lambda: consume(Q.q_strip_tags(SF_DIR))),
             ("link_rank", lambda: consume(Q.q_link_rank(SF_DIR))),
             ("crawl_bfs", lambda: consume(Q.q_crawl_bfs(SF_DIR))),

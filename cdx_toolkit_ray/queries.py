@@ -523,6 +523,19 @@ def q_cut_spans(sf_dir: str):
                               span_k=5, min_docs=2)
 
 
+def q_hll_distinct(sf_dir: str):
+    """Per-group HyperLogLog distinct-user estimate over the events
+    stream (the cardinality sketch: count-min's twin for COUNT
+    DISTINCT). Per-block register folds before the shuffle; one
+    group-keyed exchange merges maxima and evaluates the exact-
+    rational estimate (+ linear-counting small-range branch)."""
+    from .stages.sketch import hll_distinct
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["user_id", "event_type"])
+    return hll_distinct(ds, "user_id", "event_type", p=8, seed=0)
+
+
 def q_url_seen(sf_dir: str):
     """T7 sharded URL-seen actor pool (exact mode): every accepted
     offer is a first-seen canonical URL, so the surviving urlkey set
@@ -2262,6 +2275,58 @@ FROM tf WHERE word IN ('vector', 'spark')
 GROUP BY doc_id HAVING count(*) = 2
 """
 
+def _hll_oracle(p: int = 8, seed: int = 0) -> str:
+    """HyperLogLog per-group distinct estimate in pure SQL: the seeded
+    FNV+splitmix64 hash chain, bucket/rank extraction via exact bit
+    ops (rank = strpos of the first '1' in the 64-bit binary string —
+    no float log2), register maxima, and the exact-rational harmonic
+    estimate with the linear-counting small-range branch."""
+    m = 1 << p
+    rmax = 64 - p + 1
+    pow_rmax = 1 << rmax        # fits BIGINT for p >= 2
+    pow_shift = 1 << (64 - p)   # modulus isolating the non-bucket bits
+    alpha_den = 10000 * (1000 * m + 1079)
+    numer = (7213 * 1000 * m) * m * m * pow_rmax
+    small = (5 * m) // 2
+    return (f"""
+WITH h AS MATERIALIZED (
+  SELECT event_type,
+         {_seeded_key_sql('user_id', seed)} AS raw
+  FROM events),
+mx AS MATERIALIZED (
+  SELECT event_type, {_sql_mix64('raw')} AS hk FROM h),
+rr AS (
+  SELECT event_type,
+         CAST(hk >> {64 - p} AS BIGINT) AS bidx,
+         CASE WHEN hk % CAST({pow_shift} AS UBIGINT) = 0 THEN {rmax}
+              ELSE strpos(lpad(bin((hk % CAST({pow_shift} AS UBIGINT))
+                                   * CAST({m} AS UBIGINT)), 64, '0'),
+                          '1') END AS rank
+  FROM mx),
+regs AS (
+  SELECT event_type, bidx, MAX(rank) AS mr
+  FROM rr GROUP BY event_type, bidx),
+agg AS (
+  SELECT event_type,
+         CAST({m} - count(*) AS BIGINT) AS n_zero,
+         CAST(SUM(mr) AS BIGINT) AS rank_sum,
+         CAST({m} - count(*) AS HUGEINT) * CAST({pow_rmax} AS HUGEINT)
+           + SUM(CAST({pow_rmax} AS BIGINT) >> mr) AS t
+  FROM regs GROUP BY event_type),
+est AS (
+  SELECT event_type, n_zero, rank_sum,
+         CAST({numer} AS HUGEINT)
+           // (CAST({alpha_den} AS HUGEINT) * t) AS raw_est
+  FROM agg)
+SELECT event_type, n_zero, rank_sum,
+       CAST(CASE WHEN raw_est <= {small} AND n_zero > 0
+                 THEN CAST(floor({m} * ln(CAST({m} AS DOUBLE) / n_zero))
+                      AS HUGEINT)
+                 ELSE raw_est END AS BIGINT) AS hll_estimate
+FROM est
+""")
+
+
 def _mixture_sql() -> str:
     # splitmix64-finalized seeded key (sampling.mixture_sample): the
     # raw FNV key is a CTE column, the mix steps are MATERIALIZED so
@@ -2311,6 +2376,7 @@ ORACLES: dict[str, str] = {
     "lm_score": _LM_SCORE_SQL,
     "inverted_search": _INV_SEARCH_SQL,
     "mixture_sample": _mixture_sql(),
+    "hll_distinct": _hll_oracle(),
     "quantile_gate": _QUANTILE_GATE_SQL,
     "stratified_sample": _STRAT_SAMPLE_SQL,
     "sharded_shuffle": _SHARDED_SHUFFLE_SQL,
@@ -3012,6 +3078,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "count_min": q_count_min,
+    "hll_distinct": q_hll_distinct,
     "holdout_split": q_holdout_split,
     "recrawl": q_recrawl,
     "simhash_sigs": q_simhash_sigs,

@@ -241,3 +241,153 @@ def count_min_stage(matrix_ref, key_col: str, *, seed: int = 0,
                                    pa.array(est.astype(np.int64)))
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (per-group cardinality)
+# ---------------------------------------------------------------------------
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length of a uint64 array (0 -> 0): 6-step
+    bisection, no float log2 (whose rounding is wrong exactly at the
+    power-of-two boundaries that decide an HLL rank)."""
+    x = x.astype(np.uint64, copy=True)
+    out = np.zeros(x.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        out[big] += s
+        x[big] >>= np.uint64(s)
+    out[x > 0] += 1
+    return out
+
+
+def hll_distinct(ds: ray.data.Dataset, key_col: str, group_col: str, *,
+                 p: int = 8, seed: int = 0,
+                 num_buckets: int = 16) -> ray.data.Dataset:
+    """Per-group HyperLogLog distinct-count estimate (Flajolet et al.
+    2007) — the cardinality member of the sketch family (count-min =
+    frequencies, bloom = membership, Misra-Gries = heavy hitters):
+    "how many distinct users per event type / distinct URLs per host"
+    without shuffling one row per distinct key.
+
+    All-integer raw estimator, exactly reproducible in SQL: the key
+    hash is the proven seeded chain (FNV-1a of ``"{seed}:{key}"`` ->
+    splitmix64 finalizer, stages/sampling._seeded_key + dedup._mix64),
+    bucket = top ``p`` hash bits, rank = leading-zero run of the
+    remaining bits + 1, and the harmonic estimate is computed in exact
+    rational arithmetic: with Rmax = 64 - p + 1 and integer
+    T = sum_j 2^(Rmax - M_j) over all m = 2^p registers,
+
+        estimate = alpha_num * m^2 * 2^Rmax  //  (alpha_den * T)
+
+    where alpha_num/alpha_den is the exact rational form of the
+    published bias constant 0.7213 / (1 + 1.079/m). The standard
+    small-range (linear-counting) correction IS applied: when the raw
+    estimate is <= 5m/2 and some register is empty, the estimate is
+    ``floor(m * ln(m / n_zero))`` — a float expression, but n_zero
+    takes only m possible integer values and both sides (numpy-free
+    Python ``math`` here, ``ln`` in DuckDB) evaluate the identical
+    double-precision formula on the same libm, so the floor is
+    bit-stable in practice and hash-checked at two scales. The
+    large-range correction is unnecessary with 64-bit hashing
+    (standard practice) and omitted.
+
+    Returns one row per group: ``(group_col, n_zero, rank_sum,
+    hll_estimate)`` — ``n_zero``/``rank_sum`` are register-array
+    digests that make a mismatch diagnosable.
+
+    Dataflow: each block folds to per-(group, register) maxima BEFORE
+    the shuffle (<= groups x m rows per block regardless of block
+    size), one group-keyed exchange merges maxima and evaluates the
+    estimate. Mergeability of the register max is what makes the
+    sketch partition-independent — asserted by tests.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    rmax = 64 - p + 1
+    alpha_num = 7213 * 1000 * m
+    alpha_den = 10000 * (1000 * m + 1079)
+    numer = alpha_num * m * m * (1 << rmax)
+    nbu = np.uint64(num_buckets)
+    from .dedup import _mix64
+    from .sampling import _seeded_key
+
+    part_sch = pa.schema([("_gb", pa.int64()), ("grp", pa.string()),
+                          ("bidx", pa.int64()), ("mr", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_sch.empty_table()
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        h = _mix64(_seeded_key(batch[key_col], seed))
+        bidx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)  # wraps mod 2^64: the non-bucket bits
+        rank = np.where(w == 0, rmax, 64 - _bit_length_u64(w) + 1) \
+            .astype(np.int64)
+        # fold to per-(group, register) max before anything moves
+        order = np.lexsort((bidx, g))
+        gs, bs, rs = g[order], bidx[order], rank[order]
+        new = np.ones(len(gs), bool)
+        new[1:] = (gs[1:] != gs[:-1]) | (bs[1:] != bs[:-1])
+        starts = np.flatnonzero(new)
+        mr = np.maximum.reduceat(rs, starts)
+        grp = gs[starts].astype(object)
+        from ..canon import hash64_batch
+        gb = (hash64_batch(grp) % nbu).astype(np.int64)
+        return pa.table({
+            "_gb": pa.array(gb, pa.int64()),
+            "grp": pa.array(grp, pa.string()),
+            "bidx": pa.array(bs[starts], pa.int64()),
+            "mr": pa.array(mr, pa.int64()),
+        })
+
+    out_sch = pa.schema([(group_col, pa.string()), ("n_zero", pa.int64()),
+                         ("rank_sum", pa.int64()),
+                         ("hll_estimate", pa.int64())])
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_sch.empty_table()
+        g = tbl["grp"].to_numpy(zero_copy_only=False)
+        b = tbl["bidx"].to_numpy(zero_copy_only=False)
+        r = tbl["mr"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, g))
+        gs, bs, rs = g[order], b[order], r[order]
+        new = np.ones(len(gs), bool)
+        new[1:] = (gs[1:] != gs[:-1]) | (bs[1:] != bs[:-1])
+        starts = np.flatnonzero(new)
+        mr = np.maximum.reduceat(rs, starts)
+        gg = gs[starts]
+        gnew = np.ones(len(gg), bool)
+        gnew[1:] = gg[1:] != gg[:-1]
+        gstarts = np.flatnonzero(gnew)
+        groups, zeros, sums, ests = [], [], [], []
+        bounds = np.append(gstarts, len(gg))
+        for i in range(len(gstarts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            regs = mr[lo:hi]
+            n_zero = m - (hi - lo)
+            # exact rational estimate (python ints: ~2^105 numerator)
+            t = (int(n_zero) << rmax) + int(
+                np.sum((np.int64(1) << np.int64(rmax)) >> regs))
+            raw = numer // (alpha_den * t)
+            if raw <= (5 * m) // 2 and n_zero > 0:
+                raw = math.floor(m * math.log(m / n_zero))
+            groups.append(gg[lo])
+            zeros.append(n_zero)
+            sums.append(int(regs.sum()))
+            ests.append(raw)
+        return pa.table({
+            group_col: pa.array(groups, pa.string()),
+            "n_zero": pa.array(zeros, pa.int64()),
+            "rank_sum": pa.array(sums, pa.int64()),
+            "hll_estimate": pa.array(ests, pa.int64()),
+        })
+
+    from .exchange import hash_bucket_apply
+
+    partials = ds.select_columns([key_col, group_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    return hash_bucket_apply(partials, "_gb", merge,
+                             num_buckets=num_buckets)

@@ -152,3 +152,84 @@ def test_count_min_stage_appends_estimates():
                          batch_format="pyarrow").to_pandas()
     assert (out[out.k == 1].cm_est >= 50).all()
     assert (out[out.k == 2].cm_est >= 3).all()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch
+# ---------------------------------------------------------------------------
+
+def _hll_corpus():
+    """Three regimes: small-range (correction), mid, and raw-branch."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for grp, nd, nrows in [("small", 40, 2000), ("mid", 600, 6000),
+                           ("big", 5000, 20000)]:
+        for i in rng.integers(0, nd, size=nrows):
+            rows.append({"user_id": int(i) + hash(grp) % 10**6,
+                         "event_type": grp})
+    return pd.DataFrame(rows)
+
+
+def test_hll_accuracy_all_regimes():
+    from cdx_toolkit_ray.stages.sketch import hll_distinct
+
+    df = _hll_corpus()
+    exact = df.groupby("event_type")["user_id"].nunique()
+    got = hll_distinct(ray.data.from_pandas(df).repartition(8),
+                       "user_id", "event_type", p=8) \
+        .to_pandas().set_index("event_type")
+    # 1.04/sqrt(256) ~ 6.5% standard error; allow 4 sigma
+    for grp in exact.index:
+        err = abs(got.loc[grp, "hll_estimate"] - exact[grp]) / exact[grp]
+        assert err < 0.26, (grp, got.loc[grp, "hll_estimate"], exact[grp])
+
+
+def test_hll_partition_independent():
+    from cdx_toolkit_ray.stages.sketch import hll_distinct
+
+    df = _hll_corpus()
+    a = hll_distinct(ray.data.from_pandas(df).repartition(2),
+                     "user_id", "event_type", p=6).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    b = hll_distinct(ray.data.from_pandas(df).repartition(13),
+                     "user_id", "event_type", p=6).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hll_exact_when_all_registers_hit_vs_duckdb(fixture_dir):
+    """Catalog-parity on real events-shaped data: Ray == the SQL
+    oracle bit-for-bit (including the small-range ln branch)."""
+    import duckdb
+    import pandas as pd
+
+    from cdx_toolkit_ray.queries import ORACLES
+    from cdx_toolkit_ray.stages.sketch import hll_distinct
+
+    rng = np.random.default_rng(11)
+    events = pd.DataFrame({
+        "user_id": rng.integers(0, 300, 4000),
+        "event_type": rng.choice(["a", "b", "c"], 4000),
+    })
+    got = hll_distinct(ray.data.from_pandas(events),
+                       "user_id", "event_type", p=8) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", events)
+    want = con.execute(ORACLES["hll_distinct"]
+                       + " ORDER BY event_type").df() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_hll_bit_length_kernel():
+    from cdx_toolkit_ray.stages.sketch import _bit_length_u64
+
+    xs = np.array([0, 1, 2, 3, 255, 256, 2**52 - 1, 2**52, 2**63,
+                   2**64 - 1], dtype=np.uint64)
+    got = _bit_length_u64(xs)
+    want = np.array([int(x).bit_length() for x in xs], dtype=np.int64)
+    assert (got == want).all()
