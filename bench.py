@@ -359,6 +359,8 @@ def main() -> None:
             ("link_rank", lambda: consume(Q.q_link_rank(SF_DIR))),
             ("crawl_bfs", lambda: consume(Q.q_crawl_bfs(SF_DIR))),
             ("crawl_delta", lambda: consume(Q.q_crawl_delta(SF_DIR))),
+            ("compact_captures",
+             lambda: consume(Q.q_compact_captures(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the

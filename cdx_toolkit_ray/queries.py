@@ -1608,6 +1608,20 @@ def q_host_graph(sf_dir: str):
     return host_graph(extract_links(pages))
 
 
+def q_compact_captures(sf_dir: str):
+    """Capture-log compaction: the multi-crawl capture stream folded
+    to one latest-capture row per urlkey with history counts — the
+    'latest index' materialization reference users hand-roll from the
+    (urlkey, timestamp) ordering contract (README.md:243-252). Blocks
+    fold per (key, digest) before the shuffle; one key-bucket
+    exchange."""
+    from .stages.recrawl import compact_captures
+
+    root = _fixture_root(sf_dir)
+    ds = ray.data.read_parquet(root + "/captures")
+    return compact_captures(ds)
+
+
 def q_crawl_delta(sf_dir: str):
     """Incremental-crawl diff: latest capture per urlkey in crawl
     CC-MAIN-2023-14 vs CC-MAIN-2023-50 -> added/gone/changed/same.
@@ -2517,6 +2531,26 @@ FROM links GROUP BY 1, 2
     # Cross-crawl diff: latest row per urlkey per crawl (ts DESC,
     # digest DESC — the kernel's lexicographic-max rule), full outer
     # join, status classification.
+    # Capture-log compaction: latest row per urlkey under the total
+    # order (timestamp, digest, url, status) + history counts — same
+    # rule as stages/recrawl.compact_captures.
+    "compact_captures": """
+WITH c AS (SELECT urlkey, timestamp, url, status, digest
+           FROM read_parquet('%s/captures/**/*.parquet')),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY urlkey
+        ORDER BY timestamp DESC, digest DESC, url DESC, status DESC)
+        AS rn
+      FROM c),
+agg AS (SELECT urlkey, CAST(count(*) AS BIGINT) AS n_captures,
+               CAST(count(DISTINCT digest) AS BIGINT) AS n_versions,
+               min(timestamp) AS first_ts
+        FROM c GROUP BY urlkey),
+outv AS (SELECT r.urlkey, r.timestamp, r.url, r.status, r.digest,
+                a.n_captures, a.n_versions, a.first_ts
+         FROM r JOIN agg a ON a.urlkey = r.urlkey WHERE r.rn = 1)
+SELECT * FROM outv
+""" % _FIXTURE_LINK,
     "crawl_delta": """
 WITH a AS (SELECT urlkey, digest FROM (
     SELECT urlkey, digest, row_number() OVER (
@@ -3092,6 +3126,7 @@ QUERIES = {
     "strip_tags": q_strip_tags,
     "link_rank": q_link_rank,
     "crawl_delta": q_crawl_delta,
+    "compact_captures": q_compact_captures,
     "host_graph": q_host_graph,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_full": q_ann_ivf_full,

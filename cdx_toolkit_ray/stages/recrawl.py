@@ -236,3 +236,126 @@ def crawl_delta(a: ray.data.Dataset, b: ray.data.Dataset, *,
                                   batch_size=None)))
     return hash_bucket_apply(keyed, "_kb", compare,
                              num_buckets=num_buckets)
+
+
+def compact_captures(ds: ray.data.Dataset, *, key_col: str = "urlkey",
+                     ts_col: str = "timestamp",
+                     digest_col: str = "digest",
+                     url_col: str = "url", status_col: str = "status",
+                     num_buckets: int = 32) -> ray.data.Dataset:
+    """Capture-log compaction (the 'latest index' materialization of
+    an incremental crawl): collapse the multi-crawl capture stream to
+    ONE row per urlkey — the latest capture's payload plus history
+    digests. Reference users build this by iterating captures sorted
+    (urlkey, timestamp) and keeping the last per key (the O1 ordering
+    contract, reference README.md:243-252); here it is a single
+    bounded exchange.
+
+    Output per key: ``(urlkey, timestamp, url, status, digest,
+    n_captures, n_versions, first_ts)`` where latest = lexicographic
+    max ``(timestamp, digest, url, status)`` (total order -> arrival-
+    order independent; CDX 14-digit timestamps sort chronologically as
+    strings), ``n_versions`` counts distinct digests and ``first_ts``
+    is the earliest capture.
+
+    Dataflow: each block folds to one row per distinct (key, digest)
+    — capture count, min/max ts, and the payload of that digest's max
+    row — BEFORE the shuffle, so the exchange moves O(distinct
+    versions per block), not O(captures). One key-bucket exchange
+    merges: counts sum, versions fold by run-length, the latest row
+    wins by the same total order.
+    """
+    nbu = np.uint64(num_buckets)
+
+    part_sch = pa.schema([
+        ("_kb", pa.int64()), ("key", pa.string()), ("dig", pa.string()),
+        ("cnt", pa.int64()), ("min_ts", pa.string()),
+        ("max_ts", pa.string()), ("url", pa.string()),
+        ("status", pa.string())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_sch.empty_table()
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].to_numpy(zero_copy_only=False)
+        dg = batch[digest_col].to_numpy(zero_copy_only=False)
+        u = batch[url_col].to_numpy(zero_copy_only=False)
+        st = batch[status_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((st, u, ts, dg, k))
+        k, ts, dg, u, st = (k[order], ts[order], dg[order], u[order],
+                            st[order])
+        new = np.ones(len(k), bool)
+        new[1:] = (k[1:] != k[:-1]) | (dg[1:] != dg[:-1])
+        starts = np.flatnonzero(new)
+        last = np.append(starts[1:], len(k)) - 1
+        cnt = np.diff(np.append(starts, len(k)))
+        key = pa.array(k[starts], pa.string())
+        kb = (hash64_batch(key) % nbu).astype(np.int64)
+        return pa.table({
+            "_kb": pa.array(kb, pa.int64()),
+            "key": key,
+            "dig": pa.array(dg[starts], pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            "min_ts": pa.array(ts[starts], pa.string()),
+            "max_ts": pa.array(ts[last], pa.string()),
+            "url": pa.array(u[last], pa.string()),
+            "status": pa.array(st[last], pa.string()),
+        })
+
+    out_sch = pa.schema([
+        ("urlkey", pa.string()), ("timestamp", pa.string()),
+        ("url", pa.string()), ("status", pa.string()),
+        ("digest", pa.string()), ("n_captures", pa.int64()),
+        ("n_versions", pa.int64()), ("first_ts", pa.string())])
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_sch.empty_table()
+        k = tbl["key"].to_numpy(zero_copy_only=False)
+        dg = tbl["dig"].to_numpy(zero_copy_only=False)
+        cnt = tbl["cnt"].to_numpy(zero_copy_only=False)
+        mts = tbl["min_ts"].to_numpy(zero_copy_only=False)
+        xts = tbl["max_ts"].to_numpy(zero_copy_only=False)
+        u = tbl["url"].to_numpy(zero_copy_only=False)
+        st = tbl["status"].to_numpy(zero_copy_only=False)
+        # latest per key by (max_ts, dig, url, status): sort so the
+        # winner is the last row of each key run
+        order = np.lexsort((st, u, dg, xts, k))
+        k, dg, cnt, mts, xts, u, st = (k[order], dg[order], cnt[order],
+                                       mts[order], xts[order], u[order],
+                                       st[order])
+        knew = np.ones(len(k), bool)
+        knew[1:] = k[1:] != k[:-1]
+        kstarts = np.flatnonzero(knew)
+        klast = np.append(kstarts[1:], len(k)) - 1
+        n_caps = np.add.reduceat(cnt, kstarts)
+        first_ts = np.minimum.reduceat(mts, kstarts)
+        # distinct digests per key: (key, dig) run-length over a
+        # (key, dig)-sorted view
+        dorder = np.lexsort((dg, k))
+        kd_k, kd_d = k[dorder], dg[dorder]
+        dnew = np.ones(len(kd_k), bool)
+        dnew[1:] = (kd_k[1:] != kd_k[:-1]) | (kd_d[1:] != kd_d[:-1])
+        # count distinct-(key,dig) runs per key
+        kd_knew = np.ones(len(kd_k), bool)
+        kd_knew[1:] = kd_k[1:] != kd_k[:-1]
+        n_vers = np.add.reduceat(dnew.astype(np.int64),
+                                 np.flatnonzero(kd_knew))
+        return pa.table({
+            "urlkey": pa.array(k[kstarts], pa.string()),
+            "timestamp": pa.array(xts[klast], pa.string()),
+            "url": pa.array(u[klast], pa.string()),
+            "status": pa.array(st[klast], pa.string()),
+            "digest": pa.array(dg[klast], pa.string()),
+            "n_captures": pa.array(n_caps.astype(np.int64), pa.int64()),
+            "n_versions": pa.array(n_vers.astype(np.int64), pa.int64()),
+            "first_ts": pa.array(first_ts, pa.string()),
+        })
+
+    from .exchange import hash_bucket_apply
+
+    cols = [key_col, ts_col, digest_col, url_col, status_col]
+    partials = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    return hash_bucket_apply(partials, "_kb", merge,
+                             num_buckets=num_buckets)

@@ -1,6 +1,7 @@
 """Change-rate recrawl scheduling (stages/recrawl)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -123,3 +124,70 @@ def test_crawl_delta_equal_ts_digest_tiebreak():
     b = _snap([("u", "20230601000000", "ZZZ")])
     df = crawl_delta(a, b, num_buckets=2).to_pandas()
     assert df.iloc[0]["status"] == "same"
+
+
+def _cap_corpus(seed=4, n=3000, keys=400):
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, keys, n)
+    return pd.DataFrame({
+        "urlkey": [f"example,k{v})/" for v in k],
+        "timestamp": [f"2023{rng.integers(1, 13):02d}"
+                      f"{rng.integers(1, 28):02d}000000" for _ in range(n)],
+        "url": [f"https://k{v}.example/{rng.integers(0, 3)}" for v in k],
+        "status": rng.choice(["200", "301", "-"], n),
+        "digest": [f"D{rng.integers(0, 4)}" for _ in range(n)],
+    })
+
+
+def _compact_ref(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for key, g in df.groupby("urlkey"):
+        g2 = g.sort_values(["timestamp", "digest", "url", "status"])
+        last = g2.iloc[-1]
+        rows.append({
+            "urlkey": key, "timestamp": last.timestamp, "url": last.url,
+            "status": last.status, "digest": last.digest,
+            "n_captures": len(g), "n_versions": g.digest.nunique(),
+            "first_ts": g.timestamp.min(),
+        })
+    return pd.DataFrame(rows).sort_values("urlkey").reset_index(drop=True) \
+        .astype({"n_captures": "int64", "n_versions": "int64"})
+
+
+def test_compact_captures_matches_pandas_reference():
+    from cdx_toolkit_ray.stages.recrawl import compact_captures
+
+    df = _cap_corpus()
+    got = compact_captures(ray.data.from_pandas(df).repartition(7),
+                           num_buckets=5).to_pandas() \
+        .sort_values("urlkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, _compact_ref(df))
+
+
+def test_compact_captures_partition_independent():
+    from cdx_toolkit_ray.stages.recrawl import compact_captures
+
+    df = _cap_corpus(seed=9, n=800, keys=60)
+    a = compact_captures(ray.data.from_pandas(df).repartition(1)) \
+        .to_pandas().sort_values("urlkey").reset_index(drop=True)
+    b = compact_captures(
+        ray.data.from_pandas(df.sample(frac=1, random_state=0))
+        .repartition(11)).to_pandas() \
+        .sort_values("urlkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_compact_captures_tie_break_total_order():
+    from cdx_toolkit_ray.stages.recrawl import compact_captures
+
+    df = pd.DataFrame({
+        "urlkey": ["k)/"] * 3,
+        "timestamp": ["20230101000000"] * 3,
+        "url": ["https://a", "https://b", "https://b"],
+        "status": ["200", "200", "301"],
+        "digest": ["D1", "D1", "D1"],
+    })
+    got = compact_captures(ray.data.from_pandas(df)).to_pandas()
+    # same (ts, digest): url DESC then status DESC decides
+    assert got.iloc[0].url == "https://b" and got.iloc[0].status == "301"
+    assert got.iloc[0].n_captures == 3 and got.iloc[0].n_versions == 1
