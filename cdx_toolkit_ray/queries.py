@@ -1584,6 +1584,24 @@ def q_extract_links(sf_dir: str):
     return extract_links(pages)
 
 
+def q_ranked_frontier(sf_dir: str):
+    """Link-popularity-prioritized frontier (the crawl loop's feedback
+    edge): seed URLs tiered by in-degree in the page link graph, then
+    politeness-scheduled per host. One fused url-keyed exchange does
+    seed dedup + in-degree count + join; one host-keyed exchange
+    schedules. Composes extract_links with the T1 politeness kernel."""
+    from .pipelines.frontier import schedule_politeness
+    from .stages.links import rank_prioritized_seeds
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    flow = rank_prioritized_seeds(pages)
+    out = schedule_politeness(flow)
+    return out.select_columns(["url", "host", "in_degree", "priority",
+                               "host_rank", "fetch_ms"])
+
+
 def q_anchor_stats(sf_dir: str):
     """Inbound anchor-text aggregation per link target (the classic
     web-graph relevance signal): n_refs, distinct referring hosts, and
@@ -2643,6 +2661,44 @@ SELECT src_url, dst_url,
        regexp_extract(dst_url, '://([^/]+)', 1) AS dst_host
 FROM resolved WHERE dst_url IS NOT NULL
 """ % _FIXTURE_LINK,
+    # Link-popularity frontier: in-degree tiers + the politeness window
+    # (host_rank by (priority, seed_order)); seed_order is the FNV hash
+    # >> 1 — deterministic on both sides.
+    "ranked_frontier": (r"""
+WITH hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('""" + _FIXTURE_LINK + r"""/pages.parquet')),
+links AS (
+  SELECT CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs),
+indeg AS (SELECT dst_url AS url, CAST(count(*) AS BIGINT) AS in_degree
+          FROM links WHERE dst_url IS NOT NULL GROUP BY 1),
+seeds AS (SELECT DISTINCT url FROM
+          read_parquet('""" + _FIXTURE_LINK + r"""/pages.parquet')),
+flow AS MATERIALIZED (
+  SELECT s.url,
+         regexp_extract(s.url, '://([^/]+)', 1) AS host,
+         COALESCE(i.in_degree, 0) AS in_degree,
+         CAST(3 - least(COALESCE(i.in_degree, 0), 3) AS INTEGER)
+           AS priority,
+         CAST(CAST(""" + _FNV_SQL.format(s="s.url") + r""" AS UBIGINT)
+              >> 1 AS BIGINT) AS seed_order
+  FROM seeds s LEFT JOIN indeg i ON i.url = s.url),
+sched AS (
+  SELECT url, host, in_degree, priority,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, seed_order) - 1
+              AS BIGINT) AS host_rank
+  FROM flow)
+SELECT url, host, in_degree, priority, host_rank,
+       host_rank * 1000 AS fetch_ms
+FROM sched
+"""),
     # Anchor-text aggregation per link target: whole-tag harvest, the
     # same href resolution rule, then per-dst counts + modal anchor
     # with (count DESC, anchor ASC) tie-break — matches
@@ -3122,6 +3178,7 @@ QUERIES = {
     "content_extract": q_content_extract,
     "extract_links": q_extract_links,
     "anchor_stats": q_anchor_stats,
+    "ranked_frontier": q_ranked_frontier,
     "crawl_bfs": q_crawl_bfs,
     "strip_tags": q_strip_tags,
     "link_rank": q_link_rank,

@@ -629,3 +629,102 @@ def anchor_stats(pages: ray.data.Dataset, *, url_col: str = "url",
                                  batch_size=None, zero_copy_batch=True)
     return hash_bucket_apply(partials, "_db", per_target,
                              num_buckets=num_buckets)
+
+
+def rank_prioritized_seeds(pages: ray.data.Dataset, *,
+                           url_col: str = "url", text_col: str = "text",
+                           crawl_delay_ms: int = 1000,
+                           num_buckets: int = 32) -> ray.data.Dataset:
+    """Link-popularity crawl priorities: seed URLs tiered by their
+    in-degree in the page-local link graph (the cheap one-pass stand-in
+    for ``link_rank`` when one hop of evidence is enough). Emits the
+    frontier scheduler's input contract — ``(urlkey=url, url, host,
+    hash64, in_degree, priority, seed_order, crawl_delay_ms,
+    robots_blocked)`` with priority = 3 - min(in_degree, 3) (tier 0 =
+    most-linked) and seed_order = hash64(url) >> 1 (deterministic,
+    collision-safe at 63 bits).
+
+    Dataflow: ONE url-keyed exchange fuses three steps — seed dedup
+    (distinct page URLs), in-degree aggregation (link dst rows are
+    pre-counted per block, so the exchange moves one (url, count) row
+    per distinct dst per block), and the seed ⋈ in-degree join (both
+    sides land in the same bucket by construction). No driver
+    materialization, no broadcast side.
+    """
+    nbu = np.uint64(num_buckets)
+
+    pair_sch = pa.schema([("_b", pa.int64()), ("url", pa.string()),
+                          ("side", pa.int8()), ("cnt", pa.int64())])
+
+    def fold(col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pair_sch.empty_table()
+            u = batch[col].to_numpy(zero_copy_only=False)
+            uu, cnt = np.unique(u, return_counts=True)
+            b = (hash64_batch(uu) % nbu).astype(np.int64)
+            return pa.table({
+                "_b": pa.array(b, pa.int64()),
+                "url": pa.array(uu, pa.string()),
+                "side": pa.array(np.full(len(uu), side, np.int8)),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            })
+        return fn
+
+    out_sch = pa.schema([
+        ("urlkey", pa.string()), ("url", pa.string()),
+        ("host", pa.string()), ("hash64", pa.uint64()),
+        ("in_degree", pa.int64()), ("priority", pa.int32()),
+        ("seed_order", pa.int64()), ("crawl_delay_ms", pa.int64()),
+        ("robots_blocked", pa.bool_())])
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if tbl.num_rows == 0:
+            return out_sch.empty_table()
+        u = tbl["url"].to_numpy(zero_copy_only=False)
+        sd = tbl["side"].to_numpy(zero_copy_only=False)
+        c = tbl["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sd, u))
+        us, sds, cs = u[order], sd[order], c[order]
+        new = np.ones(len(us), bool)
+        new[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        seed_mask = np.zeros(len(starts), bool)
+        np.logical_or.at(seed_mask, run_id, sds == 0)
+        indeg = np.zeros(len(starts), np.int64)
+        np.add.at(indeg, run_id, np.where(sds == 1, cs, 0))
+        keep = seed_mask
+        urls = us[starts][keep]
+        deg = indeg[keep]
+        if not len(urls):
+            return out_sch.empty_table()
+        h = hash64_batch(urls)
+        host = (pl.DataFrame({"u": list(urls)})
+                .select(pl.col("u").str.extract(_HOST_RE, 1))
+                ["u"].to_numpy())
+        prio = (3 - np.minimum(deg, 3)).astype(np.int32)
+        n = len(urls)
+        return pa.table({
+            "urlkey": pa.array(urls, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(host, pa.string()),
+            "hash64": pa.array(h, pa.uint64()),
+            "in_degree": pa.array(deg, pa.int64()),
+            "priority": pa.array(prio, pa.int32()),
+            "seed_order": pa.array((h >> np.uint64(1)).astype(np.int64),
+                                   pa.int64()),
+            "crawl_delay_ms": pa.array(
+                np.full(n, crawl_delay_ms, np.int64), pa.int64()),
+            "robots_blocked": pa.array(np.zeros(n, bool)),
+        })
+
+    seeds = pages.select_columns([url_col]).map_batches(
+        fold(url_col, 0), batch_format="pyarrow", batch_size=None)
+    dsts = extract_links(pages, url_col=url_col, text_col=text_col) \
+        .select_columns(["dst_url"]).map_batches(
+            fold("dst_url", 1), batch_format="pyarrow", batch_size=None)
+    return hash_bucket_apply(seeds.union(dsts), "_b", merge,
+                             num_buckets=num_buckets)

@@ -248,3 +248,50 @@ def test_anchor_stats_matches_sql_on_fixture(fixture_dir):
             "/tmp/cdxray_fixtures_current/pages.parquet", pages_path)
         + " ORDER BY dst_url").df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_rank_prioritized_seeds_tiers_and_schedule():
+    """In-degree tiers: most-linked URL gets priority 0 and the first
+    politeness slot on its host; unlinked URLs fall to tier 3."""
+    from cdx_toolkit_ray.pipelines.frontier import schedule_politeness
+    from cdx_toolkit_ray.stages.links import rank_prioritized_seeds
+
+    hot = "https://h.example/hot"
+    pages = _pages([
+        (hot, "no links"),
+        ("https://h.example/cold", "no links"),
+        # four pages each link hot once; one also links cold
+        ("https://a.example/1", f"<a href='{hot}'>x</a>"),
+        ("https://a.example/2", f"<a href='{hot}'>x</a>"),
+        ("https://b.example/3", f"<a href='{hot}'>x</a>"),
+        ("https://b.example/4", f"<a href='{hot}'>x</a>"
+         "<a href='https://h.example/cold'>y</a>"),
+        # duplicate seed row collapses
+        (hot, "dup row"),
+    ])
+    flow = rank_prioritized_seeds(pages, num_buckets=3)
+    out = schedule_politeness(flow).to_pandas().set_index("url")
+    assert out.loc[hot, "in_degree"] == 4
+    assert out.loc[hot, "priority"] == 0
+    assert out.loc["https://h.example/cold", "in_degree"] == 1
+    assert out.loc["https://h.example/cold", "priority"] == 2
+    # hot outranks cold on the shared host regardless of hash order
+    assert out.loc[hot, "host_rank"] == 0
+    assert out.loc["https://h.example/cold", "host_rank"] == 1
+    assert out.loc["https://h.example/cold", "fetch_ms"] == 1000
+    # seed dedup: one row per distinct url
+    assert len(out) == 6
+
+
+def test_ranked_frontier_partition_independent(fixture_dir):
+    import pandas as pd
+
+    from cdx_toolkit_ray.stages.links import rank_prioritized_seeds
+
+    pages = ray.data.read_parquet(fixture_dir["pages"],
+                                  columns=["url", "text"])
+    a = rank_prioritized_seeds(pages.repartition(1), num_buckets=4) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    b = rank_prioritized_seeds(pages.repartition(9), num_buckets=7) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
