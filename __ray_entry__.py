@@ -47,8 +47,10 @@ def oracle_sql() -> dict[str, str]:
     # read deterministic generated tables from stable /tmp paths; make
     # sure they exist even if the driver runs an oracle before its Ray
     # twin
-    from cdx_toolkit_ray.stages.multimodal import fake_media_parquet
+    from cdx_toolkit_ray.stages.multimodal import (fake_media_parquet,
+                                                   real_media_parquet)
 
     _fixture_root("/root/testdata/sf0.01")
     fake_media_parquet(n=256, seed=42)
+    real_media_parquet(n=128, seed=42)
     return dict(ORACLES)

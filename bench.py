@@ -363,6 +363,7 @@ def main() -> None:
             ("crawl_delta", lambda: consume(Q.q_crawl_delta(SF_DIR))),
             ("compact_captures",
              lambda: consume(Q.q_compact_captures(SF_DIR))),
+            ("bmp_decode", lambda: consume(Q.q_bmp_decode(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the

@@ -1134,6 +1134,36 @@ def q_ann_ivf_full(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def q_bmp_decode(sf_dir: str):
+    """REAL image decode (pure-numpy 24-bit BMP): dimensions + exact
+    integer pixel-byte sum per image through the BmpDecoder actor
+    pool. Widths are multiples of 4 so the BMP body has no row
+    padding and the SQL oracle's whole-body byte sum equals the
+    pixel sum — a content digest, not just a header parse."""
+    from .stages.multimodal import BmpDecoder, real_media_parquet
+
+    ds = ray.data.read_parquet(real_media_parquet(n=128, seed=42))
+    ds = ds.filter(expr="media_type == 'image'")
+    ds = ds.map_batches(BmpDecoder, batch_format="pyarrow",
+                        batch_size=32, concurrency=2)
+    return ds.select_columns(["media_id", "width", "height", "px_sum"])
+
+
+def q_wav_stats(sf_dir: str):
+    """REAL audio decode (PCM16 WAV): sample rate, sample count, exact
+    integer absolute-amplitude sum and peak through the WavStats actor
+    pool; the SQL oracle re-decodes the little-endian int16 stream
+    from the payload hex."""
+    from .stages.multimodal import WavStats, real_media_parquet
+
+    ds = ray.data.read_parquet(real_media_parquet(n=128, seed=42))
+    ds = ds.filter(expr="media_type == 'audio'")
+    ds = ds.map_batches(WavStats, batch_format="pyarrow",
+                        batch_size=32, concurrency=2)
+    return ds.select_columns(["media_id", "sample_rate", "n_samples",
+                              "sum_abs", "peak"])
+
+
 def q_media_decode(sf_dir: str):
     """Multimodal decode plumbing: opaque binary payloads through the
     MediaDecoder actor pool (stubbed codec, real Ray-side schema /
@@ -2814,6 +2844,62 @@ SELECT media_id,
 FROM read_parquet('/tmp/cdxray_media_n256_s42.parquet')
 WHERE media_type = 'video'
 """,
+    # REAL BMP decode check: little-endian dword header fields parsed
+    # from the payload hex; px_sum = whole-body byte sum (valid because
+    # the fixture's widths are multiples of 4 -> zero row padding).
+    "bmp_decode": """
+WITH hx AS (SELECT media_id, hex(payload) AS h,
+                   octet_length(payload) AS nb
+            FROM read_parquet('/tmp/cdxray_realmedia_n128_s42.parquet')
+            WHERE media_type = 'image')
+SELECT media_id,
+       CAST(('0x' || substring(h, 43, 2) || substring(h, 41, 2)
+             || substring(h, 39, 2) || substring(h, 37, 2)) AS INTEGER)
+         AS width,
+       CAST(('0x' || substring(h, 51, 2) || substring(h, 49, 2)
+             || substring(h, 47, 2) || substring(h, 45, 2)) AS INTEGER)
+         AS height,
+       CAST(list_sum(list_transform(range(55, nb + 1),
+              i -> CAST(('0x' || substring(h, 2 * i - 1, 2)) AS INTEGER)))
+            AS BIGINT) AS px_sum
+FROM hx
+""",
+    # REAL WAV decode check: the little-endian int16 sample stream
+    # re-decoded from hex, with two's-complement sign handling.
+    "wav_stats": """
+WITH hx AS (SELECT media_id, hex(payload) AS h
+            FROM read_parquet('/tmp/cdxray_realmedia_n128_s42.parquet')
+            WHERE media_type = 'audio'),
+parsed AS (
+  SELECT media_id,
+         CAST(('0x' || substring(h, 55, 2) || substring(h, 53, 2)
+               || substring(h, 51, 2) || substring(h, 49, 2)) AS INTEGER)
+           AS sample_rate,
+         CAST(('0x' || substring(h, 87, 2) || substring(h, 85, 2)
+               || substring(h, 83, 2) || substring(h, 81, 2)) AS BIGINT)
+           // 2 AS n_samples,
+         h
+  FROM hx),
+vals AS (
+  SELECT media_id, sample_rate, n_samples,
+         list_transform(range(0, CAST(n_samples AS INTEGER)), j ->
+           CASE WHEN CAST(('0x' || substring(h, 91 + 4 * j, 2)
+                           || substring(h, 89 + 4 * j, 2)) AS BIGINT)
+                     >= 32768
+                THEN CAST(('0x' || substring(h, 91 + 4 * j, 2)
+                           || substring(h, 89 + 4 * j, 2)) AS BIGINT)
+                     - 65536
+                ELSE CAST(('0x' || substring(h, 91 + 4 * j, 2)
+                           || substring(h, 89 + 4 * j, 2)) AS BIGINT)
+           END) AS s
+  FROM parsed)
+SELECT media_id, sample_rate, n_samples,
+       CAST(COALESCE(list_sum(list_transform(s, v -> abs(v))), 0)
+            AS BIGINT) AS sum_abs,
+       CAST(COALESCE(list_max(list_transform(s, v -> abs(v))), 0)
+            AS BIGINT) AS peak
+FROM vals
+""",
     "embedding_neardup": _embedding_neardup_oracle(),
     "row_sample": """
 SELECT doc_id, lang, source FROM documents
@@ -3189,6 +3275,8 @@ QUERIES = {
     "ann_ivf_full": q_ann_ivf_full,
     "corpus_clean": q_corpus_clean,
     "media_decode": q_media_decode,
+    "bmp_decode": q_bmp_decode,
+    "wav_stats": q_wav_stats,
     "frame_sample": q_frame_sample,
     "wb_synthesis": q_wb_synthesis,
 }

@@ -1,0 +1,91 @@
+"""Real multimodal codecs (pure-numpy BMP / PCM-WAV) + actor stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from cdx_toolkit_ray.stages.multimodal import (
+    BmpDecoder, ImageResizer, WavStats, decode_bmp, decode_wav,
+    encode_bmp, encode_wav, real_media_table, resize_nearest)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_bmp_roundtrip_with_padding():
+    rng = np.random.RandomState(1)
+    for w, h in [(20, 13), (7, 5), (4, 1), (33, 2)]:
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all(), (w, h)
+
+
+def test_wav_roundtrip():
+    rng = np.random.RandomState(2)
+    s = rng.randint(-32768, 32768, 777).astype(np.int16)
+    rate, s2 = decode_wav(encode_wav(s, 22050))
+    assert rate == 22050 and (s2 == s).all()
+
+
+def test_resize_nearest_known_map():
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    r = resize_nearest(px, 4, 4)
+    assert (r == px[::2][:, ::2]).all()
+    up = resize_nearest(px, 16, 16)
+    assert up.shape == (16, 16, 3)
+    # upsample replicates: every source pixel appears exactly 4x
+    assert (up[::2][:, ::2] == px).all() and (up[1::2][:, 1::2] == px).all()
+
+
+def test_bmp_decoder_stage_matches_numpy():
+    t = real_media_table(32, 42)
+    img = t.filter(pa.compute.equal(t["media_type"], "image"))
+    got = ray.data.from_arrow(img).map_batches(
+        BmpDecoder, batch_format="pyarrow", batch_size=8,
+        concurrency=2).to_pandas().set_index("media_id")
+    for mid, p in zip(img["media_id"].to_pylist(),
+                      img["payload"].to_pylist()):
+        px = decode_bmp(p)
+        assert got.loc[mid, "width"] == px.shape[1]
+        assert got.loc[mid, "height"] == px.shape[0]
+        assert got.loc[mid, "px_sum"] == px.sum(dtype=np.int64)
+        lum = px.sum(axis=2, dtype=np.int64) // 3
+        want = np.bincount((lum >> 4).ravel(), minlength=16)
+        assert (np.array(got.loc[mid, "lum_hist"]) == want).all()
+
+
+def test_image_resizer_stage_roundtrip():
+    t = real_media_table(16, 42)
+    img = t.filter(pa.compute.equal(t["media_type"], "image"))
+    out = ray.data.from_arrow(img).map_batches(
+        ImageResizer, fn_constructor_kwargs={"out_w": 8, "out_h": 6},
+        batch_format="pyarrow", batch_size=8, concurrency=2).to_pandas()
+    src = {m: p for m, p in zip(img["media_id"].to_pylist(),
+                                img["payload"].to_pylist())}
+    for _, r in out.iterrows():
+        px = decode_bmp(r.payload)
+        assert px.shape == (6, 8, 3)
+        want = resize_nearest(decode_bmp(src[r.media_id]), 8, 6)
+        assert (px == want).all()
+
+
+def test_wav_stats_stage_matches_numpy():
+    t = real_media_table(32, 42)
+    aud = t.filter(pa.compute.equal(t["media_type"], "audio"))
+    got = ray.data.from_arrow(aud).map_batches(
+        WavStats, batch_format="pyarrow", batch_size=8, concurrency=2) \
+        .to_pandas().set_index("media_id")
+    for mid, p in zip(aud["media_id"].to_pylist(),
+                      aud["payload"].to_pylist()):
+        rate, s = decode_wav(p)
+        a = np.abs(s.astype(np.int64))
+        assert got.loc[mid, "sample_rate"] == rate
+        assert got.loc[mid, "n_samples"] == len(s)
+        assert got.loc[mid, "sum_abs"] == a.sum()
+        assert got.loc[mid, "peak"] == a.max()
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bitmap at all")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
