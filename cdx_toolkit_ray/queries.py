@@ -436,6 +436,19 @@ def q_ann_topk(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def q_ann_int8(sf_dir: str):
+    """Quantized retrieval: exact top-k over the int8-compressed
+    corpus by the all-integer score (int8 dot x fixed-point per-vector
+    scale) — reduction-order independent, bit-exact vs SQL."""
+    from .stages.ann import int8_topk
+
+    emb = pq.read_table(_tbl(sf_dir, "embeddings"))
+    qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    return int8_topk(ds, qvec, k=10)
+
+
 def q_distinct(sf_dir: str):
     """§2.5 distinct via the pre-aggregate pattern: per-batch local
     distinct inside map_batches, then the (tiny) global groupby —
@@ -3085,6 +3098,40 @@ ORDER BY list_cosine_similarity(embedding,
          (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
 LIMIT 10
 """,
+    # Quantized retrieval: the same symmetric-int8 code as
+    # embed_quantize on BOTH sides, all-integer score
+    # (dot x fixed-point per-vector scale) -> bit-exact ranking.
+    "ann_int8": """
+WITH qsrc AS (
+  SELECT embedding AS e,
+         CAST(list_max(list_transform(embedding, x -> abs(x)))
+              AS DOUBLE) AS qm
+  FROM embeddings WHERE vec_id = 0),
+q8 AS (
+  SELECT list_transform(range(1, len(e) + 1),
+           i -> CAST(CASE WHEN qm = 0 THEN 0
+                     ELSE round(CAST(e[i] AS DOUBLE) * 127.0 / qm)
+                     END AS BIGINT)) AS qv
+  FROM qsrc),
+v8 AS (
+  SELECT vec_id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CAST(CASE WHEN ma = 0 THEN 0
+                     ELSE round(CAST(embedding[i] AS DOUBLE) * 127.0 / ma)
+                     END AS BIGINT)) AS vv,
+         CAST(floor(ma * 1000000.0 + 0.5) AS BIGINT) AS scale
+  FROM (SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x)))
+                    AS DOUBLE) AS ma
+        FROM embeddings)),
+sc AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(1, len(vv) + 1),
+                i -> vv[i] * q8.qv[i])) AS BIGINT) * scale AS qscore
+  FROM v8 CROSS JOIN q8)
+SELECT vec_id, qscore FROM sc ORDER BY qscore DESC, vec_id
+LIMIT 10
+""",
     "distinct": """
 SELECT DISTINCT lang, source FROM documents
 """,
@@ -3213,6 +3260,7 @@ QUERIES = {
     "quality": q_quality,
     "lang_id": q_lang_id,
     "ann_topk": q_ann_topk,
+    "ann_int8": q_ann_int8,
     "embed_quantize": q_embed_quantize,
     "distinct": q_distinct,
     "union_streams": q_union_streams,

@@ -288,3 +288,60 @@ def pairwise_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int,
 
     return cands.groupby("query_id").map_groups(per_query,
                                                 batch_format="pandas")
+
+
+def int8_topk(ds: ray.data.Dataset, query_vec, k: int = 10,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> ray.data.Dataset:
+    """Quantized retrieval: exact top-k over the int8-compressed corpus
+    — the search half of ``quantize_batch`` (4x memory cut is what
+    makes a 100-TB embedding corpus scannable; this op proves the
+    quantized representation still ranks).
+
+    Score is ALL-integer, so the ranking is reduction-order
+    independent and exactly SQL-checkable:
+
+        score = (sum_i q8_i * v8_i) * round(max_abs_v * 1e6)
+
+    where q8/v8 are the symmetric int8 codes (quantize_batch
+    semantics) and the second factor restores each corpus vector's
+    per-vector scale in fixed-point micro units (the query's scale is
+    a rank-invariant constant and omitted). Bounded: |dot| <= 127^2 *
+    dim, times <= max_abs * 1e6 — far inside int64 for unit-norm-ish
+    embeddings. Ties -> ascending id. Returns (id, qscore) best-first.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    qm = float(np.abs(q).max()) if len(q) else 0.0
+    t = q * (127.0 / (qm or 1.0))
+    q8 = np.where(t >= 0, np.floor(t + 0.5),
+                  np.ceil(t - 0.5)).astype(np.int64)
+    q_ref = ray.put(q8)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        from ..pipelines.frontier import _get_broadcast
+
+        qv = _get_broadcast(q_ref)
+        qb = quantize_batch(batch, vec_col=vec_col)
+        ids = qb[id_col].to_numpy(zero_copy_only=False)
+        col = qb["qvec"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        if len(lens) and not (lens == len(qv)).all():
+            raise ValueError("int8_topk requires fixed-dim vectors "
+                             "matching the query dimension")
+        mat = col.values.to_numpy(zero_copy_only=False) \
+            .astype(np.int64).reshape(len(ids), -1)
+        # half-away rounding (max_abs >= 0), matching SQL floor(x+0.5)
+        scale = np.floor(
+            qb["max_abs"].to_numpy(zero_copy_only=False) * 1e6 + 0.5) \
+            .astype(np.int64)
+        score = (mat @ qv) * scale
+        take = min(k, len(ids))
+        order = np.lexsort((ids, -score))[:take]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "qscore": pa.array(score[order], pa.int64())})
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow")
+    return (cands.sort(["qscore", id_col], descending=[True, False])
+            .limit(k))

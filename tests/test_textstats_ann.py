@@ -176,3 +176,41 @@ def test_quantize_batch_properties():
         # dequantization error bound: half a quantization step
         assert np.abs(deq - r.astype(np.float64)).max() <= m / 254 + 1e-12
         assert max(abs(v) for v in qv) == 127  # max element saturates
+
+
+def test_int8_topk_recall_and_determinism():
+    """Quantized retrieval agrees closely with exact cosine on random
+    unit-ish vectors and is partition-order independent."""
+    from cdx_toolkit_ray.stages.ann import cosine_topk, int8_topk
+
+    rng = np.random.default_rng(12)
+    n, dim, k = 400, 32, 10
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(map(list, vecs.astype(float))),
+                              pa.list_(pa.float32())),
+    })
+    q = vecs[0].astype(np.float64)
+    ds = ray.data.from_arrow(tbl)
+    exact = cosine_topk(ds, q, k=k).to_pandas()["vec_id"].tolist()
+    quant = int8_topk(ds, q, k=k).to_pandas()["vec_id"].tolist()
+    assert quant[0] == 0  # the query vector itself always wins
+    assert len(set(exact) & set(quant)) >= 7, (exact, quant)
+
+    quant2 = int8_topk(ds.repartition(9), q, k=k) \
+        .to_pandas()["vec_id"].tolist()
+    assert quant == quant2
+
+
+def test_int8_topk_rejects_ragged():
+    from cdx_toolkit_ray.stages.ann import int8_topk
+
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], [1.0, 2.0, 3.0]],
+                              pa.list_(pa.float32())),
+    })
+    with pytest.raises(Exception):
+        int8_topk(ray.data.from_arrow(tbl), [1.0, 2.0], k=2) \
+            .to_pandas()
