@@ -359,6 +359,8 @@ def main() -> None:
             ("ranked_frontier",
              lambda: consume(Q.q_ranked_frontier(SF_DIR))),
             ("strip_tags", lambda: consume(Q.q_strip_tags(SF_DIR))),
+            ("page_metadata",
+             lambda: consume(Q.q_page_metadata(SF_DIR))),
             ("link_rank", lambda: consume(Q.q_link_rank(SF_DIR))),
             ("crawl_bfs", lambda: consume(Q.q_crawl_bfs(SF_DIR))),
             ("crawl_delta", lambda: consume(Q.q_crawl_delta(SF_DIR))),

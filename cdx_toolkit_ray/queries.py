@@ -1615,6 +1615,18 @@ def q_content_extract(sf_dir: str):
                               "content_bytes"])
 
 
+def q_page_metadata(sf_dir: str):
+    """WAT-style sidecar metadata per page (title, link count, raw and
+    stripped byte lengths) — one vectorized pass, zero shuffles."""
+    from .stages.text import page_metadata_batch
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return pages.map_batches(page_metadata_batch, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)
+
+
 def q_extract_links(sf_dir: str):
     """Outlink harvest (the discover half of the crawl loop, reference
     examples/iter-and-warc.py composition): vectorized href extraction
@@ -2676,6 +2688,21 @@ r3 AS (SELECT n.url, CAST(150000
        GROUP BY n.url)
 SELECT url, rank FROM r3
 """ % _FIXTURE_LINK,
+    # WAT-style metadata: title capture, href count, raw + stripped
+    # byte lengths — exact-value parity with text.page_metadata_batch.
+    "page_metadata": r"""
+SELECT url,
+       COALESCE(regexp_extract(text, '<title>([^<]*)</title>', 1), '')
+         AS title,
+       CAST(length(regexp_extract_all(text, 'href=''[^'']*''')) AS BIGINT)
+         AS n_links,
+       CAST(strlen(text) AS BIGINT) AS content_len,
+       CAST(strlen(trim(regexp_replace(regexp_replace(text, '<[^>]*>',
+                                                      ' ', 'g'),
+                                       '\s+', ' ', 'g'), ' '))
+            AS BIGINT) AS plain_len
+FROM read_parquet('%s/pages.parquet')
+""" % _FIXTURE_LINK,
     # Markup strip: tag runs -> one space, whitespace collapsed, ends
     # trimmed — exact-string parity with stages/text.strip_tags_batch.
     "strip_tags": r"""
@@ -3315,6 +3342,7 @@ QUERIES = {
     "ranked_frontier": q_ranked_frontier,
     "crawl_bfs": q_crawl_bfs,
     "strip_tags": q_strip_tags,
+    "page_metadata": q_page_metadata,
     "link_rank": q_link_rank,
     "crawl_delta": q_crawl_delta,
     "compact_captures": q_compact_captures,

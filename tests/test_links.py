@@ -295,3 +295,24 @@ def test_ranked_frontier_partition_independent(fixture_dir):
     b = rank_prioritized_seeds(pages.repartition(9), num_buckets=7) \
         .to_pandas().sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_page_metadata_known_values():
+    from cdx_toolkit_ray.stages.text import page_metadata_batch
+
+    batch = pa.table({
+        "url": pa.array(["u1", "u2", "u3"], pa.string()),
+        "text": pa.array([
+            "<html><head><title>hello world</title></head>"
+            "<body><a href='/a'>x</a><a href='/b'>y</a></body></html>",
+            "no markup no title",
+            "<p></p>",
+        ], pa.string()),
+    })
+    got = page_metadata_batch(batch).to_pandas().set_index("url")
+    assert got.loc["u1", "title"] == "hello world"
+    assert got.loc["u1", "n_links"] == 2
+    assert got.loc["u2", "title"] == "" and got.loc["u2", "n_links"] == 0
+    assert got.loc["u2", "plain_len"] == len("no markup no title")
+    assert got.loc["u3", "plain_len"] == 0
+    assert (got["content_len"] >= got["plain_len"]).all()
