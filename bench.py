@@ -332,6 +332,7 @@ def main() -> None:
             ("exact_dedup", lambda: consume(Q.q_exact_dedup(SF_DIR))),
             ("token_stats", lambda: consume(Q.q_token_stats(SF_DIR))),
             ("lang_id", lambda: consume(Q.q_lang_id(SF_DIR))),
+            ("minmax_norm", lambda: consume(Q.q_minmax_norm(SF_DIR))),
             ("ann_topk", lambda: consume(Q.q_ann_topk(SF_DIR))),
             ("ann_int8", lambda: consume(Q.q_ann_int8(SF_DIR))),
             ("minhash_pairs", lambda: consume(Q.q_minhash_pairs(SF_DIR))),

@@ -1034,6 +1034,16 @@ def q_mixture_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "n_chars", "skey"])
 
 
+def q_minmax_norm(sf_dir: str):
+    """Per-group integer min-max feature scaling (n_chars within each
+    lang): O(groups) extrema broadcast, one vectorized rescale pass."""
+    from .stages.textstats import minmax_normalize
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "lang", "n_chars"])
+    return minmax_normalize(ds, "lang", "n_chars")
+
+
 def q_quantile_gate(sf_dir: str):
     """Adaptive per-group quality gate (stages/textstats
     .quantile_gate): drop each language's shortest quartile by
@@ -2465,6 +2475,19 @@ ORACLES: dict[str, str] = {
     "mixture_sample": _mixture_sql(),
     "hll_distinct": _hll_oracle(),
     "quantile_gate": _QUANTILE_GATE_SQL,
+    "minmax_norm": """
+SELECT doc_id, lang, n_chars,
+       min(n_chars) OVER (PARTITION BY lang) AS v_min,
+       max(n_chars) OVER (PARTITION BY lang) AS v_max,
+       CASE WHEN max(n_chars) OVER (PARTITION BY lang)
+                 = min(n_chars) OVER (PARTITION BY lang) THEN 0
+            ELSE (n_chars - min(n_chars) OVER (PARTITION BY lang))
+                 * 1000000
+                 // (max(n_chars) OVER (PARTITION BY lang)
+                     - min(n_chars) OVER (PARTITION BY lang)) END
+         AS v_norm
+FROM documents
+""",
     "stratified_sample": _STRAT_SAMPLE_SQL,
     "sharded_shuffle": _SHARDED_SHUFFLE_SQL,
     "doc_freq": _DOC_FREQ_SQL,
@@ -3321,6 +3344,7 @@ QUERIES = {
     "inverted_search": q_inverted_search,
     "mixture_sample": q_mixture_sample,
     "quantile_gate": q_quantile_gate,
+    "minmax_norm": q_minmax_norm,
     "stratified_sample": q_stratified_sample,
     "sharded_shuffle": q_sharded_shuffle,
     "doc_freq": q_doc_freq,

@@ -491,3 +491,58 @@ def quantile_gate(ds, group_col: str, value_col: str, q_pct: int = 25,
             "q_thresh", pa.array(thr)).filter(pa.array(ok))
 
     return ds.map_batches(gate, batch_format="pyarrow", batch_size=None)
+
+
+def minmax_normalize(ds, group_col: str, value_col: str,
+                     scale: int = 1_000_000):
+    """Per-group min-max feature scaling in exact integers:
+    ``norm = (x - min_g) * scale // (max_g - min_g)`` (a degenerate
+    group with min == max normalizes to 0) — the all-integer twin of
+    the float (x-min)/(max-min) rescale, so the result is bit-stable
+    under any execution order and exactly SQL-checkable. Adds
+    ``v_min``, ``v_max``, ``v_norm``.
+
+    Scale shape: per-block (group, min, max) partials fold into one
+    tiny table (one row per group, collected to the driver — bounded
+    by group count, like quantile_gate's LUT), broadcast into a
+    single vectorized rescale pass. The corpus streams; only the
+    O(groups) extrema table moves.
+    """
+    import pandas as pd
+
+    def extrema(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs, vs = g[order], v[order]
+        new = np.ones(len(gs), bool)
+        new[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table({
+            group_col: pa.array(gs[starts]),
+            "lo": pa.array(np.minimum.reduceat(vs, starts)),
+            "hi": pa.array(np.maximum.reduceat(vs, starts)),
+        })
+
+    parts = ds.select_columns([group_col, value_col]).map_batches(
+        extrema, batch_format="pyarrow", batch_size=None).take_all()
+    lut: dict = {}
+    for r in parts:
+        lo, hi = lut.get(r[group_col], (None, None))
+        lut[r[group_col]] = (
+            r["lo"] if lo is None else min(lo, r["lo"]),
+            r["hi"] if hi is None else max(hi, r["hi"]))
+
+    def rescale(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(g, sort=False)
+        lo = np.array([lut[x][0] for x in uniq], np.int64)[codes]
+        hi = np.array([lut[x][1] for x in uniq], np.int64)[codes]
+        rng = hi - lo
+        norm = np.where(rng > 0, (v - lo) * scale // np.maximum(rng, 1), 0)
+        batch = batch.append_column("v_min", pa.array(lo, pa.int64()))
+        batch = batch.append_column("v_max", pa.array(hi, pa.int64()))
+        return batch.append_column("v_norm", pa.array(norm, pa.int64()))
+
+    return ds.map_batches(rescale, batch_format="pyarrow", batch_size=None)

@@ -214,3 +214,33 @@ def test_int8_topk_rejects_ragged():
     with pytest.raises(Exception):
         int8_topk(ray.data.from_arrow(tbl), [1.0, 2.0], k=2) \
             .to_pandas()
+
+
+def test_minmax_normalize_reference_and_degenerate_group():
+    import pandas as pd
+
+    from cdx_toolkit_ray.stages.textstats import minmax_normalize
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "doc_id": np.arange(300),
+        "lang": rng.choice(["en", "de"], 300),
+        "n_chars": rng.integers(10, 500, 300),
+    })
+    # degenerate group: every value identical -> v_norm 0
+    df.loc[df.index[:5], "lang"] = "zz"
+    df.loc[df.index[:5], "n_chars"] = 42
+    got = minmax_normalize(ray.data.from_pandas(df).repartition(6),
+                           "lang", "n_chars").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for lang, g in df.groupby("lang"):
+        lo, hi = g.n_chars.min(), g.n_chars.max()
+        sub = got[got.lang == lang]
+        assert (sub.v_min == lo).all() and (sub.v_max == hi).all()
+        if hi == lo:
+            assert (sub.v_norm == 0).all()
+        else:
+            want = (sub.n_chars.to_numpy() - lo) * 1_000_000 // (hi - lo)
+            assert (sub.v_norm.to_numpy() == want).all()
+    zz = got[got.lang == "zz"]
+    assert len(zz) == 5 and (zz.v_norm == 0).all()
