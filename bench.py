@@ -362,6 +362,7 @@ def main() -> None:
             ("strip_tags", lambda: consume(Q.q_strip_tags(SF_DIR))),
             ("page_metadata",
              lambda: consume(Q.q_page_metadata(SF_DIR))),
+            ("index_merge", lambda: consume(Q.q_index_merge(SF_DIR))),
             ("link_rank", lambda: consume(Q.q_link_rank(SF_DIR))),
             ("crawl_bfs", lambda: consume(Q.q_crawl_bfs(SF_DIR))),
             ("crawl_delta", lambda: consume(Q.q_crawl_delta(SF_DIR))),

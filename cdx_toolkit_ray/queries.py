@@ -1044,6 +1044,45 @@ def q_minmax_norm(sf_dir: str):
     return minmax_normalize(ds, "lang", "n_chars")
 
 
+def q_index_merge(sf_dir: str):
+    """Incremental inverted-index upsert: build the index over a base
+    corpus, merge a document increment (re-crawled docs with changed
+    text REPLACE their postings; brand-new docs append), then search
+    the merged layout — still reading only the query terms' buckets."""
+    import tempfile
+
+    import pyarrow.compute as _pc
+
+    from .stages.invindex import (build_inverted_index, merge_index,
+                                  search_index)
+
+    def base_f(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(d % 3 != 0))
+
+    def incr_f(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = batch.filter(pa.array(d % 2 == 0))
+        txt = _pc.binary_join_element_wise(
+            keep["text"].cast(pa.string()),
+            pa.array(["merged"] * keep.num_rows), " ")
+        return keep.set_column(keep.column_names.index("text"),
+                               "text", txt)
+
+    docs = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                                 columns=["doc_id", "text"])
+    root = tempfile.mkdtemp(prefix="cdxray_idxmerge_")
+    base_dir = build_inverted_index(
+        docs.map_batches(base_f, batch_format="pyarrow",
+                         batch_size=None), root + "/base")
+    merged_dir = merge_index(
+        base_dir,
+        docs.map_batches(incr_f, batch_format="pyarrow",
+                         batch_size=None),
+        root + "/merged")
+    return search_index(merged_dir, ["merged", "spark"], mode="or")
+
+
 def q_quantile_gate(sf_dir: str):
     """Adaptive per-group quality gate (stages/textstats
     .quantile_gate): drop each language's shortest quartile by
@@ -2475,6 +2514,23 @@ ORACLES: dict[str, str] = {
     "mixture_sample": _mixture_sql(),
     "hll_distinct": _hll_oracle(),
     "quantile_gate": _QUANTILE_GATE_SQL,
+    # Incremental index upsert: the logically-merged corpus (increment
+    # replaces, remainder keeps) searched directly in SQL.
+    "index_merge": r"""
+WITH merged AS (
+  SELECT doc_id, text || ' merged' AS text FROM documents
+  WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 3 <> 0 AND doc_id % 2 <> 0),
+u AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '\w+')) AS word
+      FROM merged),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM u GROUP BY 1, 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(tf) AS BIGINT) AS tf_sum
+FROM tf WHERE word IN ('merged', 'spark') GROUP BY doc_id
+""",
     "minmax_norm": """
 SELECT doc_id, lang, n_chars,
        min(n_chars) OVER (PARTITION BY lang) AS v_min,
@@ -3342,6 +3398,7 @@ QUERIES = {
     "kmeans": q_kmeans,
     "lm_score": q_lm_score,
     "inverted_search": q_inverted_search,
+    "index_merge": q_index_merge,
     "mixture_sample": q_mixture_sample,
     "quantile_gate": q_quantile_gate,
     "minmax_norm": q_minmax_norm,

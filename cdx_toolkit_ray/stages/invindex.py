@@ -145,3 +145,72 @@ def _match(posts: ray.data.Dataset, terms: list[str], mode: str,
 
     return agg.map_batches(gate, batch_format="pyarrow",
                            batch_size=None)
+
+
+def merge_index(index_dir: str, new_docs: ray.data.Dataset,
+                out_dir: str, text_col: str = "text",
+                id_col: str | None = None) -> str:
+    """Incremental index maintenance: merge a document increment into
+    an existing ``build_inverted_index`` layout with UPSERT semantics
+    — a re-crawled doc's new postings REPLACE its old ones (matching
+    capture-log compaction's latest-wins rule), brand-new docs append.
+
+    Dataflow: the increment's doc-id set is the canonical small side
+    (bounded by the increment, not the index) — ``ray.put`` once,
+    sorted; old postings stream through one vectorized searchsorted
+    drop-filter; the increment is exploded to postings with the SAME
+    bucket modulus (so bucket layouts stay aligned and a term search
+    still reads only its buckets); the union is written back
+    hive-partitioned per word-hash bucket. The full index is read and
+    written once, never shuffled — posting rows keep their bucket.
+    """
+    import ray as _ray
+
+    from ..canon import hash64_batch
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    nb = meta["n_buckets"]
+    idc = id_col or meta["id_col"]
+
+    new_posts = postings(new_docs, text_col, idc, nb)
+    new_ids = np.unique(np.concatenate([
+        t[idc].to_numpy(zero_copy_only=False)
+        for t in _ray.get(new_docs.select_columns([idc]).to_arrow_refs())
+        if t.num_rows] or [np.zeros(0, np.int64)]))
+    ids_ref = _ray.put(new_ids)
+
+    old_paths = sorted(glob.glob(os.path.join(index_dir,
+                                              "wb=*", "*.parquet")))
+
+    def drop_updated(batch: pa.Table) -> pa.Table:
+        from ..pipelines.frontier import _get_broadcast
+
+        ids = _get_broadcast(ids_ref)
+        words = batch["word"]
+        out = pa.table({"word": words, idc: batch[idc],
+                        "tf": batch["tf"]})
+        if len(ids) == 0 or batch.num_rows == 0:
+            keep = np.ones(batch.num_rows, bool)
+        else:
+            d = batch[idc].to_numpy(zero_copy_only=False)
+            p = np.searchsorted(ids, d)
+            p[p == len(ids)] = 0
+            keep = ids[p] != d
+        out = out.filter(pa.array(keep))
+        wb = (hash64_batch(out["word"].combine_chunks())
+              % np.uint64(nb)).astype(np.int64)
+        return out.append_column("wb", pa.array(wb, pa.int64()))
+
+    if old_paths:
+        old = ray.data.read_parquet(old_paths,
+                                    columns=["word", idc, "tf"])
+        kept = old.map_batches(drop_updated, batch_format="pyarrow",
+                               batch_size=None)
+        merged = kept.union(new_posts)
+    else:
+        merged = new_posts
+    merged.write_parquet(out_dir, partition_cols=["wb"])
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"n_buckets": nb, "id_col": idc}, f)
+    return out_dir

@@ -148,3 +148,66 @@ def test_quantile_gate_drops_bottom_quartile():
         assert (surv.q_thresh == thr).all()
         assert len(surv) == (g.n_chars >= thr).sum()
         assert (surv.n_chars >= thr).all()
+
+
+def test_merge_index_upsert_semantics(tmp_path):
+    """Re-crawled docs replace their postings; new docs append; the
+    merged layout equals a from-scratch rebuild of the logical corpus."""
+    import pandas as pd
+
+    from cdx_toolkit_ray.stages.invindex import (build_inverted_index,
+                                                 merge_index,
+                                                 search_index)
+
+    base = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["apple banana", "banana cherry", "cherry apple apple"],
+    })
+    incr = pd.DataFrame({
+        "doc_id": [2, 4],                      # 2 = re-crawl, 4 = new
+        "text": ["durian only now", "apple durian"],
+    })
+    b = build_inverted_index(ray.data.from_pandas(base),
+                             str(tmp_path / "base"), n_buckets=4)
+    m = merge_index(b, ray.data.from_pandas(incr),
+                    str(tmp_path / "merged"))
+
+    got = search_index(m, ["apple"], mode="or").to_pandas() \
+        .set_index("doc_id")
+    # doc 2 no longer contains 'apple'-adjacent text; 1, 3, 4 do
+    assert set(got.index) == {1, 3, 4}
+    assert got.loc[3, "tf_sum"] == 2
+    got2 = search_index(m, ["durian"], mode="or").to_pandas()
+    assert set(got2["doc_id"]) == {2, 4}
+    # old text of the re-crawled doc is gone entirely
+    got3 = search_index(m, ["banana"], mode="or").to_pandas()
+    assert set(got3["doc_id"]) == {1}
+
+    # merged layout == rebuild over the logical corpus, term by term
+    logical = pd.concat([base[base.doc_id != 2], incr])
+    rb = build_inverted_index(ray.data.from_pandas(logical),
+                              str(tmp_path / "rebuilt"), n_buckets=4)
+    for term in ["apple", "banana", "cherry", "durian", "only"]:
+        a = search_index(m, [term]).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        bb = search_index(rb, [term]).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, bb)
+
+
+def test_merge_index_empty_increment(tmp_path):
+    import pandas as pd
+
+    from cdx_toolkit_ray.stages.invindex import (build_inverted_index,
+                                                 merge_index,
+                                                 search_index)
+
+    base = pd.DataFrame({"doc_id": [1], "text": ["apple"]})
+    b = build_inverted_index(ray.data.from_pandas(base),
+                             str(tmp_path / "b"), n_buckets=2)
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                      "text": pd.Series([], dtype="object")}))
+    m = merge_index(b, empty, str(tmp_path / "m"))
+    got = search_index(m, ["apple"]).to_pandas()
+    assert set(got["doc_id"]) == {1}
