@@ -1034,6 +1034,18 @@ def q_mixture_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "n_chars", "skey"])
 
 
+def q_gopher_gate(sf_dir: str):
+    """Gopher-rules document quality gate (Rae et al. 2021 Table A1
+    shape) in exact integer form — keep/drop with an ordered reason
+    string; one vectorized pass, zero shuffles."""
+    from .stages.textstats import gopher_gate_batch
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(gopher_gate_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def q_minmax_norm(sf_dir: str):
     """Per-group integer min-max feature scaling (n_chars within each
     lang): O(groups) extrema broadcast, one vectorized rescale pass."""
@@ -2531,6 +2543,60 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
        CAST(sum(tf) AS BIGINT) AS tf_sum
 FROM tf WHERE word IN ('merged', 'spark') GROUP BY doc_id
 """,
+    # Gopher-rules gate: all five integer rules + the ordered reason
+    # string replicated (same word/2-gram model as repetition).
+    "gopher_gate": r"""
+WITH w AS (SELECT doc_id,
+                  regexp_extract_all(lower(coalesce(text, '')), '\w+')
+                    AS words
+           FROM documents),
+u AS (SELECT doc_id, unnest(words) AS word FROM w),
+wc AS (SELECT doc_id, word, count(*) AS c FROM u GROUP BY 1, 2),
+pw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+              CAST(max(c) AS BIGINT) AS top_word
+       FROM wc GROUP BY doc_id),
+ch AS (SELECT doc_id, CAST(sum(strlen(word)) AS BIGINT) AS word_chars,
+              CAST(sum(CASE WHEN word IN ('the','a','of','and','to',
+                                          'in','is','for')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+       FROM u GROUP BY doc_id),
+g2 AS (SELECT doc_id,
+              unnest(CASE WHEN len(words) < 2 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(words)),
+                            i -> words[i] || ' ' || words[i + 1]) END)
+                AS g
+       FROM w),
+gc AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+pg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+              CAST(max(c) AS BIGINT) AS top_2gram
+       FROM gc GROUP BY doc_id),
+j AS (SELECT d.doc_id,
+             COALESCE(pw.n_words, 0) AS n_words,
+             COALESCE(pw.top_word, 0) AS top_word,
+             COALESCE(ch.word_chars, 0) AS word_chars,
+             COALESCE(ch.n_stop, 0) AS n_stop,
+             COALESCE(pg.n_2grams, 0) AS n_2grams,
+             COALESCE(pg.top_2gram, 0) AS top_2gram
+      FROM documents d
+      LEFT JOIN pw ON pw.doc_id = d.doc_id
+      LEFT JOIN ch ON ch.doc_id = d.doc_id
+      LEFT JOIN pg ON pg.doc_id = d.doc_id),
+r AS (SELECT doc_id, n_words,
+             (CASE WHEN n_words < 20 OR n_words > 100000
+                   THEN ',n_words' ELSE '' END)
+          || (CASE WHEN 3 * n_words > word_chars
+                        OR word_chars > 10 * n_words
+                   THEN ',word_len' ELSE '' END)
+          || (CASE WHEN n_stop < 2 THEN ',stopwords' ELSE '' END)
+          || (CASE WHEN 10 * top_word > 3 * n_words
+                   THEN ',rep_word' ELSE '' END)
+          || (CASE WHEN 5 * top_2gram > n_2grams
+                   THEN ',rep_2gram' ELSE '' END) AS s
+      FROM j)
+SELECT doc_id, n_words, s = '' AS keep,
+       CASE WHEN s = '' THEN '' ELSE substring(s, 2) END AS reasons
+FROM r
+""",
     "minmax_norm": """
 SELECT doc_id, lang, n_chars,
        min(n_chars) OVER (PARTITION BY lang) AS v_min,
@@ -3402,6 +3468,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "quantile_gate": q_quantile_gate,
     "minmax_norm": q_minmax_norm,
+    "gopher_gate": q_gopher_gate,
     "stratified_sample": q_stratified_sample,
     "sharded_shuffle": q_sharded_shuffle,
     "doc_freq": q_doc_freq,

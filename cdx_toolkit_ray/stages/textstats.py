@@ -546,3 +546,88 @@ def minmax_normalize(ds, group_col: str, value_col: str,
         return batch.append_column("v_norm", pa.array(norm, pa.int64()))
 
     return ds.map_batches(rescale, batch_format="pyarrow", batch_size=None)
+
+
+def gopher_gate_batch(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_words: int = 20, max_words: int = 100_000
+                      ) -> pa.Table:
+    """Gopher-style document quality gate (Rae et al. 2021 Table A1
+    shape) in exact integer form — every rule is an integer
+    cross-multiplication, so keep/drop and the reason string are
+    bit-stable and SQL-checkable:
+
+    * ``n_words``   outside [min_words, max_words]       -> 'n_words'
+    * mean word length outside [3, 10] chars
+      (``3*n_words <= word_chars <= 10*n_words``)        -> 'word_len'
+    * fewer than 2 stopwords (tiny fixed list)           -> 'stopwords'
+    * top word  > 30% of words  (``10*top  > 3*n_words``)-> 'rep_word'
+    * top 2-gram > 20% of 2-grams (``5*top2 > n_2grams``)-> 'rep_2gram'
+
+    Output: ``(doc_id, n_words, keep, reasons)`` where ``reasons`` is
+    the comma-joined rule names in the order above ('' when kept).
+    One vectorized pass, zero shuffles; the text never leaves the
+    task. Word model: lowercased ``\\w+`` (the corpus gram
+    convention).
+    """
+    import polars as pl
+
+    n = batch.num_rows
+    sch = pa.schema([("doc_id", pa.int64()), ("n_words", pa.int64()),
+                     ("keep", pa.bool_()), ("reasons", pa.string())])
+    if n == 0:
+        return sch.empty_table()
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    df = pl.DataFrame({"t": pl.from_arrow(
+        batch[text_col].combine_chunks())}).with_row_index("d") \
+        .with_columns(w=pl.col("t").fill_null("").str.to_lowercase()
+                      .str.extract_all(r"\w+")).drop("t")
+    words = df.explode("w").drop_nulls("w")
+    wc = words.group_by("d", "w").len()
+    pw = wc.group_by("d").agg(
+        n_words=pl.col("len").sum().cast(pl.Int64),
+        top_word=pl.col("len").max().cast(pl.Int64))
+    chars = words.group_by("d").agg(
+        word_chars=pl.col("w").str.len_chars().sum().cast(pl.Int64),
+        n_stop=pl.col("w").is_in(list(STOPWORDS)).sum().cast(pl.Int64))
+    big = words.with_columns(w2=pl.col("w").shift(-1).over("d")) \
+        .drop_nulls("w2") \
+        .select("d", g=pl.concat_str(["w", "w2"], separator=" "))
+    pg = big.group_by("d", "g").len().group_by("d").agg(
+        n_2grams=pl.col("len").sum().cast(pl.Int64),
+        top_2gram=pl.col("len").max().cast(pl.Int64))
+
+    def dense(src, name):
+        out = np.zeros(n, np.int64)
+        out[src["d"].to_numpy().astype(np.int64)] = \
+            src[name].to_numpy()
+        return out
+
+    n_words = dense(pw, "n_words")
+    top_word = dense(pw, "top_word")
+    word_chars = dense(chars, "word_chars")
+    n_stop = dense(chars, "n_stop")
+    n_2grams = dense(pg, "n_2grams")
+    top_2gram = dense(pg, "top_2gram")
+
+    bad = [
+        ("n_words", (n_words < min_words) | (n_words > max_words)),
+        ("word_len", (3 * n_words > word_chars)
+         | (word_chars > 10 * n_words)),
+        ("stopwords", n_stop < 2),
+        ("rep_word", 10 * top_word > 3 * n_words),
+        ("rep_2gram", 5 * top_2gram > n_2grams),
+    ]
+    keep = np.ones(n, bool)
+    reasons = np.full(n, "", dtype=object)
+    for name, mask in bad:
+        keep &= ~mask
+        hit = np.flatnonzero(mask)
+        for i in hit:
+            reasons[i] = (reasons[i] + "," + name) if reasons[i] else name
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_words": pa.array(n_words, pa.int64()),
+        "keep": pa.array(keep),
+        "reasons": pa.array(reasons, pa.string()),
+    })

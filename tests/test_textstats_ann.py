@@ -244,3 +244,56 @@ def test_minmax_normalize_reference_and_degenerate_group():
             assert (sub.v_norm.to_numpy() == want).all()
     zz = got[got.lang == "zz"]
     assert len(zz) == 5 and (zz.v_norm == 0).all()
+
+
+def test_gopher_gate_rules_fire_individually():
+    from cdx_toolkit_ray.stages.textstats import gopher_gate_batch
+
+    long_ok = " ".join("the quick brown fox w%d jumps over" % i
+                       for i in range(10))  # 70 words, stopwordy, varied
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            long_ok,                            # keeps
+            "short doc",                        # n_words (+stopwords)
+            " ".join(["the"] * 60),             # rep_word (+rep_2gram)
+            " ".join("a%d" % i for i in range(60)),  # stopwords... wait
+            "",                                 # n_words + stopwords
+        ], pa.string()),
+    })
+    got = gopher_gate_batch(docs).to_pandas().set_index("doc_id")
+    assert bool(got.loc[1, "keep"]) and got.loc[1, "reasons"] == ""
+    assert not got.loc[2, "keep"]
+    assert "n_words" in got.loc[2, "reasons"]
+    assert not got.loc[3, "keep"]
+    assert "rep_word" in got.loc[3, "reasons"]
+    assert "rep_2gram" in got.loc[3, "reasons"]
+    assert not got.loc[4, "keep"]
+    assert "stopwords" in got.loc[4, "reasons"]
+    assert not got.loc[5, "keep"]
+    assert got.loc[5, "n_words"] == 0
+    # reason order is the documented rule order
+    assert got.loc[5, "reasons"].startswith("n_words")
+
+
+def test_gopher_gate_matches_sql_reasons():
+    import duckdb
+    import pandas as pd
+
+    from cdx_toolkit_ray.queries import ORACLES
+    from cdx_toolkit_ray.stages.textstats import gopher_gate_batch
+
+    rng = np.random.default_rng(8)
+    vocab = ["the", "a", "fox", "jumps", "x1", "x2", "x3", "x4"]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(200),
+        "text": [" ".join(rng.choice(vocab, rng.integers(1, 80)))
+                 for _ in range(200)],
+    })
+    got = gopher_gate_batch(pa.Table.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(ORACLES["gopher_gate"] + " ORDER BY doc_id") \
+        .df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
