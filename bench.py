@@ -334,6 +334,8 @@ def main() -> None:
             ("lang_id", lambda: consume(Q.q_lang_id(SF_DIR))),
             ("minmax_norm", lambda: consume(Q.q_minmax_norm(SF_DIR))),
             ("gopher_gate", lambda: consume(Q.q_gopher_gate(SF_DIR))),
+            ("parse_robots",
+             lambda: consume(Q.q_parse_robots(SF_DIR))),
             ("ann_topk", lambda: consume(Q.q_ann_topk(SF_DIR))),
             ("ann_int8", lambda: consume(Q.q_ann_int8(SF_DIR))),
             ("minhash_pairs", lambda: consume(Q.q_minhash_pairs(SF_DIR))),

@@ -527,3 +527,95 @@ def run_frontier(seeds_path: str, robots_path: str, out_dir: str, *,
         seen.checkpoint(seen_checkpoint_dir)
     result["manifest"] = manifest.path
     return result
+
+
+def render_robots_txt(batch: pa.Table) -> pa.Table:
+    """Render (host, crawl_delay_ms, disallow[]) rows as raw
+    robots.txt bodies — the inverse of :func:`parse_robots_batch`,
+    used to exercise the parser against ground truth (and as a test
+    double for a fetcher stage that would pull real robots bodies).
+    Deterministic template with realistic noise lines (comments,
+    Allow, Sitemap) the parser must ignore."""
+    hosts = batch["host"].to_numpy(zero_copy_only=False)
+    delays = batch["crawl_delay_ms"].to_numpy(zero_copy_only=False)
+    dis = batch["disallow"].to_pylist()
+    bodies = []
+    for h, ms, rules in zip(hosts, delays, dis):
+        lines = ["# robots for %s" % h,
+                 "User-agent: *",
+                 "Allow: /",
+                 "Crawl-delay: %d.%03d" % (ms // 1000, ms % 1000)]
+        for p in (rules or []):
+            lines.append("Disallow: %s" % p)
+        lines.append("Sitemap: https://%s/sitemap.xml" % h)
+        bodies.append("\n".join(lines) + "\n")
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "robots_txt": pa.array(bodies, pa.string()),
+    })
+
+
+def parse_robots_batch(batch: pa.Table, host_col: str = "host",
+                       text_col: str = "robots_txt") -> pa.Table:
+    """Parse raw robots.txt bodies into the politeness-rules row the
+    frontier consumes: ``(host, crawl_delay_ms, disallow_csv,
+    n_rules)`` — the missing first stage between a fetched
+    ``/robots.txt`` response and :func:`make_robots_gate` (reference
+    analog: the per-host interval table, myrequests.py:23-54, which
+    the reference hard-codes instead of parsing).
+
+    Vectorized (polars extract_all / extract over the whole batch):
+    ``Disallow:`` prefixes collected, sorted, comma-joined (empty
+    ``Disallow:`` = allow-all per the robots RFC and is ignored);
+    ``Crawl-delay`` accepts integer or fractional seconds and
+    converts to integer ms with string arithmetic (no float
+    round-trip); comment / Allow / Sitemap / User-agent lines are
+    ignored. Missing crawl-delay -> 0.
+    """
+    import polars as pl
+
+    sch = pa.schema([("host", pa.string()), ("crawl_delay_ms", pa.int64()),
+                     ("disallow_csv", pa.string()),
+                     ("n_rules", pa.int64())])
+    if batch.num_rows == 0:
+        return sch.empty_table()
+    df = pl.DataFrame({
+        "host": pl.from_arrow(batch[host_col].combine_chunks()
+                              .cast(pa.string())),
+        "t": pl.from_arrow(batch[text_col].combine_chunks()
+                           .cast(pa.string())),
+    })
+    delay = df.select(
+        "host",
+        sec=pl.col("t").str.extract(r"Crawl-delay:\s*(\d+)", 1)
+            .cast(pl.Int64).fill_null(0),
+        frac=pl.col("t").str.extract(r"Crawl-delay:\s*\d+\.(\d+)", 1))
+    # fractional part: right-pad/truncate to ms with string arithmetic
+    frac = delay["frac"].to_numpy()
+    frac_ms = np.array([int((f or "")[:3].ljust(3, "0") or 0)
+                        for f in frac], np.int64)
+    ms = delay["sec"].to_numpy().astype(np.int64) * 1000 + frac_ms
+
+    rules = (
+        df.with_columns(
+            m=pl.col("t").str.extract_all(r"Disallow:\s*(\S+)"))
+        .select("host", "m").explode("m").drop_nulls("m")
+        .with_columns(p=pl.col("m").str.extract(r"Disallow:\s*(\S+)", 1))
+        .drop("m")
+        .sort(["host", "p"])
+        .group_by("host", maintain_order=True)
+        .agg(csv=pl.col("p").str.join(","),
+             n=pl.len().cast(pl.Int64))
+    )
+    lut = {h: (c, n) for h, c, n in zip(rules["host"].to_list(),
+                                        rules["csv"].to_list(),
+                                        rules["n"].to_list())}
+    hosts = df["host"].to_list()
+    csv = [lut.get(h, ("", 0))[0] for h in hosts]
+    nr = [lut.get(h, ("", 0))[1] for h in hosts]
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "crawl_delay_ms": pa.array(ms, pa.int64()),
+        "disallow_csv": pa.array(csv, pa.string()),
+        "n_rules": pa.array(nr, pa.int64()),
+    })

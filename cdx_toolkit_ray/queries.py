@@ -1034,6 +1034,22 @@ def q_mixture_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "n_chars", "skey"])
 
 
+def q_parse_robots(sf_dir: str):
+    """robots.txt parsing: raw bodies (rendered deterministically from
+    the fixture rules — the test double for a fetcher stage) ->
+    per-host politeness rules (crawl-delay ms via string arithmetic,
+    sorted disallow prefixes). The oracle is NON-circular: it states
+    the ground truth directly from the source table."""
+    from .pipelines.frontier import parse_robots_batch, render_robots_txt
+
+    root = _fixture_root(sf_dir)
+    ds = ray.data.read_parquet(root + "/robots.parquet")
+    raw = ds.map_batches(render_robots_txt, batch_format="pyarrow",
+                         batch_size=None)
+    return raw.map_batches(parse_robots_batch, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def q_gopher_gate(sf_dir: str):
     """Gopher-rules document quality gate (Rae et al. 2021 Table A1
     shape) in exact integer form — keep/drop with an ordered reason
@@ -2543,6 +2559,15 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
        CAST(sum(tf) AS BIGINT) AS tf_sum
 FROM tf WHERE word IN ('merged', 'spark') GROUP BY doc_id
 """,
+    # robots.txt parse: ground truth straight from the source table —
+    # the Ray side renders raw bodies and parses them back.
+    "parse_robots": """
+SELECT host, crawl_delay_ms,
+       COALESCE(array_to_string(list_sort(disallow), ','), '')
+         AS disallow_csv,
+       CAST(COALESCE(len(disallow), 0) AS BIGINT) AS n_rules
+FROM read_parquet('%s/robots.parquet')
+""" % _FIXTURE_LINK,
     # Gopher-rules gate: all five integer rules + the ordered reason
     # string replicated (same word/2-gram model as repetition).
     "gopher_gate": r"""
@@ -3469,6 +3494,7 @@ QUERIES = {
     "quantile_gate": q_quantile_gate,
     "minmax_norm": q_minmax_norm,
     "gopher_gate": q_gopher_gate,
+    "parse_robots": q_parse_robots,
     "stratified_sample": q_stratified_sample,
     "sharded_shuffle": q_sharded_shuffle,
     "doc_freq": q_doc_freq,

@@ -9,6 +9,7 @@ EXACTLY (north_rule: crawl-order + URL-seen exact match).
 
 from urllib.parse import urlsplit
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -170,3 +171,46 @@ def test_scheduled_crawl_order_packing_fallback(fixture_dir):
     out = scheduled_crawl_order(ds, order_bits=(36, 2, 1)).to_pandas()
     ref = scheduled_crawl_order(ds).to_pandas()
     assert out.reset_index(drop=True).equals(ref.reset_index(drop=True))
+
+
+def test_parse_robots_handles_noise_and_fractions():
+    from cdx_toolkit_ray.pipelines.frontier import parse_robots_batch
+
+    raw = pa.table({
+        "host": pa.array(["a.example", "b.example", "c.example"],
+                         pa.string()),
+        "robots_txt": pa.array([
+            "# comment\nUser-agent: *\nAllow: /\nCrawl-delay: 2\n"
+            "Disallow: /z\nDisallow: /a\nSitemap: https://a/s.xml\n",
+            "User-agent: *\nCrawl-delay: 0.55\n",
+            "User-agent: *\n",          # no delay, no rules
+        ], pa.string()),
+    })
+    got = parse_robots_batch(raw).to_pandas().set_index("host")
+    assert got.loc["a.example", "crawl_delay_ms"] == 2000
+    assert got.loc["a.example", "disallow_csv"] == "/a,/z"  # sorted
+    assert got.loc["a.example", "n_rules"] == 2
+    assert got.loc["b.example", "crawl_delay_ms"] == 550
+    assert got.loc["b.example", "n_rules"] == 0
+    assert got.loc["c.example", "crawl_delay_ms"] == 0
+    assert got.loc["c.example", "disallow_csv"] == ""
+
+
+def test_parse_robots_roundtrips_render():
+    import pandas as pd
+
+    from cdx_toolkit_ray.pipelines.frontier import (parse_robots_batch,
+                                                    render_robots_txt)
+
+    src = pa.table({
+        "host": pa.array(["x.example", "y.example"], pa.string()),
+        "crawl_delay_ms": pa.array([1234, 0], pa.int64()),
+        "disallow": pa.array([["/p", "/q"], []],
+                             pa.list_(pa.string())),
+    })
+    got = parse_robots_batch(render_robots_txt(src)).to_pandas() \
+        .set_index("host")
+    assert got.loc["x.example", "crawl_delay_ms"] == 1234
+    assert got.loc["x.example", "disallow_csv"] == "/p,/q"
+    assert got.loc["y.example", "crawl_delay_ms"] == 0
+    assert got.loc["y.example", "n_rules"] == 0
