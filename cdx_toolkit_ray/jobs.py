@@ -35,14 +35,22 @@ def make_parser() -> ArgumentParser:
     p = ArgumentParser(
         prog="python -m cdx_toolkit_ray.jobs",
         description="resumable crawl-frontier job (ray job submit "
-                    "entrypoint)")
-    p.add_argument("--seeds", required=True,
-                   help="seed URLs Parquet (url column)")
-    p.add_argument("--robots", required=True,
-                   help="robots rules Parquet")
+                    "entrypoint); --query runs any catalog operator "
+                    "instead")
+    p.add_argument("--seeds",
+                   help="seed URLs Parquet (url column); required "
+                        "unless --query")
+    p.add_argument("--robots",
+                   help="robots rules Parquet; required unless --query")
     p.add_argument("--out", required=True,
                    help="output directory (partitioned Parquet + "
                         "lineage manifest)")
+    p.add_argument("--query",
+                   help="run this queries.QUERIES catalog entry over "
+                        "--sf-dir and write the result to --out as "
+                        "Parquet (every operator is cluster-runnable)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   help="input table directory for --query")
     p.add_argument("--num-buckets", type=int, default=8,
                    help="host-hash output partitions (default 8; size "
                         "to the cluster)")
@@ -68,6 +76,37 @@ def main(argv: list[str] | None = None) -> int:
         else:
             ray.init(address="local", num_cpus=args.num_cpus,
                      include_dashboard=False, logging_level="ERROR")
+
+    if args.query:
+        from .queries import QUERIES
+
+        if args.query not in QUERIES:
+            print(json.dumps({"error": "unknown query %r" % args.query,
+                              "available": sorted(QUERIES)}))
+            return 2
+        t0 = time.time()
+        res = QUERIES[args.query](args.sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res.write_parquet(args.out)
+            n = ray.data.read_parquet(args.out).count()
+        else:  # pandas / Arrow results land as one file
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = (res if isinstance(res, pa.Table)
+                   else pa.Table.from_pandas(res))
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(tbl, os.path.join(args.out, "result.parquet"))
+            n = tbl.num_rows
+        print(json.dumps({"query": args.query, "rows": int(n),
+                          "out_dir": args.out,
+                          "wall_sec": round(time.time() - t0, 3)}))
+        return 0
+
+    if not args.seeds or not args.robots:
+        print(json.dumps({"error": "--seeds and --robots are required "
+                                   "unless --query is given"}))
+        return 2
 
     from .pipelines.frontier import run_frontier
     from .state.seen import ShardedSeenSet

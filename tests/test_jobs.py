@@ -50,3 +50,27 @@ def test_job_seen_checkpoint(fixture_dir, tmp_path, capsys):
 def test_job_parser_requires_io():
     with pytest.raises(SystemExit):
         jobs.make_parser().parse_args([])
+
+
+def test_jobs_query_mode(tmp_path):
+    from cdx_toolkit_ray.jobs import main
+
+    out = str(tmp_path / "q")
+    rc = main(["--query", "distinct", "--sf-dir", "/root/testdata/sf0.001",
+               "--out", out])
+    assert rc == 0
+    import glob as _glob
+    assert _glob.glob(out + "/*.parquet")
+
+
+def test_jobs_query_mode_rejects_unknown(tmp_path):
+    from cdx_toolkit_ray.jobs import main
+
+    assert main(["--query", "no_such_query",
+                 "--out", str(tmp_path / "x")]) == 2
+
+
+def test_jobs_requires_seeds_without_query(tmp_path):
+    from cdx_toolkit_ray.jobs import main
+
+    assert main(["--out", str(tmp_path / "y")]) == 2
