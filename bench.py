@@ -360,6 +360,8 @@ def main() -> None:
              lambda: consume(Q.q_anchor_stats(SF_DIR))),
             ("hll_distinct",
              lambda: consume(Q.q_hll_distinct(SF_DIR))),
+            ("hll_incremental",
+             lambda: consume(Q.q_hll_incremental(SF_DIR))),
             ("ranked_frontier",
              lambda: consume(Q.q_ranked_frontier(SF_DIR))),
             ("strip_tags", lambda: consume(Q.q_strip_tags(SF_DIR))),

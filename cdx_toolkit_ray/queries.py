@@ -549,6 +549,33 @@ def q_hll_distinct(sf_dir: str):
     return hll_distinct(ds, "user_id", "event_type", p=8, seed=0)
 
 
+def q_hll_incremental(sf_dir: str):
+    """Incremental distinct counting: the sketch STATE as data — HLL
+    register tables built over two disjoint halves of the event stream
+    (simulating two crawls), unioned, then estimated. Register max is
+    associative/commutative/idempotent, so the result is BIT-IDENTICAL
+    to one pass over the whole stream — the oracle is the same
+    whole-stream SQL as `hll_distinct`."""
+    from .stages.sketch import hll_estimate, hll_registers
+
+    def half(rem: int):
+        def f(batch: pa.Table) -> pa.Table:
+            e = batch["event_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(e % 2 == rem))
+        return f
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["event_id", "user_id",
+                                        "event_type"])
+    a = hll_registers(ds.map_batches(half(0), batch_format="pyarrow",
+                                     batch_size=None),
+                      "user_id", "event_type", p=8, seed=0)
+    b = hll_registers(ds.map_batches(half(1), batch_format="pyarrow",
+                                     batch_size=None),
+                      "user_id", "event_type", p=8, seed=0)
+    return hll_estimate(a.union(b), "event_type", p=8)
+
+
 def q_url_seen(sf_dir: str):
     """T7 sharded URL-seen actor pool (exact mode): every accepted
     offer is a first-seen canonical URL, so the surviving urlkey set
@@ -2541,6 +2568,8 @@ ORACLES: dict[str, str] = {
     "inverted_search": _INV_SEARCH_SQL,
     "mixture_sample": _mixture_sql(),
     "hll_distinct": _hll_oracle(),
+    # the incremental path must equal the one-pass sketch exactly
+    "hll_incremental": _hll_oracle(),
     "quantile_gate": _QUANTILE_GATE_SQL,
     # Incremental index upsert: the logically-merged corpus (increment
     # replaces, remainder keeps) searched directly in SQL.
@@ -3504,6 +3533,7 @@ QUERIES = {
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "count_min": q_count_min,
     "hll_distinct": q_hll_distinct,
+    "hll_incremental": q_hll_incremental,
     "holdout_split": q_holdout_split,
     "recrawl": q_recrawl,
     "simhash_sigs": q_simhash_sigs,

@@ -302,13 +302,22 @@ def hll_distinct(ds: ray.data.Dataset, key_col: str, group_col: str, *,
     estimate. Mergeability of the register max is what makes the
     sketch partition-independent — asserted by tests.
     """
+    regs = _hll_partials(ds, key_col, group_col, p=p, seed=seed,
+                         num_buckets=num_buckets)
+    from .exchange import hash_bucket_apply
+
+    return hash_bucket_apply(regs, "_gb",
+                             _hll_estimate_kernel(group_col, p),
+                             num_buckets=num_buckets)
+
+
+def _hll_partials(ds: ray.data.Dataset, key_col: str, group_col: str, *,
+                  p: int, seed: int, num_buckets: int) -> ray.data.Dataset:
+    """Per-block (grp, register, max-rank) fold, keyed for the group
+    exchange — the mergeable state every HLL entry point shares."""
     if not 4 <= p <= 16:
         raise ValueError("p must be in [4, 16]")
-    m = 1 << p
     rmax = 64 - p + 1
-    alpha_num = 7213 * 1000 * m
-    alpha_den = 10000 * (1000 * m + 1079)
-    numer = alpha_num * m * m * (1 << rmax)
     nbu = np.uint64(num_buckets)
     from .dedup import _mix64
     from .sampling import _seeded_key
@@ -342,6 +351,38 @@ def hll_distinct(ds: ray.data.Dataset, key_col: str, group_col: str, *,
             "mr": pa.array(mr, pa.int64()),
         })
 
+    return ds.select_columns([key_col, group_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+
+
+def _hll_fold(tbl: pa.Table) -> pa.Table:
+    """Register-level merge: max rank per (grp, bidx)."""
+    sch = pa.schema([("grp", pa.string()), ("bidx", pa.int64()),
+                     ("mr", pa.int64())])
+    if tbl.num_rows == 0:
+        return sch.empty_table()
+    g = tbl["grp"].to_numpy(zero_copy_only=False)
+    b = tbl["bidx"].to_numpy(zero_copy_only=False)
+    r = tbl["mr"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, g))
+    gs, bs, rs = g[order], b[order], r[order]
+    new = np.ones(len(gs), bool)
+    new[1:] = (gs[1:] != gs[:-1]) | (bs[1:] != bs[:-1])
+    starts = np.flatnonzero(new)
+    return pa.table({
+        "grp": pa.array(gs[starts], pa.string()),
+        "bidx": pa.array(bs[starts], pa.int64()),
+        "mr": pa.array(np.maximum.reduceat(rs, starts), pa.int64()),
+    })
+
+
+def _hll_estimate_kernel(group_col: str, p: int):
+    """Exchange kernel: fold registers, evaluate the exact-rational
+    estimate (+ linear-counting small-range branch) per group."""
+    m = 1 << p
+    rmax = 64 - p + 1
+    alpha_den = 10000 * (1000 * m + 1079)
+    numer = (7213 * 1000 * m) * m * m * (1 << rmax)
     out_sch = pa.schema([(group_col, pa.string()), ("n_zero", pa.int64()),
                          ("rank_sum", pa.int64()),
                          ("hll_estimate", pa.int64())])
@@ -349,16 +390,9 @@ def hll_distinct(ds: ray.data.Dataset, key_col: str, group_col: str, *,
     def merge(tbl: pa.Table) -> pa.Table:
         if tbl.num_rows == 0:
             return out_sch.empty_table()
-        g = tbl["grp"].to_numpy(zero_copy_only=False)
-        b = tbl["bidx"].to_numpy(zero_copy_only=False)
-        r = tbl["mr"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, g))
-        gs, bs, rs = g[order], b[order], r[order]
-        new = np.ones(len(gs), bool)
-        new[1:] = (gs[1:] != gs[:-1]) | (bs[1:] != bs[:-1])
-        starts = np.flatnonzero(new)
-        mr = np.maximum.reduceat(rs, starts)
-        gg = gs[starts]
+        folded = _hll_fold(tbl)
+        gg = folded["grp"].to_numpy(zero_copy_only=False)
+        mr = folded["mr"].to_numpy(zero_copy_only=False)
         gnew = np.ones(len(gg), bool)
         gnew[1:] = gg[1:] != gg[:-1]
         gstarts = np.flatnonzero(gnew)
@@ -385,9 +419,53 @@ def hll_distinct(ds: ray.data.Dataset, key_col: str, group_col: str, *,
             "hll_estimate": pa.array(ests, pa.int64()),
         })
 
+    return merge
+
+
+def hll_registers(ds: ray.data.Dataset, key_col: str, group_col: str, *,
+                  p: int = 8, seed: int = 0,
+                  num_buckets: int = 16) -> ray.data.Dataset:
+    """The sketch STATE as data: one ``(grp, bidx, mr)`` row per
+    non-empty register per group — persistable (write_parquet) and
+    mergeable (register max), so distinct counts accumulate across
+    crawls without re-reading old corpora: union the register tables
+    and call :func:`hll_estimate`."""
+    regs = _hll_partials(ds, key_col, group_col, p=p, seed=seed,
+                         num_buckets=num_buckets)
     from .exchange import hash_bucket_apply
 
-    partials = ds.select_columns([key_col, group_col]).map_batches(
-        partial, batch_format="pyarrow", batch_size=None)
-    return hash_bucket_apply(partials, "_gb", merge,
+    return hash_bucket_apply(regs, "_gb", _hll_fold,
+                             num_buckets=num_buckets)
+
+
+def hll_estimate(regs: ray.data.Dataset, group_col: str = "event_type",
+                 *, p: int = 8,
+                 num_buckets: int = 16) -> ray.data.Dataset:
+    """Estimates from (a union of) :func:`hll_registers` tables —
+    the incremental path: registers(A) U registers(B) estimates
+    EXACTLY like one pass over A U B (register max is associative,
+    commutative, idempotent; asserted by tests + the oracle)."""
+    from ..canon import hash64_batch
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("_gb", pa.int64()), ("grp", pa.string()),
+                         ("bidx", pa.int64()), ("mr", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        gb = (hash64_batch(batch["grp"].combine_chunks())
+              % nbu).astype(np.int64)
+        return pa.table({
+            "_gb": pa.array(gb, pa.int64()),
+            "grp": batch["grp"].cast(pa.string()),
+            "bidx": batch["bidx"].cast(pa.int64()),
+            "mr": batch["mr"].cast(pa.int64()),
+        })
+
+    keyed = regs.map_batches(rekey, batch_format="pyarrow",
+                             batch_size=None)
+    return hash_bucket_apply(keyed, "_gb",
+                             _hll_estimate_kernel(group_col, p),
                              num_buckets=num_buckets)

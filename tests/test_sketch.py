@@ -233,3 +233,39 @@ def test_hll_bit_length_kernel():
     got = _bit_length_u64(xs)
     want = np.array([int(x).bit_length() for x in xs], dtype=np.int64)
     assert (got == want).all()
+
+
+def test_hll_registers_persist_and_merge(tmp_path):
+    """Register tables written to Parquet, re-read, unioned, and
+    estimated == the one-pass sketch bit-for-bit (the incremental
+    crawl path)."""
+    import pandas as pd
+
+    from cdx_toolkit_ray.stages.sketch import (hll_distinct,
+                                               hll_estimate,
+                                               hll_registers)
+
+    df = _hll_corpus()
+    whole = hll_distinct(ray.data.from_pandas(df), "user_id",
+                         "event_type", p=7).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+
+    a, b = df.iloc[::2], df.iloc[1::2]
+    pa_dir, pb_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    hll_registers(ray.data.from_pandas(a), "user_id", "event_type",
+                  p=7).write_parquet(pa_dir)
+    hll_registers(ray.data.from_pandas(b), "user_id", "event_type",
+                  p=7).write_parquet(pb_dir)
+    regs = ray.data.read_parquet(pa_dir).union(
+        ray.data.read_parquet(pb_dir))
+    merged = hll_estimate(regs, "event_type", p=7).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, whole)
+    # idempotent: merging a register table with itself changes nothing
+    twice = hll_estimate(
+        ray.data.read_parquet(pa_dir).union(
+            ray.data.read_parquet(pa_dir),
+            ray.data.read_parquet(pb_dir)),
+        "event_type", p=7).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(twice, whole)
