@@ -346,6 +346,8 @@ def main() -> None:
             ("content_extract",
              lambda: consume(Q.q_content_extract(SF_DIR))),
             ("corpus_clean", lambda: consume(Q.q_corpus_clean(SF_DIR))),
+            ("training_prep",
+             lambda: consume(Q.q_training_prep(SF_DIR))),
             ("tfidf_topk", lambda: consume(Q.q_tfidf_topk(SF_DIR))),
             ("lm_score", lambda: consume(Q.q_lm_score(SF_DIR))),
             ("kmeans", lambda: consume(Q.q_kmeans(SF_DIR))),

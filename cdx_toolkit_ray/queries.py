@@ -1077,6 +1077,34 @@ def q_parse_robots(sf_dir: str):
                            batch_size=None)
 
 
+def q_training_prep(sf_dir: str):
+    """The end-to-end training-batch preparation composite: Gopher
+    quality gate -> exact text dedup (min-id winner) -> overlapping
+    64/48 chunk windows -> concat-and-cut packing into 256-token
+    sequences across 8 seeded shards. Every stage is an existing
+    oracle-proven operator; the composed SQL oracle chains all four,
+    so one hash checks the whole pipeline end to end."""
+    from .stages.chunk import chunk_documents, pack_chunks
+    from .stages.dedup import exact_dedup
+    from .stages.textstats import gopher_gate_batch
+
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = gopher_gate_batch(batch)["keep"] \
+            .to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keep))
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    gated = ds.map_batches(gate, batch_format="pyarrow",
+                           batch_size=None)
+    survivors = exact_dedup(gated, "text", "doc_id") \
+        .select_columns(["doc_id", "text"])
+    chunks = chunk_documents(survivors, chunk_size=64, stride=48)
+    out = pack_chunks(chunks, seq_len=256, n_shards=8, seed=0)
+    return out.select_columns(
+        ["doc_id", "chunk_id", "shard", "tok_off", "seq_id", "seq_off"])
+
+
 def q_gopher_gate(sf_dir: str):
     """Gopher-rules document quality gate (Rae et al. 2021 Table A1
     shape) in exact integer form — keep/drop with an ordered reason
@@ -2588,6 +2616,81 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
        CAST(sum(tf) AS BIGINT) AS tf_sum
 FROM tf WHERE word IN ('merged', 'spark') GROUP BY doc_id
 """,
+    # End-to-end training prep: the gopher gate chain -> min-id text
+    # dedup -> 64/48 chunk windows -> seeded 256-token packing, all
+    # composed in one statement (each stage is the proven oracle of
+    # its standalone query).
+    "training_prep": (r"""
+WITH w0 AS (SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')), '\w+')
+                     AS words
+            FROM documents),
+u0 AS (SELECT doc_id, unnest(words) AS word FROM w0),
+wc0 AS (SELECT doc_id, word, count(*) AS c FROM u0 GROUP BY 1, 2),
+pw0 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(max(c) AS BIGINT) AS top_word
+        FROM wc0 GROUP BY doc_id),
+ch0 AS (SELECT doc_id, CAST(sum(strlen(word)) AS BIGINT) AS word_chars,
+               CAST(sum(CASE WHEN word IN ('the','a','of','and','to',
+                                           'in','is','for')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        FROM u0 GROUP BY doc_id),
+g20 AS (SELECT doc_id,
+               unnest(CASE WHEN len(words) < 2
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(range(1, len(words)),
+                             i -> words[i] || ' ' || words[i + 1]) END)
+                 AS g
+        FROM w0),
+gc0 AS (SELECT doc_id, g, count(*) AS c FROM g20 GROUP BY 1, 2),
+pg0 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+               CAST(max(c) AS BIGINT) AS top_2gram
+        FROM gc0 GROUP BY doc_id),
+keepers AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  LEFT JOIN pw0 ON pw0.doc_id = d.doc_id
+  LEFT JOIN ch0 ON ch0.doc_id = d.doc_id
+  LEFT JOIN pg0 ON pg0.doc_id = d.doc_id
+  WHERE NOT (COALESCE(pw0.n_words, 0) < 20
+             OR COALESCE(pw0.n_words, 0) > 100000)
+    AND NOT (3 * COALESCE(pw0.n_words, 0)
+               > COALESCE(ch0.word_chars, 0)
+             OR COALESCE(ch0.word_chars, 0)
+               > 10 * COALESCE(pw0.n_words, 0))
+    AND COALESCE(ch0.n_stop, 0) >= 2
+    AND NOT (10 * COALESCE(pw0.top_word, 0)
+               > 3 * COALESCE(pw0.n_words, 0))
+    AND NOT (5 * COALESCE(pg0.top_2gram, 0)
+               > COALESCE(pg0.n_2grams, 0))),
+dd AS (SELECT doc_id, text FROM (
+         SELECT doc_id, text,
+                row_number() OVER (PARTITION BY text
+                                   ORDER BY doc_id) AS rn
+         FROM keepers) WHERE rn = 1),
+cw AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS words
+       FROM dd),
+cs AS (SELECT doc_id, words, unnest(range(0, len(words), 48)) AS start
+       FROM cw WHERE len(words) > 0),
+c AS (SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+             CAST(least(64, len(words) - start) AS BIGINT) AS n_tokens
+      FROM cs),
+h AS (SELECT doc_id, chunk_id, n_tokens,
+             """ + _seeded_key_sql() + r""" AS skey
+      FROM c),
+s AS (SELECT doc_id, chunk_id, n_tokens, skey,
+             CAST(skey % 8 AS BIGINT) AS shard FROM h),
+o AS (SELECT doc_id, chunk_id, shard,
+             sum(n_tokens) OVER (PARTITION BY shard
+                                 ORDER BY skey, doc_id, chunk_id
+                                 ROWS UNBOUNDED PRECEDING)
+               - n_tokens AS tok_off
+      FROM s)
+SELECT doc_id, chunk_id, shard, CAST(tok_off AS BIGINT) AS tok_off,
+       CAST(tok_off // 256 AS BIGINT) AS seq_id,
+       CAST(tok_off % 256 AS BIGINT) AS seq_off
+FROM o
+"""),
     # robots.txt parse: ground truth straight from the source table —
     # the Ray side renders raw bodies and parses them back.
     "parse_robots": """
@@ -3524,6 +3627,7 @@ QUERIES = {
     "minmax_norm": q_minmax_norm,
     "gopher_gate": q_gopher_gate,
     "parse_robots": q_parse_robots,
+    "training_prep": q_training_prep,
     "stratified_sample": q_stratified_sample,
     "sharded_shuffle": q_sharded_shuffle,
     "doc_freq": q_doc_freq,

@@ -139,3 +139,34 @@ def test_holdout_split_edges():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         holdout_split(ray.data.from_items(rows), "host", val_frac=1.5)
+
+
+def test_training_prep_composite_consistency():
+    """Every packed row's doc passed the gate and won its dedup group;
+    per-shard offsets are a contiguous token layout."""
+    import pandas as pd
+
+    from cdx_toolkit_ray.queries import q_training_prep
+    from cdx_toolkit_ray.stages.textstats import gopher_gate_batch
+
+    sf = "/root/testdata/sf0.001"
+    out = q_training_prep(sf).to_pandas()
+    docs = pd.read_parquet(sf + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    import pyarrow as _pa
+    verdict = gopher_gate_batch(_pa.Table.from_pandas(docs)) \
+        .to_pandas().set_index("doc_id")
+    kept = set(verdict[verdict.keep].index)
+    assert set(out.doc_id) <= kept
+    # dedup: each packed doc is the min id of its text group
+    first = docs.sort_values("doc_id").groupby("text").first()
+    winners = set(first.doc_id)
+    assert set(out.doc_id) <= winners
+    # packing invariant: per shard, offsets start at 0 and are
+    # strictly increasing with no gaps (sum of chunk sizes)
+    for shard, g in out.groupby("shard"):
+        offs = g.sort_values("tok_off")["tok_off"].to_numpy()
+        assert offs[0] == 0
+        assert (np.diff(offs) > 0).all()
+    assert (out.seq_off == out.tok_off % 256).all()
+    assert (out.seq_id == out.tok_off // 256).all()
