@@ -339,6 +339,7 @@ def main() -> None:
             ("ann_topk", lambda: consume(Q.q_ann_topk(SF_DIR))),
             ("ann_int8", lambda: consume(Q.q_ann_int8(SF_DIR))),
             ("minhash_pairs", lambda: consume(Q.q_minhash_pairs(SF_DIR))),
+            ("lsh_eval", lambda: consume(Q.q_lsh_eval(SF_DIR))),
             ("window_agg", lambda: consume(Q.q_window_agg(SF_DIR))),
             ("asof_join", lambda: consume(Q.q_asof_join(SF_DIR))),
             ("range_join", lambda: consume(Q.q_range_join(SF_DIR))),

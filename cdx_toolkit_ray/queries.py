@@ -499,6 +499,19 @@ def q_topk_per_group(sf_dir: str):
     return out.select_columns(["source", "doc_id", "n_chars", "grp_rank"])
 
 
+def q_lsh_eval(sf_dir: str):
+    """LSH quality evaluation: precision/recall of the MinHash band
+    candidates vs exact-Jaccard ground truth at threshold 1/2 —
+    integer micro metrics, meant for a bounded tuning sample (the
+    all-pairs truth is pairwise per shared gram by necessity)."""
+    from .stages.dedup import minhash_lsh_eval
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return minhash_lsh_eval(ds, "text", "doc_id",
+                            jaccard_num=1, jaccard_den=2)
+
+
 def q_ngram_jaccard(sf_dir: str):
     """n-gram (word-bigram) Jaccard over adjacent-id document pairs;
     integer intersection/union sizes, exactly SQL-checkable."""
@@ -2008,6 +2021,44 @@ LEFT JOIN isz zb ON zb.doc_id = c.id_b
 """)
 
 
+def _minhash_eval_oracle(num: int = 1, den: int = 2, **kw) -> str:
+    """LSH precision/recall in SQL: the PROVEN MinHash chain (reused
+    verbatim by splitting `_minhash_oracle` at its final SELECT, so
+    the candidate semantics cannot drift) + an all-pairs truth
+    self-join at integer threshold num/den."""
+    base = _minhash_oracle(**kw)
+    chain = base[:base.rindex("\nSELECT c.id_a")]
+    return (chain + f""",
+cj AS (SELECT c.id_a, c.id_b, COALESCE(i.ni, 0) AS ni,
+              COALESCE(za.ns, 0) + COALESCE(zb.ns, 0)
+                - COALESCE(i.ni, 0) AS nu
+       FROM cand c
+       LEFT JOIN inter i ON i.ia = c.id_a AND i.ib = c.id_b
+       LEFT JOIN isz za ON za.doc_id = c.id_a
+       LEFT JOIN isz zb ON zb.doc_id = c.id_b),
+truth0 AS (SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS ni
+           FROM sh x JOIN sh y ON y.h = x.h AND y.doc_id > x.doc_id
+           GROUP BY 1, 2),
+truth AS (SELECT t.ia, t.ib FROM truth0 t
+          JOIN isz za ON za.doc_id = t.ia
+          JOIN isz zb ON zb.doc_id = t.ib
+          WHERE t.ni * {den} >= (za.ns + zb.ns - t.ni) * {num}),
+m AS (SELECT
+        (SELECT count(*) FROM cj) AS n_candidates,
+        (SELECT count(*) FROM truth) AS n_true,
+        (SELECT count(*) FROM cj
+         WHERE ni * {den} >= nu * {num}) AS n_hits)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits * 1000000 // greatest(n_candidates, 1) AS BIGINT)
+         AS precision_micro,
+       CAST(n_hits * 1000000 // greatest(n_true, 1) AS BIGINT)
+         AS recall_micro
+FROM m
+""")
+
+
 def _gram_sh_cte(shingle_k: int = 5, src: str = "documents") -> str:
     """CTE list ``w, g, sh``: per-doc distinct word-k-gram FNV hashes,
     same gram convention as stages/dedup.doc_gram_hashes (and as the
@@ -2773,6 +2824,7 @@ FROM documents
     "fingerprint": _fingerprint_oracle(),
     "simhash_sigs": _simhash_oracle(),
     "minhash_pairs": _minhash_oracle(),
+    "lsh_eval": _minhash_eval_oracle(),
     "repeated_spans": ("WITH " + _gram_sh_cte(5) + r""",
 rep AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2)
 SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
@@ -3608,6 +3660,7 @@ QUERIES = {
     "range_join": q_range_join,
     # rows-only (no SQL equivalent)
     "minhash_pairs": q_minhash_pairs,
+    "lsh_eval": q_lsh_eval,
     "cc_components": q_cc_components,
     "decontaminate": q_decontaminate,
     "bloom_decontam": q_bloom_decontam,

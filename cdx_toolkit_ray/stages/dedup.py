@@ -1062,3 +1062,162 @@ def embedding_neardup_pairs(ds: ray.data.Dataset, vec_col: str = "embedding",
 
     pairs = ds.groupby("lsh_bucket").map_groups(verify, batch_format="pandas")
     return _distinct_pairs(pairs)
+
+
+def minhash_lsh_eval(ds: ray.data.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id", *, jaccard_num: int = 1,
+                     jaccard_den: int = 2, num_buckets: int = 32,
+                     **mh_kwargs) -> pa.Table:
+    """LSH quality evaluation: precision / recall of the MinHash band
+    candidates against exact-Jaccard ground truth at threshold
+    ``jaccard_num/jaccard_den`` (integer form: a pair is TRUE iff
+    ``n_inter * den >= n_union * num``).
+
+    Ground truth needs ALL true pairs, which is inherently
+    pairwise-per-shared-gram work — this evaluator is meant for a
+    BOUNDED sample of the corpus (tuning bands/permutations before a
+    full run), not the full 100-TB stream; the pairwise emission is
+    per-gram (a gram shared by D sample docs costs D^2 rows in its
+    bucket) and documented as such.
+
+    Returns ONE row: ``(n_candidates, n_true, n_hits,
+    precision_micro, recall_micro)`` — all integers, so the SQL
+    oracle (the full MinHash chain + an all-pairs truth self-join)
+    compares exactly. ``n_hits`` = candidate pairs that meet the
+    threshold = |candidates ∩ truth| (truth contains every pair at or
+    above threshold by construction).
+    """
+    nbu = np.uint64(num_buckets)
+
+    # --- candidates, verified with exact counts (threshold 0 keeps all)
+    cands = minhash_dedup_pairs(ds, text_col, id_col, threshold=0.0,
+                                **mh_kwargs)
+    cand_tbls = [t for t in ray.get(cands.to_arrow_refs())
+                 if t.num_rows]
+    ct = pa.concat_tables(cand_tbls) if cand_tbls else None
+    n_cand = ct.num_rows if ct is not None else 0
+    if n_cand:
+        ni = ct["n_inter"].to_numpy(zero_copy_only=False)
+        nu = ct["n_union"].to_numpy(zero_copy_only=False)
+        n_hits = int((ni * jaccard_den >= nu * jaccard_num).sum())
+    else:
+        n_hits = 0
+
+    # --- ground truth: all-pairs intersections via per-gram emission
+    shingle_k = mh_kwargs.get("shingle_k", 5)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        didx, hashes = doc_gram_hashes(batch[text_col], shingle_k)
+        gb = (_mix64(hashes) % nbu).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[didx], pa.int64()),
+            "h": pa.array(hashes, pa.uint64()),
+            "_gb": pa.array(gb),
+        })
+
+    def per_gram_pairs(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("_pb", pa.int64()), ("ia", pa.int64()),
+                         ("ib", pa.int64()), ("c", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        h = tbl["h"].to_numpy(zero_copy_only=False)
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        hs, ds_ = h[order], d[order]
+        new = np.ones(len(hs), bool)
+        new[1:] = hs[1:] != hs[:-1]
+        starts = np.flatnonzero(new)
+        bounds = np.append(starts, len(hs))
+        ia_parts, ib_parts = [], []
+        for i in range(len(starts)):
+            run = ds_[bounds[i]:bounds[i + 1]]
+            if len(run) < 2:
+                continue
+            ii, jj = np.triu_indices(len(run), k=1)
+            ia_parts.append(run[ii])
+            ib_parts.append(run[jj])
+        if not ia_parts:
+            return sch.empty_table()
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        key = _mix64(ia.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                     ^ ib.astype(np.uint64))
+        # fold this bucket's pair counts before the exchange
+        order2 = np.lexsort((ib, ia))
+        ia, ib = ia[order2], ib[order2]
+        new2 = np.ones(len(ia), bool)
+        new2[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+        s2 = np.flatnonzero(new2)
+        cnt = np.diff(np.append(s2, len(ia)))
+        ia, ib = ia[s2], ib[s2]
+        pb = (key[order2][s2] % nbu).astype(np.int64)
+        return pa.table({
+            "_pb": pa.array(pb, pa.int64()),
+            "ia": pa.array(ia, pa.int64()),
+            "ib": pa.array(ib, pa.int64()),
+            "c": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    # per-doc distinct gram counts (the |A| side) -> tiny driver LUT
+    def sizes(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        didx, _ = doc_gram_hashes(batch[text_col], shingle_k)
+        cnt = np.bincount(didx, minlength=len(ids)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "ns": pa.array(cnt, pa.int64())})
+
+    from .exchange import hash_bucket_apply
+
+    sz_tbls = ray.get(ds.select_columns([id_col, text_col]).map_batches(
+        sizes, batch_format="pyarrow", batch_size=None).to_arrow_refs())
+    lut: dict = {}
+    for t in sz_tbls:
+        for i, n in zip(t["doc_id"].to_pylist(), t["ns"].to_pylist()):
+            lut[i] = lut.get(i, 0) + n
+    lut_ref = ray.put(lut)
+    num, den = jaccard_num, jaccard_den
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        from ..pipelines.frontier import _get_broadcast
+
+        sch = pa.schema([("n", pa.int64())])
+        if tbl.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        sz = _get_broadcast(lut_ref)
+        ia = tbl["ia"].to_numpy(zero_copy_only=False)
+        ib = tbl["ib"].to_numpy(zero_copy_only=False)
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ib, ia))
+        ia, ib, c = ia[order], ib[order], c[order]
+        new = np.ones(len(ia), bool)
+        new[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+        starts = np.flatnonzero(new)
+        ni = np.add.reduceat(c, starts)
+        pia, pib = ia[starts], ib[starts]
+        sa = np.array([sz[i] for i in pia], np.int64)
+        sb = np.array([sz[i] for i in pib], np.int64)
+        nu = sa + sb - ni
+        true = int((ni * den >= nu * num).sum())
+        return pa.table({"n": pa.array([true], pa.int64())})
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pyarrow", batch_size=None)
+    emitted = hash_bucket_apply(pairs, "_gb", per_gram_pairs,
+                                num_buckets=num_buckets)
+    counted = hash_bucket_apply(emitted, "_pb", finish,
+                                num_buckets=num_buckets)
+    n_true = sum(t["n"].to_pylist()[0] if t.num_rows else 0
+                 for t in ray.get(counted.to_arrow_refs()))
+
+    return pa.table({
+        "n_candidates": pa.array([n_cand], pa.int64()),
+        "n_true": pa.array([n_true], pa.int64()),
+        "n_hits": pa.array([n_hits], pa.int64()),
+        "precision_micro": pa.array(
+            [n_hits * 1_000_000 // max(n_cand, 1)], pa.int64()),
+        "recall_micro": pa.array(
+            [n_hits * 1_000_000 // max(n_true, 1)], pa.int64()),
+    })

@@ -198,3 +198,27 @@ def test_corpus_clean_join_fallback_matches_broadcast(corpus,
     key = ["doc_id", "n_tokens_ws", "n_chars_actual"]
     assert sorted(map(tuple, got[key].values.tolist())) == \
         sorted(map(tuple, want[key].values.tolist()))
+
+
+def test_minhash_lsh_eval_metrics():
+    """Constructed corpus: identical docs are always true AND caught
+    (J=1 collides in every band); disjoint docs are neither."""
+    import pandas as pd
+
+    from cdx_toolkit_ray.stages.dedup import minhash_lsh_eval
+
+    dup = ("the quick brown fox jumps over the lazy dog again and "
+           "again with vigor and delight every single day")
+    rows = [{"doc_id": 1, "text": dup}, {"doc_id": 2, "text": dup}]
+    for i in range(3, 23):
+        rows.append({"doc_id": i,
+                     "text": " ".join("tok%d_%d" % (i, j)
+                                      for j in range(30))})
+    out = minhash_lsh_eval(ray.data.from_pandas(pd.DataFrame(rows)),
+                           jaccard_num=1, jaccard_den=2).to_pandas()
+    r = out.iloc[0]
+    assert r.n_true == 1                       # only the identical pair
+    assert r.n_hits == 1                       # and LSH caught it
+    assert r.recall_micro == 1_000_000
+    assert r.n_candidates >= 1
+    assert r.precision_micro == 1_000_000 * r.n_hits // r.n_candidates
