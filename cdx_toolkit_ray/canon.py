@@ -213,10 +213,14 @@ def _canon_fast_frame(df):
                       .str.extract_groups(_URL_GROUPS_RE))
         .with_columns(
             host=host_raw.str.to_lowercase().str.strip_chars_end("."),
-            # leading-zero ports ("08080") go to the scalar fallback:
-            # urlsplit normalizes them, the regex path would not
+            # leading-zero ("08080") and out-of-range (>65535) ports go
+            # to the scalar fallback: urlsplit normalizes the former
+            # and rejects the latter (ValueError -> portless), the
+            # regex path would keep both verbatim
             _port_ok=port.is_null()
-            | (port.str.contains(r"^\d+$") & ~port.str.contains(r"^0\d")),
+            | (port.str.contains(r"^\d+$") & ~port.str.contains(r"^0\d")
+               & (port.cast(pl.Int64, strict=False) <= 65535)
+               .fill_null(False)),
             _path=path.fill_null("/").str.to_lowercase(),
             _query=query,
         )
