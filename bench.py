@@ -350,6 +350,8 @@ def main() -> None:
             ("training_prep",
              lambda: consume(Q.q_training_prep(SF_DIR))),
             ("tfidf_topk", lambda: consume(Q.q_tfidf_topk(SF_DIR))),
+            ("vocab_coverage",
+             lambda: consume(Q.q_vocab_coverage(SF_DIR))),
             ("lm_score", lambda: consume(Q.q_lm_score(SF_DIR))),
             ("kmeans", lambda: consume(Q.q_kmeans(SF_DIR))),
             ("repeated_spans",

@@ -1090,6 +1090,18 @@ def q_parse_robots(sf_dir: str):
                            batch_size=None)
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Tokenizer-prep coverage: top-64 corpus vocabulary (count DESC,
+    word ASC tie-break) and per-document OOV rate in integer micro
+    units. Word partials fold per block; one word-bucket exchange,
+    local top-V per bucket, O(V) broadcast scoring pass."""
+    from .stages.textstats import vocab_coverage
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return vocab_coverage(ds, vocab_size=64)
+
+
 def q_training_prep(sf_dir: str):
     """The end-to-end training-batch preparation composite: Gopher
     quality gate -> exact text dedup (min-id winner) -> overlapping
@@ -2667,6 +2679,29 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
        CAST(sum(tf) AS BIGINT) AS tf_sum
 FROM tf WHERE word IN ('merged', 'spark') GROUP BY doc_id
 """,
+    # Tokenizer vocabulary coverage: top-V by (count DESC, word ASC),
+    # per-doc OOV in integer micro units.
+    "vocab_coverage": r"""
+WITH u AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                            '\w+')) AS word
+           FROM documents),
+wc AS (SELECT word, count(*) AS c FROM u GROUP BY word),
+v AS (SELECT word FROM (
+        SELECT word, row_number() OVER (ORDER BY c DESC, word ASC) AS rn
+        FROM wc) WHERE rn <= 64),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN word IN (SELECT word FROM v)
+                        THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+        FROM u GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_oov, 0) AS n_oov,
+       CAST(CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                 THEN COALESCE(p.n_oov, 0) * 1000000 // p.n_tokens
+                 ELSE 0 END AS BIGINT) AS oov_micro
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+""",
     # End-to-end training prep: the gopher gate chain -> min-id text
     # dedup -> 64/48 chunk windows -> seeded 256-token packing, all
     # composed in one statement (each stage is the proven oracle of
@@ -3681,6 +3716,7 @@ QUERIES = {
     "gopher_gate": q_gopher_gate,
     "parse_robots": q_parse_robots,
     "training_prep": q_training_prep,
+    "vocab_coverage": q_vocab_coverage,
     "stratified_sample": q_stratified_sample,
     "sharded_shuffle": q_sharded_shuffle,
     "doc_freq": q_doc_freq,

@@ -631,3 +631,119 @@ def gopher_gate_batch(batch: pa.Table, text_col: str = "text",
         "keep": pa.array(keep),
         "reasons": pa.array(reasons, pa.string()),
     })
+
+
+def vocab_coverage(ds, vocab_size: int = 64, text_col: str = "text",
+                   id_col: str = "doc_id", num_buckets: int = 32):
+    """Tokenizer-prep measurement: build the top-``vocab_size``
+    corpus vocabulary (by count, ties -> lexicographically smaller
+    word) and report each document's out-of-vocabulary rate —
+    ``(doc_id, n_tokens, n_oov, oov_micro)``, all integers.
+
+    Scale shape: corpus word counts fold per block before ONE
+    word-bucket exchange; each bucket keeps only its LOCAL top-V
+    (a word's global count is complete within its bucket, so the
+    global top-V is a subset of the union of bucket top-Vs), and the
+    driver merges just buckets x V rows before broadcasting the
+    O(V) vocabulary into a stateless per-doc scoring pass. The corpus
+    streams twice (count pass + score pass); only word partials
+    shuffle.
+    """
+    import polars as pl
+    import ray
+
+    from ..canon import hash64_batch
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("_wb", pa.int64()), ("word", pa.string()),
+                         ("c", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        wc = (pl.DataFrame({"t": pl.from_arrow(
+                  batch[text_col].combine_chunks())})
+              .select(w=pl.col("t").fill_null("").str.to_lowercase()
+                      .str.extract_all(r"\w+"))
+              .explode("w").drop_nulls("w")
+              .group_by("w").len())
+        words = wc["w"].to_arrow()
+        wb = (hash64_batch(words) % nbu).astype(np.int64)
+        return pa.table({
+            "_wb": pa.array(wb, pa.int64()),
+            "word": words.cast(pa.string()),
+            "c": wc["len"].cast(pl.Int64).to_arrow(),
+        })
+
+    def bucket_topv(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("word", pa.string()), ("c", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        w = tbl["word"].to_numpy(zero_copy_only=False)
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="stable")
+        ws, cs = w[order], c[order]
+        new = np.ones(len(ws), bool)
+        new[1:] = ws[1:] != ws[:-1]
+        starts = np.flatnonzero(new)
+        tot = np.add.reduceat(cs, starts)
+        uw = ws[starts]
+        top = np.lexsort((uw, -tot))[:vocab_size]
+        return pa.table({"word": pa.array(uw[top], pa.string()),
+                         "c": pa.array(tot[top], pa.int64())})
+
+    parts = ds.select_columns([text_col]).map_batches(
+        count_partial, batch_format="pyarrow", batch_size=None)
+    tops = hash_bucket_apply(parts, "_wb", bucket_topv,
+                             num_buckets=num_buckets).take_all()
+    cand = pd.DataFrame(tops)
+    if len(cand):
+        cand = cand.sort_values(["c", "word"],
+                                ascending=[False, True])[:vocab_size]
+        vocab = np.sort(cand["word"].to_numpy().astype(object))
+    else:
+        vocab = np.zeros(0, object)
+    vocab_ref = ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..pipelines.frontier import _get_broadcast
+
+        sch = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                         ("n_oov", pa.int64()), ("oov_micro", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        voc = _get_broadcast(vocab_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = (pl.DataFrame({"t": pl.from_arrow(
+                  batch[text_col].combine_chunks())})
+              .with_row_index("d")
+              .with_columns(w=pl.col("t").fill_null("")
+                            .str.to_lowercase().str.extract_all(r"\w+"))
+              .drop("t"))
+        ex = df.explode("w").drop_nulls("w")
+        d = ex["d"].to_numpy().astype(np.int64)
+        w = ex["w"].to_numpy().astype(object)
+        n = len(ids)
+        n_tok = np.zeros(n, np.int64)
+        np.add.at(n_tok, d, 1)
+        if len(voc) and len(w):
+            p = np.searchsorted(voc, w)
+            p[p == len(voc)] = 0
+            oov = voc[p] != w
+        else:
+            oov = np.ones(len(w), bool)
+        n_oov = np.zeros(n, np.int64)
+        np.add.at(n_oov, d, oov.astype(np.int64))
+        micro = np.where(n_tok > 0,
+                         n_oov * 1_000_000 // np.maximum(n_tok, 1), 0)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+            "oov_micro": pa.array(micro, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", batch_size=None)

@@ -297,3 +297,28 @@ def test_gopher_gate_matches_sql_reasons():
     want = con.execute(ORACLES["gopher_gate"] + " ORDER BY doc_id") \
         .df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_vocab_coverage_reference():
+    import pandas as pd
+
+    from cdx_toolkit_ray.stages.textstats import vocab_coverage
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["aa bb cc", "aa aa bb", "zz yy", ""],
+    })
+    # V=2 -> vocabulary {aa, bb} (aa:3, bb:2 beat cc:1/zz:1/yy:1)
+    got = vocab_coverage(ray.data.from_pandas(docs), vocab_size=2,
+                         num_buckets=3).to_pandas().set_index("doc_id")
+    assert tuple(got.loc[1, ["n_tokens", "n_oov"]]) == (3, 1)   # cc
+    assert tuple(got.loc[2, ["n_tokens", "n_oov"]]) == (3, 0)
+    assert tuple(got.loc[3, ["n_tokens", "n_oov"]]) == (2, 2)
+    assert tuple(got.loc[4, ["n_tokens", "n_oov", "oov_micro"]]) \
+        == (0, 0, 0)
+    assert got.loc[1, "oov_micro"] == 1_000_000 // 3
+    # tie-break: with V=1 and equal counts, lexicographically smaller
+    docs2 = pd.DataFrame({"doc_id": [1], "text": ["bb aa"]})
+    got2 = vocab_coverage(ray.data.from_pandas(docs2), vocab_size=1) \
+        .to_pandas()
+    assert got2.iloc[0].n_oov == 1  # 'aa' kept, 'bb' OOV
