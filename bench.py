@@ -378,6 +378,8 @@ def main() -> None:
             ("crawl_delta", lambda: consume(Q.q_crawl_delta(SF_DIR))),
             ("compact_captures",
              lambda: consume(Q.q_compact_captures(SF_DIR))),
+            ("crawl_report",
+             lambda: consume(Q.q_crawl_report(SF_DIR))),
             ("bmp_decode", lambda: consume(Q.q_bmp_decode(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates

@@ -1838,6 +1838,19 @@ def q_host_graph(sf_dir: str):
     return host_graph(extract_links(pages))
 
 
+def q_crawl_report(sf_dir: str):
+    """Per-crawl operations dashboard (reference analog: `cdxt size
+    --details`, cli.py:119-122, plus the ad-hoc scripts users write):
+    captures, distinct urlkeys/hosts, status-class histogram, revisit
+    count per crawl partition — per-block partials, one tiny
+    crawl-keyed exchange; distinct sets travel as 64-bit hashes."""
+    from .stages.recrawl import crawl_report
+
+    root = _fixture_root(sf_dir)
+    ds = ray.data.read_parquet(root + "/captures")
+    return crawl_report(ds)
+
+
 def q_compact_captures(sf_dir: str):
     """Capture-log compaction: the multi-crawl capture stream folded
     to one latest-capture row per urlkey with history counts — the
@@ -2993,6 +3006,25 @@ FROM links GROUP BY 1, 2
     # Cross-crawl diff: latest row per urlkey per crawl (ts DESC,
     # digest DESC — the kernel's lexicographic-max rule), full outer
     # join, status classification.
+    # Per-crawl ops dashboard: counters + distinct counts + status
+    # classes per crawl partition.
+    "crawl_report": """
+SELECT crawl,
+       CAST(count(*) AS BIGINT) AS n_captures,
+       CAST(count(DISTINCT urlkey) AS BIGINT) AS n_urlkeys,
+       CAST(count(DISTINCT regexp_extract(url, '://([^/]+)', 1))
+            AS BIGINT) AS n_hosts,
+       CAST(sum(CASE WHEN status LIKE '2%%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ok,
+       CAST(sum(CASE WHEN status LIKE '3%%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_redirect,
+       CAST(sum(CASE WHEN status LIKE '4%%' OR status LIKE '5%%'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN mime = 'warc/revisit' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_revisit
+FROM read_parquet('%s/captures/**/*.parquet', hive_partitioning = 1)
+GROUP BY crawl
+""" % _FIXTURE_LINK,
     # Capture-log compaction: latest row per urlkey under the total
     # order (timestamp, digest, url, status) + history counts — same
     # rule as stages/recrawl.compact_captures.
@@ -3743,6 +3775,7 @@ QUERIES = {
     "link_rank": q_link_rank,
     "crawl_delta": q_crawl_delta,
     "compact_captures": q_compact_captures,
+    "crawl_report": q_crawl_report,
     "host_graph": q_host_graph,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_full": q_ann_ivf_full,

@@ -359,3 +359,151 @@ def compact_captures(ds: ray.data.Dataset, *, key_col: str = "urlkey",
         partial, batch_format="pyarrow", batch_size=None)
     return hash_bucket_apply(partials, "_kb", merge,
                              num_buckets=num_buckets)
+
+
+def crawl_report(ds: ray.data.Dataset, *, crawl_col: str = "crawl",
+                 key_col: str = "urlkey", url_col: str = "url",
+                 status_col: str = "status", mime_col: str = "mime",
+                 num_buckets: int = 8) -> ray.data.Dataset:
+    """Per-crawl operations report — the dashboard rollup a crawl
+    operator reads after every run (reference users assemble it from
+    `cdxt size --details` + ad-hoc scripts, reference cli.py:119-122):
+    one row per crawl partition with ``n_captures``, ``n_urlkeys``
+    (distinct), ``n_hosts`` (distinct url hosts), ``n_ok`` (status
+    2xx), ``n_redirect`` (3xx), ``n_error`` (4xx/5xx), ``n_revisit``
+    (mime == 'warc/revisit', the M13 marker).
+
+    Scale shape: each block folds to one partial row per crawl for
+    the additive counters plus distinct-key partial sets hashed to
+    64-bit (so the exchange moves hashes, not urlkeys); one
+    crawl-keyed exchange merges (counters sum, distinct sets fold by
+    run-length over the hash stream).
+    """
+    from ..canon import hash64_batch
+
+    nbu = np.uint64(num_buckets)
+
+    part_sch = pa.schema([
+        ("_cb", pa.int64()), ("crawl", pa.string()),
+        ("kind", pa.int8()),            # 0 = counters, 1 = key, 2 = host
+        ("h", pa.uint64()),             # hash for kind 1/2
+        ("n_captures", pa.int64()), ("n_ok", pa.int64()),
+        ("n_redirect", pa.int64()), ("n_error", pa.int64()),
+        ("n_revisit", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_sch.empty_table()
+        import pandas as pd
+        import polars as pl
+
+        crawl = batch[crawl_col].to_numpy(zero_copy_only=False)
+        st = batch[status_col].to_numpy(zero_copy_only=False)
+        mime = batch[mime_col].to_numpy(zero_copy_only=False)
+        first = np.array([s[0] if s else "-" for s in st], dtype=object)
+        ok = (first == "2").astype(np.int64)
+        redir = (first == "3").astype(np.int64)
+        err = ((first == "4") | (first == "5")).astype(np.int64)
+        rev = (mime == "warc/revisit").astype(np.int64)
+
+        codes, uniq = pd.factorize(crawl, sort=True)
+        nc = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        agg = {
+            "n_ok": np.bincount(codes, ok, len(uniq)).astype(np.int64),
+            "n_redirect": np.bincount(codes, redir,
+                                      len(uniq)).astype(np.int64),
+            "n_error": np.bincount(codes, err,
+                                   len(uniq)).astype(np.int64),
+            "n_revisit": np.bincount(codes, rev,
+                                     len(uniq)).astype(np.int64),
+        }
+        rows_crawl = [str(u) for u in uniq]
+        zero = np.zeros(len(uniq), np.int64)
+        tables = [pa.table({
+            "_cb": pa.array((hash64_batch(np.array(rows_crawl,
+                                                   dtype=object))
+                             % nbu).astype(np.int64), pa.int64()),
+            "crawl": pa.array(rows_crawl, pa.string()),
+            "kind": pa.array(np.zeros(len(uniq), np.int8)),
+            "h": pa.array(np.zeros(len(uniq), np.uint64), pa.uint64()),
+            "n_captures": pa.array(nc, pa.int64()),
+            "n_ok": pa.array(agg["n_ok"], pa.int64()),
+            "n_redirect": pa.array(agg["n_redirect"], pa.int64()),
+            "n_error": pa.array(agg["n_error"], pa.int64()),
+            "n_revisit": pa.array(agg["n_revisit"], pa.int64()),
+        })]
+        # distinct (crawl, hash) partials for urlkeys and hosts
+        host = (pl.DataFrame({"u": pl.from_arrow(
+                    batch[url_col].combine_chunks().cast(pa.string()))})
+                .select(pl.col("u").str.extract(r"://([^/]+)", 1))
+                ["u"].to_numpy().astype(object))
+        for kind, vals in ((1, batch[key_col]
+                            .to_numpy(zero_copy_only=False)),
+                           (2, host)):
+            hv = hash64_batch(np.where(
+                vals == None, "", vals).astype(object))  # noqa: E711
+            order = np.lexsort((hv, codes))
+            cs, hs = codes[order], hv[order]
+            new = np.ones(len(cs), bool)
+            new[1:] = (cs[1:] != cs[:-1]) | (hs[1:] != hs[:-1])
+            idx = np.flatnonzero(new)
+            cr = np.array(rows_crawl, dtype=object)[cs[idx]]
+            nz = np.zeros(len(idx), np.int64)
+            tables.append(pa.table({
+                "_cb": pa.array((hash64_batch(cr) % nbu)
+                                .astype(np.int64), pa.int64()),
+                "crawl": pa.array(cr, pa.string()),
+                "kind": pa.array(np.full(len(idx), kind, np.int8)),
+                "h": pa.array(hs[idx], pa.uint64()),
+                "n_captures": pa.array(nz, pa.int64()),
+                "n_ok": pa.array(nz, pa.int64()),
+                "n_redirect": pa.array(nz, pa.int64()),
+                "n_error": pa.array(nz, pa.int64()),
+                "n_revisit": pa.array(nz, pa.int64()),
+            }))
+        return pa.concat_tables(tables)
+
+    out_sch = pa.schema([
+        ("crawl", pa.string()), ("n_captures", pa.int64()),
+        ("n_urlkeys", pa.int64()), ("n_hosts", pa.int64()),
+        ("n_ok", pa.int64()), ("n_redirect", pa.int64()),
+        ("n_error", pa.int64()), ("n_revisit", pa.int64())])
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_sch.empty_table()
+        crawl = tbl["crawl"].to_numpy(zero_copy_only=False)
+        kind = tbl["kind"].to_numpy(zero_copy_only=False)
+        h = tbl["h"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(crawl)
+        rows = []
+        for c in uniq:
+            m = crawl == c
+            cnt = {n: int(tbl[n].to_numpy(zero_copy_only=False)[m]
+                          [kind[m] == 0].sum())
+                   for n in ("n_captures", "n_ok", "n_redirect",
+                             "n_error", "n_revisit")}
+            nk = len(np.unique(h[m & (kind == 1)]))
+            nh = len(np.unique(h[m & (kind == 2)]))
+            rows.append((c, cnt["n_captures"], nk, nh, cnt["n_ok"],
+                         cnt["n_redirect"], cnt["n_error"],
+                         cnt["n_revisit"]))
+        cols = list(zip(*rows))
+        return pa.table({
+            "crawl": pa.array(cols[0], pa.string()),
+            "n_captures": pa.array(cols[1], pa.int64()),
+            "n_urlkeys": pa.array(cols[2], pa.int64()),
+            "n_hosts": pa.array(cols[3], pa.int64()),
+            "n_ok": pa.array(cols[4], pa.int64()),
+            "n_redirect": pa.array(cols[5], pa.int64()),
+            "n_error": pa.array(cols[6], pa.int64()),
+            "n_revisit": pa.array(cols[7], pa.int64()),
+        })
+
+    from .exchange import hash_bucket_apply
+
+    cols = [crawl_col, key_col, url_col, status_col, mime_col]
+    partials = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    return hash_bucket_apply(partials, "_cb", merge,
+                             num_buckets=num_buckets)

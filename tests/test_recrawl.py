@@ -191,3 +191,28 @@ def test_compact_captures_tie_break_total_order():
     # same (ts, digest): url DESC then status DESC decides
     assert got.iloc[0].url == "https://b" and got.iloc[0].status == "301"
     assert got.iloc[0].n_captures == 3 and got.iloc[0].n_versions == 1
+
+
+def test_crawl_report_reference():
+    from cdx_toolkit_ray.stages.recrawl import crawl_report
+
+    df = pd.DataFrame({
+        "crawl": ["A", "A", "A", "B", "B"],
+        "urlkey": ["k1", "k1", "k2", "k1", "k3"],
+        "url": ["https://x.example/1", "https://x.example/1",
+                "https://y.example/2", "https://x.example/1",
+                "https://z.example/3"],
+        "status": ["200", "301", "404", "-", "503"],
+        "mime": ["text/html", "warc/revisit", "text/html",
+                 "warc/revisit", "text/html"],
+    })
+    got = crawl_report(ray.data.from_pandas(df).repartition(3),
+                       num_buckets=2).to_pandas().set_index("crawl")
+    a = got.loc["A"]
+    assert tuple(a[["n_captures", "n_urlkeys", "n_hosts"]]) == (3, 2, 2)
+    assert tuple(a[["n_ok", "n_redirect", "n_error", "n_revisit"]]) \
+        == (1, 1, 1, 1)
+    b = got.loc["B"]
+    assert tuple(b[["n_captures", "n_urlkeys", "n_hosts"]]) == (2, 2, 2)
+    assert tuple(b[["n_ok", "n_redirect", "n_error", "n_revisit"]]) \
+        == (0, 0, 1, 1)
