@@ -341,6 +341,8 @@ def main() -> None:
             ("minhash_pairs", lambda: consume(Q.q_minhash_pairs(SF_DIR))),
             ("lsh_eval", lambda: consume(Q.q_lsh_eval(SF_DIR))),
             ("window_agg", lambda: consume(Q.q_window_agg(SF_DIR))),
+            ("event_spikes",
+             lambda: consume(Q.q_event_spikes(SF_DIR))),
             ("asof_join", lambda: consume(Q.q_asof_join(SF_DIR))),
             ("range_join", lambda: consume(Q.q_range_join(SF_DIR))),
             ("captures_query", lambda: consume(Q.q_captures_query(SF_DIR))),

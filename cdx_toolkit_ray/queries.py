@@ -1531,6 +1531,18 @@ def q_sessionize(sf_dir: str):
     return sessionize(ds, gap_us=30 * 60 * 1_000_000, level="session")
 
 
+def q_event_spikes(sf_dir: str):
+    """Burst detection: per-type tumbling 1h windows flagged when the
+    count exceeds 1.5x the mean of the previous 3 observed windows —
+    integer cross-multiplied, map-side window partials, one type-keyed
+    exchange with a single prefix-sum pass."""
+    from .stages.sessions import event_spikes
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["ts", "event_type"])
+    return event_spikes(ds, spike_num=3, spike_den=2, trail=3)
+
+
 def q_window_agg(sf_dir: str):
     """Tumbling-window aggregate (§2.8 streaming semantics extension):
     events bucketed into 1-hour windows, per (event_type, window)
@@ -3670,6 +3682,25 @@ SELECT event_type, strftime(date_trunc('hour', ts), '%Y%m%d%H') AS win,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY event_type, win
 """,
+    # Burst detection: trailing-3-observed-window baseline, integer
+    # cross-multiplied spike rule (cnt > 3/2 x mean <=> 2*cnt > trailing).
+    "event_spikes": """
+WITH wcnt AS (SELECT event_type,
+                     strftime(date_trunc('hour', ts), '%Y%m%d%H') AS win,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, win, cnt,
+             CAST(COALESCE(sum(cnt) OVER (
+                    PARTITION BY event_type ORDER BY win
+                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS trailing_cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY win) AS rn
+      FROM wcnt)
+SELECT event_type, win, cnt, trailing_cnt,
+       (rn > 3) AND (cnt * 6 > 3 * trailing_cnt) AS spike
+FROM t
+""",
     "asof_join": """
 WITH r AS (
   SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS r_ts,
@@ -3720,6 +3751,7 @@ QUERIES = {
     "row_sample": q_row_sample,
     "fetch_plan": q_fetch_plan,
     "window_agg": q_window_agg,
+    "event_spikes": q_event_spikes,
     "sessionize": q_sessionize,
     "top_revenue": q_top_revenue,
     "rolling_sum": q_rolling_sum,

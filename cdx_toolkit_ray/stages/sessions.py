@@ -174,3 +174,93 @@ def rolling_sum(ds: ray.data.Dataset, *, user_col: str = "user_id",
 
     return hash_bucket_apply(keyed, "_ub", per_bucket,
                               num_buckets=num_buckets)
+
+
+def event_spikes(ds: ray.data.Dataset, *, ts_col: str = "ts",
+                 type_col: str = "event_type", spike_num: int = 3,
+                 spike_den: int = 2, trail: int = 3,
+                 num_buckets: int = 8) -> ray.data.Dataset:
+    """Burst detection over the event stream: bucket events into
+    tumbling 1-hour windows per type, then flag windows whose count
+    exceeds ``spike_num/spike_den`` times the MEAN of the previous
+    ``trail`` observed windows (integer cross-multiplication:
+    ``cnt * trail * den > num * trailing_sum``; the first ``trail``
+    windows of a type have no complete baseline and are never spikes).
+    "Observed" = preceding windows that had at least one event, in
+    window order — the standard ROWS-window semantics so the SQL
+    oracle (SUM OVER ... ROWS BETWEEN) matches exactly.
+
+    Dataflow: map-side fold to (type, window, count) partials —
+    the shuffle moves one row per distinct window per block — then ONE
+    type-keyed exchange computes every type's trailing sums in a
+    single vectorized prefix-sum pass (no per-type Python).
+    """
+    import pyarrow.compute as pc
+
+    from ..canon import hash64_batch
+
+    nbu = np.uint64(num_buckets)
+
+    part_sch = pa.schema([("_tb", pa.int64()), ("event_type", pa.string()),
+                          ("win", pa.string()), ("cnt", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_sch.empty_table()
+        win = pc.strftime(pc.floor_temporal(batch[ts_col], unit="hour"),
+                          format="%Y%m%d%H")
+        t = pa.table({"event_type": batch[type_col], "win": win})
+        g = t.group_by(["event_type", "win"]).aggregate([([], "count_all")])
+        tb = (hash64_batch(g["event_type"].combine_chunks())
+              % nbu).astype(np.int64)
+        return pa.table({
+            "_tb": pa.array(tb, pa.int64()),
+            "event_type": g["event_type"].cast(pa.string()),
+            "win": g["win"].cast(pa.string()),
+            "cnt": g["count_all"].cast(pa.int64()),
+        })
+
+    out_sch = pa.schema([("event_type", pa.string()), ("win", pa.string()),
+                         ("cnt", pa.int64()), ("trailing_cnt", pa.int64()),
+                         ("spike", pa.bool_())])
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_sch.empty_table()
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        win = tbl["win"].to_numpy(zero_copy_only=False)
+        c = tbl["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((win, et))
+        et, win, c = et[order], win[order], c[order]
+        new = np.ones(len(et), bool)
+        new[1:] = (et[1:] != et[:-1]) | (win[1:] != win[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.add.reduceat(c, starts)
+        et, win = et[starts], win[starts]
+        tnew = np.ones(len(et), bool)
+        tnew[1:] = et[1:] != et[:-1]
+        # trailing sum of the previous `trail` rows within each type:
+        # one prefix-sum pass, window start clamped to the type's first
+        # row (the rolling_sum kernel's shape)
+        idx = np.arange(len(et))
+        tstart = np.maximum.accumulate(np.where(tnew, idx, 0))
+        ps = np.concatenate([[0], np.cumsum(cnt)])
+        lo = np.maximum(idx - trail, tstart)
+        trailing = ps[idx] - ps[lo]
+        full = (idx - tstart) >= trail
+        spike = full & (cnt * trail * spike_den
+                        > spike_num * trailing)
+        return pa.table({
+            "event_type": pa.array(et, pa.string()),
+            "win": pa.array(win, pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            "trailing_cnt": pa.array(trailing.astype(np.int64), pa.int64()),
+            "spike": pa.array(spike),
+        })
+
+    from .exchange import hash_bucket_apply
+
+    partials = ds.select_columns([ts_col, type_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    return hash_bucket_apply(partials, "_tb", merge,
+                             num_buckets=num_buckets)

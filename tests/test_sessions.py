@@ -110,3 +110,31 @@ ORDER BY event_id""").df().astype(
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert got["roll_n"].max() == 3 and got["roll_n"].min() == 1
+
+
+def test_event_spikes_reference():
+    import pandas as pd
+
+    from cdx_toolkit_ray.stages.sessions import event_spikes
+
+    # one event per hour baseline, then a 10-event burst at hour 8
+    rows = []
+    for h in range(8):
+        rows.append({"ts": pd.Timestamp(2023, 1, 1, h),
+                     "event_type": "a"})
+    for _ in range(10):
+        rows.append({"ts": pd.Timestamp(2023, 1, 1, 8, 30),
+                     "event_type": "a"})
+    # a second type with too few windows for a baseline
+    rows.append({"ts": pd.Timestamp(2023, 1, 1, 0), "event_type": "b"})
+    rows.append({"ts": pd.Timestamp(2023, 1, 1, 1), "event_type": "b"})
+    df = pd.DataFrame(rows)
+    got = event_spikes(ray.data.from_pandas(df).repartition(4),
+                       num_buckets=3).to_pandas() \
+        .set_index(["event_type", "win"]).sort_index()
+    a8 = got.loc[("a", "2023010108")]
+    assert a8.cnt == 10 and a8.trailing_cnt == 3 and bool(a8.spike)
+    # steady hours are not spikes; early hours lack a baseline
+    assert not got.loc[("a", "2023010103")].spike  # 1 vs mean 1
+    assert not got.loc[("a", "2023010101")].spike  # incomplete baseline
+    assert not got.loc[("b", "2023010101")].spike
