@@ -339,7 +339,9 @@ def main() -> None:
             ("ann_topk", lambda: consume(Q.q_ann_topk(SF_DIR))),
             ("ann_int8", lambda: consume(Q.q_ann_int8(SF_DIR))),
             ("minhash_pairs", lambda: consume(Q.q_minhash_pairs(SF_DIR))),
-            ("lsh_eval", lambda: consume(Q.q_lsh_eval(SF_DIR))),
+            # returns a materialized Arrow table (one metrics row) —
+            # the call itself is the work, nothing to consume
+            ("lsh_eval", lambda: Q.q_lsh_eval(SF_DIR)),
             ("window_agg", lambda: consume(Q.q_window_agg(SF_DIR))),
             ("event_spikes",
              lambda: consume(Q.q_event_spikes(SF_DIR))),
