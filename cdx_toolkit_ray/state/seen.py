@@ -214,3 +214,41 @@ class SeenFilterStage:
         hashes = batch[self.hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         keep = self.seen.offer(hashes)
         return batch.filter(pa.array(keep))
+
+
+def merge_checkpoints(dir_a: str, dir_b: str, out_dir: str) -> int:
+    """Union two seen-set checkpoints into a third — the incremental
+    crawl story for membership state (the bloom twin of the HLL
+    register merge, stages/sketch.hll_registers): bitwise OR of each
+    shard's bitmap (Bloom union is exact: OR of the filters equals the
+    filter of the union) plus the union of the exact backing sets
+    where present. Pure file-level numpy; no actors needed. Shard
+    layouts must match (same count, same n_bits). Returns the number
+    of shards merged.
+    """
+    import glob as _glob
+
+    a_paths = sorted(_glob.glob(os.path.join(dir_a, "seen-shard-*.npy")))
+    a_paths = [p for p in a_paths if not p.endswith(".exact.npy")]
+    b_paths = sorted(_glob.glob(os.path.join(dir_b, "seen-shard-*.npy")))
+    b_paths = [p for p in b_paths if not p.endswith(".exact.npy")]
+    if len(a_paths) != len(b_paths) or not a_paths:
+        raise ValueError("shard count mismatch: %d vs %d"
+                         % (len(a_paths), len(b_paths)))
+    os.makedirs(out_dir, exist_ok=True)
+    for pa_, pb in zip(a_paths, b_paths):
+        wa, wb = np.load(pa_), np.load(pb)
+        if wa.shape != wb.shape:
+            raise ValueError("bitmap shape mismatch in %s" % pa_)
+        out = os.path.join(out_dir, os.path.basename(pa_))
+        np.save(out[:-4], wa | wb)
+        ea, eb = pa_[:-4] + ".exact.npy", pb[:-4] + ".exact.npy"
+        if os.path.exists(ea) or os.path.exists(eb):
+            xs = []
+            for e in (ea, eb):
+                if os.path.exists(e):
+                    xs.append(np.load(e))
+            merged = np.unique(np.concatenate(xs)) if xs else \
+                np.zeros(0, np.uint64)
+            np.save(out[:-4] + ".exact", merged.astype(np.uint64))
+    return len(a_paths)

@@ -100,3 +100,47 @@ def test_seen_filter_stage(fixture_dir):
            .map_batches(canonicalize_batch, batch_format="pyarrow")
            .map_batches(SeenFilterStage(seen), batch_format="pyarrow"))
     assert ds2.count() == 0
+
+
+def test_merge_checkpoints_is_union(tmp_path):
+    """Merged checkpoint == seen set of the union crawl: everything
+    offered in either crawl is rejected afterwards; fresh keys pass
+    (exact mode, so no false positives muddy the assertion)."""
+    from cdx_toolkit_ray.state.seen import (ShardedSeenSet,
+                                            merge_checkpoints)
+
+    from cdx_toolkit_ray.stages.dedup import _mix64
+
+    a = ShardedSeenSet(num_shards=4, n_bits=1 << 16, exact=True)
+    b = ShardedSeenSet(num_shards=4, n_bits=1 << 16, exact=True)
+    # realistic keys: hash64-like (mixed), not an arithmetic
+    # progression (raw multiples of 2^40 zero the h1 probe and
+    # inflate the bloom FP rate far beyond the uniform-key bound)
+    ha = _mix64(np.arange(1000, 1500, dtype=np.uint64))
+    hb = _mix64(np.arange(1400, 1900, dtype=np.uint64))
+    a.offer(ha)
+    b.offer(hb)
+    da, db, dm = (str(tmp_path / x) for x in ("a", "b", "m"))
+    a.checkpoint(da)
+    b.checkpoint(db)
+    assert merge_checkpoints(da, db, dm) == 4
+
+    m = ShardedSeenSet(num_shards=4, n_bits=1 << 16, exact=True)
+    m.restore(dm)
+    seen_union = np.concatenate([ha, hb])
+    assert not np.array(m.offer(seen_union)).any()   # all already seen
+    fresh = _mix64(np.arange(5000, 5050, dtype=np.uint64))
+    assert np.array(m.offer(fresh)).all()            # all new
+
+
+def test_merge_checkpoints_rejects_mismatch(tmp_path):
+    from cdx_toolkit_ray.state.seen import (ShardedSeenSet,
+                                            merge_checkpoints)
+
+    a = ShardedSeenSet(num_shards=2, n_bits=1 << 16, exact=False)
+    b = ShardedSeenSet(num_shards=4, n_bits=1 << 16, exact=False)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    a.checkpoint(da)
+    b.checkpoint(db)
+    with pytest.raises(ValueError):
+        merge_checkpoints(da, db, str(tmp_path / "m"))
