@@ -95,6 +95,12 @@ def make_parser() -> ArgumentParser:
     size.add_argument("--details", action="store_true")
     size.add_argument("url")
     size.set_defaults(func=sizer)
+
+    rep = sub.add_parser(
+        "report", help="per-crawl dashboard: captures, distinct "
+                       "urlkeys/hosts, status classes, revisits")
+    rep.add_argument("--jsonl", action="store_true")
+    rep.set_defaults(func=reporter)
     return parser
 
 
@@ -211,6 +217,29 @@ def sizer(cmd, out=None) -> None:
     else:
         print(cdx.get_size_estimate(cmd.url, **kwargs),
               file=out or sys.stdout)
+
+
+def reporter(cmd, out=None) -> None:
+    """`cdxt report` (beyond-reference, built on the captures table the
+    other subcommands query): one line per crawl, columns in a fixed
+    order; --jsonl for machine consumption."""
+    import json as _json
+
+    import ray.data
+
+    from .stages.recrawl import crawl_report
+
+    ds = ray.data.read_parquet(cmd.captures_root)
+    rows = crawl_report(ds).to_pandas().sort_values("crawl")
+    f = out or sys.stdout
+    cols = ["crawl", "n_captures", "n_urlkeys", "n_hosts", "n_ok",
+            "n_redirect", "n_error", "n_revisit"]
+    for _, r in rows.iterrows():
+        if cmd.jsonl:
+            print(_json.dumps({c: (r[c] if c == "crawl" else int(r[c]))
+                               for c in cols}, sort_keys=True), file=f)
+        else:
+            print(" ".join(str(r[c]) for c in cols), file=f)
 
 
 def main(args=None) -> None:

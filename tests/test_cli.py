@@ -78,3 +78,24 @@ def test_warc_segments(ray_session, fixture_dir, tmp_path):
     assert any(n.endswith(".warcinfo.json") for n in segs)
     info = json.load(open(str(tmp_path / "OUT.warcinfo.json")))
     assert info["isPartOf"].endswith("OUT")
+
+
+def test_cli_report(fixture_dir, capsys):
+    from cdx_toolkit_ray.cli import main
+
+    main(["--captures-root", fixture_dir["captures"], "report"])
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    assert len(lines) >= 2                      # several crawls
+    cols = lines[0].split()
+    assert len(cols) == 8
+    assert cols[0].startswith("CC-MAIN-")
+    n_caps, n_keys = int(cols[1]), int(cols[2])
+    assert n_caps >= n_keys > 0
+
+    main(["--captures-root", fixture_dir["captures"], "report",
+          "--jsonl"])
+    import json
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.splitlines() if ln]
+    assert {"crawl", "n_captures", "n_urlkeys", "n_hosts", "n_ok",
+            "n_redirect", "n_error", "n_revisit"} <= set(rows[0])
