@@ -1092,16 +1092,26 @@ def minhash_lsh_eval(ds: ray.data.Dataset, text_col: str = "text",
     # --- candidates, verified with exact counts (threshold 0 keeps all)
     cands = minhash_dedup_pairs(ds, text_col, id_col, threshold=0.0,
                                 **mh_kwargs)
-    cand_tbls = [t for t in ray.get(cands.to_arrow_refs())
-                 if t.num_rows]
-    ct = pa.concat_tables(cand_tbls) if cand_tbls else None
-    n_cand = ct.num_rows if ct is not None else 0
-    if n_cand:
-        ni = ct["n_inter"].to_numpy(zero_copy_only=False)
-        nu = ct["n_union"].to_numpy(zero_copy_only=False)
-        n_hits = int((ni * jaccard_den >= nu * jaccard_num).sum())
-    else:
-        n_hits = 0
+
+    def cand_partial(batch: pa.Table) -> pa.Table:
+        # per-block (count, hits) partials: only two scalars per block
+        # reach the driver, never the pair rows (a skewed band's pair
+        # explosion stays distributed)
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "h": pa.array([0], pa.int64())})
+        ni = batch["n_inter"].to_numpy(zero_copy_only=False)
+        nu = batch["n_union"].to_numpy(zero_copy_only=False)
+        hits = int((ni * jaccard_den >= nu * jaccard_num).sum())
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64()),
+                         "h": pa.array([hits], pa.int64())})
+
+    cparts = [t for t in ray.get(
+        cands.map_batches(cand_partial, batch_format="pyarrow",
+                          batch_size=None).to_arrow_refs())
+        if t.num_rows]
+    n_cand = sum(int(t["n"].to_numpy().sum()) for t in cparts)
+    n_hits = sum(int(t["h"].to_numpy().sum()) for t in cparts)
 
     # --- ground truth: all-pairs intersections via per-gram emission
     shingle_k = mh_kwargs.get("shingle_k", 5)
