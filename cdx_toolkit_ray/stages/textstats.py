@@ -524,14 +524,18 @@ def minmax_normalize(ds, group_col: str, value_col: str,
             "hi": pa.array(np.maximum.reduceat(vs, starts)),
         })
 
-    parts = ds.select_columns([group_col, value_col]).map_batches(
-        extrema, batch_format="pyarrow", batch_size=None).take_all()
-    lut: dict = {}
-    for r in parts:
-        lo, hi = lut.get(r[group_col], (None, None))
-        lut[r[group_col]] = (
-            r["lo"] if lo is None else min(lo, r["lo"]),
-            r["hi"] if hi is None else max(hi, r["hi"]))
+    from ray.data.aggregate import Max, Min
+
+    # per-block partials -> one tiny groupby -> exactly O(groups)
+    # rows reach the driver (not blocks x groups)
+    parts = (ds.select_columns([group_col, value_col])
+             .map_batches(extrema, batch_format="pyarrow",
+                          batch_size=None)
+             .groupby(group_col)
+             .aggregate(Min("lo", alias_name="lo"),
+                        Max("hi", alias_name="hi"))
+             .take_all())
+    lut = {r[group_col]: (r["lo"], r["hi"]) for r in parts}
 
     def rescale(batch: pa.Table) -> pa.Table:
         g = batch[group_col].to_numpy(zero_copy_only=False)
