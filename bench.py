@@ -338,6 +338,8 @@ def main() -> None:
              lambda: consume(Q.q_parse_robots(SF_DIR))),
             ("ann_topk", lambda: consume(Q.q_ann_topk(SF_DIR))),
             ("ann_int8", lambda: consume(Q.q_ann_int8(SF_DIR))),
+            ("ann_ivf_merge",
+             lambda: consume(Q.q_ann_ivf_merge(SF_DIR))),
             ("minhash_pairs", lambda: consume(Q.q_minhash_pairs(SF_DIR))),
             # returns a materialized Arrow table (one metrics row) —
             # the call itself is the work, nothing to consume

@@ -1273,6 +1273,36 @@ def q_ann_ivf(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def q_ann_ivf_merge(sf_dir: str):
+    """Incremental IVF: index built over even vec_ids, odd vec_ids
+    appended under the FROZEN codebook (ivf_add), then searched with
+    probe-all — which provably degrades to exact brute force over the
+    UNION corpus, so the plain cosine-top-k SQL oracle value-checks
+    the whole incremental path."""
+    import tempfile
+
+    from .stages.ann import ivf_add, ivf_build_index, ivf_search_index
+
+    def half(rem: int):
+        def f(batch: pa.Table) -> pa.Table:
+            v = batch["vec_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(v % 2 == rem))
+        return f
+
+    emb = pq.read_table(_tbl(sf_dir, "embeddings"))
+    qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    root = tempfile.mkdtemp(prefix="cdxray_ivfmerge_")
+    ivf_build_index(ds.map_batches(half(0), batch_format="pyarrow",
+                                   batch_size=None),
+                    root, n_centroids=8)
+    ivf_add(root, ds.map_batches(half(1), batch_format="pyarrow",
+                                 batch_size=None))
+    out = ivf_search_index(root, qvec, k=10, nprobe=8)
+    return out.select_columns(["vec_id"])
+
+
 def q_corpus_clean(sf_dir: str):
     """Composite training-data pipeline (pipelines/corpus.py): quality
     gate -> exact text dedup -> MinHash near-dup removal via LEFT ANTI
@@ -3561,6 +3591,14 @@ LIMIT 10
     # Quantized retrieval: the same symmetric-int8 code as
     # embed_quantize on BOTH sides, all-integer score
     # (dot x fixed-point per-vector scale) -> bit-exact ranking.
+    # incremental IVF searched probe-all == exact brute force over the
+    # union corpus (same oracle as ann_topk)
+    "ann_ivf_merge": """
+SELECT vec_id FROM embeddings
+ORDER BY list_cosine_similarity(embedding,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10
+""",
     "ann_int8": """
 WITH qsrc AS (
   SELECT embedding AS e,
@@ -3811,6 +3849,7 @@ QUERIES = {
     "host_graph": q_host_graph,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_full": q_ann_ivf_full,
+    "ann_ivf_merge": q_ann_ivf_merge,
     "corpus_clean": q_corpus_clean,
     "media_decode": q_media_decode,
     "bmp_decode": q_bmp_decode,

@@ -345,3 +345,27 @@ def int8_topk(ds: ray.data.Dataset, query_vec, k: int = 10,
     cands = ds.map_batches(local_topk, batch_format="pyarrow")
     return (cands.sort(["qscore", id_col], descending=[True, False])
             .limit(k))
+
+
+def ivf_add(index_dir: str, ds: ray.data.Dataset,
+            vec_col: str = "embedding",
+            id_col: str = "vec_id") -> np.ndarray:
+    """Append new vectors to an existing ``ivf_build_index`` layout —
+    the vector twin of the inverted-index upsert
+    (stages/invindex.merge_index): the increment is assigned under the
+    FROZEN codebook (broadcast once) so cell boundaries — and
+    therefore probe pruning — stay valid, and its rows land as new
+    Parquet files inside the matching ``ivf_cell=`` partitions (the
+    layout is append-only per cell; existing files are never
+    rewritten). Search needs no changes: a probe reads old + new files
+    of its cells alike. Periodic re-training (drifted centroids) is a
+    rebuild, deliberately out of scope here.
+    """
+    import os
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    c_ref = ray.put(cents)
+    ds = ds.map_batches(assign_centroid_stage(c_ref, vec_col),
+                        batch_format="pyarrow", batch_size=None)
+    ds.write_parquet(index_dir, partition_cols=["ivf_cell"])
+    return cents

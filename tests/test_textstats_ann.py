@@ -322,3 +322,42 @@ def test_vocab_coverage_reference():
     got2 = vocab_coverage(ray.data.from_pandas(docs2), vocab_size=1) \
         .to_pandas()
     assert got2.iloc[0].n_oov == 1  # 'aa' kept, 'bb' OOV
+
+
+def test_ivf_add_appends_without_rewriting(tmp_path):
+    """ivf_add places increment rows in the frozen codebook's cells as
+    NEW files (old files untouched) and probe-all search equals brute
+    force over the union."""
+    import glob as _glob
+    import os
+
+    import pandas as pd
+
+    from cdx_toolkit_ray.stages.ann import (cosine_topk, ivf_add,
+                                            ivf_build_index,
+                                            ivf_search_index)
+
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(200, 16)).astype(np.float64)
+
+    def mk(lo, hi):
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(lo, hi), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs[lo:hi]],
+                                  pa.list_(pa.float32())),
+        }))
+
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(mk(0, 120), idx, n_centroids=4)
+    before = set(_glob.glob(os.path.join(idx, "ivf_cell=*", "*.parquet")))
+    ivf_add(idx, mk(120, 200))
+    after = set(_glob.glob(os.path.join(idx, "ivf_cell=*", "*.parquet")))
+    assert before < after                       # strictly appended
+
+    q = vecs[0]
+    got = ivf_search_index(idx, q, k=10, nprobe=4).to_pandas()
+    want = cosine_topk(mk(0, 200), q, k=10).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True))
+    # the increment is actually searchable
+    assert (got["vec_id"] >= 120).any() or (want["vec_id"] < 120).all()
