@@ -284,9 +284,9 @@ def cut_repeated_spans(ds: ray.data.Dataset, *, text_col: str = "text",
                    .group_by("d", maintain_order=True)
                    .agg(pl.col("w").str.join(" ").alias("ct")))
         clean = np.full(n, "", dtype=object)
-        for d_, ct in zip(kept_fr["d"].to_numpy(),
-                          kept_fr["ct"].to_list()):
-            clean[int(d_)] = ct
+        if kept_fr.height:
+            clean[kept_fr["d"].to_numpy().astype(np.int64)] = \
+                np.asarray(kept_fr["ct"].to_list(), dtype=object)
 
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),

@@ -626,9 +626,8 @@ def gopher_gate_batch(batch: pa.Table, text_col: str = "text",
     reasons = np.full(n, "", dtype=object)
     for name, mask in bad:
         keep &= ~mask
-        hit = np.flatnonzero(mask)
-        for i in hit:
-            reasons[i] = (reasons[i] + "," + name) if reasons[i] else name
+        appended = np.where(reasons == "", name, reasons + ("," + name))
+        reasons = np.where(mask, appended, reasons)
     return pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "n_words": pa.array(n_words, pa.int64()),
