@@ -387,6 +387,7 @@ def main() -> None:
             ("crawl_report",
              lambda: consume(Q.q_crawl_report(SF_DIR))),
             ("bmp_decode", lambda: consume(Q.q_bmp_decode(SF_DIR))),
+            ("media_sniff", lambda: consume(Q.q_media_sniff(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the

@@ -1334,6 +1334,18 @@ def q_ann_ivf_full(sf_dir: str):
     return out.select_columns(["vec_id"])
 
 
+def q_media_sniff(sf_dir: str):
+    """Magic-byte content-type detection over the real-codec media
+    table: 'BM' -> image/bmp, 'RIFF..WAVE' -> audio/wav, leading '<'
+    -> text/html, else octet-stream — the decoder-routing stage."""
+    from .stages.multimodal import real_media_parquet, sniff_batch
+
+    ds = ray.data.read_parquet(real_media_parquet(n=128, seed=42))
+    ds = ds.map_batches(sniff_batch, batch_format="pyarrow",
+                        batch_size=None)
+    return ds.select_columns(["media_id", "media_type", "sniffed_type"])
+
+
 def q_bmp_decode(sf_dir: str):
     """REAL image decode (pure-numpy 24-bit BMP): dimensions + exact
     integer pixel-byte sum per image through the BmpDecoder actor
@@ -3347,6 +3359,22 @@ SELECT media_id,
 FROM read_parquet('/tmp/cdxray_media_n256_s42.parquet')
 WHERE media_type = 'video'
 """,
+    # Magic-byte sniff replica over the payload hex prefix. The
+    # fixture has no whitespace-prefixed html payloads, so the plain
+    # first-byte check matches; the Ray kernel's whitespace-skip
+    # behavior is unit-tested separately.
+    "media_sniff": """
+SELECT media_id, media_type,
+       CASE WHEN substring(hex(payload), 1, 4) = '424D'
+              THEN 'image/bmp'
+            WHEN substring(hex(payload), 1, 8) = '52494646'
+                 AND substring(hex(payload), 17, 8) = '57415645'
+              THEN 'audio/wav'
+            WHEN substring(hex(payload), 1, 2) = '3C'
+              THEN 'text/html'
+            ELSE 'application/octet-stream' END AS sniffed_type
+FROM read_parquet('/tmp/cdxray_realmedia_n128_s42.parquet')
+""",
     # REAL BMP decode check: little-endian dword header fields parsed
     # from the payload hex; px_sum = whole-body byte sum (valid because
     # the fixture's widths are multiples of 4 -> zero row padding).
@@ -3853,6 +3881,7 @@ QUERIES = {
     "corpus_clean": q_corpus_clean,
     "media_decode": q_media_decode,
     "bmp_decode": q_bmp_decode,
+    "media_sniff": q_media_sniff,
     "wav_stats": q_wav_stats,
     "frame_sample": q_frame_sample,
     "wb_synthesis": q_wb_synthesis,

@@ -337,3 +337,42 @@ class WavStats:
         batch = batch.append_column("sum_abs", pa.array(sabs, pa.int64()))
         batch = batch.append_column("peak", pa.array(peak, pa.int64()))
         return batch
+
+
+def sniff_batch(batch: pa.Table, payload_col: str = "payload",
+                out_col: str = "sniffed_type") -> pa.Table:
+    """Magic-byte content-type detection — the stage that decides
+    which decoder a payload is routed to (servers lie about
+    Content-Type; reference users sniff obj.content by hand). Real
+    byte-level checks: 'BM' -> image/bmp, 'RIFF....WAVE' -> audio/wav,
+    leading '<' (optionally after whitespace) -> text/html, else
+    application/octet-stream. Vectorized over the binary column's
+    prefix bytes; the payloads never convert to Python strings."""
+    col = batch[payload_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    out = np.full(n, "application/octet-stream", dtype=object)
+    # prefix matrix: first 12 bytes, zero-padded (no per-row Python
+    # beyond the buffer slice)
+    pref = np.zeros((n, 12), np.uint8)
+    for i in range(n):
+        v = col[i].as_py()
+        if v:
+            b = v[:12]
+            pref[i, :len(b)] = np.frombuffer(b, np.uint8)
+    is_bmp = (pref[:, 0] == 0x42) & (pref[:, 1] == 0x4D)
+    is_wav = ((pref[:, 0:4] == np.frombuffer(b"RIFF", np.uint8)).all(1)
+              & (pref[:, 8:12] == np.frombuffer(b"WAVE", np.uint8))
+              .all(1))
+    # html: first non-{space,\t,\r,\n} byte is '<'
+    ws = np.isin(pref, np.frombuffer(b" \t\r\n", np.uint8))
+    first_nonws = np.argmax(~ws, axis=1)
+    fb = pref[np.arange(n), first_nonws]
+    is_html = (fb == 0x3C) & ~is_bmp & ~is_wav
+    out[is_bmp] = "image/bmp"
+    out[is_wav] = "audio/wav"
+    out[is_html] = "text/html"
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, pa.array(out, pa.string()))

@@ -89,3 +89,24 @@ def test_decode_rejects_garbage():
         decode_bmp(b"not a bitmap at all")
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_sniff_batch_magic_bytes():
+    from cdx_toolkit_ray.stages.multimodal import (encode_bmp,
+                                                   encode_wav,
+                                                   sniff_batch)
+
+    bmp = encode_bmp(np.zeros((2, 4, 3), np.uint8))
+    wav = encode_wav(np.zeros(4, np.int16), 8000)
+    batch = pa.table({
+        "payload": pa.array([
+            bmp, wav, b"<html><body>x</body></html>",
+            b"  \r\n\t<!DOCTYPE html>", b"\x00\x01garbage", b"",
+            b"RIFFxxxxAVI ",          # RIFF but not WAVE
+        ], pa.binary()),
+    })
+    got = sniff_batch(batch)["sniffed_type"].to_pylist()
+    assert got == ["image/bmp", "audio/wav", "text/html", "text/html",
+                   "application/octet-stream",
+                   "application/octet-stream",
+                   "application/octet-stream"]
