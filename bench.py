@@ -382,6 +382,7 @@ def main() -> None:
             ("link_rank", lambda: consume(Q.q_link_rank(SF_DIR))),
             ("crawl_bfs", lambda: consume(Q.q_crawl_bfs(SF_DIR))),
             ("crawl_delta", lambda: consume(Q.q_crawl_delta(SF_DIR))),
+            ("link_delta", lambda: consume(Q.q_link_delta(SF_DIR))),
             ("compact_captures",
              lambda: consume(Q.q_compact_captures(SF_DIR))),
             ("crawl_report",

@@ -1919,6 +1919,34 @@ def q_compact_captures(sf_dir: str):
     return compact_captures(ds)
 
 
+def q_link_delta(sf_dir: str):
+    """Web-graph diff: distinct edges of the older page snapshot
+    (warc_ts < 2023) vs the newer (>= 2023) classified
+    added/removed/kept — per-block edge dedup before the shuffle, one
+    edge-keyed exchange."""
+    from .stages.links import extract_links, link_delta
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text", "warc_ts"])
+    cut = pa.scalar(1672531200000000, pa.timestamp("us", tz="UTC"))
+
+    def half(old: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            m = pc.less(batch["warc_ts"], cut) if old \
+                else pc.greater_equal(batch["warc_ts"], cut)
+            return batch.filter(m).select(["url", "text"])
+        return f
+
+    a = extract_links(pages.map_batches(half(True),
+                                        batch_format="pyarrow",
+                                        batch_size=None))
+    b = extract_links(pages.map_batches(half(False),
+                                        batch_format="pyarrow",
+                                        batch_size=None))
+    return link_delta(a, b)
+
+
 def q_crawl_delta(sf_dir: str):
     """Incremental-crawl diff: latest capture per urlkey in crawl
     CC-MAIN-2023-14 vs CC-MAIN-2023-50 -> added/gone/changed/same.
@@ -3060,6 +3088,37 @@ FROM links GROUP BY 1, 2
     # Cross-crawl diff: latest row per urlkey per crawl (ts DESC,
     # digest DESC — the kernel's lexicographic-max rule), full outer
     # join, status classification.
+    # Web-graph diff: distinct edges per time half, FULL OUTER JOIN.
+    "link_delta": r"""
+WITH hrefs AS (
+  SELECT url AS src_url, warc_ts,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s/pages.parquet')),
+resolved AS (
+  SELECT src_url, warc_ts,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs),
+la AS (SELECT DISTINCT src_url, dst_url FROM resolved
+       WHERE dst_url IS NOT NULL
+         AND warc_ts < TIMESTAMPTZ '2023-01-01 00:00:00+00'),
+lb AS (SELECT DISTINCT src_url, dst_url FROM resolved
+       WHERE dst_url IS NOT NULL
+         AND warc_ts >= TIMESTAMPTZ '2023-01-01 00:00:00+00'),
+outv AS (
+  SELECT COALESCE(a.src_url, b.src_url) AS src_url,
+         COALESCE(a.dst_url, b.dst_url) AS dst_url,
+         CASE WHEN a.src_url IS NOT NULL AND b.src_url IS NOT NULL
+                THEN 'kept'
+              WHEN b.src_url IS NOT NULL THEN 'added'
+              ELSE 'removed' END AS status
+  FROM la a FULL OUTER JOIN lb b
+    ON a.src_url = b.src_url AND a.dst_url = b.dst_url)
+SELECT * FROM outv
+""" % _FIXTURE_LINK,
     # Per-crawl ops dashboard: counters + distinct counts + status
     # classes per crawl partition.
     "crawl_report": """
@@ -3872,6 +3931,7 @@ QUERIES = {
     "page_metadata": q_page_metadata,
     "link_rank": q_link_rank,
     "crawl_delta": q_crawl_delta,
+    "link_delta": q_link_delta,
     "compact_captures": q_compact_captures,
     "crawl_report": q_crawl_report,
     "host_graph": q_host_graph,

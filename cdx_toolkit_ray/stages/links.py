@@ -728,3 +728,80 @@ def rank_prioritized_seeds(pages: ray.data.Dataset, *,
             fold("dst_url", 1), batch_format="pyarrow", batch_size=None)
     return hash_bucket_apply(seeds.union(dsts), "_b", merge,
                              num_buckets=num_buckets)
+
+
+def link_delta(links_a: ray.data.Dataset,
+               links_b: ray.data.Dataset, *,
+               num_buckets: int = 32) -> ray.data.Dataset:
+    """Web-graph diff between two crawl snapshots: one row per DISTINCT
+    edge with ``status`` in {added, removed, kept} (b relative to a) —
+    the edge-level companion of the capture-level ``crawl_delta``
+    (stages/recrawl.py), answering "how did the link structure change
+    between crawls".
+
+    Dataflow: each side's blocks fold to distinct (src, dst) edges
+    BEFORE the shuffle; one edge-keyed exchange (hash of src||dst)
+    compares presence per side by run-length — a parallel-edge-heavy
+    page costs its block one row per distinct edge, never per href.
+    """
+    nbu = np.uint64(num_buckets)
+
+    pair_sch = pa.schema([("_eb", pa.int64()), ("src", pa.string()),
+                          ("dst", pa.string()), ("side", pa.int8())])
+
+    def fold(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pair_sch.empty_table()
+            s = batch["src_url"].to_numpy(zero_copy_only=False)
+            d = batch["dst_url"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((d, s))
+            ss, ds_ = s[order], d[order]
+            new = np.ones(len(ss), bool)
+            new[1:] = (ss[1:] != ss[:-1]) | (ds_[1:] != ds_[:-1])
+            i = np.flatnonzero(new)
+            key = np.array([a + "\x00" + b
+                            for a, b in zip(ss[i], ds_[i])], object)
+            eb = (hash64_batch(key) % nbu).astype(np.int64)
+            return pa.table({
+                "_eb": pa.array(eb, pa.int64()),
+                "src": pa.array(ss[i], pa.string()),
+                "dst": pa.array(ds_[i], pa.string()),
+                "side": pa.array(np.full(len(i), side, np.int8)),
+            })
+        return fn
+
+    out_sch = pa.schema([("src_url", pa.string()),
+                         ("dst_url", pa.string()),
+                         ("status", pa.string())])
+
+    def compare(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_sch.empty_table()
+        s = tbl["src"].to_numpy(zero_copy_only=False)
+        d = tbl["dst"].to_numpy(zero_copy_only=False)
+        sd = tbl["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sd, d, s))
+        s, d, sd = s[order], d[order], sd[order]
+        new = np.ones(len(s), bool)
+        new[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        in_a = np.zeros(len(starts), bool)
+        in_b = np.zeros(len(starts), bool)
+        np.logical_or.at(in_a, run_id, sd == 0)
+        np.logical_or.at(in_b, run_id, sd == 1)
+        status = np.where(in_a & in_b, "kept",
+                          np.where(in_b, "added", "removed"))
+        return pa.table({
+            "src_url": pa.array(s[starts], pa.string()),
+            "dst_url": pa.array(d[starts], pa.string()),
+            "status": pa.array(status, pa.string()),
+        })
+
+    keyed = (links_a.map_batches(fold(0), batch_format="pyarrow",
+                                 batch_size=None)
+             .union(links_b.map_batches(fold(1), batch_format="pyarrow",
+                                        batch_size=None)))
+    return hash_bucket_apply(keyed, "_eb", compare,
+                             num_buckets=num_buckets)

@@ -316,3 +316,21 @@ def test_page_metadata_known_values():
     assert got.loc["u2", "plain_len"] == len("no markup no title")
     assert got.loc["u3", "plain_len"] == 0
     assert (got["content_len"] >= got["plain_len"]).all()
+
+
+def test_link_delta_classification():
+    from cdx_toolkit_ray.stages.links import link_delta
+
+    def mk(edges):
+        return ray.data.from_arrow(pa.table({
+            "src_url": pa.array([e[0] for e in edges], pa.string()),
+            "dst_url": pa.array([e[1] for e in edges], pa.string()),
+        }))
+
+    # duplicates collapse; classification is per distinct edge
+    a = mk([("s", "x"), ("s", "x"), ("s", "y"), ("t", "z")])
+    b = mk([("s", "x"), ("t", "w"), ("t", "w")])
+    got = link_delta(a, b, num_buckets=3).to_pandas()
+    m = {(r.src_url, r.dst_url): r.status for r in got.itertuples()}
+    assert m == {("s", "x"): "kept", ("s", "y"): "removed",
+                 ("t", "z"): "removed", ("t", "w"): "added"}
