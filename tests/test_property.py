@@ -82,3 +82,47 @@ def test_bit_length_kernel_matches_python(x):
 
     got = _bit_length_u64(np.array([x], np.uint64))[0]
     assert got == int(x).bit_length()
+
+
+# --- filter-language compiler vs a scalar reference ---------------------
+
+_FIELD_VALS = st.text(alphabet="abc01.*x", max_size=6)
+
+
+def _scalar_filter(mod: str, expr: str, value):
+    import re
+
+    if value is None:
+        hit = False
+    elif mod in ("", "!"):
+        hit = expr in value
+    elif mod in ("=", "!="):
+        hit = value == expr
+    else:  # '~' / '!~'
+        try:
+            hit = re.fullmatch("(?:%s)" % expr, value) is not None
+        except re.error:
+            return None
+    return (not hit) if mod.startswith("!") else hit
+
+
+@given(st.sampled_from(["", "!", "=", "!=", "~", "!~"]),
+       _FIELD_VALS,
+       st.lists(st.one_of(st.none(), _FIELD_VALS),
+                min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_filter_compiler_matches_scalar_reference(mod, expr, values):
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.filters import compile_filters
+
+    want = [_scalar_filter(mod, expr, v) for v in values]
+    if any(w is None for w in want):
+        return  # invalid regex: both sides would reject at their layer
+    batch = pa.table({"status": pa.array(values, pa.string())})
+    try:
+        [cf] = compile_filters(["%sstatus:%s" % (mod, expr)], "cc")
+    except Exception:
+        return
+    got = cf.mask(batch).to_pylist()
+    assert got == want, (mod, expr, values)
