@@ -116,9 +116,16 @@ def test_filter_compiler_matches_scalar_reference(mod, expr, values):
 
     from cdx_toolkit_ray.filters import compile_filters
 
+    if mod in ("~", "!~"):
+        import re
+
+        try:
+            re.compile("(?:%s)" % expr)
+        except re.error:
+            return  # invalid regex: both sides error at their layer
     want = [_scalar_filter(mod, expr, v) for v in values]
     if any(w is None for w in want):
-        return  # invalid regex: both sides would reject at their layer
+        return
     batch = pa.table({"status": pa.array(values, pa.string())})
     try:
         [cf] = compile_filters(["%sstatus:%s" % (mod, expr)], "cc")
