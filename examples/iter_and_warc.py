@@ -36,7 +36,9 @@ warcinfo = {
     "format": "WARC file version 1.0",
 }
 
-writer = get_writer("EXAMPLE", "COMMONCRAWL", warcinfo,
+os.makedirs("/tmp/cdxray_example_out", exist_ok=True)
+writer = get_writer("/tmp/cdxray_example_out/EXAMPLE",
+                    "COMMONCRAWL", warcinfo,
                     warc_version="1.1")
 
 # the fixture crawls span 2022-2023; without from/to the
