@@ -347,6 +347,7 @@ def main() -> None:
             ("window_agg", lambda: consume(Q.q_window_agg(SF_DIR))),
             ("event_spikes",
              lambda: consume(Q.q_event_spikes(SF_DIR))),
+            ("json_props", lambda: consume(Q.q_json_props(SF_DIR))),
             ("asof_join", lambda: consume(Q.q_asof_join(SF_DIR))),
             ("range_join", lambda: consume(Q.q_range_join(SF_DIR))),
             ("captures_query", lambda: consume(Q.q_captures_query(SF_DIR))),

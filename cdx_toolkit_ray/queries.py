@@ -1573,6 +1573,17 @@ def q_sessionize(sf_dir: str):
     return sessionize(ds, gap_us=30 * 60 * 1_000_000, level="session")
 
 
+def q_json_props(sf_dir: str):
+    """Semi-structured extraction: pull the integer 'k' field out of
+    the events JSON props column (vectorized json_path_match) and roll
+    up per type — map-side partials, tiny groupby."""
+    from .stages.sessions import json_props_rollup
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["event_type", "props"])
+    return json_props_rollup(ds)
+
+
 def q_event_spikes(sf_dir: str):
     """Burst detection: per-type tumbling 1h windows flagged when the
     count exceeds 1.5x the mean of the previous 3 observed windows —
@@ -3807,6 +3818,20 @@ SELECT event_type, strftime(date_trunc('hour', ts), '%Y%m%d%H') AS win,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY event_type, win
 """,
+    # JSON field extraction + per-type rollup.
+    "json_props": """
+WITH x AS (SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(sum(k), 0) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing
+FROM x GROUP BY event_type
+""",
     # Burst detection: trailing-3-observed-window baseline, integer
     # cross-multiplied spike rule (cnt > 3/2 x mean <=> 2*cnt > trailing).
     "event_spikes": """
@@ -3877,6 +3902,7 @@ QUERIES = {
     "fetch_plan": q_fetch_plan,
     "window_agg": q_window_agg,
     "event_spikes": q_event_spikes,
+    "json_props": q_json_props,
     "sessionize": q_sessionize,
     "top_revenue": q_top_revenue,
     "rolling_sum": q_rolling_sum,

@@ -264,3 +264,70 @@ def event_spikes(ds: ray.data.Dataset, *, ts_col: str = "ts",
         partial, batch_format="pyarrow", batch_size=None)
     return hash_bucket_apply(partials, "_tb", merge,
                              num_buckets=num_buckets)
+
+
+def json_props_rollup(ds: ray.data.Dataset, *, json_col: str = "props",
+                      field: str = "k", type_col: str = "event_type"
+                      ) -> ray.data.Dataset:
+    """Semi-structured extraction + rollup: pull an integer field out
+    of a JSON string column (the nested-field companion of the S3/S4
+    wire decoders, sources/wire.py — event streams ship properties as
+    JSON blobs) and aggregate per type: ``(event_type, n_events,
+    k_sum, k_min, k_max, n_missing)``.
+
+    The extraction is vectorized (polars ``str.json_path_match`` —
+    native JSON parsing, no per-row Python); blocks fold to one
+    partial row per type before a tiny groupby. Missing / non-numeric
+    fields count into ``n_missing`` and are excluded from the sums.
+    """
+    import pyarrow.compute as _pc  # noqa: F401 (module convention)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        sch = pa.schema([(type_col, pa.string()), ("n_events", pa.int64()),
+                         ("k_sum", pa.int64()), ("k_min", pa.int64()),
+                         ("k_max", pa.int64()), ("n_missing", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        df = (pl.DataFrame({
+                  "t": pl.from_arrow(batch[type_col].combine_chunks()
+                                     .cast(pa.string())),
+                  "j": pl.from_arrow(batch[json_col].combine_chunks()
+                                     .cast(pa.string())),
+              })
+              .with_columns(k=pl.col("j")
+                            .str.json_path_match("$." + field)
+                            .cast(pl.Int64, strict=False))
+              .group_by("t")
+              .agg(n_events=pl.len().cast(pl.Int64),
+                   k_sum=pl.col("k").sum().fill_null(0).cast(pl.Int64),
+                   k_min=pl.col("k").min().cast(pl.Int64),
+                   k_max=pl.col("k").max().cast(pl.Int64),
+                   n_missing=pl.col("k").is_null().sum()
+                   .cast(pl.Int64)))
+        return df.rename({"t": type_col}).to_arrow().cast(sch)
+
+    parts = ds.select_columns([type_col, json_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    agg = parts.groupby(type_col).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("k_sum", alias_name="k_sum"),
+        Min("k_min", alias_name="k_min"),
+        Max("k_max", alias_name="k_max"),
+        Sum("n_missing", alias_name="n_missing"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            type_col: batch[type_col].cast(pa.string()),
+            "n_events": batch["n_events"].cast(pa.int64()),
+            "k_sum": batch["k_sum"].cast(pa.int64()),
+            "k_min": batch["k_min"].cast(pa.int64()),
+            "k_max": batch["k_max"].cast(pa.int64()),
+            "n_missing": batch["n_missing"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

@@ -138,3 +138,23 @@ def test_event_spikes_reference():
     assert not got.loc[("a", "2023010103")].spike  # 1 vs mean 1
     assert not got.loc[("a", "2023010101")].spike  # incomplete baseline
     assert not got.loc[("b", "2023010101")].spike
+
+
+def test_json_props_rollup_missing_and_malformed():
+    import pandas as pd
+
+    from cdx_toolkit_ray.stages.sessions import json_props_rollup
+
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "a", "b", "b"],
+        "props": ['{"k": 5}', '{"k": 7}', '{"other": 1}',
+                  'not json at all', '{"k": -3}'],
+    })
+    got = json_props_rollup(ray.data.from_pandas(df).repartition(3)) \
+        .to_pandas().set_index("event_type")
+    a = got.loc["a"]
+    assert tuple(a[["n_events", "k_sum", "k_min", "k_max",
+                    "n_missing"]]) == (3, 12, 5, 7, 1)
+    b = got.loc["b"]
+    assert tuple(b[["n_events", "k_sum", "k_min", "k_max",
+                    "n_missing"]]) == (2, -3, -3, -3, 1)
