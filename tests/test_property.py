@@ -133,3 +133,43 @@ def test_filter_compiler_matches_scalar_reference(mod, expr, values):
         return
     got = cf.mask(batch).to_pylist()
     assert got == want, (mod, expr, values)
+
+
+# --- the central exchange primitive vs a serial reference ---------------
+
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(-50, 50)),
+                min_size=1, max_size=120),
+       st.integers(1, 9))
+@settings(max_examples=60, deadline=None)
+def test_hash_bucket_apply_equals_serial_groupby(rows, num_buckets):
+    """hash_bucket_apply(ds, key, fn) must produce exactly the rows a
+    serial per-bucket application produces, for any bucketing of any
+    input — the invariant every exchange-based operator relies on."""
+    import pandas as pd
+    import ray.data
+
+    from cdx_toolkit_ray.canon import hash64_batch
+    from cdx_toolkit_ray.stages.exchange import hash_bucket_apply
+
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    df["bucket"] = (hash64_batch(df["k"].astype(str).to_numpy(
+        dtype=object)) % np.uint64(num_buckets)).astype("int64")
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        # a representative kernel: per-key sum + count within bucket
+        d = tbl.to_pandas()
+        g = d.groupby("k", as_index=False).agg(
+            s=("v", "sum"), n=("v", "size"))
+        return pa.Table.from_pandas(g[["k", "s", "n"]],
+                                    preserve_index=False)
+
+    got = hash_bucket_apply(
+        ray.data.from_pandas(df).repartition(3), "bucket", per_bucket,
+        num_buckets=num_buckets).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    want = df.groupby("k", as_index=False).agg(
+        s=("v", "sum"), n=("v", "size"))[["k", "s", "n"]] \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"s": "int64", "n": "int64"}),
+        want.astype({"s": "int64", "n": "int64"}))
