@@ -2020,7 +2020,9 @@ def q_crawl_bfs(sf_dir: str):
              .map_batches(lambda b: b.filter(
                  pc.ends_with(b["url"], ".example/")),
                  batch_format="pyarrow", batch_size=None))
-    return crawl_bfs(links, seeds, max_hops=4)
+    # exact=True: the oracle demands a zero-FP seen set (the bloom
+    # default risks FP-induced subtree loss as the filter fills)
+    return crawl_bfs(links, seeds, max_hops=4, exact=True)
 
 
 # ---------------------------------------------------------------------------

@@ -323,27 +323,128 @@ def _lr_gather(base: int, *tbls: pa.Table) -> pa.Table:
     })
 
 
+def persist_edges(links: ray.data.Dataset, edges_path: str, *,
+                  num_buckets: int = 32) -> str:
+    """Materialize the link graph on disk hive-partitioned by
+    ``bucket = hash64(src_url) % num_buckets`` (the same layout as
+    ``build_inverted_index``, stages/invindex.py): one ``bucket=<b>/``
+    directory per src-hash bucket plus a ``meta.json`` recording the
+    modulus. At 100 TB the edge table lives here, not in the object
+    store — each BFS hop reads ONLY the buckets its frontier hashes to.
+
+    Idempotent/resumable: an existing layout (meta.json present) is
+    reused as-is, so a restarted crawl never rebuilds the graph.
+    """
+    import json
+    import os
+
+    meta_p = os.path.join(edges_path, "meta.json")
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            have = json.load(f)["num_buckets"]
+        if have != num_buckets:
+            raise ValueError(
+                "existing edge layout at %s has num_buckets=%d, asked %d"
+                % (edges_path, have, num_buckets))
+        return edges_path
+    keyed = links.map_batches(_key_links(num_buckets),
+                              batch_format="pyarrow", batch_size=None)
+    keyed.drop_columns(["side"]).write_parquet(
+        edges_path, partition_cols=["bucket"])
+    with open(meta_p, "w") as f:
+        json.dump({"num_buckets": num_buckets}, f)
+    return edges_path
+
+
+@ray.remote(num_returns=2)
+def _frontier_bucket_slices(nb: int, *tbls: pa.Table):
+    """Split a hop's survivor blocks into per-src-hash-bucket distinct
+    url slices. Side output: per-bucket row counts (the only thing the
+    driver reads — the slices stay in the object store)."""
+    arrs = [t["url"].combine_chunks().cast(pa.string())
+            for t in tbls if t.num_rows]
+    counts = np.zeros(nb, np.int64)
+    if not arrs:
+        empty = pa.table({"url": pa.array([], pa.string())})
+        return tuple([empty] * nb), counts
+    url = pc.unique(pa.concat_arrays(
+        [a if isinstance(a, pa.Array) else a.combine_chunks()
+         for a in arrs]))
+    codes = (hash64_batch(url) % np.uint64(nb)).astype(np.int64)
+    order = np.argsort(codes, kind="stable")
+    t = pa.table({"url": url.take(pa.array(order))})
+    bounds = np.searchsorted(codes[order], np.arange(nb + 1))
+    slices = tuple(t.slice(bounds[b], bounds[b + 1] - bounds[b])
+                   for b in range(nb))
+    counts = np.diff(bounds).astype(np.int64)
+    return slices, counts
+
+
+@ray.remote
+def _probe_disk_bucket(paths: list, slices, b: int) -> pa.Table:
+    """Read ONE edge bucket from its hive partition files and emit the
+    distinct dsts of links whose src is in the bucket's frontier slice
+    (exact string membership — bucket routing uses the hash, the join
+    predicate does not). ``slices`` is the per-bucket slice tuple from
+    ``_frontier_bucket_slices`` (one shared object; zero-copy slice
+    access worker-side)."""
+    import pyarrow.parquet as pq
+
+    fslice = slices[b]
+    if fslice.num_rows == 0 or not paths:
+        return pa.table({"url": pa.array([], pa.string())})
+    frontier = fslice["url"].combine_chunks()
+    outs = []
+    for p in paths:
+        t = pq.read_table(p, columns=["key_url", "dst_url"])
+        hit = pc.is_in(t["key_url"], value_set=frontier)
+        outs.append(t.filter(hit)["dst_url"].combine_chunks())
+    dst = pc.unique(pa.concat_arrays(
+        [o if isinstance(o, pa.Array) else o.combine_chunks()
+         for o in outs]))
+    return pa.table({"url": dst.cast(pa.string())})
+
+
 def crawl_bfs(links: ray.data.Dataset, seeds: ray.data.Dataset, *,
               max_hops: int = 4, num_buckets: int = 32,
               num_shards: int = 8, n_bits: int = 1 << 22,
               broadcast_threshold: int = 200_000,
-              url_col: str = "url") -> ray.data.Dataset:
+              url_col: str = "url", exact: bool = False,
+              edges_path: str | None = None,
+              stats: dict | None = None) -> ray.data.Dataset:
     """Breadth-first crawl expansion: (url, hop) with hop = the BFS
     level at which ``url`` was first reached (seeds are hop 0).
 
     Equivalent relation (the SQL oracle): min-hop over the hop-capped
     transitive closure of the link graph from the seed set. First-seen
-    dedup runs through the sharded bloom seen-set actor pool — the same
+    dedup runs through the sharded seen-set actor pool — the same
     state a resumable multi-round crawl would checkpoint.
 
-    Per-hop join policy (same auto-select as the content join,
-    pipelines/warcout.py): a frontier at or under ``broadcast_threshold``
-    rows is reduced to a value-set object (in a task — the driver never
-    touches rows) and probed against each link block (one task round,
-    no exchange); a larger frontier goes through the hash-bucket
-    exchange keyed by ``hash64(src_url)``. The frontier row count
-    needed for the choice is already on hand (the loop's termination
-    check).
+    **Probabilistic by default**: the seen set is a Bloom filter
+    (``exact=False``), so a false positive silently drops a URL — and
+    with it every page reachable ONLY through that URL (FP-induced
+    subtree loss). The FP rate grows as the crawl's unique-URL count
+    approaches filter capacity (~``n_bits / 14`` URLs at k=7 for ~1e-4
+    FP); size ``n_bits`` to at least ~20 bits per expected frontier URL
+    or pass ``exact=True`` to keep the exact hash set alongside the
+    bitmap (memory O(unique URLs), zero FPs — what the oracle-checked
+    catalog entry uses at fixture scale).
+
+    Per-hop join policy with in-memory edges (same auto-select as the
+    content join, pipelines/warcout.py): a frontier at or under
+    ``broadcast_threshold`` rows is reduced to a value-set object (in a
+    task — the driver never touches rows) and probed against each link
+    block (one task round, no exchange); a larger frontier goes through
+    the hash-bucket exchange keyed by ``hash64(src_url)``.
+
+    **Scale path** (``edges_path`` set): the edge table is persisted
+    ONCE via :func:`persist_edges` as hive-partitioned Parquet keyed by
+    ``hash64(src_url) % num_buckets`` and each hop reads ONLY the
+    buckets the frontier hashes to (prune-at-read, the
+    ``search_index`` pattern from stages/invindex.py) — the graph never
+    sits in the object store across hops. Pass ``stats`` to receive
+    per-hop ``{"buckets_read", "buckets_total", "frontier"}`` lineage
+    (what the pruning test asserts on).
 
     The hop loop runs as direct task rounds over block refs (the
     stages/exchange.py pattern) rather than one streaming-executor
@@ -352,15 +453,29 @@ def crawl_bfs(links: ray.data.Dataset, seeds: ray.data.Dataset, *,
     per-hop kernel work is milliseconds. The driver holds only refs and
     per-hop counts.
     """
+    import glob as _glob
+    import os
+
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
-    seen = ShardedSeenSet(num_shards=num_shards, n_bits=n_bits)
+    seen = ShardedSeenSet(num_shards=num_shards, n_bits=n_bits,
+                          exact=exact)
     gate = SeenFilterStage(seen)
 
-    linksk = links.map_batches(_key_links(num_buckets),
-                               batch_format="pyarrow",
-                               batch_size=None).materialize()
-    link_refs = linksk.to_arrow_refs()
+    bucket_paths: list[list] = []
+    link_refs: list = []
+    linksk = None
+    if edges_path is not None:
+        persist_edges(links, edges_path, num_buckets=num_buckets)
+        bucket_paths = [
+            sorted(_glob.glob(os.path.join(
+                edges_path, "bucket=%d" % b, "*.parquet")))
+            for b in range(num_buckets)]
+    else:
+        linksk = links.map_batches(_key_links(num_buckets),
+                                   batch_format="pyarrow",
+                                   batch_size=None).materialize()
+        link_refs = linksk.to_arrow_refs()
     keyf = _key_frontier(num_buckets)
 
     frontier_refs = [r for r in
@@ -379,7 +494,20 @@ def crawl_bfs(links: ray.data.Dataset, seeds: ray.data.Dataset, *,
         survivors.extend(hop_refs)
         if hop == max_hops:
             break
-        if total <= broadcast_threshold:
+        if edges_path is not None:
+            slices, bcounts = _frontier_bucket_slices.options(
+                num_returns=2).remote(num_buckets, *hop_refs)
+            bc = ray.get(bcounts)
+            touched = [b for b in range(num_buckets)
+                       if bc[b] and bucket_paths[b]]
+            if stats is not None:
+                stats.setdefault("hops", []).append({
+                    "hop": hop, "frontier": total,
+                    "buckets_read": len(touched),
+                    "buckets_total": num_buckets})
+            frontier_refs = [_probe_disk_bucket.remote(
+                bucket_paths[b], slices, b) for b in touched]
+        elif total <= broadcast_threshold:
             fset = _unique_urls.remote(*hop_refs)
             frontier_refs = [_probe_block.remote(lr, fset)
                              for lr in link_refs]

@@ -91,6 +91,67 @@ def test_crawl_bfs_hop_budget_and_duplicate_seeds():
     assert dict(zip(got["url"], got["hop"])) == {"s": 0, "a": 0, "b": 1}
 
 
+def test_crawl_bfs_disk_edges_matches_memory_path(tmp_path):
+    """The edges_path scale path (hive-partitioned edge buckets,
+    prune-at-read per hop) returns the same min-hop relation as the
+    in-memory join paths."""
+    from cdx_toolkit_ray.stages.links import crawl_bfs
+
+    got = crawl_bfs(_graph(), _seeds(["s"]), max_hops=4, num_buckets=4,
+                    edges_path=str(tmp_path / "edges")).to_pandas()
+    assert dict(zip(got["url"], got["hop"])) == EXPECT
+
+
+def test_crawl_bfs_disk_edges_prunes_untouched_buckets(tmp_path):
+    """Per hop, only buckets the frontier hashes to are read (the
+    invindex prune-at-read contract) — stats records strictly fewer
+    bucket reads than buckets when the frontier is small."""
+    from cdx_toolkit_ray.stages.links import crawl_bfs
+
+    stats: dict = {}
+    nb = 16
+    got = crawl_bfs(_graph(), _seeds(["s"]), max_hops=4, num_buckets=nb,
+                    edges_path=str(tmp_path / "edges"),
+                    stats=stats).to_pandas()
+    assert dict(zip(got["url"], got["hop"])) == EXPECT
+    assert stats["hops"], "no per-hop lineage recorded"
+    for h in stats["hops"]:
+        assert h["buckets_total"] == nb
+        # a 1-2 URL frontier can touch at most that many buckets
+        assert h["buckets_read"] <= min(h["frontier"], nb)
+        assert h["buckets_read"] < nb
+
+
+def test_crawl_bfs_exact_seen_set(tmp_path):
+    """exact=True keeps the exact hash set next to the bloom bitmap —
+    zero false positives by construction (ADVICE: FP-induced subtree
+    loss is otherwise possible as the filter fills)."""
+    from cdx_toolkit_ray.stages.links import crawl_bfs
+
+    # deliberately tiny bloom (256 bits) so an FP is plausible without
+    # the exact set; with exact=True the result must still be EXPECT
+    got = crawl_bfs(_graph(), _seeds(["s"]), max_hops=4,
+                    n_bits=256, exact=True).to_pandas()
+    assert dict(zip(got["url"], got["hop"])) == EXPECT
+
+
+def test_persist_edges_idempotent_and_modulus_guard(tmp_path):
+    from cdx_toolkit_ray.stages.links import persist_edges
+
+    p = str(tmp_path / "edges")
+    persist_edges(_graph(), p, num_buckets=4)
+    import os
+    mtimes = {f: os.path.getmtime(os.path.join(r, f))
+              for r, _, fs in os.walk(p) for f in fs}
+    # second call reuses the layout without rewriting anything
+    persist_edges(_graph(), p, num_buckets=4)
+    mtimes2 = {f: os.path.getmtime(os.path.join(r, f))
+               for r, _, fs in os.walk(p) for f in fs}
+    assert mtimes == mtimes2
+    with pytest.raises(ValueError):
+        persist_edges(_graph(), p, num_buckets=8)
+
+
 def test_link_rank_matches_serial_fixed_point():
     from cdx_toolkit_ray.stages.links import link_rank
 
