@@ -652,6 +652,40 @@ def q_fetch_plan(sf_dir: str):
                               "retry_budget_ms"])
 
 
+def _fetched_over_seeds(sf_dir: str):
+    """Shared engine path for fetch_execute / fetch_errors: frontier
+    schedule -> fetcher actor pool with the deterministic fault
+    transport (pipelines/fetch.py) -> outcome rows."""
+    from .pipelines.fetch import TableTransport, fetch_execute
+
+    sched = _frontier_over_seeds(sf_dir).filter(expr="host_rank >= 0")
+    transport = TableTransport(_tbl(sf_dir, "documents"),
+                               id_col="doc_id", text_col="text")
+    out = fetch_execute(sched, transport, max_attempts=3,
+                        minimum_interval=3.0, id_col="seed_order")
+    return out.select_columns(["urlkey", "host", "seed_order", "fetch_ms",
+                               "n_attempts", "final_status",
+                               "fetch_action", "backoff_ms", "text"])
+
+
+def q_fetch_execute(sf_dir: str):
+    """The reference's core loop, end-to-end: schedule -> fetch (actor
+    pool, injectable transport, RetryPolicy status classification +
+    virtual backoff, max 3 attempts) -> content + outcome per request.
+    Oracle: serial SQL replay of the identical fault schedule
+    (status of attempt k = FAULT_STATUSES[(seed_order + k) % 8])."""
+    return _fetched_over_seeds(sf_dir)
+
+
+def q_fetch_errors(sf_dir: str):
+    """The dead-letter side channel of q_fetch_execute: every request
+    whose final action is not 'ok' (invalid / error / exhausted), with
+    its attempt history — what a rerun re-queues."""
+    from .pipelines.fetch import dead_letter
+
+    return dead_letter(_fetched_over_seeds(sf_dir))
+
+
 # --- rows-only (no SQL oracle: stateful / sketch / fixture-based) ---------
 
 def q_minhash_pairs(sf_dir: str):
@@ -3522,6 +3556,99 @@ SELECT doc_id, status,
                  THEN 150000 ELSE 0 END AS BIGINT) AS retry_budget_ms
 FROM s
 """,
+    "fetch_execute": "WITH " + _SEEDS_CTE + """,
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY urlkey
+                               ORDER BY priority, seed_order) AS rn
+  FROM seeds),
+sched AS (
+  SELECT urlkey, host, seed_order, crawl_delay_ms,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, seed_order) - 1
+              AS BIGINT) AS host_rank
+  FROM dd WHERE rn = 1),
+att AS (
+  SELECT urlkey, host, seed_order, host_rank * crawl_delay_ms AS fetch_ms,
+    ([200,503,500,429,404,200,301,503])[CAST((seed_order + 0) % 8 AS INTEGER) + 1] AS s0,
+    ([200,503,500,429,404,200,301,503])[CAST((seed_order + 1) % 8 AS INTEGER) + 1] AS s1,
+    ([200,503,500,429,404,200,301,503])[CAST((seed_order + 2) % 8 AS INTEGER) + 1] AS s2
+  FROM sched),
+cls AS (
+  SELECT *,
+    CASE WHEN s0 IN (429,500,502,503,504,509) THEN 'retry'
+         WHEN s0 IN (400,404) THEN 'invalid'
+         WHEN s0 BETWEEN 200 AND 399 THEN 'ok' ELSE 'error' END AS a0,
+    CASE WHEN s1 IN (429,500,502,503,504,509) THEN 'retry'
+         WHEN s1 IN (400,404) THEN 'invalid'
+         WHEN s1 BETWEEN 200 AND 399 THEN 'ok' ELSE 'error' END AS a1,
+    CASE WHEN s2 IN (429,500,502,503,504,509) THEN 'retry'
+         WHEN s2 IN (400,404) THEN 'invalid'
+         WHEN s2 BETWEEN 200 AND 399 THEN 'ok' ELSE 'error' END AS a2
+  FROM att),
+fin AS (
+  SELECT urlkey, host, seed_order, fetch_ms,
+    CAST(CASE WHEN a0 <> 'retry' THEN 1
+              WHEN a1 <> 'retry' THEN 2 ELSE 3 END AS BIGINT) AS n_attempts,
+    CAST(CASE WHEN a0 <> 'retry' THEN s0
+              WHEN a1 <> 'retry' THEN s1 ELSE s2 END AS BIGINT)
+      AS final_status,
+    CASE WHEN a0 <> 'retry' THEN a0 WHEN a1 <> 'retry' THEN a1
+         WHEN a2 <> 'retry' THEN a2 ELSE 'exhausted' END AS fetch_action,
+    CAST(CASE WHEN a0 <> 'retry' THEN 0
+              WHEN a1 <> 'retry' THEN 6000 ELSE 18000 END AS BIGINT)
+      AS backoff_ms
+  FROM cls)
+SELECT f.urlkey, f.host, f.seed_order, f.fetch_ms, f.n_attempts,
+       f.final_status, f.fetch_action, f.backoff_ms,
+       CASE WHEN f.fetch_action = 'ok' THEN d.text END AS text
+FROM fin f JOIN documents d ON d.doc_id = f.seed_order
+""",
+    "fetch_errors": "WITH " + _SEEDS_CTE + """,
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY urlkey
+                               ORDER BY priority, seed_order) AS rn
+  FROM seeds),
+sched AS (
+  SELECT urlkey, host, seed_order, crawl_delay_ms,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, seed_order) - 1
+              AS BIGINT) AS host_rank
+  FROM dd WHERE rn = 1),
+att AS (
+  SELECT urlkey, host, seed_order, host_rank * crawl_delay_ms AS fetch_ms,
+    ([200,503,500,429,404,200,301,503])[CAST((seed_order + 0) % 8 AS INTEGER) + 1] AS s0,
+    ([200,503,500,429,404,200,301,503])[CAST((seed_order + 1) % 8 AS INTEGER) + 1] AS s1,
+    ([200,503,500,429,404,200,301,503])[CAST((seed_order + 2) % 8 AS INTEGER) + 1] AS s2
+  FROM sched),
+cls AS (
+  SELECT *,
+    CASE WHEN s0 IN (429,500,502,503,504,509) THEN 'retry'
+         WHEN s0 IN (400,404) THEN 'invalid'
+         WHEN s0 BETWEEN 200 AND 399 THEN 'ok' ELSE 'error' END AS a0,
+    CASE WHEN s1 IN (429,500,502,503,504,509) THEN 'retry'
+         WHEN s1 IN (400,404) THEN 'invalid'
+         WHEN s1 BETWEEN 200 AND 399 THEN 'ok' ELSE 'error' END AS a1,
+    CASE WHEN s2 IN (429,500,502,503,504,509) THEN 'retry'
+         WHEN s2 IN (400,404) THEN 'invalid'
+         WHEN s2 BETWEEN 200 AND 399 THEN 'ok' ELSE 'error' END AS a2
+  FROM att),
+fin AS (
+  SELECT urlkey, host, seed_order, fetch_ms,
+    CAST(CASE WHEN a0 <> 'retry' THEN 1
+              WHEN a1 <> 'retry' THEN 2 ELSE 3 END AS BIGINT) AS n_attempts,
+    CAST(CASE WHEN a0 <> 'retry' THEN s0
+              WHEN a1 <> 'retry' THEN s1 ELSE s2 END AS BIGINT)
+      AS final_status,
+    CASE WHEN a0 <> 'retry' THEN a0 WHEN a1 <> 'retry' THEN a1
+         WHEN a2 <> 'retry' THEN a2 ELSE 'exhausted' END AS fetch_action,
+    CAST(CASE WHEN a0 <> 'retry' THEN 0
+              WHEN a1 <> 'retry' THEN 6000 ELSE 18000 END AS BIGINT)
+      AS backoff_ms
+  FROM cls)
+SELECT urlkey, host, seed_order, fetch_ms, n_attempts, final_status,
+       fetch_action, backoff_ms, CAST(NULL AS VARCHAR) AS text
+FROM fin WHERE fetch_action <> 'ok'
+""",
     "surt_canonicalize": "WITH " + _SEEDS_CTE + """
 SELECT doc_id, url, urlkey, host FROM seeds
 """,
@@ -3902,6 +4029,8 @@ QUERIES = {
     "url_seen": q_url_seen,
     "row_sample": q_row_sample,
     "fetch_plan": q_fetch_plan,
+    "fetch_execute": q_fetch_execute,
+    "fetch_errors": q_fetch_errors,
     "window_agg": q_window_agg,
     "event_spikes": q_event_spikes,
     "json_props": q_json_props,
