@@ -87,6 +87,11 @@ def make_parser() -> ArgumentParser:
                       help="pattern that must be present to warc an url")
     warc.add_argument("--url-fgrepv", action="store",
                       help="pattern that must NOT be present")
+    warc.add_argument("--format", choices=("warc", "parquet"),
+                      default="warc", dest="warc_format",
+                      help="segment format: real WARC/1.0 gzip members "
+                           "(reference parity, default) or Parquet "
+                           "(columnar twin)")
     warc.add_argument("url")
     warc.set_defaults(func=warcer)
 
@@ -180,19 +185,27 @@ def warcer(cmd, out=None) -> None:
     kwargs = _query_kwargs(cmd)
     kwargs.pop("closest", None)
 
+    use_warc = getattr(cmd, "warc_format", "warc") == "warc"
     ispartof = cmd.prefix + (("-" + cmd.subprefix) if cmd.subprefix else "")
     info = {
         "software": "cdx_toolkit_ray",
         "isPartOf": ispartof,
         "description": "extraction generated with: " + " ".join(sys.argv[1:]),
-        "format": "parquet segment (WARC-equivalent)",
+        "format": "WARC file version 1.0" if use_warc
+        else "parquet segment (WARC-equivalent)",
     }
     if cmd.creator:
         info["creator"] = cmd.creator
     if cmd.operator:
         info["operator"] = cmd.operator
 
-    writer = get_writer(cmd.prefix, cmd.subprefix, info, size=cmd.size)
+    if use_warc:
+        from .pipelines.warcbytes import get_warc_writer
+
+        writer = get_warc_writer(cmd.prefix, cmd.subprefix, info,
+                                 size=cmd.size)
+    else:
+        writer = get_writer(cmd.prefix, cmd.subprefix, info, size=cmd.size)
     if cmd.crawl:
         kwargs["crawl"] = [cmd.crawl]
     ds = extract_content(cmd.captures_root, cmd.pages, url=cmd.url,

@@ -1,0 +1,329 @@
+"""Real WARC/1.0 byte output (+ ingest): render, rotate, re-parse.
+
+Closes the last user-visible format gap vs the reference: its writer
+(cocrawler/cdx_toolkit cdx_toolkit/warc.py:159-209) emits
+warcio-parseable ``<prefix>[-<subprefix>-]NNNNNN.extracted.warc.gz``
+segments, each opened with a warcinfo record. ``SegmentedParquetWriter``
+(pipelines/warcout.py) reproduces the rotation/naming/info contract in
+Parquet; this module reproduces the BYTES, from the public WARC/1.0
+spec (ISO 28500): records are ``WARC/1.0\\r\\n<headers>\\r\\n\\r\\n
+<content-block>\\r\\n\\r\\n``, and a gzip WARC is a multi-member gzip
+stream with ONE member per record (so readers can seek to a record and
+inflate just it — the property Common Crawl's own WARCs rely on).
+
+warcio is not available in this environment, so rendering AND parsing
+are implemented here from the spec; the tests round-trip every segment
+through :func:`parse_warc` and stdlib gzip, byte-checking payloads.
+
+Determinism: WARC-Date comes from the writer's injectable clock and
+WARC-Record-ID is a uuid5 of (target, date, payload) — same inputs,
+byte-identical segments (the fixture/test contract everywhere else in
+this repo).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import hashlib
+import os
+import uuid
+
+import ray.data
+
+__all__ = ["render_warc_record", "render_warcinfo", "SegmentedWARCWriter",
+           "get_warc_writer", "parse_warc", "read_warc"]
+
+_UUID_NS = uuid.UUID("6ba7b811-9dad-11d1-80b4-00c04fd430c8")  # RFC 4122 URL ns
+
+
+def _record_id(*parts: bytes) -> str:
+    h = hashlib.sha1()
+    for p in parts:
+        h.update(p)
+        h.update(b"\x00")
+    return "<urn:uuid:%s>" % uuid.uuid5(_UUID_NS, h.hexdigest())
+
+
+def render_warc_record(warc_type: str, headers: list[tuple[str, str]],
+                       content_block: bytes, *,
+                       warc_version: str = "1.0") -> bytes:
+    """One WARC record as bytes (spec §4: header block, CRLF CRLF,
+    content block, CRLF CRLF). ``headers`` must NOT include WARC-Type /
+    Content-Length (added here, in spec order)."""
+    lines = ["WARC/%s" % warc_version, "WARC-Type: %s" % warc_type]
+    lines += ["%s: %s" % (k, v) for k, v in headers]
+    lines.append("Content-Length: %d" % len(content_block))
+    head = ("\r\n".join(lines) + "\r\n\r\n").encode("utf-8")
+    return head + content_block + b"\r\n\r\n"
+
+
+def render_warcinfo(filename: str, info: dict, date_iso: str, *,
+                    warc_version: str = "1.0") -> bytes:
+    """The warcinfo record opening each segment (reference
+    _start_new_warc, warc.py:203-209): content block is the info dict
+    as warc-fields, sorted for byte determinism."""
+    body = "".join("%s: %s\r\n" % (k, info[k])
+                   for k in sorted(info)).encode("utf-8")
+    headers = [
+        # id from the BASENAME: the same logical segment written under
+        # two roots must be byte-identical (determinism contract)
+        ("WARC-Record-ID",
+         _record_id(os.path.basename(filename).encode(), body)),
+        ("WARC-Date", date_iso),
+        ("WARC-Filename", os.path.basename(filename)),
+        ("Content-Type", "application/warc-fields"),
+    ]
+    return render_warc_record("warcinfo", headers, body,
+                              warc_version=warc_version)
+
+
+def _http_block(record: dict) -> bytes:
+    """Content block for a response record: the payload if it already
+    is a full HTTP message, else a synthesized minimal response (the
+    pages table stores bare bodies; a real fetch stores the message)."""
+    payload = record.get("payload") or b""
+    if isinstance(payload, str):
+        payload = payload.encode("utf-8")
+    if payload.startswith(b"HTTP/"):
+        return payload
+    from http.client import responses
+
+    from .warcout import HTTP_STATUS_TEXT
+
+    status = str(record.get("status") or "200")
+    if " " not in status:
+        try:
+            code = int(status)
+            reason = HTTP_STATUS_TEXT.get(code) or responses.get(code)
+        except ValueError:
+            reason = None
+        status = ("%s %s" % (status, reason)) if reason else status
+    mime = record.get("mime") or "text/html"
+    head = ("HTTP/1.1 %s\r\nContent-Type: %s\r\n"
+            "Content-Length: %d\r\n\r\n"
+            % (status, mime, len(payload))).encode("utf-8")
+    return head + payload
+
+
+class SegmentedWARCWriter:
+    """Size-rotated REAL-WARC segment writer (reference
+    CDXToolkitWARCWriter contract, warc.py:159-209):
+
+    * names: ``<prefix>-[<subprefix>-]NNNNNN.extracted.warc[.gz]``
+    * a warcinfo record opens every segment
+    * rotation when the open segment's file size exceeds ``size``
+    * restart-safe: probes for the first unused segment number
+    * ``gzip=True``: one gzip member per record (CC-style member-per-
+      record stream); ``gzip=False``: plain concatenated records
+
+    ``date_iso`` is the injectable clock (WARC-Date of every record);
+    fixed inputs give byte-identical output.
+    """
+
+    def __init__(self, prefix: str, subprefix: str | None = None,
+                 info: dict | None = None, size: int = 1_000_000_000,
+                 gzip: bool = True, warc_version: str | None = None,
+                 date_iso: str = "2026-01-01T00:00:00Z"):
+        self.prefix = prefix
+        self.subprefix = subprefix
+        self.info = dict(info or {})
+        self.size = size
+        self.gzip = gzip
+        if warc_version is not None and warc_version != "1.0":
+            import logging
+
+            logging.getLogger(__name__).error(
+                "WARC versions other than 1.0 are not correctly "
+                "supported yet")
+        self.warc_version = warc_version or "1.0"
+        self.date_iso = date_iso
+        self.segment = 0
+        self._fd = None
+        self._path: str | None = None
+
+    # -- naming (reference _unique_warc_filename, warc.py:189-201) --
+    def _unique_name(self) -> str:
+        while True:
+            name = self.prefix + "-"
+            if self.subprefix is not None:
+                name += self.subprefix + "-"
+            name += "%06d.extracted.warc" % self.segment
+            if self.gzip:
+                name += ".gz"
+            if os.path.exists(name):
+                self.segment += 1
+            else:
+                return name
+
+    def _emit(self, raw: bytes) -> None:
+        if self.gzip:
+            # mtime=0 so identical records gzip to identical members
+            raw = _gzip.compress(raw, mtime=0)
+        self._fd.write(raw)
+
+    def _start_segment(self) -> None:
+        self._path = self._unique_name()
+        self._fd = open(self._path, "wb")
+        self._emit(render_warcinfo(self._path, self.info, self.date_iso,
+                                   warc_version=self.warc_version))
+
+    def write_record(self, record: dict) -> None:
+        """One record dict (the ``fetch_warc_record`` /
+        ``CaptureObject`` shape: warc_type, warc_target_uri,
+        warc_source_uri, warc_source_range, payload [, status, mime,
+        warc_date]) -> one WARC record, rotating segments by size."""
+        if self._fd is None:
+            self._start_segment()
+        block = _http_block(record)
+        date = record.get("warc_date") or self.date_iso
+        target = record.get("warc_target_uri") or ""
+        headers = [
+            ("WARC-Record-ID",
+             _record_id(target.encode(), date.encode(), block)),
+            ("WARC-Date", date),
+            ("WARC-Target-URI", target),
+        ]
+        if record.get("warc_source_uri"):
+            headers.append(("WARC-Source-URI", record["warc_source_uri"]))
+        if record.get("warc_source_range"):
+            headers.append(("WARC-Source-Range",
+                            record["warc_source_range"]))
+        headers.append(("Content-Type",
+                        "application/http; msgtype=response"))
+        self._emit(render_warc_record(
+            record.get("warc_type") or "response", headers, block,
+            warc_version=self.warc_version))
+        self._fd.flush()
+        if os.fstat(self._fd.fileno()).st_size > self.size:
+            self.close_segment()
+
+    def close_segment(self) -> None:
+        if self._fd is not None:
+            self._fd.close()
+            self._fd = None
+            self.segment += 1
+
+    def close(self) -> None:
+        self.close_segment()
+
+    def write_dataset(self, ds: ray.data.Dataset,
+                      batch_size: int = 1024) -> list[str]:
+        """Stream content rows (url, html/text [, status, mime]) through
+        the rotating writer — the `cdxt warc` sink. Driver-side ordered
+        single-writer (serial parity with the reference loop); for
+        distributed output shard by partition and give each shard its
+        own subprefix (deterministic names stay restart-safe)."""
+        written = []
+        for batch in ds.iter_batches(batch_size=batch_size,
+                                     batch_format="pyarrow"):
+            cols = batch.column_names
+            for row in batch.to_pylist():
+                payload = row.get("html")
+                if payload is None and "text" in cols:
+                    payload = (row.get("text") or "").encode("utf-8")
+                self.write_record({
+                    "warc_type": "response",
+                    "warc_target_uri": row.get("url"),
+                    "warc_source_uri": row.get("filename"),
+                    "payload": payload or b"",
+                    "status": row.get("status"),
+                    "mime": row.get("mime"),
+                })
+                if self._path and self._path not in written:
+                    written.append(self._path)
+        self.close()
+        return sorted(set(written))
+
+
+def get_warc_writer(prefix: str, subprefix: str | None, info: dict,
+                    **kwargs) -> SegmentedWARCWriter:
+    """Factory parity with cdx_toolkit.warc.get_writer (warc.py:212-213),
+    real-bytes edition."""
+    return SegmentedWARCWriter(prefix, subprefix, info, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Parsing / ingest
+# ---------------------------------------------------------------------------
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse a WARC file's bytes (gzip multi-member or plain) into
+    record dicts: ``{"warc_type", "headers": {..}, "content": bytes}``.
+    Spec-level strictness: version line, CRLF header block, exact
+    Content-Length content block, CRLF CRLF separator."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gzip.decompress(data)  # stdlib handles multi-member
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not data[pos:pos + 5] == b"WARC/":
+            raise ValueError("bad record start at byte %d" % pos)
+        hdr_end = data.index(b"\r\n\r\n", pos)
+        head = data[pos:hdr_end].decode("utf-8")
+        lines = head.split("\r\n")
+        headers: dict = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            headers[k.strip()] = v.strip()
+        clen = int(headers["Content-Length"])
+        body_start = hdr_end + 4
+        content = data[body_start:body_start + clen]
+        if len(content) != clen:
+            raise ValueError("truncated record at byte %d" % pos)
+        out.append({"warc_type": headers.get("WARC-Type"),
+                    "version": lines[0],
+                    "headers": headers,
+                    "content": content})
+        pos = body_start + clen
+        if data[pos:pos + 4] != b"\r\n\r\n":
+            raise ValueError("missing record separator at byte %d" % pos)
+        pos += 4
+    return out
+
+
+def _split_http(content: bytes) -> tuple[str, bytes]:
+    """HTTP message -> (status line, body)."""
+    sep = content.find(b"\r\n\r\n")
+    if sep < 0 or not content.startswith(b"HTTP/"):
+        return "", content
+    status_line = content[:content.find(b"\r\n")].decode(
+        "utf-8", errors="replace")
+    return status_line, content[sep + 4:]
+
+
+def read_warc(paths: str | list[str]) -> ray.data.Dataset:
+    """WARC ingest as a Ray Data source: one row per response record
+    ``(url, warc_date, status, payload:binary, segment)``. Reads are
+    one task per file (a WARC is not splittable without an index; at
+    CC scale files are ~1 GB each, so file-granular parallelism is the
+    natural unit — same layout the reference's byte-range fetches
+    assume)."""
+    if isinstance(paths, str):
+        paths = [paths]
+
+    def parse_file(row: dict) -> list[dict]:
+        with open(row["path"], "rb") as fd:
+            recs = parse_warc(fd.read())
+        out = []
+        for r in recs:
+            if r["warc_type"] != "response":
+                continue
+            status_line, body = _split_http(r["content"])
+            status = status_line.split(" ", 2)[1] if " " in status_line \
+                else ""
+            out.append({
+                "url": r["headers"].get("WARC-Target-URI", ""),
+                "warc_date": r["headers"].get("WARC-Date", ""),
+                "status": status,
+                "payload": body,
+                "segment": os.path.basename(row["path"]),
+            })
+        return out
+
+    return ray.data.from_items(
+        [{"path": p} for p in paths]).flat_map(parse_file)

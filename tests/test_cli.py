@@ -72,6 +72,7 @@ def test_warc_segments(ray_session, fixture_dir, tmp_path):
     run_cli(base_args(fixture_dir)
             + ["--from", "2021", "--to", "2024",
                "warc", "--prefix", prefix, "--size", "20000",
+               "--format", "parquet",
                "--url-fgrep", "/p/", "*.example"], fixture_dir)
     segs = sorted(p.name for p in tmp_path.iterdir())
     assert any(n.endswith(".extracted.parquet") for n in segs)

@@ -1,0 +1,207 @@
+"""Real WARC/1.0 byte output (pipelines/warcbytes.py): rendering,
+segment rotation/naming parity with the reference writer
+(cdx_toolkit/warc.py:159-209), round-trip re-parse, and ingest."""
+
+import gzip
+import zlib
+
+import pytest
+
+from cdx_toolkit_ray.pipelines.warcbytes import (SegmentedWARCWriter,
+                                                 get_warc_writer,
+                                                 parse_warc,
+                                                 render_warc_record,
+                                                 render_warcinfo)
+
+
+def _gzip_member_count(data: bytes) -> int:
+    """Walk the multi-member gzip stream member by member."""
+    count = 0
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(data[pos:])
+        count += 1
+        rest = d.unused_data
+        pos = len(data) - len(rest)
+        if not rest:
+            break
+    return count
+
+
+def test_render_parse_roundtrip_structure():
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>\xff"
+    raw = render_warc_record(
+        "response",
+        [("WARC-Record-ID", "<urn:uuid:x>"),
+         ("WARC-Date", "2026-01-01T00:00:00Z"),
+         ("WARC-Target-URI", "https://a.example/")],
+        body)
+    assert raw.startswith(b"WARC/1.0\r\nWARC-Type: response\r\n")
+    assert raw.endswith(body + b"\r\n\r\n")
+    recs = parse_warc(raw)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["warc_type"] == "response"
+    assert r["version"] == "WARC/1.0"
+    assert r["headers"]["WARC-Target-URI"] == "https://a.example/"
+    assert int(r["headers"]["Content-Length"]) == len(body)
+    assert r["content"] == body            # byte identity, invalid utf8 too
+
+
+def test_warcinfo_fields_sorted_and_named():
+    raw = render_warcinfo("/x/OUT-000000.extracted.warc.gz",
+                          {"b": "2", "a": "1"}, "2026-01-01T00:00:00Z")
+    r = parse_warc(raw)[0]
+    assert r["warc_type"] == "warcinfo"
+    assert r["headers"]["WARC-Filename"] == "OUT-000000.extracted.warc.gz"
+    assert r["headers"]["Content-Type"] == "application/warc-fields"
+    assert r["content"] == b"a: 1\r\nb: 2\r\n"
+
+
+def _records(n, size=400):
+    return [{"warc_type": "response",
+             "warc_target_uri": "https://h%d.example/p" % i,
+             "warc_source_uri": "crawl/seg/file%d.warc.gz" % i,
+             "warc_source_range": "bytes=0-99",
+             "payload": ("payload %d " % i).encode() + b"x" * size,
+             "status": "200", "mime": "text/html"} for i in range(n)]
+
+
+def test_segment_rotation_naming_and_roundtrip(tmp_path):
+    prefix = str(tmp_path / "OUT")
+    w = SegmentedWARCWriter(prefix, "SUB", {"isPartOf": "OUT-SUB"},
+                            size=2000, gzip=True)
+    for rec in _records(12):
+        w.write_record(rec)
+    w.close()
+    segs = sorted(p.name for p in tmp_path.iterdir())
+    assert segs[0] == "OUT-SUB-000000.extracted.warc.gz"
+    assert len(segs) > 1                       # rotation happened
+    # every segment: gzip multi-member, warcinfo first, then responses
+    seen_urls = []
+    for s in segs:
+        data = (tmp_path / s).read_bytes()
+        assert _gzip_member_count(data) >= 2   # one member PER record
+        recs = parse_warc(data)
+        assert recs[0]["warc_type"] == "warcinfo"
+        assert recs[0]["headers"]["WARC-Filename"] == s
+        assert b"isPartOf: OUT-SUB" in recs[0]["content"]
+        for r in recs[1:]:
+            assert r["warc_type"] == "response"
+            assert r["content"].startswith(b"HTTP/1.1 200 OK\r\n")
+            assert r["headers"]["WARC-Source-Range"] == "bytes=0-99"
+            seen_urls.append(r["headers"]["WARC-Target-URI"])
+    assert seen_urls == ["https://h%d.example/p" % i for i in range(12)]
+
+
+def test_restart_safe_name_probing(tmp_path):
+    prefix = str(tmp_path / "OUT")
+    (tmp_path / "OUT-000000.extracted.warc.gz").write_bytes(b"old")
+    w = SegmentedWARCWriter(prefix, None, {}, size=10**9)
+    w.write_record(_records(1)[0])
+    w.close()
+    assert (tmp_path / "OUT-000001.extracted.warc.gz").exists()
+    assert (tmp_path / "OUT-000000.extracted.warc.gz").read_bytes() == b"old"
+
+
+def test_deterministic_bytes(tmp_path):
+    outs = []
+    for d in ("a", "b"):
+        prefix = str(tmp_path / d / "OUT")
+        (tmp_path / d).mkdir()
+        w = get_warc_writer(prefix, None, {"k": "v"}, size=10**9)
+        for rec in _records(3):
+            w.write_record(rec)
+        w.close()
+        outs.append((tmp_path / d / "OUT-000000.extracted.warc.gz")
+                    .read_bytes())
+    assert outs[0] == outs[1]
+
+
+def test_plain_uncompressed_roundtrip(tmp_path):
+    prefix = str(tmp_path / "OUT")
+    w = SegmentedWARCWriter(prefix, None, {}, size=10**9, gzip=False)
+    recs = _records(2)
+    for rec in recs:
+        w.write_record(rec)
+    w.close()
+    data = (tmp_path / "OUT-000000.extracted.warc").read_bytes()
+    parsed = parse_warc(data)
+    assert [r["warc_type"] for r in parsed] == ["warcinfo", "response",
+                                                "response"]
+    # payload byte-identity through the HTTP block
+    assert parsed[1]["content"].endswith(recs[0]["payload"])
+
+
+def test_full_http_payload_passes_through_untouched(tmp_path):
+    prefix = str(tmp_path / "OUT")
+    w = SegmentedWARCWriter(prefix, None, {}, size=10**9, gzip=False)
+    msg = b"HTTP/1.1 301 Moved Permanently\r\nLocation: /x\r\n\r\nbody"
+    w.write_record({"warc_target_uri": "https://a.example/",
+                    "payload": msg})
+    w.close()
+    parsed = parse_warc(
+        (tmp_path / "OUT-000000.extracted.warc").read_bytes())
+    assert parsed[1]["content"] == msg
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_warc(b"NOT A WARC\r\n\r\n")
+
+
+def test_read_warc_dataset_roundtrip(ray_session, tmp_path):
+    from cdx_toolkit_ray.pipelines.warcbytes import read_warc
+
+    prefix = str(tmp_path / "OUT")
+    w = SegmentedWARCWriter(prefix, None, {}, size=10**9)
+    recs = _records(5)
+    for rec in recs:
+        w.write_record(rec)
+    w.close()
+    df = read_warc(str(tmp_path / "OUT-000000.extracted.warc.gz")) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(df) == 5                        # warcinfo skipped
+    assert list(df["url"]) == sorted(r["warc_target_uri"] for r in recs)
+    assert (df["status"] == "200").all()
+    by_url = {r["warc_target_uri"]: r["payload"] for r in recs}
+    for _, row in df.iterrows():
+        assert bytes(row["payload"]) == by_url[row["url"]]
+
+
+def test_cli_warc_default_writes_real_warc(ray_session, fixture_dir,
+                                           tmp_path):
+    import pyarrow.parquet as pq
+
+    from cdx_toolkit_ray.cli import main
+
+    prefix = str(tmp_path / "OUT")
+    main(["--captures-root", fixture_dir["captures"],
+          "--pages", fixture_dir["pages"],
+          "--from", "2021", "--to", "2024",
+          "warc", "--prefix", prefix, "--size", "200000",
+          "--url-fgrep", "/p/", "*.example"])
+    segs = sorted(p for p in tmp_path.iterdir()
+                  if p.name.endswith(".extracted.warc.gz"))
+    assert segs, "no WARC segments written"
+    pages = pq.read_table(fixture_dir["pages"], columns=["url", "html"])
+    # duplicate pages rows resolve to the lexicographically greatest
+    # html (extract_content's deterministic winner rule)
+    html_by_url: dict = {}
+    for u, h in zip(pages["url"].to_pylist(), pages["html"].to_pylist()):
+        if u not in html_by_url or h > html_by_url[u]:
+            html_by_url[u] = h
+    n_responses = 0
+    for s in segs:
+        recs = parse_warc(s.read_bytes())
+        assert recs[0]["warc_type"] == "warcinfo"
+        assert b"software: cdx_toolkit_ray" in recs[0]["content"]
+        for r in recs[1:]:
+            assert r["warc_type"] == "response"
+            url = r["headers"]["WARC-Target-URI"]
+            assert "/p/" in url
+            body = r["content"][r["content"].index(b"\r\n\r\n") + 4:]
+            assert body == html_by_url[url]    # byte-identical content
+            n_responses += 1
+    assert n_responses > 0
