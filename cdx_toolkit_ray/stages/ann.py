@@ -51,6 +51,12 @@ def quantize_batch(batch: pa.Table, vec_col: str = "embedding",
         col = col.combine_chunks()
     offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    # a sliced ListArray's values buffer covers the WHOLE parent: rebase
+    # offsets to the slice window so vals and repeat(lengths) align
+    # (same normalization the explode kernel in queries.py does)
+    if offsets[0] != 0 or offsets[-1] != len(vals):
+        vals = vals[offsets[0]:offsets[-1]]
+        offsets = offsets - offsets[0]
     starts = offsets[:-1]
     lengths = np.diff(offsets)
     maxabs = np.zeros(len(starts), np.float64)

@@ -353,14 +353,22 @@ def sniff_batch(batch: pa.Table, payload_col: str = "payload",
         col = col.combine_chunks()
     n = len(col)
     out = np.full(n, "application/octet-stream", dtype=object)
-    # prefix matrix: first 12 bytes, zero-padded (no per-row Python
-    # beyond the buffer slice)
+    # prefix matrix: first 12 bytes per row sliced straight out of the
+    # binary array's offsets/values buffers — a payload-size-independent
+    # gather, never a per-row as_py() copy of the whole payload
     pref = np.zeros((n, 12), np.uint8)
-    for i in range(n):
-        v = col[i].as_py()
-        if v:
-            b = v[:12]
-            pref[i, :len(b)] = np.frombuffer(b, np.uint8)
+    if n:
+        odt = np.int64 if col.type == pa.large_binary() else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=odt)[
+            col.offset:col.offset + n + 1].astype(np.int64)
+        vals = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)
+        if len(vals):
+            starts = offs[:-1]
+            lens = np.minimum(np.diff(offs), 12)  # null rows: len 0
+            take = np.minimum(starts[:, None] + np.arange(12)[None, :],
+                              len(vals) - 1)
+            mask = np.arange(12)[None, :] < lens[:, None]
+            pref = np.where(mask, vals[take], 0).astype(np.uint8)
     is_bmp = (pref[:, 0] == 0x42) & (pref[:, 1] == 0x4D)
     is_wav = ((pref[:, 0:4] == np.frombuffer(b"RIFF", np.uint8)).all(1)
               & (pref[:, 8:12] == np.frombuffer(b"WAVE", np.uint8))

@@ -440,10 +440,15 @@ def crawl_report(ds: ray.data.Dataset, *, crawl_col: str = "crawl",
         for kind, vals in ((1, batch[key_col]
                             .to_numpy(zero_copy_only=False)),
                            (2, host)):
-            hv = hash64_batch(np.where(
-                vals == None, "", vals).astype(object))  # noqa: E711
-            order = np.lexsort((hv, codes))
-            cs, hs = codes[order], hv[order]
+            # null keys/hosts (e.g. a host-less dns: or malformed url)
+            # are NOT distinct values — SQL's COUNT(DISTINCT ...)
+            # ignores NULLs, so drop them before hashing rather than
+            # aliasing them all onto hash64("")
+            keep = vals != None  # noqa: E711
+            kvals, kcodes = vals[keep], codes[keep]
+            hv = hash64_batch(kvals.astype(object))
+            order = np.lexsort((hv, kcodes))
+            cs, hs = kcodes[order], hv[order]
             new = np.ones(len(cs), bool)
             new[1:] = (cs[1:] != cs[:-1]) | (hs[1:] != hs[:-1])
             idx = np.flatnonzero(new)

@@ -126,7 +126,16 @@ def rolling_sum(ds: ray.data.Dataset, *, user_col: str = "user_id",
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         u = batch[user_col].to_numpy(zero_copy_only=False)
+        if batch[value_col].null_count:
+            raise ValueError(
+                "rolling_sum: %r contains nulls — a NaN->int64 cast is "
+                "undefined and would silently corrupt every window "
+                "after it; filter or impute upstream" % value_col)
         v = batch[value_col].to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "f" and np.isnan(v).any():
+            raise ValueError(
+                "rolling_sum: %r contains NaN — integer-exactness "
+                "contract requires finite values" % value_col)
         cents = np.where(v >= 0, np.floor(v * 100.0 + 0.5),
                          np.ceil(v * 100.0 - 0.5)).astype(np.int64)
         batch = batch.select([id_col, user_col, ts_col])

@@ -110,3 +110,22 @@ def test_sniff_batch_magic_bytes():
                    "application/octet-stream",
                    "application/octet-stream",
                    "application/octet-stream"]
+
+
+def test_sniff_batch_sliced_nulls_and_buffer_offsets():
+    """The vectorized prefix gather must honor array slices (nonzero
+    offset into shared buffers) and nulls — the regression for the old
+    per-row as_py() path."""
+    from cdx_toolkit_ray.stages.multimodal import sniff_batch
+
+    payloads = [b"BM" + b"\x00" * 50, None, b"<html>", b"",
+                b"RIFF1234WAVEdata", b"xxxBM"]
+    batch = pa.table({"payload": pa.array(payloads, pa.binary())})
+    sliced = batch.slice(1, 4)         # nonzero offset window
+    got = sniff_batch(sliced)["sniffed_type"].to_pylist()
+    assert got == ["application/octet-stream", "text/html",
+                   "application/octet-stream", "audio/wav"]
+    full = sniff_batch(batch)["sniffed_type"].to_pylist()
+    assert full == ["image/bmp", "application/octet-stream",
+                    "text/html", "application/octet-stream",
+                    "audio/wav", "application/octet-stream"]

@@ -216,3 +216,23 @@ def test_crawl_report_reference():
     assert tuple(b[["n_captures", "n_urlkeys", "n_hosts"]]) == (2, 2, 2)
     assert tuple(b[["n_ok", "n_redirect", "n_error", "n_revisit"]]) \
         == (0, 0, 1, 1)
+
+
+def test_crawl_report_hostless_urls_not_counted_as_a_host():
+    """dns:/malformed urls extract NULL hosts; SQL COUNT(DISTINCT ...)
+    ignores NULLs, so n_hosts must too (ADVICE regression)."""
+    from cdx_toolkit_ray.stages.recrawl import crawl_report
+
+    df = pd.DataFrame({
+        "crawl": ["A"] * 4,
+        "urlkey": ["k1", "k2", "k3", "k4"],
+        "url": ["https://x.example/1", "dns:y.example",
+                "not-a-url", "https://z.example/2"],
+        "status": ["200"] * 4,
+        "mime": ["text/html"] * 4,
+    })
+    got = crawl_report(ray.data.from_pandas(df).repartition(2),
+                       num_buckets=2).to_pandas().set_index("crawl")
+    # only x.example and z.example have '://host' form
+    assert int(got.loc["A", "n_hosts"]) == 2
+    assert int(got.loc["A", "n_urlkeys"]) == 4

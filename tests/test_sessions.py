@@ -85,6 +85,19 @@ def test_bad_level_raises(events):
         sessionize(ray.data.from_pandas(events), level="nope")
 
 
+def test_rolling_sum_rejects_null_and_nan_values(events):
+    """NaN->int64 is undefined and would silently corrupt every window
+    after it — the stage must fail loudly (ADVICE regression)."""
+    from cdx_toolkit_ray.stages.sessions import rolling_sum
+
+    ev = events.copy()
+    ev["value"] = 1.0
+    ev.loc[ev.index[3], "value"] = np.nan
+    with pytest.raises(Exception, match="rolling_sum"):
+        rolling_sum(ray.data.from_pandas(ev), window=3,
+                    num_buckets=2).materialize()
+
+
 def test_rolling_sum_matches_sql(events):
     from cdx_toolkit_ray.stages.sessions import rolling_sum
 

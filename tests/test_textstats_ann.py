@@ -178,6 +178,22 @@ def test_quantize_batch_properties():
         assert max(abs(v) for v in qv) == 127  # max element saturates
 
 
+def test_quantize_batch_on_sliced_listarray():
+    """A sliced batch's ListArray has a values buffer longer than
+    sum(lengths); quantize_batch must rebase offsets instead of raising
+    (ADVICE regression)."""
+    rng = np.random.default_rng(9)
+    rows = [rng.normal(size=4).astype(np.float32).tolist()
+            for _ in range(20)]
+    tbl = pa.table({"vec_id": pa.array(range(20), pa.int64()),
+                    "embedding": pa.array(rows, pa.list_(pa.float32()))})
+    sliced = tbl.slice(5, 10)
+    out = ann.quantize_batch(sliced)
+    whole = ann.quantize_batch(tbl)
+    assert out["qvec"].to_pylist() == whole["qvec"].to_pylist()[5:15]
+    assert out["max_abs"].to_pylist() == whole["max_abs"].to_pylist()[5:15]
+
+
 def test_int8_topk_recall_and_determinism():
     """Quantized retrieval agrees closely with exact cosine on random
     unit-ish vectors and is partition-order independent."""
