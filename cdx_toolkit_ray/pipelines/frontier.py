@@ -82,45 +82,149 @@ def _get_broadcast(ref):
     return _BROADCAST_CACHE[key]
 
 
+def _prefix_index(robots: dict) -> dict:
+    """Disallow prefixes grouped by LENGTH as ``host\\0prefix`` key
+    sets: ``path`` is blocked iff ``host\\0path[:L]`` is a member for
+    some declared length L (startswith == truncate-and-compare, one
+    vectorized membership pass per distinct prefix length)."""
+    by_len: dict = {}
+    for host, (_, prefixes) in robots.items():
+        for p in prefixes:
+            if p:
+                by_len.setdefault(len(p), set()).add(host + "\0" + p)
+    return by_len
+
+
+def _robots_columns(batch: pa.Table, robots: dict, by_len: dict,
+                    default_delay_ms: int):
+    """The gate kernel shared by the broadcast and distributed paths:
+    (robots_blocked bool, crawl_delay_ms int64) per row, vectorized.
+
+    Path extraction parity with ``urlsplit(url).path or '/'`` for
+    scheme://host urls: everything after the authority up to ``?``/
+    ``#`` (polars regex), empty -> '/'.
+    """
+    import polars as pl
+
+    hosts = batch["host"].to_numpy(zero_copy_only=False)
+    n = len(hosts)
+    codes, uniq = pd.factorize(hosts)
+    entries = [robots.get(h) for h in uniq]
+    delay_u = np.array([e[0] if e is not None else default_delay_ms
+                        for e in entries], np.int64)
+    delays = delay_u[codes]
+    blocked = np.zeros(n, dtype=bool)
+    has_prefix = np.array([bool(e and e[1]) for e in entries])
+    cand = np.flatnonzero(has_prefix[codes]) if has_prefix.any() else None
+    if cand is not None and cand.size and by_len:
+        urls = batch["url"].to_numpy(zero_copy_only=False)[cand]
+        df = pl.DataFrame({
+            "host": pl.Series(hosts[cand].astype(str)),
+            "path": pl.Series(urls.astype(str)).str.extract(
+                r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1),
+        }).with_columns(
+            pl.when(pl.col("path").is_null() | (pl.col("path") == ""))
+            .then(pl.lit("/")).otherwise(pl.col("path")).alias("path"))
+        blk = np.zeros(cand.size, dtype=bool)
+        key = df["host"] + "\0" + df["path"]
+        for ln, keys in by_len.items():
+            trunc = df["host"] + "\0" + df["path"].str.slice(0, ln)
+            blk |= trunc.is_in(list(keys)).to_numpy()
+            del trunc
+        del key
+        blocked[cand] = blk
+    return blocked, delays
+
+
 def make_robots_gate(robots_ref, default_delay_ms: int = DEFAULT_DELAY_MS):
-    """map_batches fn: flag robots-disallowed rows.
+    """map_batches fn: flag robots-disallowed rows (broadcast path).
 
     The robots table is broadcast once (``ray.put`` on the driver, one
     cached ``ray.get`` per worker) — a lookup join with no shuffle
     (SURVEY.md §2.4 J-pattern). Adds ``robots_blocked:bool`` and
     ``crawl_delay_ms:int64``; never drops rows (counters need them).
+    The disallow-prefix check is fully vectorized (one polars membership
+    pass per distinct prefix length — a hot host with prefixes costs a
+    string gather, not a Python loop).
     """
+    _derived: dict = {}
 
     def robots_gate(batch: pa.Table) -> pa.Table:
-        from urllib.parse import urlsplit
-
         robots = _get_broadcast(robots_ref)
-        hosts = batch["host"].to_numpy(zero_copy_only=False)
-        n = len(hosts)
-        # delays: one dict lookup per DISTINCT host (factorize + take),
-        # not one per row
-        codes, uniq = pd.factorize(hosts)
-        entries = [robots.get(h) for h in uniq]
-        delay_u = np.array([e[0] if e is not None else default_delay_ms
-                            for e in entries], np.int64)
-        delays = delay_u[codes]
-        blocked = np.zeros(n, dtype=bool)
-        # the disallow-prefix check needs per-row Python (urlsplit), but
-        # ONLY for rows of hosts that actually declare prefixes — on a
-        # real frontier a small minority
-        has_prefix = np.array([bool(e and e[1]) for e in entries])
-        if has_prefix.any():
-            urls = batch["url"].to_numpy(zero_copy_only=False)
-            for i in np.flatnonzero(has_prefix[codes]):
-                prefixes = robots[hosts[i]][1]
-                path = urlsplit(urls[i]).path or "/"
-                blocked[i] = path.startswith(prefixes)
+        key = id(robots)
+        if key not in _derived:
+            _derived.clear()
+            _derived[key] = _prefix_index(robots)
+        blocked, delays = _robots_columns(batch, robots, _derived[key],
+                                          default_delay_ms)
         batch = batch.append_column("robots_blocked", pa.array(blocked))
         batch = batch.append_column("crawl_delay_ms",
                                     pa.array(delays, pa.int64()))
         return batch
 
     return robots_gate
+
+
+def robots_gate_distributed(ds: ray.data.Dataset, robots_path: str, *,
+                            default_delay_ms: int = DEFAULT_DELAY_MS,
+                            num_partitions: int | None = None
+                            ) -> ray.data.Dataset:
+    """The scale path for an over-budget robots table: a distributed
+    LEFT OUTER hash join on ``host`` (both sides move once, nothing on
+    the driver) followed by the same vectorized gate kernel over each
+    joined batch. Semantically identical to the broadcast gate — the
+    join delivers each row its own host's (delay, prefixes), and the
+    kernel builds its per-batch prefix index from exactly those."""
+    from ..stages.dedup import default_join_partitions
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    robots = ray.data.read_parquet(
+        robots_path, columns=["host", "crawl_delay_ms", "disallow"])
+
+    def pack(batch: pa.Table) -> pa.Table:
+        # Arrow's hash join carries flat payloads only: pack the
+        # disallow LIST into one \x00-joined string (prefixes are url
+        # paths, never NUL), unpacked in the gate kernel
+        import pyarrow.compute as pc
+
+        packed = pc.binary_join(batch["disallow"], "\x00")
+        return pa.table({
+            "host": batch["host"],
+            "_r_delay": batch["crawl_delay_ms"].cast(pa.int64()),
+            "_r_disallow": packed,
+        })
+
+    robots = robots.map_batches(pack, batch_format="pyarrow",
+                                batch_size=None)
+    joined = ds.join(robots, "left_outer", num_partitions, on=("host",))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        hosts = batch["host"].to_numpy(zero_copy_only=False)
+        dl = batch["_r_delay"].to_numpy(zero_copy_only=False)
+        dis = batch["_r_disallow"].to_pylist()
+        # per-batch robots dict: one entry per DISTINCT host (join is
+        # 1:1 per host, so any row of the host carries its rule)
+        codes, uniq = pd.factorize(hosts)
+        first_idx = np.zeros(len(uniq), dtype=np.int64)
+        first_idx[codes[::-1]] = np.arange(len(hosts) - 1, -1, -1)
+        robots_b: dict = {}
+        for j, h in enumerate(uniq):
+            i = first_idx[j]
+            v = dl[i]
+            if v is not None and not (isinstance(v, float) and np.isnan(v)):
+                prefixes = tuple(p for p in (dis[i] or "").split("\x00")
+                                 if p)
+                robots_b[h] = (int(v), prefixes)
+        blocked, delays = _robots_columns(
+            batch, robots_b, _prefix_index(robots_b), default_delay_ms)
+        batch = batch.drop_columns(["_r_delay", "_r_disallow"])
+        batch = batch.append_column("robots_blocked", pa.array(blocked))
+        batch = batch.append_column("crawl_delay_ms",
+                                    pa.array(delays, pa.int64()))
+        return batch
+
+    return joined.map_batches(gate, batch_format="pyarrow")
 
 
 def dedup_first_wins(group: pd.DataFrame) -> pd.DataFrame:
@@ -316,14 +420,31 @@ def scheduled_crawl_order(flow: ray.data.Dataset, *,
         return crawl_order(schedule_politeness(flow, num_salts=num_salts))
 
 
+#: broadcast the robots table only while its on-disk footprint fits a
+#: worker heap comfortably; above this it joins distributed (the same
+#: auto-select the content join uses, warcout.extract_content)
+ROBOTS_BROADCAST_BUDGET_BYTES = 128 << 20
+
+
 def frontier_flow(seeds_path: str, robots_path: str, *,
                   concurrency: int | None = None,
                   num_salts: int = 1,
-                  dedup_partitions: int | None = None) -> ray.data.Dataset:
-    """Build the lazy frontier Dataset: all rows, flagged + scheduled."""
-    robots_ref = ray.put(load_robots(robots_path))
+                  dedup_partitions: int | None = None,
+                  robots_budget_bytes: int = ROBOTS_BROADCAST_BUDGET_BYTES
+                  ) -> ray.data.Dataset:
+    """Build the lazy frontier Dataset: all rows, flagged + scheduled.
 
+    Robots state auto-selects: a robots table under
+    ``robots_budget_bytes`` on disk is ``ray.put`` once and looked up
+    per batch (no shuffle); a larger one goes through the distributed
+    host-keyed join (``robots_gate_distributed``) — at 10^8+ hosts the
+    robots table stops being the small side.
+    """
     ds = ray.data.read_parquet(seeds_path)
+    if os.path.getsize(robots_path) > robots_budget_bytes:
+        return frontier_flow_from(ds, robots_path, num_salts=num_salts,
+                                  dedup_partitions=dedup_partitions)
+    robots_ref = ray.put(load_robots(robots_path))
     return frontier_flow_from(ds, robots_ref, num_salts=num_salts,
                               dedup_partitions=dedup_partitions)
 
@@ -333,7 +454,9 @@ def frontier_flow_from(ds: ray.data.Dataset, robots_ref, *,
                        dedup_partitions: int | None = None) -> ray.data.Dataset:
     """Frontier over an arbitrary seeds Dataset (url, priority,
     seed_order [+ payload cols]); ``robots_ref`` is a ``ray.put``
-    handle to the ``load_robots`` dict (or the dict itself).
+    handle to the ``load_robots`` dict (or the dict itself), or a
+    robots-table PATH string — the path routes through the distributed
+    host-keyed join instead of a broadcast.
 
     Stateless task pools (elastic, no CPU reservation): canonicalize is
     pure compute, robots a broadcast lookup. Dedup is the vectorized
@@ -350,8 +473,11 @@ def frontier_flow_from(ds: ray.data.Dataset, robots_ref, *,
                           [("priority", 19), ("seed_order", 44)],
                           num_partitions=dedup_partitions,
                           derive_fn=canonicalize_batch)
-    ds = ds.map_batches(make_robots_gate(robots_ref), batch_size=None,
-                        batch_format="pyarrow")
+    if isinstance(robots_ref, str):
+        ds = robots_gate_distributed(ds, robots_ref)
+    else:
+        ds = ds.map_batches(make_robots_gate(robots_ref), batch_size=None,
+                            batch_format="pyarrow")
     return schedule_politeness(ds, num_salts=num_salts)
 
 

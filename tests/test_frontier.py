@@ -147,6 +147,83 @@ def test_scheduled_crawl_order_matches_executor_path(fixture_dir):
         assert old.reset_index(drop=True).equals(new.reset_index(drop=True))
 
 
+def test_robots_distributed_join_matches_broadcast(fixture_dir):
+    """Path parity (the warcout join-parity pattern): the distributed
+    host-keyed robots join returns row-identical flags/delays to the
+    broadcast gate, and an over-budget robots table routes through it
+    in frontier_flow."""
+    import ray as _ray
+    import ray.data as rd
+
+    from cdx_toolkit_ray.canon import canonicalize_batch
+    from cdx_toolkit_ray.pipelines.frontier import (
+        frontier_flow,
+        make_robots_gate,
+        robots_gate_distributed,
+    )
+    from cdx_toolkit_ray.stages.dedup import first_wins_dedup
+
+    def deduped():
+        ds = rd.read_parquet(fixture_dir["seeds"])
+        return first_wins_dedup(ds, "hash64",
+                                [("priority", 19), ("seed_order", 44)],
+                                derive_fn=canonicalize_batch)
+
+    cols = ["url", "host", "robots_blocked", "crawl_delay_ms"]
+    robots_ref = _ray.put(load_robots(fixture_dir["robots"]))
+    bc = deduped().map_batches(make_robots_gate(robots_ref),
+                               batch_size=None, batch_format="pyarrow") \
+        .to_pandas()[cols].sort_values("url").reset_index(drop=True)
+    dist = robots_gate_distributed(deduped(), fixture_dir["robots"]) \
+        .to_pandas()[cols].sort_values("url").reset_index(drop=True)
+    assert bc.equals(dist)
+    # (gate firing itself is covered by the truth-table test below —
+    # the fixture's seed set happens to stay clear of its disallows)
+
+    # budget 0 forces every robots table over budget -> distributed path
+    via_flow = frontier_flow(fixture_dir["seeds"], fixture_dir["robots"],
+                             robots_budget_bytes=0).to_pandas()
+    via_bc = frontier_flow(fixture_dir["seeds"],
+                           fixture_dir["robots"]).to_pandas()
+    key = ["url"]
+    assert via_flow.sort_values(key).reset_index(drop=True)[
+        ["url", "robots_blocked", "crawl_delay_ms", "host_rank",
+         "fetch_ms"]].equals(
+        via_bc.sort_values(key).reset_index(drop=True)[
+            ["url", "robots_blocked", "crawl_delay_ms", "host_rank",
+             "fetch_ms"]])
+
+
+def test_robots_prefix_gate_vectorized_semantics():
+    """Truth table for the vectorized disallow check: nested prefixes,
+    query/fragment exclusion, empty path -> '/', hosts without rules."""
+    from cdx_toolkit_ray.pipelines.frontier import make_robots_gate
+
+    robots = {
+        "a.example": (1000, ("/private", "/p",)),   # nested prefixes
+        "b.example": (2000, ("/",)),                # blocks everything
+        "c.example": (500, ()),                     # delay only
+    }
+    batch = pa.table({
+        "url": pa.array([
+            "https://a.example/private/x",   # blocked by /private
+            "https://a.example/pq",          # blocked by /p
+            "https://a.example/ok",          # not blocked
+            "https://a.example/xx?y=/p",     # query ignored -> ok
+            "https://b.example",             # empty path -> '/' blocked
+            "https://c.example/anything",    # no prefixes
+            "https://d.example/x",           # unknown host -> default
+        ]),
+        "host": pa.array(["a.example"] * 4 + ["b.example", "c.example",
+                                              "d.example"]),
+    })
+    out = make_robots_gate(robots)(batch)
+    assert out["robots_blocked"].to_pylist() == [
+        True, True, False, False, True, False, False]
+    assert out["crawl_delay_ms"].to_pylist() == [
+        1000, 1000, 1000, 1000, 2000, 500, 3000]
+
+
 def test_scheduled_crawl_order_packing_fallback(fixture_dir):
     """Out-of-range packed keys must fall back to the executor sort, not
     corrupt the order."""
