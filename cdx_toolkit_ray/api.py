@@ -106,6 +106,32 @@ class CaptureObject(MutableMapping):
         return k in self.data
 
 
+class _LazyContentIndex:
+    """Duck-typed stand-in for the url->html dict when the pages table
+    is over the driver-index budget: each ``.get(url)`` is one
+    predicate-pushdown parquet read (row groups whose url stats exclude
+    the key never load) with a small LRU memo. Last row wins, matching
+    the dict path's on-disk-order semantics."""
+
+    def __init__(self, pages_path: str, memo_size: int = 256):
+        self.pages_path = pages_path
+        self.memo_size = memo_size
+        self._memo: dict = {}
+
+    def get(self, url, default=None):
+        if url is None:
+            return default
+        if url in self._memo:
+            return self._memo[url]
+        t = pq.read_table(self.pages_path, columns=["html"],
+                          filters=[("url", "==", url)])
+        val = t["html"][-1].as_py() if t.num_rows else default
+        if len(self._memo) >= self.memo_size:
+            self._memo.pop(next(iter(self._memo)))
+        self._memo[url] = val
+        return val
+
+
 class CDXFetcher:
     """Query-engine facade over a local captures table.
 
@@ -128,14 +154,33 @@ class CDXFetcher:
         if loglevel:
             LOGGER.setLevel(loglevel)
 
+    #: build the url->html driver dict only under this on-disk budget
+    #: (the content join's byte-budget check, warcout._pages_bytes);
+    #: above it, per-url filtered reads keep memory O(1) — bulk content
+    #: belongs in pipelines.warcout.extract_content
+    INDEX_BUDGET_BYTES = 256 << 20
+
     def _index(self):
-        """url -> html bytes lookup, built once (broadcast-side pattern)."""
+        """url -> html bytes lookup. Under the budget: a dict built
+        once (broadcast-side pattern). Over it: a lazy per-url filtered
+        reader — the interactive veneer must never materialize a
+        terabyte pages table on the driver."""
         if self._content_index is None and self.pages_path:
-            t = pq.read_table(self.pages_path, columns=["url", "html"])
-            urls = t["url"].to_pylist()
-            htmls = t["html"].to_pylist()
-            # last capture of a url wins, matching on-disk order
-            self._content_index = dict(zip(urls, htmls))
+            import os
+
+            if os.path.getsize(self.pages_path) > self.INDEX_BUDGET_BYTES:
+                LOGGER.warning(
+                    "pages table exceeds the %d MB driver-index budget; "
+                    "resolving content per url (use "
+                    "pipelines.warcout.extract_content for bulk work)",
+                    self.INDEX_BUDGET_BYTES >> 20)
+                self._content_index = _LazyContentIndex(self.pages_path)
+            else:
+                t = pq.read_table(self.pages_path, columns=["url", "html"])
+                urls = t["url"].to_pylist()
+                htmls = t["html"].to_pylist()
+                # last capture of a url wins, matching on-disk order
+                self._content_index = dict(zip(urls, htmls))
         return self._content_index
 
     def _kwargs(self, kwargs):

@@ -113,7 +113,8 @@ class CaptureMatcher:
         mask = None
         if self.um is not None:
             mask = _url_mask(batch, self.um)
-        ts = pc.cast(batch["timestamp"], pa.string())
+        if self.lo is not None or self.hi is not None:
+            ts = pc.cast(batch["timestamp"], pa.string())
         if self.lo is not None:
             m = pc.greater_equal(ts, self.lo)
             mask = m if mask is None else pc.and_(mask, m)
@@ -123,6 +124,17 @@ class CaptureMatcher:
         if mask is not None:
             batch = batch.filter(pc.fill_null(mask, False))
         return apply_filters(batch, self.compiled)
+
+
+def _partition_schema_names(part_dir: str) -> list[str]:
+    """Column names of one crawl partition (footer metadata of the
+    first file — no data read)."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
+    if not files:
+        return []
+    return pq.read_schema(files[0]).names
 
 
 def plan_query(captures_root: str, url: str | None = None, source: str = "cc",
@@ -162,6 +174,25 @@ def query_captures(captures_root: str, url: str | None = None,
     matcher = CaptureMatcher(um, params.get("from_ts"), params.get("to"),
                              filters, source)
 
+    # Column pushdown: when an explicit field list is given, read only
+    # fields + predicate columns (url match key, timestamp window,
+    # filter fields) — on a wide capture table this is the difference
+    # between scanning metadata and scanning everything. Fields a
+    # partition's schema doesn't carry are skipped (dynamic-schema
+    # parity: a missing positive-filter field matches nothing, which
+    # the matcher already handles).
+    read_columns = None
+    if fields:
+        need = set(fields)
+        if um is not None:
+            need.add("urlkey")
+        if params.get("from_ts") or params.get("to") \
+                or closest is not None:
+            need.add("timestamp")
+        for cf in matcher.compiled:
+            need.add(cf.field)
+        read_columns = sorted(need)
+
     # The iteration-order contract (ascending within crawl, crawls
     # concatenated in cc_sort order) requires deterministic block order
     # through the union under streaming execution. A Dataset captures
@@ -174,7 +205,11 @@ def query_captures(captures_root: str, url: str | None = None,
     try:
         pieces = []
         for d in part_dirs:
-            ds = ray.data.read_parquet(d)
+            cols = read_columns
+            if cols is not None:
+                present = set(_partition_schema_names(d))
+                cols = [c for c in cols if c in present]
+            ds = ray.data.read_parquet(d, columns=cols)
             if resort:
                 ds = ds.sort(["urlkey", "timestamp"])
             pieces.append(ds)

@@ -113,13 +113,22 @@ def _chunked(refs: Sequence, max_tasks: int | None = None):
     return [refs[i:i + chunk] for i in range(0, len(refs), chunk)]
 
 
+#: direct-task-graph budget: a materialized input above this falls back
+#: to the executor groupby (spill/backpressure machinery) instead of
+#: holding the whole stream as task-graph refs. The contract ("narrow /
+#: post-reduction streams only") is enforced, not advisory.
+EXCHANGE_BYTES_BUDGET = 2 << 30
+
+
 def hash_bucket_apply(ds: ray.data.Dataset, bucket_col: str,
                       merge_fn: Callable[[pa.Table], pa.Table], *,
                       num_buckets: int = 64,
                       sort_col: str | None = None,
                       num_ranges: int | None = None,
                       sample_every: int = 64,
-                      drop_sort_col: bool = False) -> ray.data.Dataset:
+                      drop_sort_col: bool = False,
+                      bytes_budget: int = EXCHANGE_BYTES_BUDGET
+                      ) -> ray.data.Dataset:
     """Group-apply + (optional) global range sort as one task graph.
 
     Every row whose ``bucket_col`` matches lands in exactly one MERGE
@@ -133,9 +142,27 @@ def hash_bucket_apply(ds: ray.data.Dataset, bucket_col: str,
 
     Executes eagerly (the task graph needs materialized input blocks);
     the input should be the narrow/post-reduction stream of a pipeline,
-    not its raw input.
+    not its raw input. A stream over ``bytes_budget`` falls back to the
+    executor ``groupby().map_groups()`` path (same rows, executor
+    spill/backpressure instead of object-store pressure).
     """
     mat = ds.materialize()
+    if bytes_budget is not None and \
+            (mat.size_bytes() or 0) > bytes_budget:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "hash_bucket_apply input is %.1f MB (> %.1f MB budget): "
+            "falling back to the executor groupby path — this exchange "
+            "is for narrow/post-reduction streams",
+            (mat.size_bytes() or 0) / 1e6, bytes_budget / 1e6)
+        out = mat.groupby(bucket_col).map_groups(
+            merge_fn, batch_format="pyarrow")
+        if sort_col is not None:
+            out = out.sort(sort_col)
+            if drop_sort_col:
+                out = out.drop_columns([sort_col])
+        return out
     refs = mat.to_arrow_refs()
     # upstream Filter/map stages emit schema-less zero-row blocks that
     # would poison pa.concat_tables — drop them (worker-side row-count

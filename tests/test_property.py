@@ -173,3 +173,40 @@ def test_hash_bucket_apply_equals_serial_groupby(rows, num_buckets):
     pd.testing.assert_frame_equal(
         got.astype({"s": "int64", "n": "int64"}),
         want.astype({"s": "int64", "n": "int64"}))
+
+
+def test_hash_bucket_apply_budget_fallback_identical_rows():
+    """An input over the bytes budget must take the executor groupby
+    fallback (contract enforcement) and return exactly the same rows —
+    including the trailing range-order + drop_sort_col path."""
+    import pandas as pd
+    import ray.data
+
+    from cdx_toolkit_ray.stages.exchange import hash_bucket_apply
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, 4000),
+        "v": rng.integers(-100, 100, 4000),
+    })
+    df["bucket"] = (df["k"] % 7).astype("int64")
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        d = tbl.to_pandas()
+        g = d.groupby("k", as_index=False).agg(s=("v", "sum"))
+        g["order"] = g["k"].astype("int64")
+        return pa.Table.from_pandas(g[["k", "s", "order"]],
+                                    preserve_index=False)
+
+    def run(budget):
+        return hash_bucket_apply(
+            ray.data.from_pandas(df).repartition(4), "bucket",
+            per_bucket, num_buckets=7, sort_col="order",
+            drop_sort_col=True, bytes_budget=budget).to_pandas() \
+            .reset_index(drop=True)
+
+    direct = run(None if False else 1 << 40)   # far above: direct path
+    fallback = run(0)                          # zero budget: fallback
+    pd.testing.assert_frame_equal(direct, fallback)
+    assert list(direct["k"]) == sorted(direct["k"])  # global order kept
+    assert "order" not in direct.columns

@@ -110,6 +110,68 @@ def test_fields_projection(fixture_dir):
     assert set(row) == {"url", "status", "timestamp"}
 
 
+def test_fields_push_column_pruning_into_read(fixture_dir, monkeypatch):
+    """With --fields given, the parquet read itself is pruned to
+    fields + predicate columns (urlkey/timestamp/filter fields) — on a
+    wide capture table this is the metadata-vs-everything difference."""
+    import ray.data as rd
+
+    seen_cols = []
+    real = rd.read_parquet
+
+    def spy(path, columns=None, **kw):
+        seen_cols.append(columns)
+        return real(path, columns=columns, **kw)
+
+    monkeypatch.setattr(rd, "read_parquet", spy)
+    ds = query_captures(fixture_dir["captures"], url="*.wiki-beta.example",
+                        from_ts="2021", to="2024",
+                        filter=["=status:200"],
+                        fields=["url", "mime"])
+    assert seen_cols and all(c is not None for c in seen_cols)
+    for c in seen_cols:
+        assert set(c) == {"url", "mime", "urlkey", "timestamp", "status"}
+    # pruned read returns the same rows as the unpruned path
+    monkeypatch.setattr(rd, "read_parquet", real)
+    full = query_captures(fixture_dir["captures"],
+                          url="*.wiki-beta.example",
+                          from_ts="2021", to="2024",
+                          filter=["=status:200"]) \
+        .to_pandas()[["url", "mime"]].sort_values(["url", "mime"])
+    got = ds.to_pandas().sort_values(["url", "mime"])
+    assert got.reset_index(drop=True).equals(full.reset_index(drop=True))
+    # no-fields queries keep reading the full dynamic schema
+    seen_cols.clear()
+    monkeypatch.setattr(rd, "read_parquet", spy)
+    query_captures(fixture_dir["captures"], url="*.wiki-beta.example")
+    assert seen_cols and all(c is None for c in seen_cols)
+
+
+def test_over_budget_pages_table_never_builds_driver_dict(fixture_dir,
+                                                          monkeypatch):
+    """Above the driver-index byte budget the interactive veneer must
+    resolve content per url (predicate-pushdown reads), never a dict of
+    the whole pages table — and return byte-identical content."""
+    import cdx_toolkit_ray as ctr
+    from cdx_toolkit_ray.api import _LazyContentIndex
+
+    def fetch(budget):
+        cdx = ctr.CDXFetcher(captures_root=fixture_dir["captures"],
+                             pages_path=fixture_dir["pages"])
+        monkeypatch.setattr(type(cdx), "INDEX_BUDGET_BYTES", budget)
+        objs = list(cdx.iter("*.big-portal.example", limit=5,
+                             from_ts="2021", to="2024",
+                             filter=["=status:200"]))
+        return cdx._index(), [(o["url"], o.content) for o in objs]
+
+    idx_lazy, lazy = fetch(0)              # everything over budget
+    idx_dict, full = fetch(1 << 40)        # everything under budget
+    assert isinstance(idx_lazy, _LazyContentIndex)
+    assert isinstance(idx_dict, dict)
+    assert lazy == full and len(lazy) == 5
+    assert all(isinstance(c, bytes) for _, c in lazy)
+
+
 def test_size_estimate_math(fixture_dir):
     assert pages_to_samples(0) == 0
     assert pages_to_samples(1) == 1500
