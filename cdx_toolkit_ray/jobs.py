@@ -62,11 +62,150 @@ def make_parser() -> ArgumentParser:
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
                    help="LOCAL fallback only; ignored under a cluster "
                         "job (RAY_ADDRESS wins)")
+    p.add_argument("--bench", action="store_true",
+                   help="scaling benchmark over --seeds/--robots: on a "
+                        "cluster (RAY_ADDRESS) one leg at the cluster's "
+                        "size; locally the lo/hi fresh-process pair. "
+                        "Emits bench.py --scaling's JSON schema")
+    p.add_argument("--bench-leg", action="store_true",
+                   help="internal: run ONE bench leg in this session "
+                        "and print its JSON")
+    p.add_argument("--peer", help="with --bench on a cluster: a prior "
+                                  "leg JSON file from the other cluster "
+                                  "size; efficiency is computed across "
+                                  "the two")
+    p.add_argument("--scale-lo", type=int,
+                   default=int(os.environ.get("GRAFT_SCALE_LO", "2")))
+    p.add_argument("--scale-hi", type=int,
+                   default=int(os.environ.get("GRAFT_SCALE_HI", "8")))
+    p.add_argument("--attempts", type=int,
+                   default=int(os.environ.get("GRAFT_SCALE_ATTEMPTS", "2")))
     return p
+
+
+def _bench_leg(args) -> dict:
+    """One scaling leg in the CURRENT Ray session: the frontier job
+    over the given seeds/robots tables, with per-stage timings.
+
+    Stage split: ``schedule`` = canonicalize + first-wins dedup +
+    robots gate + politeness slots (frontier_flow consumed);
+    ``ordered`` = the same plus the global crawl order (the headline —
+    what urls_per_sec measures); ``resumable_write`` = the full
+    run_frontier pass writing partitioned Parquet + lineage.
+    """
+    import tempfile
+    import time as _time
+
+    import ray
+
+    from .pipelines.frontier import (crawl_order, frontier_flow,
+                                     run_frontier)
+
+    cpus = int(ray.cluster_resources().get("CPU", 0))
+    stages: dict = {}
+
+    t0 = _time.time()
+    n_urls = frontier_flow(args.seeds, args.robots).count()
+    stages["schedule"] = round(_time.time() - t0, 3)
+
+    def ordered_once() -> tuple[float, int]:
+        t = _time.time()
+        n = crawl_order(frontier_flow(args.seeds, args.robots)).count()
+        return _time.time() - t, n
+
+    cold, n_ordered = ordered_once()
+    warm = min(ordered_once()[0] for _ in range(2))
+    stages["ordered"] = round(warm, 3)
+
+    t0 = _time.time()
+    with tempfile.TemporaryDirectory() as out:
+        run_frontier(args.seeds, args.robots, out, num_buckets=8)
+    stages["resumable_write"] = round(_time.time() - t0, 3)
+
+    return {"cpus": cpus, "sec": round(warm, 3),
+            "cold_sec": round(cold, 3), "urls": int(n_ordered),
+            "urls_per_sec": round(n_ordered / warm, 1),
+            "n_flow_rows": int(n_urls), "stages": stages}
+
+
+def _bench(args) -> int:
+    """The --bench driver. Cluster: one leg (submit once per cluster
+    size; --peer computes the cross-size efficiency). Local: the
+    bench.py --scaling protocol — interleaved fresh-process legs at
+    lo/hi CPUs, best-of-attempts per config (additive host noise)."""
+    import subprocess
+
+    # "local" is not a cluster (it's this sandbox's preset): the pair
+    # protocol below is the local stand-in for two cluster sizes
+    if os.environ.get("RAY_ADDRESS") not in (None, "", "local"):
+        import ray
+
+        if not ray.is_initialized():
+            ray.init()
+        leg = _bench_leg(args)
+        out = {"metric": "frontier scaling (cluster leg, %d cpus)"
+                         % leg["cpus"],
+               "value": None, "unit": "efficiency",
+               "runs": {str(leg["cpus"]): leg},
+               "estimator": "single cluster leg",
+               "sf": args.seeds}
+        if args.peer:
+            peer = json.load(open(args.peer))
+            pleg = list(peer["runs"].values())[0]
+            lo, hi = sorted([pleg, leg], key=lambda r: r["cpus"])
+            out["runs"] = {str(lo["cpus"]): lo, str(hi["cpus"]): hi}
+            out["value"] = round(
+                (hi["urls_per_sec"] / lo["urls_per_sec"])
+                / (hi["cpus"] / lo["cpus"]), 3)
+            out["metric"] = ("frontier scaling efficiency %d->%d cpus"
+                            % (lo["cpus"], hi["cpus"]))
+        print(json.dumps(out))
+        return 0
+
+    def run_leg(cpus: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        env.pop("RAY_ADDRESS", None)
+        p = subprocess.run(
+            [sys.executable, "-m", "cdx_toolkit_ray.jobs",
+             "--bench-leg", "--seeds", args.seeds, "--robots",
+             args.robots, "--out", args.out, "--num-cpus", str(cpus)],
+            env=env, capture_output=True, text=True, check=True)
+        line = [ln for ln in p.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        return json.loads(line)
+
+    runs_lo, runs_hi = [], []
+    for _ in range(max(1, args.attempts)):
+        runs_lo.append(run_leg(args.scale_lo))
+        runs_hi.append(run_leg(args.scale_hi))
+    best_lo = min(runs_lo, key=lambda r: r["sec"])
+    best_hi = min(runs_hi, key=lambda r: r["sec"])
+    eff = (best_hi["urls_per_sec"] / best_lo["urls_per_sec"]) \
+        / (args.scale_hi / args.scale_lo)
+    print(json.dumps({
+        "metric": "frontier scaling efficiency %d->%d cpus"
+                  % (args.scale_lo, args.scale_hi),
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "runs": {args.scale_lo: best_lo, args.scale_hi: best_hi},
+        "all_runs": {args.scale_lo: runs_lo, args.scale_hi: runs_hi},
+        "estimator": "best-of-%d per config (additive host noise)"
+                     % args.attempts,
+        "sf": args.seeds,
+    }))
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     args = make_parser().parse_args(argv)
+
+    if args.bench or args.bench_leg:
+        if not args.seeds or not args.robots:
+            print(json.dumps({"error": "--bench needs --seeds and "
+                                       "--robots"}))
+            return 2
+        if args.bench:
+            return _bench(args)
 
     import ray
 
@@ -76,6 +215,10 @@ def main(argv: list[str] | None = None) -> int:
         else:
             ray.init(address="local", num_cpus=args.num_cpus,
                      include_dashboard=False, logging_level="ERROR")
+
+    if args.bench_leg:
+        print(json.dumps(_bench_leg(args)))
+        return 0
 
     if args.query:
         from .queries import QUERIES
