@@ -390,6 +390,10 @@ def main() -> None:
              lambda: consume(Q.q_crawl_report(SF_DIR))),
             ("bmp_decode", lambda: consume(Q.q_bmp_decode(SF_DIR))),
             ("media_sniff", lambda: consume(Q.q_media_sniff(SF_DIR))),
+            # round 3: the executed fetch loop (schedule -> fetcher
+            # actor pool -> content/dead-letter)
+            ("fetch_execute",
+             lambda: consume(Q.q_fetch_execute(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the

@@ -16,6 +16,7 @@ should use the distributed ``pipelines.warcout`` stage instead.
 from __future__ import annotations
 
 import logging
+import os
 import warnings
 from collections.abc import MutableMapping
 
@@ -37,9 +38,13 @@ class CaptureObject(MutableMapping):
     ``content.decode('utf-8', errors='replace')``.
     """
 
-    def __init__(self, data: dict, content_index=None):
+    def __init__(self, data: dict, content_index=None,
+                 warc_download_prefix: str | None = None,
+                 wb: str | None = None):
         self.data = data
         self._content_index = content_index
+        self._warc_download_prefix = warc_download_prefix
+        self._wb = wb
         self.warc_record = None
         self._content = None
 
@@ -55,10 +60,21 @@ class CaptureObject(MutableMapping):
         payload = self._content_index.get(url)
         if payload is None:
             raise RuntimeError("404: no content for url " + str(url))
+        # source-uri stamping parity: wayback replay url in wb mode
+        # (warc.py:107), download-prefix + filename otherwise
+        # (warc.py:126), bare filename as the local fallback
+        filename = self.data.get("filename")
+        if self._wb:
+            source_uri = "%s/%sid_/%s" % (self._wb,
+                                          self.data.get("timestamp"), url)
+        elif self._warc_download_prefix and filename:
+            source_uri = self._warc_download_prefix + "/" + filename
+        else:
+            source_uri = filename
         self.warc_record = {
             "warc_type": "response",
             "warc_target_uri": url,
-            "warc_source_uri": self.data.get("filename"),
+            "warc_source_uri": source_uri,
             "warc_source_range": "bytes={}-{}".format(
                 self.data.get("offset"),
                 (self.data.get("offset") or 0) + (self.data.get("length") or 0) - 1,
@@ -142,9 +158,46 @@ class CDXFetcher:
     * ``pages_path``    — pages Parquet (content lookups)
     """
 
-    def __init__(self, captures_root: str, pages_path: str | None = None,
-                 source: str = "cc", crawl=None, cc_sort: str = "mixed",
+    def __init__(self, captures_root: str | None = None,
+                 pages_path: str | None = None,
+                 source: str = "cc", crawl=None, wb: str | None = None,
+                 warc_download_prefix: str | None = None,
+                 cc_mirror: str | None = None, cc_sort: str = "mixed",
                  loglevel=None):
+        # source resolution parity (__init__.py:226-239): cc applies
+        # the mirror + download-prefix defaults and rejects wb=; ia
+        # defaults wb; any other source must name an arbitrary endpoint
+        # — in this local engine that is a captures TABLE PATH (the
+        # analog of the reference's arbitrary CDX server URL; remote
+        # http(s) endpoints are unreachable by design)
+        if wb is not None and warc_download_prefix is not None:
+            raise ValueError(
+                "cannot specify both wb and warc_download_prefix")
+        self.wb = wb
+        self.warc_download_prefix = warc_download_prefix
+        if source == "cc":
+            if wb is not None:
+                raise ValueError("cannot specify wb= for source=cc")
+            if cc_mirror:  # local-mirror analog: same table, other root
+                captures_root = cc_mirror
+            self.warc_download_prefix = (warc_download_prefix
+                                         or "https://data.commoncrawl.org")
+        elif source == "ia":
+            if self.warc_download_prefix is None and self.wb is None:
+                self.wb = "https://web.archive.org/web"
+        elif source.startswith("https://") or source.startswith("http://"):
+            raise ValueError(
+                "remote CDX servers are unreachable from this local "
+                "engine; pass a captures table path as source=")
+        elif os.path.exists(source):
+            captures_root = source
+            source = "custom"   # single endpoint, pywb dialect,
+            #                     no crawl-window pruning
+        else:
+            raise ValueError("could not understand source")
+        if not captures_root:
+            raise ValueError("captures_root (or a path source=/"
+                             "cc_mirror=) is required")
         self.captures_root = captures_root
         self.pages_path = pages_path
         self.source = source
@@ -166,8 +219,6 @@ class CDXFetcher:
         reader — the interactive veneer must never materialize a
         terabyte pages table on the driver."""
         if self._content_index is None and self.pages_path:
-            import os
-
             if os.path.getsize(self.pages_path) > self.INDEX_BUDGET_BYTES:
                 LOGGER.warning(
                     "pages table exceeds the %d MB driver-index budget; "
@@ -198,7 +249,10 @@ class CDXFetcher:
                             cc_sort=self.cc_sort, **self._kwargs(kwargs))
         idx = self._index()
         for row in ds.iter_rows():
-            yield CaptureObject(row, content_index=idx)
+            yield CaptureObject(
+                row, content_index=idx,
+                warc_download_prefix=self.warc_download_prefix,
+                wb=self.wb)
 
     def items(self, url: str | None = None, **kwargs):  # pragma: no cover
         warnings.warn("items() is an alias of iter()", FutureWarning)

@@ -36,10 +36,26 @@ def make_parser() -> ArgumentParser:
     parser = ArgumentParser(
         prog="cdxt-ray",
         description="cdx_toolkit_ray iterator command line tool")
+    from . import __version__
+
+    parser.add_argument("--version", "-V", action="version",
+                        version="cdx_toolkit_ray " + __version__)
     parser.add_argument("--verbose", "-v", action="count",
                         help="INFO (-v) or DEBUG (-vv) logging")
-    parser.add_argument("--captures-root", required=True,
-                        help="hive-partitioned captures table directory")
+    parser.add_argument("--captures-root",
+                        help="hive-partitioned captures table directory "
+                             "(required unless --source names a table)")
+    parser.add_argument("--source", action="store",
+                        help="arbitrary captures table path (the local "
+                             "analog of the reference's --source CDX "
+                             "server URL): one endpoint, pywb dialect, "
+                             "no crawl pruning")
+    parser.add_argument("--cc-mirror", action="store",
+                        help="alternate root of the same cc captures "
+                             "table (local mirror analog)")
+    parser.add_argument("--wb", action="store",
+                        help="wayback replay prefix stamped into "
+                             "WARC-Source-URI (ia mode)")
     parser.add_argument("--pages", help="pages Parquet (content lookups)")
     parser.add_argument("--cc", action="store_const", const="cc",
                         help="treat the table as a Common Crawl index")
@@ -137,11 +153,12 @@ def _query_kwargs(cmd) -> dict:
 def _fetcher(cmd):
     from .api import CDXFetcher
 
-    source = "ia" if cmd.ia else "cc"
+    source = cmd.source or ("ia" if cmd.ia else "cc")
     crawl = [cmd.crawl] if cmd.crawl else None
     return CDXFetcher(captures_root=cmd.captures_root,
                       pages_path=cmd.pages, source=source,
-                      crawl=crawl, cc_sort=cmd.cc_sort)
+                      crawl=crawl, cc_mirror=cmd.cc_mirror,
+                      wb=cmd.wb, cc_sort=cmd.cc_sort)
 
 
 def winnow_fields(cmd, fields, obj) -> dict:
@@ -258,6 +275,12 @@ def reporter(cmd, out=None) -> None:
 def main(args=None) -> None:
     parser = make_parser()
     cmd = parser.parse_args(args=args)
+    if not cmd.captures_root and not cmd.source and not cmd.cc_mirror:
+        parser.error("--captures-root is required (or --source/"
+                     "--cc-mirror naming a table)")
+    if not cmd.captures_root:
+        # subcommands that read the table directly (warc/report)
+        cmd.captures_root = cmd.source or cmd.cc_mirror
     set_loglevel(cmd)
 
     import ray

@@ -131,6 +131,8 @@ def _partition_schema_names(part_dir: str) -> list[str]:
     first file — no data read)."""
     import glob as _glob
 
+    if os.path.isfile(part_dir):
+        return pq.read_schema(part_dir).names
     files = sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
     if not files:
         return []
@@ -143,6 +145,10 @@ def plan_query(captures_root: str, url: str | None = None, source: str = "cc",
     """Resolve params and prune partitions; returns (ordered_dirs, params)."""
     params = resolve_query_params(url or "", source=source, crawl=crawl,
                                   now=now, **kwargs)
+    if source == "custom":
+        # arbitrary-endpoint source (reference source=<URL> analog): the
+        # whole table is ONE endpoint — pywb dialect, no crawl pruning
+        return [captures_root], params
     parts = list_crawl_partitions(captures_root)
     available = sorted(parts)
     if source == "cc":

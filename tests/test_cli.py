@@ -4,6 +4,8 @@ run main(args=...) and assert on stdout line counts / shapes)."""
 import io
 import json
 
+import pytest
+
 from cdx_toolkit_ray import cli
 
 
@@ -100,3 +102,95 @@ def test_cli_report(fixture_dir, capsys):
             capsys.readouterr().out.splitlines() if ln]
     assert {"crawl", "n_captures", "n_urlkeys", "n_hosts", "n_ok",
             "n_redirect", "n_error", "n_revisit"} <= set(rows[0])
+
+
+def test_cli_version(capsys):
+    from cdx_toolkit_ray import __version__
+    from cdx_toolkit_ray.cli import main
+
+    with pytest.raises(SystemExit) as ei:
+        main(["--version"])
+    assert ei.value.code == 0
+    assert __version__ in capsys.readouterr().out
+
+
+def test_cli_requires_some_table(capsys):
+    from cdx_toolkit_ray.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["iter", "*.example"])
+
+
+def test_source_path_is_single_endpoint(ray_session, fixture_dir):
+    """source=<table path> (the reference's arbitrary --source URL,
+    localized): one endpoint, pywb dialect, no crawl-window pruning —
+    same rows as the cc dialect with no window."""
+    import cdx_toolkit_ray as ctr
+
+    custom = ctr.CDXFetcher(source=fixture_dir["captures"],
+                            pages_path=fixture_dir["pages"])
+    assert custom.source == "custom"
+    got = [o["url"] for o in custom.iter("*.big-portal.example",
+                                         limit=20)]
+    assert len(got) == 20 and all("big-portal" in u for u in got)
+
+
+def test_source_resolution_parity_errors(fixture_dir):
+    import cdx_toolkit_ray as ctr
+
+    with pytest.raises(ValueError, match="both wb and"):
+        ctr.CDXFetcher(captures_root=fixture_dir["captures"],
+                       wb="X", warc_download_prefix="Y")
+    with pytest.raises(ValueError, match="wb= for source=cc"):
+        ctr.CDXFetcher(captures_root=fixture_dir["captures"], wb="X")
+    with pytest.raises(ValueError, match="could not understand"):
+        ctr.CDXFetcher(source="nonsense-neither-path-nor-dialect")
+    with pytest.raises(ValueError, match="unreachable"):
+        ctr.CDXFetcher(source="https://example.com/cdx")
+    # ia defaults the wayback prefix (reference __init__.py:233-235)
+    ia = ctr.CDXFetcher(captures_root=fixture_dir["captures"],
+                        source="ia")
+    assert ia.wb == "https://web.archive.org/web"
+    # cc defaults the download prefix
+    cc = ctr.CDXFetcher(captures_root=fixture_dir["captures"])
+    assert cc.warc_download_prefix == "https://data.commoncrawl.org"
+
+
+def test_warc_source_uri_stamping(ray_session, fixture_dir):
+    """fetch_warc_record stamps WARC-Source-URI with the download
+    prefix (cc) or the wayback replay url (wb) — warc.py:107,126
+    parity."""
+    import cdx_toolkit_ray as ctr
+
+    cc = ctr.CDXFetcher(captures_root=fixture_dir["captures"],
+                        pages_path=fixture_dir["pages"])
+    obj = next(cc.iter("*.big-portal.example", limit=1,
+                       from_ts="2021", to="2024",
+                       filter=["=status:200"]))
+    rec = obj.fetch_warc_record()
+    assert rec["warc_source_uri"].startswith(
+        "https://data.commoncrawl.org/")
+
+    wb = ctr.CDXFetcher(captures_root=fixture_dir["captures"],
+                        pages_path=fixture_dir["pages"], source="ia")
+    obj = next(wb.iter("*.big-portal.example", limit=1,
+                       from_ts="2021", to="2024",
+                       filter=["statuscode:200"]))
+    rec = obj.fetch_warc_record()
+    assert rec["warc_source_uri"].startswith(
+        "https://web.archive.org/web/")
+    assert rec["warc_source_uri"].endswith("id_/" + obj["url"])
+
+
+def test_cc_mirror_is_alternate_root(ray_session, fixture_dir,
+                                     tmp_path):
+    import os
+
+    import cdx_toolkit_ray as ctr
+
+    mirror = str(tmp_path / "mirror")
+    os.symlink(fixture_dir["captures"], mirror)
+    cdx = ctr.CDXFetcher(cc_mirror=mirror)
+    assert cdx.captures_root == mirror
+    assert cdx.get_size_estimate("*.big-portal.example",
+                                 from_ts="2021", to="2024") > 0
