@@ -31,7 +31,8 @@ import uuid
 import ray.data
 
 __all__ = ["render_warc_record", "render_warcinfo", "SegmentedWARCWriter",
-           "get_warc_writer", "parse_warc", "read_warc"]
+           "get_warc_writer", "parse_warc", "read_warc", "index_warc",
+           "fetch_record_range"]
 
 _UUID_NS = uuid.UUID("6ba7b811-9dad-11d1-80b4-00c04fd430c8")  # RFC 4122 URL ns
 
@@ -246,13 +247,14 @@ def get_warc_writer(prefix: str, subprefix: str | None, info: dict,
 # Parsing / ingest
 # ---------------------------------------------------------------------------
 
-def parse_warc(data: bytes) -> list[dict]:
-    """Parse a WARC file's bytes (gzip multi-member or plain) into
-    record dicts: ``{"warc_type", "headers": {..}, "content": bytes}``.
-    Spec-level strictness: version line, CRLF header block, exact
-    Content-Length content block, CRLF CRLF separator."""
-    if data[:2] == b"\x1f\x8b":
-        data = _gzip.decompress(data)  # stdlib handles multi-member
+def _parse_plain(data: bytes, base_offset: int = 0,
+                 member_len: int | None = None) -> list[dict]:
+    """Parse UNCOMPRESSED WARC bytes into record dicts with byte spans:
+    ``{"warc_type", "version", "headers", "content", "offset",
+    "length"}``. For plain files offset/length are the record's raw
+    span; a gzip caller overrides them with the member span (the
+    CDX/byte-range contract: ``offset``+``length`` name the bytes a
+    range GET must fetch to replay the record)."""
     out = []
     pos = 0
     n = len(data)
@@ -263,6 +265,7 @@ def parse_warc(data: bytes) -> list[dict]:
             break
         if not data[pos:pos + 5] == b"WARC/":
             raise ValueError("bad record start at byte %d" % pos)
+        start = pos
         hdr_end = data.index(b"\r\n\r\n", pos)
         head = data[pos:hdr_end].decode("utf-8")
         lines = head.split("\r\n")
@@ -275,15 +278,69 @@ def parse_warc(data: bytes) -> list[dict]:
         content = data[body_start:body_start + clen]
         if len(content) != clen:
             raise ValueError("truncated record at byte %d" % pos)
-        out.append({"warc_type": headers.get("WARC-Type"),
-                    "version": lines[0],
-                    "headers": headers,
-                    "content": content})
         pos = body_start + clen
         if data[pos:pos + 4] != b"\r\n\r\n":
             raise ValueError("missing record separator at byte %d" % pos)
         pos += 4
+        out.append({"warc_type": headers.get("WARC-Type"),
+                    "version": lines[0],
+                    "headers": headers,
+                    "content": content,
+                    "offset": (base_offset if member_len is not None
+                               else base_offset + start),
+                    "length": (member_len if member_len is not None
+                               else pos - start)})
     return out
+
+
+def _iter_gzip_members(data: bytes):
+    """Walk a multi-member gzip stream: yields (offset, length,
+    inflated_bytes) per member — the seekable unit of a CC-style WARC."""
+    import zlib
+
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        raw = d.decompress(data[pos:])
+        raw += d.flush()
+        end = n - len(d.unused_data)
+        yield pos, end - pos, raw
+        pos = end
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse a WARC file's bytes (gzip multi-member or plain) into
+    record dicts: ``{"warc_type", "version", "headers", "content",
+    "offset", "length"}``. ``offset``/``length`` are the byte span a
+    range request needs (the gzip MEMBER span for .gz files — each
+    record is its own member — or the raw record span for plain files).
+    Spec-level strictness: version line, CRLF header block, exact
+    Content-Length content block, CRLF CRLF separator."""
+    if data[:2] == b"\x1f\x8b":
+        out = []
+        for off, ln, raw in _iter_gzip_members(data):
+            out.extend(_parse_plain(raw, base_offset=off, member_len=ln))
+        return out
+    return _parse_plain(data)
+
+
+def fetch_record_range(path: str, offset: int, length: int) -> dict:
+    """Byte-range record fetch — the local analog of the reference's
+    HTTP ``Range: bytes=offset..offset+length-1`` WARC fetch
+    (warc.py:123-137): read EXACTLY the indexed span, inflate if it is
+    a gzip member, parse the one record inside."""
+    with open(path, "rb") as fd:
+        fd.seek(offset)
+        blob = fd.read(length)
+    if len(blob) != length:
+        raise ValueError("short range read: wanted %d got %d"
+                         % (length, len(blob)))
+    recs = parse_warc(blob)
+    if len(recs) != 1:
+        raise ValueError("range %d+%d holds %d records, expected 1"
+                         % (offset, length, len(recs)))
+    return recs[0]
 
 
 def _split_http(content: bytes) -> tuple[str, bytes]:
@@ -327,3 +384,64 @@ def read_warc(paths: str | list[str]) -> ray.data.Dataset:
 
     return ray.data.from_items(
         [{"path": p} for p in paths]).flat_map(parse_file)
+
+
+def index_warc(paths: str | list[str]) -> ray.data.Dataset:
+    """CDX indexing: WARC segments -> a captures-table row per response
+    record — the inverse of the writer and the step Common Crawl runs
+    to produce the CDX index this engine queries. Row shape mirrors the
+    capture record (SURVEY §1.1): ``(urlkey, timestamp, url, digest,
+    status, mime, length, offset, filename)`` where ``offset``/
+    ``length`` are the REAL byte span (gzip member) a range fetch
+    needs — ``fetch_record_range(filename, offset, length)`` replays
+    the record from exactly those bytes (round-trip tested).
+
+    ``digest`` is ``sha256:<hex>`` of the HTTP body (the reference's
+    CDX carries sha1; sha256 here so the DuckDB oracle can recompute
+    it). One task per segment file.
+    """
+    import hashlib as _hashlib
+
+    from ..canon import surt
+
+    if isinstance(paths, str):
+        paths = [paths]
+
+    def index_file(row: dict) -> list[dict]:
+        path = row["path"]
+        with open(path, "rb") as fd:
+            recs = parse_warc(fd.read())
+        out = []
+        for r in recs:
+            if r["warc_type"] != "response":
+                continue
+            status_line, body = _split_http(r["content"])
+            status = status_line.split(" ", 2)[1] if " " in status_line \
+                else ""
+            url = r["headers"].get("WARC-Target-URI", "")
+            date = r["headers"].get("WARC-Date", "")
+            ts = "".join(ch for ch in date if ch.isdigit())[:14]
+            ctype = ""
+            sep = r["content"].find(b"\r\n\r\n")
+            if sep > 0:
+                for ln in r["content"][:sep].split(b"\r\n")[1:]:
+                    if ln.lower().startswith(b"content-type:"):
+                        ctype = ln.split(b":", 1)[1].strip() \
+                            .decode("utf-8", "replace")
+                        break
+            out.append({
+                "urlkey": surt(url),
+                "timestamp": ts,
+                "url": url,
+                "digest": "sha256:"
+                          + _hashlib.sha256(body).hexdigest(),
+                "status": status,
+                "mime": ctype.split(";")[0].strip(),
+                "length": int(r["length"]),
+                "offset": int(r["offset"]),
+                "filename": os.path.basename(path),
+            })
+        return out
+
+    return ray.data.from_items(
+        [{"path": p} for p in paths]).flat_map(index_file)

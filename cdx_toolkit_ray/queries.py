@@ -677,6 +677,66 @@ def q_fetch_execute(sf_dir: str):
     return _fetched_over_seeds(sf_dir)
 
 
+def _warc_fixture_segments(sf_dir: str) -> list[str]:
+    """Deterministic real-WARC segments for the indexer oracle: the
+    frontier's dedup winners (min (priority, seed_order) per urlkey —
+    the proven dd/rn=1 relation) written as response records whose
+    payload is the winner document's text. Cached per sf_dir; the
+    writer is the serial driver-side path (the winner set is bounded
+    by the derived-urlkey space, ~O(sources x 100))."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os
+
+    from .pipelines.warcbytes import SegmentedWARCWriter
+
+    tag = _hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    root = "/tmp/cdxray_warcfix_%s" % tag
+    if not os.path.exists(root + "/.done"):
+        os.makedirs(root, exist_ok=True)
+        ds = derived_seeds(sf_dir)
+        ds = first_wins_dedup(ds, "hash64",
+                              [("priority", 19), ("seed_order", 44)],
+                              derive_fn=canonicalize_batch)
+        winners = sorted(
+            ((r["seed_order"], r["url"]) for r in ds.take_all()))
+        ids = np.array([w[0] for w in winners], np.int64)
+        t = pq.read_table(_tbl(sf_dir, "documents"),
+                          columns=["doc_id", "text"],
+                          filters=[("doc_id", "in", ids.tolist())])
+        text_by_id = dict(zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()))
+        w = SegmentedWARCWriter(os.path.join(root, "FIX"), None,
+                                {"isPartOf": "warc_index fixture"},
+                                size=200_000)
+        for so, url in winners:
+            w.write_record({
+                "warc_type": "response",
+                "warc_target_uri": url,
+                "payload": (text_by_id.get(so) or "").encode("utf-8"),
+                "status": "200", "mime": "text/html",
+            })
+        w.close()
+        open(root + "/.done", "w").close()
+    return sorted(_glob.glob(root + "/FIX-*.extracted.warc.gz"))
+
+
+def q_warc_index(sf_dir: str):
+    """CDX indexing over REAL WARC bytes: deterministic segments
+    (frontier winners as response records) -> index_warc -> one
+    captures-style row per record. The oracle recomputes urlkey (the
+    seeds CTE), the fixed writer clock, and the sha256 digest from the
+    winner documents' text. offset/length/filename are gzip-layout
+    facts SQL cannot see — they are round-trip-verified in pytest via
+    fetch_record_range byte-range replay instead."""
+    from .pipelines.warcbytes import index_warc
+
+    segs = _warc_fixture_segments(sf_dir)
+    idx = index_warc(segs)
+    return idx.select_columns(["urlkey", "timestamp", "url", "digest",
+                               "status", "mime"])
+
+
 def q_fetch_errors(sf_dir: str):
     """The dead-letter side channel of q_fetch_execute: every request
     whose final action is not 'ok' (invalid / error / exhausted), with
@@ -3649,6 +3709,17 @@ SELECT urlkey, host, seed_order, fetch_ms, n_attempts, final_status,
        fetch_action, backoff_ms, CAST(NULL AS VARCHAR) AS text
 FROM fin WHERE fetch_action <> 'ok'
 """,
+    "warc_index": "WITH " + _SEEDS_CTE + """,
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY urlkey
+                               ORDER BY priority, seed_order) AS rn
+  FROM seeds)
+SELECT dd.urlkey, '20260101000000' AS timestamp, dd.url,
+       'sha256:' || sha256(d.text) AS digest,
+       '200' AS status, 'text/html' AS mime
+FROM dd JOIN documents d ON d.doc_id = dd.seed_order
+WHERE dd.rn = 1
+""",
     "surt_canonicalize": "WITH " + _SEEDS_CTE + """
 SELECT doc_id, url, urlkey, host FROM seeds
 """,
@@ -4031,6 +4102,7 @@ QUERIES = {
     "fetch_plan": q_fetch_plan,
     "fetch_execute": q_fetch_execute,
     "fetch_errors": q_fetch_errors,
+    "warc_index": q_warc_index,
     "window_agg": q_window_agg,
     "event_spikes": q_event_spikes,
     "json_props": q_json_props,
