@@ -252,3 +252,71 @@ def dead_letter(fetched: ray.data.Dataset) -> ray.data.Dataset:
     columns intact. Write this next to the content output so a rerun
     can re-queue exactly these rows."""
     return fetched.filter(expr="fetch_action != 'ok'")
+
+
+def requeue(fetched: ray.data.Dataset, *,
+            actions: tuple = ("exhausted",),
+            num_buckets: int = 32) -> ray.data.Dataset:
+    """The crawl loop's retry feedback edge: transient dead letters ->
+    a wave-2 politeness schedule.
+
+    Only TRANSIENT failures requeue (default: the retry-budget-
+    'exhausted' rows; 'invalid' 400/404s are permanently dead, the
+    reference's giving-up rule, myrequests.py:101-110). The wave-2
+    clock continues each host's wave-1 budget: the host's base is
+    ``max(fetch_ms)`` over ALL its wave-1 rows, and eligible rows get
+    slots ``base + (rank+1) * crawl_delay_ms`` in (priority,
+    seed_order) rank order — so the per-host minimum interval holds
+    ACROSS waves, not just within one.
+
+    Input needs the schedule columns (host, fetch_ms, crawl_delay_ms,
+    priority, seed_order) plus fetch_action. One host-bucket groupby;
+    the kernel is the vectorized run-length ranker (the politeness
+    scheduler's shape). Output: the requeued rows with ``retry_wave=2``
+    and the new ``fetch_ms``.
+    """
+    import pandas as pd
+
+    from ..canon import hash64_batch
+
+    acts = set(actions)
+    nbu = np.uint64(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        hb = hash64_batch(batch["host"]) % nbu
+        return batch.append_column(
+            "_hb", pa.array(hb.astype(np.int64), pa.int64()))
+
+    keyed = fetched.map_batches(add_bucket, batch_format="pyarrow",
+                                batch_size=None)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        hosts = g["host"].to_numpy()
+        codes, uniq = pd.factorize(hosts)
+        fm = g["fetch_ms"].to_numpy()
+        # host base over ALL wave-1 rows (eligible or not)
+        base_u = np.full(len(uniq), np.int64(-1))
+        np.maximum.at(base_u, codes, fm)
+        elig = np.isin(g["fetch_action"].to_numpy(), list(acts))
+        d = g[elig].copy()
+        if len(d) == 0:
+            out = g.iloc[0:0].copy()
+            out["retry_wave"] = np.array([], np.int64)
+            return out.drop(columns=["_hb"])
+        dc = codes[elig]
+        order = np.lexsort((d["seed_order"].to_numpy(),
+                            d["priority"].to_numpy(), dc))
+        s_host = dc[order]
+        new_run = np.r_[True, s_host[1:] != s_host[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        starts = np.flatnonzero(new_run)
+        rank_sorted = np.arange(len(order)) - starts[run_id]
+        rank = np.empty(len(d), np.int64)
+        rank[order] = rank_sorted
+        delay = d["crawl_delay_ms"].to_numpy().astype(np.int64)
+        d["fetch_ms"] = base_u[dc] + (rank + 1) * delay
+        d["retry_wave"] = np.int64(2)
+        return d.drop(columns=["_hb"])
+
+    return keyed.groupby("_hb").map_groups(per_bucket,
+                                           batch_format="pandas")

@@ -746,6 +746,24 @@ def q_fetch_errors(sf_dir: str):
     return dead_letter(_fetched_over_seeds(sf_dir))
 
 
+def q_fetch_requeue(sf_dir: str):
+    """The retry feedback edge: fetch wave 1 -> transient dead letters
+    requeued into a wave-2 politeness schedule whose clock continues
+    each host's wave-1 budget (base = max wave-1 fetch_ms per host,
+    slots base + rank*delay). Oracle: the full fault-schedule replay +
+    window max + row_number."""
+    from .pipelines.fetch import TableTransport, fetch_execute, requeue
+
+    sched = _frontier_over_seeds(sf_dir).filter(expr="host_rank >= 0")
+    transport = TableTransport(_tbl(sf_dir, "documents"),
+                               id_col="doc_id", text_col="text")
+    out = fetch_execute(sched, transport, max_attempts=3,
+                        minimum_interval=3.0, id_col="seed_order")
+    rq = requeue(out)
+    return rq.select_columns(["urlkey", "host", "priority", "seed_order",
+                              "fetch_ms", "retry_wave"])
+
+
 # --- rows-only (no SQL oracle: stateful / sketch / fixture-based) ---------
 
 def q_minhash_pairs(sf_dir: str):
@@ -3709,6 +3727,52 @@ SELECT urlkey, host, seed_order, fetch_ms, n_attempts, final_status,
        fetch_action, backoff_ms, CAST(NULL AS VARCHAR) AS text
 FROM fin WHERE fetch_action <> 'ok'
 """,
+    "fetch_requeue": "WITH " + _SEEDS_CTE + """,
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY urlkey
+                               ORDER BY priority, seed_order) AS rn
+  FROM seeds),
+sched AS (
+  SELECT urlkey, host, priority, seed_order, crawl_delay_ms,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, seed_order) - 1
+              AS BIGINT) AS host_rank
+  FROM dd WHERE rn = 1),
+att AS (
+  SELECT urlkey, host, priority, seed_order, crawl_delay_ms,
+         host_rank * crawl_delay_ms AS fetch_ms,
+    ([200,503,500,429,404,200,301,503])[CAST((seed_order + 0) % 8 AS INTEGER) + 1] AS s0,
+    ([200,503,500,429,404,200,301,503])[CAST((seed_order + 1) % 8 AS INTEGER) + 1] AS s1,
+    ([200,503,500,429,404,200,301,503])[CAST((seed_order + 2) % 8 AS INTEGER) + 1] AS s2
+  FROM sched),
+cls AS (
+  SELECT *,
+    CASE WHEN s0 IN (429,500,502,503,504,509) THEN 'retry'
+         WHEN s0 IN (400,404) THEN 'invalid'
+         WHEN s0 BETWEEN 200 AND 399 THEN 'ok' ELSE 'error' END AS a0,
+    CASE WHEN s1 IN (429,500,502,503,504,509) THEN 'retry'
+         WHEN s1 IN (400,404) THEN 'invalid'
+         WHEN s1 BETWEEN 200 AND 399 THEN 'ok' ELSE 'error' END AS a1,
+    CASE WHEN s2 IN (429,500,502,503,504,509) THEN 'retry'
+         WHEN s2 IN (400,404) THEN 'invalid'
+         WHEN s2 BETWEEN 200 AND 399 THEN 'ok' ELSE 'error' END AS a2
+  FROM att),
+fin AS (
+  SELECT urlkey, host, priority, seed_order, crawl_delay_ms, fetch_ms,
+    CASE WHEN a0 <> 'retry' THEN a0 WHEN a1 <> 'retry' THEN a1
+         WHEN a2 <> 'retry' THEN a2 ELSE 'exhausted' END AS fetch_action
+  FROM cls),
+w AS (
+  SELECT *, MAX(fetch_ms) OVER (PARTITION BY host) AS host_base
+  FROM fin)
+SELECT urlkey, host, priority, seed_order,
+       CAST(host_base
+            + row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, seed_order)
+              * crawl_delay_ms AS BIGINT) AS fetch_ms,
+       CAST(2 AS BIGINT) AS retry_wave
+FROM w WHERE fetch_action = 'exhausted'
+""",
     "warc_index": "WITH " + _SEEDS_CTE + """,
 dd AS (
   SELECT *, row_number() OVER (PARTITION BY urlkey
@@ -4103,6 +4167,7 @@ QUERIES = {
     "fetch_execute": q_fetch_execute,
     "fetch_errors": q_fetch_errors,
     "warc_index": q_warc_index,
+    "fetch_requeue": q_fetch_requeue,
     "window_agg": q_window_agg,
     "event_spikes": q_event_spikes,
     "json_props": q_json_props,

@@ -221,3 +221,47 @@ def test_fetch_through_pool_keeps_politeness(tmp_path):
         slots = np.sort(g["fetch_ms"].to_numpy())
         if len(slots) > 1:
             assert (np.diff(slots) >= 1000).all()
+
+
+def test_requeue_wave2_continues_host_budget(tmp_path):
+    """Transient dead letters reschedule AFTER the host's wave-1 clock:
+    slots = max(wave-1 fetch_ms of the host) + (rank+1)*delay, eligible
+    rows ranked by (priority, seed_order); 'invalid' rows never
+    requeue."""
+    from cdx_toolkit_ray.pipelines.fetch import (TableTransport,
+                                                 fetch_execute, requeue)
+    from cdx_toolkit_ray.pipelines.frontier import schedule_politeness
+
+    docs = _docs_table(tmp_path, n=64)
+    ids = np.arange(64, dtype=np.int64)
+    host_ids = ids % 4
+    t = pa.table({
+        "url": pa.array(["https://h%d.example/p/%d" % (h, i)
+                         for i, h in zip(ids, host_ids)]),
+        "host": pa.array(["h%d.example" % h for h in host_ids]),
+        "priority": pa.array((ids % 3).astype(np.int32)),
+        "seed_order": pa.array(ids),
+        "crawl_delay_ms": pa.array(np.full(64, 1000, np.int64)),
+        "robots_blocked": pa.array(np.zeros(64, dtype=bool)),
+    })
+    sched = schedule_politeness(ray.data.from_arrow(t))
+    fetched = fetch_execute(sched, TableTransport(docs), max_attempts=3)
+    wave1 = fetched.to_pandas()
+    rq = requeue(fetched).to_pandas()
+
+    assert (rq["retry_wave"] == 2).all()
+    # only exhausted rows requeue
+    exhausted = wave1[wave1["fetch_action"] == "exhausted"]
+    assert set(rq["seed_order"]) == set(exhausted["seed_order"])
+    assert not set(rq["seed_order"]) & set(
+        wave1.loc[wave1["fetch_action"] == "invalid", "seed_order"])
+    for host, g in rq.groupby("host"):
+        base = wave1.loc[wave1["host"] == host, "fetch_ms"].max()
+        slots = np.sort(g["fetch_ms"].to_numpy())
+        # continues strictly after the wave-1 budget, interval kept
+        assert slots[0] == base + 1000
+        assert (slots == base + (np.arange(len(slots)) + 1) * 1000).all()
+        # rank order is (priority, seed_order)
+        order = g.sort_values("fetch_ms")[["priority", "seed_order"]] \
+            .to_numpy().tolist()
+        assert order == sorted(order)
