@@ -40,11 +40,12 @@ class CaptureObject(MutableMapping):
 
     def __init__(self, data: dict, content_index=None,
                  warc_download_prefix: str | None = None,
-                 wb: str | None = None):
+                 wb: str | None = None, warc_dir: str | None = None):
         self.data = data
         self._content_index = content_index
         self._warc_download_prefix = warc_download_prefix
         self._wb = wb
+        self._warc_dir = warc_dir
         self.warc_record = None
         self._content = None
 
@@ -54,10 +55,30 @@ class CaptureObject(MutableMapping):
     def fetch_warc_record(self) -> dict:
         if self.warc_record is not None:
             return self.warc_record
-        if self._content_index is None:
-            raise ValueError("no content source configured")
         url = self.data.get("url")
-        payload = self._content_index.get(url)
+        payload = None
+        if self._warc_dir and self.data.get("filename") \
+                and self.data.get("offset") is not None \
+                and self.data.get("length") is not None:
+            # the REAL S6 path: byte-range read of exactly the indexed
+            # span from the WARC segment (reference warc.py:123-137 —
+            # Range GET on warc_download_prefix/filename), then parse
+            # the one record inside
+            import os as _os
+
+            from .pipelines.warcbytes import fetch_record_range
+
+            rec = fetch_record_range(
+                _os.path.join(self._warc_dir, self.data["filename"]),
+                int(self.data["offset"]), int(self.data["length"]))
+            body = rec["content"]
+            sep = body.find(b"\r\n\r\n")
+            payload = body[sep + 4:] if body.startswith(b"HTTP/") \
+                and sep >= 0 else body
+        elif self._content_index is None:
+            raise ValueError("no content source configured")
+        if payload is None and self._content_index is not None:
+            payload = self._content_index.get(url)
         if payload is None:
             raise RuntimeError("404: no content for url " + str(url))
         # source-uri stamping parity: wayback replay url in wb mode
@@ -163,7 +184,7 @@ class CDXFetcher:
                  source: str = "cc", crawl=None, wb: str | None = None,
                  warc_download_prefix: str | None = None,
                  cc_mirror: str | None = None, cc_sort: str = "mixed",
-                 loglevel=None):
+                 warc_dir: str | None = None, loglevel=None):
         # source resolution parity (__init__.py:226-239): cc applies
         # the mirror + download-prefix defaults and rejects wb=; ia
         # defaults wb; any other source must name an arbitrary endpoint
@@ -200,6 +221,11 @@ class CDXFetcher:
                              "cc_mirror=) is required")
         self.captures_root = captures_root
         self.pages_path = pages_path
+        #: directory of real WARC segments: captures rows carrying
+        #: (filename, offset, length) resolve content via byte-range
+        #: reads of exactly the indexed span (the reference's actual
+        #: fetch path) instead of the pages-table lookup
+        self.warc_dir = warc_dir
         self.source = source
         self.crawl = normalize_crawl(crawl) if crawl else None
         self.cc_sort = cc_sort
@@ -252,7 +278,7 @@ class CDXFetcher:
             yield CaptureObject(
                 row, content_index=idx,
                 warc_download_prefix=self.warc_download_prefix,
-                wb=self.wb)
+                wb=self.wb, warc_dir=self.warc_dir)
 
     def items(self, url: str | None = None, **kwargs):  # pragma: no cover
         warnings.warn("items() is an alias of iter()", FutureWarning)

@@ -175,7 +175,17 @@ class SegmentedWARCWriter:
         warc_date]) -> one WARC record, rotating segments by size."""
         if self._fd is None:
             self._start_segment()
-        block = _http_block(record)
+        rtype = record.get("warc_type") or "response"
+        if rtype == "conversion":
+            # WET-style text-only record (CC's *.warc.wet.gz sidecar):
+            # the content block IS the extracted text, no HTTP message
+            block = record.get("payload") or b""
+            if isinstance(block, str):
+                block = block.encode("utf-8")
+            ctype = "text/plain"
+        else:
+            block = _http_block(record)
+            ctype = "application/http; msgtype=response"
         date = record.get("warc_date") or self.date_iso
         target = record.get("warc_target_uri") or ""
         headers = [
@@ -189,11 +199,9 @@ class SegmentedWARCWriter:
         if record.get("warc_source_range"):
             headers.append(("WARC-Source-Range",
                             record["warc_source_range"]))
-        headers.append(("Content-Type",
-                        "application/http; msgtype=response"))
+        headers.append(("Content-Type", ctype))
         self._emit(render_warc_record(
-            record.get("warc_type") or "response", headers, block,
-            warc_version=self.warc_version))
+            rtype, headers, block, warc_version=self.warc_version))
         self._fd.flush()
         if os.fstat(self._fd.fileno()).st_size > self.size:
             self.close_segment()
@@ -353,26 +361,32 @@ def _split_http(content: bytes) -> tuple[str, bytes]:
     return status_line, content[sep + 4:]
 
 
-def read_warc(paths: str | list[str]) -> ray.data.Dataset:
-    """WARC ingest as a Ray Data source: one row per response record
-    ``(url, warc_date, status, payload:binary, segment)``. Reads are
-    one task per file (a WARC is not splittable without an index; at
-    CC scale files are ~1 GB each, so file-granular parallelism is the
-    natural unit — same layout the reference's byte-range fetches
-    assume)."""
+def read_warc(paths: str | list[str],
+              record_types: tuple = ("response",)) -> ray.data.Dataset:
+    """WARC ingest as a Ray Data source: one row per selected record
+    ``(url, warc_date, status, payload:binary, segment)``. For
+    ``conversion`` (WET) records the payload is the text block as-is
+    and status is ''. Reads are one task per file (a WARC is not
+    splittable without an index; at CC scale files are ~1 GB each, so
+    file-granular parallelism is the natural unit — same layout the
+    reference's byte-range fetches assume)."""
     if isinstance(paths, str):
         paths = [paths]
+    want = set(record_types)
 
     def parse_file(row: dict) -> list[dict]:
         with open(row["path"], "rb") as fd:
             recs = parse_warc(fd.read())
         out = []
         for r in recs:
-            if r["warc_type"] != "response":
+            if r["warc_type"] not in want:
                 continue
-            status_line, body = _split_http(r["content"])
-            status = status_line.split(" ", 2)[1] if " " in status_line \
-                else ""
+            if r["content"].startswith(b"HTTP/"):
+                status_line, body = _split_http(r["content"])
+                status = status_line.split(" ", 2)[1] \
+                    if " " in status_line else ""
+            else:
+                status, body = "", r["content"]
             out.append({
                 "url": r["headers"].get("WARC-Target-URI", ""),
                 "warc_date": r["headers"].get("WARC-Date", ""),
@@ -384,6 +398,35 @@ def read_warc(paths: str | list[str]) -> ray.data.Dataset:
 
     return ray.data.from_items(
         [{"path": p} for p in paths]).flat_map(parse_file)
+
+
+def write_wet(ds: ray.data.Dataset, prefix: str,
+              subprefix: str | None = None, info: dict | None = None, *,
+              url_col: str = "url", text_col: str = "text",
+              size: int = 1_000_000_000, gzip: bool = True,
+              date_iso: str = "2026-01-01T00:00:00Z",
+              batch_size: int = 1024) -> list[str]:
+    """WET export: (url, text) rows -> text-only ``conversion`` records
+    in size-rotated segments — the CC ``*.warc.wet.gz`` sidecar format
+    that completes the WARC/WAT/WET trio (WAT = page_metadata,
+    stages/text.py). Driver-side ordered single-writer like
+    ``SegmentedWARCWriter.write_dataset``; shard by partition with
+    per-shard subprefixes for distributed output."""
+    w = SegmentedWARCWriter(prefix, subprefix, info or {}, size=size,
+                            gzip=gzip, date_iso=date_iso)
+    written = []
+    for batch in ds.iter_batches(batch_size=batch_size,
+                                 batch_format="pyarrow"):
+        urls = batch[url_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        for u, t in zip(urls, texts):
+            w.write_record({"warc_type": "conversion",
+                            "warc_target_uri": u,
+                            "payload": (t or "").encode("utf-8")})
+            if w._path and w._path not in written:
+                written.append(w._path)
+    w.close()
+    return sorted(set(written))
 
 
 def index_warc(paths: str | list[str]) -> ray.data.Dataset:

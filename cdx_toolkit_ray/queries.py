@@ -746,6 +746,53 @@ def q_fetch_errors(sf_dir: str):
     return dead_letter(_fetched_over_seeds(sf_dir))
 
 
+def q_wet_export(sf_dir: str):
+    """WET round-trip: frontier winners' document text written as
+    text-only ``conversion`` records (the CC *.warc.wet.gz sidecar),
+    read back through the WARC source. The value hash byte-checks
+    every text through the WET bytes; oracle = winners ⋈ documents."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os
+
+    from .pipelines.warcbytes import read_warc, write_wet
+
+    tag = _hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    root = "/tmp/cdxray_wetfix_%s" % tag
+    if not os.path.exists(root + "/.done"):
+        os.makedirs(root, exist_ok=True)
+        ds = derived_seeds(sf_dir)
+        ds = first_wins_dedup(ds, "hash64",
+                              [("priority", 19), ("seed_order", 44)],
+                              derive_fn=canonicalize_batch)
+        winners = sorted(
+            ((r["seed_order"], r["url"]) for r in ds.take_all()))
+        ids = [w[0] for w in winners]
+        t = pq.read_table(_tbl(sf_dir, "documents"),
+                          columns=["doc_id", "text"],
+                          filters=[("doc_id", "in", ids)])
+        text_by_id = dict(zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()))
+        rows = pa.table({
+            "url": pa.array([u for _, u in winners], pa.string()),
+            "text": pa.array([text_by_id.get(so, "") for so, _ in winners],
+                             pa.string()),
+        })
+        write_wet(ray.data.from_arrow(rows), os.path.join(root, "WET"),
+                  size=200_000)
+        open(root + "/.done", "w").close()
+    segs = sorted(_glob.glob(root + "/WET-*.extracted.warc.gz"))
+    wet = read_warc(segs, record_types=("conversion",))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        texts = [(b or b"").decode("utf-8")
+                 for b in batch["payload"].to_pylist()]
+        return pa.table({"url": batch["url"],
+                         "text": pa.array(texts, pa.string())})
+
+    return wet.map_batches(decode, batch_format="pyarrow")
+
+
 def q_fetch_requeue(sf_dir: str):
     """The retry feedback edge: fetch wave 1 -> transient dead letters
     requeued into a wave-2 politeness schedule whose clock continues
@@ -3727,6 +3774,15 @@ SELECT urlkey, host, seed_order, fetch_ms, n_attempts, final_status,
        fetch_action, backoff_ms, CAST(NULL AS VARCHAR) AS text
 FROM fin WHERE fetch_action <> 'ok'
 """,
+    "wet_export": "WITH " + _SEEDS_CTE + """,
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY urlkey
+                               ORDER BY priority, seed_order) AS rn
+  FROM seeds)
+SELECT dd.url, d.text
+FROM dd JOIN documents d ON d.doc_id = dd.seed_order
+WHERE dd.rn = 1
+""",
     "fetch_requeue": "WITH " + _SEEDS_CTE + """,
 dd AS (
   SELECT *, row_number() OVER (PARTITION BY urlkey
@@ -4168,6 +4224,7 @@ QUERIES = {
     "fetch_errors": q_fetch_errors,
     "warc_index": q_warc_index,
     "fetch_requeue": q_fetch_requeue,
+    "wet_export": q_wet_export,
     "window_agg": q_window_agg,
     "event_spikes": q_event_spikes,
     "json_props": q_json_props,

@@ -257,3 +257,77 @@ def test_fetch_record_range_rejects_bad_span(tmp_path):
     path = prefix + "-000000.extracted.warc.gz"
     with pytest.raises(ValueError):
         fetch_record_range(path, 0, 10**9)      # short read
+
+
+def test_wet_conversion_records_roundtrip(ray_session, tmp_path):
+    """WET export: (url, text) -> conversion records -> read back with
+    byte-identical text, rotation + warcinfo intact."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.pipelines.warcbytes import read_warc, write_wet
+
+    rows = pa.table({
+        "url": pa.array(["https://h%d.example/p" % i for i in range(8)]),
+        "text": pa.array(["text %d é\n" % i + "x" * 400
+                          for i in range(8)]),
+    })
+    prefix = str(tmp_path / "WET")
+    written = write_wet(ray.data.from_arrow(rows), prefix, size=1200)
+    segs = sorted(glob.glob(prefix + "-*.extracted.warc.gz"))
+    assert len(segs) > 1 and set(written) <= set(segs)
+    # parse level: conversion records, text/plain, no HTTP block
+    recs = parse_warc(open(segs[0], "rb").read())
+    assert recs[0]["warc_type"] == "warcinfo"
+    assert recs[1]["warc_type"] == "conversion"
+    assert recs[1]["headers"]["Content-Type"] == "text/plain"
+    assert not recs[1]["content"].startswith(b"HTTP/")
+    # dataset level: byte-identical text per url
+    df = read_warc(segs, record_types=("conversion",)).to_pandas()
+    assert len(df) == 8
+    want = dict(zip(rows["url"].to_pylist(), rows["text"].to_pylist()))
+    for _, r in df.iterrows():
+        assert bytes(r["payload"]).decode("utf-8") == want[r["url"]]
+    # response-only reads skip conversion records entirely
+    assert read_warc(segs).count() == 0
+
+
+def test_cdxfetcher_content_via_warc_byte_range(ray_session, tmp_path):
+    """Self-hosting loop: write WARC -> index_warc -> captures table ->
+    CDXFetcher(warc_dir=) resolves .content by reading EXACTLY the
+    indexed byte span (the reference's real fetch path) — no pages
+    table anywhere."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import cdx_toolkit_ray as ctr
+    from cdx_toolkit_ray.pipelines.warcbytes import index_warc
+
+    prefix = str(tmp_path / "SEG")
+    w = SegmentedWARCWriter(prefix, None, {}, size=1500)
+    recs = _records(7, size=300)
+    for rec in recs:
+        w.write_record(rec)
+    w.close()
+    segs = sorted(glob.glob(prefix + "-*.extracted.warc.gz"))
+    idx = index_warc(segs).to_pandas()
+    # index -> a captures table (single custom endpoint)
+    cap_path = str(tmp_path / "captures.parquet")
+    pq.write_table(pa_from_pandas(idx), cap_path)
+
+    cdx = ctr.CDXFetcher(source=cap_path, warc_dir=str(tmp_path))
+    objs = list(cdx.iter(None, limit=10))
+    assert len(objs) == 7
+    by_url = {r["warc_target_uri"]: r["payload"] for r in recs}
+    for o in objs:
+        assert o.content == by_url[o["url"]]
+        assert o.text == o.content.decode("utf-8", errors="replace")
+
+
+def pa_from_pandas(df):
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False)
