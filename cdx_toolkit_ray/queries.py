@@ -1961,11 +1961,14 @@ def q_captures_query(sf_dir: str):
     from .sources.captures import query_captures
 
     root = _fixture_root(sf_dir)
-    ds = query_captures(root + "/captures", url="*.big-portal.example",
-                        from_ts="202201", to="202312",
-                        filter=["=status:200"], limit=2000)
-    return ds.select_columns(["urlkey", "timestamp", "url", "status",
-                              "digest"])
+    # fields= pushes the projection into the parquet read (predicate
+    # columns added automatically — the round-3 column-pushdown path)
+    return query_captures(root + "/captures",
+                          url="*.big-portal.example",
+                          from_ts="202201", to="202312",
+                          filter=["=status:200"], limit=2000,
+                          fields=["urlkey", "timestamp", "url",
+                                  "status", "digest"])
 
 
 def q_content_extract(sf_dir: str):
