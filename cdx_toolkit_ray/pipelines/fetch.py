@@ -62,16 +62,22 @@ class TableTransport:
     ``statuses(ids, attempt)`` is the injected-failure schedule — a pure
     function of (request id, attempt), so a serial oracle can replay
     the exact same outcome. ``payloads(ids)`` resolves content for the
-    requests whose final status classified ok; the (id -> text) index
-    is loaded lazily ONCE per actor from a column-pruned read (the
-    actor-pool stateful pattern — never per batch).
+    requests whose final status classified ok, auto-selecting by the
+    table's on-disk footprint (the content join's budget idiom): under
+    ``index_budget_bytes`` the (id -> text) index loads ONCE per actor
+    from a column-pruned read; above it every call is a
+    predicate-pushdown read of just the requested ids (row groups whose
+    id stats exclude them never load) — a terabyte content table never
+    sits in an actor heap.
     """
 
     def __init__(self, table_path: str, id_col: str = "doc_id",
-                 text_col: str = "text"):
+                 text_col: str = "text",
+                 index_budget_bytes: int = 256 << 20):
         self.table_path = table_path
         self.id_col = id_col
         self.text_col = text_col
+        self.index_budget_bytes = index_budget_bytes
         self._ids = None          # sorted int64 ids
         self._texts = None        # matching text values
 
@@ -89,8 +95,34 @@ class TableTransport:
         self._texts = t[self.text_col].combine_chunks().take(
             pa.array(order))
 
+    def _payloads_filtered(self, ids: np.ndarray) -> pa.Array:
+        """Over-budget path: one predicate-pushdown read per call."""
+        import pyarrow.parquet as pq
+
+        uniq = np.unique(ids)
+        t = pq.read_table(self.table_path,
+                          columns=[self.id_col, self.text_col],
+                          filters=[(self.id_col, "in", uniq.tolist())])
+        got_ids = t[self.id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(got_ids, kind="stable")
+        sids = got_ids[order]
+        texts = t[self.text_col].combine_chunks().take(pa.array(order))
+        pos = np.searchsorted(sids, ids)
+        pos_c = np.clip(pos, 0, max(len(sids) - 1, 0))
+        hit = (sids[pos_c] == ids) if len(sids) else \
+            np.zeros(len(ids), bool)
+        idx = np.where(hit, pos_c, -1)
+        return texts.take(pa.array(idx, mask=idx < 0)) \
+            if len(sids) else pa.array([None] * len(ids), pa.string())
+
     def payloads(self, ids: np.ndarray) -> pa.Array:
         """text per id (null when the id is unknown)."""
+        import os
+
+        if self._ids is None and \
+                os.path.getsize(self.table_path) > self.index_budget_bytes:
+            return self._payloads_filtered(ids)
         if self._ids is None:
             self._load()
         pos = np.searchsorted(self._ids, ids)

@@ -265,3 +265,18 @@ def test_requeue_wave2_continues_host_budget(tmp_path):
         order = g.sort_values("fetch_ms")[["priority", "seed_order"]] \
             .to_numpy().tolist()
         assert order == sorted(order)
+
+
+def test_transport_filtered_path_matches_index_path(tmp_path):
+    """Over the index budget the transport reads just the requested ids
+    (predicate pushdown) — same payloads as the per-actor index,
+    including unknown-id nulls."""
+    from cdx_toolkit_ray.pipelines.fetch import TableTransport
+
+    docs = _docs_table(tmp_path, n=32)
+    ids = np.array([5, 31, 999, 0, 5], np.int64)
+    indexed = TableTransport(docs).payloads(ids).to_pylist()
+    filtered = TableTransport(docs, index_budget_bytes=0) \
+        .payloads(ids).to_pylist()
+    assert indexed == filtered
+    assert filtered[2] is None and filtered[0] == "payload-5 é"
