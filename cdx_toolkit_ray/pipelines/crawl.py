@@ -1,0 +1,217 @@
+"""The integrated crawl loop: seeds -> fetch -> discover -> fetch.
+
+``crawl_bfs`` (stages/links.py) walks a PRE-EXTRACTED link graph;
+``fetch_execute`` (pipelines/fetch.py) executes ONE wave of a schedule.
+This module closes the feedback edge between them — the loop the
+reference leaves to its users (the examples/iter-and-warc composition
+over ``obj.content``, reference cdx_toolkit/__init__.py:122-127 +
+cli.py:235-276): each wave's *fetched content* is the only place the
+next wave's URLs can come from. A page that fails its fetch (invalid /
+retry-exhausted under the deterministic fault schedule) contributes no
+outlinks, so the reachable set is fetch-outcome-dependent — semantics
+``crawl_bfs`` cannot express.
+
+Wave anatomy (driver holds only object refs + a per-wave count):
+
+1. **gate** — the wave frontier is offered block-wise to the sharded
+   URL-seen actor pool (state/seen.py, ``exact=True`` for the oracle's
+   zero-FP contract); first-seen-wins across and within waves.
+2. **fetch** — survivors run through the ``FetchExecutor`` actor pool
+   (RetryPolicy classification, virtual backoff, max-attempt budget)
+   against the injectable transport. One streaming-executor launch per
+   wave; transport state loads once per actor.
+3. **discover** — outlinks are harvested from the *ok* rows' fetched
+   text by one raw task per fetched block (``links.link_kernel``, the
+   crawl_bfs probe-round pattern — no extra executor launch), and the
+   distinct dst URLs become the next wave's frontier.
+
+Scale notes (100 TB / multi-node): the per-wave fetched blocks stay in
+the object store as refs (spillable); the seen set is the sharded actor
+pool a resumable crawl checkpoints; the loop count is the bounded
+``max_waves``, never data-dependent. Politeness composition is proven
+separately (``fetch_requeue`` continues per-host clocks across waves);
+this loop focuses on the content-feedback edge. At real scale the
+payload side of the transport rides the hash-bucket content join
+(pipelines/warcout.py extract_content) — ``UrlTableTransport``'s
+per-actor index is the bounded-corpus sandbox twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..canon import hash64_batch
+from ..state.seen import SeenFilterStage, ShardedSeenSet
+from ..stages.links import _gate_block, link_kernel
+from .fetch import TableTransport, fetch_execute
+
+__all__ = ["UrlTableTransport", "crawl_waves"]
+
+_OUT_SCHEMA = pa.schema([
+    ("url", pa.string()), ("wave", pa.int64()),
+    ("n_attempts", pa.int64()), ("final_status", pa.int64()),
+    ("fetch_action", pa.string()), ("text", pa.string()),
+])
+
+
+class UrlTableTransport(TableTransport):
+    """Sandbox transport keyed by ``hash64(url)`` (canon.py FNV-1a):
+    the fault schedule is the same pure function of (id, attempt) as
+    :class:`TableTransport` — here the id is the url hash, so a serial
+    oracle replays it from the url string alone. Payloads resolve from
+    the pages table by hashing its url column once per actor
+    (column-pruned read).
+
+    A pages table is an ARCHIVE — multiple captures per url — but a
+    live fetch returns one current page, so when ``ts_col`` exists the
+    LATEST capture wins (max ``ts_col`` per url; ``(url, ts)`` is
+    unique in the fixture contract). Without a timestamp column the
+    first file-order row wins.
+
+    No over-budget filtered path exists here: the hash column is not on
+    disk, so predicate pushdown can't prune row groups. At corpus scale
+    payload resolution belongs to the hash-bucket content join
+    (extract_content); this transport is the bounded-corpus twin and
+    raises above ``index_budget_bytes`` rather than silently scanning.
+    """
+
+    def __init__(self, table_path: str, url_col: str = "url",
+                 text_col: str = "text", ts_col: str | None = "warc_ts",
+                 index_budget_bytes: int = 1 << 31):
+        super().__init__(table_path, id_col=url_col, text_col=text_col,
+                         index_budget_bytes=index_budget_bytes)
+        self.ts_col = ts_col
+
+    def _load(self) -> None:
+        import pyarrow.parquet as pq
+
+        have_ts = (self.ts_col is not None and self.ts_col in
+                   pq.read_schema(self.table_path).names)
+        cols = [self.id_col, self.text_col] + \
+            ([self.ts_col] if have_ts else [])
+        t = pq.read_table(self.table_path, columns=cols)
+        ids = hash64_batch(t[self.id_col]).view(np.int64)
+        if have_ts:
+            ts = t[self.ts_col].cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            # primary: hash; secondary: ts ascending -> the run's LAST
+            # row per hash is the latest capture
+            order = np.lexsort((ts, ids))
+            sids = ids[order]
+            last = np.r_[sids[1:] != sids[:-1], True] \
+                if len(sids) else np.zeros(0, bool)
+            self._ids = sids[last]
+            keep = order[last]
+        else:
+            order = np.argsort(ids, kind="stable")
+            sids = ids[order]
+            first = np.r_[True, sids[1:] != sids[:-1]] \
+                if len(sids) else np.zeros(0, bool)
+            self._ids = sids[first]
+            keep = order[first]
+        self._texts = t[self.text_col].combine_chunks().take(
+            pa.array(keep))
+
+    def _payloads_filtered(self, ids: np.ndarray) -> pa.Array:
+        raise NotImplementedError(
+            "pages table exceeds index_budget_bytes and hash64(url) "
+            "cannot push down to parquet row groups; resolve payloads "
+            "through the hash-bucket content join (extract_content) "
+            "at this scale")
+
+
+def _add_fetch_id(batch: pa.Table) -> pa.Table:
+    h = hash64_batch(batch["url"]).view(np.int64)
+    return batch.append_column("fetch_id", pa.array(h, pa.int64()))
+
+
+@ray.remote
+def _wave_outlinks(tbl: pa.Table) -> pa.Table:
+    """Distinct outlink dst URLs of one fetched block's ok rows — the
+    next wave's frontier contribution. Runs as a raw task round over
+    the materialized wave refs (no executor launch); cross-block and
+    cross-wave dedup is the seen gate's job."""
+    ok = tbl.filter(pc.and_kleene(
+        pc.equal(tbl["fetch_action"], "ok"),
+        pc.is_valid(tbl["text"])))
+    if ok.num_rows == 0:
+        return pa.table({"url": pa.array([], pa.string())})
+    links = link_kernel(ok, "url", "text")
+    dst = pc.unique(links["dst_url"].combine_chunks())
+    return pa.table({"url": dst.cast(pa.string())})
+
+
+def crawl_waves(pages_path: str, *,
+                seeds: ray.data.Dataset | None = None,
+                seed_suffix: str = ".example/",
+                transport=None,
+                max_waves: int = 3, max_attempts: int = 3,
+                minimum_interval: float = 3.0,
+                num_shards: int = 8, n_bits: int = 1 << 22,
+                exact: bool = True,
+                concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
+    """Run the full crawl loop to a wave budget; one row per URL ever
+    fetched: ``(url, wave, n_attempts, final_status, fetch_action,
+    text)`` with ``wave`` = the BFS level at which the URL was first
+    fetched (seeds are wave 0) and ``text`` the fetched payload for ok
+    rows (null for failures and for ok URLs the corpus doesn't host —
+    dangling outlinks are fetched, yield nothing, and expand nothing).
+
+    Equivalent relation (the SQL oracle): min-wave over the wave-capped
+    transitive closure of the link graph restricted to edges whose
+    source URL's fault-schedule replay classifies ok, with each reached
+    URL's (n_attempts, final_status, fetch_action) the serial
+    RetryPolicy replay of ``FAULT_STATUSES[(hash64(url)+k) % 8]`` and
+    ``text`` the pages-table payload for ok rows.
+
+    ``exact=True`` (default here, unlike ``crawl_bfs``) because a
+    Bloom false positive drops a URL *and every page reachable only
+    through it*; pass ``exact=False`` plus a generous ``n_bits`` only
+    when approximate reach is acceptable.
+    """
+    if max_waves < 0:
+        raise ValueError("max_waves must be >= 0")
+    if transport is None:
+        transport = UrlTableTransport(pages_path)
+    seen = ShardedSeenSet(num_shards=num_shards, n_bits=n_bits,
+                          exact=exact)
+    gate = SeenFilterStage(seen)
+
+    if seeds is None:
+        seeds = (ray.data.read_parquet(pages_path, columns=["url"])
+                 .map_batches(lambda b: b.filter(
+                     pc.ends_with(b["url"], seed_suffix)),
+                     batch_format="pyarrow", batch_size=None))
+
+    frontier_refs = (seeds.select_columns(["url"]).materialize()
+                     .to_arrow_refs())
+    out_refs: list = []
+    for wave in range(max_waves + 1):
+        gated = [_gate_block.options(num_returns=2).remote(
+            gate, "url", wave, r) for r in frontier_refs]
+        counts = ray.get([g[1] for g in gated])
+        if int(sum(counts)) == 0:
+            break
+        hop_refs = [g[0] for g, n in zip(gated, counts) if n]
+        wds = (ray.data.from_arrow_refs(hop_refs)
+               .map_batches(_add_fetch_id, batch_format="pyarrow",
+                            batch_size=None))
+        fetched = fetch_execute(
+            wds, transport, max_attempts=max_attempts,
+            minimum_interval=minimum_interval, id_col="fetch_id",
+            concurrency=concurrency).materialize()
+        wave_refs = fetched.to_arrow_refs()
+        out_refs.extend(wave_refs)
+        if wave == max_waves:
+            break
+        frontier_refs = [_wave_outlinks.remote(r) for r in wave_refs]
+
+    if not out_refs:
+        return ray.data.from_arrow(_OUT_SCHEMA.empty_table())
+    return (ray.data.from_arrow_refs(out_refs)
+            .rename_columns({"hop": "wave"})
+            .select_columns([f.name for f in _OUT_SCHEMA]))

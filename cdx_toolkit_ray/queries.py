@@ -2187,6 +2187,21 @@ def q_crawl_bfs(sf_dir: str):
     return crawl_bfs(links, seeds, max_hops=4, exact=True)
 
 
+def q_crawl_waves(sf_dir: str):
+    """The INTEGRATED crawl loop (pipelines/crawl.py) — the feedback
+    edge crawl_bfs cannot express: seeds -> seen gate -> fetch through
+    the fault-schedule actor pool -> outlinks harvested from the
+    *fetched text of ok rows only* -> next wave. A page whose fetch
+    fails contributes no outlinks, so reach depends on fetch outcomes.
+    Oracle: recursive CTE over the ok-gated link closure + the serial
+    RetryPolicy replay of FAULT_STATUSES[(hash64(url)+k) % 8] + the
+    pages-table text byte-check for ok rows."""
+    from .pipelines.crawl import crawl_waves
+
+    root = _fixture_root(sf_dir)
+    return crawl_waves(root + "/pages.parquet", max_waves=3)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB; the driver pre-registers the table views)
 # ---------------------------------------------------------------------------
@@ -2224,6 +2239,83 @@ def _sql_mix64(x: str) -> str:
     x3 = f"xor({x2}, {x2} >> 27)"
     x4 = f"CAST({_sql_mulmod64(x3, 0x94D049BB133111EB)} AS UBIGINT)"
     return f"xor({x4}, {x4} >> 31)"
+
+
+#: pipelines/fetch.py FAULT_STATUSES as a 1-indexed SQL list literal,
+#: and the RetryPolicy 'retry' class among them (429/500/503).
+_CW_FAULT = "[200, 503, 500, 429, 404, 200, 301, 503]"
+_CW_RT = "(429, 500, 503)"
+
+
+def _cw_s(dexpr: str, k: int) -> str:
+    """Status of attempt ``k`` for fault slot ``dexpr`` — the SQL twin
+    of ``FAULT_STATUSES[(d + k) % 8]``."""
+    return f"list_extract({_CW_FAULT}, ({dexpr} + {k}) % 8 + 1)"
+
+
+def _crawl_waves_oracle(max_waves: int = 3) -> str:
+    """Serial replay of the integrated crawl loop (q_crawl_waves):
+    wave-capped transitive closure over link edges whose source's
+    3-attempt fault replay classifies ok, then per reached URL the
+    RetryPolicy outcome columns + the pages text for ok rows. The
+    pages table is an archive (several captures per url); the live-
+    fetch rule is LATEST capture wins (max warc_ts per url — unique by
+    the fixture contract), mirrored by UrlTableTransport._load."""
+    d_of_url = "CAST((" + _FNV_SQL.format(s="url") + ") % 8 AS INTEGER)"
+    ok_cond = (f"({_cw_s('w.d', 0)} IN (200, 301) OR "
+               f"({_cw_s('w.d', 0)} IN {_CW_RT} AND "
+               f"{_cw_s('w.d', 1)} IN (200, 301)) OR "
+               f"({_cw_s('w.d', 0)} IN {_CW_RT} AND "
+               f"{_cw_s('w.d', 1)} IN {_CW_RT} AND "
+               f"{_cw_s('w.d', 2)} IN (200, 301)))")
+    s0, s1, s2 = (_cw_s("d", k) for k in (0, 1, 2))
+    return f"""
+WITH RECURSIVE
+pg AS (
+  SELECT url, text FROM (
+    SELECT url, text, row_number() OVER (
+             PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    FROM read_parquet('{_FIXTURE_LINK}/pages.parquet'))
+  WHERE rn = 1),
+hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM pg),
+links AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs
+  WHERE dst_url IS NOT NULL),
+walk(url, wave) AS (
+  SELECT DISTINCT url, CAST(0 AS BIGINT) FROM pg
+  WHERE url LIKE '%.example/'
+  UNION
+  SELECT l.dst_url, w.wave + 1
+  FROM (SELECT url, wave, {d_of_url} AS d FROM walk) w
+  JOIN links l ON l.src_url = w.url
+  WHERE w.wave < {max_waves} AND {ok_cond}),
+reached AS (SELECT url, MIN(wave) AS wave FROM walk GROUP BY url),
+scored AS (SELECT url, wave, {d_of_url} AS d FROM reached),
+cls AS (
+  SELECT url, wave,
+         CAST(CASE WHEN {s0} NOT IN {_CW_RT} THEN 1
+                   WHEN {s1} NOT IN {_CW_RT} THEN 2
+                   ELSE 3 END AS BIGINT) AS n_attempts,
+         CAST(CASE WHEN {s0} NOT IN {_CW_RT} THEN {s0}
+                   WHEN {s1} NOT IN {_CW_RT} THEN {s1}
+                   ELSE {s2} END AS BIGINT) AS final_status
+  FROM scored)
+SELECT c.url, c.wave, c.n_attempts, c.final_status,
+       CASE WHEN c.final_status IN (200, 301) THEN 'ok'
+            WHEN c.final_status IN {_CW_RT} THEN 'exhausted'
+            ELSE 'invalid' END AS fetch_action,
+       CASE WHEN c.final_status IN (200, 301) THEN p.text END AS text
+FROM cls c LEFT JOIN pg p USING (url)
+"""
 
 
 def _minhash_oracle(num_perm: int = 64, bands: int = 16,
@@ -3548,6 +3640,9 @@ walk(url, hop) AS (
   WHERE w.hop < 4)
 SELECT url, MIN(hop) AS hop FROM walk GROUP BY url
 """ % (_FIXTURE_LINK, _FIXTURE_LINK),
+    # the integrated crawl loop: ok-gated closure + fault replay +
+    # text byte-check (built by _crawl_waves_oracle above)
+    "crawl_waves": _crawl_waves_oracle(),
     # S7/M12/M14 synthesis under the deterministic fake replay: the
     # output is a pure function of (url, timestamp, status). Fixture
     # URLs only need :?=& percent-encoded (quote() keeps letters,
@@ -4281,6 +4376,7 @@ QUERIES = {
     "anchor_stats": q_anchor_stats,
     "ranked_frontier": q_ranked_frontier,
     "crawl_bfs": q_crawl_bfs,
+    "crawl_waves": q_crawl_waves,
     "strip_tags": q_strip_tags,
     "page_metadata": q_page_metadata,
     "link_rank": q_link_rank,

@@ -52,6 +52,45 @@ _LINK_SCHEMA = pa.schema([("src_url", pa.string()),
                           ("dst_host", pa.string())])
 
 
+def link_kernel(batch: pa.Table, url_col: str = "url",
+                text_col: str = "text") -> pa.Table:
+    """Vectorized href harvest over one Arrow batch (the
+    ``extract_links`` kernel, exposed module-level so raw task rounds
+    — e.g. the ``crawl_waves`` per-wave outlink probe — can call it
+    without an executor launch)."""
+    import polars as pl
+
+    if batch.num_rows == 0:
+        return _LINK_SCHEMA.empty_table()
+    df = pl.from_arrow(batch.select([url_col, text_col]))
+    if url_col != "src_url":
+        df = df.rename({url_col: "src_url"})
+    out = (
+        df.with_columns(
+            pl.col(text_col).str.extract_all(HREF_RE).alias("href"))
+        .drop(text_col)
+        .explode("href")
+        .drop_nulls("href")
+        .with_columns(pl.col("href").str.extract(HREF_RE, 1))
+    )
+    origin = pl.col("src_url").str.extract(_ORIGIN_RE, 1)
+    dst = (
+        pl.when(pl.col("href").str.contains("://", literal=True))
+        .then(pl.col("href"))
+        .when(pl.col("href").str.starts_with("/"))
+        .then(origin + pl.col("href"))
+        .otherwise(None)
+    )
+    out = (
+        out.with_columns(dst.alias("dst_url"))
+        .drop("href")
+        .drop_nulls("dst_url")
+        .with_columns(
+            pl.col("dst_url").str.extract(_HOST_RE, 1).alias("dst_host"))
+    )
+    return out.to_arrow().cast(_LINK_SCHEMA)
+
+
 def extract_links(pages: ray.data.Dataset, *, url_col: str = "url",
                   text_col: str = "text") -> ray.data.Dataset:
     """Harvest outlinks: one (src_url, dst_url, dst_host) row per href.
@@ -65,37 +104,7 @@ def extract_links(pages: ray.data.Dataset, *, url_col: str = "url",
     """
 
     def kernel(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
-        if batch.num_rows == 0:
-            return _LINK_SCHEMA.empty_table()
-        df = pl.from_arrow(batch.select([url_col, text_col]))
-        if url_col != "src_url":
-            df = df.rename({url_col: "src_url"})
-        out = (
-            df.with_columns(
-                pl.col(text_col).str.extract_all(HREF_RE).alias("href"))
-            .drop(text_col)
-            .explode("href")
-            .drop_nulls("href")
-            .with_columns(pl.col("href").str.extract(HREF_RE, 1))
-        )
-        origin = pl.col("src_url").str.extract(_ORIGIN_RE, 1)
-        dst = (
-            pl.when(pl.col("href").str.contains("://", literal=True))
-            .then(pl.col("href"))
-            .when(pl.col("href").str.starts_with("/"))
-            .then(origin + pl.col("href"))
-            .otherwise(None)
-        )
-        out = (
-            out.with_columns(dst.alias("dst_url"))
-            .drop("href")
-            .drop_nulls("dst_url")
-            .with_columns(
-                pl.col("dst_url").str.extract(_HOST_RE, 1).alias("dst_host"))
-        )
-        return out.to_arrow().cast(_LINK_SCHEMA)
+        return link_kernel(batch, url_col, text_col)
 
     return pages.map_batches(kernel, batch_format="pyarrow",
                              batch_size=None, zero_copy_batch=True)

@@ -1,0 +1,107 @@
+"""The integrated crawl loop (pipelines/crawl.py): fetch-outcome-gated
+BFS — failed fetches contribute no outlinks; the seen gate fetches each
+url once; payload resolution is latest-capture-wins."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cdx_toolkit_ray.canon import hash64
+from cdx_toolkit_ray.pipelines.crawl import UrlTableTransport, crawl_waves
+
+# fault slots (hash64(url) % 8, pipelines/fetch.py FAULT_STATUSES):
+# 0 -> 200 ok n=1; 7 -> 503,200 ok n=2; 4 -> 404 invalid n=1;
+# 1 -> 503,500,429 exhausted n=3; 3 -> 429,404 invalid n=2
+SEED = "https://t7.example/"          # slot 0 (ok)
+A = "https://web.example/p/1"         # slot 7 (retry then ok)
+B = "https://web.example/p/0"         # slot 4 (invalid) — never expands
+C = "https://web.example/p/7"         # slot 1 (exhausted)
+E = "https://web.example/p/22"        # slot 0 (ok leaf)
+F = "https://web.example/p/9"         # only linked from B: unreachable
+DANGLING = "https://web.example/p/17"  # slot 0 (ok) but not in the table
+
+
+def _check_slots():
+    for u, d in ((SEED, 0), (A, 7), (B, 4), (C, 1), (E, 0),
+                 (DANGLING, 0)):
+        assert hash64(u) % 8 == d, (u, hash64(u) % 8)
+
+
+def _web_table(tmp_path, stale_seed_text=None):
+    _check_slots()
+    rows = [
+        # two captures of the seed: the LATEST (ts=20) links the real
+        # web; the stale one (ts=10) links only F (must be ignored)
+        (SEED, 10, stale_seed_text or f"<a href='{F}'></a>"),
+        (SEED, 20,
+         f"<a href='{A}'></a> <a href='{B}'></a> <a href='{DANGLING}'></a>"),
+        (A, 10, f"<a href='{C}'></a> <a href='/p/22'></a>"),
+        (B, 10, f"<a href='{F}'></a>"),
+        (C, 10, f"<a href='{F}'></a>"),
+        (E, 10, f"<a href='{SEED}'></a>"),  # cycle back to the seed
+        (F, 10, "leaf"),
+    ]
+    t = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.int64()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })
+    p = str(tmp_path / "web.parquet")
+    pq.write_table(t, p)
+    return p
+
+
+def test_crawl_waves_outcome_gated_bfs(ray_session, tmp_path):
+    p = _web_table(tmp_path)
+    seeds_t = pa.table({"url": pa.array([SEED], pa.string())})
+    import ray.data
+    out = crawl_waves(p, seeds=ray.data.from_arrow(seeds_t),
+                      max_waves=3).to_pandas()
+    got = {r.url: (r.wave, r.n_attempts, r.final_status, r.fetch_action)
+           for r in out.itertuples()}
+    assert got == {
+        SEED: (0, 1, 200, "ok"),
+        A: (1, 2, 200, "ok"),
+        B: (1, 1, 404, "invalid"),
+        DANGLING: (1, 1, 200, "ok"),
+        C: (2, 3, 429, "exhausted"),
+        E: (2, 1, 200, "ok"),
+    }
+    # F is linked from B (invalid), C (exhausted) and the seed's STALE
+    # capture only -> never fetched; the cycle E->SEED never refetches
+    assert F not in got and len(out) == 6
+    texts = dict(zip(out.url, out.text))
+    assert texts[DANGLING] is None          # ok but not hosted
+    assert texts[B] is None                 # failures carry no payload
+    assert "p/22" in texts[A]               # latest-capture payloads
+
+
+def test_crawl_waves_zero_waves_and_empty(ray_session, tmp_path):
+    p = _web_table(tmp_path)
+    import ray.data
+    seeds = ray.data.from_arrow(
+        pa.table({"url": pa.array([SEED], pa.string())}))
+    out = crawl_waves(p, seeds=seeds, max_waves=0).to_pandas()
+    assert list(out.url) == [SEED] and list(out.wave) == [0]
+    none = crawl_waves(p, seeds=ray.data.from_arrow(
+        pa.table({"url": pa.array([], pa.string())})),
+        max_waves=2).to_pandas()
+    assert len(none) == 0
+
+
+def test_url_transport_latest_capture_wins(tmp_path):
+    p = _web_table(tmp_path)
+    tr = UrlTableTransport(p)
+    ids = np.array([hash64(SEED), hash64(A), hash64(F) + 1],
+                   np.uint64).view(np.int64)
+    got = tr.payloads(ids).to_pylist()
+    assert "p/17" in got[0] and F not in got[0]  # ts=20 capture, not ts=10
+    assert got[1] is not None and got[2] is None  # unknown hash -> null
+
+
+def test_url_transport_over_budget_raises(tmp_path):
+    p = _web_table(tmp_path)
+    tr = UrlTableTransport(p, index_budget_bytes=0)
+    with pytest.raises(NotImplementedError):
+        tr.payloads(np.array([1], np.int64))
