@@ -394,6 +394,10 @@ def main() -> None:
             # actor pool -> content/dead-letter)
             ("fetch_execute",
              lambda: consume(Q.q_fetch_execute(SF_DIR))),
+            # round 3: the integrated crawl loop (fetch-outcome-gated
+            # BFS — outlinks come only from fetched ok text)
+            ("crawl_waves",
+             lambda: consume(Q.q_crawl_waves(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the

@@ -49,7 +49,7 @@ from ..state.seen import SeenFilterStage, ShardedSeenSet
 from ..stages.links import _gate_block, link_kernel
 from .fetch import TableTransport, fetch_execute
 
-__all__ = ["UrlTableTransport", "crawl_waves"]
+__all__ = ["UrlTableTransport", "crawl_waves", "run_crawl"]
 
 _OUT_SCHEMA = pa.schema([
     ("url", pa.string()), ("wave", pa.int64()),
@@ -129,12 +129,10 @@ def _add_fetch_id(batch: pa.Table) -> pa.Table:
     return batch.append_column("fetch_id", pa.array(h, pa.int64()))
 
 
-@ray.remote
-def _wave_outlinks(tbl: pa.Table) -> pa.Table:
+def _outlinks_tbl(tbl: pa.Table) -> pa.Table:
     """Distinct outlink dst URLs of one fetched block's ok rows — the
-    next wave's frontier contribution. Runs as a raw task round over
-    the materialized wave refs (no executor launch); cross-block and
-    cross-wave dedup is the seen gate's job."""
+    next wave's frontier contribution. Cross-block and cross-wave dedup
+    is the seen gate's job."""
     ok = tbl.filter(pc.and_kleene(
         pc.equal(tbl["fetch_action"], "ok"),
         pc.is_valid(tbl["text"])))
@@ -143,6 +141,39 @@ def _wave_outlinks(tbl: pa.Table) -> pa.Table:
     links = link_kernel(ok, "url", "text")
     dst = pc.unique(links["dst_url"].combine_chunks())
     return pa.table({"url": dst.cast(pa.string())})
+
+
+@ray.remote
+def _wave_outlinks(tbl: pa.Table) -> pa.Table:
+    """Raw task round over materialized wave refs (no executor
+    launch)."""
+    return _outlinks_tbl(tbl)
+
+
+@ray.remote
+def _stored_wave_outlinks(path: str) -> pa.Table:
+    """Resume path: outlinks of one PERSISTED wave file (column-pruned
+    read; the text column never reaches the driver)."""
+    import pyarrow.parquet as pq
+
+    return _outlinks_tbl(pq.read_table(
+        path, columns=["url", "text", "fetch_action"]))
+
+
+@ray.remote
+def _stored_wave_urls(path: str) -> pa.Table:
+    """Resume path: the url column of one persisted wave file, for
+    re-priming the seen gate."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=["url"])
+
+
+@ray.remote
+def _wave_counters(tbl: pa.Table) -> dict:
+    acts = tbl["fetch_action"]
+    return {"rows": tbl.num_rows,
+            "ok": int(pc.sum(pc.equal(acts, "ok")).as_py() or 0)}
 
 
 def crawl_waves(pages_path: str, *,
@@ -215,3 +246,121 @@ def crawl_waves(pages_path: str, *,
     return (ray.data.from_arrow_refs(out_refs)
             .rename_columns({"hop": "wave"})
             .select_columns([f.name for f in _OUT_SCHEMA]))
+
+
+def run_crawl(pages_path: str, out_dir: str, *,
+              seeds: ray.data.Dataset | None = None,
+              seed_suffix: str = ".example/",
+              transport=None,
+              max_waves: int = 3, max_attempts: int = 3,
+              minimum_interval: float = 3.0,
+              num_shards: int = 8, n_bits: int = 1 << 22,
+              exact: bool = True,
+              concurrency: int | tuple = (1, 4)) -> dict:
+    """Resumable :func:`crawl_waves`: one atomic output partition per
+    wave (``<out_dir>/wave=N/``), each recorded in the lineage manifest
+    with its fetch counters — a crawl that dies at wave 7 of 12 reruns
+    waves 8..12 only.
+
+    Resume mechanics: completed waves (manifest fingerprint = pages
+    footer + fetch params + seed rule) are never refetched; their urls
+    re-prime the seen gate from the stored url columns (column-pruned
+    reads), and the next frontier is re-derived from the LAST completed
+    wave's persisted ok rows. A wave's row set depends only on (pages,
+    seeds, max_attempts), never on ``max_waves`` — so a finished
+    shallow crawl extends to a deeper one without refetching (the
+    fingerprint deliberately excludes ``max_waves``).
+
+    Caller contract when passing ``seeds=``: the seed set must be
+    stable across reruns (it is part of wave 0's identity but cannot be
+    fingerprinted through a Dataset); the default ``seed_suffix`` rule
+    is fingerprinted.
+
+    Returns ``{"skipped_waves", "ran_waves", "counters": {wave: {rows,
+    ok}}}``.
+    """
+    import glob as _glob
+    import os
+
+    from ..state.lineage import (LineageManifest, atomic_write_dir,
+                                 fingerprint_file)
+
+    if max_waves < 0:
+        raise ValueError("max_waves must be >= 0")
+    if transport is None:
+        transport = UrlTableTransport(pages_path)
+    manifest = LineageManifest(out_dir)
+    fp = "%s+a%d+i%s+s%s" % (fingerprint_file(pages_path), max_attempts,
+                             minimum_interval,
+                             seed_suffix if seeds is None else "custom")
+
+    # completed waves count only as a contiguous prefix: wave N+1's
+    # frontier derives from wave N's output
+    done: list[int] = []
+    for w in range(max_waves + 1):
+        if manifest.is_complete("wave=%d" % w, fp):
+            done.append(w)
+        else:
+            break
+
+    seen = ShardedSeenSet(num_shards=num_shards, n_bits=n_bits,
+                          exact=exact)
+    gate = SeenFilterStage(seen)
+    result = {"skipped_waves": list(done), "ran_waves": [],
+              "counters": {w: {k: manifest.entries["wave=%d" % w][k]
+                               for k in ("rows", "ok")} for w in done}}
+
+    if done:
+        # re-prime the seen set from every stored wave, then re-derive
+        # the frontier from the last stored wave's ok rows
+        prime_refs = []
+        for w in done:
+            for f in sorted(_glob.glob(os.path.join(
+                    out_dir, "wave=%d" % w, "*.parquet"))):
+                prime_refs.append(_stored_wave_urls.remote(f))
+        primed = [_gate_block.options(num_returns=2).remote(
+            gate, "url", 0, r) for r in prime_refs]
+        ray.get([p[1] for p in primed])
+        last_files = sorted(_glob.glob(os.path.join(
+            out_dir, "wave=%d" % done[-1], "*.parquet")))
+        frontier_refs = [_stored_wave_outlinks.remote(f)
+                         for f in last_files]
+    else:
+        if seeds is None:
+            seeds = (ray.data.read_parquet(pages_path, columns=["url"])
+                     .map_batches(lambda b: b.filter(
+                         pc.ends_with(b["url"], seed_suffix)),
+                         batch_format="pyarrow", batch_size=None))
+        frontier_refs = (seeds.select_columns(["url"]).materialize()
+                         .to_arrow_refs())
+
+    for wave in range(len(done), max_waves + 1):
+        gated = [_gate_block.options(num_returns=2).remote(
+            gate, "url", wave, r) for r in frontier_refs]
+        counts = ray.get([g[1] for g in gated])
+        if int(sum(counts)) == 0:
+            break
+        hop_refs = [g[0] for g, n in zip(gated, counts) if n]
+        wds = (ray.data.from_arrow_refs(hop_refs)
+               .map_batches(_add_fetch_id, batch_format="pyarrow",
+                            batch_size=None))
+        fetched = fetch_execute(
+            wds, transport, max_attempts=max_attempts,
+            minimum_interval=minimum_interval, id_col="fetch_id",
+            concurrency=concurrency).materialize()
+        wave_refs = fetched.to_arrow_refs()
+        parts = ray.get([_wave_counters.remote(r) for r in wave_refs])
+        counters = {"rows": sum(p["rows"] for p in parts),
+                    "ok": sum(p["ok"] for p in parts)}
+        final = os.path.join(out_dir, "wave=%d" % wave)
+        with atomic_write_dir(final) as tmp:
+            (fetched.rename_columns({"hop": "wave"})
+             .select_columns([f.name for f in _OUT_SCHEMA])
+             .write_parquet(tmp))
+        manifest.record("wave=%d" % wave, fp, counters, final)
+        result["ran_waves"].append(wave)
+        result["counters"][wave] = counters
+        if wave == max_waves:
+            break
+        frontier_refs = [_wave_outlinks.remote(r) for r in wave_refs]
+    return result

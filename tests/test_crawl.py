@@ -105,3 +105,64 @@ def test_url_transport_over_budget_raises(tmp_path):
     tr = UrlTableTransport(p, index_budget_bytes=0)
     with pytest.raises(NotImplementedError):
         tr.payloads(np.array([1], np.int64))
+
+
+def _read_out(out_dir):
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    import glob
+    files = sorted(glob.glob(str(out_dir) + "/wave=*/*.parquet"))
+    return pd.concat([pq_.read_table(f).to_pandas() for f in files],
+                     ignore_index=True).sort_values(
+        ["wave", "url"]).reset_index(drop=True)
+
+
+def test_run_crawl_resume_skips_completed_waves(ray_session, tmp_path):
+    from cdx_toolkit_ray.pipelines.crawl import run_crawl
+
+    p = _web_table(tmp_path)
+    out = str(tmp_path / "crawl_out")
+    r1 = run_crawl(p, out, seed_suffix="t7.example/", max_waves=3)
+    assert r1["skipped_waves"] == [] and r1["ran_waves"] == [0, 1, 2]
+    first = _read_out(out)
+    assert set(first.url) == {SEED, A, B, DANGLING, C, E}
+    # identical rerun: every wave skipped, nothing refetched, output
+    # untouched
+    r2 = run_crawl(p, out, seed_suffix="t7.example/", max_waves=3)
+    assert r2["ran_waves"] == [] and r2["skipped_waves"] == [0, 1, 2]
+    assert r2["counters"] == r1["counters"]
+    assert _read_out(out).equals(first)
+
+
+def test_run_crawl_extends_shallow_crawl(ray_session, tmp_path):
+    """A wave's row set is independent of max_waves, so a finished
+    shallow crawl deepens by fetching only the NEW waves — the frontier
+    re-derives from the last persisted wave's ok rows."""
+    from cdx_toolkit_ray.pipelines.crawl import run_crawl
+
+    p = _web_table(tmp_path)
+    out = str(tmp_path / "crawl_ext")
+    r1 = run_crawl(p, out, seed_suffix="t7.example/", max_waves=1)
+    assert r1["ran_waves"] == [0, 1]
+    r2 = run_crawl(p, out, seed_suffix="t7.example/", max_waves=3)
+    assert r2["skipped_waves"] == [0, 1] and r2["ran_waves"] == [2]
+    # deep-from-scratch reference
+    ref = str(tmp_path / "crawl_ref")
+    run_crawl(p, ref, seed_suffix="t7.example/", max_waves=3)
+    assert _read_out(out).equals(_read_out(ref))
+
+
+def test_run_crawl_changed_input_invalidates(ray_session, tmp_path):
+    """A different pages table (new footer fingerprint) must not reuse
+    stale partitions."""
+    from cdx_toolkit_ray.pipelines.crawl import run_crawl
+
+    p = _web_table(tmp_path)
+    out = str(tmp_path / "crawl_inv")
+    run_crawl(p, out, seed_suffix="t7.example/", max_waves=1)
+    (tmp_path / "v2").mkdir()
+    p2 = _web_table(tmp_path / "v2",
+                    stale_seed_text=f"<a href='{E}'></a> changed")
+    r = run_crawl(str(p2), out, seed_suffix="t7.example/", max_waves=1)
+    assert r["skipped_waves"] == [] and r["ran_waves"] == [0, 1]
