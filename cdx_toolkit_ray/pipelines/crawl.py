@@ -45,6 +45,7 @@ import ray
 import ray.data
 
 from ..canon import hash64_batch
+from ..stages.exchange import hash_bucket_apply
 from ..state.seen import SeenFilterStage, ShardedSeenSet
 from ..stages.links import _gate_block, link_kernel
 from .fetch import TableTransport, fetch_execute
@@ -127,6 +128,193 @@ class UrlTableTransport(TableTransport):
 def _add_fetch_id(batch: pa.Table) -> pa.Table:
     h = hash64_batch(batch["url"]).view(np.int64)
     return batch.append_column("fetch_id", pa.array(h, pa.int64()))
+
+
+def _prep_wave(batch: pa.Table) -> pa.Table:
+    """(url, hop) -> + fetch_id (hash64 of the raw url, the fault-
+    schedule identity) + host (the politeness/robots key, via the
+    proven canonicalizer kernel)."""
+    from ..canon import canonicalize_batch
+
+    batch = _add_fetch_id(batch)
+    cb = canonicalize_batch(batch.select(["url"]))
+    return batch.append_column("host", cb["host"])
+
+
+# --- cross-wave politeness: a narrow (host, base) exchange per wave ----
+#
+# The per-host virtual clock must hold ACROSS waves, not only within
+# one (the fetch_requeue contract generalized to N waves): wave w+1's
+# first slot for host h starts after wave w's last slot for h. The
+# carried state is one narrow row per ACTIVE host — at web scale that
+# stream is bucketed through the same exchange as the rows themselves,
+# never a driver dict.
+
+_SCHED_KIND_ROW = 0   # a frontier row awaiting a slot
+_SCHED_KIND_BASE = 1  # carried state: host's last assigned slot
+
+
+def _key_sched(nb: int):
+    nbu = np.uint64(nb)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hb = (hash64_batch(batch["host"]) % nbu).astype(np.int64)
+        n = batch.num_rows
+        return pa.table({
+            "bucket": pa.array(hb, pa.int64()),
+            "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "url": batch["url"].cast(pa.string()),
+            "hop": batch["hop"].cast(pa.int64()),
+            "fetch_id": batch["fetch_id"].cast(pa.int64()),
+            "host": batch["host"].cast(pa.string()),
+            "crawl_delay_ms": batch["crawl_delay_ms"].cast(pa.int64()),
+            "fetch_ms": pa.array([None] * n, pa.int64()),
+        })
+
+    return fn
+
+
+def _key_base_tbl(nb: int, tbl: pa.Table) -> pa.Table:
+    """Base rows (host, fetch_ms) -> full exchange schema, kind=1."""
+    nbu = np.uint64(nb)
+    n = tbl.num_rows
+    hb = (hash64_batch(tbl["host"]) % nbu).astype(np.int64)
+    return pa.table({
+        "bucket": pa.array(hb, pa.int64()),
+        "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+        "url": pa.array([None] * n, pa.string()),
+        "hop": pa.array([None] * n, pa.int64()),
+        "fetch_id": pa.array([None] * n, pa.int64()),
+        "host": tbl["host"].cast(pa.string()),
+        "crawl_delay_ms": pa.array([None] * n, pa.int64()),
+        "fetch_ms": tbl["fetch_ms"].cast(pa.int64()),
+    })
+
+
+@ray.remote
+def _key_base_block(nb: int, tbl: pa.Table) -> pa.Table:
+    return _key_base_tbl(nb, tbl)
+
+
+def _sched_bucket(tbl: pa.Table) -> pa.Table:
+    """One host-hash bucket: assign this wave's politeness slots and
+    roll the per-host base forward.
+
+    Slots: rows rank within their host in url order (unique after the
+    seen gate); ``fetch_ms = base + (rank+1) * crawl_delay_ms`` with
+    ``base = -delay`` for hosts never fetched (first slot lands at 0,
+    the frontier scheduler's convention). Emits the scheduled rows
+    (kind 0) plus one base row per host (kind 1) — including carried
+    hosts with no rows this wave, whose budget must survive to later
+    waves. Incoming base rows fold by max, so resume can feed per-wave
+    partials."""
+    import pandas as pd
+
+    kind = tbl["kind"].to_numpy(zero_copy_only=False)
+    base_t = tbl.filter(pa.array(kind == _SCHED_KIND_BASE))
+    f = tbl.filter(pa.array(kind == _SCHED_KIND_ROW))
+    base_by_host: dict = {}
+    if base_t.num_rows:
+        bh = base_t["host"].to_numpy(zero_copy_only=False)
+        bm = base_t["fetch_ms"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = pd.Series(bm).groupby(pd.Series(bh)).max()
+        base_by_host = s.to_dict()
+
+    out_cols = ["kind", "url", "hop", "fetch_id", "host",
+                "crawl_delay_ms", "fetch_ms"]
+    if f.num_rows == 0:
+        hosts = sorted(base_by_host)
+        n = len(hosts)
+        return pa.table({
+            "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+            "url": pa.array([None] * n, pa.string()),
+            "hop": pa.array([None] * n, pa.int64()),
+            "fetch_id": pa.array([None] * n, pa.int64()),
+            "host": pa.array(hosts, pa.string()),
+            "crawl_delay_ms": pa.array([None] * n, pa.int64()),
+            "fetch_ms": pa.array(
+                [base_by_host[h] for h in hosts], pa.int64()),
+        })
+
+    hosts = f["host"].to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(hosts)
+    delay = f["crawl_delay_ms"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    # per-host delay = first row's (robots delay is a host property)
+    first_idx = np.full(len(uniq), len(codes), np.int64)
+    np.minimum.at(first_idx, codes, np.arange(len(codes)))
+    delay_u = delay[first_idx]
+    base_u = np.array([base_by_host.get(h, -int(d))
+                       for h, d in zip(uniq, delay_u)], np.int64)
+
+    urls = f["url"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((urls, codes))
+    s_host = codes[order]
+    new_run = np.r_[True, s_host[1:] != s_host[:-1]] \
+        if len(order) else np.zeros(0, bool)
+    starts = np.flatnonzero(new_run)
+    run_id = np.cumsum(new_run) - 1
+    rank_sorted = np.arange(len(order)) - starts[run_id]
+    rank = np.empty(len(codes), np.int64)
+    rank[order] = rank_sorted
+    fetch_ms = base_u[codes] + (rank + 1) * delay_u[codes]
+
+    counts = np.bincount(codes, minlength=len(uniq))
+    new_base = {h: int(b + c * d) for h, b, c, d in
+                zip(uniq, base_u, counts, delay_u)}
+    carry = {h: m for h, m in base_by_host.items() if h not in new_base}
+    new_base.update(carry)
+    bhosts = sorted(new_base)
+
+    sched = pa.table({
+        "kind": pa.array(np.zeros(f.num_rows, np.int8), pa.int8()),
+        "url": f["url"].cast(pa.string()),
+        "hop": f["hop"].cast(pa.int64()),
+        "fetch_id": f["fetch_id"].cast(pa.int64()),
+        "host": f["host"].cast(pa.string()),
+        "crawl_delay_ms": f["crawl_delay_ms"].cast(pa.int64()),
+        "fetch_ms": pa.array(fetch_ms, pa.int64()),
+    })
+    nb_ = len(bhosts)
+    bases = pa.table({
+        "kind": pa.array(np.ones(nb_, np.int8), pa.int8()),
+        "url": pa.array([None] * nb_, pa.string()),
+        "hop": pa.array([None] * nb_, pa.int64()),
+        "fetch_id": pa.array([None] * nb_, pa.int64()),
+        "host": pa.array(bhosts, pa.string()),
+        "crawl_delay_ms": pa.array([None] * nb_, pa.int64()),
+        "fetch_ms": pa.array([new_base[h] for h in bhosts], pa.int64()),
+    })
+    return pa.concat_tables([sched.select(out_cols),
+                             bases.select(out_cols)])
+
+
+@ray.remote(num_returns=2)
+def _split_sched(tbl: pa.Table):
+    """(scheduled rows, base rows) of one exchange output block."""
+    kind = tbl["kind"].to_numpy(zero_copy_only=False)
+    sched = tbl.filter(pa.array(kind == _SCHED_KIND_ROW)).drop(["kind"])
+    base = tbl.filter(pa.array(kind == _SCHED_KIND_BASE)) \
+        .select(["host", "fetch_ms"])
+    return sched, base
+
+
+@ray.remote
+def _stored_wave_base(path: str) -> pa.Table:
+    """Resume path: per-host max fetch_ms of one persisted wave file
+    (a partial — the schedule kernel folds partials by max)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["host", "fetch_ms"])
+    if t.num_rows == 0:
+        return pa.table({"host": pa.array([], pa.string()),
+                         "fetch_ms": pa.array([], pa.int64())})
+    df = t.to_pandas().groupby("host", as_index=False)["fetch_ms"].max()
+    return pa.table({"host": pa.array(df["host"], pa.string()),
+                     "fetch_ms": pa.array(df["fetch_ms"].astype("int64"),
+                                          pa.int64())})
 
 
 def _outlinks_tbl(tbl: pa.Table) -> pa.Table:
@@ -256,20 +444,37 @@ def run_crawl(pages_path: str, out_dir: str, *,
               minimum_interval: float = 3.0,
               num_shards: int = 8, n_bits: int = 1 << 22,
               exact: bool = True,
+              politeness: bool = True,
+              robots_path: str | None = None,
+              default_delay_ms: int = 1000,
+              num_buckets: int = 16,
               concurrency: int | tuple = (1, 4)) -> dict:
     """Resumable :func:`crawl_waves`: one atomic output partition per
     wave (``<out_dir>/wave=N/``), each recorded in the lineage manifest
     with its fetch counters — a crawl that dies at wave 7 of 12 reruns
     waves 8..12 only.
 
+    **Politeness across waves** (``politeness=True``): every wave's
+    rows get virtual-clock slots through a per-host exchange whose
+    carried state is one narrow (host, last-slot) row per active host —
+    wave w+1's first slot for a host starts one crawl-delay after the
+    host's LAST slot in any earlier wave (the fetch_requeue contract
+    generalized to N waves), never a wall-clock sleep and never a
+    driver-side dict. With ``robots_path`` the per-host crawl-delay and
+    disallow rules come from the proven robots gate (blocked URLs are
+    dropped after the seen gate, so they are never reconsidered);
+    otherwise every host gets ``default_delay_ms``.
+
     Resume mechanics: completed waves (manifest fingerprint = pages
     footer + fetch params + seed rule) are never refetched; their urls
     re-prime the seen gate from the stored url columns (column-pruned
-    reads), and the next frontier is re-derived from the LAST completed
-    wave's persisted ok rows. A wave's row set depends only on (pages,
-    seeds, max_attempts), never on ``max_waves`` — so a finished
-    shallow crawl extends to a deeper one without refetching (the
-    fingerprint deliberately excludes ``max_waves``).
+    reads), the politeness base re-derives from per-wave (host,
+    max fetch_ms) partials, and the next frontier is re-derived from
+    the LAST completed wave's persisted ok rows. A wave's row set
+    depends only on (pages, seeds, max_attempts), never on
+    ``max_waves`` — so a finished shallow crawl extends to a deeper one
+    without refetching (the fingerprint deliberately excludes
+    ``max_waves``).
 
     Caller contract when passing ``seeds=``: the seed set must be
     stable across reruns (it is part of wave 0's identity but cannot be
@@ -293,6 +498,31 @@ def run_crawl(pages_path: str, out_dir: str, *,
     fp = "%s+a%d+i%s+s%s" % (fingerprint_file(pages_path), max_attempts,
                              minimum_interval,
                              seed_suffix if seeds is None else "custom")
+    if politeness:
+        fp += "+p%d" % default_delay_ms
+        if robots_path is not None:
+            fp += "+r" + fingerprint_file(robots_path)
+
+    robots_fn = None
+    if politeness:
+        if robots_path is not None:
+            from .frontier import load_robots, make_robots_gate
+            robots_fn = make_robots_gate(ray.put(load_robots(robots_path)),
+                                         default_delay_ms)
+        else:
+            def robots_fn(batch: pa.Table) -> pa.Table:
+                n = batch.num_rows
+                batch = batch.append_column(
+                    "robots_blocked", pa.array(np.zeros(n, bool)))
+                return batch.append_column(
+                    "crawl_delay_ms",
+                    pa.array(np.full(n, default_delay_ms, np.int64),
+                             pa.int64()))
+
+    _names = [f.name for f in _OUT_SCHEMA]
+    out_names = (_names[:2] +
+                 (["host", "fetch_ms"] if politeness else []) +
+                 _names[2:])
 
     # completed waves count only as a contiguous prefix: wave N+1's
     # frontier derives from wave N's output
@@ -310,14 +540,19 @@ def run_crawl(pages_path: str, out_dir: str, *,
               "counters": {w: {k: manifest.entries["wave=%d" % w][k]
                                for k in ("rows", "ok")} for w in done}}
 
+    base_refs: list = []
     if done:
-        # re-prime the seen set from every stored wave, then re-derive
-        # the frontier from the last stored wave's ok rows
+        # re-prime the seen set and the politeness base from every
+        # stored wave, then re-derive the frontier from the last
+        # stored wave's ok rows
         prime_refs = []
         for w in done:
             for f in sorted(_glob.glob(os.path.join(
                     out_dir, "wave=%d" % w, "*.parquet"))):
                 prime_refs.append(_stored_wave_urls.remote(f))
+                if politeness:
+                    base_refs.append(_key_base_block.remote(
+                        num_buckets, _stored_wave_base.remote(f)))
         primed = [_gate_block.options(num_returns=2).remote(
             gate, "url", 0, r) for r in prime_refs]
         ray.get([p[1] for p in primed])
@@ -341,9 +576,30 @@ def run_crawl(pages_path: str, out_dir: str, *,
         if int(sum(counts)) == 0:
             break
         hop_refs = [g[0] for g, n in zip(gated, counts) if n]
-        wds = (ray.data.from_arrow_refs(hop_refs)
-               .map_batches(_add_fetch_id, batch_format="pyarrow",
-                            batch_size=None))
+        wds = ray.data.from_arrow_refs(hop_refs)
+        if politeness:
+            wds = (wds.map_batches(_prep_wave, batch_format="pyarrow",
+                                   batch_size=None)
+                   .map_batches(robots_fn, batch_format="pyarrow",
+                                batch_size=None)
+                   .map_batches(lambda b: b.filter(
+                       pc.invert(b["robots_blocked"])),
+                       batch_format="pyarrow", batch_size=None)
+                   .map_batches(_key_sched(num_buckets),
+                                batch_format="pyarrow", batch_size=None))
+            if base_refs:
+                wds = wds.union(ray.data.from_arrow_refs(base_refs))
+            ex = hash_bucket_apply(wds, "bucket", _sched_bucket,
+                                   num_buckets=num_buckets)
+            pairs = [_split_sched.options(num_returns=2).remote(r)
+                     for r in ex.to_arrow_refs()]
+            sched_refs = [p[0] for p in pairs]
+            base_refs = [_key_base_block.remote(num_buckets, p[1])
+                         for p in pairs]
+            wds = ray.data.from_arrow_refs(sched_refs)
+        else:
+            wds = wds.map_batches(_add_fetch_id, batch_format="pyarrow",
+                                  batch_size=None)
         fetched = fetch_execute(
             wds, transport, max_attempts=max_attempts,
             minimum_interval=minimum_interval, id_col="fetch_id",
@@ -355,7 +611,7 @@ def run_crawl(pages_path: str, out_dir: str, *,
         final = os.path.join(out_dir, "wave=%d" % wave)
         with atomic_write_dir(final) as tmp:
             (fetched.rename_columns({"hop": "wave"})
-             .select_columns([f.name for f in _OUT_SCHEMA])
+             .select_columns(out_names)
              .write_parquet(tmp))
         manifest.record("wave=%d" % wave, fp, counters, final)
         result["ran_waves"].append(wave)

@@ -153,6 +153,112 @@ def test_run_crawl_extends_shallow_crawl(ray_session, tmp_path):
     assert _read_out(out).equals(_read_out(ref))
 
 
+def _assert_polite(df, delay):
+    """Per host: slots unique, spaced >= delay, and every later wave's
+    slots come strictly after every earlier wave's (the cross-wave
+    budget)."""
+    for host, g in df.groupby("host"):
+        ms = np.sort(g["fetch_ms"].to_numpy())
+        assert (np.diff(ms) >= delay).all(), (host, ms)
+        for w in sorted(g["wave"].unique())[:-1]:
+            lo = g[g.wave == w]["fetch_ms"].max()
+            hi = g[g.wave > w]["fetch_ms"].min()
+            assert hi >= lo + delay, (host, w, lo, hi)
+
+
+def test_run_crawl_cross_wave_politeness(ray_session, tmp_path):
+    """Slots never violate the per-host interval ACROSS waves: wave
+    w+1's first slot for a host starts one delay after the host's last
+    slot in any earlier wave."""
+    from cdx_toolkit_ray.pipelines.crawl import run_crawl
+
+    p = _web_table(tmp_path)
+    out = str(tmp_path / "crawl_polite")
+    run_crawl(p, out, seed_suffix="t7.example/", max_waves=3,
+              default_delay_ms=700)
+    df = _read_out(out)
+    assert {"host", "fetch_ms"} <= set(df.columns)
+    _assert_polite(df, 700)
+    # web.example is fetched at waves 1 (A, B, DANGLING) and 2 (C, E):
+    # five slots on one host, all distinct, spanning both waves
+    web = df[df.host == "web.example"]
+    assert len(web) == 5 and web.fetch_ms.nunique() == 5
+
+
+def test_run_crawl_politeness_survives_resume(ray_session, tmp_path):
+    """The politeness base re-derives from persisted waves: a resumed
+    deeper crawl gives identical slots to a from-scratch deep crawl."""
+    from cdx_toolkit_ray.pipelines.crawl import run_crawl
+
+    p = _web_table(tmp_path)
+    out = str(tmp_path / "crawl_pr")
+    run_crawl(p, out, seed_suffix="t7.example/", max_waves=1,
+              default_delay_ms=700)
+    r = run_crawl(p, out, seed_suffix="t7.example/", max_waves=3,
+                  default_delay_ms=700)
+    assert r["skipped_waves"] == [0, 1]
+    ref = str(tmp_path / "crawl_pr_ref")
+    run_crawl(p, ref, seed_suffix="t7.example/", max_waves=3,
+              default_delay_ms=700)
+    assert _read_out(out).equals(_read_out(ref))
+    _assert_polite(_read_out(out), 700)
+
+
+def test_run_crawl_random_web_politeness(ray_session, tmp_path):
+    """Seeded random web over many hosts: the politeness invariant
+    holds globally for every host across all waves."""
+    import ray.data
+
+    from cdx_toolkit_ray.pipelines.crawl import run_crawl
+
+    rng = np.random.default_rng(7)
+    hosts = ["h%d.example" % i for i in range(9)]
+    urls = ["https://%s/p/%d" % (rng.choice(hosts), i)
+            for i in range(120)]
+    texts = []
+    for i in range(120):
+        outl = rng.choice(urls, size=rng.integers(0, 5), replace=False)
+        texts.append(" ".join("<a href='%s'></a>" % u for u in outl))
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(list(range(120)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    p = str(tmp_path / "rand.parquet")
+    pq.write_table(t, p)
+    seeds = ray.data.from_arrow(pa.table(
+        {"url": pa.array(urls[:10], pa.string())}))
+    out = str(tmp_path / "rand_out")
+    run_crawl(p, out, seeds=seeds, max_waves=4, default_delay_ms=300)
+    df = _read_out(out)
+    assert df.url.is_unique and len(df) >= 10
+    _assert_polite(df, 300)
+
+
+def test_run_crawl_robots_gate_blocks(ray_session, tmp_path):
+    """robots_path: disallowed URLs are dropped before fetch and the
+    host's crawl-delay from robots drives the slot spacing."""
+    from cdx_toolkit_ray.pipelines.crawl import run_crawl
+
+    p = _web_table(tmp_path)
+    robots = pa.table({
+        "host": pa.array(["web.example"], pa.string()),
+        "crawl_delay_ms": pa.array([2500], pa.int64()),
+        "disallow": pa.array([["/p/0"]],
+                             pa.list_(pa.string())),
+    })
+    rp = str(tmp_path / "robots.parquet")
+    pq.write_table(robots, rp)
+    out = str(tmp_path / "crawl_rob")
+    run_crawl(p, out, seed_suffix="t7.example/", max_waves=3,
+              robots_path=rp, default_delay_ms=400)
+    df = _read_out(out)
+    assert B not in set(df.url)          # disallowed '/p/0' never fetched
+    assert A in set(df.url)
+    web = df[df.host == "web.example"]
+    _assert_polite(web, 2500)            # robots delay, not the default
+
+
 def test_run_crawl_changed_input_invalidates(ray_session, tmp_path):
     """A different pages table (new footer fingerprint) must not reuse
     stale partitions."""
