@@ -122,6 +122,24 @@ def make_parser() -> ArgumentParser:
                        "urlkeys/hosts, status classes, revisits")
     rep.add_argument("--jsonl", action="store_true")
     rep.set_defaults(func=reporter)
+
+    cr = sub.add_parser(
+        "crawl", help="run the resumable polite crawl loop over the "
+                      "--pages table (seeds -> fetch -> discover), one "
+                      "lineage-tracked partition per wave")
+    cr.add_argument("--out", required=True,
+                    help="output directory (wave=N partitions + "
+                         "lineage manifest; reruns skip finished waves)")
+    cr.add_argument("--seed-suffix", default=".example/",
+                    help="urls ending with this are the wave-0 seeds")
+    cr.add_argument("--max-waves", type=int, default=3)
+    cr.add_argument("--max-attempts", type=int, default=3)
+    cr.add_argument("--robots", action="store",
+                    help="robots table parquet (per-host crawl-delay + "
+                         "disallow); politeness uses --delay-ms for "
+                         "hosts it does not list")
+    cr.add_argument("--delay-ms", type=int, default=1000)
+    cr.set_defaults(func=crawler)
     return parser
 
 
@@ -272,9 +290,26 @@ def reporter(cmd, out=None) -> None:
             print(" ".join(str(r[c]) for c in cols), file=f)
 
 
+def crawler(cmd, out=None) -> None:
+    """`cdxt-ray crawl`: the integrated loop the reference leaves to
+    its users, resumable and polite (pipelines/crawl.py run_crawl)."""
+    from .pipelines.crawl import run_crawl
+
+    r = run_crawl(cmd.pages, cmd.out, seed_suffix=cmd.seed_suffix,
+                  max_waves=cmd.max_waves, max_attempts=cmd.max_attempts,
+                  robots_path=cmd.robots,
+                  default_delay_ms=cmd.delay_ms)
+    print(json.dumps(r, sort_keys=True), file=out or sys.stdout)
+
+
 def main(args=None) -> None:
     parser = make_parser()
     cmd = parser.parse_args(args=args)
+    if cmd.cmd == "crawl":
+        if not cmd.pages:
+            parser.error("crawl requires --pages (the table the "
+                         "transport fetches from)")
+        cmd.captures_root = cmd.captures_root or cmd.pages
     if not cmd.captures_root and not cmd.source and not cmd.cc_mirror:
         parser.error("--captures-root is required (or --source/"
                      "--cc-mirror naming a table)")

@@ -194,3 +194,27 @@ def test_cc_mirror_is_alternate_root(ray_session, fixture_dir,
     assert cdx.captures_root == mirror
     assert cdx.get_size_estimate("*.big-portal.example",
                                  from_ts="2021", to="2024") > 0
+
+
+def test_cli_crawl_resumable(ray_session, fixture_dir, tmp_path):
+    out_dir = str(tmp_path / "cli_crawl")
+    text = run_cli(["--pages", fixture_dir["pages"],
+                    "crawl", "--out", out_dir,
+                    "--max-waves", "1", "--delay-ms", "500"],
+                   fixture_dir)
+    r = json.loads(text)
+    assert r["ran_waves"] == [0, 1] and r["skipped_waves"] == []
+    assert r["counters"]["0"]["rows"] > 0
+    # rerun skips everything
+    text2 = run_cli(["--pages", fixture_dir["pages"],
+                     "crawl", "--out", out_dir,
+                     "--max-waves", "1", "--delay-ms", "500"],
+                    fixture_dir)
+    r2 = json.loads(text2)
+    assert r2["ran_waves"] == [] and r2["skipped_waves"] == [0, 1]
+
+
+def test_cli_crawl_requires_pages(capsys):
+    with pytest.raises(SystemExit):
+        cli.main(["crawl", "--out", "/tmp/x"])
+    assert "requires --pages" in capsys.readouterr().err
