@@ -2202,6 +2202,32 @@ def q_crawl_waves(sf_dir: str):
     return crawl_waves(root + "/pages.parquet", max_waves=3)
 
 
+def q_crawl_polite(sf_dir: str):
+    """The RESUMABLE polite crawl driver (pipelines/crawl.run_crawl),
+    value-checked end-to-end including the cross-wave politeness
+    clock: per host, wave w's rank-r slot is (prior-wave row count +
+    r) * delay — the carried-base exchange in closed form. Runs the
+    real driver (lineage manifest, atomic wave partitions) into /tmp
+    and reads the persisted partitions back; a repeat run exercises
+    the skip path and yields identical rows."""
+    import glob as _glob
+    import hashlib
+    import os
+
+    from .pipelines.crawl import run_crawl
+
+    root = _fixture_root(sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = "/tmp/cdxray_crawlpol_%s" % tag
+    run_crawl(root + "/pages.parquet", out, max_waves=3,
+              default_delay_ms=1000)
+    parts = sorted(_glob.glob(os.path.join(out, "wave=*", "*.parquet")))
+    ds = ray.data.read_parquet(parts)
+    return ds.select_columns(["url", "wave", "host", "fetch_ms",
+                              "n_attempts", "final_status",
+                              "fetch_action"])
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB; the driver pre-registers the table views)
 # ---------------------------------------------------------------------------
@@ -2253,14 +2279,10 @@ def _cw_s(dexpr: str, k: int) -> str:
     return f"list_extract({_CW_FAULT}, ({dexpr} + {k}) % 8 + 1)"
 
 
-def _crawl_waves_oracle(max_waves: int = 3) -> str:
-    """Serial replay of the integrated crawl loop (q_crawl_waves):
-    wave-capped transitive closure over link edges whose source's
-    3-attempt fault replay classifies ok, then per reached URL the
-    RetryPolicy outcome columns + the pages text for ok rows. The
-    pages table is an archive (several captures per url); the live-
-    fetch rule is LATEST capture wins (max warc_ts per url — unique by
-    the fixture contract), mirrored by UrlTableTransport._load."""
+def _crawl_closure_ctes(max_waves: int = 3) -> str:
+    """The shared CTE chain of the integrated-crawl oracles: latest-
+    capture pages view, href links, the ok-gated wave-capped closure,
+    and per reached URL the serial RetryPolicy fault replay."""
     d_of_url = "CAST((" + _FNV_SQL.format(s="url") + ") % 8 AS INTEGER)"
     ok_cond = (f"({_cw_s('w.d', 0)} IN (200, 301) OR "
                f"({_cw_s('w.d', 0)} IN {_CW_RT} AND "
@@ -2308,13 +2330,62 @@ cls AS (
          CAST(CASE WHEN {s0} NOT IN {_CW_RT} THEN {s0}
                    WHEN {s1} NOT IN {_CW_RT} THEN {s1}
                    ELSE {s2} END AS BIGINT) AS final_status
-  FROM scored)
+  FROM scored)"""
+
+
+def _crawl_waves_oracle(max_waves: int = 3) -> str:
+    """Serial replay of the integrated crawl loop (q_crawl_waves):
+    wave-capped transitive closure over link edges whose source's
+    3-attempt fault replay classifies ok, then per reached URL the
+    RetryPolicy outcome columns + the pages text for ok rows. The
+    pages table is an archive (several captures per url); the live-
+    fetch rule is LATEST capture wins (max warc_ts per url — unique by
+    the fixture contract), mirrored by UrlTableTransport._load."""
+    return _crawl_closure_ctes(max_waves) + f"""
 SELECT c.url, c.wave, c.n_attempts, c.final_status,
        CASE WHEN c.final_status IN (200, 301) THEN 'ok'
             WHEN c.final_status IN {_CW_RT} THEN 'exhausted'
             ELSE 'invalid' END AS fetch_action,
        CASE WHEN c.final_status IN (200, 301) THEN p.text END AS text
 FROM cls c LEFT JOIN pg p USING (url)
+"""
+
+
+def _crawl_polite_oracle(max_waves: int = 3, delay_ms: int = 1000) -> str:
+    """The cross-wave politeness schedule in closed form: with every
+    host on the same constant delay, wave w's slot for a host's rank-r
+    row is ``(prior + r) * delay`` where ``prior`` is the host's total
+    row count over all earlier waves — exactly the carried-base
+    recurrence of pipelines/crawl._sched_bucket (base starts at
+    -delay; base' = base + count*delay; slot = base + (rank+1)*delay).
+    Rank orders by url within (host, wave), the kernel's lexsort."""
+    return _crawl_closure_ctes(max_waves) + f""",
+hostx AS (
+  SELECT url, wave,
+         lower(regexp_extract(url, '://([^/?#:]+)', 1)) AS host
+  FROM reached),
+cnts AS (SELECT host, wave, count(*) AS c FROM hostx
+         GROUP BY host, wave),
+cum AS (
+  SELECT host, wave,
+         COALESCE(SUM(c) OVER (PARTITION BY host ORDER BY wave
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS prior
+  FROM cnts),
+ranked AS (
+  SELECT url, wave, host,
+         row_number() OVER (PARTITION BY host, wave ORDER BY url) - 1
+           AS rk
+  FROM hostx)
+SELECT r.url, r.wave, r.host,
+       CAST((m.prior + r.rk) * {delay_ms} AS BIGINT) AS fetch_ms,
+       c.n_attempts, c.final_status,
+       CASE WHEN c.final_status IN (200, 301) THEN 'ok'
+            WHEN c.final_status IN {_CW_RT} THEN 'exhausted'
+            ELSE 'invalid' END AS fetch_action
+FROM ranked r
+JOIN cum m ON m.host = r.host AND m.wave = r.wave
+JOIN cls c ON c.url = r.url
 """
 
 
@@ -3643,6 +3714,9 @@ SELECT url, MIN(hop) AS hop FROM walk GROUP BY url
     # the integrated crawl loop: ok-gated closure + fault replay +
     # text byte-check (built by _crawl_waves_oracle above)
     "crawl_waves": _crawl_waves_oracle(),
+    # the resumable polite driver: closure + fault replay + the
+    # cross-wave politeness clock in closed form
+    "crawl_polite": _crawl_polite_oracle(),
     # S7/M12/M14 synthesis under the deterministic fake replay: the
     # output is a pure function of (url, timestamp, status). Fixture
     # URLs only need :?=& percent-encoded (quote() keeps letters,
@@ -4377,6 +4451,7 @@ QUERIES = {
     "ranked_frontier": q_ranked_frontier,
     "crawl_bfs": q_crawl_bfs,
     "crawl_waves": q_crawl_waves,
+    "crawl_polite": q_crawl_polite,
     "strip_tags": q_strip_tags,
     "page_metadata": q_page_metadata,
     "link_rank": q_link_rank,
@@ -4414,8 +4489,18 @@ _DRIVER_RECORDED_R02 = (
     "cc_components decontaminate bloom_decontam pii_redact repetition "
     "chunk_docs tfidf_topk pack_chunks group_quantiles kmeans_assign "
     "kmeans lm_score").split()
+# ...and the r01 sweep recorded these (CORRECTNESS_r01.json keys not
+# already in the r02 list). Priority order for the ~50-entry recording
+# window: never-recorded-in-any-round first, then r01-only (r02 missed
+# them), then the r02-recorded tail. Pure reordering.
+_DRIVER_RECORDED_R01_ONLY = (
+    "ann_ivf captures_query content_extract embedding_neardup "
+    "fingerprint frame_sample media_decode simhash_sigs "
+    "wb_synthesis").split()
+_recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 QUERIES = {
-    **{k: v for k, v in QUERIES.items()
-       if k not in set(_DRIVER_RECORDED_R02)},
+    **{k: v for k, v in QUERIES.items() if k not in _recorded},
+    **{k: QUERIES[k] for k in _DRIVER_RECORDED_R01_ONLY
+       if k in QUERIES},
     **{k: QUERIES[k] for k in _DRIVER_RECORDED_R02 if k in QUERIES},
 }
