@@ -2092,6 +2092,101 @@ def q_compact_captures(sf_dir: str):
     return compact_captures(ds)
 
 
+def q_revisit_resolve(sf_dir: str):
+    """Batch revisit resolution (stages/recrawl.revisit_resolve): each
+    ``warc/revisit`` capture linked to the LATEST prior non-revisit
+    capture of its urlkey (the reference's per-record lazy resolve,
+    __init__.py:101-121, as one urlkey-bucket exchange); orphans — no
+    prior response — carry anomaly='revisit_orphan'."""
+    from .stages.recrawl import revisit_resolve
+
+    root = _fixture_root(sf_dir)
+    ds = ray.data.read_parquet(root + "/captures")
+    return revisit_resolve(ds)
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing: unigram-LM score per doc ->
+    per-language exact tertile cutoffs (distinct-value quantile
+    partials, quantile_disc semantics) -> head/middle/tail label.
+    The doc->lang attach is a doc_id-bucket exchange (narrow rows);
+    the driver holds only the O(languages x 2) cutoff LUT, broadcast
+    into the labeling stage."""
+    import pandas as pd
+
+    from .stages.exchange import hash_bucket_apply
+    from .stages.lm import unigram_lm_score
+    from .stages.textstats import group_quantiles
+
+    nb = 32
+    docs = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                                 columns=["doc_id", "lang", "text"])
+    scored = unigram_lm_score(docs)
+
+    def key_sc(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((d % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(len(d), np.int8), pa.int8()),
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "nll_per_tok_1e6": batch["nll_per_tok_1e6"].cast(pa.int64()),
+            "lang": pa.array([None] * len(d), pa.string()),
+        })
+
+    def key_lg(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((d % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(d), np.int8), pa.int8()),
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "nll_per_tok_1e6": pa.array([None] * len(d), pa.int64()),
+            "lang": batch["lang"].cast(pa.string()),
+        })
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        kind = tbl["kind"].to_numpy(zero_copy_only=False)
+        sc = tbl.filter(pa.array(kind == 0))
+        lg = tbl.filter(pa.array(kind == 1))
+        lang_by_id = pd.Series(
+            lg["lang"].to_numpy(zero_copy_only=False),
+            index=lg["doc_id"].to_numpy(zero_copy_only=False))
+        ids = sc["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": sc["doc_id"],
+            "lang": pa.array(lang_by_id.reindex(ids).to_numpy(),
+                             pa.string()),
+            "nll_per_tok_1e6": sc["nll_per_tok_1e6"],
+        })
+
+    keyed = (scored.map_batches(key_sc, batch_format="pyarrow",
+                                batch_size=None)
+             .union(ray.data.read_parquet(
+                 _tbl(sf_dir, "documents"), columns=["doc_id", "lang"])
+                 .map_batches(key_lg, batch_format="pyarrow",
+                              batch_size=None)))
+    joined = hash_bucket_apply(keyed, "bucket", join_bucket,
+                               num_buckets=nb)
+    cuts = group_quantiles(joined, group_col="lang",
+                           value_col="nll_per_tok_1e6",
+                           q_pcts=(33, 67)).take_all()
+    lut: dict = {}
+    for r in cuts:
+        lut.setdefault(r["lang"], {})[int(r["q_pct"])] = int(r["value"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        nll = batch["nll_per_tok_1e6"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(langs)
+        q33 = np.array([lut[u][33] for u in uniq], np.int64)[codes]
+        q67 = np.array([lut[u][67] for u in uniq], np.int64)[codes]
+        b = np.where(nll <= q33, "head",
+                     np.where(nll <= q67, "middle", "tail"))
+        return batch.append_column("bucket", pa.array(b, pa.string()))
+
+    return joined.map_batches(label, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def q_link_delta(sf_dir: str):
     """Web-graph diff: distinct edges of the older page snapshot
     (warc_ts < 2023) vs the newer (>= 2023) classified
@@ -3717,6 +3812,59 @@ SELECT url, MIN(hop) AS hop FROM walk GROUP BY url
     # the resumable polite driver: closure + fault replay + the
     # cross-wave politeness clock in closed form
     "crawl_polite": _crawl_polite_oracle(),
+    # revisit -> latest prior response of the same urlkey (strict <);
+    # orphans (no prior) flagged, 14-digit ts compares chronologically
+    # as a string
+    "revisit_resolve": """
+WITH c AS (SELECT urlkey, timestamp, url, mime, digest
+           FROM read_parquet('%s/captures/**/*.parquet')),
+rev AS (SELECT urlkey, timestamp, url FROM c
+        WHERE mime = 'warc/revisit'),
+resp AS (SELECT urlkey, timestamp, digest FROM c
+         WHERE mime <> 'warc/revisit')
+SELECT r.urlkey, r.timestamp, r.url,
+       p.timestamp AS refers_to_timestamp,
+       p.digest AS refers_to_digest,
+       CASE WHEN p.timestamp IS NULL THEN 'revisit_orphan' END
+         AS anomaly
+FROM rev r LEFT JOIN resp p
+  ON p.urlkey = r.urlkey AND p.timestamp < r.timestamp
+QUALIFY row_number() OVER (PARTITION BY r.urlkey, r.timestamp
+                           ORDER BY p.timestamp DESC) = 1
+""" % _FIXTURE_LINK,
+    # CCNet buckets: per-lang tertiles of the unigram-LM score (the
+    # lm_score chain + quantile_disc cutoffs + label)
+    "ccnet_buckets": r"""
+WITH tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '\w+')) AS word
+        FROM documents)
+  GROUP BY doc_id, word),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM tf),
+cnt AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cnt FROM tf
+        GROUP BY word),
+term AS (SELECT tf.doc_id, tf.tf,
+                CAST(floor(tf.tf * ln(tot.t / cnt.cnt) * 1e6 + 0.5)
+                     AS BIGINT) AS t6
+         FROM tf JOIN cnt USING (word) CROSS JOIN tot),
+lm AS (SELECT doc_id, CAST(sum(t6) // sum(tf) AS BIGINT)
+         AS nll_per_tok_1e6
+       FROM term GROUP BY doc_id),
+j AS (SELECT d.doc_id, d.lang, lm.nll_per_tok_1e6
+      FROM documents d JOIN lm USING (doc_id)),
+q AS (SELECT lang,
+             CAST(quantile_disc(nll_per_tok_1e6, 0.33) AS BIGINT)
+               AS q33,
+             CAST(quantile_disc(nll_per_tok_1e6, 0.67) AS BIGINT)
+               AS q67
+      FROM j GROUP BY lang)
+SELECT j.doc_id, j.lang, j.nll_per_tok_1e6,
+       CASE WHEN j.nll_per_tok_1e6 <= q.q33 THEN 'head'
+            WHEN j.nll_per_tok_1e6 <= q.q67 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j JOIN q USING (lang)
+""",
     # S7/M12/M14 synthesis under the deterministic fake replay: the
     # output is a pure function of (url, timestamp, status). Fixture
     # URLs only need :?=& percent-encoded (quote() keeps letters,
@@ -4452,6 +4600,8 @@ QUERIES = {
     "crawl_bfs": q_crawl_bfs,
     "crawl_waves": q_crawl_waves,
     "crawl_polite": q_crawl_polite,
+    "revisit_resolve": q_revisit_resolve,
+    "ccnet_buckets": q_ccnet_buckets,
     "strip_tags": q_strip_tags,
     "page_metadata": q_page_metadata,
     "link_rank": q_link_rank,

@@ -512,3 +512,87 @@ def crawl_report(ds: ray.data.Dataset, *, crawl_col: str = "crawl",
         partial, batch_format="pyarrow", batch_size=None)
     return hash_bucket_apply(partials, "_cb", merge,
                              num_buckets=num_buckets)
+
+
+def revisit_resolve(ds: ray.data.Dataset, *, key_col: str = "urlkey",
+                    ts_col: str = "timestamp", url_col: str = "url",
+                    mime_col: str = "mime", digest_col: str = "digest",
+                    num_buckets: int = 32) -> ray.data.Dataset:
+    """Resolve every revisit record to the capture it revisits: the
+    LATEST prior non-revisit capture of the same urlkey (strictly
+    earlier timestamp). The reference resolves revisits lazily one at
+    a time when content is fetched (cdx_toolkit/__init__.py:101-121 +
+    warc.py's revisit handling); this is the batch twin over the whole
+    capture log.
+
+    Output: one row per revisit — ``(urlkey, timestamp, url,
+    refers_to_timestamp, refers_to_digest, anomaly)`` with
+    ``anomaly='revisit_orphan'`` when no prior response exists (the
+    case the reference surfaces as an unresolvable revisit).
+
+    Dataflow: blocks project to five narrow columns, one urlkey-hash
+    bucket exchange co-locates each key's history, and the kernel is a
+    single lexsort + cumulative-max scan per bucket (no per-key
+    Python). The exchange moves O(captures) narrow rows — inherent:
+    the link needs every capture of a key together; the wide payload
+    columns never travel.
+    """
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+    out_sch = pa.schema([
+        ("urlkey", pa.string()), ("timestamp", pa.string()),
+        ("url", pa.string()), ("refers_to_timestamp", pa.string()),
+        ("refers_to_digest", pa.string()), ("anomaly", pa.string())])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        kb = (hash64_batch(batch[key_col]) % nbu).astype(np.int64)
+        return pa.table({
+            "_kb": pa.array(kb, pa.int64()),
+            "key": batch[key_col].cast(pa.string()),
+            "ts": batch[ts_col].cast(pa.string()),
+            "url": batch[url_col].cast(pa.string()),
+            "mime": batch[mime_col].cast(pa.string()),
+            "dig": batch[digest_col].cast(pa.string()),
+        })
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return out_sch.empty_table()
+        k = tbl["key"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        u = tbl["url"].to_numpy(zero_copy_only=False)
+        mm = tbl["mime"].to_numpy(zero_copy_only=False)
+        dg = tbl["dig"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, k))
+        k, ts, u, mm, dg = (k[order], ts[order], u[order], mm[order],
+                            dg[order])
+        n = len(k)
+        resp = mm != "warc/revisit"
+        # latest response position at-or-before each row; a carry-over
+        # from the previous key run is detected by key mismatch
+        lastr = np.maximum.accumulate(
+            np.where(resp, np.arange(n), -1))
+        rev_idx = np.flatnonzero(~resp)
+        if rev_idx.size == 0:
+            return out_sch.empty_table()
+        li = lastr[rev_idx]
+        lic = np.clip(li, 0, n - 1)
+        valid = (li >= 0) & (k[lic] == k[rev_idx])
+        rts = np.where(valid, ts[lic], None)
+        rdg = np.where(valid, dg[lic], None)
+        anom = np.where(valid, None, "revisit_orphan")
+        return pa.table({
+            "urlkey": pa.array(k[rev_idx], pa.string()),
+            "timestamp": pa.array(ts[rev_idx], pa.string()),
+            "url": pa.array(u[rev_idx], pa.string()),
+            "refers_to_timestamp": pa.array(rts, pa.string()),
+            "refers_to_digest": pa.array(rdg, pa.string()),
+            "anomaly": pa.array(anom, pa.string()),
+        })
+
+    cols = [key_col, ts_col, url_col, mime_col, digest_col]
+    narrow = ds.select_columns(cols).map_batches(
+        keyed, batch_format="pyarrow", batch_size=None)
+    return hash_bucket_apply(narrow, "_kb", resolve,
+                             num_buckets=num_buckets)

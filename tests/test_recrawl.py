@@ -236,3 +236,38 @@ def test_crawl_report_hostless_urls_not_counted_as_a_host():
     # only x.example and z.example have '://host' form
     assert int(got.loc["A", "n_hosts"]) == 2
     assert int(got.loc["A", "n_urlkeys"]) == 4
+
+
+def test_revisit_resolve_links_and_orphans(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.recrawl import revisit_resolve
+
+    rows = [
+        # key a: response, revisit (links to it), later response,
+        # then a revisit that must link to the LATER response
+        ("a)/", "20220101000000", "u1", "text/html", "D1"),
+        ("a)/", "20220201000000", "u1", "warc/revisit", "X1"),
+        ("a)/", "20220301000000", "u1", "text/html", "D2"),
+        ("a)/", "20220401000000", "u1", "warc/revisit", "X2"),
+        # key b: revisit BEFORE any response -> orphan
+        ("b)/", "20220101000000", "u2", "warc/revisit", "X3"),
+        ("b)/", "20220201000000", "u2", "text/html", "D3"),
+    ]
+    t = pa.table({
+        "urlkey": pa.array([r[0] for r in rows]),
+        "timestamp": pa.array([r[1] for r in rows]),
+        "url": pa.array([r[2] for r in rows]),
+        "mime": pa.array([r[3] for r in rows]),
+        "digest": pa.array([r[4] for r in rows]),
+    })
+    out = revisit_resolve(ray.data.from_arrow(t)).to_pandas()
+    got = {(r.urlkey, r.timestamp):
+           (r.refers_to_timestamp, r.refers_to_digest, r.anomaly)
+           for r in out.itertuples()}
+    assert got == {
+        ("a)/", "20220201000000"): ("20220101000000", "D1", None),
+        ("a)/", "20220401000000"): ("20220301000000", "D2", None),
+        ("b)/", "20220101000000"): (None, None, "revisit_orphan"),
+    }
