@@ -139,6 +139,9 @@ def make_parser() -> ArgumentParser:
                          "disallow); politeness uses --delay-ms for "
                          "hosts it does not list")
     cr.add_argument("--delay-ms", type=int, default=1000)
+    cr.add_argument("--warc-prefix", action="store",
+                    help="also render each wave's ok rows as real "
+                         "WARC/1.0 segments under --out")
     cr.set_defaults(func=crawler)
     return parser
 
@@ -298,7 +301,8 @@ def crawler(cmd, out=None) -> None:
     r = run_crawl(cmd.pages, cmd.out, seed_suffix=cmd.seed_suffix,
                   max_waves=cmd.max_waves, max_attempts=cmd.max_attempts,
                   robots_path=cmd.robots,
-                  default_delay_ms=cmd.delay_ms)
+                  default_delay_ms=cmd.delay_ms,
+                  warc_prefix=cmd.warc_prefix)
     print(json.dumps(r, sort_keys=True), file=out or sys.stdout)
 
 

@@ -448,6 +448,8 @@ def run_crawl(pages_path: str, out_dir: str, *,
               robots_path: str | None = None,
               default_delay_ms: int = 1000,
               num_buckets: int = 16,
+              warc_prefix: str | None = None,
+              warc_size: int = 1 << 30,
               concurrency: int | tuple = (1, 4)) -> dict:
     """Resumable :func:`crawl_waves`: one atomic output partition per
     wave (``<out_dir>/wave=N/``), each recorded in the lineage manifest
@@ -613,6 +615,34 @@ def run_crawl(pages_path: str, out_dir: str, *,
             (fetched.rename_columns({"hop": "wave"})
              .select_columns(out_names)
              .write_parquet(tmp))
+        if warc_prefix is not None:
+            # real WARC/1.0 bytes next to the parquet partition: one
+            # size-rotated segment family per wave, ok rows as
+            # response records (reference warc.py contract). Runs
+            # BEFORE the manifest mark so a crash here re-renders the
+            # wave on resume.
+            from .warcbytes import get_warc_writer
+
+            def _warc_rows(batch: pa.Table) -> pa.Table:
+                ok = batch.filter(pc.and_kleene(
+                    pc.equal(batch["fetch_action"], "ok"),
+                    pc.is_valid(batch["text"])))
+                return pa.table({
+                    "url": ok["url"].cast(pa.string()),
+                    "text": ok["text"].cast(pa.string()),
+                    "status": ok["final_status"].cast(pa.string()),
+                })
+
+            ww = get_warc_writer(
+                os.path.join(out_dir, warc_prefix), "w%d" % wave,
+                {"isPartOf": warc_prefix,
+                 "description": "crawl wave %d" % wave},
+                size=warc_size)
+            ww.write_dataset(ray.data.from_arrow_refs(wave_refs)
+                             .map_batches(_warc_rows,
+                                          batch_format="pyarrow",
+                                          batch_size=None))
+            ww.close()
         manifest.record("wave=%d" % wave, fp, counters, final)
         result["ran_waves"].append(wave)
         result["counters"][wave] = counters

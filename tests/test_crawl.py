@@ -272,3 +272,32 @@ def test_run_crawl_changed_input_invalidates(ray_session, tmp_path):
                     stale_seed_text=f"<a href='{E}'></a> changed")
     r = run_crawl(str(p2), out, seed_suffix="t7.example/", max_waves=1)
     assert r["skipped_waves"] == [] and r["ran_waves"] == [0, 1]
+
+
+def test_run_crawl_warc_output_roundtrip(ray_session, tmp_path):
+    """warc_prefix: each wave's ok rows land as real WARC/1.0 response
+    records next to the parquet partitions; payload bytes round-trip,
+    and a resumed run renders nothing new."""
+    import glob
+    import os
+
+    from cdx_toolkit_ray.pipelines.crawl import run_crawl
+    from cdx_toolkit_ray.pipelines.warcbytes import read_warc
+
+    p = _web_table(tmp_path)
+    out = str(tmp_path / "crawl_warc")
+    run_crawl(p, out, seed_suffix="t7.example/", max_waves=3,
+              warc_prefix="CRAWL")
+    segs = sorted(glob.glob(out + "/CRAWL-*.extracted.warc.gz"))
+    assert segs
+    recs = read_warc(segs, record_types=("response",)).to_pandas()
+    got = {r.url: r.payload.decode("utf-8") for r in recs.itertuples()}
+    df = _read_out(out)
+    ok = df[(df.fetch_action == "ok") & df.text.notna()]
+    assert got == dict(zip(ok.url, ok.text))
+    before = [os.path.getsize(s) for s in segs]
+    run_crawl(p, out, seed_suffix="t7.example/", max_waves=3,
+              warc_prefix="CRAWL")
+    segs2 = sorted(glob.glob(out + "/CRAWL-*.extracted.warc.gz"))
+    assert segs2 == segs
+    assert [os.path.getsize(s) for s in segs2] == before
