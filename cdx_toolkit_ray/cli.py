@@ -142,6 +142,10 @@ def make_parser() -> ArgumentParser:
     cr.add_argument("--warc-prefix", action="store",
                     help="also render each wave's ok rows as real "
                          "WARC/1.0 segments under --out")
+    cr.add_argument("--max-per-host", type=int, default=None,
+                    help="per-host crawl budget across ALL waves; "
+                         "over-budget urls are skipped (their links "
+                         "never harvested)")
     cr.set_defaults(func=crawler)
     return parser
 
@@ -302,6 +306,7 @@ def crawler(cmd, out=None) -> None:
                   max_waves=cmd.max_waves, max_attempts=cmd.max_attempts,
                   robots_path=cmd.robots,
                   default_delay_ms=cmd.delay_ms,
+                  max_per_host=cmd.max_per_host,
                   warc_prefix=cmd.warc_prefix)
     print(json.dumps(r, sort_keys=True), file=out or sys.stdout)
 

@@ -169,6 +169,7 @@ def _key_sched(nb: int):
             "host": batch["host"].cast(pa.string()),
             "crawl_delay_ms": batch["crawl_delay_ms"].cast(pa.int64()),
             "fetch_ms": pa.array([None] * n, pa.int64()),
+            "n_fetched": pa.array([None] * n, pa.int64()),
         })
 
     return fn
@@ -188,6 +189,7 @@ def _key_base_tbl(nb: int, tbl: pa.Table) -> pa.Table:
         "host": tbl["host"].cast(pa.string()),
         "crawl_delay_ms": pa.array([None] * n, pa.int64()),
         "fetch_ms": tbl["fetch_ms"].cast(pa.int64()),
+        "n_fetched": tbl["n_fetched"].cast(pa.int64()),
     })
 
 
@@ -196,46 +198,58 @@ def _key_base_block(nb: int, tbl: pa.Table) -> pa.Table:
     return _key_base_tbl(nb, tbl)
 
 
-def _sched_bucket(tbl: pa.Table) -> pa.Table:
+def _base_rows(hosts: list, fms: list, nf: list) -> pa.Table:
+    n = len(hosts)
+    return pa.table({
+        "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+        "url": pa.array([None] * n, pa.string()),
+        "hop": pa.array([None] * n, pa.int64()),
+        "fetch_id": pa.array([None] * n, pa.int64()),
+        "host": pa.array(hosts, pa.string()),
+        "crawl_delay_ms": pa.array([None] * n, pa.int64()),
+        "fetch_ms": pa.array(fms, pa.int64()),
+        "n_fetched": pa.array(nf, pa.int64()),
+    })
+
+
+def _sched_bucket(tbl: pa.Table, cap: int | None = None) -> pa.Table:
     """One host-hash bucket: assign this wave's politeness slots and
     roll the per-host base forward.
 
     Slots: rows rank within their host in url order (unique after the
     seen gate); ``fetch_ms = base + (rank+1) * crawl_delay_ms`` with
     ``base = -delay`` for hosts never fetched (first slot lands at 0,
-    the frontier scheduler's convention). Emits the scheduled rows
-    (kind 0) plus one base row per host (kind 1) — including carried
-    hosts with no rows this wave, whose budget must survive to later
-    waves. Incoming base rows fold by max, so resume can feed per-wave
-    partials."""
+    the frontier scheduler's convention). With ``cap`` set, rows whose
+    cumulative per-host fetch count (earlier waves + this wave's rank)
+    would reach the cap are DROPPED — the per-host crawl budget; their
+    links are never harvested and the seen gate keeps them from coming
+    back. Emits the scheduled rows (kind 0) plus one base row per host
+    (kind 1, carrying last slot + total fetched) — including carried
+    hosts with no rows this wave. Incoming base rows fold by
+    (max slot, summed count), so resume can feed per-wave partials."""
     import pandas as pd
 
     kind = tbl["kind"].to_numpy(zero_copy_only=False)
     base_t = tbl.filter(pa.array(kind == _SCHED_KIND_BASE))
     f = tbl.filter(pa.array(kind == _SCHED_KIND_ROW))
-    base_by_host: dict = {}
+    base_ms: dict = {}
+    base_n: dict = {}
     if base_t.num_rows:
-        bh = base_t["host"].to_numpy(zero_copy_only=False)
-        bm = base_t["fetch_ms"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        s = pd.Series(bm).groupby(pd.Series(bh)).max()
-        base_by_host = s.to_dict()
+        bh = pd.Series(base_t["host"].to_numpy(zero_copy_only=False))
+        bm = pd.Series(base_t["fetch_ms"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        bn = pd.Series(base_t["n_fetched"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        base_ms = bm.groupby(bh).max().to_dict()
+        base_n = bn.groupby(bh).sum().to_dict()
 
     out_cols = ["kind", "url", "hop", "fetch_id", "host",
-                "crawl_delay_ms", "fetch_ms"]
+                "crawl_delay_ms", "fetch_ms", "n_fetched"]
     if f.num_rows == 0:
-        hosts = sorted(base_by_host)
-        n = len(hosts)
-        return pa.table({
-            "kind": pa.array(np.ones(n, np.int8), pa.int8()),
-            "url": pa.array([None] * n, pa.string()),
-            "hop": pa.array([None] * n, pa.int64()),
-            "fetch_id": pa.array([None] * n, pa.int64()),
-            "host": pa.array(hosts, pa.string()),
-            "crawl_delay_ms": pa.array([None] * n, pa.int64()),
-            "fetch_ms": pa.array(
-                [base_by_host[h] for h in hosts], pa.int64()),
-        })
+        hosts = sorted(base_ms)
+        return _base_rows(hosts, [base_ms[h] for h in hosts],
+                          [base_n.get(h, 0) for h in hosts]) \
+            .select(out_cols)
 
     hosts = f["host"].to_numpy(zero_copy_only=False)
     codes, uniq = pd.factorize(hosts)
@@ -245,8 +259,9 @@ def _sched_bucket(tbl: pa.Table) -> pa.Table:
     first_idx = np.full(len(uniq), len(codes), np.int64)
     np.minimum.at(first_idx, codes, np.arange(len(codes)))
     delay_u = delay[first_idx]
-    base_u = np.array([base_by_host.get(h, -int(d))
+    base_u = np.array([base_ms.get(h, -int(d))
                        for h, d in zip(uniq, delay_u)], np.int64)
+    prior_u = np.array([base_n.get(h, 0) for h in uniq], np.int64)
 
     urls = f["url"].to_numpy(zero_copy_only=False)
     order = np.lexsort((urls, codes))
@@ -258,14 +273,22 @@ def _sched_bucket(tbl: pa.Table) -> pa.Table:
     rank_sorted = np.arange(len(order)) - starts[run_id]
     rank = np.empty(len(codes), np.int64)
     rank[order] = rank_sorted
+
+    if cap is not None:
+        keep = (prior_u[codes] + rank) < cap
+        f = f.filter(pa.array(keep))
+        codes, rank = codes[keep], rank[keep]
     fetch_ms = base_u[codes] + (rank + 1) * delay_u[codes]
 
     counts = np.bincount(codes, minlength=len(uniq))
-    new_base = {h: int(b + c * d) for h, b, c, d in
-                zip(uniq, base_u, counts, delay_u)}
-    carry = {h: m for h, m in base_by_host.items() if h not in new_base}
-    new_base.update(carry)
-    bhosts = sorted(new_base)
+    new_ms = {h: int(b + c * d) for h, b, c, d in
+              zip(uniq, base_u, counts, delay_u)}
+    new_n = {h: int(p + c) for h, p, c in zip(uniq, prior_u, counts)}
+    for h, m in base_ms.items():
+        if h not in new_ms:
+            new_ms[h] = m
+            new_n[h] = base_n.get(h, 0)
+    bhosts = sorted(new_ms)
 
     sched = pa.table({
         "kind": pa.array(np.zeros(f.num_rows, np.int8), pa.int8()),
@@ -275,46 +298,50 @@ def _sched_bucket(tbl: pa.Table) -> pa.Table:
         "host": f["host"].cast(pa.string()),
         "crawl_delay_ms": f["crawl_delay_ms"].cast(pa.int64()),
         "fetch_ms": pa.array(fetch_ms, pa.int64()),
+        "n_fetched": pa.array([None] * f.num_rows, pa.int64()),
     })
-    nb_ = len(bhosts)
-    bases = pa.table({
-        "kind": pa.array(np.ones(nb_, np.int8), pa.int8()),
-        "url": pa.array([None] * nb_, pa.string()),
-        "hop": pa.array([None] * nb_, pa.int64()),
-        "fetch_id": pa.array([None] * nb_, pa.int64()),
-        "host": pa.array(bhosts, pa.string()),
-        "crawl_delay_ms": pa.array([None] * nb_, pa.int64()),
-        "fetch_ms": pa.array([new_base[h] for h in bhosts], pa.int64()),
-    })
+    bases = _base_rows(bhosts, [new_ms[h] for h in bhosts],
+                       [new_n[h] for h in bhosts])
     return pa.concat_tables([sched.select(out_cols),
                              bases.select(out_cols)])
+
+
+@ray.remote
+def _tbl_len(tbl: pa.Table) -> int:
+    return tbl.num_rows
 
 
 @ray.remote(num_returns=2)
 def _split_sched(tbl: pa.Table):
     """(scheduled rows, base rows) of one exchange output block."""
     kind = tbl["kind"].to_numpy(zero_copy_only=False)
-    sched = tbl.filter(pa.array(kind == _SCHED_KIND_ROW)).drop(["kind"])
+    sched = tbl.filter(pa.array(kind == _SCHED_KIND_ROW)) \
+        .drop(["kind", "n_fetched"])
     base = tbl.filter(pa.array(kind == _SCHED_KIND_BASE)) \
-        .select(["host", "fetch_ms"])
+        .select(["host", "fetch_ms", "n_fetched"])
     return sched, base
 
 
 @ray.remote
 def _stored_wave_base(path: str) -> pa.Table:
-    """Resume path: per-host max fetch_ms of one persisted wave file
-    (a partial — the schedule kernel folds partials by max)."""
+    """Resume path: per-host (max fetch_ms, row count) of one persisted
+    wave file (a partial — the schedule kernel folds partials by
+    max slot / summed count)."""
     import pandas as pd
     import pyarrow.parquet as pq
 
     t = pq.read_table(path, columns=["host", "fetch_ms"])
     if t.num_rows == 0:
         return pa.table({"host": pa.array([], pa.string()),
-                         "fetch_ms": pa.array([], pa.int64())})
-    df = t.to_pandas().groupby("host", as_index=False)["fetch_ms"].max()
+                         "fetch_ms": pa.array([], pa.int64()),
+                         "n_fetched": pa.array([], pa.int64())})
+    df = t.to_pandas().groupby("host", as_index=False) \
+        .agg(fetch_ms=("fetch_ms", "max"), n_fetched=("fetch_ms", "size"))
     return pa.table({"host": pa.array(df["host"], pa.string()),
                      "fetch_ms": pa.array(df["fetch_ms"].astype("int64"),
-                                          pa.int64())})
+                                          pa.int64()),
+                     "n_fetched": pa.array(
+                         df["n_fetched"].astype("int64"), pa.int64())})
 
 
 def _outlinks_tbl(tbl: pa.Table) -> pa.Table:
@@ -448,6 +475,7 @@ def run_crawl(pages_path: str, out_dir: str, *,
               robots_path: str | None = None,
               default_delay_ms: int = 1000,
               num_buckets: int = 16,
+              max_per_host: int | None = None,
               warc_prefix: str | None = None,
               warc_size: int = 1 << 30,
               concurrency: int | tuple = (1, 4)) -> dict:
@@ -504,6 +532,11 @@ def run_crawl(pages_path: str, out_dir: str, *,
         fp += "+p%d" % default_delay_ms
         if robots_path is not None:
             fp += "+r" + fingerprint_file(robots_path)
+        if max_per_host is not None:
+            fp += "+c%d" % max_per_host
+    elif max_per_host is not None:
+        raise ValueError("max_per_host requires politeness=True (the "
+                         "budget lives in the schedule kernel)")
 
     robots_fn = None
     if politeness:
@@ -591,13 +624,23 @@ def run_crawl(pages_path: str, out_dir: str, *,
                                 batch_format="pyarrow", batch_size=None))
             if base_refs:
                 wds = wds.union(ray.data.from_arrow_refs(base_refs))
-            ex = hash_bucket_apply(wds, "bucket", _sched_bucket,
-                                   num_buckets=num_buckets)
+            import functools
+
+            ex = hash_bucket_apply(
+                wds, "bucket",
+                functools.partial(_sched_bucket, cap=max_per_host),
+                num_buckets=num_buckets)
             pairs = [_split_sched.options(num_returns=2).remote(r)
                      for r in ex.to_arrow_refs()]
             sched_refs = [p[0] for p in pairs]
             base_refs = [_key_base_block.remote(num_buckets, p[1])
                          for p in pairs]
+            scounts = ray.get([_tbl_len.remote(r) for r in sched_refs])
+            if int(sum(scounts)) == 0:
+                # every surviving row was over its host budget (or
+                # robots-blocked): nothing to fetch, crawl ends here
+                break
+            sched_refs = [r for r, c in zip(sched_refs, scounts) if c]
             wds = ray.data.from_arrow_refs(sched_refs)
         else:
             wds = wds.map_batches(_add_fetch_id, batch_format="pyarrow",

@@ -301,3 +301,94 @@ def test_run_crawl_warc_output_roundtrip(ray_session, tmp_path):
     segs2 = sorted(glob.glob(out + "/CRAWL-*.extracted.warc.gz"))
     assert segs2 == segs
     assert [os.path.getsize(s) for s in segs2] == before
+
+
+def test_run_crawl_max_per_host_budget(ray_session, tmp_path):
+    """Per-host crawl budget: on a seeded random web, compare run_crawl
+    against a serial Python replay of the whole loop (gate, fault
+    replay, cap in url-rank order, outcome-gated expansion) — fetched
+    sets and per-host counts must match exactly, and no host may
+    exceed the cap."""
+    import ray.data
+
+    from cdx_toolkit_ray.pipelines.crawl import run_crawl
+    from cdx_toolkit_ray.pipelines.fetch import FAULT_STATUSES
+
+    rng = np.random.default_rng(11)
+    hosts = ["h%d.example" % i for i in range(5)]
+    urls = ["https://%s/p/%d" % (hosts[i % 5], i) for i in range(90)]
+    texts = []
+    for i in range(90):
+        outl = rng.choice(urls, size=rng.integers(1, 6), replace=False)
+        texts.append(" ".join("<a href='%s'></a>" % u for u in outl))
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(list(range(90)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    p = str(tmp_path / "cap.parquet")
+    pq.write_table(t, p)
+    seeds = urls[:8]
+    CAP, WAVES, DELAY = 4, 4, 100
+
+    # --- serial replay ---------------------------------------------
+    page = dict(zip(urls, texts))
+
+    def final_ok(u):
+        d = int(hash64(u) % 8)
+        for k in range(3):
+            s = int(FAULT_STATUSES[(d + k) % 8])
+            if s in (200, 301):
+                return True
+            if s == 404:
+                return False
+        return False
+
+    import re
+    seen, counts, expect = set(), {}, {}
+    frontier = sorted(set(seeds))
+    for wave in range(WAVES + 1):
+        fresh = [u for u in frontier if u not in seen]
+        seen.update(fresh)
+        by_host = {}
+        for u in sorted(fresh):
+            h = u.split("://")[1].split("/")[0]
+            by_host.setdefault(h, []).append(u)
+        fetched = []
+        for h, us in by_host.items():
+            room = CAP - counts.get(h, 0)
+            kept = us[:max(0, room)]
+            counts[h] = counts.get(h, 0) + len(kept)
+            fetched.extend(kept)
+        for u in fetched:
+            expect[u] = wave
+        nxt = set()
+        for u in fetched:
+            if final_ok(u) and u in page:
+                for href in re.findall(r"href='([^']*)'", page[u]):
+                    if "://" in href:
+                        nxt.add(href)
+        frontier = sorted(nxt)
+        if not frontier:
+            break
+
+    # --- engine ----------------------------------------------------
+    out = str(tmp_path / "cap_out")
+    run_crawl(p, out, seeds=ray.data.from_arrow(
+        pa.table({"url": pa.array(seeds, pa.string())})),
+        max_waves=WAVES, max_per_host=CAP, default_delay_ms=DELAY)
+    df = _read_out(out)
+    got = dict(zip(df.url, df.wave))
+    assert got == expect
+    per_host = df.groupby("host").size()
+    assert (per_host <= CAP).all()
+    _assert_polite(df, DELAY)
+
+
+def test_run_crawl_cap_requires_politeness(ray_session, tmp_path):
+    from cdx_toolkit_ray.pipelines.crawl import run_crawl
+
+    p = _web_table(tmp_path)
+    with pytest.raises(ValueError):
+        run_crawl(p, str(tmp_path / "x"), politeness=False,
+                  max_per_host=3)
