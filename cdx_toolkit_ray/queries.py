@@ -604,6 +604,47 @@ def q_url_seen(sf_dir: str):
     return ds.select_columns(["urlkey"])
 
 
+def q_url_seen_evict(sf_dir: str):
+    """T7+ recrawl eviction through the CUCKOO-backed seen set — the
+    deletion capability the bloom path cannot provide (north_rule names
+    "cuckoo/bloom"; reference has no cluster seen-state at all, its
+    dedup identities are README.md:207-212).
+
+    Sequence: (1) offer wave A (priority != 0) so those urlkeys are
+    members; (2) FORGET the recrawl-due set (any urlkey with a
+    priority-1 seed) via the routed cuckoo delete; (3) re-offer every
+    seed — survivors are exactly the urlkeys that were never retained:
+    no {2,3}-priority seed, or evicted by a priority-1 seed. Cuckoo
+    outcomes are order-independent multiset ops on (fingerprint,
+    bucket-pair), so the surviving urlkey set is deterministic under
+    any parallelism and exactly SQL-checkable."""
+    from .state.seen import (SeenFilterStage, SeenForgetStage,
+                             ShardedSeenSet)
+
+    seen = ShardedSeenSet(num_shards=4, backend="cuckoo",
+                          n_buckets=1 << 14)
+    base = derived_seeds(sf_dir).map_batches(
+        canonicalize_batch, batch_format="pyarrow", batch_size=None)
+
+    def pri(keep) -> callable:
+        def f(batch: pa.Table) -> pa.Table:
+            p = batch["priority"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(keep(p)))
+        return f
+
+    wave_a = base.map_batches(pri(lambda p: p != 0),
+                              batch_format="pyarrow", batch_size=None)
+    wave_a.map_batches(SeenFilterStage(seen), batch_format="pyarrow",
+                       batch_size=None).count()
+    due = base.map_batches(pri(lambda p: p == 1),
+                           batch_format="pyarrow", batch_size=None)
+    due.map_batches(SeenForgetStage(seen), batch_format="pyarrow",
+                    batch_size=None).count()
+    out = base.map_batches(SeenFilterStage(seen), batch_format="pyarrow",
+                           batch_size=None)
+    return out.select_columns(["urlkey"])
+
+
 def q_row_sample(sf_dir: str):
     """O6 row sampling, the deterministic scale path: keep rows whose
     64-bit key hash falls in the sample band (hash64(doc_id) % 10 == 0)
@@ -4408,6 +4449,14 @@ FROM pairs
     "url_seen": "WITH " + _SEEDS_CTE + """
 SELECT DISTINCT urlkey FROM seeds
 """,
+    "url_seen_evict": "WITH " + _SEEDS_CTE + """,
+g AS (
+  SELECT urlkey,
+         bool_or(priority IN (2, 3)) AS has23,
+         bool_or(priority = 1) AS has_due
+  FROM seeds GROUP BY urlkey)
+SELECT urlkey FROM g WHERE (NOT has23) OR has_due
+""",
     "rolling_sum": """
 SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
        CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum_cents,
@@ -4538,6 +4587,7 @@ QUERIES = {
     "repeated_spans": q_repeated_spans,
     "cut_spans": q_cut_spans,
     "url_seen": q_url_seen,
+    "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,
     "fetch_plan": q_fetch_plan,
     "fetch_execute": q_fetch_execute,

@@ -103,38 +103,287 @@ class BloomFilter:
         return new
 
 
-@ray.remote(num_cpus=0.25)
-class SeenShard:
-    """One hash-range shard of the URL-seen set."""
+# splitmix64 finalizer constants (public-domain PRNG mixing function)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
 
-    def __init__(self, n_bits: int, k: int, exact: bool):
-        self.bloom = BloomFilter(n_bits=n_bits, k=k, exact=exact)
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64).copy()
+    x ^= x >> np.uint64(30)
+    x *= _SM_M1
+    x ^= x >> np.uint64(27)
+    x *= _SM_M2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+class CuckooFilter:
+    """Vectorized partial-key cuckoo filter over uint64 keys with
+    DELETION support (Fan et al. 2014, "Cuckoo Filter: Practically
+    Better Than Bloom") — the north_rule's "cuckoo" seen-set variant.
+
+    Deletion is what the bloom filter cannot do, and is what recrawl
+    needs: a URL whose revisit interval has elapsed is *forgotten* so
+    the next frontier pass re-admits it, without rebuilding the whole
+    membership state (``stages/recrawl.recrawl_schedule`` decides WHO
+    is due; this structure makes the eviction cheap).
+
+    Layout: ``n_buckets`` (power of two) buckets x 4 slots of 32-bit
+    fingerprints, 0 = empty (a zero fingerprint is remapped to 1).
+    For key hash h: fp = high 32 bits of splitmix64(h); primary bucket
+    i1 = h & mask; partner i2 = i1 ^ (mix(fp) & mask) — an involution,
+    so a fingerprint can only ever live in its two-bucket pair no
+    matter how many evictions move it. That makes membership, offer
+    and delete outcomes ORDER-INDEPENDENT as multiset operations on
+    (fingerprint, bucket-pair): safe under Ray's nondeterministic
+    batch arrival, same as the bloom path.
+
+    False positives: a probe collides only with a same-fingerprint
+    same-pair entry — p ≈ 8/2^32 per lookup against full buckets
+    (~2e-9), vs the bloom path's ~1e-4 at design load; the price is
+    ~4.3 bits/key more memory. No false negatives ever. At 10^10 URLs
+    (sharded) expect ~20 total FPs — document, don't ignore.
+
+    Capacity: inserts start failing (RuntimeError) as load factor
+    approaches ~0.95; size ``n_buckets >= expected_keys / 3.8``.
+
+    The bulk ``add`` is vectorized for the common no-eviction case
+    (both candidate buckets are given one grouped scatter pass each);
+    only items whose both buckets are full fall into the per-item
+    kick loop — a vanishing minority below ~0.9 load.
+    """
+
+    def __init__(self, n_buckets: int = 1 << 16, max_kicks: int = 500):
+        if n_buckets & (n_buckets - 1):
+            raise ValueError("n_buckets must be a power of two")
+        self.n_buckets = n_buckets
+        self.max_kicks = max_kicks
+        self.table = np.zeros((n_buckets, 4), dtype=np.uint32)
+        self.n_added = 0
+
+    # -- addressing ----------------------------------------------------
+    def _addr(self, hashes: np.ndarray):
+        """(fp, i1, i2) for each key hash; all vectorized."""
+        h = hashes.astype(np.uint64)
+        fp = (_splitmix64(h) >> np.uint64(32)).astype(np.uint32)
+        fp = np.where(fp == 0, np.uint32(1), fp)
+        mask = np.uint64(self.n_buckets - 1)
+        i1 = (h & mask).astype(np.int64)
+        off = (_splitmix64(fp.astype(np.uint64)) & mask).astype(np.int64)
+        # never let the partner equal the primary (off==0): force bit 0
+        off = np.where(off == 0, 1, off)
+        i2 = i1 ^ off
+        return fp, i1, i2
+
+    def _partner(self, fp: int, b: int) -> int:
+        off = int(_splitmix64(np.array([fp], np.uint64))[0]
+                  & np.uint64(self.n_buckets - 1))
+        return b ^ (off if off else 1)
+
+    # -- membership ----------------------------------------------------
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        if not len(hashes):
+            return np.zeros(0, dtype=bool)
+        fp, i1, i2 = self._addr(hashes)
+        hit = (self.table[i1] == fp[:, None]).any(axis=1)
+        hit |= (self.table[i2] == fp[:, None]).any(axis=1)
+        return hit
+
+    # -- insert --------------------------------------------------------
+    def _place_bulk(self, fps: np.ndarray, buckets: np.ndarray) -> np.ndarray:
+        """Try to place each fp in its bucket's free slots; one grouped
+        scatter (rank-within-bucket < free-capacity). Returns placed
+        mask. Distinct (bucket, rank) targets never collide."""
+        rows_empty = self.table[buckets] == 0
+        cap = rows_empty.sum(axis=1)
+        order = np.lexsort((np.arange(len(buckets)), buckets))
+        b_sorted = buckets[order]
+        new_grp = np.r_[True, b_sorted[1:] != b_sorted[:-1]]
+        grp_first = np.flatnonzero(new_grp)
+        rank = np.arange(len(b_sorted)) - grp_first[np.cumsum(new_grp) - 1]
+        ok = rank < cap[order]
+        # rank-th empty slot of each row (empty slots sorted first)
+        slot_order = np.argsort(~rows_empty, axis=1, kind="stable")
+        slot = slot_order[order, np.minimum(rank, 3)]
+        self.table[b_sorted[ok], slot[ok]] = fps[order][ok]
+        placed = np.zeros(len(buckets), dtype=bool)
+        placed[order[ok]] = True
+        return placed
+
+    def _insert_kick(self, fp: int, i1: int, i2: int) -> None:
+        for b in (i1, i2):
+            row = self.table[b]
+            z = np.flatnonzero(row == 0)
+            if len(z):
+                row[z[0]] = fp
+                return
+        b, cur = i2, fp
+        for kick in range(self.max_kicks):
+            s = kick & 3
+            cur, self.table[b, s] = int(self.table[b, s]), np.uint32(cur)
+            b = self._partner(cur, b)
+            row = self.table[b]
+            z = np.flatnonzero(row == 0)
+            if len(z):
+                row[z[0]] = cur
+                return
+        raise RuntimeError(
+            "cuckoo filter over capacity (n_buckets=%d, load=%.2f): "
+            "size n_buckets >= expected_keys/3.8" %
+            (self.n_buckets, self.load_factor()))
+
+    def add(self, hashes: np.ndarray) -> None:
+        """Insert all (multiset semantics: duplicates insert copies —
+        route through ``offer`` for set semantics)."""
+        if not len(hashes):
+            return
+        fp, i1, i2 = self._addr(hashes)
+        pending = np.arange(len(hashes))
+        for cand in (i1, i2):
+            if not len(pending):
+                break
+            placed = self._place_bulk(fp[pending], cand[pending])
+            pending = pending[~placed]
+        for j in pending:
+            self._insert_kick(int(fp[j]), int(i1[j]), int(i2[j]))
+        self.n_added += len(hashes)
 
     def offer(self, hashes: np.ndarray) -> np.ndarray:
-        return self.bloom.offer(hashes)
+        """Insert unseen; return is-new mask (first-occurrence-wins
+        within the call, matching ``BloomFilter.offer``)."""
+        if not len(hashes):
+            return np.zeros(0, dtype=bool)
+        seen_before = self.contains(hashes)
+        _, first_idx = np.unique(hashes, return_index=True)
+        is_first = np.zeros(len(hashes), dtype=bool)
+        is_first[first_idx] = True
+        new = (~seen_before) & is_first
+        if new.any():
+            self.add(hashes[new])
+        return new
+
+    # -- delete --------------------------------------------------------
+    def delete(self, hashes: np.ndarray) -> np.ndarray:
+        """Remove one stored copy per requested key; returns a
+        found-and-removed mask. Keys sharing a (fingerprint,
+        bucket-pair) group are resolved together so copy counts stay
+        exact; the vectorized path handles the singleton majority."""
+        if not len(hashes):
+            return np.zeros(0, dtype=bool)
+        fp, i1, i2 = self._addr(hashes)
+        # canonical group key: same fp + same pair -> same group
+        lo = np.minimum(i1, i2).astype(np.uint64)
+        key = (lo << np.uint64(32)) | fp.astype(np.uint64)
+        uniq, inv, counts = np.unique(key, return_inverse=True,
+                                      return_counts=True)
+        removed = np.zeros(len(hashes), dtype=bool)
+        solo = counts[inv] == 1
+        if solo.any():
+            s_fp, s_i1, s_i2 = fp[solo], i1[solo], i2[solo]
+            m1 = self.table[s_i1] == s_fp[:, None]
+            has1 = m1.any(axis=1)
+            slot1 = m1.argmax(axis=1)
+            self.table[s_i1[has1], slot1[has1]] = 0
+            rest = ~has1
+            if rest.any():
+                m2 = self.table[s_i2[rest]] == s_fp[rest, None]
+                has2 = m2.any(axis=1)
+                slot2 = m2.argmax(axis=1)
+                self.table[s_i2[rest][has2], slot2[has2]] = 0
+                got = has1.copy()
+                got[np.flatnonzero(rest)[has2]] = True
+            else:
+                got = has1
+            removed[solo] = got
+        if (~solo).any():
+            for g in np.flatnonzero(counts > 1):
+                members = np.flatnonzero(inv == g)
+                j = members[0]
+                pair = (int(i1[j]), int(i2[j])) if i1[j] != i2[j] \
+                    else (int(i1[j]),)
+                want = len(members)
+                taken = 0
+                for b in pair:
+                    row = self.table[b]
+                    hits = np.flatnonzero(row == fp[j])
+                    take = hits[:want - taken]
+                    row[take] = 0
+                    taken += len(take)
+                    if taken >= want:
+                        break
+                removed[members[:taken]] = True
+        self.n_added -= int(removed.sum())
+        return removed
+
+    def load_factor(self) -> float:
+        return float(np.count_nonzero(self.table)) / self.table.size
+
+
+@ray.remote(num_cpus=0.25)
+class SeenShard:
+    """One hash-range shard of the URL-seen set (bloom or cuckoo)."""
+
+    def __init__(self, n_bits: int, k: int, exact: bool,
+                 backend: str = "bloom", n_buckets: int = 1 << 16,
+                 max_kicks: int = 500):
+        self.backend = backend
+        if backend == "bloom":
+            self.filt = BloomFilter(n_bits=n_bits, k=k, exact=exact)
+        elif backend == "cuckoo":
+            self.filt = CuckooFilter(n_buckets=n_buckets,
+                                     max_kicks=max_kicks)
+        else:
+            raise ValueError("backend must be 'bloom' or 'cuckoo'")
+        self.bloom = self.filt  # legacy attribute name
+
+    def offer(self, hashes: np.ndarray) -> np.ndarray:
+        return self.filt.offer(hashes)
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
-        return self.bloom.contains(hashes)
+        return self.filt.contains(hashes)
+
+    def forget(self, hashes: np.ndarray) -> np.ndarray:
+        if self.backend != "cuckoo":
+            raise NotImplementedError(
+                "bloom filters cannot delete — build the seen set with "
+                "backend='cuckoo' for recrawl eviction")
+        return self.filt.delete(hashes)
 
     def stats(self) -> dict:
-        return {"n_added": self.bloom.n_added,
+        if self.backend == "cuckoo":
+            return {"n_added": self.filt.n_added,
+                    "fill": self.filt.load_factor(),
+                    "backend": "cuckoo"}
+        return {"n_added": self.filt.n_added,
                 "fill": float(np.count_nonzero(
-                    np.unpackbits(self.bloom.words.view(np.uint8)))) / self.bloom.n_bits}
+                    np.unpackbits(self.filt.words.view(np.uint8)))) / self.filt.n_bits,
+                "backend": "bloom"}
 
     def checkpoint(self, path: str) -> str:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        np.save(path, self.bloom.words)
-        if self.bloom.exact is not None:
+        if self.backend == "cuckoo":
+            np.save(path, self.filt.table)
+            return path
+        np.save(path, self.filt.words)
+        if self.filt.exact is not None:
             np.save(path + ".exact.npy",
-                    np.fromiter(self.bloom.exact, dtype=np.uint64))
+                    np.fromiter(self.filt.exact, dtype=np.uint64))
         return path
 
     def restore(self, path: str) -> int:
-        self.bloom.words = np.load(path if path.endswith(".npy") else path + ".npy")
+        arr = np.load(path if path.endswith(".npy") else path + ".npy")
+        if self.backend == "cuckoo":
+            if arr.ndim != 2:
+                raise ValueError("checkpoint %r is not a cuckoo table" % path)
+            self.filt.table = arr.astype(np.uint32)
+            self.filt.n_added = int(np.count_nonzero(arr))
+            return self.filt.n_added
+        self.filt.words = arr
         exact_p = (path if not path.endswith(".npy") else path[:-4]) + ".exact.npy"
         if os.path.exists(exact_p):
-            self.bloom.exact = set(int(h) for h in np.load(exact_p))
-        return int(self.bloom.words.sum())
+            self.filt.exact = set(int(h) for h in np.load(exact_p))
+        return int(self.filt.words.sum())
 
 
 class ShardedSeenSet:
@@ -146,12 +395,16 @@ class ShardedSeenSet:
     """
 
     def __init__(self, num_shards: int = 8, n_bits: int = 1 << 22,
-                 k: int = 7, exact: bool = False):
+                 k: int = 7, exact: bool = False,
+                 backend: str = "bloom", n_buckets: int = 1 << 16,
+                 max_kicks: int = 500):
         if num_shards & (num_shards - 1):
             raise ValueError("num_shards must be a power of two")
         self.num_shards = num_shards
+        self.backend = backend
         self.shift = np.uint64(64 - int(np.log2(num_shards)))
-        self.shards = [SeenShard.remote(n_bits, k, exact)
+        self.shards = [SeenShard.remote(n_bits, k, exact, backend,
+                                        n_buckets, max_kicks)
                        for _ in range(num_shards)]
 
     def shard_of(self, hashes: np.ndarray) -> np.ndarray:
@@ -177,6 +430,21 @@ class ShardedSeenSet:
         for s in np.unique(sid):
             m = sid == s
             futures.append(self.shards[int(s)].contains.remote(hashes[m]))
+            slots.append(m)
+        for m, r in zip(slots, ray.get(futures)):
+            out[m] = r
+        return out
+
+    def forget(self, hashes: np.ndarray) -> np.ndarray:
+        """Batched routed delete (cuckoo backend only): remove keys so
+        the next offer re-admits them — the recrawl-eviction primitive.
+        Returns the found-and-removed mask aligned to input."""
+        sid = self.shard_of(hashes)
+        out = np.zeros(len(hashes), dtype=bool)
+        futures, slots = [], []
+        for s in np.unique(sid):
+            m = sid == s
+            futures.append(self.shards[int(s)].forget.remote(hashes[m]))
             slots.append(m)
         for m, r in zip(slots, ray.get(futures)):
             out[m] = r
@@ -214,6 +482,29 @@ class SeenFilterStage:
         hashes = batch[self.hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         keep = self.seen.offer(hashes)
         return batch.filter(pa.array(keep))
+
+
+class SeenForgetStage:
+    """map_batches callable: evict each row's hash64 from the cuckoo
+    seen set (pass-through rows, `forgotten` column appended). Feed it
+    the recrawl-due rows from ``stages/recrawl.recrawl_schedule`` so
+    the next frontier pass re-admits them — deletion is the capability
+    the cuckoo backend exists for."""
+
+    def __init__(self, seen: ShardedSeenSet, hash_col: str = "hash64"):
+        if seen.backend != "cuckoo":
+            raise ValueError("SeenForgetStage requires backend='cuckoo'")
+        self.seen = seen
+        self.hash_col = hash_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("forgotten",
+                                       pa.array([], pa.bool_()))
+        hashes = batch[self.hash_col].to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        removed = self.seen.forget(hashes)
+        return batch.append_column("forgotten", pa.array(removed))
 
 
 def merge_checkpoints(dir_a: str, dir_b: str, out_dir: str) -> int:
