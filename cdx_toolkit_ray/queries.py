@@ -549,6 +549,54 @@ def q_cut_spans(sf_dir: str):
                               span_k=5, min_docs=2)
 
 
+def _wrap3_batch(batch: pa.Table) -> pa.Table:
+    """Rewrap each doc's word stream into 3-word lines joined by \\n —
+    the deterministic multi-line view of the single-line fixture texts
+    (simulating extracted web text whose boilerplate LINES repeat
+    across pages). SQL-expressible, so the line-dedup oracle composes
+    the same derivation."""
+    import polars as pl
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    df = (pl.DataFrame({
+            "doc": pl.Series(ids),
+            "t": pl.from_arrow(batch["text"].combine_chunks()
+                               .cast(pa.string()))})
+          .with_columns(w=pl.col("t").fill_null("").str.split(" "))
+          .drop("t"))
+    ex = (df.explode("w")
+          .with_columns(pos=pl.int_range(pl.len()).over("doc")))
+    lines = (ex.group_by("doc", (pl.col("pos") // 3).alias("li"),
+                         maintain_order=True)
+             .agg(line=pl.col("w").str.join(" ")))
+    wrapped = (lines.group_by("doc", maintain_order=True)
+               .agg(t=pl.col("line").str.join("\n")))
+    out = df.select("doc").join(wrapped, on="doc", how="left")
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": out["t"].fill_null("").to_arrow().cast(pa.string()),
+    })
+
+
+def q_dedup_lines(sf_dir: str):
+    """C4/RefinedWeb duplicate-LINE removal: lines appearing in >= 2
+    distinct documents are boilerplate and every copy is cut, with
+    clean_text re-joined in original order. One narrow (doc_id,
+    line_hash) exchange counts distinct docs per line (run-length, not
+    pairwise); the boilerplate set broadcasts once; the cut is a
+    stateless vectorized pass — text never shuffles. Fixture texts are
+    single-line word streams, so the query first rewraps them into
+    3-word lines (deterministic, replicated in the oracle SQL)."""
+    from .stages.lines import dedup_lines
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(_wrap3_batch, batch_format="pyarrow",
+                        batch_size=None)
+    return dedup_lines(ds, text_col="text", id_col="doc_id",
+                       min_docs=2)
+
+
 def q_hll_distinct(sf_dir: str):
     """Per-group HyperLogLog distinct-user estimate over the events
     stream (the cardinality sketch: count-min's twin for COUNT
@@ -3438,6 +3486,34 @@ FROM sh s LEFT JOIN rep r ON r.h = s.h
 GROUP BY s.doc_id
 """),
     "cut_spans": _cut_spans_oracle(),
+    "dedup_lines": """
+WITH w AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(range(len(ws))) AS i, ws FROM w),
+line AS (
+  SELECT doc_id, i // 3 AS pos,
+         string_agg(ws[i + 1], ' ' ORDER BY i) AS line
+  FROM tok GROUP BY doc_id, i // 3),
+dup AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM line
+                    WHERE line <> '')
+  GROUP BY line HAVING count(*) >= 2),
+kept AS (
+  SELECT doc_id, pos, line FROM line
+  WHERE line = '' OR line NOT IN (SELECT line FROM dup)),
+nl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+  FROM line GROUP BY doc_id)
+SELECT nl.doc_id, nl.n_lines,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.clean_text, '') AS clean_text
+FROM nl LEFT JOIN (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id) k USING (doc_id)
+""",
     "cc_components": _cc_oracle(),
     "decontaminate": _decontam_oracle(),
     # the bloom gate's oracle is the EXACT pass: with 2^24 bits over
@@ -4586,6 +4662,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "repeated_spans": q_repeated_spans,
     "cut_spans": q_cut_spans,
+    "dedup_lines": q_dedup_lines,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,
