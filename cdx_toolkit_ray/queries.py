@@ -597,6 +597,34 @@ def q_dedup_lines(sf_dir: str):
                        min_docs=2)
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023): importance-weight every
+    document by target/raw log-ratios in a 256-bucket hashed unigram
+    feature space (target = lang 'en'), then keep the top 10% by
+    (weight DESC, doc_id ASC) — the deterministic rank form of the
+    resampling draw. Per-block partial bucket counts fold through one
+    narrow exchange to a 256-entry integer micro-nat LUT broadcast
+    once; scoring is a stateless vectorized pass; the top-k cutoff is
+    two scalars from per-block candidates. Text never shuffles."""
+    from .stages.dsir import dsir_scores, dsir_select
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text", "lang"])
+    n = ds.count()
+
+    def add_target(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "is_target", pc.equal(batch["lang"], "en"))
+
+    ds = ds.map_batches(add_target, batch_format="pyarrow",
+                        batch_size=None)
+    scores = dsir_scores(ds, text_col="text", id_col="doc_id",
+                         target_col="is_target", n_features=256)
+    return dsir_select(scores, k=max(1, n // 10))
+
+
 def q_hll_distinct(sf_dir: str):
     """Per-group HyperLogLog distinct-user estimate over the events
     stream (the cardinality sketch: count-min's twin for COUNT
@@ -3486,6 +3514,50 @@ FROM sh s LEFT JOIN rep r ON r.h = s.h
 GROUP BY s.doc_id
 """),
     "cut_spans": _cut_spans_oracle(),
+    # DSIR: the full chain in SQL — FNV feature hashing, smoothed
+    # integer micro-nat log-ratio LUT, per-doc integer dot product,
+    # rank-based top-10% selection.
+    "dsir_select": r"""
+WITH tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                         '\w+')) AS word
+        FROM documents)
+  GROUP BY doc_id, word),
+wb AS (
+  SELECT word, CAST((""" + _FNV_SQL.format(s="word") + r""") % 256
+                    AS BIGINT) AS fb
+  FROM (SELECT DISTINCT word FROM tf)),
+tgt AS (SELECT doc_id, lang = 'en' AS is_t FROM documents),
+bc AS (
+  SELECT fb,
+         CAST(sum(CASE WHEN is_t THEN tf ELSE 0 END) AS BIGINT) AS tc,
+         CAST(sum(tf) AS BIGINT) AS rc
+  FROM tf JOIN wb USING (word) JOIN tgt USING (doc_id)
+  GROUP BY fb),
+tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
+               CAST(sum(rc) AS BIGINT) AS tr FROM bc),
+lut AS (
+  SELECT fb, CAST(floor(ln(CAST((tc + 1) * (tr + 256) AS DOUBLE)
+                           / CAST((rc + 1) * (tt + 256) AS DOUBLE))
+                        * 1e6 + 0.5) AS BIGINT) AS lr
+  FROM bc CROSS JOIN tot),
+sc AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+         CAST(sum(tf.tf * lut.lr) AS BIGINT) AS logw_1e6
+  FROM tf JOIN wb USING (word) JOIN lut USING (fb)
+  GROUP BY tf.doc_id),
+scored AS (
+  SELECT d.doc_id, coalesce(sc.n_tok, 0) AS n_tok,
+         coalesce(sc.logw_1e6, 0) AS logw_1e6
+  FROM documents d LEFT JOIN sc USING (doc_id))
+SELECT doc_id, n_tok, logw_1e6,
+       row_number() OVER (ORDER BY logw_1e6 DESC, doc_id)
+         <= greatest(1, (SELECT count(*) // 10 FROM documents))
+         AS selected
+FROM scored
+""",
     "dedup_lines": """
 WITH w AS (
   SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
@@ -4663,6 +4735,7 @@ QUERIES = {
     "repeated_spans": q_repeated_spans,
     "cut_spans": q_cut_spans,
     "dedup_lines": q_dedup_lines,
+    "dsir_select": q_dsir_select,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,
