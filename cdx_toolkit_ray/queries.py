@@ -597,6 +597,57 @@ def q_dedup_lines(sf_dir: str):
                        min_docs=2)
 
 
+def _host_score_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, host, score): host via the seeds derivation's www CASE
+    (one host per source x www variant), score = \\w+ token count —
+    the integer quality proxy the host aggregate folds."""
+    import polars as pl
+
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+    source = batch["source"].to_numpy(zero_copy_only=False).astype(str)
+    www = np.where((doc_id // 100) % 2 == 0, "www.", "")
+    host = np.char.add(np.char.add(www.astype(str), source), ".example")
+    s = pl.Series(batch["text"].combine_chunks()).cast(pl.String) \
+        .fill_null("").str.to_lowercase().str.count_matches(r"\w+")
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "host": pa.array(host.tolist(), pa.string()),
+        "score": s.cast(pl.Int64).to_arrow(),
+    })
+
+
+def q_host_curation(sf_dir: str):
+    """RefinedWeb-style host-level curation: per-host mean of an
+    integer quality score (token count), blocked iff host mean <
+    corpus mean by EXACT integer cross-multiply — the blocklist-
+    construction half of domain filtering. Per-block host partials
+    fold before one host-bucket exchange; corpus totals are an
+    O(blocks) scalar side pass; the driver holds two ints."""
+    from .stages.hosts import host_quality_stats
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "source", "text"])
+    ds = ds.map_batches(_host_score_batch, batch_format="pyarrow",
+                        batch_size=None)
+    return host_quality_stats(ds, host_col="host", score_col="score")
+
+
+def q_host_filter(sf_dir: str):
+    """The ACTION half of host curation: drop every document on a
+    blocked host. The blocked-host hash set broadcasts once (robots-
+    gate shape); the gate is one vectorized membership pass — the
+    corpus streams, nothing shuffles."""
+    from .stages.hosts import filter_blocked_hosts, host_quality_stats
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "source", "text"])
+    ds = ds.map_batches(_host_score_batch, batch_format="pyarrow",
+                        batch_size=None)
+    stats = host_quality_stats(ds, host_col="host", score_col="score")
+    return filter_blocked_hosts(ds, stats, host_col="host") \
+        .select_columns(["doc_id", "host", "score"])
+
+
 def q_dsir_select(sf_dir: str):
     """DSIR data selection (Xie et al. 2023): importance-weight every
     document by target/raw log-ratios in a 256-bucket hashed unigram
@@ -3514,6 +3565,43 @@ FROM sh s LEFT JOIN rep r ON r.h = s.h
 GROUP BY s.doc_id
 """),
     "cut_spans": _cut_spans_oracle(),
+    "host_curation": r"""
+WITH h AS (
+  SELECT doc_id,
+         (CASE WHEN (doc_id // 100) % 2 = 0 THEN 'www.' ELSE '' END)
+           || source || '.example' AS host,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '\w+')) AS BIGINT) AS score
+  FROM documents),
+hs AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(score) AS BIGINT) AS score_sum
+       FROM h GROUP BY host),
+g AS (SELECT CAST(sum(score_sum) AS BIGINT) AS gs,
+             CAST(sum(n_docs) AS BIGINT) AS gc FROM hs)
+SELECT host, n_docs, score_sum,
+       CAST(score_sum * 1000000 // n_docs AS BIGINT) AS mean_1e6,
+       score_sum * (SELECT gc FROM g) < (SELECT gs FROM g) * n_docs
+         AS blocked
+FROM hs
+""",
+    "host_filter": r"""
+WITH h AS (
+  SELECT doc_id,
+         (CASE WHEN (doc_id // 100) % 2 = 0 THEN 'www.' ELSE '' END)
+           || source || '.example' AS host,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '\w+')) AS BIGINT) AS score
+  FROM documents),
+hs AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(score) AS BIGINT) AS score_sum
+       FROM h GROUP BY host),
+g AS (SELECT CAST(sum(score_sum) AS BIGINT) AS gs,
+             CAST(sum(n_docs) AS BIGINT) AS gc FROM hs)
+SELECT h.doc_id, h.host, h.score
+FROM h JOIN hs USING (host)
+WHERE NOT (hs.score_sum * (SELECT gc FROM g)
+           < (SELECT gs FROM g) * hs.n_docs)
+""",
     # DSIR: the full chain in SQL — FNV feature hashing, smoothed
     # integer micro-nat log-ratio LUT, per-doc integer dot product,
     # rank-based top-10% selection.
@@ -4736,6 +4824,8 @@ QUERIES = {
     "cut_spans": q_cut_spans,
     "dedup_lines": q_dedup_lines,
     "dsir_select": q_dsir_select,
+    "host_curation": q_host_curation,
+    "host_filter": q_host_filter,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,

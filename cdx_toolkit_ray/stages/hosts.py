@@ -1,0 +1,136 @@
+"""Host-level corpus curation (RefinedWeb-style domain filtering).
+
+RefinedWeb (Penedo et al. 2023) and similar web-corpus pipelines make
+keep/drop decisions at the HOST level: a domain whose pages are on
+average low-quality (spam farms, parked domains, auto-generated
+catalogs) is blocked wholesale, because per-page signals are noisy but
+per-host aggregates are stable. This module aggregates an integer
+per-document quality score to per-host means and flags hosts below
+the corpus mean — the blocklist-construction half of that loop (the
+filter itself is then one broadcast-membership pass, the same shape
+as the robots disallow gate in pipelines/frontier.py).
+
+Determinism: "host mean < corpus mean" is evaluated by exact integer
+cross-multiplication (``host_sum * corpus_cnt < corpus_sum *
+host_cnt``) — no float division anywhere, so the verdict is bit-stable
+under any partitioning and exactly SQL-checkable.
+
+Scale shape: per-block (host, sum, count) partials fold in-task
+before ONE host-bucket exchange (the exchange moves one row per
+distinct host per block, never documents); the corpus totals come
+from one O(blocks)-row scalar side pass. Driver holds two ints.
+
+Reference role: beyond-reference curation operator (the reference has
+per-host politeness state, cdx_toolkit/myrequests.py:10-20, but no
+quality surface).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..canon import hash64_batch
+from .exchange import hash_bucket_apply
+
+
+def host_quality_stats(ds: ray.data.Dataset, *, host_col: str = "host",
+                       score_col: str = "score",
+                       num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-host quality aggregate + blocklist verdict:
+    ``(host, n_docs, score_sum, mean_1e6, blocked)`` where
+    ``mean_1e6 = score_sum * 1e6 // n_docs`` and ``blocked`` is the
+    exact integer test ``host mean < corpus mean``."""
+
+    # corpus totals: one light pass, one partial row per block
+    def totals(batch: pa.Table) -> pa.Table:
+        s = batch[score_col].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([int(s.sum())], pa.int64()),
+                         "c": pa.array([batch.num_rows], pa.int64())})
+
+    parts = ds.select_columns([score_col]).map_batches(
+        totals, batch_format="pyarrow", batch_size=None).take_all()
+    corpus_sum = sum(r["s"] for r in parts)
+    corpus_cnt = sum(r["c"] for r in parts)
+    nb = np.uint64(num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.DataFrame({
+            "host": pl.from_arrow(batch[host_col].combine_chunks()
+                                  .cast(pa.string())),
+            "s": pl.from_arrow(batch[score_col].combine_chunks()
+                               .cast(pa.int64())),
+        })
+        g = df.group_by("host").agg(
+            score_sum=pl.col("s").sum(),
+            n_docs=pl.len().cast(pl.Int64))
+        hb = (hash64_batch(g["host"].to_arrow()) % nb).astype(np.int64)
+        return pa.table({
+            "host": g["host"].to_arrow(),
+            "n_docs": g["n_docs"].to_arrow(),
+            "score_sum": g["score_sum"].to_arrow(),
+            "_hb": pa.array(hb),
+        })
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = (pl.from_arrow(tbl).group_by("host")
+             .agg(n_docs=pl.col("n_docs").sum(),
+                  score_sum=pl.col("score_sum").sum()))
+        ss = g["score_sum"].to_numpy().astype(np.int64)
+        nd = g["n_docs"].to_numpy().astype(np.int64)
+        blocked = ss * corpus_cnt < corpus_sum * nd
+        return pa.table({
+            "host": g["host"].to_arrow(),
+            "n_docs": pa.array(nd),
+            "score_sum": pa.array(ss),
+            "mean_1e6": pa.array(ss * 1_000_000 // nd),
+            "blocked": pa.array(blocked),
+        })
+
+    pairs = ds.select_columns([host_col, score_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    return hash_bucket_apply(pairs, "_hb", fold,
+                             num_buckets=num_buckets)
+
+
+def blocked_host_hashes(stats: ray.data.Dataset) -> np.ndarray:
+    """Sorted hash64 set of blocked hosts — the broadcast side of the
+    document filter pass (same membership shape as
+    stages/lines.duplicated_line_hashes)."""
+    blocks = [b for b in ray.get(
+        stats.select_columns(["host", "blocked"]).to_arrow_refs())
+        if b.num_rows]
+    hs = []
+    for b in blocks:
+        m = b["blocked"].to_numpy(zero_copy_only=False)
+        if m.any():
+            hs.append(hash64_batch(b["host"].filter(
+                pa.array(m)).combine_chunks()))
+    if not hs:
+        return np.zeros(0, np.uint64)
+    return np.sort(np.concatenate(hs).astype(np.uint64))
+
+
+def filter_blocked_hosts(ds: ray.data.Dataset, stats: ray.data.Dataset,
+                         *, host_col: str = "host") -> ray.data.Dataset:
+    """Drop every row whose host is blocked: broadcast the blocked-host
+    hash set once, one vectorized membership pass."""
+    blocked_ref = ray.put(blocked_host_hashes(stats))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        from ..pipelines.frontier import _get_broadcast
+
+        blocked = _get_broadcast(blocked_ref)
+        if not len(blocked) or not batch.num_rows:
+            return batch
+        h = hash64_batch(batch[host_col]).astype(np.uint64)
+        idx = np.minimum(np.searchsorted(blocked, h), len(blocked) - 1)
+        return batch.filter(pa.array(blocked[idx] != h))
+
+    return ds.map_batches(gate, batch_format="pyarrow",
+                          batch_size=None)

@@ -1,0 +1,59 @@
+"""Host-level curation (stages/hosts.py): integer cross-multiply
+verdicts vs a serial reference, filter complement, edge cases."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _mk(hosts, scores):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(hosts))), pa.int64()),
+        "host": pa.array(hosts, pa.string()),
+        "score": pa.array(scores, pa.int64()),
+    }))
+
+
+def test_stats_match_serial(ray_session):
+    from cdx_toolkit_ray.stages.hosts import host_quality_stats
+
+    rng = np.random.default_rng(11)
+    hosts = ["h%d.example" % (i % 7) for i in range(300)]
+    scores = rng.integers(0, 500, 300).tolist()
+    got = host_quality_stats(_mk(hosts, scores), num_buckets=4) \
+        .to_pandas().set_index("host").sort_index()
+    gs, gc = sum(scores), len(scores)
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0])
+    for h, s in zip(hosts, scores):
+        agg[h][0] += s
+        agg[h][1] += 1
+    assert len(got) == len(agg)
+    for h, (ss, nd) in agg.items():
+        row = got.loc[h]
+        assert row["score_sum"] == ss and row["n_docs"] == nd
+        assert row["mean_1e6"] == ss * 1_000_000 // nd
+        assert bool(row["blocked"]) == (ss * gc < gs * nd)
+
+
+def test_filter_is_exact_complement(ray_session):
+    from cdx_toolkit_ray.stages.hosts import (filter_blocked_hosts,
+                                              host_quality_stats)
+
+    hosts = ["good.example"] * 5 + ["bad.example"] * 5
+    scores = [100] * 5 + [1] * 5
+    ds = _mk(hosts, scores)
+    stats = host_quality_stats(ds, num_buckets=4)
+    kept = filter_blocked_hosts(ds, stats).to_pandas()
+    assert set(kept["host"]) == {"good.example"}
+    assert len(kept) == 5
+
+
+def test_no_hosts_blocked_when_uniform(ray_session):
+    from cdx_toolkit_ray.stages.hosts import (filter_blocked_hosts,
+                                              host_quality_stats)
+
+    ds = _mk(["a", "b", "c"], [7, 7, 7])
+    stats = host_quality_stats(ds, num_buckets=2)
+    assert not stats.to_pandas()["blocked"].any()
+    assert len(filter_blocked_hosts(ds, stats).to_pandas()) == 3
