@@ -648,6 +648,46 @@ def q_host_filter(sf_dir: str):
         .select_columns(["doc_id", "host", "score"])
 
 
+def q_budget_mixture(sf_dir: str):
+    """Token-budget corpus mixing (Dolma/SlimPajama): each source gets
+    ``12000 * w_s // sum(w)`` tokens (w from the source index, 1..3);
+    docs fill the budget in seeded-hash order with concat-and-cut
+    boundary semantics. One source-bucket exchange computes the exact
+    per-source prefix sums; the budgets dict is O(sources) state; the
+    source list comes from per-block distinct partials, never a full
+    materialization."""
+    from .stages.sampling import token_budget_mixture
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "source", "text"])
+
+    def distinct_src(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"source": pc.unique(batch["source"])})
+
+    srcs = sorted({r["source"] for r in ds.select_columns(["source"])
+                   .map_batches(distinct_src, batch_format="pyarrow",
+                                batch_size=None).take_all()})
+    w = {s: (int(s[3:]) % 3) + 1 for s in srcs}
+    tot_w = sum(w.values())
+    budgets = {s: 12000 * w[s] // tot_w for s in srcs}
+
+    def add_ntok(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.Series(batch["text"].combine_chunks()).cast(pl.String) \
+            .fill_null("").str.to_lowercase().str.count_matches(r"\w+")
+        return batch.append_column("n_tok",
+                                   s.cast(pl.Int64).to_arrow())
+
+    ds = ds.map_batches(add_ntok, batch_format="pyarrow",
+                        batch_size=None)
+    return token_budget_mixture(ds, source_col="source",
+                                id_col="doc_id", token_col="n_tok",
+                                budgets=budgets, seed=0)
+
+
 def q_dsir_select(sf_dir: str):
     """DSIR data selection (Xie et al. 2023): importance-weight every
     document by target/raw log-ratios in a 256-bucket hashed unigram
@@ -3565,6 +3605,30 @@ FROM sh s LEFT JOIN rep r ON r.h = s.h
 GROUP BY s.doc_id
 """),
     "cut_spans": _cut_spans_oracle(),
+    "budget_mixture": ("""
+WITH n AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '\\w+')) AS BIGINT) AS n_tok,
+         """ + _seeded_key_sql() + """ AS skey
+  FROM documents),
+w AS (SELECT DISTINCT source,
+             (CAST(substr(source, 4, 8) AS INTEGER) % 3) + 1 AS w
+      FROM documents),
+b AS (SELECT source,
+             CAST(12000 * w // (SELECT sum(w) FROM w) AS BIGINT)
+               AS budget
+      FROM w),
+c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY skey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM n)
+SELECT c.doc_id, c.source, c.n_tok, c.cum_before
+FROM c JOIN b USING (source) WHERE c.cum_before < b.budget
+"""),
     "host_curation": r"""
 WITH h AS (
   SELECT doc_id,
@@ -4826,6 +4890,7 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "host_curation": q_host_curation,
     "host_filter": q_host_filter,
+    "budget_mixture": q_budget_mixture,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,

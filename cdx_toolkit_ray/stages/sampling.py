@@ -170,3 +170,73 @@ def holdout_split(ds: ray.data.Dataset, group_col: str,
             out_col, pa.array(np.where(is_val, "val", "train")))
 
     return ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+
+def token_budget_mixture(ds: ray.data.Dataset, *,
+                         source_col: str = "source",
+                         id_col: str = "doc_id",
+                         token_col: str = "n_tok",
+                         budgets: dict | None = None,
+                         seed: int = 0,
+                         num_buckets: int = 32) -> ray.data.Dataset:
+    """Fill each source's TOKEN budget deterministically (Dolma /
+    SlimPajama-style corpus mixing): within a source, docs are taken
+    in seeded-hash order ((skey, id) — an order-free shuffle) until
+    the cumulative token count reaches the source's budget; the doc
+    that crosses the boundary is included (concat-and-cut semantics,
+    same rule as stages/chunk.pack_chunks).
+
+    ``budgets`` maps source -> token budget (int). Output: the kept
+    rows as ``(doc_id, source, n_tok, cum_before)`` where
+    ``cum_before`` is the integer prefix sum of earlier kept-order
+    docs — bit-stable under any parallelism, so the SQL oracle
+    replicates it with one window function.
+
+    Scale shape: one source-bucket exchange; each source's rows
+    co-locate in one task for the exact prefix sum (sources are few
+    and internally parallel-sorted; for a corpus where ONE source
+    outgrows a task, pre-shard the source and allocate sub-budgets
+    proportionally — the politeness sub-queue budget argument,
+    SURVEY §4(c)). The budgets dict is O(sources) closure state.
+    """
+    if budgets is None:
+        raise ValueError("budgets dict (source -> token budget) required")
+    from ..canon import hash64_batch
+
+    nb = np.uint64(num_buckets)
+
+    def key_stage(batch: pa.Table) -> pa.Table:
+        skey = _seeded_key(batch[id_col], seed)
+        sb = (hash64_batch(batch[source_col]) % nb).astype(np.int64)
+        return pa.table({
+            "doc_id": batch[id_col],
+            "source": batch[source_col],
+            "n_tok": batch[token_col].cast(pa.int64()),
+            "skey": pa.array(skey, pa.uint64()),
+            "_sb": pa.array(sb),
+        })
+
+    def take_until(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (pl.from_arrow(tbl).sort(["source", "skey", "doc_id"])
+              .with_columns(cum=pl.col("n_tok").cum_sum()
+                            .over("source")))
+        df = df.with_columns(
+            cum_before=pl.col("cum") - pl.col("n_tok"),
+            budget=pl.col("source").replace_strict(
+                budgets, default=0, return_dtype=pl.Int64))
+        df = df.filter(pl.col("cum_before") < pl.col("budget"))
+        return pa.table({
+            "doc_id": df["doc_id"].to_arrow(),
+            "source": df["source"].to_arrow().cast(pa.string()),
+            "n_tok": df["n_tok"].to_arrow(),
+            "cum_before": df["cum_before"].to_arrow().cast(pa.int64()),
+        })
+
+    from .exchange import hash_bucket_apply
+
+    keyed = ds.select_columns([id_col, source_col, token_col]) \
+        .map_batches(key_stage, batch_format="pyarrow", batch_size=None)
+    return hash_bucket_apply(keyed, "_sb", take_until,
+                             num_buckets=num_buckets)

@@ -170,3 +170,49 @@ def test_training_prep_composite_consistency():
         assert (np.diff(offs) > 0).all()
     assert (out.seq_off == out.tok_off % 256).all()
     assert (out.seq_id == out.tok_off // 256).all()
+
+
+def test_token_budget_mixture_matches_serial(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.sampling import (_seeded_key,
+                                                 token_budget_mixture)
+
+    rng = np.random.default_rng(2)
+    n = 200
+    ids = np.arange(n, dtype=np.int64)
+    srcs = np.array(["s%d" % (i % 4) for i in range(n)], object)
+    toks = rng.integers(1, 50, n).astype(np.int64)
+    budgets = {"s0": 100, "s1": 0, "s2": 57, "s3": 10_000}
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "source": pa.array(srcs, pa.string()),
+        "n_tok": pa.array(toks)}))
+    got = token_budget_mixture(ds, budgets=budgets, seed=3,
+                               num_buckets=4).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    skey = _seeded_key(pa.array(ids), 3)
+    want = []
+    for s in sorted(budgets):
+        m = np.flatnonzero(srcs == s)
+        order = m[np.lexsort((ids[m], skey[m]))]
+        cum = 0
+        for j in order:
+            if cum < budgets[s]:
+                want.append((int(ids[j]), s, int(toks[j]), cum))
+            cum += int(toks[j])
+    want.sort()
+    assert len(got) == len(want)
+    for (i, s, t, c), row in zip(want, got.itertuples()):
+        assert (row.doc_id, row.source, row.n_tok, row.cum_before) \
+            == (i, s, t, c)
+    # s1 excluded entirely; s3's budget exceeds supply -> all kept
+    assert not (got.source == "s1").any()
+    assert (got.source == "s3").sum() == (srcs == "s3").sum()
+    # concat-and-cut: per source, kept tokens reach or cross budget
+    for s in ("s0", "s2"):
+        sel = got[got.source == s]
+        assert sel.n_tok.sum() >= budgets[s]
+        assert sel.cum_before.max() < budgets[s]
