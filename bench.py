@@ -398,6 +398,16 @@ def main() -> None:
             # BFS — outlinks come only from fetched ok text)
             ("crawl_waves",
              lambda: consume(Q.q_crawl_waves(SF_DIR))),
+            # round 3 second half: training-data curation family
+            ("dedup_lines", lambda: consume(Q.q_dedup_lines(SF_DIR))),
+            ("dsir_select", lambda: consume(Q.q_dsir_select(SF_DIR))),
+            ("host_curation",
+             lambda: consume(Q.q_host_curation(SF_DIR))),
+            ("budget_mixture",
+             lambda: consume(Q.q_budget_mixture(SF_DIR))),
+            # round 3: cuckoo-backed seen set with recrawl eviction
+            ("url_seen_evict",
+             lambda: consume(Q.q_url_seen_evict(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the
