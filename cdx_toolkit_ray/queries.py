@@ -648,6 +648,86 @@ def q_host_filter(sf_dir: str):
         .select_columns(["doc_id", "host", "score"])
 
 
+def _host_latency_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, host, score): host via the seeds www CASE, score = a
+    deterministic synthetic response latency ``(doc_id*37)%900+100``
+    ms — the observation stream an instrumented fetcher would emit."""
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+    source = batch["source"].to_numpy(zero_copy_only=False).astype(str)
+    www = np.where((doc_id // 100) % 2 == 0, "www.", "")
+    host = np.char.add(np.char.add(www.astype(str), source), ".example")
+    lat = (doc_id * 37) % 900 + 100
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "host": pa.array(host.tolist(), pa.string()),
+        "score": pa.array(lat.astype(np.int64)),
+    })
+
+
+def q_adaptive_politeness(sf_dir: str):
+    """Observed-latency politeness: aggregate per-host response times
+    (the instrumented fetcher's observation stream) to adaptive crawl
+    delays ``clamp(3 * mean_ms, 500, 10000)`` — slow hosts back off,
+    fast hosts get the floor. Exact integer math end-to-end; per-block
+    partials fold before one host-bucket exchange."""
+    from .stages.hosts import adaptive_delays, host_quality_stats
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "source"])
+    obs = ds.map_batches(_host_latency_batch, batch_format="pyarrow",
+                         batch_size=None)
+    return adaptive_delays(host_quality_stats(obs, host_col="host",
+                                              score_col="score"))
+
+
+def q_adaptive_schedule(sf_dir: str):
+    """The frontier schedule DRIVEN by observed latency: the flagship
+    politeness pipeline (canonicalize -> first-wins dedup -> per-host
+    slots) with each host's crawl delay replaced by its adaptive value
+    — the feedback loop a production crawler closes every cycle. The
+    delay LUT broadcasts once as two sorted arrays (O(hosts) worker
+    state); schedule semantics and the exchange path are unchanged."""
+    from .pipelines.frontier import scheduled_crawl_order
+    from .stages.hosts import (adaptive_delays, host_quality_stats,
+                               replace_delays)
+
+    obs = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                                columns=["doc_id", "source"]) \
+        .map_batches(_host_latency_batch, batch_format="pyarrow",
+                     batch_size=None)
+    delays = adaptive_delays(host_quality_stats(obs, host_col="host",
+                                                score_col="score"))
+
+    ds = derived_seeds(sf_dir)
+    ds = first_wins_dedup(ds, "hash64",
+                          [("priority", 19), ("seed_order", 44)],
+                          derive_fn=canonicalize_batch)
+    ds = ds.map_batches(_add_false_robots, batch_format="pyarrow",
+                        batch_size=None)
+    ds = replace_delays(ds, delays, host_col="host",
+                        delay_col="crawl_delay_ms")
+    ds = scheduled_crawl_order(ds)
+    return ds.select_columns(["urlkey", "host", "priority",
+                              "seed_order", "n_dup_dropped",
+                              "host_rank", "fetch_ms"])
+
+
+def q_url_spam(sf_dir: str):
+    """RefinedWeb-style URL spam features at the FRONTIER (before any
+    content byte): lexicon hits, digit count, path depth, query-param
+    count, and the gate verdict — one stateless vectorized pass over
+    the derived seed URLs, zero shuffles. Generalizes the reference's
+    fgrep/fgrepv URL substring gates (cli.py:188-200)."""
+    from .stages.urlfeat import url_features
+
+    ds = derived_seeds(sf_dir)
+    out = url_features(ds, url_col="url", max_digits=1,
+                       flag_query=True)
+    return out.select_columns(["doc_id", "url", "url_len", "n_digits",
+                               "depth", "n_params", "bad_hits",
+                               "spam"])
+
+
 def q_budget_mixture(sf_dir: str):
     """Token-budget corpus mixing (Dolma/SlimPajama): each source gets
     ``12000 * w_s // sum(w)`` tokens (w from the source index, 1..3);
@@ -3605,6 +3685,77 @@ FROM sh s LEFT JOIN rep r ON r.h = s.h
 GROUP BY s.doc_id
 """),
     "cut_spans": _cut_spans_oracle(),
+    "adaptive_politeness": """
+WITH o AS (
+  SELECT doc_id,
+         (CASE WHEN (doc_id // 100) % 2 = 0 THEN 'www.' ELSE '' END)
+           || source || '.example' AS host,
+         CAST((doc_id * 37) % 900 + 100 AS BIGINT) AS lat
+  FROM documents),
+hs AS (SELECT host, CAST(count(*) AS BIGINT) AS n_obs,
+              CAST(sum(lat) AS BIGINT) AS s
+       FROM o GROUP BY host)
+SELECT host, n_obs, CAST(s // n_obs AS BIGINT) AS mean_ms,
+       CAST(least(greatest(3 * (s // n_obs), 500), 10000) AS BIGINT)
+         AS adaptive_delay_ms
+FROM hs
+""",
+    "adaptive_schedule": "WITH " + _SEEDS_CTE + """,
+o AS (
+  SELECT doc_id,
+         (CASE WHEN (doc_id // 100) % 2 = 0 THEN 'www.' ELSE '' END)
+           || source || '.example' AS host,
+         CAST((doc_id * 37) % 900 + 100 AS BIGINT) AS lat
+  FROM documents),
+ad AS (SELECT host,
+              CAST(least(greatest(3 * (sum(lat) // count(*)), 500),
+                         10000) AS BIGINT) AS d
+       FROM o GROUP BY host),
+dd AS (
+  SELECT *,
+         CAST(count(*) OVER (PARTITION BY urlkey) - 1 AS BIGINT)
+           AS n_dup_dropped,
+         row_number() OVER (PARTITION BY urlkey
+                            ORDER BY priority, seed_order) AS rn
+  FROM seeds),
+sched AS (
+  SELECT urlkey, host, priority, seed_order, n_dup_dropped,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, seed_order) - 1
+              AS BIGINT) AS host_rank
+  FROM dd WHERE rn = 1)
+SELECT s.urlkey, s.host, s.priority, s.seed_order, s.n_dup_dropped,
+       s.host_rank, s.host_rank * ad.d AS fetch_ms
+FROM sched s JOIN ad USING (host)
+""",
+    "url_spam": "WITH " + _SEEDS_CTE + """,
+f AS (
+  SELECT doc_id, url, lower(url) AS lo,
+         CAST(length(url) AS BIGINT) AS url_len,
+         CAST(length(url) - length(replace(url, '/', '')) AS BIGINT)
+           AS slashes,
+         strpos(url, '?') > 0 AS has_q,
+         CAST(length(url) - length(replace(url, '&', '')) AS BIGINT)
+           AS n_amp
+  FROM seeds),
+g AS (
+  SELECT doc_id, url, url_len,
+         CAST(len(regexp_extract_all(lo, '[0-9]')) AS BIGINT)
+           AS n_digits,
+         greatest(slashes - 2, 0) AS depth,
+         CASE WHEN has_q THEN n_amp + 1 ELSE 0 END AS n_params,
+         CAST((CASE WHEN strpos(lo, 'casino') > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN strpos(lo, 'viagra') > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN strpos(lo, 'porn') > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN strpos(lo, 'xxx') > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN strpos(lo, 'loan') > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN strpos(lo, 'pills') > 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS bad_hits
+  FROM f)
+SELECT doc_id, url, url_len, n_digits, depth, n_params, bad_hits,
+       bad_hits > 0 OR (n_digits > 1 AND n_params > 0) AS spam
+FROM g
+""",
     "budget_mixture": ("""
 WITH n AS (
   SELECT doc_id, source,
@@ -4891,6 +5042,9 @@ QUERIES = {
     "host_curation": q_host_curation,
     "host_filter": q_host_filter,
     "budget_mixture": q_budget_mixture,
+    "url_spam": q_url_spam,
+    "adaptive_politeness": q_adaptive_politeness,
+    "adaptive_schedule": q_adaptive_schedule,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,

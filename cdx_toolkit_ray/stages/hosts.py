@@ -134,3 +134,72 @@ def filter_blocked_hosts(ds: ray.data.Dataset, stats: ray.data.Dataset,
 
     return ds.map_batches(gate, batch_format="pyarrow",
                           batch_size=None)
+
+
+def adaptive_delays(stats: ray.data.Dataset, *, factor: int = 3,
+                    min_ms: int = 500,
+                    max_ms: int = 10_000) -> ray.data.Dataset:
+    """Observed-latency politeness (the crawl-side twin of host
+    curation): turn per-host latency aggregates (``host_quality_stats``
+    with score = response ms) into per-host crawl delays —
+    ``clamp(factor * mean_ms, min_ms, max_ms)`` in exact integer math.
+    Slow hosts get long delays (they are telling you to back off),
+    fast hosts get the floor. Output: ``(host, n_obs, mean_ms,
+    adaptive_delay_ms)``. One stateless pass over the (already tiny)
+    host-level stream."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ss = batch["score_sum"].to_numpy(zero_copy_only=False)
+        nd = batch["n_docs"].to_numpy(zero_copy_only=False)
+        mean = ss // nd
+        delay = np.clip(factor * mean, min_ms, max_ms)
+        return pa.table({
+            "host": batch["host"],
+            "n_obs": pa.array(nd.astype(np.int64)),
+            "mean_ms": pa.array(mean.astype(np.int64)),
+            "adaptive_delay_ms": pa.array(delay.astype(np.int64)),
+        })
+
+    return stats.map_batches(derive, batch_format="pyarrow",
+                             batch_size=None)
+
+
+def replace_delays(ds: ray.data.Dataset, delays: ray.data.Dataset, *,
+                   host_col: str = "host",
+                   delay_col: str = "crawl_delay_ms",
+                   default_ms: int = 1000) -> ray.data.Dataset:
+    """Overwrite each row's ``delay_col`` with its host's adaptive
+    delay — the LUT attach that feeds ``schedule_politeness``. The
+    delay table broadcasts once as two parallel sorted arrays
+    (hash64(host) -> delay), O(hosts) worker state; hosts without an
+    observation keep ``default_ms``."""
+    blocks = [b for b in ray.get(
+        delays.select_columns(["host", "adaptive_delay_ms"])
+        .to_arrow_refs()) if b.num_rows]
+    if blocks:
+        tbl = pa.concat_tables(blocks)
+        h = hash64_batch(tbl["host"]).astype(np.uint64)
+        d = tbl["adaptive_delay_ms"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(h)
+        lut_ref = ray.put((h[order], d[order]))
+    else:
+        lut_ref = ray.put((np.zeros(0, np.uint64),
+                           np.zeros(0, np.int64)))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        from ..pipelines.frontier import _get_broadcast
+
+        hs, dl = _get_broadcast(lut_ref)
+        out = np.full(batch.num_rows, default_ms, np.int64)
+        if len(hs) and batch.num_rows:
+            h = hash64_batch(batch[host_col]).astype(np.uint64)
+            idx = np.minimum(np.searchsorted(hs, h), len(hs) - 1)
+            hit = hs[idx] == h
+            out[hit] = dl[idx[hit]]
+        if delay_col in batch.column_names:
+            batch = batch.drop_columns([delay_col])
+        return batch.append_column(delay_col, pa.array(out))
+
+    return ds.map_batches(attach, batch_format="pyarrow",
+                          batch_size=None)

@@ -57,3 +57,42 @@ def test_no_hosts_blocked_when_uniform(ray_session):
     stats = host_quality_stats(ds, num_buckets=2)
     assert not stats.to_pandas()["blocked"].any()
     assert len(filter_blocked_hosts(ds, stats).to_pandas()) == 3
+
+
+def test_adaptive_delays_clamp(ray_session):
+    from cdx_toolkit_ray.stages.hosts import (adaptive_delays,
+                                              host_quality_stats)
+
+    # fast host mean=100 -> 3*100=300 -> floor 500; slow mean=5000 ->
+    # 15000 -> ceiling 10000; middle mean=400 -> 1200
+    hosts = ["fast"] * 4 + ["slow"] * 2 + ["mid"] * 3
+    lats = [100] * 4 + [5000] * 2 + [400] * 3
+    out = adaptive_delays(host_quality_stats(
+        _mk(hosts, lats), num_buckets=2)).to_pandas() \
+        .set_index("host")
+    assert out.loc["fast", "adaptive_delay_ms"] == 500
+    assert out.loc["slow", "adaptive_delay_ms"] == 10000
+    assert out.loc["mid", "adaptive_delay_ms"] == 1200
+    assert out.loc["mid", "mean_ms"] == 400
+    assert out.loc["fast", "n_obs"] == 4
+
+
+def test_replace_delays_lut_and_default(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.hosts import (adaptive_delays,
+                                              host_quality_stats,
+                                              replace_delays)
+
+    delays = adaptive_delays(host_quality_stats(
+        _mk(["a", "a", "b"], [400, 600, 2000]), num_buckets=2))
+    rows = ray.data.from_arrow(pa.table({
+        "host": pa.array(["a", "b", "unknown"], pa.string()),
+        "crawl_delay_ms": pa.array([1, 1, 1], pa.int64()),
+    }))
+    out = replace_delays(rows, delays, default_ms=777).to_pandas() \
+        .set_index("host")["crawl_delay_ms"]
+    assert out["a"] == 1500       # mean 500 * 3
+    assert out["b"] == 6000       # mean 2000 * 3
+    assert out["unknown"] == 777  # no observation -> default

@@ -1,0 +1,57 @@
+"""URL spam features (stages/urlfeat.py): feature truth table, lexicon
+hits, gate composition."""
+
+import pyarrow as pa
+import ray.data
+
+from cdx_toolkit_ray.stages.urlfeat import url_features
+
+
+def _run(urls, **kw):
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array(urls, pa.string())}))
+    return url_features(ds, **kw).to_pandas()
+
+
+def test_feature_truth_table(ray_session):
+    out = _run([
+        "https://a.example/x/y/z?p=1&q=2",
+        "http://b.example/",
+        "https://c.example/page12345",
+    ])
+    r0 = out.iloc[0]
+    assert r0.url_len == len("https://a.example/x/y/z?p=1&q=2")
+    assert r0.n_digits == 2 and r0.depth == 3 and r0.n_params == 2
+    r1 = out.iloc[1]
+    assert r1.n_params == 0 and r1.depth == 1 and r1.n_digits == 0
+    r2 = out.iloc[2]
+    assert r2.n_digits == 5 and r2.n_params == 0
+
+
+def test_lexicon_hits_case_insensitive(ray_session):
+    out = _run([
+        "https://best-CASINO-pills.example/win",
+        "https://clean.example/about",
+    ])
+    assert out.iloc[0].bad_hits == 2 and bool(out.iloc[0].spam)
+    assert out.iloc[1].bad_hits == 0 and not out.iloc[1].spam
+
+
+def test_digit_query_gate(ray_session):
+    # digits alone don't flag when flag_query=True; digits + params do
+    out = _run([
+        "https://a.example/page99",
+        "https://a.example/page99?s=1",
+    ], max_digits=1, flag_query=True)
+    assert not out.iloc[0].spam
+    assert bool(out.iloc[1].spam)
+    # flag_query=False: digits alone flag
+    out2 = _run(["https://a.example/page99"], flag_query=False)
+    assert bool(out2.iloc[0].spam)
+
+
+def test_null_url_is_not_spam(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([None, "https://x.example/"], pa.string())}))
+    out = url_features(ds).to_pandas()
+    assert out.iloc[0].url_len == 0 and not out.iloc[0].spam
