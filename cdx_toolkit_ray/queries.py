@@ -712,6 +712,34 @@ def q_adaptive_schedule(sf_dir: str):
                               "host_rank", "fetch_ms"])
 
 
+def q_revisit_generate(sf_dir: str):
+    """The WRITE side of revisit semantics (revisit_resolve's twin):
+    first capture per content digest stays a response, every later
+    identical-content capture becomes a revisit record pointing at it
+    — within-crawl digest dedup, the reason the reference's revisit
+    records exist at all. Capture stream derived from seeds (every 3
+    docs share a digest, so ~2/3 of rows rewrite); one digest-bucket
+    exchange, payload bytes never move."""
+    from .stages.recrawl import revisit_generate
+
+    base = derived_seeds(sf_dir).map_batches(
+        canonicalize_batch, batch_format="pyarrow", batch_size=None)
+
+    def add_cap(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ts = np.char.zfill(doc_id.astype(str), 14)
+        dig = np.char.add("sha1:", (doc_id // 3).astype(str))
+        return batch.append_column(
+            "timestamp", pa.array(ts.tolist(), pa.string())) \
+            .append_column("digest", pa.array(dig.tolist(), pa.string()))
+
+    caps = base.map_batches(add_cap, batch_format="pyarrow",
+                            batch_size=None)
+    return revisit_generate(caps, digest_col="digest",
+                            ts_col="timestamp", url_col="url",
+                            key_col="urlkey")
+
+
 def q_url_spam(sf_dir: str):
     """RefinedWeb-style URL spam features at the FRONTIER (before any
     content byte): lexicon hits, digit count, path depth, query-param
@@ -3685,6 +3713,28 @@ FROM sh s LEFT JOIN rep r ON r.h = s.h
 GROUP BY s.doc_id
 """),
     "cut_spans": _cut_spans_oracle(),
+    "revisit_generate": "WITH " + _SEEDS_CTE + """,
+c AS (
+  SELECT urlkey, lpad(CAST(doc_id AS VARCHAR), 14, '0') AS timestamp,
+         url, 'sha1:' || CAST(doc_id // 3 AS VARCHAR) AS digest
+  FROM seeds),
+w AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY digest
+                            ORDER BY timestamp, urlkey, url) AS rn,
+         first_value(url) OVER (PARTITION BY digest
+                                ORDER BY timestamp, urlkey, url)
+           AS o_url,
+         first_value(timestamp) OVER (PARTITION BY digest
+                                      ORDER BY timestamp, urlkey, url)
+           AS o_ts
+  FROM c)
+SELECT urlkey, timestamp, url, digest,
+       CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS kind,
+       CASE WHEN rn = 1 THEN NULL ELSE o_url END AS refers_to_url,
+       CASE WHEN rn = 1 THEN NULL ELSE o_ts END AS refers_to_ts
+FROM w
+""",
     "adaptive_politeness": """
 WITH o AS (
   SELECT doc_id,
@@ -5045,6 +5095,7 @@ QUERIES = {
     "url_spam": q_url_spam,
     "adaptive_politeness": q_adaptive_politeness,
     "adaptive_schedule": q_adaptive_schedule,
+    "revisit_generate": q_revisit_generate,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,

@@ -596,3 +596,75 @@ def revisit_resolve(ds: ray.data.Dataset, *, key_col: str = "urlkey",
         keyed, batch_format="pyarrow", batch_size=None)
     return hash_bucket_apply(narrow, "_kb", resolve,
                              num_buckets=num_buckets)
+
+
+def revisit_generate(ds: ray.data.Dataset, *, digest_col: str = "digest",
+                     ts_col: str = "timestamp", url_col: str = "url",
+                     key_col: str = "urlkey",
+                     num_buckets: int = 32) -> ray.data.Dataset:
+    """The WRITE side of revisit semantics (``revisit_resolve`` is the
+    read side): given response captures with content digests, keep the
+    chronologically FIRST capture of each digest as the stored
+    response and rewrite every later identical-content capture into a
+    ``revisit`` record pointing at it — how a crawler avoids storing
+    the same bytes twice (Common Crawl's within-crawl digest dedup;
+    the reference consumes these records, cdx_toolkit
+    __init__.py:101-121 / README.md:233-235).
+
+    Deterministic original rule: minimum ``(timestamp, urlkey, url)``
+    per digest. Output: ``(urlkey, timestamp, url, digest, kind,
+    refers_to_url, refers_to_ts)`` — kind ``response`` with null
+    refers for originals, ``revisit`` otherwise.
+
+    Dataflow: project to four narrow columns, ONE digest-bucket
+    exchange co-locates each digest's captures, one sort + window
+    first per bucket. Payload bytes never move — this stage decides
+    what the writer stores, it does not carry content.
+    """
+    from ..canon import hash64_batch
+    from .exchange import hash_bucket_apply
+
+    nb = np.uint64(num_buckets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        out = pa.table({
+            "urlkey": batch[key_col],
+            "timestamp": batch[ts_col],
+            "url": batch[url_col],
+            "digest": batch[digest_col],
+        })
+        db = (hash64_batch(batch[digest_col]) % nb).astype(np.int64)
+        return out.append_column("_db", pa.array(db))
+
+    def per_digest(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (pl.from_arrow(tbl)
+              .sort(["digest", "timestamp", "urlkey", "url"])
+              .with_columns(
+                  rn=pl.int_range(pl.len()).over("digest"),
+                  o_url=pl.col("url").first().over("digest"),
+                  o_ts=pl.col("timestamp").first().over("digest")))
+        first = df["rn"] == 0
+        return pa.table({
+            "urlkey": df["urlkey"].to_arrow().cast(pa.string()),
+            "timestamp": df["timestamp"].to_arrow().cast(pa.string()),
+            "url": df["url"].to_arrow().cast(pa.string()),
+            "digest": df["digest"].to_arrow().cast(pa.string()),
+            "kind": pa.array(
+                np.where(first.to_numpy(), "response", "revisit")
+                .tolist(), pa.string()),
+            "refers_to_url": df.with_columns(
+                r=pl.when(pl.col("rn") == 0).then(None)
+                .otherwise(pl.col("o_url")))["r"].to_arrow()
+            .cast(pa.string()),
+            "refers_to_ts": df.with_columns(
+                r=pl.when(pl.col("rn") == 0).then(None)
+                .otherwise(pl.col("o_ts")))["r"].to_arrow()
+            .cast(pa.string()),
+        })
+
+    tagged = ds.select_columns([key_col, ts_col, url_col, digest_col]) \
+        .map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return hash_bucket_apply(tagged, "_db", per_digest,
+                             num_buckets=num_buckets)

@@ -271,3 +271,52 @@ def test_revisit_resolve_links_and_orphans(ray_session):
         ("a)/", "20220401000000"): ("20220301000000", "D2", None),
         ("b)/", "20220101000000"): (None, None, "revisit_orphan"),
     }
+
+
+def test_revisit_generate_truth_table(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.recrawl import revisit_generate
+
+    tbl = pa.table({
+        "urlkey": pa.array(["k1", "k2", "k3", "k4", "k5"], pa.string()),
+        "timestamp": pa.array(["20230101000000", "20230102000000",
+                               "20230103000000", "20230101000000",
+                               "20230104000000"], pa.string()),
+        "url": pa.array(["u1", "u2", "u3", "u4", "u5"], pa.string()),
+        "digest": pa.array(["A", "A", "A", "B", "B"], pa.string()),
+    })
+    out = revisit_generate(ray.data.from_arrow(tbl), num_buckets=4) \
+        .to_pandas().sort_values(["digest", "timestamp"]) \
+        .reset_index(drop=True)
+    # digest A: k1 is first -> response; k2/k3 revisit it
+    assert out.loc[0, "kind"] == "response"
+    assert out.loc[0, "refers_to_url"] is None
+    assert (out.loc[1, "kind"], out.loc[1, "refers_to_url"],
+            out.loc[1, "refers_to_ts"]) == ("revisit", "u1",
+                                            "20230101000000")
+    assert out.loc[2, "refers_to_url"] == "u1"
+    # digest B: k4 first -> response, k5 revisit
+    assert out.loc[3, "kind"] == "response"
+    assert (out.loc[4, "kind"], out.loc[4, "refers_to_url"]) \
+        == ("revisit", "u4")
+
+
+def test_revisit_generate_ts_tie_breaks_on_urlkey(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.recrawl import revisit_generate
+
+    tbl = pa.table({
+        "urlkey": pa.array(["kb", "ka"], pa.string()),
+        "timestamp": pa.array(["20230101000000"] * 2, pa.string()),
+        "url": pa.array(["ub", "ua"], pa.string()),
+        "digest": pa.array(["D", "D"], pa.string()),
+    })
+    out = revisit_generate(ray.data.from_arrow(tbl), num_buckets=2) \
+        .to_pandas().set_index("urlkey")
+    assert out.loc["ka", "kind"] == "response"
+    assert out.loc["kb", "refers_to_url"] == "ua"
