@@ -740,6 +740,21 @@ def q_revisit_generate(sf_dir: str):
                             key_col="urlkey")
 
 
+def q_trap_detect(sf_dir: str):
+    """Crawl-trap detection over the derived frontier: (host,
+    path-stem) groups with >= 10 distinct URLs flag as traps — the
+    unbounded-URL-space defense (calendars, session ids) a frontier
+    needs before it wastes budget. Distinct (host, stem, url-hash)
+    partials per block; one stem-bucket exchange; URLs never leave
+    their block."""
+    from .stages.urlfeat import detect_traps
+
+    ds = derived_seeds(sf_dir).map_batches(
+        canonicalize_batch, batch_format="pyarrow", batch_size=None)
+    return detect_traps(ds, url_col="url", host_col="host",
+                        min_urls=10)
+
+
 def q_url_spam(sf_dir: str):
     """RefinedWeb-style URL spam features at the FRONTIER (before any
     content byte): lexicon hits, digit count, path depth, query-param
@@ -3713,6 +3728,17 @@ FROM sh s LEFT JOIN rep r ON r.h = s.h
 GROUP BY s.doc_id
 """),
     "cut_spans": _cut_spans_oracle(),
+    "trap_detect": "WITH " + _SEEDS_CTE + r""",
+t AS (
+  SELECT host,
+         regexp_replace(regexp_replace(url, '\?.*$', ''),
+                        '/[^/]*$', '/') AS stem,
+         url
+  FROM seeds)
+SELECT host, stem, CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+       count(DISTINCT url) >= 10 AS trap
+FROM t GROUP BY host, stem
+""",
     "revisit_generate": "WITH " + _SEEDS_CTE + """,
 c AS (
   SELECT urlkey, lpad(CAST(doc_id AS VARCHAR), 14, '0') AS timestamp,
@@ -5096,6 +5122,7 @@ QUERIES = {
     "adaptive_politeness": q_adaptive_politeness,
     "adaptive_schedule": q_adaptive_schedule,
     "revisit_generate": q_revisit_generate,
+    "trap_detect": q_trap_detect,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,

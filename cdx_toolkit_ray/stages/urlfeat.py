@@ -87,3 +87,73 @@ def url_features(ds: ray.data.Dataset, *, url_col: str = "url",
 
     return ds.map_batches(feats, batch_format="pyarrow",
                           batch_size=None)
+
+
+def detect_traps(ds: ray.data.Dataset, *, url_col: str = "url",
+                 host_col: str = "host", min_urls: int = 100,
+                 num_buckets: int = 32) -> ray.data.Dataset:
+    """Crawl-trap detection: flag (host, path-stem) groups spawning
+    too many distinct URLs — calendars, session ids, faceted search —
+    the unbounded URL spaces that eat a frontier's budget (the classic
+    crawler-trap problem; the reference's only defense is its manual
+    fgrep gates). A stem is the URL with query stripped and the last
+    path segment removed; a stem carrying >= ``min_urls`` distinct
+    URLs is a trap, and the frontier should cap or drop its tail.
+
+    Output: ``(host, stem, n_urls, trap)``. Dataflow: per-block
+    DISTINCT (host, stem, url-hash) partials (the url string itself
+    never leaves its block), one stem-bucket exchange counts distinct
+    hashes per group — run-length, never pairwise.
+    """
+    from ..canon import hash64_batch
+    from .exchange import hash_bucket_apply
+
+    nb = np.uint64(num_buckets)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        df = pl.DataFrame({
+            "host": pl.from_arrow(batch[host_col].combine_chunks()
+                                  .cast(pa.string())),
+            "u": pl.from_arrow(batch[url_col].combine_chunks()
+                               .cast(pa.string())),
+        }).with_columns(
+            noq=pl.col("u").fill_null("")
+            .str.replace(r"\?.*$", ""))
+        df = df.with_columns(
+            stem=pl.col("noq").str.replace(r"/[^/]*$", "/"))
+        uh = hash64_batch(df["u"].to_arrow()).astype(np.uint64)
+        out = (df.select("host", "stem")
+               .with_columns(uh=pl.Series(uh)).unique())
+        sb = (hash64_batch(
+            out.select(k=pl.col("host") + "\x00" + pl.col("stem"))
+            ["k"].to_arrow()) % nb).astype(np.int64)
+        return pa.table({
+            "host": out["host"].to_arrow(),
+            "stem": out["stem"].to_arrow(),
+            "uh": pa.array(out["uh"].to_numpy(), pa.uint64()),
+            "_sb": pa.array(sb),
+        })
+
+    def count_group(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = (pl.from_arrow(tbl).unique(["host", "stem", "uh"])
+             .group_by("host", "stem")
+             .agg(n_urls=pl.len().cast(pl.Int64)))
+        return pa.table({
+            "host": g["host"].to_arrow().cast(pa.string()),
+            "stem": g["stem"].to_arrow().cast(pa.string()),
+            "n_urls": g["n_urls"].to_arrow(),
+            "trap": pa.array(
+                (g["n_urls"].to_numpy() >= min_urls)),
+        })
+
+    pairs = ds.select_columns([host_col, url_col]).map_batches(
+        emit, batch_format="pyarrow", batch_size=None)
+    return hash_bucket_apply(pairs, "_sb", count_group,
+                             num_buckets=num_buckets)

@@ -55,3 +55,39 @@ def test_null_url_is_not_spam(ray_session):
         "url": pa.array([None, "https://x.example/"], pa.string())}))
     out = url_features(ds).to_pandas()
     assert out.iloc[0].url_len == 0 and not out.iloc[0].spam
+
+
+def test_detect_traps_threshold(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.urlfeat import detect_traps
+
+    urls = (["https://h.example/cal/%d" % i for i in range(6)]
+            + ["https://h.example/about/team"]
+            + ["https://h.example/cal/3?sess=%d" % i for i in range(3)])
+    hosts = ["h.example"] * len(urls)
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "host": pa.array(hosts, pa.string())}))
+    out = detect_traps(ds, min_urls=5, num_buckets=4).to_pandas() \
+        .set_index("stem").sort_index()
+    # /cal/ has 6 plain + 3 parameterized distinct urls = 9 -> trap
+    assert out.loc["https://h.example/cal/", "n_urls"] == 9
+    assert bool(out.loc["https://h.example/cal/", "trap"])
+    assert out.loc["https://h.example/about/", "n_urls"] == 1
+    assert not out.loc["https://h.example/about/", "trap"]
+
+
+def test_detect_traps_dedups_repeat_urls(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.urlfeat import detect_traps
+
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array(["https://h.example/a/1"] * 10, pa.string()),
+        "host": pa.array(["h.example"] * 10, pa.string())}))
+    out = detect_traps(ds, min_urls=5, num_buckets=2).to_pandas()
+    assert len(out) == 1 and out.iloc[0].n_urls == 1
+    assert not out.iloc[0].trap
