@@ -913,8 +913,13 @@ def q_url_seen_evict(sf_dir: str):
 
     seen = ShardedSeenSet(num_shards=4, backend="cuckoo",
                           n_buckets=1 << 14)
+    # three passes consume the same derived frontier — materialize the
+    # narrow canonicalized base once instead of re-deriving per pass
+    # (post-canonicalize columns only; at scale this is the persisted
+    # frontier partition the crawl driver already writes)
     base = derived_seeds(sf_dir).map_batches(
-        canonicalize_batch, batch_format="pyarrow", batch_size=None)
+        canonicalize_batch, batch_format="pyarrow",
+        batch_size=None).materialize()
 
     def pri(keep) -> callable:
         def f(batch: pa.Table) -> pa.Table:
