@@ -571,11 +571,13 @@ def _wrap3_batch(batch: pa.Table) -> pa.Table:
              .agg(line=pl.col("w").str.join(" ")))
     wrapped = (lines.group_by("doc", maintain_order=True)
                .agg(t=pl.col("line").str.join("\n")))
-    out = df.select("doc").join(wrapped, on="doc", how="left")
-    return pa.table({
-        "doc_id": pa.array(ids, pa.int64()),
-        "text": out["t"].fill_null("").to_arrow().cast(pa.string()),
-    })
+    out = df.select("doc").join(wrapped, on="doc", how="left",
+                                maintain_order="left")
+    # positional replace is safe: maintain_order='left' keeps out row
+    # i aligned with batch row i
+    new_text = out["t"].fill_null("").to_arrow().cast(pa.string())
+    idx = batch.schema.get_field_index("text")
+    return batch.set_column(idx, "text", new_text)
 
 
 def q_dedup_lines(sf_dir: str):
@@ -771,6 +773,96 @@ def q_url_spam(sf_dir: str):
                                "spam"])
 
 
+def _source_budgets(sf_dir: str, total: int) -> dict:
+    """source -> token budget, ``total * w // sum(w)`` with w = source
+    index % 3 + 1; the source list comes from per-block distinct
+    partials (never a full materialization)."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["source"])
+
+    def distinct_src(batch: pa.Table) -> pa.Table:
+        return pa.table({"source": pc.unique(batch["source"])})
+
+    srcs = sorted({r["source"] for r in ds.map_batches(
+        distinct_src, batch_format="pyarrow",
+        batch_size=None).take_all()})
+    w = {s: (int(s[3:]) % 3) + 1 for s in srcs}
+    tot_w = sum(w.values())
+    return {s: total * w[s] // tot_w for s in srcs}
+
+
+def q_corpus_pipeline(sf_dir: str):
+    """FLAGSHIP curation composite — the end-to-end web-corpus
+    pipeline in one oracle-checked query: host-level quality blocklist
+    (exact integer cross-multiply) -> duplicate-LINE removal over the
+    survivors (boilerplate set from the survivors only) -> a >= 3
+    kept-lines gate -> token-budget mixture by source (seeded-hash
+    order, exact prefix sums). Every stage is an existing
+    oracle-proven operator; one SQL hash checks the whole chain (the
+    curation twin of `training_prep`). Text shuffles exactly zero
+    times: hosts, line hashes, and (doc, token-count) rows are the
+    only exchanged streams."""
+    import pyarrow.compute as pc
+
+    from .stages.hosts import filter_blocked_hosts, host_quality_stats
+    from .stages.lines import dedup_lines
+    from .stages.sampling import token_budget_mixture
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "source", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        source = batch["source"].to_numpy(
+            zero_copy_only=False).astype(str)
+        www = np.where((doc_id // 100) % 2 == 0, "www.", "")
+        host = np.char.add(np.char.add(www.astype(str), source),
+                           ".example")
+        s = pl.Series(batch["text"].combine_chunks()).cast(pl.String) \
+            .fill_null("").str.to_lowercase().str.count_matches(r"\w+")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "host": pa.array(host.tolist(), pa.string()),
+            "score": s.cast(pl.Int64).to_arrow(),
+            "text": batch["text"],
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow",
+                             batch_size=None)
+    stats = host_quality_stats(prepped, host_col="host",
+                               score_col="score")
+    kept = filter_blocked_hosts(prepped, stats, host_col="host")
+    wrapped = kept.map_batches(_wrap3_batch, batch_format="pyarrow",
+                               batch_size=None)
+    deduped = dedup_lines(wrapped, text_col="text", id_col="doc_id",
+                          min_docs=2, keep_cols=("source",))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        b = batch.filter(pc.greater_equal(batch["n_kept"], 3))
+        s = pl.Series(b["clean_text"].combine_chunks()) \
+            .cast(pl.String).str.to_lowercase() \
+            .str.count_matches(r"\w+")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "source": b["source"],
+            "n_tok": s.cast(pl.Int64).to_arrow(),
+        })
+
+    gated = deduped.map_batches(gate, batch_format="pyarrow",
+                                batch_size=None)
+    return token_budget_mixture(gated, source_col="source",
+                                id_col="doc_id", token_col="n_tok",
+                                budgets=_source_budgets(sf_dir, 6000),
+                                seed=0)
+
+
 def q_budget_mixture(sf_dir: str):
     """Token-budget corpus mixing (Dolma/SlimPajama): each source gets
     ``12000 * w_s // sum(w)`` tokens (w from the source index, 1..3);
@@ -783,18 +875,7 @@ def q_budget_mixture(sf_dir: str):
 
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
                                columns=["doc_id", "source", "text"])
-
-    def distinct_src(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table({"source": pc.unique(batch["source"])})
-
-    srcs = sorted({r["source"] for r in ds.select_columns(["source"])
-                   .map_batches(distinct_src, batch_format="pyarrow",
-                                batch_size=None).take_all()})
-    w = {s: (int(s[3:]) % 3) + 1 for s in srcs}
-    tot_w = sum(w.values())
-    budgets = {s: 12000 * w[s] // tot_w for s in srcs}
+    budgets = _source_budgets(sf_dir, 12000)
 
     def add_ntok(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -3837,6 +3918,69 @@ SELECT doc_id, url, url_len, n_digits, depth, n_params, bad_hits,
        bad_hits > 0 OR (n_digits > 1 AND n_params > 0) AS spam
 FROM g
 """,
+    # The full curation composite in ONE statement: host blocklist ->
+    # survivor-only line dedup -> kept-lines gate -> budget mixture.
+    "corpus_pipeline": ("""
+WITH h AS (
+  SELECT doc_id, source,
+         (CASE WHEN (doc_id // 100) % 2 = 0 THEN 'www.' ELSE '' END)
+           || source || '.example' AS host,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '\\w+')) AS BIGINT) AS score,
+         coalesce(text, '') AS text
+  FROM documents),
+hs AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(score) AS BIGINT) AS score_sum
+       FROM h GROUP BY host),
+g AS (SELECT CAST(sum(score_sum) AS BIGINT) AS gs,
+             CAST(sum(n_docs) AS BIGINT) AS gc FROM hs),
+kept AS (
+  SELECT h.doc_id, h.source, h.text
+  FROM h JOIN hs USING (host)
+  WHERE NOT (hs.score_sum * (SELECT gc FROM g)
+             < (SELECT gs FROM g) * hs.n_docs)),
+wdf AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM kept),
+tok AS (SELECT doc_id, source, unnest(range(len(ws))) AS i, ws
+        FROM wdf),
+line AS (
+  SELECT doc_id, min(source) AS source, i // 3 AS pos,
+         string_agg(ws[i + 1], ' ' ORDER BY i) AS line
+  FROM tok GROUP BY doc_id, i // 3),
+dup AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM line
+                    WHERE line <> '')
+  GROUP BY line HAVING count(*) >= 2),
+keptl AS (
+  SELECT doc_id, source, pos, line FROM line
+  WHERE line = '' OR line NOT IN (SELECT line FROM dup)),
+docs2 AS (
+  SELECT doc_id, min(source) AS source,
+         string_agg(line, chr(10) ORDER BY pos) AS clean
+  FROM keptl GROUP BY doc_id HAVING count(*) >= 3),
+n AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(clean), '\\w+'))
+              AS BIGINT) AS n_tok,
+         """ + _seeded_key_sql() + """ AS skey
+  FROM docs2),
+w AS (SELECT DISTINCT source,
+             (CAST(substr(source, 4, 8) AS INTEGER) % 3) + 1 AS w
+      FROM documents),
+b AS (SELECT source,
+             CAST(6000 * w // (SELECT sum(w) FROM w) AS BIGINT)
+               AS budget
+      FROM w),
+c AS (
+  SELECT doc_id, source, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY skey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM n)
+SELECT c.doc_id, c.source, c.n_tok, c.cum_before
+FROM c JOIN b USING (source) WHERE c.cum_before < b.budget
+"""),
     "budget_mixture": ("""
 WITH n AS (
   SELECT doc_id, source,
@@ -5123,6 +5267,7 @@ QUERIES = {
     "host_curation": q_host_curation,
     "host_filter": q_host_filter,
     "budget_mixture": q_budget_mixture,
+    "corpus_pipeline": q_corpus_pipeline,
     "url_spam": q_url_spam,
     "adaptive_politeness": q_adaptive_politeness,
     "adaptive_schedule": q_adaptive_schedule,

@@ -110,11 +110,14 @@ def duplicated_line_hashes(ds: ray.data.Dataset, *,
 
 def dedup_lines(ds: ray.data.Dataset, *, text_col: str = "text",
                 id_col: str = "doc_id", min_docs: int = 2,
-                num_buckets: int = 32) -> ray.data.Dataset:
+                num_buckets: int = 32,
+                keep_cols: tuple = ()) -> ray.data.Dataset:
     """Remove every copy of corpus-duplicated lines from every
     document. Output: ``(doc_id, n_lines, n_kept, clean_text)`` with
     ``clean_text`` the surviving lines re-joined by ``\\n`` in
-    original order (a fully-boilerplate doc yields ``""``)."""
+    original order (a fully-boilerplate doc yields ``""``).
+    ``keep_cols`` pass through unchanged (for composites that need
+    e.g. the source column downstream)."""
     rep = duplicated_line_hashes(ds, text_col=text_col, id_col=id_col,
                                  min_docs=min_docs,
                                  num_buckets=num_buckets)
@@ -142,16 +145,23 @@ def dedup_lines(ds: ray.data.Dataset, *, text_col: str = "text",
                 .agg(ct=pl.col("l").str.join("\n"),
                      nk=pl.len().cast(pl.Int64)))
         n_lines = df["l"].list.len().cast(pl.Int64)
-        out = (df.select("doc").with_columns(n_lines=n_lines)
-               .join(kept, on="doc", how="left")
+        base = df.select("doc").with_columns(n_lines=n_lines)
+        for c in keep_cols:
+            base = base.with_columns(
+                pl.from_arrow(batch[c].combine_chunks()).alias(c))
+        out = (base.join(kept, on="doc", how="left")
                .with_columns(ct=pl.col("ct").fill_null(""),
                              nk=pl.col("nk").fill_null(0)))
-        return pa.table({
+        cols = {
             "doc_id": out["doc"].to_arrow().cast(pa.int64()),
             "n_lines": out["n_lines"].to_arrow().cast(pa.int64()),
             "n_kept": out["nk"].to_arrow().cast(pa.int64()),
             "clean_text": out["ct"].to_arrow().cast(pa.string()),
-        })
+        }
+        for c in keep_cols:
+            cols[c] = out[c].to_arrow()
+        return pa.table(cols)
 
-    return ds.select_columns([id_col, text_col]).map_batches(
+    need = [id_col, text_col] + [c for c in keep_cols]
+    return ds.select_columns(need).map_batches(
         rewrite, batch_format="pyarrow", batch_size=None)
