@@ -408,6 +408,10 @@ def main() -> None:
             # round 3: cuckoo-backed seen set with recrawl eviction
             ("url_seen_evict",
              lambda: consume(Q.q_url_seen_evict(SF_DIR))),
+            # round 3: the flagship curation composite (host blocklist
+            # -> line dedup -> gate -> budget mixture in one chain)
+            ("corpus_pipeline",
+             lambda: consume(Q.q_corpus_pipeline(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the
