@@ -397,9 +397,20 @@ class ShardedSeenSet:
     def __init__(self, num_shards: int = 8, n_bits: int = 1 << 22,
                  k: int = 7, exact: bool = False,
                  backend: str = "bloom", n_buckets: int = 1 << 16,
-                 max_kicks: int = 500):
+                 max_kicks: int = 500,
+                 expected_keys: int | None = None):
         if num_shards & (num_shards - 1):
             raise ValueError("num_shards must be a power of two")
+        if expected_keys is not None:
+            # size from the frontier estimate instead of guessing:
+            # bloom ~20 bits/key (FP ~1e-4 at k=7); cuckoo 4-slot
+            # buckets filled to ~0.95 -> keys/3.8 buckets per shard
+            per = max(1, expected_keys // num_shards)
+            if backend == "bloom":
+                n_bits = 1 << max(10, int(np.ceil(np.log2(per * 20))))
+            else:
+                n_buckets = 1 << max(4, int(np.ceil(
+                    np.log2(per / 3.8))))
         self.num_shards = num_shards
         self.backend = backend
         self.shift = np.uint64(64 - int(np.log2(num_shards)))

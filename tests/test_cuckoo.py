@@ -144,3 +144,69 @@ def test_forget_stage_requires_cuckoo(ray_session):
 
     with pytest.raises(ValueError, match="cuckoo"):
         SeenForgetStage(ShardedSeenSet(num_shards=2, n_bits=1 << 10))
+
+
+def test_expected_keys_sizing(ray_session):
+    import ray
+
+    from cdx_toolkit_ray.state.seen import ShardedSeenSet
+
+    # cuckoo: 1M keys over 4 shards -> >= 250k/3.8 buckets per shard
+    seen = ShardedSeenSet(num_shards=4, backend="cuckoo",
+                          expected_keys=1_000_000)
+    ks = _keys(50_000, 10)
+    assert seen.offer(ks).all()
+    fill = max(s["fill"] for s in seen.stats())
+    assert fill < 0.3  # plenty of headroom at the estimate
+    # bloom path: n_bits sized to ~20 bits/key
+    b = ShardedSeenSet(num_shards=2, expected_keys=10_000)
+    assert b.offer(ks[:5000]).all()
+
+
+def _model_ops(ops):
+    """Serial multiset model of offer/delete/contains."""
+    from collections import Counter
+
+    stored = Counter()
+    out = []
+    for op, k in ops:
+        if op == "offer":
+            new = stored[k] == 0
+            if new:
+                stored[k] += 1
+            out.append(("offer", k, new))
+        elif op == "delete":
+            found = stored[k] > 0
+            if found:
+                stored[k] -= 1
+            out.append(("delete", k, found))
+        else:
+            out.append(("contains", k, stored[k] > 0))
+    return out
+
+
+def test_cuckoo_random_op_sequences_match_multiset_model():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = st.integers(min_value=1, max_value=40)
+    ops = st.lists(st.tuples(
+        st.sampled_from(["offer", "delete", "contains"]), keys),
+        max_size=120)
+
+    @settings(max_examples=60, deadline=None)
+    @given(ops)
+    def check(seq):
+        cf = CuckooFilter(n_buckets=1 << 6)
+        want = _model_ops(seq)
+        for (op, k, expect) in want:
+            h = np.array([k], dtype=np.uint64)
+            if op == "offer":
+                got = bool(cf.offer(h)[0])
+            elif op == "delete":
+                got = bool(cf.delete(h)[0])
+            else:
+                got = bool(cf.contains(h)[0])
+            assert got == expect, (op, k, got, expect)
+
+    check()
