@@ -5385,8 +5385,19 @@ _DRIVER_RECORDED_R01_ONLY = (
     "fingerprint frame_sample media_decode simhash_sigs "
     "wb_synthesis").split()
 _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
+# Round-3 continuation entries lead the never-recorded group so they
+# land inside the driver's ~50-entry recording window (composites and
+# the crawl family first — each hash covers the most machinery).
+_R3_PRIORITY = (
+    "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
+    "dedup_lines dsir_select adaptive_schedule adaptive_politeness "
+    "host_curation host_filter budget_mixture url_spam trap_detect "
+    "revisit_generate fetch_execute fetch_errors fetch_requeue "
+    "warc_index wet_export revisit_resolve ccnet_buckets").split()
 QUERIES = {
-    **{k: v for k, v in QUERIES.items() if k not in _recorded},
+    **{k: QUERIES[k] for k in _R3_PRIORITY if k in QUERIES},
+    **{k: v for k, v in QUERIES.items()
+       if k not in _recorded and k not in _R3_PRIORITY},
     **{k: QUERIES[k] for k in _DRIVER_RECORDED_R01_ONLY
        if k in QUERIES},
     **{k: QUERIES[k] for k in _DRIVER_RECORDED_R02 if k in QUERIES},
