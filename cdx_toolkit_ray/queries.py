@@ -742,6 +742,41 @@ def q_revisit_generate(sf_dir: str):
                             key_col="urlkey")
 
 
+def q_strip_tracking(sf_dir: str):
+    """Tracking-parameter removal (utm_*/fbclid/...): the URL-identity
+    normalization run before frontier dedup — shares of one page
+    collapse to one entry. Seed URLs get deterministic tracking
+    decorations (utm on even docs, fbclid on %5 docs), then the strip
+    filters parameters by key (split/filter/rejoin — separators stay
+    well-formed). One stateless vectorized pass."""
+    from .stages.urlfeat import strip_tracking_params
+
+    ds = derived_seeds(sf_dir)
+
+    def decorate(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        u = batch["url"].to_numpy(zero_copy_only=False).astype(str)
+        has_q = np.char.find(u, "?") >= 0
+        t1 = doc_id % 2 == 0
+        q1 = np.where(t1, np.where(has_q, "&", "?"), "")
+        q1 = np.char.add(q1.astype(str),
+                         np.where(t1, "utm_source=feed", "").astype(str))
+        has_q2 = has_q | t1
+        t2 = doc_id % 5 == 0
+        q2 = np.where(t2, np.where(has_q2, "&", "?"), "")
+        q2 = np.char.add(q2.astype(str),
+                         np.where(t2, "fbclid=abc", "").astype(str))
+        u2 = np.char.add(np.char.add(u, q1), q2)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "url": pa.array(u2.tolist(), pa.string()),
+        })
+
+    ds = ds.map_batches(decorate, batch_format="pyarrow",
+                        batch_size=None)
+    return strip_tracking_params(ds, url_col="url")
+
+
 def q_trap_detect(sf_dir: str):
     """Crawl-trap detection over the derived frontier: (host,
     path-stem) groups with >= 10 distinct URLs flag as traps — the
@@ -3814,6 +3849,39 @@ FROM sh s LEFT JOIN rep r ON r.h = s.h
 GROUP BY s.doc_id
 """),
     "cut_spans": _cut_spans_oracle(),
+    "strip_tracking": "WITH " + _SEEDS_CTE + r""",
+d AS (
+  SELECT doc_id,
+         url
+           || (CASE WHEN doc_id % 2 = 0
+                    THEN (CASE WHEN strpos(url, '?') > 0
+                               THEN '&' ELSE '?' END) || 'utm_source=feed'
+                    ELSE '' END)
+           || (CASE WHEN doc_id % 5 = 0
+                    THEN (CASE WHEN strpos(url, '?') > 0
+                               OR doc_id % 2 = 0
+                               THEN '&' ELSE '?' END) || 'fbclid=abc'
+                    ELSE '' END) AS url
+  FROM seeds),
+s AS (
+  SELECT doc_id, url,
+         regexp_replace(url, '\?.*$', '') AS base,
+         coalesce(regexp_extract(url, '\?(.*)$', 1), '') AS q
+  FROM d),
+k AS (
+  SELECT doc_id, url, base,
+         coalesce(array_to_string(list_filter(string_split(q, '&'),
+           x -> x <> '' AND NOT regexp_matches(x,
+                '^(utm_[^=&]*|fbclid|gclid|msclkid|ref)=')), '&'), '')
+           AS kept
+  FROM s)
+SELECT doc_id, url,
+       CASE WHEN kept = '' THEN base
+            ELSE base || '?' || kept END AS clean_url,
+       (CASE WHEN kept = '' THEN base
+             ELSE base || '?' || kept END) <> url AS was_tracked
+FROM k
+""",
     "trap_detect": "WITH " + _SEEDS_CTE + r""",
 t AS (
   SELECT host,
@@ -5273,6 +5341,7 @@ QUERIES = {
     "adaptive_schedule": q_adaptive_schedule,
     "revisit_generate": q_revisit_generate,
     "trap_detect": q_trap_detect,
+    "strip_tracking": q_strip_tracking,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,
@@ -5391,6 +5460,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "
+    "strip_tracking "
     "host_curation host_filter budget_mixture url_spam trap_detect "
     "revisit_generate fetch_execute fetch_errors fetch_requeue "
     "warc_index wet_export revisit_resolve ccnet_buckets").split()

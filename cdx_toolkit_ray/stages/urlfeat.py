@@ -157,3 +157,52 @@ def detect_traps(ds: ray.data.Dataset, *, url_col: str = "url",
         emit, batch_format="pyarrow", batch_size=None)
     return hash_bucket_apply(pairs, "_sb", count_group,
                              num_buckets=num_buckets)
+
+
+TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref")
+
+
+def strip_tracking_params(ds: ray.data.Dataset, *,
+                          url_col: str = "url",
+                          out_col: str = "clean_url") -> ray.data.Dataset:
+    """Remove tracking query parameters (utm_*, fbclid, gclid,
+    msclkid, ref) — the URL-identity normalization every web pipeline
+    runs before dedup: two shares of the same page must collapse to
+    one frontier entry. Parameters are FILTERED (split on '&', drop
+    matching keys, rejoin), never regex-surgered in place, so
+    separators stay well-formed; a query left empty drops its '?'.
+    Appends ``out_col`` + ``was_tracked``. One stateless vectorized
+    pass, zero shuffles. SURT canonicalization (canon.surt) then
+    treats the cleaned URL exactly like any other."""
+
+    def clean(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        pat = r"^(utm_[^=&]*|fbclid|gclid|msclkid|ref)="
+        df = pl.DataFrame({"u": pl.from_arrow(
+            batch[url_col].combine_chunks().cast(pa.string()))}) \
+            .with_columns(
+                base=pl.col("u").fill_null("")
+                .str.replace(r"\?.*$", ""),
+                q=pl.col("u").fill_null("")
+                .str.extract(r"\?(.*)$", 1).fill_null(""))
+        df = df.with_columns(
+            kept=pl.col("q").str.split("&")
+            .list.eval(pl.element().filter(
+                (pl.element() != "")
+                & ~pl.element().str.contains(pat)))
+            .list.join("&"))
+        df = df.with_columns(
+            clean=pl.when(pl.col("kept") == "")
+            .then(pl.col("base"))
+            .otherwise(pl.col("base") + "?" + pl.col("kept")))
+        changed = (df["clean"] != df["u"].fill_null("")).to_arrow()
+        return batch.append_column(
+            out_col, df["clean"].to_arrow().cast(pa.string())) \
+            .append_column("was_tracked", changed)
+
+    return ds.map_batches(clean, batch_format="pyarrow",
+                          batch_size=None)

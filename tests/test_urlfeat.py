@@ -91,3 +91,33 @@ def test_detect_traps_dedups_repeat_urls(ray_session):
     out = detect_traps(ds, min_urls=5, num_buckets=2).to_pandas()
     assert len(out) == 1 and out.iloc[0].n_urls == 1
     assert not out.iloc[0].trap
+
+
+def test_strip_tracking_params(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.urlfeat import strip_tracking_params
+
+    urls = [
+        "https://a.x/p?utm_source=nl&id=7",      # mixed -> keep id
+        "https://a.x/p?utm_campaign=x",          # only tracking -> no '?'
+        "https://a.x/p?b=2&a=1",                 # untouched
+        "https://a.x/p",                         # no query
+        "https://a.x/p?fbclid=1&gclid=2&ref=h",  # all tracked
+        "https://a.x/p?refresh=1",               # 'ref' must not match prefix
+        None,
+    ]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    out = strip_tracking_params(ds).to_pandas()
+    assert out.clean_url.tolist() == [
+        "https://a.x/p?id=7",
+        "https://a.x/p",
+        "https://a.x/p?b=2&a=1",
+        "https://a.x/p",
+        "https://a.x/p",
+        "https://a.x/p?refresh=1",
+        "",
+    ]
+    assert out.was_tracked.tolist() == [True, True, False, False,
+                                        True, False, False]
