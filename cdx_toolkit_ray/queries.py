@@ -777,6 +777,42 @@ def q_strip_tracking(sf_dir: str):
     return strip_tracking_params(ds, url_col="url")
 
 
+def _events_cents(sf_dir: str):
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"cents": pa.array(
+            np.round(v * 100).astype(np.int64))})
+
+    return ds.map_batches(cents, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def q_kll_quantiles(sf_dir: str):
+    """KLL quantile sketch (completes the sketch family: count-min /
+    HLL / Misra-Gries / KLL): per-block bounded sketches travel as
+    (level, value) rows; one deterministic driver merge reads the
+    quantiles. Approximate by design (rank error O(levels/k), block-
+    layout dependent like ann_ivf) — the exact-degraded twin below
+    carries the oracle."""
+    from .stages.sketch import kll_quantiles
+
+    return kll_quantiles(_events_cents(sf_dir), "cents", k=64)
+
+
+def q_kll_quantiles_exact(sf_dir: str):
+    """The exact-degraded KLL twin: k exceeds the row count so no
+    level ever compacts, the sketch IS the value multiset, and the
+    weighted rank rule reduces to quantile_disc — the same machinery
+    hash-checked end-to-end (the ann_ivf_full pattern)."""
+    from .stages.sketch import kll_quantiles
+
+    return kll_quantiles(_events_cents(sf_dir), "cents",
+                         k=10_000_000)
+
+
 def q_trap_detect(sf_dir: str):
     """Crawl-trap detection over the derived frontier: (host,
     path-stem) groups with >= 10 distinct URLs flag as traps — the
@@ -3849,6 +3885,16 @@ FROM sh s LEFT JOIN rep r ON r.h = s.h
 GROUP BY s.doc_id
 """),
     "cut_spans": _cut_spans_oracle(),
+    "kll_quantiles_exact": """
+WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT CAST(25 AS BIGINT) AS q_pct,
+       CAST(quantile_disc(cents, 0.25) AS BIGINT) AS value FROM c
+UNION ALL SELECT 50, CAST(quantile_disc(cents, 0.50) AS BIGINT) FROM c
+UNION ALL SELECT 75, CAST(quantile_disc(cents, 0.75) AS BIGINT) FROM c
+UNION ALL SELECT 90, CAST(quantile_disc(cents, 0.90) AS BIGINT) FROM c
+UNION ALL SELECT 99, CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c
+""",
     "strip_tracking": "WITH " + _SEEDS_CTE + r""",
 d AS (
   SELECT doc_id,
@@ -5342,6 +5388,8 @@ QUERIES = {
     "revisit_generate": q_revisit_generate,
     "trap_detect": q_trap_detect,
     "strip_tracking": q_strip_tracking,
+    "kll_quantiles": q_kll_quantiles,
+    "kll_quantiles_exact": q_kll_quantiles_exact,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,
@@ -5460,7 +5508,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "
-    "strip_tracking "
+    "strip_tracking kll_quantiles_exact "
     "host_curation host_filter budget_mixture url_spam trap_detect "
     "revisit_generate fetch_execute fetch_errors fetch_requeue "
     "warc_index wet_export revisit_resolve ccnet_buckets").split()

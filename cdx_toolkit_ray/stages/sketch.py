@@ -469,3 +469,145 @@ def hll_estimate(regs: ray.data.Dataset, group_col: str = "event_type",
     return hash_bucket_apply(keyed, "_gb",
                              _hll_estimate_kernel(group_col, p),
                              num_buckets=num_buckets)
+
+
+class KLLSketch:
+    """Deterministic KLL-style mergeable quantile sketch over int64
+    values (Karnin-Lang-Liberty 2016, simplified): each level holds at
+    most ``k`` values with weight ``2^level``; an overflowing level is
+    sorted and its odd-index survivors promoted (DETERMINISTIC
+    compactor — standard KLL flips a coin per compaction; the fixed
+    choice keeps the sketch reproducible at the cost of a small
+    systematic rank bias, acceptable because the sketch is approximate
+    by contract and the exact-degraded twin `kll_quantiles_exact`
+    oracle-checks the machinery). Rank error is O(levels/k).
+
+    With ``k`` >= n nothing ever compacts and the sketch IS the exact
+    value multiset — quantiles then equal SQL ``quantile_disc`` under
+    the corpus rule (stages/textstats.group_quantiles: index
+    ``max(0, ceil(q*n)-1)``).
+
+    Completes the sketch family: count-min (frequency), HLL
+    (distinct), Misra-Gries (heavy hitters), KLL (quantiles).
+    """
+
+    def __init__(self, k: int = 200):
+        if k < 2:
+            raise ValueError("k must be >= 2")
+        self.k = k
+        self.levels: list[np.ndarray] = [np.zeros(0, np.int64)]
+
+    def add(self, values: np.ndarray) -> None:
+        if not len(values):
+            return
+        self.levels[0] = np.concatenate(
+            [self.levels[0], values.astype(np.int64)])
+        self._compress()
+
+    def _compress(self) -> None:
+        lvl = 0
+        while lvl < len(self.levels):
+            if len(self.levels[lvl]) > self.k:
+                a = np.sort(self.levels[lvl])
+                self.levels[lvl] = np.zeros(0, np.int64)
+                if lvl + 1 == len(self.levels):
+                    self.levels.append(np.zeros(0, np.int64))
+                self.levels[lvl + 1] = np.concatenate(
+                    [self.levels[lvl + 1], a[1::2]])
+            lvl += 1
+
+    def rows(self):
+        """(level, value) arrays — the sketch as data, for exchanges."""
+        ls, vs = [], []
+        for lvl, a in enumerate(self.levels):
+            if len(a):
+                ls.append(np.full(len(a), lvl, np.int64))
+                vs.append(a)
+        if not ls:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.concatenate(ls), np.concatenate(vs)
+
+    @classmethod
+    def from_rows(cls, levels: np.ndarray, values: np.ndarray,
+                  k: int) -> "KLLSketch":
+        sk = cls(k)
+        if len(levels):
+            top = int(levels.max())
+            sk.levels = [values[levels == l].astype(np.int64)
+                         for l in range(top + 1)]
+        sk._compress()
+        return sk
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        out = KLLSketch(self.k)
+        top = max(len(self.levels), len(other.levels))
+        out.levels = []
+        for l in range(top):
+            parts = []
+            if l < len(self.levels):
+                parts.append(self.levels[l])
+            if l < len(other.levels):
+                parts.append(other.levels[l])
+            out.levels.append(np.concatenate(parts) if parts
+                              else np.zeros(0, np.int64))
+        out._compress()
+        return out
+
+    def n_stored(self) -> int:
+        return sum(len(a) for a in self.levels)
+
+    def quantiles(self, q_pcts) -> list[int]:
+        """Weighted lower-quantile per the corpus quantile_disc rule:
+        target index ``max(0, ceil(q*W)-1)`` over the weighted
+        multiset, W = total weight."""
+        import math
+
+        ls, vs = self.rows()
+        if not len(vs):
+            raise ValueError("empty sketch")
+        w = (np.int64(1) << ls).astype(np.int64)
+        order = np.argsort(vs, kind="stable")
+        vs, w = vs[order], w[order]
+        cum = np.cumsum(w)
+        total = int(cum[-1])
+        out = []
+        for p in q_pcts:
+            idx = max(0, math.ceil(p / 100 * total) - 1)
+            out.append(int(vs[int(np.searchsorted(cum, idx + 1))]))
+        return out
+
+
+def kll_quantiles(ds: "ray.data.Dataset", value_col: str,
+                  q_pcts=(25, 50, 75, 90, 99),
+                  k: int = 200) -> "pa.Table":
+    """Distributed quantile estimation through the KLL sketch: one
+    per-block sketch (map-side, bounded k*levels values), sketches
+    travel as (level, value) rows, one driver-side merge + final
+    compression reads every quantile. Driver holds O(blocks * k *
+    log n / k) rows — never the data. Output: (q_pct, value).
+
+    Like ann_ivf, the approximate result depends on the block layout
+    (each block compacts its own sketch) — deterministic for a fixed
+    input layout, rank error O(levels/k). ``k >= n`` degrades to
+    exact (see `q_kll_quantiles_exact`'s quantile_disc oracle)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = KLLSketch(k)
+        sk.add(batch[value_col].to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        ls, vs = sk.rows()
+        return pa.table({"level": pa.array(ls), "value": pa.array(vs)})
+
+    parts = ds.select_columns([value_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None).take_all()
+    if parts:
+        levels = np.array([r["level"] for r in parts], np.int64)
+        values = np.array([r["value"] for r in parts], np.int64)
+    else:
+        levels = values = np.zeros(0, np.int64)
+    sk = KLLSketch.from_rows(levels, values, k)
+    qs = sk.quantiles(q_pcts)
+    return pa.table({
+        "q_pct": pa.array(list(q_pcts), pa.int64()),
+        "value": pa.array(qs, pa.int64()),
+    })

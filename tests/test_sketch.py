@@ -269,3 +269,70 @@ def test_hll_registers_persist_and_merge(tmp_path):
         "event_type", p=7).to_pandas() \
         .sort_values("event_type").reset_index(drop=True)
     pd.testing.assert_frame_equal(twice, whole)
+
+
+def test_kll_exact_when_uncompacted():
+    import numpy as np
+
+    from cdx_toolkit_ray.stages.sketch import KLLSketch
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(-1000, 1000, 5000).astype(np.int64)
+    sk = KLLSketch(k=10_000)
+    sk.add(vals)
+    import math
+    srt = np.sort(vals)
+    for p in (1, 25, 50, 75, 99):
+        idx = max(0, math.ceil(p / 100 * len(vals)) - 1)
+        assert sk.quantiles([p])[0] == srt[idx]
+
+
+def test_kll_rank_error_bounded():
+    import numpy as np
+
+    from cdx_toolkit_ray.stages.sketch import KLLSketch
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 1_000_000, 50_000).astype(np.int64)
+    sk = KLLSketch(k=200)
+    for chunk in np.array_split(vals, 37):
+        sk.add(chunk)
+    assert sk.n_stored() < 3_000  # bounded memory
+    srt = np.sort(vals)
+    for p in (25, 50, 75, 90):
+        got = sk.quantiles([p])[0]
+        rank = np.searchsorted(srt, got)
+        assert abs(rank - p / 100 * len(vals)) < 0.03 * len(vals)
+
+
+def test_kll_merge_equals_row_rebuild():
+    import numpy as np
+
+    from cdx_toolkit_ray.stages.sketch import KLLSketch
+
+    rng = np.random.default_rng(5)
+    a, b = (rng.integers(0, 10**6, 20_000).astype(np.int64),
+            rng.integers(0, 10**6, 20_000).astype(np.int64))
+    sa, sb = KLLSketch(k=128), KLLSketch(k=128)
+    sa.add(a)
+    sb.add(b)
+    merged = sa.merge(sb)
+    # the driver-side path: stack both sketches' rows, rebuild
+    la, va = sa.rows()
+    lb, vb = sb.rows()
+    rebuilt = KLLSketch.from_rows(np.concatenate([la, lb]),
+                                  np.concatenate([va, vb]), 128)
+    assert merged.quantiles([25, 50, 75]) == \
+        rebuilt.quantiles([25, 50, 75])
+
+
+def test_kll_guards():
+    import numpy as np
+    import pytest
+
+    from cdx_toolkit_ray.stages.sketch import KLLSketch
+
+    with pytest.raises(ValueError):
+        KLLSketch(k=1)
+    with pytest.raises(ValueError):
+        KLLSketch(k=8).quantiles([50])
