@@ -813,6 +813,49 @@ def q_kll_quantiles_exact(sf_dir: str):
                          k=10_000_000)
 
 
+def q_ip_politeness(sf_dir: str):
+    """Shared-hosting politeness: budgets keyed by IP, not hostname —
+    hosts behind one IP (shared hosting, CDN edge) share a single
+    crawl budget so the crawler never hammers the box even when the
+    frontier sees many vhosts. The deterministic host->IP map stands
+    in for a resolver cache (ip = 'ip' + hash64(host)%16); the proven
+    politeness scheduler then runs UNCHANGED with the IP as its
+    grouping key. Output keeps both identities: (urlkey, host, ip,
+    ip_rank, fetch_ms)."""
+    from .canon import hash64_batch
+    from .pipelines.frontier import scheduled_crawl_order
+
+    ds = derived_seeds(sf_dir)
+    ds = first_wins_dedup(ds, "hash64",
+                          [("priority", 19), ("seed_order", 44)],
+                          derive_fn=canonicalize_batch)
+    ds = ds.map_batches(_add_false_robots, batch_format="pyarrow",
+                        batch_size=None)
+
+    def to_ip(batch: pa.Table) -> pa.Table:
+        ip = np.char.add("ip", (hash64_batch(batch["host"])
+                                % np.uint64(16)).astype(str))
+        batch = batch.append_column("orig_host", batch["host"])
+        idx = batch.schema.get_field_index("host")
+        return batch.set_column(idx, "host",
+                                pa.array(ip.tolist(), pa.string()))
+
+    ds = ds.map_batches(to_ip, batch_format="pyarrow", batch_size=None)
+    ds = scheduled_crawl_order(ds)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "urlkey": batch["urlkey"],
+            "host": batch["orig_host"],
+            "ip": batch["host"],
+            "ip_rank": batch["host_rank"],
+            "fetch_ms": batch["fetch_ms"],
+        })
+
+    return ds.map_batches(rename, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def q_trap_detect(sf_dir: str):
     """Crawl-trap detection over the derived frontier: (host,
     path-stem) groups with >= 10 distinct URLs flag as traps — the
@@ -3885,6 +3928,26 @@ FROM sh s LEFT JOIN rep r ON r.h = s.h
 GROUP BY s.doc_id
 """),
     "cut_spans": _cut_spans_oracle(),
+    "ip_politeness": ("WITH " + _SEEDS_CTE + """,
+dd AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY urlkey
+                            ORDER BY priority, seed_order) AS rn
+  FROM seeds),
+sched AS (
+  SELECT urlkey, host, priority, seed_order, crawl_delay_ms,
+         'ip' || CAST((""" + _FNV_SQL.format(s="host") + """) % 16
+                      AS VARCHAR) AS ip
+  FROM dd WHERE rn = 1)
+SELECT urlkey, host, ip,
+       CAST(row_number() OVER (PARTITION BY ip
+                               ORDER BY priority, seed_order) - 1
+            AS BIGINT) AS ip_rank,
+       CAST((row_number() OVER (PARTITION BY ip
+                                ORDER BY priority, seed_order) - 1)
+            * crawl_delay_ms AS BIGINT) AS fetch_ms
+FROM sched
+"""),
     "kll_quantiles_exact": """
 WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
            FROM events)
@@ -5390,6 +5453,7 @@ QUERIES = {
     "strip_tracking": q_strip_tracking,
     "kll_quantiles": q_kll_quantiles,
     "kll_quantiles_exact": q_kll_quantiles_exact,
+    "ip_politeness": q_ip_politeness,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,
@@ -5508,7 +5572,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "
-    "strip_tracking kll_quantiles_exact "
+    "strip_tracking kll_quantiles_exact ip_politeness "
     "host_curation host_filter budget_mixture url_spam trap_detect "
     "revisit_generate fetch_execute fetch_errors fetch_requeue "
     "warc_index wet_export revisit_resolve ccnet_buckets").split()
