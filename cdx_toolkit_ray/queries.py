@@ -813,6 +813,57 @@ def q_kll_quantiles_exact(sf_dir: str):
                          k=10_000_000)
 
 
+def q_seed_expansion(sf_dir: str):
+    """Frontier seed expansion: every seed URL generates its standard
+    discovery candidates — the site root, the www-toggled variant, and
+    the https upgrade (http seeds only) — the heuristics a crawler
+    applies before the first fetch so the canonical entry points join
+    the frontier. One stateless vectorized pass; the frontier's exact
+    dedup then collapses candidates already present."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(batch["doc_id"].combine_chunks()),
+            "u": pl.from_arrow(batch["url"].combine_chunks()
+                               .cast(pa.string())),
+        }).with_columns(
+            scheme=pl.col("u").str.extract(r"^(https?://)", 1)
+            .fill_null(""),
+            host=pl.col("u").str.extract(r"^https?://([^/]+)", 1)
+            .fill_null(""))
+        root = df.select(
+            "doc_id", "u",
+            candidate=pl.col("scheme") + pl.col("host") + "/",
+            kind=pl.lit("root"))
+        toggled = df.with_columns(
+            th=pl.when(pl.col("host").str.starts_with("www."))
+            .then(pl.col("host").str.slice(4))
+            .otherwise("www." + pl.col("host")))
+        www = toggled.select(
+            "doc_id", "u",
+            candidate=pl.col("scheme") + pl.col("th") + "/",
+            kind=pl.lit("www_toggle"))
+        https = (df.filter(pl.col("scheme") == "http://")
+                 .select("doc_id", "u",
+                         candidate="https://" + pl.col("host") + "/",
+                         kind=pl.lit("https_upgrade")))
+        out = pl.concat([root, www, https])
+        return pa.table({
+            "doc_id": out["doc_id"].to_arrow().cast(pa.int64()),
+            "url": out["u"].to_arrow().cast(pa.string()),
+            "candidate": out["candidate"].to_arrow().cast(pa.string()),
+            "kind": out["kind"].to_arrow().cast(pa.string()),
+        })
+
+    return derived_seeds(sf_dir).map_batches(
+        expand, batch_format="pyarrow", batch_size=None)
+
+
 def q_ip_politeness(sf_dir: str):
     """Shared-hosting politeness: budgets keyed by IP, not hostname —
     hosts behind one IP (shared hosting, CDN edge) share a single
@@ -3928,6 +3979,26 @@ FROM sh s LEFT JOIN rep r ON r.h = s.h
 GROUP BY s.doc_id
 """),
     "cut_spans": _cut_spans_oracle(),
+    "seed_expansion": "WITH " + _SEEDS_CTE + r""",
+p AS (
+  SELECT doc_id, url,
+         coalesce(regexp_extract(url, '^(https?://)', 1), '')
+           AS scheme,
+         coalesce(regexp_extract(url, '^https?://([^/]+)', 1), '')
+           AS host
+  FROM seeds)
+SELECT doc_id, url, scheme || host || '/' AS candidate,
+       'root' AS kind FROM p
+UNION ALL
+SELECT doc_id, url,
+       scheme || (CASE WHEN host LIKE 'www.%' THEN substr(host, 5)
+                       ELSE 'www.' || host END) || '/' AS candidate,
+       'www_toggle' AS kind FROM p
+UNION ALL
+SELECT doc_id, url, 'https://' || host || '/' AS candidate,
+       'https_upgrade' AS kind
+FROM p WHERE scheme = 'http://'
+""",
     "ip_politeness": ("WITH " + _SEEDS_CTE + """,
 dd AS (
   SELECT *,
@@ -5454,6 +5525,7 @@ QUERIES = {
     "kll_quantiles": q_kll_quantiles,
     "kll_quantiles_exact": q_kll_quantiles_exact,
     "ip_politeness": q_ip_politeness,
+    "seed_expansion": q_seed_expansion,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,
@@ -5572,7 +5644,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "
-    "strip_tracking kll_quantiles_exact ip_politeness "
+    "strip_tracking kll_quantiles_exact ip_politeness seed_expansion "
     "host_curation host_filter budget_mixture url_spam trap_detect "
     "revisit_generate fetch_execute fetch_errors fetch_requeue "
     "warc_index wet_export revisit_resolve ccnet_buckets").split()
