@@ -1,4 +1,6 @@
-"""Sharded URL-seen set: bloom-filter actor pool keyed by hash range.
+"""Sharded URL-seen set: bloom/cuckoo filter actor pool keyed by hash
+range (bloom = cheapest bits/key for append-only membership; cuckoo =
+slightly more memory, adds DELETION for recrawl eviction).
 
 north_rule component: "a sharded cuckoo/bloom URL-seen set lives in an
 actor pool keyed by hash-range partitions". The reference's only seen
