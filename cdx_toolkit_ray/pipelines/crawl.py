@@ -307,6 +307,17 @@ def _sched_bucket(tbl: pa.Table, cap: int | None = None) -> pa.Table:
 
 
 @ray.remote
+def _url_gate_block(gate_fn, tbl: pa.Table) -> pa.Table:
+    """Apply a stateless URL hygiene gate (spam/trap/tracking filter,
+    stages/urlfeat) to one frontier block BEFORE the seen gate — a
+    gated URL is never offered, never fetched, and prunes its
+    subtree."""
+    if tbl is None or tbl.num_rows == 0:
+        return tbl
+    return gate_fn(tbl)
+
+
+@ray.remote
 def _tbl_len(tbl: pa.Table) -> int:
     return tbl.num_rows
 
@@ -399,6 +410,7 @@ def crawl_waves(pages_path: str, *,
                 minimum_interval: float = 3.0,
                 num_shards: int = 8, n_bits: int = 1 << 22,
                 exact: bool = True,
+                url_gate=None,
                 concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
     """Run the full crawl loop to a wave budget; one row per URL ever
     fetched: ``(url, wave, n_attempts, final_status, fetch_action,
@@ -437,6 +449,9 @@ def crawl_waves(pages_path: str, *,
                      .to_arrow_refs())
     out_refs: list = []
     for wave in range(max_waves + 1):
+        if url_gate is not None:
+            frontier_refs = [_url_gate_block.remote(url_gate, r)
+                             for r in frontier_refs]
         gated = [_gate_block.options(num_returns=2).remote(
             gate, "url", wave, r) for r in frontier_refs]
         counts = ray.get([g[1] for g in gated])
@@ -478,6 +493,7 @@ def run_crawl(pages_path: str, out_dir: str, *,
               max_per_host: int | None = None,
               warc_prefix: str | None = None,
               warc_size: int = 1 << 30,
+              url_gate=None, url_gate_tag: str | None = None,
               concurrency: int | tuple = (1, 4)) -> dict:
     """Resumable :func:`crawl_waves`: one atomic output partition per
     wave (``<out_dir>/wave=N/``), each recorded in the lineage manifest
@@ -528,6 +544,13 @@ def run_crawl(pages_path: str, out_dir: str, *,
     fp = "%s+a%d+i%s+s%s" % (fingerprint_file(pages_path), max_attempts,
                              minimum_interval,
                              seed_suffix if seeds is None else "custom")
+    if url_gate is not None:
+        if not url_gate_tag:
+            raise ValueError(
+                "url_gate requires url_gate_tag (a stable string "
+                "naming the gate — callables cannot be fingerprinted "
+                "into the resume manifest)")
+        fp += "+g" + url_gate_tag
     if politeness:
         fp += "+p%d" % default_delay_ms
         if robots_path is not None:
@@ -605,6 +628,9 @@ def run_crawl(pages_path: str, out_dir: str, *,
                          .to_arrow_refs())
 
     for wave in range(len(done), max_waves + 1):
+        if url_gate is not None:
+            frontier_refs = [_url_gate_block.remote(url_gate, r)
+                             for r in frontier_refs]
         gated = [_gate_block.options(num_returns=2).remote(
             gate, "url", wave, r) for r in frontier_refs]
         counts = ray.get([g[1] for g in gated])

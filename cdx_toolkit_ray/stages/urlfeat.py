@@ -206,3 +206,37 @@ def strip_tracking_params(ds: ray.data.Dataset, *,
 
     return ds.map_batches(clean, batch_format="pyarrow",
                           batch_size=None)
+
+
+def spam_url_gate(*, lexicon: tuple = DEFAULT_LEXICON,
+                  max_digits: int = 1, flag_query: bool = True,
+                  url_col: str = "url"):
+    """Batch-filter form of the spam gate for the crawl loop
+    (``crawl_waves(url_gate=...)`` / ``run_crawl(url_gate=...,
+    url_gate_tag='spamv1')``): drops rows whose URL trips the
+    ``url_features`` verdict BEFORE the seen gate, so spam URLs are
+    never offered, never fetched, and prune their subtrees. Stateless
+    and deterministic — safe to re-apply on resume."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        if batch.num_rows == 0:
+            return batch
+        lo = pl.Series(batch[url_col].combine_chunks()
+                       .cast(pa.string())).fill_null("") \
+            .str.to_lowercase()
+        bad = sum((lo.str.contains(w, literal=True).cast(pl.Int64)
+                   for w in lexicon),
+                  start=pl.Series([0] * len(lo)))
+        digits = lo.str.count_matches(r"[0-9]")
+        params = lo.str.contains("?", literal=True)
+        spam = (bad > 0) | ((digits > max_digits)
+                            & (params if flag_query
+                               else pl.Series([True] * len(lo))))
+        return batch.filter(pa.array(~spam.to_numpy()))
+
+    return gate

@@ -392,3 +392,82 @@ def test_run_crawl_cap_requires_politeness(ray_session, tmp_path):
     with pytest.raises(ValueError):
         run_crawl(p, str(tmp_path / "x"), politeness=False,
                   max_per_host=3)
+
+
+def test_crawl_waves_url_gate_prunes_subtree(ray_session, tmp_path):
+    import ray.data
+
+    p = _web_table(tmp_path)
+    seeds = ray.data.from_arrow(
+        pa.table({"url": pa.array([SEED], pa.string())}))
+
+    def no_a(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.invert(pc.equal(batch["url"], A)))
+
+    out = crawl_waves(p, seeds=seeds, max_waves=3,
+                      url_gate=no_a).to_pandas()
+    got = set(out.url)
+    # A is gated before the seen gate -> never fetched; C and E are
+    # reachable only through A -> the whole subtree is pruned
+    assert A not in got and C not in got and E not in got
+    assert got == {SEED, B, DANGLING}
+
+
+def test_crawl_waves_spam_gate_factory(ray_session, tmp_path):
+    import ray.data
+
+    from cdx_toolkit_ray.stages.urlfeat import spam_url_gate
+
+    p = _web_table(tmp_path)
+    seeds = ray.data.from_arrow(
+        pa.table({"url": pa.array([SEED], pa.string())}))
+    # flag_query=False + max_digits=0: every url here carries a digit
+    # (t7 host, /p/N paths) -> the whole frontier is spam-gated
+    out = crawl_waves(p, seeds=seeds, max_waves=3,
+                      url_gate=spam_url_gate(max_digits=0,
+                                             flag_query=False)
+                      ).to_pandas()
+    assert len(out) == 0
+    # a permissive gate (digits allowed) keeps the normal crawl
+    out2 = crawl_waves(p, seeds=seeds, max_waves=3,
+                       url_gate=spam_url_gate(max_digits=99)
+                       ).to_pandas()
+    assert SEED in set(out2.url) and A in set(out2.url)
+
+
+def test_run_crawl_url_gate_requires_tag(ray_session, tmp_path):
+    from cdx_toolkit_ray.pipelines.crawl import run_crawl
+
+    p = _web_table(tmp_path)
+    with pytest.raises(ValueError, match="url_gate_tag"):
+        run_crawl(p, str(tmp_path / "out"),
+                  url_gate=lambda b: b, politeness=False)
+
+
+def test_run_crawl_url_gate_resume_and_fingerprint(ray_session,
+                                                   tmp_path):
+    import ray.data
+
+    from cdx_toolkit_ray.pipelines.crawl import run_crawl
+
+    p = _web_table(tmp_path)
+
+    def no_a(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.invert(pc.equal(batch["url"], A)))
+
+    out = str(tmp_path / "gated")
+    r1 = run_crawl(p, out, max_waves=2, politeness=False,
+                   url_gate=no_a, url_gate_tag="no-a-v1")
+    assert r1["ran_waves"] and not r1["skipped_waves"]
+    # rerun with the same tag resumes (waves skipped)
+    r2 = run_crawl(p, out, max_waves=2, politeness=False,
+                   url_gate=no_a, url_gate_tag="no-a-v1")
+    assert not r2["ran_waves"]
+    # a different tag invalidates the fingerprint -> refetch
+    r3 = run_crawl(p, out, max_waves=2, politeness=False,
+                   url_gate=no_a, url_gate_tag="no-a-v2")
+    assert r3["ran_waves"]
