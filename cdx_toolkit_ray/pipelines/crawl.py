@@ -409,7 +409,7 @@ def crawl_waves(pages_path: str, *,
                 max_waves: int = 3, max_attempts: int = 3,
                 minimum_interval: float = 3.0,
                 num_shards: int = 8, n_bits: int = 1 << 22,
-                exact: bool = True,
+                exact: bool = True, seen_backend: str = "bloom",
                 url_gate=None,
                 concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
     """Run the full crawl loop to a wave budget; one row per URL ever
@@ -436,7 +436,7 @@ def crawl_waves(pages_path: str, *,
     if transport is None:
         transport = UrlTableTransport(pages_path)
     seen = ShardedSeenSet(num_shards=num_shards, n_bits=n_bits,
-                          exact=exact)
+                          exact=exact, backend=seen_backend)
     gate = SeenFilterStage(seen)
 
     if seeds is None:
@@ -485,7 +485,7 @@ def run_crawl(pages_path: str, out_dir: str, *,
               max_waves: int = 3, max_attempts: int = 3,
               minimum_interval: float = 3.0,
               num_shards: int = 8, n_bits: int = 1 << 22,
-              exact: bool = True,
+              exact: bool = True, seen_backend: str = "bloom",
               politeness: bool = True,
               robots_path: str | None = None,
               default_delay_ms: int = 1000,
@@ -592,7 +592,7 @@ def run_crawl(pages_path: str, out_dir: str, *,
             break
 
     seen = ShardedSeenSet(num_shards=num_shards, n_bits=n_bits,
-                          exact=exact)
+                          exact=exact, backend=seen_backend)
     gate = SeenFilterStage(seen)
     result = {"skipped_waves": list(done), "ran_waves": [],
               "counters": {w: {k: manifest.entries["wave=%d" % w][k]

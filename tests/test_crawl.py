@@ -471,3 +471,16 @@ def test_run_crawl_url_gate_resume_and_fingerprint(ray_session,
     r3 = run_crawl(p, out, max_waves=2, politeness=False,
                    url_gate=no_a, url_gate_tag="no-a-v2")
     assert r3["ran_waves"]
+
+
+def test_crawl_waves_cuckoo_seen_backend(ray_session, tmp_path):
+    import ray.data
+
+    p = _web_table(tmp_path)
+    seeds = ray.data.from_arrow(
+        pa.table({"url": pa.array([SEED], pa.string())}))
+    out = crawl_waves(p, seeds=seeds, max_waves=3,
+                      seen_backend="cuckoo").to_pandas()
+    # identical reach to the exact-set run (cuckoo has no false
+    # negatives; 32-bit fingerprints make FPs vanishing here)
+    assert set(out.url) == {SEED, A, B, DANGLING, C, E}

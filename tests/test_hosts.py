@@ -96,3 +96,48 @@ def test_replace_delays_lut_and_default(ray_session):
     assert out["a"] == 1500       # mean 500 * 3
     assert out["b"] == 6000       # mean 2000 * 3
     assert out["unknown"] == 777  # no observation -> default
+
+
+def test_adaptive_schedule_spacing_invariant(ray_session):
+    """Property: a schedule driven by adaptive delays never places two
+    same-host fetches closer than that host's adaptive delay."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cdx_toolkit_ray.pipelines.frontier import schedule_politeness
+    from cdx_toolkit_ray.stages.hosts import (adaptive_delays,
+                                              host_quality_stats,
+                                              replace_delays)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 4),
+                              st.integers(50, 4000)),
+                    min_size=1, max_size=40))
+    def check(obs):
+        hosts = ["h%d.example" % h for h, _ in obs]
+        lats = [l for _, l in obs]
+        delays = adaptive_delays(host_quality_stats(
+            _mk(hosts, lats), num_buckets=4))
+        dmap = delays.to_pandas().set_index("host")[
+            "adaptive_delay_ms"].to_dict()
+        # one frontier row per observation row (dup urls fine here)
+        rows = ray.data.from_arrow(pa.table({
+            "urlkey": pa.array(["k%d" % i for i in range(len(obs))],
+                               pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "priority": pa.array([0] * len(obs), pa.int32()),
+            "seed_order": pa.array(list(range(len(obs))), pa.int64()),
+            "crawl_delay_ms": pa.array([1] * len(obs), pa.int64()),
+            "robots_blocked": pa.array([False] * len(obs)),
+        }))
+        sched = schedule_politeness(
+            replace_delays(rows, delays), num_buckets=4).to_pandas()
+        for h, grp in sched.groupby("host"):
+            ts = np.sort(grp.fetch_ms.to_numpy())
+            if len(ts) > 1:
+                assert (np.diff(ts) >= dmap[h]).all(), (h, ts, dmap[h])
+
+    check()
