@@ -410,6 +410,7 @@ def crawl_waves(pages_path: str, *,
                 minimum_interval: float = 3.0,
                 num_shards: int = 8, n_bits: int = 1 << 22,
                 exact: bool = True, seen_backend: str = "bloom",
+                seen_expected_keys: int | None = None,
                 url_gate=None,
                 concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
     """Run the full crawl loop to a wave budget; one row per URL ever
@@ -435,8 +436,12 @@ def crawl_waves(pages_path: str, *,
         raise ValueError("max_waves must be >= 0")
     if transport is None:
         transport = UrlTableTransport(pages_path)
+    # exact= applies to the bloom backend only; cuckoo has no false
+    # negatives by construction (fingerprints never leave their
+    # bucket pair) and sizes via seen_expected_keys
     seen = ShardedSeenSet(num_shards=num_shards, n_bits=n_bits,
-                          exact=exact, backend=seen_backend)
+                          exact=exact, backend=seen_backend,
+                          expected_keys=seen_expected_keys)
     gate = SeenFilterStage(seen)
 
     if seeds is None:
@@ -486,6 +491,7 @@ def run_crawl(pages_path: str, out_dir: str, *,
               minimum_interval: float = 3.0,
               num_shards: int = 8, n_bits: int = 1 << 22,
               exact: bool = True, seen_backend: str = "bloom",
+              seen_expected_keys: int | None = None,
               politeness: bool = True,
               robots_path: str | None = None,
               default_delay_ms: int = 1000,
@@ -592,7 +598,8 @@ def run_crawl(pages_path: str, out_dir: str, *,
             break
 
     seen = ShardedSeenSet(num_shards=num_shards, n_bits=n_bits,
-                          exact=exact, backend=seen_backend)
+                          exact=exact, backend=seen_backend,
+                          expected_keys=seen_expected_keys)
     gate = SeenFilterStage(seen)
     result = {"skipped_waves": list(done), "ran_waves": [],
               "counters": {w: {k: manifest.entries["wave=%d" % w][k]

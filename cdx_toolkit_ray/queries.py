@@ -4045,21 +4045,27 @@ d AS (
   FROM seeds),
 s AS (
   SELECT doc_id, url,
-         regexp_replace(url, '\?.*$', '') AS base,
-         coalesce(regexp_extract(url, '\?(.*)$', 1), '') AS q
+         coalesce(regexp_extract(url, '(#.*)$', 1), '') AS frag,
+         regexp_replace(url, '#.*$', '') AS nofrag
   FROM d),
+s2 AS (
+  SELECT doc_id, url, frag,
+         regexp_replace(nofrag, '\?.*$', '') AS base,
+         coalesce(regexp_extract(nofrag, '\?(.*)$', 1), '') AS q
+  FROM s),
 k AS (
-  SELECT doc_id, url, base,
+  SELECT doc_id, url, base, frag,
          coalesce(array_to_string(list_filter(string_split(q, '&'),
            x -> x <> '' AND NOT regexp_matches(x,
                 '^(utm_[^=&]*|fbclid|gclid|msclkid|ref)=')), '&'), '')
            AS kept
-  FROM s)
+  FROM s2)
 SELECT doc_id, url,
-       CASE WHEN kept = '' THEN base
-            ELSE base || '?' || kept END AS clean_url,
-       (CASE WHEN kept = '' THEN base
-             ELSE base || '?' || kept END) <> url AS was_tracked
+       CASE WHEN kept = '' THEN base || frag
+            ELSE base || '?' || kept || frag END AS clean_url,
+       (CASE WHEN kept = '' THEN base || frag
+             ELSE base || '?' || kept || frag END) <> url
+         AS was_tracked
 FROM k
 """,
     "trap_detect": "WITH " + _SEEDS_CTE + r""",

@@ -121,8 +121,11 @@ def dsir_log_ratio_lut(counts: np.ndarray) -> np.ndarray:
     n_features = counts.shape[0]
     tc, rc = counts[:, 0], counts[:, 1]
     tt, tr = int(tc.sum()), int(rc.sum())
-    num = ((tc + 1) * (tr + n_features)).astype(np.float64)
-    den = ((rc + 1) * (tt + n_features)).astype(np.float64)
+    # float64 BEFORE the multiply: an int64 product wraps negative
+    # past 2^63 (log -> NaN -> INT64_MIN garbage); float products stay
+    # finite and exact below 2^53, losing only ulps beyond
+    num = (tc.astype(np.float64) + 1.0) * float(tr + n_features)
+    den = (rc.astype(np.float64) + 1.0) * float(tt + n_features)
     return np.floor(np.log(num / den) * 1e6 + 0.5).astype(np.int64)
 
 
@@ -167,6 +170,12 @@ def dsir_select(scores: ray.data.Dataset, k: int, *,
     DESC, id ASC) — the deterministic rank form of DSIR's Gumbel
     resampling draw. Global cutoff from per-block local top-k
     candidates; only 2 scalars broadcast back."""
+
+    if k <= 0:
+        return scores.map_batches(
+            lambda b: b.append_column(
+                "selected", pa.array(np.zeros(b.num_rows, bool))),
+            batch_format="pyarrow", batch_size=None)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         w = batch[weight_col].to_numpy(zero_copy_only=False)

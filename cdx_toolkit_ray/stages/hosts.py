@@ -83,12 +83,31 @@ def host_quality_stats(ds: ray.data.Dataset, *, host_col: str = "host",
                   score_sum=pl.col("score_sum").sum()))
         ss = g["score_sum"].to_numpy().astype(np.int64)
         nd = g["n_docs"].to_numpy().astype(np.int64)
-        blocked = ss * corpus_cnt < corpus_sum * nd
+        # exact int64 cross-multiply when the products can't wrap;
+        # arbitrary-precision Python ints on the (host-level, tiny)
+        # rows otherwise — the verdict stays EXACT at any scale
+        lim = (1 << 62)
+        if len(ss) and (int(ss.max()) * corpus_cnt >= lim
+                        or corpus_sum * int(nd.max()) >= lim
+                        or int(ss.max()) * 1_000_000 >= lim):
+            imax = (1 << 63) - 1
+            blocked = np.fromiter(
+                (int(a) * corpus_cnt < corpus_sum * int(b)
+                 for a, b in zip(ss, nd)), bool, len(ss))
+            # the verdict stays exact; the reported micro-mean
+            # saturates at int64 max when the true value overflows
+            # the output column
+            mean = np.fromiter(
+                (min(int(a) * 1_000_000 // int(b), imax)
+                 for a, b in zip(ss, nd)), np.int64, len(ss))
+        else:
+            blocked = ss * corpus_cnt < corpus_sum * nd
+            mean = ss * 1_000_000 // nd
         return pa.table({
             "host": g["host"].to_arrow(),
             "n_docs": pa.array(nd),
             "score_sum": pa.array(ss),
-            "mean_1e6": pa.array(ss * 1_000_000 // nd),
+            "mean_1e6": pa.array(mean),
             "blocked": pa.array(blocked),
         })
 

@@ -77,12 +77,14 @@ def duplicated_line_hashes(ds: ray.data.Dataset, *,
         ex = ex.filter(ex["l"].str.len_bytes() > 0)
         d = ex["doc"].to_numpy().astype(np.int64)
         h = hash64_batch(ex["l"].to_arrow()).astype(np.uint64)
-        # distinct (doc, line) within the batch; docs never span batches
+        # distinct (doc, line) within the batch; docs never span
+        # batches, so the rows are globally distinct pairs and the
+        # doc id itself never needs to travel — only h crosses the
+        # wire (per_line run-length-counts rows per hash)
         key = np.stack([d.astype(np.uint64), h])
         _, first = np.unique(key, axis=1, return_index=True)
-        d, h = d[first], h[first]
+        h = h[first]
         return pa.table({
-            "doc_id": pa.array(d, pa.int64()),
             "h": pa.array(h, pa.uint64()),
             "_lb": pa.array((_mix64(h) % nb).astype(np.int64)),
         })

@@ -170,10 +170,13 @@ def strip_tracking_params(ds: ray.data.Dataset, *,
     runs before dedup: two shares of the same page must collapse to
     one frontier entry. Parameters are FILTERED (split on '&', drop
     matching keys, rejoin), never regex-surgered in place, so
-    separators stay well-formed; a query left empty drops its '?'.
-    Appends ``out_col`` + ``was_tracked``. One stateless vectorized
-    pass, zero shuffles. SURT canonicalization (canon.surt) then
-    treats the cleaned URL exactly like any other."""
+    separators stay well-formed; a query left empty drops its '?'; a
+    fragment detaches first and re-appends, so the result is
+    param-order independent. ``was_tracked`` is true whenever the URL
+    changed — including degenerate queries (a bare trailing '?') that
+    normalization removes. One stateless vectorized pass, zero
+    shuffles. SURT canonicalization (canon.surt) then treats the
+    cleaned URL exactly like any other."""
 
     def clean(batch: pa.Table) -> pa.Table:
         import os
@@ -185,10 +188,14 @@ def strip_tracking_params(ds: ray.data.Dataset, *,
         df = pl.DataFrame({"u": pl.from_arrow(
             batch[url_col].combine_chunks().cast(pa.string()))}) \
             .with_columns(
-                base=pl.col("u").fill_null("")
-                .str.replace(r"\?.*$", ""),
-                q=pl.col("u").fill_null("")
-                .str.extract(r"\?(.*)$", 1).fill_null(""))
+                frag=pl.col("u").fill_null("")
+                .str.extract(r"(#.*)$", 1).fill_null(""),
+                nofrag=pl.col("u").fill_null("")
+                .str.replace(r"#.*$", ""))
+        df = df.with_columns(
+            base=pl.col("nofrag").str.replace(r"\?.*$", ""),
+            q=pl.col("nofrag").str.extract(r"\?(.*)$", 1)
+            .fill_null(""))
         df = df.with_columns(
             kept=pl.col("q").str.split("&")
             .list.eval(pl.element().filter(
@@ -197,8 +204,9 @@ def strip_tracking_params(ds: ray.data.Dataset, *,
             .list.join("&"))
         df = df.with_columns(
             clean=pl.when(pl.col("kept") == "")
-            .then(pl.col("base"))
-            .otherwise(pl.col("base") + "?" + pl.col("kept")))
+            .then(pl.col("base") + pl.col("frag"))
+            .otherwise(pl.col("base") + "?" + pl.col("kept")
+                       + pl.col("frag")))
         changed = (df["clean"] != df["u"].fill_null("")).to_arrow()
         return batch.append_column(
             out_col, df["clean"].to_arrow().cast(pa.string())) \
@@ -217,6 +225,10 @@ def spam_url_gate(*, lexicon: tuple = DEFAULT_LEXICON,
     ``url_features`` verdict BEFORE the seen gate, so spam URLs are
     never offered, never fetched, and prune their subtrees. Stateless
     and deterministic — safe to re-apply on resume."""
+
+    # NOTE: this predicate must stay equivalent to url_features'
+    # verdict (contains('?') == n_params>0) — tests/test_crawl.py's
+    # factory test and tests/test_urlfeat.py pin both
 
     def gate(batch: pa.Table) -> pa.Table:
         import os

@@ -376,9 +376,17 @@ class SeenShard:
     def restore(self, path: str) -> int:
         arr = np.load(path if path.endswith(".npy") else path + ".npy")
         if self.backend == "cuckoo":
-            if arr.ndim != 2:
+            if arr.ndim != 2 or arr.shape[1] != 4:
                 raise ValueError("checkpoint %r is not a cuckoo table" % path)
+            if arr.shape[0] & (arr.shape[0] - 1):
+                raise ValueError(
+                    "cuckoo checkpoint %r has non-power-of-two bucket "
+                    "count %d" % (path, arr.shape[0]))
+            # addressing follows the STORED table's geometry — a set
+            # restored into a differently-sized shard must re-key,
+            # not probe the wrong buckets
             self.filt.table = arr.astype(np.uint32)
+            self.filt.n_buckets = arr.shape[0]
             self.filt.n_added = int(np.count_nonzero(arr))
             return self.filt.n_added
         self.filt.words = arr
@@ -411,8 +419,13 @@ class ShardedSeenSet:
             if backend == "bloom":
                 n_bits = 1 << max(10, int(np.ceil(np.log2(per * 20))))
             else:
+                # size for load ~0.8 at the estimate (per/3.2), not
+                # the ~0.95 failure threshold: hash-range imbalance
+                # puts a few percent extra on some shard, and the
+                # power-of-two ceil must not land exactly on the
+                # capacity cliff
                 n_buckets = 1 << max(4, int(np.ceil(
-                    np.log2(per / 3.8))))
+                    np.log2(per / 3.2))))
         self.num_shards = num_shards
         self.backend = backend
         self.shift = np.uint64(64 - int(np.log2(num_shards)))
@@ -542,6 +555,12 @@ def merge_checkpoints(dir_a: str, dir_b: str, out_dir: str) -> int:
     os.makedirs(out_dir, exist_ok=True)
     for pa_, pb in zip(a_paths, b_paths):
         wa, wb = np.load(pa_), np.load(pb)
+        if wa.ndim != 1 or wb.ndim != 1:
+            raise ValueError(
+                "%s holds a cuckoo table — cuckoo checkpoints cannot "
+                "be merged bitwise (OR of fingerprint slots is "
+                "garbage); restore one side and re-offer the other's "
+                "keys instead" % pa_)
         if wa.shape != wb.shape:
             raise ValueError("bitmap shape mismatch in %s" % pa_)
         out = os.path.join(out_dir, os.path.basename(pa_))

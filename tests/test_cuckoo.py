@@ -210,3 +210,33 @@ def test_cuckoo_random_op_sequences_match_multiset_model():
             assert got == expect, (op, k, got, expect)
 
     check()
+
+
+def test_restore_adopts_stored_geometry(ray_session, tmp_path):
+    """A checkpoint restores into a differently-sized shard correctly:
+    addressing follows the stored table, not the constructor arg."""
+    from cdx_toolkit_ray.state.seen import ShardedSeenSet
+
+    ks = _keys(2_000, 11)
+    big = ShardedSeenSet(num_shards=2, backend="cuckoo",
+                         n_buckets=1 << 12)
+    big.offer(ks)
+    big.checkpoint(str(tmp_path))
+    small = ShardedSeenSet(num_shards=2, backend="cuckoo",
+                           n_buckets=1 << 6)  # wrong size on purpose
+    small.restore(str(tmp_path))
+    assert small.contains(ks).all()  # no false negatives after restore
+
+
+def test_merge_checkpoints_rejects_cuckoo(ray_session, tmp_path):
+    from cdx_toolkit_ray.state.seen import (ShardedSeenSet,
+                                            merge_checkpoints)
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for d in (a, b):
+        s = ShardedSeenSet(num_shards=2, backend="cuckoo",
+                           n_buckets=1 << 8)
+        s.offer(_keys(100, 12))
+        s.checkpoint(d)
+    with pytest.raises(ValueError, match="cuckoo"):
+        merge_checkpoints(a, b, str(tmp_path / "out"))

@@ -103,3 +103,30 @@ def test_select_k_exceeds_rows(ray_session):
     }))
     out = dsir_select(scores, k=10).to_pandas()
     assert out["selected"].all()
+
+
+def test_select_k_zero_selects_nothing(ray_session):
+    from cdx_toolkit_ray.stages.dsir import dsir_select
+
+    scores = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "n_tok": pa.array([1, 1], pa.int64()),
+        "logw_1e6": pa.array([4, -2], pa.int64()),
+    }))
+    out = dsir_select(scores, k=0).to_pandas()
+    assert not out["selected"].any()
+
+
+def test_lut_finite_at_web_scale_counts():
+    """Counts whose int64 products would wrap still yield finite
+    log-ratios (float64-first multiply)."""
+    import numpy as np
+
+    from cdx_toolkit_ray.stages.dsir import dsir_log_ratio_lut
+
+    counts = np.zeros((4, 2), np.int64)
+    counts[:, 0] = [10**9, 5, 0, 10**8]       # target
+    counts[:, 1] = [10**10, 10**10, 7, 10**9]  # raw
+    lut = dsir_log_ratio_lut(counts)
+    assert np.isfinite(lut).all()
+    assert (np.abs(lut) < 60_000_000).all()  # |ln| < 60 nats

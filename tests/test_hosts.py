@@ -141,3 +141,18 @@ def test_adaptive_schedule_spacing_invariant(ray_session):
                 assert (np.diff(ts) >= dmap[h]).all(), (h, ts, dmap[h])
 
     check()
+
+
+def test_blocklist_exact_beyond_int64(ray_session):
+    """Products that would wrap int64 take the big-int path and stay
+    exact (the verdict inverts if computed in wrapping int64)."""
+    from cdx_toolkit_ray.stages.hosts import host_quality_stats
+
+    big = 4_000_000_000_000_000_000  # 4e18: ss*2 wraps int64
+    ds = _mk(["giant", "tiny"], [big, 1])
+    out = host_quality_stats(ds, num_buckets=2).to_pandas() \
+        .set_index("host")
+    assert not bool(out.loc["giant", "blocked"])
+    assert bool(out.loc["tiny", "blocked"])
+    # true micro-mean exceeds int64 -> saturates; verdict stays exact
+    assert out.loc["giant", "mean_1e6"] == (1 << 63) - 1

@@ -121,3 +121,25 @@ def test_strip_tracking_params(ray_session):
     ]
     assert out.was_tracked.tolist() == [True, True, False, False,
                                         True, False, False]
+
+
+def test_strip_tracking_fragment_order_independent(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.urlfeat import strip_tracking_params
+
+    ds = ray.data.from_arrow(pa.table({"url": pa.array([
+        "http://a/p?x=1&utm_s=1#frag",
+        "http://a/p?utm_s=1&x=1#frag",
+        "http://a/p#only",
+        "http://a/p?utm_s=1#f",
+    ], pa.string())}))
+    out = strip_tracking_params(ds).to_pandas()
+    assert out.clean_url.tolist() == [
+        "http://a/p?x=1#frag",
+        "http://a/p?x=1#frag",   # same page -> same clean url
+        "http://a/p#only",
+        "http://a/p#f",
+    ]
+    assert out.was_tracked.tolist() == [True, True, False, True]
