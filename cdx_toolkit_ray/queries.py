@@ -2711,6 +2711,7 @@ def q_ccnet_buckets(sf_dir: str):
             "bucket": pa.array((d % nb).astype(np.int64), pa.int64()),
             "kind": pa.array(np.zeros(len(d), np.int8), pa.int8()),
             "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_tok": batch["n_tok"].cast(pa.int64()),
             "nll_per_tok_1e6": batch["nll_per_tok_1e6"].cast(pa.int64()),
             "lang": pa.array([None] * len(d), pa.string()),
         })
@@ -2721,6 +2722,7 @@ def q_ccnet_buckets(sf_dir: str):
             "bucket": pa.array((d % nb).astype(np.int64), pa.int64()),
             "kind": pa.array(np.ones(len(d), np.int8), pa.int8()),
             "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_tok": pa.array([None] * len(d), pa.int64()),
             "nll_per_tok_1e6": pa.array([None] * len(d), pa.int64()),
             "lang": batch["lang"].cast(pa.string()),
         })
@@ -2737,6 +2739,7 @@ def q_ccnet_buckets(sf_dir: str):
             "doc_id": sc["doc_id"],
             "lang": pa.array(lang_by_id.reindex(ids).to_numpy(),
                              pa.string()),
+            "n_tok": sc["n_tok"],
             "nll_per_tok_1e6": sc["nll_per_tok_1e6"],
         })
 
@@ -2767,6 +2770,36 @@ def q_ccnet_buckets(sf_dir: str):
 
     return joined.map_batches(label, batch_format="pyarrow",
                               batch_size=None)
+
+
+def q_ccnet_mixture(sf_dir: str):
+    """The CCNet data recipe end-to-end: perplexity-bucket every doc
+    per language (head/middle/tail tertiles), DROP the tail, then fill
+    per-language token budgets in seeded-hash order (en weighted 3x) —
+    bucketing, gating and mixing composed from three oracle-proven
+    stages with one SQL hash over the whole chain."""
+    import pyarrow.compute as pc
+
+    from .stages.sampling import token_budget_mixture
+
+    labeled = q_ccnet_buckets(sf_dir)
+    gated = labeled.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b["bucket"], "tail"))),
+        batch_format="pyarrow", batch_size=None)
+
+    def distinct_lang(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": pc.unique(batch["lang"])})
+
+    langs = sorted({r["lang"] for r in ray.data.read_parquet(
+        _tbl(sf_dir, "documents"), columns=["lang"])
+        .map_batches(distinct_lang, batch_format="pyarrow",
+                     batch_size=None).take_all()})
+    w = {l: (3 if l == "en" else 1) for l in langs}
+    tot_w = sum(w.values())
+    budgets = {l: 9000 * w[l] // tot_w for l in langs}
+    return token_budget_mixture(gated, source_col="lang",
+                                id_col="doc_id", token_col="n_tok",
+                                budgets=budgets, seed=0)
 
 
 def q_link_delta(sf_dir: str):
@@ -4805,6 +4838,53 @@ QUALIFY row_number() OVER (PARTITION BY r.urlkey, r.timestamp
 """ % _FIXTURE_LINK,
     # CCNet buckets: per-lang tertiles of the unigram-LM score (the
     # lm_score chain + quantile_disc cutoffs + label)
+    "ccnet_mixture": (r"""
+WITH tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '\w+')) AS word
+        FROM documents)
+  GROUP BY doc_id, word),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM tf),
+cnt AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cnt FROM tf
+        GROUP BY word),
+term AS (SELECT tf.doc_id, tf.tf,
+                CAST(floor(tf.tf * ln(tot.t / cnt.cnt) * 1e6 + 0.5)
+                     AS BIGINT) AS t6
+         FROM tf JOIN cnt USING (word) CROSS JOIN tot),
+lm AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+              CAST(sum(t6) // sum(tf) AS BIGINT) AS nll_per_tok_1e6
+       FROM term GROUP BY doc_id),
+j AS (SELECT d.doc_id, d.lang, lm.n_tok, lm.nll_per_tok_1e6
+      FROM documents d JOIN lm USING (doc_id)),
+q AS (SELECT lang,
+             CAST(quantile_disc(nll_per_tok_1e6, 0.33) AS BIGINT)
+               AS q33,
+             CAST(quantile_disc(nll_per_tok_1e6, 0.67) AS BIGINT)
+               AS q67
+      FROM j GROUP BY lang),
+gated AS (
+  SELECT j.doc_id, j.lang, j.n_tok,
+         """ + _seeded_key_sql() + r""" AS skey
+  FROM j JOIN q USING (lang)
+  WHERE j.nll_per_tok_1e6 <= q.q67),
+w AS (SELECT DISTINCT lang,
+             CASE WHEN lang = 'en' THEN 3 ELSE 1 END AS w
+      FROM documents),
+b AS (SELECT lang,
+             CAST(9000 * w // (SELECT sum(w) FROM w) AS BIGINT)
+               AS budget
+      FROM w),
+c AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY lang ORDER BY skey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM gated)
+SELECT c.doc_id, c.lang AS source, c.n_tok, c.cum_before
+FROM c JOIN b USING (lang) WHERE c.cum_before < b.budget
+"""),
     "ccnet_buckets": r"""
 WITH tf AS (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
@@ -4819,10 +4899,10 @@ term AS (SELECT tf.doc_id, tf.tf,
                 CAST(floor(tf.tf * ln(tot.t / cnt.cnt) * 1e6 + 0.5)
                      AS BIGINT) AS t6
          FROM tf JOIN cnt USING (word) CROSS JOIN tot),
-lm AS (SELECT doc_id, CAST(sum(t6) // sum(tf) AS BIGINT)
-         AS nll_per_tok_1e6
+lm AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+              CAST(sum(t6) // sum(tf) AS BIGINT) AS nll_per_tok_1e6
        FROM term GROUP BY doc_id),
-j AS (SELECT d.doc_id, d.lang, lm.nll_per_tok_1e6
+j AS (SELECT d.doc_id, d.lang, lm.n_tok, lm.nll_per_tok_1e6
       FROM documents d JOIN lm USING (doc_id)),
 q AS (SELECT lang,
              CAST(quantile_disc(nll_per_tok_1e6, 0.33) AS BIGINT)
@@ -4830,7 +4910,7 @@ q AS (SELECT lang,
              CAST(quantile_disc(nll_per_tok_1e6, 0.67) AS BIGINT)
                AS q67
       FROM j GROUP BY lang)
-SELECT j.doc_id, j.lang, j.nll_per_tok_1e6,
+SELECT j.doc_id, j.lang, j.n_tok, j.nll_per_tok_1e6,
        CASE WHEN j.nll_per_tok_1e6 <= q.q33 THEN 'head'
             WHEN j.nll_per_tok_1e6 <= q.q67 THEN 'middle'
             ELSE 'tail' END AS bucket
@@ -5532,6 +5612,7 @@ QUERIES = {
     "kll_quantiles_exact": q_kll_quantiles_exact,
     "ip_politeness": q_ip_politeness,
     "seed_expansion": q_seed_expansion,
+    "ccnet_mixture": q_ccnet_mixture,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,
@@ -5650,7 +5731,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "
-    "strip_tracking kll_quantiles_exact ip_politeness seed_expansion "
+    "ccnet_mixture strip_tracking kll_quantiles_exact ip_politeness seed_expansion "
     "host_curation host_filter budget_mixture url_spam trap_detect "
     "revisit_generate fetch_execute fetch_errors fetch_requeue "
     "warc_index wet_export revisit_resolve ccnet_buckets").split()
