@@ -2772,6 +2772,44 @@ def q_ccnet_buckets(sf_dir: str):
                               batch_size=None)
 
 
+def q_png_roundtrip(sf_dir: str):
+    """REAL PNG codec end-to-end (stages/multimodal.encode_png /
+    decode_png — stdlib zlib + numpy, CRC-checked, all five scanline
+    filters on decode): each doc generates a deterministic grayscale
+    gradient image, encodes it to PNG bytes, decodes those bytes back,
+    and reports the DECODED geometry and pixel sum. The oracle is the
+    closed form of the pixel formula — if either codec half is wrong,
+    the hash breaks. Per-image work runs in the map task like the
+    BmpDecoder actor pattern; payload bytes never shuffle."""
+    from .stages.multimodal import decode_png, encode_png
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ws, hs, sums = [], [], []
+        for d in ids:
+            w = 8 + 4 * int(d % 3)
+            h = 8 + 2 * int(d % 2)
+            a = int(d % 251)
+            px = ((a + np.arange(w * h)) % 251).astype(np.uint8) \
+                .reshape(h, w)
+            dec = decode_png(encode_png(px))
+            hs.append(dec.shape[0])
+            ws.append(dec.shape[1])
+            sums.append(int(dec.astype(np.int64).sum()))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "px_sum": pa.array(sums, pa.int64()),
+        })
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def q_ccnet_mixture(sf_dir: str):
     """The CCNet data recipe end-to-end: perplexity-bucket every doc
     per language (head/middle/tail tertiles), DROP the tail, then fill
@@ -4838,6 +4876,20 @@ QUALIFY row_number() OVER (PARTITION BY r.urlkey, r.timestamp
 """ % _FIXTURE_LINK,
     # CCNet buckets: per-lang tertiles of the unigram-LM score (the
     # lm_score chain + quantile_disc cutoffs + label)
+    # PNG roundtrip: decoded geometry/pixel-sum vs the closed form of
+    # the generator — px[i] = (a+i) % 251 over n = w*h <= 160 pixels
+    # wraps at most once, so sum = n*a + n(n-1)/2 - 251*max(0, a+n-251)
+    "png_roundtrip": """
+SELECT doc_id,
+       CAST(8 + 4 * (doc_id % 3) AS BIGINT) AS width,
+       CAST(8 + 2 * (doc_id % 2) AS BIGINT) AS height,
+       CAST(n * a + n * (n - 1) // 2
+            - 251 * greatest(0, a + n - 251) AS BIGINT) AS px_sum
+FROM (SELECT doc_id,
+             (8 + 4 * (doc_id % 3)) * (8 + 2 * (doc_id % 2)) AS n,
+             doc_id % 251 AS a
+      FROM documents)
+""",
     "ccnet_mixture": (r"""
 WITH tf AS (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
@@ -5613,6 +5665,7 @@ QUERIES = {
     "ip_politeness": q_ip_politeness,
     "seed_expansion": q_seed_expansion,
     "ccnet_mixture": q_ccnet_mixture,
+    "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,
@@ -5731,7 +5784,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "
-    "ccnet_mixture strip_tracking kll_quantiles_exact ip_politeness seed_expansion "
+    "ccnet_mixture png_roundtrip strip_tracking kll_quantiles_exact ip_politeness seed_expansion "
     "host_curation host_filter budget_mixture url_spam trap_detect "
     "revisit_generate fetch_execute fetch_errors fetch_requeue "
     "warc_index wet_export revisit_resolve ccnet_buckets").split()

@@ -384,3 +384,130 @@ def sniff_batch(batch: pa.Table, payload_col: str = "payload",
     if out_col in batch.column_names:
         batch = batch.drop_columns([out_col])
     return batch.append_column(out_col, pa.array(out, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# PNG: a REAL codec (stdlib zlib + numpy) — upgrades the image family
+# beyond BMP to the dominant web format. Decode supports 8-bit
+# grayscale (color type 0) and RGB (type 2), non-interlaced, all five
+# scanline filters (None/Sub/Up/Average/Paeth); encode writes
+# filter-0 grayscale/RGB with correct CRCs. Sub unfilters as a
+# vectorized mod-256 cumsum; Average/Paeth carry a left-dependence
+# that forces a per-pixel loop in x (vectorized across channels),
+# documented honestly — web thumbnails are small and the stage runs
+# in the actor pool like BmpDecoder.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """8-bit grayscale (h, w) or RGB (h, w, 3) -> PNG bytes
+    (non-interlaced, filter 0 on every scanline, one IDAT)."""
+    import struct
+    import zlib as _z
+
+    if pixels.dtype != np.uint8:
+        raise ValueError("pixels must be uint8")
+    if pixels.ndim == 2:
+        color, bpp = 0, 1
+        h, w = pixels.shape
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color, bpp = 2, 3
+        h, w = pixels.shape[:2]
+    else:
+        raise ValueError("expected (h, w) gray or (h, w, 3) rgb")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = np.zeros((h, w * bpp + 1), np.uint8)
+    raw[:, 1:] = pixels.reshape(h, w * bpp)
+    idat = _z.compress(raw.tobytes(), 6)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array (h, w) gray or (h, w, 3) rgb.
+    Strict: validates signature, IHDR geometry, chunk CRCs, and the
+    decompressed length; raises ValueError on anything else."""
+    import struct
+    import zlib as _z
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated chunk %r" % tag)
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if _z.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError("bad CRC in %r" % tag)
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, inter = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8 or color not in (0, 2) or comp or filt or inter:
+        raise ValueError(
+            "unsupported PNG (depth=%d color=%d interlace=%d; this "
+            "codec handles 8-bit gray/rgb non-interlaced)"
+            % (depth, color, inter))
+    bpp = 1 if color == 0 else 3
+    raw = np.frombuffer(_z.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (w * bpp + 1):
+        raise ValueError("IDAT length mismatch")
+    raw = raw.reshape(h, w * bpp + 1)
+    ftypes, scans = raw[:, 0], raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, w * bpp), np.int64)
+    for y in range(h):
+        f, line = int(ftypes[y]), scans[y]
+        up = out[y - 1] if y else np.zeros(w * bpp, np.int64)
+        if f == 0:
+            out[y] = line
+        elif f == 1:      # Sub: mod-256 cumsum per channel stride
+            out[y] = (line.reshape(w, bpp).cumsum(axis=0) % 256) \
+                .reshape(w * bpp)
+        elif f == 2:      # Up
+            out[y] = (line + up) % 256
+        elif f == 3:      # Average (left-dependent)
+            row = out[y]
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                left = row[(x - 1) * bpp:x * bpp] if x else \
+                    np.zeros(bpp, np.int64)
+                row[s] = (line[s] + (left + up[s]) // 2) % 256
+        elif f == 4:      # Paeth (left-dependent)
+            row = out[y]
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                left = row[(x - 1) * bpp:x * bpp] if x else \
+                    np.zeros(bpp, np.int64)
+                ul = out[y - 1][(x - 1) * bpp:x * bpp] if x and y else \
+                    np.zeros(bpp, np.int64)
+                p = left + up[s] - ul
+                pa_, pb, pc_ = (np.abs(p - left), np.abs(p - up[s]),
+                                np.abs(p - ul))
+                pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                                np.where(pb <= pc_, up[s], ul))
+                row[s] = (line[s] + pred) % 256
+        else:
+            raise ValueError("unknown filter type %d" % f)
+    out = out.astype(np.uint8)
+    return out.reshape(h, w) if color == 0 else out.reshape(h, w, bpp)

@@ -129,3 +129,98 @@ def test_sniff_batch_sliced_nulls_and_buffer_offsets():
     assert full == ["image/bmp", "application/octet-stream",
                     "text/html", "application/octet-stream",
                     "audio/wav", "application/octet-stream"]
+
+
+def _scalar_unfilter(scanlines, w, h, bpp):
+    import numpy as np
+
+    out = [[0] * (w * bpp) for _ in range(h)]
+    for y, (f, line) in enumerate(scanlines):
+        for i in range(w * bpp):
+            a = out[y][i - bpp] if i >= bpp else 0
+            b = out[y - 1][i] if y else 0
+            c = out[y - 1][i - bpp] if (y and i >= bpp) else 0
+            x = line[i]
+            if f == 0:
+                r = x
+            elif f == 1:
+                r = (x + a) % 256
+            elif f == 2:
+                r = (x + b) % 256
+            elif f == 3:
+                r = (x + (a + b) // 2) % 256
+            else:
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+                r = (x + pred) % 256
+            out[y][i] = r
+    import numpy as np
+    return np.array(out, np.uint8)
+
+
+def _build_png(scanlines, w, h, color):
+    import struct
+    import zlib
+
+    from cdx_toolkit_ray.stages.multimodal import _PNG_SIG, _png_chunk
+
+    raw = b"".join(bytes([f]) + bytes(s) for f, s in scanlines)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_gray_and_rgb():
+    import numpy as np
+
+    from cdx_toolkit_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(0)
+    for shape in [(8, 8), (10, 13), (1, 1), (5, 7, 3), (16, 3, 3)]:
+        px = rng.integers(0, 256, shape).astype(np.uint8)
+        assert (decode_png(encode_png(px)) == px).all()
+
+
+def test_png_all_filters_match_scalar_reference():
+    import numpy as np
+
+    from cdx_toolkit_ray.stages.multimodal import decode_png
+
+    rng = np.random.default_rng(1)
+    for bpp, color in [(1, 0), (3, 2)]:
+        w, h = 6, 10
+        lines = [(y % 5, list(rng.integers(0, 256, w * bpp)))
+                 for y in range(h)]
+        got = decode_png(_build_png(lines, w, h, color)) \
+            .reshape(h, w * bpp)
+        assert (got == _scalar_unfilter(lines, w, h, bpp)).all()
+
+
+def test_png_rejects_garbage():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from cdx_toolkit_ray.stages.multimodal import (_PNG_SIG, _png_chunk,
+                                                   decode_png,
+                                                   encode_png)
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"BM123456")
+    good = encode_png(np.zeros((4, 4), np.uint8))
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # corrupt IHDR body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # 16-bit depth unsupported -> clear error
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    png16 = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+             + _png_chunk(b"IDAT", zlib.compress(b"\0" * 36))
+             + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(png16)
