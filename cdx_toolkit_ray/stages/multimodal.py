@@ -9,8 +9,11 @@ container):
 
 * ``decoder="fake"``  — deterministic pure-python stand-in (byte
   histogram features, size parsing from a fake header) used by tests
+* ``decoder="png"``   — the REAL codec below (stdlib zlib + numpy,
+  all five scanline filters, CRC-checked)
 * ``decoder="pil"`` / ``"ffmpeg"`` — raise NotImplementedError at
-  actor construction with a clear message
+  actor construction with a clear message (formats that genuinely
+  need the external libraries: JPEG/DCT, video codecs)
 
 Large-payload guidance baked in: use small ``batch_size`` (payloads x
 batch x concurrency must fit worker heap) and keep the column in Arrow
@@ -78,6 +81,8 @@ class MediaDecoder:
     def __init__(self, decoder: str = "fake"):
         if decoder == "fake":
             self._decode = self._decode_fake
+        elif decoder == "png":
+            self._decode = self._decode_png
         elif decoder in ("pil", "ffmpeg"):
             raise NotImplementedError(
                 "decoder %r needs an image/audio library not present in "
@@ -86,6 +91,23 @@ class MediaDecoder:
                 "already wired" % decoder)
         else:
             raise ValueError("unknown decoder " + decoder)
+
+    @staticmethod
+    def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+        """The REAL codec path: decode_png + 16-bin luminance
+        histogram (gray value, or integer BT.601 luma for rgb)."""
+        px = decode_png(bytes(payload))
+        if px.ndim == 3:
+            r, g, b = (px[..., 0].astype(np.int64),
+                       px[..., 1].astype(np.int64),
+                       px[..., 2].astype(np.int64))
+            lum = (299 * r + 587 * g + 114 * b) // 1000
+        else:
+            lum = px.astype(np.int64)
+        hist = np.bincount((lum >> 4).ravel(),
+                           minlength=16).astype(np.float32)
+        hist /= max(1.0, hist.sum())
+        return px.shape[1], px.shape[0], hist
 
     @staticmethod
     def _decode_fake(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -344,7 +366,8 @@ def sniff_batch(batch: pa.Table, payload_col: str = "payload",
     """Magic-byte content-type detection — the stage that decides
     which decoder a payload is routed to (servers lie about
     Content-Type; reference users sniff obj.content by hand). Real
-    byte-level checks: 'BM' -> image/bmp, 'RIFF....WAVE' -> audio/wav,
+    byte-level checks: 'BM' -> image/bmp, the 8-byte PNG signature ->
+    image/png, 'RIFF....WAVE' -> audio/wav,
     leading '<' (optionally after whitespace) -> text/html, else
     application/octet-stream. Vectorized over the binary column's
     prefix bytes; the payloads never convert to Python strings."""
@@ -370,6 +393,7 @@ def sniff_batch(batch: pa.Table, payload_col: str = "payload",
             mask = np.arange(12)[None, :] < lens[:, None]
             pref = np.where(mask, vals[take], 0).astype(np.uint8)
     is_bmp = (pref[:, 0] == 0x42) & (pref[:, 1] == 0x4D)
+    is_png = (pref[:, 0:8] == np.frombuffer(_PNG_SIG, np.uint8)).all(1)
     is_wav = ((pref[:, 0:4] == np.frombuffer(b"RIFF", np.uint8)).all(1)
               & (pref[:, 8:12] == np.frombuffer(b"WAVE", np.uint8))
               .all(1))
@@ -377,8 +401,9 @@ def sniff_batch(batch: pa.Table, payload_col: str = "payload",
     ws = np.isin(pref, np.frombuffer(b" \t\r\n", np.uint8))
     first_nonws = np.argmax(~ws, axis=1)
     fb = pref[np.arange(n), first_nonws]
-    is_html = (fb == 0x3C) & ~is_bmp & ~is_wav
+    is_html = (fb == 0x3C) & ~is_bmp & ~is_wav & ~is_png
     out[is_bmp] = "image/bmp"
+    out[is_png] = "image/png"
     out[is_wav] = "audio/wav"
     out[is_html] = "text/html"
     if out_col in batch.column_names:

@@ -224,3 +224,45 @@ def test_png_rejects_garbage():
              + _png_chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="unsupported"):
         decode_png(png16)
+
+
+def test_sniff_detects_png():
+    import numpy as np
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.multimodal import (encode_png,
+                                                   sniff_batch)
+
+    png = encode_png(np.zeros((3, 3), np.uint8))
+    t = pa.table({"payload": pa.array(
+        [png, b"BM1234567890", b"  <html>", b"\x89PNGxxxx"],
+        pa.binary())})
+    got = sniff_batch(t)["sniffed_type"].to_pylist()
+    assert got == ["image/png", "image/bmp", "text/html",
+                   "application/octet-stream"]
+
+
+def test_media_decoder_png_path(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.multimodal import (MediaDecoder,
+                                                   encode_png)
+
+    rng = np.random.default_rng(2)
+    gray = rng.integers(0, 256, (6, 9)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (4, 5, 3)).astype(np.uint8)
+    ds = ray.data.from_arrow(pa.table({
+        "payload": pa.array([encode_png(gray), encode_png(rgb)],
+                            pa.binary())}))
+    out = ds.map_batches(MediaDecoder,
+                         fn_constructor_kwargs={"decoder": "png"},
+                         batch_format="pyarrow", batch_size=2,
+                         concurrency=1).to_pandas()
+    assert list(out.width) == [9, 5] and list(out.height) == [6, 4]
+    # histogram matches a direct computation for the gray image
+    want = np.bincount((gray.astype(np.int64) >> 4).ravel(),
+                       minlength=16).astype(np.float32)
+    want /= want.sum()
+    assert np.allclose(np.array(out.features[0]), want)
