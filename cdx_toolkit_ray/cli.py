@@ -147,6 +147,17 @@ def make_parser() -> ArgumentParser:
                          "over-budget urls are skipped (their links "
                          "never harvested)")
     cr.set_defaults(func=crawler)
+
+    cu = sub.add_parser(
+        "curate", help="run the corpus-curation composite over a "
+                       "documents table: host blocklist -> duplicate-"
+                       "line removal -> kept-lines gate -> token-"
+                       "budget mixture (queries.q_corpus_pipeline)")
+    cu.add_argument("--sf-dir", required=True,
+                    help="directory holding documents.parquet")
+    cu.add_argument("--out", required=True,
+                    help="output directory (partitioned parquet)")
+    cu.set_defaults(func=curator)
     return parser
 
 
@@ -311,6 +322,23 @@ def crawler(cmd, out=None) -> None:
     print(json.dumps(r, sort_keys=True), file=out or sys.stdout)
 
 
+def curator(cmd, out=None) -> None:
+    """`cdxt-ray curate`: the end-to-end curation chain as a CLI —
+    writes the selected (doc_id, source, n_tok, cum_before) mixture
+    as partitioned parquet and prints the summary line."""
+    from .queries import q_corpus_pipeline
+
+    ds = q_corpus_pipeline(cmd.sf_dir)
+    ds.write_parquet(cmd.out)
+    import pyarrow.parquet as pq
+
+    got = pq.read_table(cmd.out)
+    n_tok = sum(got["n_tok"].to_pylist())
+    print(json.dumps({"rows": got.num_rows, "tokens": int(n_tok),
+                      "out": cmd.out}, sort_keys=True),
+          file=out or sys.stdout)
+
+
 def main(args=None) -> None:
     parser = make_parser()
     cmd = parser.parse_args(args=args)
@@ -319,7 +347,9 @@ def main(args=None) -> None:
             parser.error("crawl requires --pages (the table the "
                          "transport fetches from)")
         cmd.captures_root = cmd.captures_root or cmd.pages
-    if not cmd.captures_root and not cmd.source and not cmd.cc_mirror:
+    if cmd.cmd != "curate" and not cmd.captures_root \
+            and not cmd.source and not cmd.cc_mirror:
+        # curate reads --sf-dir, not the captures table
         parser.error("--captures-root is required (or --source/"
                      "--cc-mirror naming a table)")
     if not cmd.captures_root:

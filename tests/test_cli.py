@@ -218,3 +218,20 @@ def test_cli_crawl_requires_pages(capsys):
     with pytest.raises(SystemExit):
         cli.main(["crawl", "--out", "/tmp/x"])
     assert "requires --pages" in capsys.readouterr().err
+
+
+def test_cli_curate(ray_session, tmp_path, capsys):
+    import json
+
+    from cdx_toolkit_ray.cli import main
+
+    out = str(tmp_path / "curated")
+    main(["curate", "--sf-dir", "/root/testdata/sf0.001",
+          "--out", out])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rows"] > 0 and rec["tokens"] > 0
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    assert set(t.column_names) == {"doc_id", "source", "n_tok",
+                                   "cum_before"}
