@@ -696,8 +696,19 @@ def run_crawl(pages_path: str, out_dir: str, *,
             # size-rotated segment family per wave, ok rows as
             # response records (reference warc.py contract). Runs
             # BEFORE the manifest mark so a crash here re-renders the
-            # wave on resume.
+            # wave on resume — and the re-render first REMOVES any
+            # stale segments a crashed attempt left behind (the writer
+            # probes for unused segment numbers, so without the sweep
+            # a resumed wave would duplicate every record in the
+            # segment family / leave a truncated member for ingest to
+            # trip on). Safe: only never-recorded waves reach here.
+            import glob as _warc_glob
+
             from .warcbytes import get_warc_writer
+
+            for stale in _warc_glob.glob(os.path.join(
+                    out_dir, "%s-w%d-*.warc*" % (warc_prefix, wave))):
+                os.unlink(stale)
 
             def _warc_rows(batch: pa.Table) -> pa.Table:
                 ok = batch.filter(pc.and_kleene(

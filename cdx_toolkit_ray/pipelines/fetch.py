@@ -125,6 +125,9 @@ class TableTransport:
             return self._payloads_filtered(ids)
         if self._ids is None:
             self._load()
+        if not len(self._ids):
+            # empty content table: every id is unknown -> all null
+            return pa.array([None] * len(ids), pa.string())
         pos = np.searchsorted(self._ids, ids)
         pos_c = np.clip(pos, 0, len(self._ids) - 1)
         hit = self._ids[pos_c] == ids

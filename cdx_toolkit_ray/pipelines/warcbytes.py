@@ -50,9 +50,18 @@ def render_warc_record(warc_type: str, headers: list[tuple[str, str]],
                        warc_version: str = "1.0") -> bytes:
     """One WARC record as bytes (spec §4: header block, CRLF CRLF,
     content block, CRLF CRLF). ``headers`` must NOT include WARC-Type /
-    Content-Length (added here, in spec order)."""
+    Content-Length (added here, in spec order).
+
+    Header VALUES are sanitized: CR/LF characters rewrite to %0D/%0A
+    so a hostile crawled URL (href values can contain newlines) cannot
+    inject header lines or truncate the header block — a raw newline
+    in WARC-Target-URI would otherwise forge records or break every
+    parse of the segment. Values without CR/LF (all normal URLs,
+    including percent-escaped ones) pass through byte-identical."""
     lines = ["WARC/%s" % warc_version, "WARC-Type: %s" % warc_type]
-    lines += ["%s: %s" % (k, v) for k, v in headers]
+    lines += ["%s: %s" % (k, str(v).replace("\r", "%0D")
+                          .replace("\n", "%0A"))
+              for k, v in headers]
     lines.append("Content-Length: %d" % len(content_block))
     head = ("\r\n".join(lines) + "\r\n\r\n").encode("utf-8")
     return head + content_block + b"\r\n\r\n"

@@ -104,7 +104,12 @@ def mixture_sample(ds: ray.data.Dataset, group_col: str,
     def gate(batch: pa.Table) -> pa.Table:
         skey = _mix64(_seeded_key(batch[id_col], seed))
         grp = batch[group_col].to_numpy(zero_copy_only=False)
-        codes, uniq = pd.factorize(grp, sort=False)
+        # use_na_sentinel=False: a null group gets its own code (it is
+        # never in `fractions`, so it deterministically takes
+        # `default`) — the sentinel -1 would fancy-index the LAST
+        # group's threshold, a batch-layout-dependent wrong answer
+        codes, uniq = pd.factorize(grp, sort=False,
+                                   use_na_sentinel=False)
         thresh = np.array([lut.get(g, dflt) for g in uniq],
                           dtype=np.uint64)
         keep = skey < thresh[codes]
@@ -162,9 +167,18 @@ def holdout_split(ds: ray.data.Dataset, group_col: str,
 
     def tag(batch: pa.Table) -> pa.Table:
         grp = batch[group_col]
+        # null groups get their own deterministic code (seeded key of
+        # the null -> hash 0), never the -1 sentinel that would borrow
+        # the last group's assignment batch-dependently
         codes, uniq = pd.factorize(
-            grp.to_numpy(zero_copy_only=False), sort=False)
-        gkey = _mix64(_seeded_key(pa.array(uniq), seed))
+            grp.to_numpy(zero_copy_only=False), sort=False,
+            use_na_sentinel=False)
+        # factorize surfaces the null group as NaN — normalize to None
+        # so the arrow conversion stays string-typed
+        uniq = [None if u is None or (isinstance(u, float)
+                                      and np.isnan(u)) else u
+                for u in uniq]
+        gkey = _mix64(_seeded_key(pa.array(uniq, pa.string()), seed))
         is_val = (gkey < thresh)[codes]
         return batch.append_column(
             out_col, pa.array(np.where(is_val, "val", "train")))

@@ -77,7 +77,11 @@ def heavy_hitters(ds: ray.data.Dataset, key_col: str, *,
     """
     if (threshold is None) == (phi is None):
         raise ValueError("give exactly one of threshold= or phi=")
-    n = ds.count()
+    if phi is not None or num_counters is None:
+        # n is needed only to derive threshold/m; with both given,
+        # skip the count() so the (possibly unmaterialized) input
+        # executes twice, not three times
+        n = ds.count()
     if phi is not None:
         if not (0 < phi <= 1):
             raise ValueError("phi must be in (0, 1]")

@@ -72,6 +72,15 @@ class BloomFilter:
         return (h1[None, :] + ks * h2[None, :]) & np.uint64(self.n_bits - 1)
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
+        # exact mode answers from the backing set — this is what makes
+        # exact=True actually deliver the zero-false-positive contract
+        # the crawl loops document (a bitmap FP would silently prune a
+        # URL and its whole reachable subtree); the bitmap is still
+        # maintained for checkpoint compatibility. Per-row set probes
+        # are the documented cost of the exactness mode.
+        if self.exact is not None:
+            return np.fromiter((int(h) in self.exact for h in hashes),
+                               bool, len(hashes))
         idx = self._probes(hashes)
         word = idx >> np.uint64(6)
         bit = np.uint64(1) << (idx & np.uint64(63))
@@ -369,7 +378,11 @@ class SeenShard:
             return path
         np.save(path, self.filt.words)
         if self.filt.exact is not None:
-            np.save(path + ".exact.npy",
+            # base.exact.npy — the exact name restore/merge read (the
+            # old path+".exact.npy" produced base.npy.exact.npy, which
+            # nothing ever loaded back)
+            base = path[:-4] if path.endswith(".npy") else path
+            np.save(base + ".exact",
                     np.fromiter(self.filt.exact, dtype=np.uint64))
         return path
 
@@ -391,8 +404,18 @@ class SeenShard:
             return self.filt.n_added
         self.filt.words = arr
         exact_p = (path if not path.endswith(".npy") else path[:-4]) + ".exact.npy"
+        legacy_p = (path if path.endswith(".npy") else path + ".npy") \
+            + ".exact.npy"
         if os.path.exists(exact_p):
             self.filt.exact = set(int(h) for h in np.load(exact_p))
+        elif os.path.exists(legacy_p):  # pre-fix checkpoint name
+            self.filt.exact = set(int(h) for h in np.load(legacy_p))
+        elif self.filt.exact is not None:
+            raise ValueError(
+                "restoring into exact mode but checkpoint %r has no "
+                ".exact.npy sidecar — the bitmap alone cannot honor "
+                "the zero-false-positive contract; restore with "
+                "exact=False or rebuild the checkpoint" % path)
         return int(self.filt.words.sum())
 
 
@@ -566,9 +589,13 @@ def merge_checkpoints(dir_a: str, dir_b: str, out_dir: str) -> int:
         out = os.path.join(out_dir, os.path.basename(pa_))
         np.save(out[:-4], wa | wb)
         ea, eb = pa_[:-4] + ".exact.npy", pb[:-4] + ".exact.npy"
-        if os.path.exists(ea) or os.path.exists(eb):
+        # legacy pre-fix sidecar name (base.npy.exact.npy)
+        ea2, eb2 = pa_ + ".exact.npy", pb + ".exact.npy"
+        cand = [(ea, ea2), (eb, eb2)]
+        if any(os.path.exists(p) for pair in cand for p in pair):
             xs = []
-            for e in (ea, eb):
+            for new, old in cand:
+                e = new if os.path.exists(new) else old
                 if os.path.exists(e):
                     xs.append(np.load(e))
             merged = np.unique(np.concatenate(xs)) if xs else \

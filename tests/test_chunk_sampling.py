@@ -216,3 +216,31 @@ def test_token_budget_mixture_matches_serial(ray_session):
         sel = got[got.source == s]
         assert sel.n_tok.sum() >= budgets[s]
         assert sel.cum_before.max() < budgets[s]
+
+
+def test_mixture_and_holdout_null_groups_deterministic(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.sampling import (holdout_split,
+                                                 mixture_sample)
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "grp": pa.array(["a", None, "a", None, "b", None], pa.string()),
+    })
+    ds = ray.data.from_arrow(t)
+    # default=0 -> every null-group row must drop (never borrow "a"/"b")
+    kept = mixture_sample(ds, "grp", {"a": 1.0, "b": 1.0},
+                          default=0.0, seed=1).to_pandas()
+    assert set(kept.doc_id) == {0, 2, 4}
+    # holdout: null group gets ONE deterministic side for all its rows
+    tagged = holdout_split(ds, "grp", val_frac=0.5, seed=3).to_pandas()
+    null_sides = set(tagged[tagged.grp.isna()]["split"])
+    assert len(null_sides) == 1
+    # and the same side regardless of batch layout (reversed input)
+    rev = ray.data.from_arrow(t.take(list(range(5, -1, -1))))
+    tagged2 = holdout_split(rev, "grp", val_frac=0.5, seed=3) \
+        .to_pandas()
+    assert set(tagged2[tagged2.grp.isna()]["split"]) == null_sides

@@ -484,3 +484,40 @@ def test_crawl_waves_cuckoo_seen_backend(ray_session, tmp_path):
     # identical reach to the exact-set run (cuckoo has no false
     # negatives; 32-bit fingerprints make FPs vanishing here)
     assert set(out.url) == {SEED, A, B, DANGLING, C, E}
+
+
+def test_run_crawl_warc_resume_no_duplicates(ray_session, tmp_path):
+    """A crashed run's stale WARC segments must not survive the
+    re-render: after wiping the manifest (simulating a crash before
+    the wave was recorded) and rerunning, the segment family holds
+    each response exactly once."""
+    import glob
+    import json
+    import os
+
+    import gzip
+
+    from cdx_toolkit_ray.pipelines.crawl import run_crawl
+    from cdx_toolkit_ray.pipelines.warcbytes import parse_warc
+    from cdx_toolkit_ray.state.lineage import MANIFEST_NAME
+
+    def read_segment_records(path):
+        raw = gzip.decompress(open(path, "rb").read()) \
+            if path.endswith(".gz") else open(path, "rb").read()
+        return parse_warc(raw)
+
+    p = _web_table(tmp_path)
+    out = str(tmp_path / "wcrawl")
+    run_crawl(p, out, max_waves=1, politeness=False,
+              warc_prefix="cc-test")
+    segs1 = sorted(glob.glob(os.path.join(out, "cc-test-*.warc*")))
+    n_rec1 = sum(len(read_segment_records(s)) for s in segs1)
+
+    # crash simulation: the manifest never recorded the waves, but the
+    # WARC segments (and parquet) are on disk
+    os.unlink(os.path.join(out, MANIFEST_NAME))
+    run_crawl(p, out, max_waves=1, politeness=False,
+              warc_prefix="cc-test")
+    segs2 = sorted(glob.glob(os.path.join(out, "cc-test-*.warc*")))
+    n_rec2 = sum(len(read_segment_records(s)) for s in segs2)
+    assert n_rec2 == n_rec1  # re-render replaced, never appended

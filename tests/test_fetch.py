@@ -280,3 +280,19 @@ def test_transport_filtered_path_matches_index_path(tmp_path):
         .payloads(ids).to_pylist()
     assert indexed == filtered
     assert filtered[2] is None and filtered[0] == "payload-5 é"
+
+
+def test_table_transport_empty_table(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdx_toolkit_ray.pipelines.fetch import TableTransport
+
+    p = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}), p)
+    tr = TableTransport(p)
+    got = tr.payloads(np.array([1, 2, 3], np.int64))
+    assert got.null_count == 3

@@ -144,3 +144,29 @@ def test_merge_checkpoints_rejects_mismatch(tmp_path):
     b.checkpoint(db)
     with pytest.raises(ValueError):
         merge_checkpoints(da, db, str(tmp_path / "m"))
+
+
+def test_exact_mode_has_zero_false_positives():
+    """exact=True must answer membership from the exact set — a tiny
+    saturated bitmap would otherwise report false positives and the
+    crawl loop would silently prune subtrees."""
+    import numpy as np
+
+    from cdx_toolkit_ray.state.seen import BloomFilter
+
+    rng = np.random.default_rng(6)
+    keys = np.unique(rng.integers(1, 2**63, 500, dtype=np.uint64))
+    probe = np.unique(rng.integers(1, 2**63, 2000, dtype=np.uint64))
+    probe = np.setdiff1d(probe, keys)
+    # 64-bit bitmap, k=1: saturated, floods with FPs
+    approx = BloomFilter(n_bits=64, k=1)
+    approx.add(keys)
+    assert approx.contains(probe).any()  # the bitmap DOES lie here
+    exact = BloomFilter(n_bits=64, k=1, exact=True)
+    exact.add(keys)
+    assert not exact.contains(probe).any()  # exact mode must not
+    assert exact.contains(keys).all()
+    # offer honors exactness too: a fresh key is always admitted
+    fresh = np.setdiff1d(
+        np.unique(rng.integers(1, 2**63, 300, dtype=np.uint64)), keys)
+    assert exact.offer(fresh).all()

@@ -331,3 +331,21 @@ def pa_from_pandas(df):
     import pyarrow as pa
 
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def test_header_injection_sanitized():
+    from cdx_toolkit_ray.pipelines.warcbytes import (parse_warc,
+                                                     render_warc_record)
+
+    evil = "http://h/x\r\nWARC-Type: warcinfo\r\n\r\nforged"
+    rec = render_warc_record(
+        "response",
+        [("WARC-Target-URI", evil),
+         ("WARC-Date", "2023-01-01T00:00:00Z")],
+        b"HTTP/1.1 200 OK\r\n\r\nbody")
+    parsed = parse_warc(rec)
+    assert len(parsed) == 1
+    assert parsed[0]["warc_type"] == "response"
+    uri = parsed[0]["headers"]["WARC-Target-URI"]
+    assert "\r" not in uri and "\n" not in uri
+    assert "%0D%0AWARC-Type" in uri  # encoded, not interpreted
