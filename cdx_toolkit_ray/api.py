@@ -64,12 +64,10 @@ class CaptureObject(MutableMapping):
             # span from the WARC segment (reference warc.py:123-137 —
             # Range GET on warc_download_prefix/filename), then parse
             # the one record inside
-            import os as _os
-
             from .pipelines.warcbytes import fetch_record_range
 
             rec = fetch_record_range(
-                _os.path.join(self._warc_dir, self.data["filename"]),
+                os.path.join(self._warc_dir, self.data["filename"]),
                 int(self.data["offset"]), int(self.data["length"]))
             body = rec["content"]
             sep = body.find(b"\r\n\r\n")
@@ -150,23 +148,29 @@ class _LazyContentIndex:
     the key never load) with a small LRU memo. Last row wins, matching
     the dict path's on-disk-order semantics."""
 
+    _MISS = object()  # sentinel: a cached miss, independent of default
+
     def __init__(self, pages_path: str, memo_size: int = 256):
+        from collections import OrderedDict
+
         self.pages_path = pages_path
         self.memo_size = memo_size
-        self._memo: dict = {}
+        self._memo: "OrderedDict" = OrderedDict()
 
     def get(self, url, default=None):
         if url is None:
             return default
         if url in self._memo:
-            return self._memo[url]
+            self._memo.move_to_end(url)  # true LRU: hits refresh
+            val = self._memo[url]
+            return default if val is self._MISS else val
         t = pq.read_table(self.pages_path, columns=["html"],
                           filters=[("url", "==", url)])
-        val = t["html"][-1].as_py() if t.num_rows else default
+        val = t["html"][-1].as_py() if t.num_rows else self._MISS
         if len(self._memo) >= self.memo_size:
-            self._memo.pop(next(iter(self._memo)))
+            self._memo.popitem(last=False)
         self._memo[url] = val
-        return val
+        return default if val is self._MISS else val
 
 
 class CDXFetcher:

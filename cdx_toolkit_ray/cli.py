@@ -261,10 +261,35 @@ def warcer(cmd, out=None) -> None:
         writer = get_writer(cmd.prefix, cmd.subprefix, info, size=cmd.size)
     if cmd.crawl:
         kwargs["crawl"] = [cmd.crawl]
+    if cmd.source:
+        # --source names an arbitrary single-endpoint table: pywb
+        # dialect, NO crawl-partition listing and NO cc time-window
+        # defaults (the reference's --source contract)
+        kwargs["source"] = "custom"
     ds = extract_content(cmd.captures_root, cmd.pages, url=cmd.url,
                          url_fgrep=cmd.url_fgrep,
                          url_fgrepv=cmd.url_fgrepv,
                          cc_sort=cmd.cc_sort, **kwargs)
+    if cmd.wb:
+        # wayback-replay WARC-Source-URI stamping ("{wb}/{ts}id_/{url}",
+        # the api.fetch_warc_record form) — makes --wb observable on
+        # the warc path, not only through the CDXFetcher API
+        import numpy as np
+        import pyarrow as pa
+
+        wb_prefix = cmd.wb
+
+        def stamp(batch: pa.Table) -> pa.Table:
+            ts = batch["timestamp"].to_numpy(zero_copy_only=False) \
+                .astype(str)
+            u = batch["url"].to_numpy(zero_copy_only=False).astype(str)
+            uri = np.char.add(np.char.add(
+                wb_prefix + "/", ts), np.char.add("id_/", u))
+            return batch.append_column(
+                "warc_source_uri", pa.array(uri.tolist(), pa.string()))
+
+        ds = ds.map_batches(stamp, batch_format="pyarrow",
+                            batch_size=None)
     written = writer.write_dataset(ds)
     LOGGER.info("wrote %d segments", len(written))
 
@@ -332,7 +357,9 @@ def curator(cmd, out=None) -> None:
     ds.write_parquet(cmd.out)
     import pyarrow.parquet as pq
 
-    got = pq.read_table(cmd.out)
+    # summary from the one needed column — never re-read the full
+    # mixture table onto the driver
+    got = pq.read_table(cmd.out, columns=["n_tok"])
     n_tok = sum(got["n_tok"].to_pylist())
     print(json.dumps({"rows": got.num_rows, "tokens": int(n_tok),
                       "out": cmd.out}, sort_keys=True),

@@ -242,7 +242,11 @@ class SegmentedWARCWriter:
                 self.write_record({
                     "warc_type": "response",
                     "warc_target_uri": row.get("url"),
-                    "warc_source_uri": row.get("filename"),
+                    # an explicit warc_source_uri column (the wb
+                    # replay form the CLI --wb flag appends) wins
+                    # over the bare capture filename
+                    "warc_source_uri": row.get("warc_source_uri")
+                    or row.get("filename"),
                     "payload": payload or b"",
                     "status": row.get("status"),
                     "mime": row.get("mime"),

@@ -197,6 +197,12 @@ def query_captures(captures_root: str, url: str | None = None,
             need.add("timestamp")
         for cf in matcher.compiled:
             need.add(cf.field)
+        # sort keys: the per-partition (urlkey, timestamp) resort and
+        # the closest ranking sort reference these columns at
+        # execution — omitting them from the pruned read fails the
+        # whole query downstream
+        if resort or closest is not None:
+            need.update(("urlkey", "timestamp"))
         read_columns = sorted(need)
 
     # The iteration-order contract (ascending within crawl, crawls
@@ -289,9 +295,16 @@ def size_estimate(captures_root: str, url: str | None = None,
     per_crawl = []
     for d in part_dirs:
         if unfiltered:
-            # metadata-only count: no scan at all
-            n = sum(pq.read_metadata(os.path.join(d, f)).num_rows
-                    for f in os.listdir(d) if f.endswith(".parquet"))
+            # metadata-only count: no scan at all. Handles every shape
+            # a partition "dir" can take: a single parquet FILE (a
+            # --source custom table), a flat directory, or a nested
+            # hive layout (recursive walk).
+            if os.path.isfile(d):
+                n = pq.read_metadata(d).num_rows
+            else:
+                n = sum(pq.read_metadata(os.path.join(root_, f)).num_rows
+                        for root_, _, files in os.walk(d)
+                        for f in files if f.endswith(".parquet"))
         else:
             # distributed column-pruned count (never drags rows to the
             # driver; a 100 GB partition counts in parallel tasks)

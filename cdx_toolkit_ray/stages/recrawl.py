@@ -546,6 +546,14 @@ def revisit_resolve(ds: ray.data.Dataset, *, key_col: str = "urlkey",
         ("refers_to_digest", pa.string()), ("anomaly", pa.string())])
 
     def keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # rows without a urlkey or timestamp cannot participate in
+        # linking (and None breaks the object-array lexsort) — drop
+        # them here, matching the oracle's inner-join semantics
+        ok = pc.and_(pc.is_valid(batch[key_col]),
+                     pc.is_valid(batch[ts_col]))
+        batch = batch.filter(ok)
         kb = (hash64_batch(batch[key_col]) % nbu).astype(np.int64)
         return pa.table({
             "_kb": pa.array(kb, pa.int64()),
@@ -564,7 +572,13 @@ def revisit_resolve(ds: ray.data.Dataset, *, key_col: str = "urlkey",
         u = tbl["url"].to_numpy(zero_copy_only=False)
         mm = tbl["mime"].to_numpy(zero_copy_only=False)
         dg = tbl["dig"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ts, k))
+        # within an equal (key, ts) tie, revisits sort BEFORE
+        # responses so the at-or-before scan below implements the
+        # STRICTLY-earlier rule (oracle: p.timestamp < r.timestamp) —
+        # without the flag, a same-timestamp response would resolve
+        # the revisit or not depending on input row order
+        resp0 = (mm != "warc/revisit").astype(np.int8)
+        order = np.lexsort((resp0, ts, k))
         k, ts, u, mm, dg = (k[order], ts[order], u[order], mm[order],
                             dg[order])
         n = len(k)
@@ -636,6 +650,25 @@ def revisit_generate(ds: ray.data.Dataset, *, digest_col: str = "digest",
         db = (hash64_batch(batch[digest_col]) % nb).astype(np.int64)
         return out.append_column("_db", pa.array(db))
 
+    def split_null_digest(batch: pa.Table) -> pa.Table:
+        """A null digest means CONTENT UNKNOWN — such captures must
+        never group as identical content (they would rewrite unrelated
+        pages into revisits of each other = content loss). They pass
+        through as stored responses."""
+        import pyarrow.compute as pc
+
+        nul = batch.filter(pc.is_null(batch[digest_col]))
+        n = nul.num_rows
+        return pa.table({
+            "urlkey": nul[key_col].cast(pa.string()),
+            "timestamp": nul[ts_col].cast(pa.string()),
+            "url": nul[url_col].cast(pa.string()),
+            "digest": nul[digest_col].cast(pa.string()),
+            "kind": pa.array(["response"] * n, pa.string()),
+            "refers_to_url": pa.array([None] * n, pa.string()),
+            "refers_to_ts": pa.array([None] * n, pa.string()),
+        })
+
     def per_digest(tbl: pa.Table) -> pa.Table:
         import polars as pl
 
@@ -664,7 +697,18 @@ def revisit_generate(ds: ray.data.Dataset, *, digest_col: str = "digest",
             .cast(pa.string()),
         })
 
-    tagged = ds.select_columns([key_col, ts_col, url_col, digest_col]) \
-        .map_batches(tag, batch_format="pyarrow", batch_size=None)
-    return hash_bucket_apply(tagged, "_db", per_digest,
-                             num_buckets=num_buckets)
+    narrow = ds.select_columns([key_col, ts_col, url_col, digest_col])
+
+    def tag_nonnull(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tag(batch.filter(pc.is_valid(batch[digest_col])))
+
+    tagged = narrow.map_batches(tag_nonnull, batch_format="pyarrow",
+                                batch_size=None)
+    grouped = hash_bucket_apply(tagged, "_db", per_digest,
+                                num_buckets=num_buckets)
+    passthrough = narrow.map_batches(split_null_digest,
+                                     batch_format="pyarrow",
+                                     batch_size=None)
+    return grouped.union(passthrough)

@@ -209,3 +209,28 @@ def test_preserve_order_scoped_to_query(fixture_dir):
     fresh = ray.data.range(4)
     assert fresh.context.execution_options.preserve_order is False
     assert ds.count() == 5  # still executes with ordering intact
+
+
+def test_pushdown_keeps_sort_keys(ray_session, fixture_dir):
+    """fields= pruning must still read the resort/closest sort keys."""
+    from cdx_toolkit_ray.sources.captures import query_captures
+
+    root = fixture_dir["captures"]
+    out = query_captures(root, url="*.big-portal.example",
+                         from_ts="2021", to="2024",
+                         fields=["url"], resort=True).to_pandas()
+    assert len(out) > 0
+    out2 = query_captures(root, url=None, closest="20220601000000",
+                          from_ts="2021", to="2024", limit=5,
+                          fields=["url"]).to_pandas()
+    assert len(out2) > 0
+
+
+def test_size_estimate_on_file_source(ray_session, fixture_dir):
+    """A --source FILE table (no crawl= partitions) must estimate via
+    parquet metadata, not crash on os.listdir."""
+    from cdx_toolkit_ray.sources.captures import size_estimate
+
+    pages = fixture_dir["pages"]  # a single parquet FILE
+    n = size_estimate(pages, source="custom")
+    assert n > 0

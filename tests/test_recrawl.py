@@ -320,3 +320,70 @@ def test_revisit_generate_ts_tie_breaks_on_urlkey(ray_session):
         .to_pandas().set_index("urlkey")
     assert out.loc["ka", "kind"] == "response"
     assert out.loc["kb", "refers_to_url"] == "ua"
+
+
+def test_revisit_resolve_same_timestamp_is_orphan(ray_session):
+    """Strictly-earlier rule: a response at the SAME timestamp must
+    not resolve the revisit, regardless of input row order."""
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.recrawl import revisit_resolve
+
+    rows = {
+        "urlkey": pa.array(["k", "k"], pa.string()),
+        "timestamp": pa.array(["20220101000000"] * 2, pa.string()),
+        "url": pa.array(["u1", "u2"], pa.string()),
+        "mime": pa.array(["text/html", "warc/revisit"], pa.string()),
+        "digest": pa.array(["D", "-"], pa.string()),
+    }
+    for order in ([0, 1], [1, 0]):
+        t = pa.table({c: v.take(order) for c, v in rows.items()})
+        out = revisit_resolve(ray.data.from_arrow(t),
+                              num_buckets=2).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0].anomaly == "revisit_orphan"
+
+
+def test_revisit_resolve_null_keys_dropped(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.recrawl import revisit_resolve
+
+    t = pa.table({
+        "urlkey": pa.array([None, "k", "k"], pa.string()),
+        "timestamp": pa.array(["20220101000000", "20220101000000",
+                               "20220102000000"], pa.string()),
+        "url": pa.array(["u0", "u1", "u2"], pa.string()),
+        "mime": pa.array(["warc/revisit", "text/html",
+                          "warc/revisit"], pa.string()),
+        "digest": pa.array(["-", "D", "-"], pa.string()),
+    })
+    out = revisit_resolve(ray.data.from_arrow(t),
+                          num_buckets=2).to_pandas()
+    assert len(out) == 1  # the null-key revisit is dropped, not fatal
+    assert out.iloc[0].refers_to_digest == "D"
+
+
+def test_revisit_generate_null_digests_pass_through(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.recrawl import revisit_generate
+
+    t = pa.table({
+        "urlkey": pa.array(["a", "b", "c"], pa.string()),
+        "timestamp": pa.array(["20220101000000", "20220102000000",
+                               "20220103000000"], pa.string()),
+        "url": pa.array(["ua", "ub", "uc"], pa.string()),
+        "digest": pa.array([None, None, "D"], pa.string()),
+    })
+    out = revisit_generate(ray.data.from_arrow(t),
+                           num_buckets=2).to_pandas() \
+        .set_index("urlkey")
+    # unknown-content captures never collapse into each other
+    assert out.loc["a", "kind"] == "response"
+    assert out.loc["b", "kind"] == "response"
+    assert out.loc["b", "refers_to_url"] is None
+    assert out.loc["c", "kind"] == "response"
