@@ -864,6 +864,107 @@ def q_seed_expansion(sf_dir: str):
         expand, batch_format="pyarrow", batch_size=None)
 
 
+def q_sitemap_parse(sf_dir: str):
+    """Sitemap render -> parse roundtrip over the derived seed set:
+    per-host ``<urlset>`` XML assembled with one host-bucket exchange
+    (entries ordered by seed_order, chunked at 20/file so the
+    sitemaps.org 50k cap path actually splits), then parsed back to
+    ``(host, part, url, lastmod)`` rows. Render escapes the five XML
+    entities (seed URLs carry ``&`` query strings) and parse
+    unescapes, so the oracle — ground truth stated directly from the
+    seed formula, the parse_robots non-circularity pattern — checks
+    ``parse ∘ render == identity`` including escaping and the
+    optional-``<lastmod>`` null path (every 5th doc omits it)."""
+    from .stages.sitemap import parse_sitemaps, render_sitemaps
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mm = doc_id % 12 + 1
+        dd = doc_id % 28 + 1
+        lm = np.array(["2023-%02d-%02d" % (m, d)
+                       for m, d in zip(mm, dd)], dtype=object)
+        lm[doc_id % 5 == 0] = None
+        host = (pl.from_arrow(batch["url"].combine_chunks()
+                              .cast(pa.string()))
+                .str.extract(r"^https?://([^/]+)", 1))
+        return pa.table({
+            "host": host.to_arrow().cast(pa.string()),
+            "url": batch["url"],
+            "seed_order": batch["seed_order"],
+            "lastmod": pa.array(lm, pa.string()),
+        })
+
+    ds = derived_seeds(sf_dir).map_batches(prep, batch_format="pyarrow",
+                                           batch_size=None)
+    sm = render_sitemaps(ds, max_per_sitemap=20)
+    return parse_sitemaps(sm)
+
+
+def q_sitemap_discovery(sf_dir: str):
+    """The crawler's sitemap-discovery chain end-to-end: rendered
+    robots.txt bodies -> ``Sitemap:`` line extraction (case-
+    insensitive, vectorized) -> each named sitemap "fetched" (rendered
+    deterministically: the host root plus ``/new/{k}`` for
+    ``k < len(host) % 3`` — the test double for a transport pull) ->
+    XML parse back to frontier candidate rows. The sitemap-url map is
+    O(hosts) and broadcast once (``ray.put``), the robots-gate
+    small-side pattern; at 10^8-host scale it would take the same
+    budget auto-select the robots gate has. Output:
+    ``(host, sitemap_url, part, url, lastmod)`` with lastmod null
+    (discovery sitemaps carry no dates — exercises the optional-tag
+    parse path)."""
+    from .pipelines.frontier import render_robots_txt
+    from .stages.sitemap import (extract_sitemap_urls_batch,
+                                 parse_sitemaps, render_sitemaps)
+
+    root = _fixture_root(sf_dir)
+    robots = ray.data.read_parquet(root + "/robots.parquet")
+    raw = robots.map_batches(render_robots_txt, batch_format="pyarrow",
+                             batch_size=None)
+    sm_urls = raw.map_batches(extract_sitemap_urls_batch,
+                              batch_format="pyarrow", batch_size=None)
+    # O(hosts) rows — small-side broadcast, documented above
+    sm_map = {r["host"]: r["sitemap_url"] for r in sm_urls.take_all()}
+    sm_ref = ray.put(sm_map)
+
+    def entries(batch: pa.Table) -> pa.Table:
+        hosts, urls, ks = [], [], []
+        for h in batch["host"].to_pylist():
+            cand = ["https://%s/" % h] + [
+                "https://%s/new/%d" % (h, k)
+                for k in range(len(h) % 3)]
+            hosts += [h] * len(cand)
+            urls += cand
+            ks += list(range(len(cand)))
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "url": pa.array(urls, pa.string()),
+                         "k": pa.array(ks, pa.int64())})
+
+    ent = sm_urls.map_batches(entries, batch_format="pyarrow",
+                              batch_size=None)
+    parsed = parse_sitemaps(render_sitemaps(
+        ent, lastmod_col=None, order_col="k"))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(sm_ref)
+        su = [m.get(h) for h in batch["host"].to_pylist()]
+        return pa.table({
+            "host": batch["host"].combine_chunks().cast(pa.string()),
+            "sitemap_url": pa.array(su, pa.string()),
+            "part": batch["part"],
+            "url": batch["url"],
+            "lastmod": batch["lastmod"],
+        })
+
+    return parsed.map_batches(attach, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def q_ip_politeness(sf_dir: str):
     """Shared-hosting politeness: budgets keyed by IP, not hostname —
     hosts behind one IP (shared hosting, CDN edge) share a single
@@ -4070,6 +4171,40 @@ SELECT doc_id, url, 'https://' || host || '/' AS candidate,
        'https_upgrade' AS kind
 FROM p WHERE scheme = 'http://'
 """,
+    # parse ∘ render == identity: ground truth stated directly from
+    # the seed formula (non-circular, the parse_robots pattern); part
+    # numbering replicates the 20-per-file chunk rule.
+    "sitemap_parse": "WITH " + _SEEDS_CTE + r""",
+p AS (
+  SELECT host, url,
+         CASE WHEN doc_id % 5 = 0 THEN NULL
+              ELSE '2023-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                   || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         END AS lastmod,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1 AS rn
+  FROM seeds)
+SELECT host, CAST(rn // 20 AS BIGINT) AS part, url, lastmod FROM p
+""",
+    # robots -> Sitemap: line -> rendered sitemap -> parse; truth is
+    # the closed-form candidate set per robots host.
+    "sitemap_discovery": """
+WITH r AS (SELECT host FROM read_parquet('%s/robots.parquet')),
+e AS (
+  SELECT host,
+         'https://' || host || '/sitemap.xml' AS sitemap_url,
+         unnest(list_concat(
+             ['https://' || host || '/'],
+             CASE WHEN strlen(host) %% 3 = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(
+                      generate_series(0, strlen(host) %% 3 - 1),
+                      k -> 'https://' || host || '/new/' || k) END))
+           AS url
+  FROM r)
+SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
+       CAST(NULL AS VARCHAR) AS lastmod
+FROM e
+""" % _FIXTURE_LINK,
     "ip_politeness": ("WITH " + _SEEDS_CTE + """,
 dd AS (
   SELECT *,
@@ -5664,6 +5799,8 @@ QUERIES = {
     "kll_quantiles_exact": q_kll_quantiles_exact,
     "ip_politeness": q_ip_politeness,
     "seed_expansion": q_seed_expansion,
+    "sitemap_parse": q_sitemap_parse,
+    "sitemap_discovery": q_sitemap_discovery,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -5782,6 +5919,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # land inside the driver's ~50-entry recording window (composites and
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
+    "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "
     "ccnet_mixture png_roundtrip strip_tracking kll_quantiles_exact ip_politeness seed_expansion "
