@@ -412,6 +412,10 @@ def main() -> None:
             # -> line dedup -> gate -> budget mixture in one chain)
             ("corpus_pipeline",
              lambda: consume(Q.q_corpus_pipeline(SF_DIR))),
+            # round 3 continuation: sitemap roundtrip (host-bucket XML
+            # assembly + vectorized urlset parse)
+            ("sitemap_parse",
+             lambda: consume(Q.q_sitemap_parse(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the
