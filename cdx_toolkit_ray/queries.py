@@ -965,6 +965,47 @@ def q_sitemap_discovery(sf_dir: str):
                               batch_size=None)
 
 
+def derive_redirects_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id) -> redirect edges (url, redirect): chains of
+    up to 7 hops stepping doc_id-1 inside each block of 8 (terminal at
+    doc_id % 8 == 0), except every 48th doc redirects UP to doc_id+2 —
+    a 3-cycle (d -> d+2 -> d+1 -> d) whose members and upstream chains
+    must exhaust the hop cap. Near the table edge, u(d+2) may not
+    exist as a source: terminal by absence, the off-corpus case."""
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def u(x: np.ndarray) -> np.ndarray:
+        return np.char.add(np.char.add(
+            np.char.add("http://h", (x % 10).astype(str)),
+            ".example/r/"), x.astype(str))
+
+    url = u(d)
+    red = np.where(d % 48 == 0, u(d + 2),
+                   np.where(d % 8 != 0, u(d - 1), ""))
+    red_arr = pa.array(
+        [r if r else None for r in red.tolist()], pa.string())
+    return pa.table({"url": pa.array(url.tolist(), pa.string()),
+                     "redirect": red_arr})
+
+
+def q_resolve_redirects(sf_dir: str):
+    """Redirect-chain resolution (the corpus-scale twin of the
+    reference's per-record redirect following, myrequests.py:57-166 /
+    warc.py:19-20): every url resolves to its terminal target via
+    pointer doubling — O(log chain) self-join rounds over the narrow
+    (url, cur, hops) state, hop-capped at 20 so cycles and over-long
+    chains flag ``resolved=false`` instead of looping. The derived
+    edge set exercises 0-7 hop chains, a 3-cycle with upstream
+    feeders, and terminal-by-absence targets past the table edge."""
+    from .stages.redirects import resolve_redirects
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    edges = ds.map_batches(derive_redirects_batch, batch_format="pyarrow",
+                           batch_size=None)
+    return resolve_redirects(edges, max_hops=20)
+
+
 def q_ip_politeness(sf_dir: str):
     """Shared-hosting politeness: budgets keyed by IP, not hostname —
     hosts behind one IP (shared hosting, CDN edge) share a single
@@ -4205,6 +4246,35 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # redirect-chain resolution: walk the functional redirect graph by
+    # recursive CTE under the same hop cap; a url resolves iff some
+    # derivation within the cap lands on a non-redirecting target
+    # (off-corpus targets are terminal by absence, NOT EXISTS).
+    "resolve_redirects": r"""
+WITH RECURSIVE edges AS (
+  SELECT 'http://h' || (doc_id % 10) || '.example/r/' || doc_id AS url,
+         CASE WHEN doc_id % 48 = 0
+                THEN 'http://h' || ((doc_id + 2) % 10) || '.example/r/'
+                     || (doc_id + 2)
+              WHEN doc_id % 8 <> 0
+                THEN 'http://h' || ((doc_id - 1) % 10) || '.example/r/'
+                     || (doc_id - 1)
+         END AS redirect
+  FROM documents),
+walk AS (
+  SELECT url AS src, url AS cur, 0 AS hops FROM edges
+  UNION ALL
+  SELECT w.src, e.redirect, w.hops + 1
+  FROM walk w JOIN edges e ON e.url = w.cur
+  WHERE e.redirect IS NOT NULL AND w.hops < 20),
+term AS (
+  SELECT w.src, w.cur, w.hops FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.url = w.cur AND e.redirect IS NOT NULL))
+SELECT e.url, t.cur AS final_url, CAST(t.hops AS BIGINT) AS hops,
+       t.hops IS NOT NULL AS resolved
+FROM edges e LEFT JOIN term t ON t.src = e.url
+""",
     "ip_politeness": ("WITH " + _SEEDS_CTE + """,
 dd AS (
   SELECT *,
@@ -5801,6 +5871,7 @@ QUERIES = {
     "seed_expansion": q_seed_expansion,
     "sitemap_parse": q_sitemap_parse,
     "sitemap_discovery": q_sitemap_discovery,
+    "resolve_redirects": q_resolve_redirects,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -5919,7 +5990,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # land inside the driver's ~50-entry recording window (composites and
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
-    "sitemap_parse sitemap_discovery "
+    "resolve_redirects sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "
     "ccnet_mixture png_roundtrip strip_tracking kll_quantiles_exact ip_politeness seed_expansion "
