@@ -988,6 +988,53 @@ def derive_redirects_batch(batch: pa.Table) -> pa.Table:
                      "redirect": red_arr})
 
 
+def derive_robots_urls_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id) -> frontier candidates (doc_id, host, path):
+    ten hosts (k = doc_id//30 % 10, decoupled from the path stem so
+    every rule family actually fires), /p/ and /t/ sections, and a
+    .tmp extension every 7th doc for the $-anchor rule."""
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = (d // 30) % 10
+    host = np.char.add(np.char.add("h", k.astype(str)), ".example")
+    base = np.where(d % 3 != 0, "/p/", "/t/")
+    ext = np.where(d % 7 == 0, ".tmp", "")
+    path = np.char.add(np.char.add(base.astype(str),
+                                   (d % 30).astype(str)), ext.astype(str))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "host": pa.array(host.tolist(), pa.string()),
+                     "path": pa.array(path.tolist(), pa.string())})
+
+
+def q_robots_wildcard(sf_dir: str):
+    """RFC 9309 wildcard robots matching (stages/robotsmatch.py): the
+    Allow/Disallow dialect with ``*`` and ``$`` and longest-match
+    precedence the frontier's prefix-only gate (reference analog:
+    politeness constants, myrequests.py:23-54) does not speak. Per
+    host hK the rule set exercises star-prefix disallow (/p/K*), a
+    longer allow override (/p/K0*), a leading-star end-anchor
+    (*.tmp$), and an exact allow/disallow tie (/t/K* both ways —
+    allow wins). Urls no rule matches default to allowed with a null
+    winning rule."""
+    from .stages.robotsmatch import robots_wildcard_gate
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    urls = ds.map_batches(derive_robots_urls_batch,
+                          batch_format="pyarrow", batch_size=None)
+    rule_rows = []
+    for k in range(10):
+        h = "h%d.example" % k
+        rule_rows += [
+            {"host": h, "rule": "/p/%d*" % k, "allow": False},
+            {"host": h, "rule": "/p/%d0*" % k, "allow": True},
+            {"host": h, "rule": "*.tmp$", "allow": False},
+            {"host": h, "rule": "/t/%d*" % k, "allow": True},
+            {"host": h, "rule": "/t/%d*" % k, "allow": False},
+        ]
+    rules = ray.data.from_arrow(pa.Table.from_pylist(rule_rows))
+    return robots_wildcard_gate(urls, rules, keep_cols=("doc_id",))
+
+
 def q_resolve_redirects(sf_dir: str):
     """Redirect-chain resolution (the corpus-scale twin of the
     reference's per-record redirect following, myrequests.py:57-166 /
@@ -4246,6 +4293,42 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # RFC 9309 wildcard matching: rule -> anchored regex in SQL
+    # (escape '.', expand '*', re-anchor a trailing '$'), longest
+    # match wins, allow wins ties, no match -> allowed.
+    "robots_wildcard": r"""
+WITH u AS (
+  SELECT doc_id,
+         'h' || ((doc_id // 30) % 10) || '.example' AS host,
+         (CASE WHEN doc_id % 3 <> 0 THEN '/p/' ELSE '/t/' END)
+           || (doc_id % 30)
+           || (CASE WHEN doc_id % 7 = 0 THEN '.tmp' ELSE '' END) AS path
+  FROM documents),
+ks AS (SELECT unnest(generate_series(0, 9)) AS k),
+r AS (
+  SELECT 'h' || k || '.example' AS host, '/p/' || k || '*' AS rule,
+         FALSE AS allow FROM ks
+  UNION ALL SELECT 'h' || k || '.example', '/p/' || k || '0*', TRUE FROM ks
+  UNION ALL SELECT 'h' || k || '.example', '*.tmp$', FALSE FROM ks
+  UNION ALL SELECT 'h' || k || '.example', '/t/' || k || '*', TRUE FROM ks
+  UNION ALL SELECT 'h' || k || '.example', '/t/' || k || '*', FALSE FROM ks),
+m AS (
+  SELECT u.doc_id, r.rule, r.allow,
+         row_number() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY strlen(r.rule) DESC, r.allow DESC, r.rule ASC) AS rn
+  FROM u JOIN r ON r.host = u.host
+  WHERE regexp_matches(u.path,
+          '^' || replace(replace(
+              CASE WHEN r.rule LIKE '%$'
+                   THEN substr(r.rule, 1, strlen(r.rule) - 1)
+                   ELSE r.rule END,
+              '.', '\.'), '*', '.*')
+            || CASE WHEN r.rule LIKE '%$' THEN '$' ELSE '' END))
+SELECT u.doc_id, u.host, u.path,
+       coalesce(m.allow, TRUE) AS allowed, m.rule
+FROM u LEFT JOIN m ON m.doc_id = u.doc_id AND m.rn = 1
+""",
     # redirect-chain resolution: walk the functional redirect graph by
     # recursive CTE under the same hop cap; a url resolves iff some
     # derivation within the cap lands on a non-redirecting target
@@ -5872,6 +5955,7 @@ QUERIES = {
     "sitemap_parse": q_sitemap_parse,
     "sitemap_discovery": q_sitemap_discovery,
     "resolve_redirects": q_resolve_redirects,
+    "robots_wildcard": q_robots_wildcard,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -5990,7 +6074,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # land inside the driver's ~50-entry recording window (composites and
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
-    "resolve_redirects sitemap_parse sitemap_discovery "
+    "resolve_redirects robots_wildcard sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "
     "ccnet_mixture png_roundtrip strip_tracking kll_quantiles_exact ip_politeness seed_expansion "

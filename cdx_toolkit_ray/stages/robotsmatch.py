@@ -1,0 +1,148 @@
+"""RFC 9309 robots rule matching with wildcards and precedence.
+
+The frontier's robots gate (pipelines/frontier.py) implements the
+original REP the reference's politeness layer assumes: per-host
+Disallow PREFIXES only (reference myrequests.py treats robots policy
+as fixed per-host intervals; the gate adds prefix disallows).  RFC
+9309 §2.2.2-2.2.3 standardizes the richer dialect every major crawler
+speaks: ``Allow`` lines, ``*`` (any char sequence, including empty)
+and ``$`` (end anchor) inside rule paths, and the precedence rule —
+the LONGEST matching rule wins; on a length tie between an allow and
+a disallow, the least restrictive (allow) wins; a url no rule matches
+is allowed.
+
+This module evaluates that dialect vectorized:
+
+- each distinct rule pattern compiles ONCE to an anchored regex
+  (``re.escape`` per literal segment, ``*`` -> ``.*``, trailing
+  ``$`` -> ``$``), and is applied to all candidate paths in one
+  polars ``str.contains`` pass — the per-distinct-prefix-length loop
+  of the frontier gate, generalized to per-distinct-pattern;
+- the winner per url is one lexsort + run-length pass over the
+  candidate (row, -pattern_len, -allow, pattern) matches — no
+  per-url Python;
+- the rules table is the robots small side: broadcast once via
+  ``ray.put`` under the same assumption the frontier gate documents
+  (O(hosts x rules-per-host) rows).  Above that budget the same
+  kernel runs inside a host-bucket exchange (co-locate urls with
+  their host's rules) — the ``robots_gate_distributed`` shape; the
+  broadcast path is what fixture-scale and per-node rule caches use.
+
+Matching is against the url PATH (query string excluded here; RFC
+9309 matches path + optional query — pass paths with query attached
+if that behavior is wanted, the kernel is byte-based either way).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def compile_rule(pattern: str) -> str:
+    """REP rule path -> anchored regex string (rust-regex/RE2/Python
+    compatible: no backrefs, no lookaround).
+
+    ``*`` matches any sequence incl. empty; a ``$`` as the FINAL
+    character anchors the end (elsewhere ``$`` is literal, per the
+    REP's de-facto grammar); everything else is literal.
+    """
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(seg) for seg in body.split("*"))
+    return "^" + rx + ("$" if anchored else "")
+
+
+def robots_wildcard_gate(urls: ray.data.Dataset,
+                         rules: ray.data.Dataset, *,
+                         host_col: str = "host",
+                         path_col: str = "path",
+                         rule_col: str = "rule",
+                         allow_col: str = "allow",
+                         keep_cols: tuple[str, ...] = (),
+                         rules_budget_rows: int = 2_000_000
+                         ) -> ray.data.Dataset:
+    """urls(host, path, ...) x rules(host, rule, allow) ->
+    (host, path, *keep_cols, allowed: bool, rule: winning rule | null).
+
+    Precedence per RFC 9309: longest matching rule wins; allow wins a
+    length tie; deterministic rule-string tiebreak after that; no
+    match -> allowed with a null rule.
+    """
+    rule_rows = rules.select_columns([host_col, rule_col, allow_col]) \
+        .take_all()
+    if len(rule_rows) > rules_budget_rows:
+        raise ValueError(
+            "robots_wildcard_gate: %d rules exceed the broadcast budget "
+            "(%d) — route through a host-bucket exchange (the "
+            "robots_gate_distributed shape) instead" %
+            (len(rule_rows), rules_budget_rows))
+    # group by distinct pattern: one regex pass per pattern, host
+    # membership checked with a per-pattern host set
+    groups: dict[tuple[str, bool], set] = {}
+    for r in rule_rows:
+        groups.setdefault((r[rule_col], bool(r[allow_col])),
+                          set()).add(r[host_col])
+    compiled = [(pat, allow, compile_rule(pat), hosts)
+                for (pat, allow), hosts in sorted(groups.items())]
+    rules_ref = ray.put(compiled)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        rls = ray.get(rules_ref)
+        n = batch.num_rows
+        host = batch[host_col].to_numpy(zero_copy_only=False)
+        # row -> unique-host code once; per-pattern membership is then
+        # a small boolean gather, not a per-row Python loop
+        uhost, hinv = np.unique(host, return_inverse=True)
+        path_pl = pl.from_arrow(
+            batch[path_col].combine_chunks().cast(pa.string()))
+
+        cand_row, cand_len, cand_allow, cand_pat = [], [], [], []
+        for pat, allow, rx, hosts in rls:
+            uh_mask = np.fromiter((h in hosts for h in uhost), bool,
+                                  len(uhost))
+            if not uh_mask.any():
+                continue
+            in_host = uh_mask[hinv]
+            hits = path_pl.str.contains(rx).to_numpy() & in_host
+            idx = np.flatnonzero(hits)
+            if len(idx):
+                cand_row.append(idx)
+                cand_len.append(np.full(len(idx), len(pat), np.int64))
+                cand_allow.append(
+                    np.full(len(idx), 1 if allow else 0, np.int64))
+                cand_pat.append(np.full(len(idx), pat, dtype=object))
+
+        allowed = np.ones(n, bool)
+        win_rule = np.full(n, None, dtype=object)
+        if cand_row:
+            row = np.concatenate(cand_row)
+            ln = np.concatenate(cand_len)
+            al = np.concatenate(cand_allow)
+            pt = np.concatenate(cand_pat)
+            order = np.lexsort((pt.astype(str), -al, -ln, row))
+            rs = row[order]
+            first = np.ones(len(rs), bool)
+            first[1:] = rs[1:] != rs[:-1]
+            sel = order[first]
+            allowed[row[sel]] = al[sel] == 1
+            win_rule[row[sel]] = pt[sel]
+
+        out = {host_col: batch[host_col], path_col: batch[path_col]}
+        for c in keep_cols:
+            out[c] = batch[c]
+        out["allowed"] = pa.array(allowed)
+        out["rule"] = pa.array(win_rule.tolist(), pa.string())
+        return pa.table(out)
+
+    return urls.map_batches(gate, batch_format="pyarrow",
+                            batch_size=None)

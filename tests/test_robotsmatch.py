@@ -1,0 +1,81 @@
+"""RFC 9309 wildcard robots matching: rule compilation, precedence
+truth table, tie semantics, defaults, broadcast budget."""
+
+import pyarrow as pa
+import pytest
+
+
+def test_compile_rule_translation():
+    import re
+
+    from cdx_toolkit_ray.stages.robotsmatch import compile_rule
+
+    cases = [
+        # (pattern, path, matches)
+        ("/p/1*", "/p/13", True),
+        ("/p/1*", "/p/1", True),          # * matches empty
+        ("/p/1*", "/q/13", False),
+        ("*.tmp$", "/a/b.tmp", True),
+        ("*.tmp$", "/a/b.tmpx", False),   # $ anchors the end
+        ("*.tmp$", "/a.tmp/b", False),
+        ("/a.b", "/a.b", True),
+        ("/a.b", "/aXb", False),          # '.' is literal, not regex
+        ("/fish*.php$", "/fishheads/catfish.php", True),
+        ("/fish*.php$", "/fish.php?x=1", False),
+        ("/", "/anything", True),         # prefix match, not full
+    ]
+    for pat, path, want in cases:
+        rx = compile_rule(pat)
+        assert bool(re.search(rx, path)) == want, (pat, path, rx)
+
+
+def _gate(urls, rules, **kw):
+    import ray.data
+
+    from cdx_toolkit_ray.stages.robotsmatch import robots_wildcard_gate
+
+    u = ray.data.from_arrow(pa.Table.from_pylist(urls))
+    r = ray.data.from_arrow(pa.Table.from_pylist(rules))
+    return {(row["host"], row["path"]): (row["allowed"], row["rule"])
+            for row in robots_wildcard_gate(u, r, **kw).take_all()}
+
+
+RULES = [
+    {"host": "a", "rule": "/p/1*", "allow": False},
+    {"host": "a", "rule": "/p/10*", "allow": True},
+    {"host": "a", "rule": "*.tmp$", "allow": False},
+    {"host": "a", "rule": "/t/*", "allow": True},
+    {"host": "a", "rule": "/t/*", "allow": False},  # exact tie
+    {"host": "b", "rule": "/", "allow": False},     # b blocks all
+]
+
+
+def test_precedence_truth_table(ray_session):
+    urls = [{"host": "a", "path": p} for p in
+            ["/p/13", "/p/10", "/p/105", "/x/1", "/t/9", "/t/9.tmp",
+             "/p/10.tmp"]] + [{"host": "b", "path": "/p/13"}]
+    got = _gate(urls, RULES)
+    assert got[("a", "/p/13")] == (False, "/p/1*")
+    assert got[("a", "/p/10")] == (True, "/p/10*")     # longer allow wins
+    assert got[("a", "/p/105")] == (True, "/p/10*")
+    assert got[("a", "/x/1")] == (True, None)          # no rule -> allowed
+    assert got[("a", "/t/9")] == (True, "/t/*")        # tie -> allow wins
+    assert got[("a", "/t/9.tmp")] == (False, "*.tmp$")  # 6 beats 4
+    # same length (6), allow vs disallow -> allow wins the tie
+    assert got[("a", "/p/10.tmp")] == (True, "/p/10*")
+    assert got[("b", "/p/13")] == (False, "/")         # per-host isolation
+
+
+def test_keep_cols_and_empty_rules(ray_session):
+    urls = [{"host": "a", "path": "/x", "doc_id": 7}]
+    got = _gate(urls, [{"host": "z", "rule": "/", "allow": False}],
+                keep_cols=("doc_id",))
+    assert got[("a", "/x")] == (True, None)
+
+
+def test_rules_budget_raises(ray_session):
+    urls = [{"host": "a", "path": "/x"}]
+    rules = [{"host": "a", "rule": "/r%d" % i, "allow": False}
+             for i in range(5)]
+    with pytest.raises(ValueError, match="broadcast budget"):
+        _gate(urls, rules, rules_budget_rows=3)
