@@ -988,6 +988,39 @@ def derive_redirects_batch(batch: pa.Table) -> pa.Table:
                      "redirect": red_arr})
 
 
+def q_sitemap_index(sf_dir: str):
+    """Sitemap NESTING (sitemaps.org index protocol): per-host urlsets
+    chunked at 20 entries -> one ``<sitemapindex>`` per host naming
+    each chunk as ``https://{host}/sitemap-{part}.xml`` -> parsed back
+    to ``(host, sitemap_url)`` rows. The oracle states the ground
+    truth from the seed formula (hosts x ceil(count/20) parts) — the
+    chunk-count rule and the index roundtrip in one hash."""
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    from .stages.sitemap import (parse_sitemap_index_batch,
+                                 render_sitemap_index, render_sitemaps)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        host = (pl.from_arrow(batch["url"].combine_chunks()
+                              .cast(pa.string()))
+                .str.extract(r"^https?://([^/]+)", 1))
+        return pa.table({
+            "host": host.to_arrow().cast(pa.string()),
+            "url": batch["url"],
+            "seed_order": batch["seed_order"],
+        })
+
+    ds = derived_seeds(sf_dir).map_batches(prep, batch_format="pyarrow",
+                                           batch_size=None)
+    sm = render_sitemaps(ds, lastmod_col=None, max_per_sitemap=20)
+    idx = render_sitemap_index(sm)
+    return idx.map_batches(parse_sitemap_index_batch,
+                           batch_format="pyarrow", batch_size=None)
+
+
 def derive_robots_urls_batch(batch: pa.Table) -> pa.Table:
     """documents(doc_id) -> frontier candidates (doc_id, host, path):
     ten hosts (k = doc_id//30 % 10, decoupled from the path stem so
@@ -4293,6 +4326,18 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # sitemap index nesting: ground truth is hosts x ceil(n/20) chunk
+    # names stated from the seed formula (non-circular).
+    "sitemap_index": "WITH " + _SEEDS_CTE + """,
+c AS (SELECT host, count(*) AS n FROM seeds GROUP BY host),
+p AS (SELECT host,
+             unnest(generate_series(0, CAST((n - 1) // 20 AS INTEGER)))
+               AS part
+      FROM c)
+SELECT host,
+       'https://' || host || '/sitemap-' || part || '.xml' AS sitemap_url
+FROM p
+""",
     # RFC 9309 wildcard matching: rule -> anchored regex in SQL
     # (escape '.', expand '*', re-anchor a trailing '$'), longest
     # match wins, allow wins ties, no match -> allowed.
@@ -5956,6 +6001,7 @@ QUERIES = {
     "sitemap_discovery": q_sitemap_discovery,
     "resolve_redirects": q_resolve_redirects,
     "robots_wildcard": q_robots_wildcard,
+    "sitemap_index": q_sitemap_index,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6074,7 +6120,8 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # land inside the driver's ~50-entry recording window (composites and
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
-    "resolve_redirects robots_wildcard sitemap_parse sitemap_discovery "
+    "resolve_redirects robots_wildcard sitemap_index "
+    "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "
     "ccnet_mixture png_roundtrip strip_tracking kll_quantiles_exact ip_politeness seed_expansion "

@@ -185,6 +185,111 @@ def parse_sitemaps(ds: ray.data.Dataset, *,
         batch_format="pyarrow", batch_size=None)
 
 
+_IDX_HEADER = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+               '<sitemapindex '
+               'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">')
+_IDX_FOOTER = "</sitemapindex>\n"
+
+
+def render_sitemap_index(ds: ray.data.Dataset, *,
+                         host_col: str = "host",
+                         part_col: str = "part",
+                         scheme: str = "https",
+                         num_buckets: int = 32) -> ray.data.Dataset:
+    """(host, part, ...) rows — one per rendered sitemap file, i.e.
+    :func:`render_sitemaps` output — -> one ``<sitemapindex>`` XML
+    body per host naming every chunk as
+    ``{scheme}://{host}/sitemap-{part}.xml`` in part order (the
+    sitemaps.org nesting protocol for sites past the 50k-per-file
+    cap; robots.txt then names ONE url, the index).
+
+    Output: ``(host, n_sitemaps, index_xml)``. Same shape as
+    :func:`render_sitemaps`: one host-bucket exchange of the narrow
+    (host, part) projection, vectorized polars assembly per bucket.
+    """
+    from .exchange import hash_bucket_apply
+    from ..canon import hash64_batch
+
+    proj = ds.map_batches(
+        lambda b: b.select([host_col, part_col]).append_column(
+            "_bkt", pa.array(
+                hash64_batch(b[host_col].combine_chunks())
+                % np.uint64(num_buckets), pa.int64())),
+        batch_format="pyarrow", batch_size=None)
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        if tbl.num_rows == 0:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "n_sitemaps": pa.array([], pa.int64()),
+                             "index_xml": pa.array([], pa.string())})
+        df = (pl.from_arrow(tbl.drop_columns(["_bkt"]))
+              .sort([host_col, part_col])
+              .with_columns(
+                  entry="\n<sitemap><loc>" + pl.lit(scheme + "://")
+                  + _esc_expr(pl.col(host_col)) + "/sitemap-"
+                  + pl.col(part_col).cast(pl.String)
+                  + ".xml</loc></sitemap>"))
+        out = (df.group_by(host_col, maintain_order=True)
+               .agg(n_sitemaps=pl.len().cast(pl.Int64),
+                    body=pl.col("entry").str.join(""))
+               .with_columns(index_xml=pl.lit(_IDX_HEADER)
+                             + pl.col("body") + "\n"
+                             + pl.lit(_IDX_FOOTER))
+               .drop("body"))
+        t = out.to_arrow()
+        return pa.table({
+            "host": t[host_col].cast(pa.string()),
+            "n_sitemaps": t["n_sitemaps"].cast(pa.int64()),
+            "index_xml": t["index_xml"].cast(pa.string()),
+        })
+
+    return hash_bucket_apply(proj, "_bkt", merge,
+                             num_buckets=num_buckets)
+
+
+def parse_sitemap_index_batch(batch: pa.Table, *,
+                              xml_col: str = "index_xml",
+                              keep_cols: tuple = ("host",)
+                              ) -> pa.Table:
+    """One ``<sitemapindex>`` body per row -> one row per named
+    sitemap: ``keep_cols + (sitemap_url,)``.  Same tolerance contract
+    as :func:`parse_sitemap_batch`: blocks without a ``<loc>`` are
+    dropped, entities unescape."""
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    keep = [c for c in keep_cols if c in batch.column_names]
+    empty = pa.table(
+        {**{c: pa.array([], batch.schema.field(c).type) for c in keep},
+         "sitemap_url": pa.array([], pa.string())})
+    if batch.num_rows == 0:
+        return empty
+    df = (pl.from_arrow(batch.select(keep + [xml_col]))
+          .with_columns(_blk=pl.col(xml_col)
+                        .str.extract_all(r"(?s)<sitemap>.*?</sitemap>"))
+          .drop(xml_col)
+          .explode("_blk", empty_as_null=True)
+          .drop_nulls("_blk")
+          .with_columns(
+              sitemap_url=_unesc_expr(
+                  pl.col("_blk").str.extract(r"<loc>([^<]*)</loc>", 1)))
+          .drop("_blk")
+          .drop_nulls("sitemap_url"))
+    if df.height == 0:
+        return empty
+    t = df.to_arrow()
+    return pa.table(
+        {**{c: t[c].cast(batch.schema.field(c).type) for c in keep},
+         "sitemap_url": t["sitemap_url"].cast(pa.string())})
+
+
 def extract_sitemap_urls_batch(batch: pa.Table, *,
                                host_col: str = "host",
                                text_col: str = "robots_txt"

@@ -93,3 +93,53 @@ def test_extract_sitemap_lines():
     assert out["sitemap_url"].to_pylist() == [
         "https://a.example/sitemap.xml",
         "https://a.example/sitemap2.xml"]
+
+
+def test_sitemap_index_roundtrip(ray_session):
+    import ray.data
+
+    from cdx_toolkit_ray.stages.sitemap import (parse_sitemap_index_batch,
+                                                render_sitemap_index)
+
+    # two hosts, 3 and 1 chunks; parts arrive out of order
+    rows = [{"host": "b.example", "part": 2},
+            {"host": "a.example", "part": 0},
+            {"host": "b.example", "part": 0},
+            {"host": "b.example", "part": 1}]
+    idx = render_sitemap_index(
+        ray.data.from_arrow(pa.Table.from_pylist(rows))).take_all()
+    by_host = {r["host"]: r for r in idx}
+    assert by_host["b.example"]["n_sitemaps"] == 3
+    assert by_host["a.example"]["n_sitemaps"] == 1
+    xml = by_host["b.example"]["index_xml"]
+    assert xml.startswith('<?xml version="1.0"')
+    assert "<sitemapindex" in xml and xml.endswith("</sitemapindex>\n")
+    # part order inside the body
+    assert xml.index("sitemap-0.xml") < xml.index("sitemap-1.xml") \
+        < xml.index("sitemap-2.xml")
+
+    out = parse_sitemap_index_batch(pa.Table.from_pylist(idx))
+    got = sorted((r["host"], r["sitemap_url"])
+                 for r in out.to_pylist())
+    assert got == [
+        ("a.example", "https://a.example/sitemap-0.xml"),
+        ("b.example", "https://b.example/sitemap-0.xml"),
+        ("b.example", "https://b.example/sitemap-1.xml"),
+        ("b.example", "https://b.example/sitemap-2.xml")]
+
+
+def test_sitemap_index_parse_tolerance():
+    from cdx_toolkit_ray.stages.sitemap import parse_sitemap_index_batch
+
+    xml = ('<?xml version="1.0"?><sitemapindex>'
+           "<sitemap><bad/></sitemap>"  # no <loc> -> dropped
+           "<sitemap><loc>https://x.example/s&amp;1.xml</loc></sitemap>"
+           "</sitemapindex>")
+    out = parse_sitemap_index_batch(pa.table({
+        "host": pa.array(["x.example"], pa.string()),
+        "index_xml": pa.array([xml], pa.string())}))
+    assert out["sitemap_url"].to_pylist() == ["https://x.example/s&1.xml"]
+
+    empty = pa.table({"host": pa.array([], pa.string()),
+                      "index_xml": pa.array([], pa.string())})
+    assert parse_sitemap_index_batch(empty).num_rows == 0
