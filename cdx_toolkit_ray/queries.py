@@ -988,6 +988,69 @@ def derive_redirects_batch(batch: pa.Table) -> pa.Table:
                      "redirect": red_arr})
 
 
+def derive_policy_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id) -> pages with robots-policy annotations: a
+    meta-robots tag cycling through noindex / NoFollow (case test) /
+    'noindex, nofollow' / none / absent, plus three anchors — a
+    root-relative link, an absolute cross-host link, and a
+    rel='nofollow' link that must never be followed."""
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    metas = np.array([
+        "<meta name='robots' content='noindex'>",
+        "<meta name='robots' content='NoFollow'>",
+        "<meta name='robots' content='noindex, nofollow'>",
+        "<meta name='robots' content='none'>",
+        "",
+    ], dtype=object)
+    url = np.char.add(np.char.add(
+        np.char.add("http://s", (d % 10).astype(str)), ".example/pg/"),
+        d.astype(str))
+    meta = metas[d % 5]
+    links = np.char.add(np.char.add(np.char.add(np.char.add(
+        np.char.add(np.char.add(
+            "<a href='/l/", (d % 20).astype(str)), "'>x</a>"
+            "<a href='http://t"), (d % 7).astype(str)),
+        ".example/x'>y</a><a rel='nofollow' href='http://bad"),
+        (d % 3).astype(str)), ".example/'>z</a>")
+    html = [("<html><head>%s</head><body>%s</body></html>" % (m, l))
+            for m, l in zip(meta, links.tolist())]
+    return pa.table({"doc_id": batch["doc_id"],
+                     "url": pa.array(url.tolist(), pa.string()),
+                     "text": pa.array(html, pa.string())})
+
+
+def q_meta_robots(sf_dir: str):
+    """Page-level robots directives (the indexing/following half of
+    the robots protocol; robots.txt gates only fetching): parse the
+    meta-robots token list per page — comma-separated,
+    case-insensitive, ``none`` implies both flags, absent tag means
+    fully permissive. Ground truth stated from the derivation formula
+    (non-circular)."""
+    from .stages.links import parse_meta_robots_batch
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    pages = ds.map_batches(derive_policy_pages_batch,
+                           batch_format="pyarrow", batch_size=None)
+    return pages.map_batches(parse_meta_robots_batch,
+                             batch_format="pyarrow", batch_size=None)
+
+
+def q_nofollow_links(sf_dir: str):
+    """Policy-aware outlink harvest: extract_links minus everything a
+    crawler must not follow — all links of meta-nofollow pages plus
+    every rel='nofollow' anchor. One vectorized pass does meta parse,
+    tag harvest, rel token check, and URL resolution together."""
+    from .stages.links import followed_links_batch
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    pages = ds.map_batches(derive_policy_pages_batch,
+                           batch_format="pyarrow", batch_size=None)
+    return pages.map_batches(followed_links_batch,
+                             batch_format="pyarrow", batch_size=None)
+
+
 def q_sitemap_index(sf_dir: str):
     """Sitemap NESTING (sitemaps.org index protocol): per-host urlsets
     chunked at 20 entries -> one ``<sitemapindex>`` per host naming
@@ -4326,6 +4389,33 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # meta-robots: truth stated from the derivation formula — the
+    # content cycle is noindex / NoFollow / both / none / absent.
+    "meta_robots": """
+SELECT 'http://s' || (doc_id % 10) || '.example/pg/' || doc_id AS url,
+       (doc_id % 5) IN (0, 2, 3) AS noindex,
+       (doc_id % 5) IN (1, 2, 3) AS nofollow
+FROM documents
+""",
+    # policy-aware links: meta-nofollow pages (m in 1,2,3) emit no
+    # rows; others emit the resolved root-relative and absolute links;
+    # the rel='nofollow' anchor never appears.
+    "nofollow_links": """
+WITH p AS (
+  SELECT doc_id,
+         'http://s' || (doc_id % 10) || '.example' AS origin,
+         's' || (doc_id % 10) || '.example' AS origin_host
+  FROM documents WHERE (doc_id % 5) NOT IN (1, 2, 3))
+SELECT origin || '/pg/' || doc_id AS src_url,
+       origin || '/l/' || (doc_id % 20) AS dst_url,
+       origin_host AS dst_host
+FROM p
+UNION ALL
+SELECT origin || '/pg/' || doc_id,
+       'http://t' || (doc_id % 7) || '.example/x',
+       't' || (doc_id % 7) || '.example'
+FROM p
+""",
     # sitemap index nesting: ground truth is hosts x ceil(n/20) chunk
     # names stated from the seed formula (non-circular).
     "sitemap_index": "WITH " + _SEEDS_CTE + """,
@@ -6002,6 +6092,8 @@ QUERIES = {
     "resolve_redirects": q_resolve_redirects,
     "robots_wildcard": q_robots_wildcard,
     "sitemap_index": q_sitemap_index,
+    "meta_robots": q_meta_robots,
+    "nofollow_links": q_nofollow_links,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6120,7 +6212,8 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # land inside the driver's ~50-entry recording window (composites and
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
-    "resolve_redirects robots_wildcard sitemap_index "
+    "resolve_redirects robots_wildcard meta_robots nofollow_links "
+    "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "

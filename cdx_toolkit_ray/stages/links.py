@@ -657,6 +657,121 @@ def host_graph(links: ray.data.Dataset, *,
 # same caveat as HREF_RE: real HTML would widen this.
 ANCHOR_TAG_RE = r"<a href='[^']*'>[^<]*</a>"
 
+# meta-robots directive tag + rel-carrying anchor (fixture quote
+# convention, optional rel before href — same caveat as HREF_RE)
+META_ROBOTS_RE = r"<meta name='robots' content='([^']*)'>"
+_REL_ANCHOR_RE = r"<a (?:rel='[^']*' )?href='[^']*'>"
+
+_META_SCHEMA = pa.schema([("url", pa.string()),
+                          ("noindex", pa.bool_()),
+                          ("nofollow", pa.bool_())])
+
+
+def parse_meta_robots_batch(batch: pa.Table, url_col: str = "url",
+                            text_col: str = "text") -> pa.Table:
+    """Page-level robots directives -> ``(url, noindex, nofollow)``.
+
+    The ``<meta name=robots>`` tag is the page-granularity half of the
+    robots protocol (robots.txt gates FETCHING, the meta tag gates
+    INDEXING and link FOLLOWING — the crawler must fetch the page to
+    learn it). Directive grammar per the de-facto REP: the content
+    attribute is a comma-separated, case-insensitive token list;
+    ``noindex`` / ``nofollow`` set their flag, ``none`` sets both,
+    anything else (incl. ``all``) sets neither; a page without the
+    tag is fully permissive. One vectorized pass, zero shuffles.
+    """
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    if batch.num_rows == 0:
+        return _META_SCHEMA.empty_table()
+    df = pl.from_arrow(batch.select([url_col, text_col]))
+    if url_col != "url":
+        df = df.rename({url_col: "url"})
+    toks = (pl.col(text_col).str.extract(META_ROBOTS_RE, 1)
+            .str.to_lowercase().str.split(",")
+            .list.eval(pl.element().str.strip_chars()))
+    df = (df.with_columns(_t=toks)
+          .with_columns(
+              noindex=pl.col("_t").list.contains("noindex")
+              | pl.col("_t").list.contains("none"),
+              nofollow=pl.col("_t").list.contains("nofollow")
+              | pl.col("_t").list.contains("none"))
+          .with_columns(noindex=pl.col("noindex").fill_null(False),
+                        nofollow=pl.col("nofollow").fill_null(False))
+          .drop([text_col, "_t"]))
+    return df.to_arrow().select(["url", "noindex", "nofollow"]) \
+        .cast(_META_SCHEMA)
+
+
+def followed_links_batch(batch: pa.Table, url_col: str = "url",
+                         text_col: str = "text") -> pa.Table:
+    """Policy-aware outlink harvest: ``extract_links`` rows MINUS
+    links a crawler must not follow — every link on a page whose
+    meta-robots declares ``nofollow`` (or ``none``), and every
+    individual anchor carrying ``rel='nofollow'`` (the per-link
+    opt-out). Meta parse and link harvest share one vectorized pass
+    over the same text batch, so the policy costs no extra scan.
+
+    Output: ``(src_url, dst_url, dst_host)`` — the frontier-safe edge
+    set ``crawl_waves`` / ``link_rank`` should consume when the corpus
+    carries rel/meta annotations. Resolution rule identical to
+    ``extract_links`` (absolute kept, root-relative resolved against
+    the origin, rest dropped).
+    """
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    if batch.num_rows == 0:
+        return _LINK_SCHEMA.empty_table()
+    df = pl.from_arrow(batch.select([url_col, text_col]))
+    if url_col != "src_url":
+        df = df.rename({url_col: "src_url"})
+    meta = (pl.col(text_col).str.extract(META_ROBOTS_RE, 1)
+            .str.to_lowercase().str.split(",")
+            .list.eval(pl.element().str.strip_chars()))
+    df = (df.with_columns(_t=meta)
+          .with_columns(
+              _page_nf=(pl.col("_t").list.contains("nofollow")
+                        | pl.col("_t").list.contains("none"))
+              .fill_null(False))
+          .drop("_t")
+          .filter(~pl.col("_page_nf"))
+          .drop("_page_nf"))
+    out = (
+        df.with_columns(
+            pl.col(text_col).str.extract_all(_REL_ANCHOR_RE).alias("tag"))
+        .drop(text_col)
+        .explode("tag")
+        .drop_nulls("tag")
+        # rel is a space-separated token list ("nofollow noopener")
+        .with_columns(_rel=pl.col("tag").str.extract(r"rel='([^']*)'", 1))
+        .filter(~pl.col("_rel").str.split(" ")
+                .list.contains("nofollow").fill_null(False))
+        .with_columns(href=pl.col("tag").str.extract(r"href='([^']*)'", 1))
+        .drop(["tag", "_rel"])
+    )
+    origin = pl.col("src_url").str.extract(_ORIGIN_RE, 1)
+    dst = (
+        pl.when(pl.col("href").str.contains("://", literal=True))
+        .then(pl.col("href"))
+        .when(pl.col("href").str.starts_with("/"))
+        .then(origin + pl.col("href"))
+        .otherwise(None)
+    )
+    out = (
+        out.with_columns(dst.alias("dst_url"))
+        .drop("href")
+        .drop_nulls("dst_url")
+        .with_columns(
+            pl.col("dst_url").str.extract(_HOST_RE, 1).alias("dst_host"))
+    )
+    return out.to_arrow().cast(_LINK_SCHEMA)
+
 
 def anchor_stats(pages: ray.data.Dataset, *, url_col: str = "url",
                  text_col: str = "text",

@@ -395,3 +395,63 @@ def test_link_delta_classification():
     m = {(r.src_url, r.dst_url): r.status for r in got.itertuples()}
     assert m == {("s", "x"): "kept", ("s", "y"): "removed",
                  ("t", "z"): "removed", ("t", "w"): "added"}
+
+
+def test_parse_meta_robots_truth_table():
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.links import parse_meta_robots_batch
+
+    cases = [
+        ("<meta name='robots' content='noindex'>", True, False),
+        ("<meta name='robots' content='NoFollow'>", False, True),
+        ("<meta name='robots' content='noindex, nofollow'>", True, True),
+        ("<meta name='robots' content='none'>", True, True),
+        ("<meta name='robots' content='all'>", False, False),
+        ("<meta name='robots' content=' NOINDEX , x '>", True, False),
+        ("", False, False),  # absent tag -> permissive
+    ]
+    batch = pa.table({
+        "url": pa.array([f"u{i}" for i in range(len(cases))]),
+        "text": pa.array([f"<html><head>{m}</head></html>"
+                          for m, _, _ in cases]),
+    })
+    out = parse_meta_robots_batch(batch).to_pylist()
+    for row, (_, ni, nf) in zip(out, cases):
+        assert (row["noindex"], row["nofollow"]) == (ni, nf), row
+
+
+def test_followed_links_policy():
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.links import followed_links_batch
+
+    pages = [
+        # plain page: both followable links kept, nofollow anchor cut
+        ("http://a.example/p", "",
+         "<a href='/x'>1</a><a rel='nofollow' href='http://b.example/'>2"
+         "</a><a href='http://c.example/y'>3</a>"),
+        # rel token-list form still counts as nofollow
+        ("http://a.example/q", "",
+         "<a rel='nofollow noopener' href='http://b.example/'>z</a>"),
+        # page-level nofollow kills everything
+        ("http://a.example/r",
+         "<meta name='robots' content='nofollow'>",
+         "<a href='/x'>1</a>"),
+        # noindex alone does NOT kill links
+        ("http://a.example/s",
+         "<meta name='robots' content='noindex'>",
+         "<a href='/x'>1</a>"),
+    ]
+    batch = pa.table({
+        "url": pa.array([u for u, _, _ in pages]),
+        "text": pa.array([f"<html><head>{m}</head><body>{b}</body></html>"
+                          for _, m, b in pages]),
+    })
+    got = sorted((r["src_url"], r["dst_url"], r["dst_host"])
+                 for r in followed_links_batch(batch).to_pylist())
+    assert got == [
+        ("http://a.example/p", "http://a.example/x", "a.example"),
+        ("http://a.example/p", "http://c.example/y", "c.example"),
+        ("http://a.example/s", "http://a.example/x", "a.example"),
+    ]
