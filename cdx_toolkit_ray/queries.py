@@ -1051,6 +1051,48 @@ def q_nofollow_links(sf_dir: str):
                              batch_format="pyarrow", batch_size=None)
 
 
+def derive_canonical_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id) -> pages in groups of four sharing a host,
+    where members 1-3 declare ``<link rel=canonical>`` to member 0
+    (odd ids via a root-relative href, id%4==2 via an absolute one)
+    and member 0 carries no tag (self-canonical)."""
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    host = np.char.add(np.char.add(
+        "http://c", ((d // 4) % 10).astype(str)), ".example")
+    url = np.char.add(np.char.add(host, "/v/"), d.astype(str))
+    base = (d - d % 4).astype(str)
+    rel_tag = np.char.add(np.char.add(
+        "<link rel='canonical' href='/v/", base), "'>")
+    abs_tag = np.char.add(np.char.add(np.char.add(
+        "<link rel='canonical' href='", host), "/v/"),
+        np.char.add(base, "'>"))
+    tag = np.where(d % 4 == 0, "", np.where(d % 2 == 1, rel_tag, abs_tag))
+    html = np.char.add(np.char.add(
+        "<html><head>", tag.astype(str)),
+        "</head><body>x</body></html>")
+    return pa.table({"doc_id": batch["doc_id"],
+                     "url": pa.array(url.tolist(), pa.string()),
+                     "text": pa.array(html.tolist(), pa.string())})
+
+
+def q_canonical_dedup(sf_dir: str):
+    """rel=canonical alias folding (the duplicate-content signal a
+    crawler honors BEFORE content dedup): parse each page's declared
+    canonical target — root-relative and absolute hrefs resolve
+    identically, tagless pages are self-canonical — then one
+    canonical-keyed exchange of per-block partials yields
+    ``(canonical_url, keeper_doc, n_pages)`` per alias group. Ground
+    truth stated from the derivation formula (groups of four per
+    shared host)."""
+    from .stages.links import canonical_groups
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    pages = ds.map_batches(derive_canonical_pages_batch,
+                           batch_format="pyarrow", batch_size=None)
+    return canonical_groups(pages)
+
+
 def q_sitemap_index(sf_dir: str):
     """Sitemap NESTING (sitemaps.org index protocol): per-host urlsets
     chunked at 20 entries -> one ``<sitemapindex>`` per host naming
@@ -4389,6 +4431,19 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # canonical alias groups: truth from the derivation formula —
+    # every doc canonicalizes to the base of its group of four.
+    "canonical_dedup": """
+WITH c AS (
+  SELECT doc_id,
+         'http://c' || ((doc_id // 4) % 10) || '.example/v/'
+           || (doc_id - (doc_id % 4)) AS canon
+  FROM documents)
+SELECT canon AS canonical_url,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM c GROUP BY canon
+""",
     # meta-robots: truth stated from the derivation formula — the
     # content cycle is noindex / NoFollow / both / none / absent.
     "meta_robots": """
@@ -6094,6 +6149,7 @@ QUERIES = {
     "sitemap_index": q_sitemap_index,
     "meta_robots": q_meta_robots,
     "nofollow_links": q_nofollow_links,
+    "canonical_dedup": q_canonical_dedup,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6213,7 +6269,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
     "resolve_redirects robots_wildcard meta_robots nofollow_links "
-    "sitemap_index "
+    "canonical_dedup sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "

@@ -706,6 +706,113 @@ def parse_meta_robots_batch(batch: pa.Table, url_col: str = "url",
         .cast(_META_SCHEMA)
 
 
+CANONICAL_RE = r"<link rel='canonical' href='([^']*)'>"
+
+_CANON_SCHEMA = pa.schema([("url", pa.string()),
+                           ("canonical_url", pa.string()),
+                           ("is_self", pa.bool_())])
+
+
+def parse_canonical_batch(batch: pa.Table, url_col: str = "url",
+                          text_col: str = "text") -> pa.Table:
+    """``<link rel=canonical>`` per page -> ``(url, canonical_url,
+    is_self)``: the page's declared canonical target, resolved like
+    ``extract_links`` (absolute kept, root-relative resolved against
+    the page origin); a page without the tag (or with an unresolvable
+    href) is its own canonical. The duplicate-content signal crawlers
+    fold BEFORE dedup — aliases of one canonical are one logical page
+    regardless of content-byte differences (session ids, timestamps).
+    One vectorized pass, zero shuffles."""
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    if batch.num_rows == 0:
+        return _CANON_SCHEMA.empty_table()
+    df = pl.from_arrow(batch.select([url_col, text_col]))
+    if url_col != "url":
+        df = df.rename({url_col: "url"})
+    href = pl.col(text_col).str.extract(CANONICAL_RE, 1)
+    origin = pl.col("url").str.extract(_ORIGIN_RE, 1)
+    canon = (
+        pl.when(href.str.contains("://", literal=True))
+        .then(href)
+        .when(href.str.starts_with("/"))
+        .then(origin + href)
+        .otherwise(None)
+        .fill_null(pl.col("url")))
+    df = (df.with_columns(canonical_url=canon)
+          .with_columns(is_self=pl.col("canonical_url") == pl.col("url"))
+          .drop(text_col))
+    return df.to_arrow().select(
+        ["url", "canonical_url", "is_self"]).cast(_CANON_SCHEMA)
+
+
+def canonical_groups(pages: ray.data.Dataset, *, url_col: str = "url",
+                     text_col: str = "text", id_col: str = "doc_id",
+                     num_buckets: int = 32) -> ray.data.Dataset:
+    """Canonical-alias dedup: pages -> one row per declared canonical
+    target ``(canonical_url, keeper_doc, n_pages)`` where keeper_doc
+    is the min ``id_col`` among the aliases. Per-block partial fold
+    (distinct canonical -> min id + count) BEFORE the one
+    canonical-keyed exchange — the shuffle moves one narrow row per
+    distinct canonical per block, never pages."""
+
+    part_sch = pa.schema([("canonical_url", pa.string()),
+                          ("keeper_doc", pa.int64()),
+                          ("n_pages", pa.int64()), ("_cb", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_sch.empty_table()
+        parsed = parse_canonical_batch(batch, url_col, text_col)
+        canon = parsed["canonical_url"].to_numpy(
+            zero_copy_only=False).astype(str)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, canon))
+        cs = canon[order]
+        new_run = np.ones(len(cs), bool)
+        new_run[1:] = cs[1:] != cs[:-1]
+        starts = np.flatnonzero(new_run)
+        n = np.diff(np.r_[starts, len(cs)])
+        keep = ids[order][starts]
+        cu = cs[starts]
+        h = hash64_batch(pa.array(cu.tolist(), pa.string()))
+        return pa.table({
+            "canonical_url": pa.array(cu.tolist(), pa.string()),
+            "keeper_doc": pa.array(keep),
+            "n_pages": pa.array(n.astype(np.int64)),
+            "_cb": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.schema([("canonical_url", pa.string()),
+                              ("keeper_doc", pa.int64()),
+                              ("n_pages", pa.int64())]).empty_table()
+        cu = tbl["canonical_url"].to_numpy(
+            zero_copy_only=False).astype(str)
+        kd = tbl["keeper_doc"].to_numpy(zero_copy_only=False)
+        np_ = tbl["n_pages"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((kd, cu))
+        cs = cu[order]
+        new_run = np.ones(len(cs), bool)
+        new_run[1:] = cs[1:] != cs[:-1]
+        starts = np.flatnonzero(new_run)
+        return pa.table({
+            "canonical_url": pa.array(cs[starts].tolist(), pa.string()),
+            "keeper_doc": pa.array(kd[order][starts].astype(np.int64)),
+            "n_pages": pa.array(
+                np.add.reduceat(np_[order], starts).astype(np.int64)),
+        })
+
+    partials = pages.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None)
+    return hash_bucket_apply(partials, "_cb", merge,
+                             num_buckets=num_buckets)
+
+
 def followed_links_batch(batch: pa.Table, url_col: str = "url",
                          text_col: str = "text") -> pa.Table:
     """Policy-aware outlink harvest: ``extract_links`` rows MINUS

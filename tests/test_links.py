@@ -455,3 +455,61 @@ def test_followed_links_policy():
         ("http://a.example/p", "http://c.example/y", "c.example"),
         ("http://a.example/s", "http://a.example/x", "a.example"),
     ]
+
+
+def test_parse_canonical_resolution():
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.links import parse_canonical_batch
+
+    cases = [
+        # (page url, tag, expected canonical, is_self)
+        ("http://a.example/p/1",
+         "<link rel='canonical' href='http://a.example/p'>",
+         "http://a.example/p", False),
+        ("http://a.example/p/2",
+         "<link rel='canonical' href='/p'>",
+         "http://a.example/p", False),
+        ("http://a.example/q", "", "http://a.example/q", True),
+        # unresolvable (path-relative) href -> self
+        ("http://a.example/r",
+         "<link rel='canonical' href='x/y'>",
+         "http://a.example/r", True),
+        # self-referencing canonical
+        ("http://a.example/s",
+         "<link rel='canonical' href='http://a.example/s'>",
+         "http://a.example/s", True),
+    ]
+    batch = pa.table({
+        "url": pa.array([u for u, *_ in cases]),
+        "text": pa.array([f"<html><head>{t}</head></html>"
+                          for _, t, *_ in cases]),
+    })
+    out = parse_canonical_batch(batch).to_pylist()
+    for row, (_, _, canon, is_self) in zip(out, cases):
+        assert (row["canonical_url"], row["is_self"]) == (canon, is_self)
+
+
+def test_canonical_groups_cross_block(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.links import canonical_groups
+
+    # two alias groups; pages arrive in two blocks so the min-keeper
+    # and count merge must cross the exchange
+    def page(doc, canon):
+        tag = ("" if canon is None else
+               f"<link rel='canonical' href='{canon}'>")
+        return {"doc_id": doc, "url": f"http://x.example/v/{doc}",
+                "text": f"<html><head>{tag}</head></html>"}
+
+    rows = [page(0, None), page(1, "http://x.example/v/0"),
+            page(2, "http://x.example/v/0"), page(10, None),
+            page(11, "/v/10")]
+    ds = ray.data.from_arrow(
+        pa.Table.from_pylist(rows)).repartition(3)
+    got = {r["canonical_url"]: (r["keeper_doc"], r["n_pages"])
+           for r in canonical_groups(ds).take_all()}
+    assert got == {"http://x.example/v/0": (0, 3),
+                   "http://x.example/v/10": (10, 2)}
