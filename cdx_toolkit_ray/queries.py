@@ -1093,6 +1093,51 @@ def q_canonical_dedup(sf_dir: str):
     return canonical_groups(pages)
 
 
+def derive_charset_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id) -> raw html BYTES cycling through the charset
+    sniff cases: utf-8/utf-16le/utf-16be BOMs (each also carrying a
+    contradicting meta tag the BOM must beat), a meta-only page
+    (alternating the 'UTF8' alias-and-case form with a real
+    iso-8859-1 label), and a bare default page."""
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for x in d.tolist():
+        b = x % 5
+        if b == 0:
+            p = b"\xef\xbb\xbf<html><head>" \
+                b"<meta charset='iso-8859-1'></head></html>"
+        elif b == 1:
+            p = b"\xff\xfe<html><head></head></html>"
+        elif b == 2:
+            p = b"\xfe\xff<html><head></head></html>"
+        elif b == 3:
+            label = "UTF8" if x % 2 == 0 else "ISO-8859-1"
+            p = ("<html><head><meta charset='%s'></head></html>"
+                 % label).encode()
+        else:
+            p = b"<html><head></head><body>plain</body></html>"
+        payloads.append(p)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "html": pa.array(payloads, pa.binary())})
+
+
+def q_charset_sniff(sf_dir: str):
+    """Charset detection (how the reference's per-capture ``encoding``
+    / ``charset`` fields get populated, README.md:134-136): BOM wins
+    (buffer-gather over the first 3 bytes, no payload copy), then the
+    meta-charset label (case-insensitive, aliases folded), then the
+    utf-8 default the reference's text decode assumes. Truth stated
+    from the derivation formula."""
+    from .stages.text import detect_charset_batch
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    pages = ds.map_batches(derive_charset_pages_batch,
+                           batch_format="pyarrow", batch_size=None)
+    return pages.map_batches(detect_charset_batch,
+                             batch_format="pyarrow", batch_size=None)
+
+
 def q_sitemap_index(sf_dir: str):
     """Sitemap NESTING (sitemaps.org index protocol): per-host urlsets
     chunked at 20 entries -> one ``<sitemapindex>`` per host naming
@@ -4431,6 +4476,19 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # charset sniff: truth from the derivation formula — BOM beats
+    # meta, the UTF8 alias folds, bare pages default to utf-8.
+    "charset_sniff": """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'utf-8'
+            WHEN doc_id % 5 = 1 THEN 'utf-16le'
+            WHEN doc_id % 5 = 2 THEN 'utf-16be'
+            WHEN doc_id % 5 = 3 AND doc_id % 2 = 0 THEN 'utf-8'
+            WHEN doc_id % 5 = 3 THEN 'iso-8859-1'
+            ELSE 'utf-8' END AS charset,
+       (doc_id % 5) IN (0, 1, 2) AS bom
+FROM documents
+""",
     # canonical alias groups: truth from the derivation formula —
     # every doc canonicalizes to the base of its group of four.
     "canonical_dedup": """
@@ -6150,6 +6208,7 @@ QUERIES = {
     "meta_robots": q_meta_robots,
     "nofollow_links": q_nofollow_links,
     "canonical_dedup": q_canonical_dedup,
+    "charset_sniff": q_charset_sniff,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6269,7 +6328,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
     "resolve_redirects robots_wildcard meta_robots nofollow_links "
-    "canonical_dedup sitemap_index "
+    "canonical_dedup charset_sniff sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "

