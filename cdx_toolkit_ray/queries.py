@@ -1138,6 +1138,22 @@ def q_charset_sniff(sf_dir: str):
                              batch_format="pyarrow", batch_size=None)
 
 
+def q_revalidation_plan(sf_dir: str):
+    """Conditional-fetch planning (If-None-Match / If-Modified-Since):
+    the recrawl schedule fused with the latest capture's digest and
+    HTTP-date — what a polite incremental crawler sends so unchanged
+    pages come back as 304s instead of full bodies (the reference
+    always refetches, myrequests.py). One key-bucket exchange; due =
+    next_fetch <= 2024-02-05 UTC."""
+    from .stages.recrawl import revalidation_plan
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "events"),
+                               columns=["user_id", "ts", "event_type"])
+    return revalidation_plan(ds, key_col="user_id", ts_col="ts",
+                             digest_col="event_type",
+                             cutoff_us=1707091200000000)
+
+
 def q_sitemap_index(sf_dir: str):
     """Sitemap NESTING (sitemaps.org index protocol): per-host urlsets
     chunked at 20 entries -> one ``<sitemapindex>`` per host naming
@@ -4476,6 +4492,35 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # revalidation plan: the recrawl oracle + latest (ts, digest)
+    # window + HTTP-date strftime + the due cutoff.
+    "revalidation_plan": """
+WITH p AS (SELECT user_id AS key, count(*) AS n_caps,
+                  count(DISTINCT event_type) AS n_versions,
+                  epoch_us(min(ts)) AS first_us,
+                  epoch_us(max(ts)) AS last_us
+           FROM events GROUP BY user_id),
+l AS (SELECT user_id AS key, event_type AS etag,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_type DESC) AS rn
+      FROM events),
+i AS (SELECT key, n_caps, n_versions, last_us,
+             CASE WHEN n_caps <= 1 OR n_versions <= 1 THEN 604800000000
+                  ELSE least(greatest((last_us - first_us)
+                                      // (n_versions - 1),
+                                      86400000000), 2592000000000)
+             END AS interval_us
+      FROM p)
+SELECT i.key, CAST(n_caps AS BIGINT) AS n_caps,
+       CAST(n_versions AS BIGINT) AS n_versions,
+       CAST(last_us AS BIGINT) AS last_us,
+       CAST(last_us + interval_us AS BIGINT) AS next_fetch_us,
+       l.etag,
+       strftime(make_timestamp(last_us),
+                '%a, %d %b %Y %H:%M:%S GMT') AS if_modified_since,
+       (last_us + interval_us) <= 1707091200000000 AS due
+FROM i JOIN l ON l.key = i.key AND l.rn = 1
+""",
     # charset sniff: truth from the derivation formula — BOM beats
     # meta, the UTF8 alias folds, bare pages default to utf-8.
     "charset_sniff": """
@@ -6209,6 +6254,7 @@ QUERIES = {
     "nofollow_links": q_nofollow_links,
     "canonical_dedup": q_canonical_dedup,
     "charset_sniff": q_charset_sniff,
+    "revalidation_plan": q_revalidation_plan,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6328,7 +6374,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
     "resolve_redirects robots_wildcard meta_robots nofollow_links "
-    "canonical_dedup charset_sniff sitemap_index "
+    "canonical_dedup charset_sniff revalidation_plan sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "

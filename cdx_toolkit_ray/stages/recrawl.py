@@ -137,6 +137,136 @@ def recrawl_schedule(ds: ray.data.Dataset, *, key_col: str,
                              num_buckets=num_buckets)
 
 
+def revalidation_plan(ds: ray.data.Dataset, *, key_col: str,
+                      ts_col: str, digest_col: str, cutoff_us: int,
+                      base_interval_us: int = 7 * 86400 * 1_000_000,
+                      min_interval_us: int = 86400 * 1_000_000,
+                      max_interval_us: int = 30 * 86400 * 1_000_000,
+                      num_buckets: int = 32) -> ray.data.Dataset:
+    """Conditional-fetch planning: capture history -> one row per page
+    with the recrawl schedule PLUS the HTTP revalidation headers the
+    next fetch should send — ``etag`` (the latest capture's digest,
+    for ``If-None-Match``) and ``if_modified_since`` (the latest
+    capture time as an RFC 9110 HTTP-date), and ``due`` = next_fetch
+    <= ``cutoff_us``.  The reference fetches unconditionally
+    (myrequests.py has no conditional-header support); a polite
+    incremental crawler revalidates instead, turning unchanged pages
+    into 304-sized responses.
+
+    Latest capture = max ``(ts, digest)`` lexicographic (the
+    crawl_delta rule, deterministic under ties).  One key-bucket
+    exchange, same partial shape as :func:`recrawl_schedule` with the
+    digest string carried per distinct (key, digest) pair — the
+    shuffle moves versions, never captures.
+    """
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("key", pa.int64()), ("dig", pa.uint64()),
+                         ("dig_s", pa.string()), ("n", pa.int64()),
+                         ("min_us", pa.int64()), ("max_us", pa.int64()),
+                         ("_kb", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].to_numpy(zero_copy_only=False)
+        if ts.dtype.kind == "M":
+            ts = ts.astype("datetime64[us]").view(np.int64)
+        else:
+            ts = ts.astype(np.int64)
+        dig_s = batch[digest_col].to_numpy(zero_copy_only=False)
+        dig = hash64_batch(batch[digest_col]).astype(np.uint64)
+        order = np.lexsort((dig, k))
+        ks, ds_, tss, dss = k[order], dig[order], ts[order], dig_s[order]
+        new = np.ones(len(ks), bool)
+        new[1:] = (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(ks)])
+        return pa.table({
+            "key": pa.array(ks[starts].astype(np.int64)),
+            "dig": pa.array(ds_[starts], pa.uint64()),
+            "dig_s": pa.array(dss[starts].tolist(), pa.string()),
+            "n": pa.array(n.astype(np.int64)),
+            "min_us": pa.array(np.minimum.reduceat(tss, starts),
+                               pa.int64()),
+            "max_us": pa.array(np.maximum.reduceat(tss, starts),
+                               pa.int64()),
+            "_kb": pa.array((ks[starts].astype(np.uint64)
+                             % np.uint64(num_buckets)).astype(np.int64)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    base, lo, hi = base_interval_us, min_interval_us, max_interval_us
+
+    def reduce_pages(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("key", pa.int64()), ("n_caps", pa.int64()),
+                         ("n_versions", pa.int64()),
+                         ("last_us", pa.int64()),
+                         ("next_fetch_us", pa.int64()),
+                         ("etag", pa.string()),
+                         ("if_modified_since", pa.string()),
+                         ("due", pa.bool_())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        k = tbl["key"].to_numpy(zero_copy_only=False)
+        dg = tbl["dig"].to_numpy(zero_copy_only=False)
+        dgs = tbl["dig_s"].to_numpy(zero_copy_only=False).astype(str)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        mn = tbl["min_us"].to_numpy(zero_copy_only=False)
+        mx = tbl["max_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dg, k))
+        k, dg, dgs, n, mn, mx = (k[order], dg[order], dgs[order],
+                                 n[order], mn[order], mx[order])
+        new = np.ones(len(k), bool)
+        new[1:] = (k[1:] != k[:-1]) | (dg[1:] != dg[:-1])
+        ps = np.flatnonzero(new)
+        pk, pdgs = k[ps], dgs[ps]
+        pn = np.add.reduceat(n, ps)
+        pmn = np.minimum.reduceat(mn, ps)
+        pmx = np.maximum.reduceat(mx, ps)
+        ks = _run_starts(pk)
+        n_caps = np.add.reduceat(pn, ks)
+        n_ver = np.diff(np.r_[ks, len(pk)])
+        first = np.minimum.reduceat(pmn, ks)
+        last = np.maximum.reduceat(pmx, ks)
+        # latest (ts, digest) pair per key: lexsort pairs by
+        # (key, max_us, digest) and take each key's final row
+        lorder = np.lexsort((pdgs, pmx, pk))
+        lk = pk[lorder]
+        is_last = np.ones(len(lk), bool)
+        is_last[:-1] = lk[1:] != lk[:-1]
+        etag = pdgs[lorder][is_last]
+        changes = n_ver - 1
+        span = last - first
+        est = np.where(changes > 0, span // np.maximum(changes, 1), base)
+        interval = np.where((n_caps <= 1) | (changes == 0), base,
+                            np.clip(est, lo, hi)).astype(np.int64)
+        nxt = last + interval
+        # floor to seconds first: Arrow %S would print fractional
+        # digits for a sub-second unit (DuckDB's %S truncates)
+        ims = pc.strftime(
+            pc.cast(pc.floor_temporal(
+                pa.array(last, pa.timestamp("us")), unit="second"),
+                pa.timestamp("s")),
+            format="%a, %d %b %Y %H:%M:%S GMT")
+        return pa.table({
+            "key": pa.array(pk[ks].astype(np.int64)),
+            "n_caps": pa.array(n_caps.astype(np.int64)),
+            "n_versions": pa.array(n_ver.astype(np.int64)),
+            "last_us": pa.array(last, pa.int64()),
+            "next_fetch_us": pa.array(nxt, pa.int64()),
+            "etag": pa.array(etag.tolist(), pa.string()),
+            "if_modified_since": ims,
+            "due": pa.array(nxt <= cutoff_us),
+        })
+
+    from .exchange import hash_bucket_apply
+
+    return hash_bucket_apply(partials, "_kb", reduce_pages,
+                             num_buckets=num_buckets)
+
+
 def crawl_delta(a: ray.data.Dataset, b: ray.data.Dataset, *,
                 key_col: str = "urlkey", ts_col: str = "timestamp",
                 digest_col: str = "digest",

@@ -387,3 +387,51 @@ def test_revisit_generate_null_digests_pass_through(ray_session):
     assert out.loc["b", "kind"] == "response"
     assert out.loc["b", "refers_to_url"] is None
     assert out.loc["c", "kind"] == "response"
+
+
+def test_revalidation_plan_vs_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.recrawl import revalidation_plan
+
+    rng = np.random.RandomState(7)
+    n = 400
+    df = pd.DataFrame({
+        "key": rng.randint(0, 25, n),
+        "ts": np.sort(rng.randint(1_700_000_000_000_000,
+                                  1_705_000_000_000_000, n)),
+        "dig": np.array(["d%d" % v for v in rng.randint(0, 4, n)]),
+    })
+    # force an equal-timestamp tie on one key
+    df.loc[0, ["key", "ts", "dig"]] = [99, 1_700_000_000_000_000, "a"]
+    df = pd.concat([df, pd.DataFrame(
+        [{"key": 99, "ts": 1_700_000_000_000_000, "dig": "b"}])],
+        ignore_index=True)
+
+    cutoff = 1_704_000_000_000_000
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    out = {r["key"]: r for r in revalidation_plan(
+        ds, key_col="key", ts_col="ts", digest_col="dig",
+        cutoff_us=cutoff).take_all()}
+
+    base, lo, hi = 7 * 86400 * 10**6, 86400 * 10**6, 30 * 86400 * 10**6
+    for key, g in df.groupby("key"):
+        n_caps = len(g)
+        n_ver = g["dig"].nunique()
+        first, last = int(g["ts"].min()), int(g["ts"].max())
+        interval = base if (n_caps <= 1 or n_ver <= 1) else \
+            min(max((last - first) // (n_ver - 1), lo), hi)
+        # latest = max (ts, digest)
+        etag = g.sort_values(["ts", "dig"]).iloc[-1]["dig"]
+        r = out[key]
+        assert (r["n_caps"], r["n_versions"], r["last_us"]) == \
+            (n_caps, n_ver, last), key
+        assert r["next_fetch_us"] == last + interval
+        assert r["etag"] == etag, key
+        assert r["due"] == (last + interval <= cutoff)
+        assert r["if_modified_since"].endswith(" GMT") and \
+            "," in r["if_modified_since"]
+    assert out[99]["etag"] == "b"  # digest breaks the exact-ts tie
