@@ -1138,6 +1138,50 @@ def q_charset_sniff(sf_dir: str):
                              batch_format="pyarrow", batch_size=None)
 
 
+def derive_soft404_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id) -> (doc_id, url, status, title, text) cycling
+    through: 200 + 404-title, 200 + not-found body, 200 +
+    does-not-exist body, clean 200, honest 404 (must NOT flag), and a
+    200 whose body merely contains the number 404 (negative
+    control)."""
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cases = [
+        ("200", "404 Not Found", "hello world"),
+        ("200", "Welcome", "sorry — Page Not Found on this server"),
+        ("200", "Welcome", "this page does not exist anymore"),
+        ("200", "Products", "all good content here"),
+        ("404", "404 Not Found", "page not found"),
+        ("200", "Items", "we stock 404 items today"),
+    ]
+    m = d % 6
+    url = np.char.add(np.char.add(np.char.add(
+        "http://e", (d % 10).astype(str)), ".example/s/"), d.astype(str))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "url": pa.array(url.tolist(), pa.string()),
+        "status": pa.array([cases[i][0] for i in m], pa.string()),
+        "title": pa.array([cases[i][1] for i in m], pa.string()),
+        "text": pa.array([cases[i][2] for i in m], pa.string()),
+    })
+
+
+def q_soft404(sf_dir: str):
+    """Soft-404 detection (error pages served as HTTP 200 — capture
+    pollution the status field cannot reveal, reference
+    README.md:222-225 exposes status as-is): title/body phrase
+    lexicons, title the stronger signal, honest 404s never flag.
+    Truth stated from the derivation formula."""
+    from .stages.textstats import soft404_batch
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    pages = ds.map_batches(derive_soft404_pages_batch,
+                           batch_format="pyarrow", batch_size=None)
+    return pages.map_batches(
+        lambda b: soft404_batch(b, keep_cols=("doc_id", "url")),
+        batch_format="pyarrow", batch_size=None)
+
+
 def q_revalidation_plan(sf_dir: str):
     """Conditional-fetch planning (If-None-Match / If-Modified-Since):
     the recrawl schedule fused with the latest capture's digest and
@@ -4492,6 +4536,16 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # soft-404: truth from the derivation formula — cases 0-2 flag
+    # (title beats body), the honest 404 and controls never do.
+    "soft404": """
+SELECT doc_id,
+       'http://e' || (doc_id % 10) || '.example/s/' || doc_id AS url,
+       (doc_id % 6) IN (0, 1, 2) AS soft404,
+       CASE WHEN doc_id % 6 = 0 THEN 'title'
+            WHEN doc_id % 6 IN (1, 2) THEN 'body' END AS signal
+FROM documents
+""",
     # revalidation plan: the recrawl oracle + latest (ts, digest)
     # window + HTTP-date strftime + the due cutoff.
     "revalidation_plan": """
@@ -6255,6 +6309,7 @@ QUERIES = {
     "canonical_dedup": q_canonical_dedup,
     "charset_sniff": q_charset_sniff,
     "revalidation_plan": q_revalidation_plan,
+    "soft404": q_soft404,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6374,7 +6429,8 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
     "resolve_redirects robots_wildcard meta_robots nofollow_links "
-    "canonical_dedup charset_sniff revalidation_plan sitemap_index "
+    "canonical_dedup charset_sniff revalidation_plan soft404 "
+    "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
     "dedup_lines dsir_select adaptive_schedule adaptive_politeness "

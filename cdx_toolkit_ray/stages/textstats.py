@@ -636,6 +636,61 @@ def gopher_gate_batch(batch: pa.Table, text_col: str = "text",
     })
 
 
+# Soft-404 phrase lexicons (Bar-Yossef et al., "Sic Transit Gloria
+# Telae", WWW 2004 — error pages served with status 200). Title hits
+# are the stronger signal and win the signal label.
+_SOFT404_TITLE = ("404", "not found", "page not found")
+_SOFT404_BODY = ("page not found", "does not exist", "error 404",
+                 "404 not found", "no longer available")
+
+
+def soft404_batch(batch: pa.Table, *, status_col: str = "status",
+                  title_col: str = "title", text_col: str = "text",
+                  keep_cols: tuple = ("url",)) -> pa.Table:
+    """Soft-404 detection: error pages served with HTTP 200 — the
+    capture-table pollution CDX consumers cannot see from ``status``
+    alone (the reference exposes status/mime as-is, README.md:222-225;
+    a 200 'Page Not Found' still enters the index). A page flags iff
+    status == 200 AND a title or body phrase from the lexicon matches
+    case-insensitively; honest 404s never flag (their status already
+    says so). Output: ``keep_cols + (soft404, signal)`` with signal in
+    {'title', 'body', null} (title is the stronger signal and wins).
+    One vectorized polars pass, zero shuffles."""
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    keep = [c for c in keep_cols if c in batch.column_names]
+    if batch.num_rows == 0:
+        return pa.table(
+            {**{c: batch[c] for c in keep},
+             "soft404": pa.array([], pa.bool_()),
+             "signal": pa.array([], pa.string())})
+    df = pl.from_arrow(batch.select(
+        [c for c in {status_col, title_col, text_col}
+         if c in batch.column_names]))
+    lt = pl.col(title_col).str.to_lowercase()
+    lb = pl.col(text_col).str.to_lowercase()
+    title_hit = pl.any_horizontal([
+        lt.str.contains(p, literal=True) for p in _SOFT404_TITLE])
+    body_hit = pl.any_horizontal([
+        lb.str.contains(p, literal=True) for p in _SOFT404_BODY])
+    ok = pl.col(status_col).cast(pl.String) == "200"
+    out = df.select(
+        soft404=(ok & (title_hit.fill_null(False)
+                       | body_hit.fill_null(False))),
+        signal=pl.when(ok & title_hit.fill_null(False))
+        .then(pl.lit("title"))
+        .when(ok & body_hit.fill_null(False))
+        .then(pl.lit("body"))
+        .otherwise(None)).to_arrow()
+    return pa.table(
+        {**{c: batch[c] for c in keep},
+         "soft404": out["soft404"].cast(pa.bool_()),
+         "signal": out["signal"].cast(pa.string())})
+
+
 def vocab_coverage(ds, vocab_size: int = 64, text_col: str = "text",
                    id_col: str = "doc_id", num_buckets: int = 32):
     """Tokenizer-prep measurement: build the top-``vocab_size``

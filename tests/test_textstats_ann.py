@@ -377,3 +377,48 @@ def test_ivf_add_appends_without_rewriting(tmp_path):
         got.reset_index(drop=True), want.reset_index(drop=True))
     # the increment is actually searchable
     assert (got["vec_id"] >= 120).any() or (want["vec_id"] < 120).all()
+
+
+def test_soft404_truth_table():
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.textstats import soft404_batch
+
+    cases = [
+        # (status, title, text, soft404, signal)
+        ("200", "404 Not Found", "fine body", True, "title"),
+        ("200", "Welcome", "PAGE NOT FOUND here", True, "body"),
+        ("200", "Shop", "item does not exist", True, "body"),
+        ("200", "Shop", "healthy content", False, None),
+        ("404", "404 Not Found", "page not found", False, None),
+        ("200", "Items", "we stock 404 items", False, None),
+        # title wins the signal label when both hit
+        ("200", "Page Not Found", "error 404 page", True, "title"),
+        ("301", "not found", "not found", False, None),
+    ]
+    batch = pa.table({
+        "url": pa.array([f"u{i}" for i in range(len(cases))]),
+        "status": pa.array([c[0] for c in cases]),
+        "title": pa.array([c[1] for c in cases]),
+        "text": pa.array([c[2] for c in cases]),
+    })
+    out = soft404_batch(batch).to_pylist()
+    for row, c in zip(out, cases):
+        assert (row["soft404"], row["signal"]) == (c[3], c[4]), (row, c)
+
+
+def test_soft404_nulls_and_empty():
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.textstats import soft404_batch
+
+    batch = pa.table({
+        "url": pa.array(["a", "b"]),
+        "status": pa.array(["200", "200"]),
+        "title": pa.array([None, "ok"], pa.string()),
+        "text": pa.array(["page not found", None], pa.string()),
+    })
+    out = soft404_batch(batch).to_pylist()
+    assert [r["soft404"] for r in out] == [True, False]
+    empty = batch.slice(0, 0)
+    assert soft404_batch(empty).num_rows == 0
