@@ -416,6 +416,12 @@ def main() -> None:
             # assembly + vectorized urlset parse)
             ("sitemap_parse",
              lambda: consume(Q.q_sitemap_parse(SF_DIR))),
+            # round 3 continuation: iterated pointer-doubling joins
+            ("resolve_redirects",
+             lambda: consume(Q.q_resolve_redirects(SF_DIR))),
+            # round 3 continuation: canonical alias folding exchange
+            ("canonical_dedup",
+             lambda: consume(Q.q_canonical_dedup(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the

@@ -1165,6 +1165,42 @@ def derive_soft404_pages_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def q_dot_segments(sf_dir: str):
+    """RFC 3986 dot-segment removal (stages/urlfeat.strip_dot_segments)
+    — the URL-identity normalization canon.surt deliberately leaves
+    alone: '/./' and '/../' paths must collapse before the frontier's
+    exact dedup. Two-path kernel: vectorized dirty-row detection,
+    scalar RFC spec on the minority. The derivation cycles clean /
+    single-dot / pop / double-pop / root-clamped / trailing-pop paths
+    (query strings with dots ride along untouched); truth stated in
+    closed form."""
+    from .stages.urlfeat import strip_dot_segments
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q = (d % 30).astype(str)
+        pats = [
+            ("/p%s/x", None),
+            ("/p%s/./x", None),
+            ("/p%s/../x", None),
+            ("/p%s/a/../../x?v=1.2", None),
+            ("/../p%s", None),
+            ("/p%s/..", None),
+        ]
+        urls = []
+        for x, qq in zip(d.tolist(), q.tolist()):
+            urls.append("http://n%d.example%s"
+                        % (x % 10, pats[x % 6][0] % qq))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "url": pa.array(urls, pa.string())})
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    return strip_dot_segments(
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None))
+
+
 def q_soft404(sf_dir: str):
     """Soft-404 detection (error pages served as HTTP 200 — capture
     pollution the status field cannot reveal, reference
@@ -4536,6 +4572,28 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # dot segments: url + its RFC 3986 normal form, both in closed
+    # form from the derivation formula.
+    "dot_segments": """
+WITH d AS (
+  SELECT doc_id, 'http://n' || (doc_id % 10) || '.example' AS o,
+         'p' || (doc_id % 30) AS s, doc_id % 6 AS m
+  FROM documents)
+SELECT doc_id,
+       o || CASE m WHEN 0 THEN '/' || s || '/x'
+                   WHEN 1 THEN '/' || s || '/./x'
+                   WHEN 2 THEN '/' || s || '/../x'
+                   WHEN 3 THEN '/' || s || '/a/../../x?v=1.2'
+                   WHEN 4 THEN '/../' || s
+                   ELSE '/' || s || '/..' END AS url,
+       o || CASE m WHEN 0 THEN '/' || s || '/x'
+                   WHEN 1 THEN '/' || s || '/x'
+                   WHEN 2 THEN '/x'
+                   WHEN 3 THEN '/x?v=1.2'
+                   WHEN 4 THEN '/' || s
+                   ELSE '/' END AS normalized_url
+FROM d
+""",
     # soft-404: truth from the derivation formula — cases 0-2 flag
     # (title beats body), the honest 404 and controls never do.
     "soft404": """
@@ -6310,6 +6368,7 @@ QUERIES = {
     "charset_sniff": q_charset_sniff,
     "revalidation_plan": q_revalidation_plan,
     "soft404": q_soft404,
+    "dot_segments": q_dot_segments,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6430,6 +6489,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "resolve_redirects robots_wildcard meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "
+    "dot_segments "
     "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "

@@ -19,6 +19,8 @@ cli.py:188-200 — the ``bad_hits`` feature generalizes exactly that).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -252,3 +254,69 @@ def spam_url_gate(*, lexicon: tuple = DEFAULT_LEXICON,
         return batch.filter(pa.array(~spam.to_numpy()))
 
     return gate
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 path normalization (scalar spec): ``.`` drops,
+    ``..`` pops (clamped at root), a trailing dot segment leaves a
+    trailing slash. Assumes a rooted path (leading ``/``)."""
+    segs = path.split("/")
+    out: list = []
+    for s in segs:
+        if s == ".":
+            continue
+        if s == "..":
+            if len(out) > 1:  # never pop past the root ''
+                out.pop()
+            continue
+        out.append(s)
+    if segs and segs[-1] in (".", ".."):
+        out.append("")
+    return "/".join(out) or "/"
+
+
+def strip_dot_segments(ds, *, url_col: str = "url",
+                       out_col: str = "normalized_url"):
+    """RFC 3986 dot-segment removal over a URL column — the
+    URL-identity normalization SURT canonicalization (canon.surt)
+    deliberately does not do (its oracle pins the no-path-rewrite
+    spec): ``/a/./b`` and ``/a/x/../b`` must collapse to ``/a/b``
+    before the frontier's exact dedup or the same page enters twice.
+
+    Two-path kernel (the canon.py pattern): one vectorized polars scan
+    flags the minority of URLs whose PATH contains a dot segment;
+    clean rows pass through untouched, flagged rows route to the
+    scalar RFC spec (query/fragment detach first and re-append —
+    dots in query strings are data, not structure).
+    """
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        if batch.num_rows == 0:
+            return batch.append_column(out_col,
+                                       pa.array([], pa.string()))
+        u = pl.from_arrow(batch[url_col].combine_chunks()
+                          .cast(pa.string()))
+        # path = after the authority, before ?/#
+        path = (u.str.replace(r"^[a-z][a-z0-9+.\-]*://[^/?#]*", "")
+                .str.replace(r"[?#].*$", ""))
+        dirty = (path.str.contains(r"/\.\.?(/|$)")).fill_null(False)
+        vals = u.to_numpy()
+        out = vals.astype(object)
+        for i in np.flatnonzero(dirty.to_numpy()):
+            url = vals[i]
+            m = re.match(r"^([a-z][a-z0-9+.\-]*://[^/?#]*)([^?#]*)(.*)$",
+                         url)
+            if not m:
+                continue
+            origin, p, tail = m.groups()
+            out[i] = origin + remove_dot_segments(p or "/") + tail
+        return batch.append_column(
+            out_col, pa.array(out.tolist(), pa.string()))
+
+    return ds.map_batches(kernel, batch_format="pyarrow",
+                          batch_size=None)

@@ -143,3 +143,48 @@ def test_strip_tracking_fragment_order_independent(ray_session):
         "http://a/p#f",
     ]
     assert out.was_tracked.tolist() == [True, True, False, True]
+
+
+def test_remove_dot_segments_spec():
+    from cdx_toolkit_ray.stages.urlfeat import remove_dot_segments
+
+    cases = [
+        ("/a/b/c", "/a/b/c"),
+        ("/a/./b", "/a/b"),
+        ("/a/../b", "/b"),
+        ("/a/b/../../c", "/c"),
+        ("/../a", "/a"),          # root clamp
+        ("/a/b/..", "/a/"),       # trailing pop keeps the slash
+        ("/a/b/.", "/a/b/"),      # trailing dot keeps the slash
+        ("/..", "/"),
+        ("/.", "/"),
+        ("/", "/"),
+        ("/a/../../../b", "/b"),  # repeated clamp
+    ]
+    for path, want in cases:
+        assert remove_dot_segments(path) == want, path
+
+
+def test_strip_dot_segments_two_path(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.urlfeat import strip_dot_segments
+
+    urls = [
+        "http://h.example/a/b",                    # clean passthrough
+        "http://h.example/a/./b?q=1.2#f",          # query/fragment ride
+        "http://h.example/a/x/../b",
+        "http://h.example/..",                      # root clamp
+        "http://h.example/a/b?x=/../evil",          # dots in query only
+    ]
+    want = [
+        "http://h.example/a/b",
+        "http://h.example/a/b?q=1.2#f",
+        "http://h.example/a/b",
+        "http://h.example/",
+        "http://h.example/a/b?x=/../evil",
+    ]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)}))
+    out = [r["normalized_url"] for r in strip_dot_segments(ds).take_all()]
+    assert out == want
