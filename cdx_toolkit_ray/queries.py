@@ -1165,6 +1165,84 @@ def derive_soft404_pages_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def q_frontier_hygiene(sf_dir: str):
+    """The COMPLETE pre-fetch URL hygiene chain in one hash — what a
+    production frontier runs between 'url discovered' and 'url
+    scheduled': tracking-param strip -> RFC 3986 dot-segment removal
+    -> spam lexicon gate -> SURT canonicalize -> first-wins exact
+    dedup -> per-host politeness slots (the flagship exchange path).
+    The derivation dirties every seed deterministically (utm params on
+    evens, a '/./' segment on multiples of 3, a lexicon word on
+    multiples of 13); cleaning provably restores the seed formula, so
+    the oracle is the frontier_schedule SQL over the non-spam seeds —
+    five stages, one hash."""
+    from .pipelines.frontier import scheduled_crawl_order
+    from .stages.urlfeat import spam_url_gate, strip_dot_segments
+    from .stages.urlfeat import strip_tracking_params
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u = pl.from_arrow(batch["url"].combine_chunks()
+                          .cast(pa.string()))
+        dot = pl.Series((d % 3 == 0))
+        trk = pl.Series((d % 2 == 0))
+        spam = pl.Series((d % 13 == 0))
+        df = pl.DataFrame({"u": u, "dot": dot, "trk": trk,
+                           "spam": spam}).with_columns(
+            u=pl.when(pl.col("spam"))
+            .then(pl.col("u").str.replace("/doc/", "/doc/casino-",
+                                          literal=True))
+            .otherwise(pl.col("u"))).with_columns(
+            u=pl.when(pl.col("dot"))
+            .then(pl.col("u").str.replace("/doc/", "/doc/./",
+                                          literal=True))
+            .otherwise(pl.col("u"))).with_columns(
+            u=pl.when(pl.col("trk") & pl.col("u").str.contains(
+                "?", literal=True))
+            .then(pl.col("u") + "&utm_source=t")
+            .when(pl.col("trk"))
+            .then(pl.col("u") + "?utm_source=t")
+            .otherwise(pl.col("u")))
+        return batch.drop_columns(["url"]).append_column(
+            "url", df["u"].to_arrow().cast(pa.string()))
+
+    def adopt(drop: list, src: str):
+        # drop the stale columns and let `src` take over as `url`
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.drop_columns(drop)
+            return b.rename_columns(
+                ["url" if c == src else c for c in b.column_names])
+        return fn
+
+    ds = derived_seeds(sf_dir).map_batches(dirty, batch_format="pyarrow",
+                                           batch_size=None)
+    ds = strip_tracking_params(ds, url_col="url", out_col="clean_url")
+    ds = ds.map_batches(adopt(["url", "was_tracked"], "clean_url"),
+                        batch_format="pyarrow", batch_size=None)
+    ds = strip_dot_segments(ds, url_col="url", out_col="normalized_url")
+    ds = ds.map_batches(adopt(["url"], "normalized_url"),
+                        batch_format="pyarrow", batch_size=None)
+    # lexicon-only gate (digit cap effectively off): the digit/query
+    # trap heuristic would flag the legit parameterized seeds this
+    # fixture carries by design
+    ds = ds.map_batches(spam_url_gate(max_digits=1 << 30),
+                        batch_format="pyarrow", batch_size=None)
+    ds = first_wins_dedup(ds, "hash64",
+                          [("priority", 19), ("seed_order", 44)],
+                          derive_fn=canonicalize_batch)
+    ds = ds.map_batches(_add_false_robots, batch_format="pyarrow",
+                        batch_size=None)
+    ds = scheduled_crawl_order(ds)
+    return ds.select_columns(["urlkey", "host", "priority", "seed_order",
+                              "n_dup_dropped", "host_rank", "fetch_ms"])
+
+
 def q_dot_segments(sf_dir: str):
     """RFC 3986 dot-segment removal (stages/urlfeat.strip_dot_segments)
     — the URL-identity normalization canon.surt deliberately leaves
@@ -4572,6 +4650,28 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # frontier hygiene composite: cleaning provably restores the seed
+    # formula, so the oracle is frontier_schedule over non-spam seeds.
+    "frontier_hygiene": "WITH " + _SEEDS_CTE + """,
+surv AS (SELECT * FROM seeds WHERE doc_id % 13 <> 0),
+dd AS (
+  SELECT *,
+         CAST(count(*) OVER (PARTITION BY urlkey) - 1 AS BIGINT)
+           AS n_dup_dropped,
+         row_number() OVER (PARTITION BY urlkey
+                            ORDER BY priority, seed_order) AS rn
+  FROM surv),
+sched AS (
+  SELECT urlkey, host, priority, seed_order, n_dup_dropped,
+         crawl_delay_ms,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, seed_order) - 1
+              AS BIGINT) AS host_rank
+  FROM dd WHERE rn = 1)
+SELECT urlkey, host, priority, seed_order, n_dup_dropped, host_rank,
+       host_rank * crawl_delay_ms AS fetch_ms
+FROM sched
+""",
     # dot segments: url + its RFC 3986 normal form, both in closed
     # form from the derivation formula.
     "dot_segments": """
@@ -6369,6 +6469,7 @@ QUERIES = {
     "revalidation_plan": q_revalidation_plan,
     "soft404": q_soft404,
     "dot_segments": q_dot_segments,
+    "frontier_hygiene": q_frontier_hygiene,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6489,7 +6590,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "resolve_redirects robots_wildcard meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "
-    "dot_segments "
+    "dot_segments frontier_hygiene "
     "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
