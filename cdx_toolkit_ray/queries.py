@@ -1243,6 +1243,44 @@ def q_frontier_hygiene(sf_dir: str):
                               "n_dup_dropped", "host_rank", "fetch_ms"])
 
 
+def q_fetch_sessions(sf_dir: str):
+    """Keep-alive connection planning: the politeness schedule grouped
+    into per-host CONNECTION SESSIONS — consecutive fetch slots within
+    5 s share one connection, a longer idle gap closes it (HTTP
+    keep-alive economics; the reference's serial session object holds
+    one connection forever, myrequests.py). Composite of two proven
+    kernels: the flagship schedule feeds sessionize with host-hash as
+    the user key and fetch_ms as the clock. Hosts with a 6 s crawl
+    delay split every fetch; 550/1000/3000 ms hosts batch up."""
+    from .canon import hash64_batch
+    from .pipelines.frontier import scheduled_crawl_order
+    from .stages.sessions import sessionize
+
+    ds = derived_seeds(sf_dir)
+    ds = first_wins_dedup(ds, "hash64",
+                          [("priority", 19), ("seed_order", 44)],
+                          derive_fn=canonicalize_batch)
+    ds = ds.map_batches(_add_false_robots, batch_format="pyarrow",
+                        batch_size=None)
+    sched = scheduled_crawl_order(ds)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        hk = (hash64_batch(batch["host"]) >> np.uint64(1)) \
+            .astype(np.int64)
+        return pa.table({"host_key": pa.array(hk),
+                         "fetch_ms": batch["fetch_ms"],
+                         "seed_order": batch["seed_order"]})
+
+    out = sessionize(sched.map_batches(keyed, batch_format="pyarrow",
+                                       batch_size=None),
+                     user_col="host_key", ts_col="fetch_ms",
+                     id_col="seed_order", gap_us=5000, level="session")
+    return out.map_batches(
+        lambda b: b.rename_columns(["host_key", "session_idx",
+                                    "n_fetches", "start_ms", "end_ms"]),
+        batch_format="pyarrow", batch_size=None)
+
+
 def q_dot_segments(sf_dir: str):
     """RFC 3986 dot-segment removal (stages/urlfeat.strip_dot_segments)
     — the URL-identity normalization canon.surt deliberately leaves
@@ -4650,6 +4688,39 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # fetch sessions: the frontier schedule's per-host fetch clock run
+    # through the gap-session windows; host key = hash64(host) >> 1
+    # (the ranked_frontier seed_order convention).
+    "fetch_sessions": ("WITH " + _SEEDS_CTE + """,
+dd AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY urlkey
+                            ORDER BY priority, seed_order) AS rn
+  FROM seeds),
+sched AS (
+  SELECT host, seed_order,
+         CAST((""" + _FNV_SQL.format(s="host") + """) // 2 AS BIGINT)
+           AS host_key,
+         CAST((row_number() OVER (PARTITION BY host
+                                  ORDER BY priority, seed_order) - 1)
+              * crawl_delay_ms AS BIGINT) AS fetch_ms
+  FROM dd WHERE rn = 1),
+brk AS (
+  SELECT *, CASE WHEN fetch_ms - lag(fetch_ms) OVER (
+                   PARTITION BY host ORDER BY fetch_ms, seed_order)
+                 > 5000 THEN 1 ELSE 0 END AS b
+  FROM sched),
+sx AS (
+  SELECT *, SUM(b) OVER (PARTITION BY host
+                         ORDER BY fetch_ms, seed_order
+                         ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM brk)
+SELECT host_key, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(min(fetch_ms) AS BIGINT) AS start_ms,
+       CAST(max(fetch_ms) AS BIGINT) AS end_ms
+FROM sx GROUP BY host_key, session_idx
+"""),
     # frontier hygiene composite: cleaning provably restores the seed
     # formula, so the oracle is frontier_schedule over non-spam seeds.
     "frontier_hygiene": "WITH " + _SEEDS_CTE + """,
@@ -6470,6 +6541,7 @@ QUERIES = {
     "soft404": q_soft404,
     "dot_segments": q_dot_segments,
     "frontier_hygiene": q_frontier_hygiene,
+    "fetch_sessions": q_fetch_sessions,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6590,7 +6662,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "resolve_redirects robots_wildcard meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "
-    "dot_segments frontier_hygiene "
+    "dot_segments frontier_hygiene fetch_sessions "
     "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
