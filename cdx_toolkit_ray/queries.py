@@ -1243,6 +1243,46 @@ def q_frontier_hygiene(sf_dir: str):
                               "n_dup_dropped", "host_rank", "fetch_ms"])
 
 
+def q_retry_after(sf_dir: str):
+    """RFC 9110 Retry-After honoring (the reference's backoff doubles
+    blindly, myrequests.py:94-157): both header forms parsed — delta
+    seconds and IMF-fixdate (rendered engine-side with Arrow strftime,
+    parsed back with polars strptime — non-circular vs the closed-form
+    truth) — plus unparseable and absent headers falling back to the
+    blind-backoff default."""
+    import pyarrow.compute as pc
+
+    from .retry import parse_retry_after_batch
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        delta = (30 + d % 90).astype(str)
+        epoch_s = 1_700_000_000 + (d % 50) * 3600
+        dates = pc.strftime(
+            pc.cast(pa.array(epoch_s * 1_000_000, pa.timestamp("us")),
+                    pa.timestamp("s")),
+            format="%a, %d %b %Y %H:%M:%S GMT").to_numpy(
+                zero_copy_only=False)
+        m = d % 4
+        hdr = np.where(m == 0, delta,
+                       np.where(m == 1, dates,
+                                np.where(m == 2, "soon", None)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "retry_after": pa.array(hdr.tolist(), pa.string()),
+        })
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    ds = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(
+        lambda b: parse_retry_after_batch(b, now_ms=1_700_000_000_000),
+        batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "next_allowed_ms",
+                              "retry_after_form"])
+
+
 def q_fetch_sessions(sf_dir: str):
     """Keep-alive connection planning: the politeness schedule grouped
     into per-host CONNECTION SESSIONS — consecutive fetch slots within
@@ -4688,6 +4728,20 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # Retry-After: closed-form truth — delta adds seconds to now,
+    # the date form is the rendered epoch, the rest fall back.
+    "retry_after": """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN CAST(1700000000000
+                          + (30 + doc_id % 90) * 1000 AS BIGINT)
+         WHEN 1 THEN CAST((1700000000 + (doc_id % 50) * 3600)
+                          * 1000 AS BIGINT)
+         ELSE CAST(1700000060000 AS BIGINT) END AS next_allowed_ms,
+       CASE doc_id % 4 WHEN 0 THEN 'delta' WHEN 1 THEN 'date' END
+         AS retry_after_form
+FROM documents
+""",
     # fetch sessions: the frontier schedule's per-host fetch clock run
     # through the gap-session windows; host key = hash64(host) >> 1
     # (the ranked_frontier seed_order convention).
@@ -6542,6 +6596,7 @@ QUERIES = {
     "dot_segments": q_dot_segments,
     "frontier_hygiene": q_frontier_hygiene,
     "fetch_sessions": q_fetch_sessions,
+    "retry_after": q_retry_after,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6662,7 +6717,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "resolve_redirects robots_wildcard meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "
-    "dot_segments frontier_hygiene fetch_sessions "
+    "dot_segments frontier_hygiene fetch_sessions retry_after "
     "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "

@@ -197,3 +197,54 @@ def make_status_classifier(policy: RetryPolicy | None = None, *,
             "retry_budget_ms", pa.array(buds[codes], pa.int64()))
 
     return classify_batch
+
+
+def parse_retry_after_batch(batch, *, header_col: str = "retry_after",
+                            now_ms: int = 0,
+                            default_ms: int = 60_000):
+    """RFC 9110 §10.2.3 ``Retry-After`` parsing -> absolute
+    next-allowed time. Servers send either form: delta-seconds
+    (``"120"``) or an IMF-fixdate (``"Wed, 21 Oct 2015 07:28:00
+    GMT"``); the reference's backoff loop ignores the header entirely
+    (myrequests.py:94-157 doubles blindly) — honoring it is what a
+    429/503 actually asks for.
+
+    Output appends ``next_allowed_ms`` (epoch ms; absent/unparseable
+    headers fall back to ``now_ms + default_ms`` — the blind-backoff
+    default) and ``retry_after_form`` in {'delta', 'date', null}.
+    One vectorized polars pass (digit-form regex + strptime).
+    """
+    import os
+
+    import pyarrow as pa
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    if batch.num_rows == 0:
+        batch = batch.append_column("next_allowed_ms",
+                                    pa.array([], pa.int64()))
+        return batch.append_column("retry_after_form",
+                                   pa.array([], pa.string()))
+    h = pl.from_arrow(batch[header_col].combine_chunks()
+                      .cast(pa.string()))
+    df = pl.DataFrame({"h": h})
+    is_delta = pl.col("h").str.contains(r"^[0-9]+$")
+    date_ms = (pl.col("h")
+               .str.strptime(pl.Datetime("ms"),
+                             "%a, %d %b %Y %H:%M:%S GMT", strict=False)
+               .dt.epoch("ms"))
+    out = df.select(
+        form=pl.when(is_delta).then(pl.lit("delta"))
+        .when(date_ms.is_not_null()).then(pl.lit("date"))
+        .otherwise(None),
+        next_ms=pl.when(is_delta)
+        .then(pl.lit(now_ms, pl.Int64)
+              + pl.col("h").cast(pl.Int64, strict=False) * 1000)
+        .when(date_ms.is_not_null()).then(date_ms)
+        .otherwise(pl.lit(now_ms + default_ms, pl.Int64)))
+    t = out.to_arrow()
+    batch = batch.append_column("next_allowed_ms",
+                                t["next_ms"].cast(pa.int64()))
+    return batch.append_column("retry_after_form",
+                               t["form"].cast(pa.string()))

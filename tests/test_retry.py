@@ -118,3 +118,22 @@ def test_random_sample_and_hash_sample():
     # deterministic: same rows on every run
     out2 = q_row_sample("/root/testdata/sf0.001").to_pandas()
     assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_parse_retry_after_forms():
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.retry import parse_retry_after_batch
+
+    b = pa.table({"retry_after": pa.array(
+        ["120", "0", "Wed, 21 Oct 2015 07:28:00 GMT", "soon",
+         None, "12x"], pa.string())})
+    out = parse_retry_after_batch(b, now_ms=1_000_000,
+                                  default_ms=60_000)
+    assert out["next_allowed_ms"].to_pylist() == [
+        1_120_000, 1_000_000, 1445412480000,
+        1_060_000, 1_060_000, 1_060_000]
+    assert out["retry_after_form"].to_pylist() == [
+        "delta", "delta", "date", None, None, None]
+    empty = b.slice(0, 0)
+    assert parse_retry_after_batch(empty).num_rows == 0
