@@ -1243,6 +1243,32 @@ def q_frontier_hygiene(sf_dir: str):
                               "n_dup_dropped", "host_rank", "fetch_ms"])
 
 
+def q_registrable_domain(sf_dir: str):
+    """eTLD+1 extraction (the key crawl politeness and host curation
+    SHOULD group by — per-host budgets over-parallelize multi-vhost
+    owners, reference myrequests.py:23-54): two-level public suffixes
+    keep three labels, default hosts keep two, single-label hosts are
+    their own domain. Truth stated from the derivation formula."""
+    from .stages.urlfeat import registrable_domain_batch
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        k = (d % 40).astype(str)
+        pats = ["www.shop%s.co.uk", "a.b.site%s.com", "news%s.com.au",
+                "x.y.org%s.example", "intra%s"]
+        hosts = [pats[x % 5] % kk for x, kk in zip(d.tolist(),
+                                                   k.tolist())]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "host": pa.array(hosts, pa.string())})
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    ds = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(registrable_domain_batch,
+                          batch_format="pyarrow", batch_size=None)
+
+
 def q_retry_after(sf_dir: str):
     """RFC 9110 Retry-After honoring (the reference's backoff doubles
     blindly, myrequests.py:94-157): both header forms parsed — delta
@@ -4728,6 +4754,24 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # registrable domain: closed-form truth per derivation case.
+    "registrable_domain": """
+WITH d AS (SELECT doc_id, doc_id % 5 AS m,
+                  CAST(doc_id % 40 AS VARCHAR) AS k
+           FROM documents)
+SELECT doc_id,
+       CASE m WHEN 0 THEN 'www.shop' || k || '.co.uk'
+              WHEN 1 THEN 'a.b.site' || k || '.com'
+              WHEN 2 THEN 'news' || k || '.com.au'
+              WHEN 3 THEN 'x.y.org' || k || '.example'
+              ELSE 'intra' || k END AS host,
+       CASE m WHEN 0 THEN 'shop' || k || '.co.uk'
+              WHEN 1 THEN 'site' || k || '.com'
+              WHEN 2 THEN 'news' || k || '.com.au'
+              WHEN 3 THEN 'org' || k || '.example'
+              ELSE 'intra' || k END AS domain
+FROM d
+""",
     # Retry-After: closed-form truth — delta adds seconds to now,
     # the date form is the rendered epoch, the rest fall back.
     "retry_after": """
@@ -6597,6 +6641,7 @@ QUERIES = {
     "frontier_hygiene": q_frontier_hygiene,
     "fetch_sessions": q_fetch_sessions,
     "retry_after": q_retry_after,
+    "registrable_domain": q_registrable_domain,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6718,6 +6763,7 @@ _R3_PRIORITY = (
     "resolve_redirects robots_wildcard meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "
     "dot_segments frontier_hygiene fetch_sessions retry_after "
+    "registrable_domain "
     "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "

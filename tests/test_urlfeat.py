@@ -188,3 +188,24 @@ def test_strip_dot_segments_two_path(ray_session):
     ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)}))
     out = [r["normalized_url"] for r in strip_dot_segments(ds).take_all()]
     assert out == want
+
+
+def test_registrable_domain_rules():
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.urlfeat import registrable_domain_batch
+
+    cases = [
+        ("www.shop.co.uk", "shop.co.uk"),
+        ("deep.a.b.example.ac.jp", "example.ac.jp"),
+        ("a.b.site.com", "site.com"),
+        ("news.com.au", "news.com.au"),   # already registrable
+        ("x.y.z.example", "z.example"),   # default two labels
+        ("localhost", "localhost"),       # single label
+        ("co.uk", "co.uk"),               # bare suffix stays itself
+    ]
+    b = pa.table({"host": pa.array([c[0] for c in cases], pa.string())})
+    out = registrable_domain_batch(b)["domain"].to_pylist()
+    assert out == [c[1] for c in cases]
+    empty = b.slice(0, 0)
+    assert registrable_domain_batch(empty).num_rows == 0
