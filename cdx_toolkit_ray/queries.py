@@ -1269,6 +1269,49 @@ def q_registrable_domain(sf_dir: str):
                           batch_format="pyarrow", batch_size=None)
 
 
+def q_domain_politeness(sf_dir: str):
+    """Registrable-domain politeness (the eTLD+1 twin of
+    ip_politeness): hosts of one owner share one crawl budget — the
+    proven scheduler runs UNCHANGED with the registrable domain as its
+    grouping key. Seeds' hosts ('www.'-toggled 'srcN.example') all
+    collapse to 'srcN.example', so the www/apex split that per-host
+    budgets would double-book is exactly what this exercises. Output
+    keeps both identities."""
+    from .pipelines.frontier import scheduled_crawl_order
+    from .stages.urlfeat import registrable_domain_batch
+
+    ds = derived_seeds(sf_dir)
+    ds = first_wins_dedup(ds, "hash64",
+                          [("priority", 19), ("seed_order", 44)],
+                          derive_fn=canonicalize_batch)
+    ds = ds.map_batches(_add_false_robots, batch_format="pyarrow",
+                        batch_size=None)
+
+    def to_domain(batch: pa.Table) -> pa.Table:
+        batch = registrable_domain_batch(batch, host_col="host",
+                                         out_col="domain")
+        batch = batch.append_column("orig_host", batch["host"])
+        idx = batch.schema.get_field_index("host")
+        return batch.set_column(idx, "host", batch["domain"]) \
+            .drop_columns(["domain"])
+
+    ds = ds.map_batches(to_domain, batch_format="pyarrow",
+                        batch_size=None)
+    ds = scheduled_crawl_order(ds)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "urlkey": batch["urlkey"],
+            "host": batch["orig_host"],
+            "domain": batch["host"],
+            "domain_rank": batch["host_rank"],
+            "fetch_ms": batch["fetch_ms"],
+        })
+
+    return ds.map_batches(rename, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def q_retry_after(sf_dir: str):
     """RFC 9110 Retry-After honoring (the reference's backoff doubles
     blindly, myrequests.py:94-157): both header forms parsed — delta
@@ -4754,6 +4797,25 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # domain politeness: the frontier window keyed by the registrable
+    # domain (seeds' www/apex forms collapse to source.example).
+    "domain_politeness": ("WITH " + _SEEDS_CTE + """,
+dd AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY urlkey
+                            ORDER BY priority, seed_order) AS rn
+  FROM seeds),
+win AS (SELECT *, regexp_replace(host, '^www\\.', '') AS domain
+        FROM dd WHERE rn = 1)
+SELECT urlkey, host, domain,
+       CAST(row_number() OVER (PARTITION BY domain
+                               ORDER BY priority, seed_order) - 1
+            AS BIGINT) AS domain_rank,
+       CAST((row_number() OVER (PARTITION BY domain
+                                ORDER BY priority, seed_order) - 1)
+            * crawl_delay_ms AS BIGINT) AS fetch_ms
+FROM win
+"""),
     # registrable domain: closed-form truth per derivation case.
     "registrable_domain": """
 WITH d AS (SELECT doc_id, doc_id % 5 AS m,
@@ -6642,6 +6704,7 @@ QUERIES = {
     "fetch_sessions": q_fetch_sessions,
     "retry_after": q_retry_after,
     "registrable_domain": q_registrable_domain,
+    "domain_politeness": q_domain_politeness,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6763,7 +6826,7 @@ _R3_PRIORITY = (
     "resolve_redirects robots_wildcard meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "
     "dot_segments frontier_hygiene fetch_sessions retry_after "
-    "registrable_domain "
+    "registrable_domain domain_politeness "
     "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
