@@ -1269,6 +1269,37 @@ def q_registrable_domain(sf_dir: str):
                           batch_format="pyarrow", batch_size=None)
 
 
+def q_mutual_links(sf_dir: str):
+    """Reciprocal-link mining (link-farm signal): derived edge set =
+    a mutual A-family (u(d) <-> u(d^1) whenever BOTH endpoints escape
+    the %3 gap rule) plus a never-reciprocated B-family (u(d) ->
+    u(d+2), same parity, so it can never collide with A). The oracle
+    states the mutual pairs in closed form: adjacent even/odd doc
+    pairs where neither id is divisible by 3."""
+    from .stages.links import mutual_links
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+
+        def u(x: np.ndarray) -> np.ndarray:
+            return np.char.add(np.char.add(
+                np.char.add("http://m", (x % 10).astype(str)),
+                ".example/g/"), x.astype(str))
+
+        a_mask = d % 3 != 0
+        src = np.concatenate([u(d[a_mask]), u(d)])
+        dst = np.concatenate([u(d[a_mask] ^ 1), u(d + 2)])
+        return pa.table({"src_url": pa.array(src.tolist(), pa.string()),
+                         "dst_url": pa.array(dst.tolist(), pa.string())})
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    edges = ds.map_batches(derive, batch_format="pyarrow",
+                           batch_size=None)
+    return mutual_links(edges)
+
+
 def q_domain_politeness(sf_dir: str):
     """Registrable-domain politeness (the eTLD+1 twin of
     ip_politeness): hosts of one owner share one crawl budget — the
@@ -4797,6 +4828,20 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # mutual links: closed form — adjacent even/odd pairs where both
+    # ids escape the %3 gap; url_a/url_b by string order.
+    "mutual_links": """
+WITH p AS (
+  SELECT d1.doc_id AS a, d2.doc_id AS b,
+         'http://m' || (d1.doc_id % 10) || '.example/g/' || d1.doc_id
+           AS ua,
+         'http://m' || (d2.doc_id % 10) || '.example/g/' || d2.doc_id
+           AS ub
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+  WHERE d1.doc_id % 2 = 0
+    AND d1.doc_id % 3 <> 0 AND d2.doc_id % 3 <> 0)
+SELECT least(ua, ub) AS url_a, greatest(ua, ub) AS url_b FROM p
+""",
     # domain politeness: the frontier window keyed by the registrable
     # domain (seeds' www/apex forms collapse to source.example).
     "domain_politeness": ("WITH " + _SEEDS_CTE + """,
@@ -6705,6 +6750,7 @@ QUERIES = {
     "retry_after": q_retry_after,
     "registrable_domain": q_registrable_domain,
     "domain_politeness": q_domain_politeness,
+    "mutual_links": q_mutual_links,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6826,7 +6872,7 @@ _R3_PRIORITY = (
     "resolve_redirects robots_wildcard meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "
     "dot_segments frontier_hygiene fetch_sessions retry_after "
-    "registrable_domain domain_politeness "
+    "registrable_domain domain_politeness mutual_links "
     "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "

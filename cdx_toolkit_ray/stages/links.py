@@ -706,6 +706,76 @@ def parse_meta_robots_batch(batch: pa.Table, url_col: str = "url",
         .cast(_META_SCHEMA)
 
 
+def mutual_links(links: ray.data.Dataset, *, src_col: str = "src_url",
+                 dst_col: str = "dst_url",
+                 num_buckets: int = 32) -> ray.data.Dataset:
+    """Reciprocal-edge mining: the distinct unordered pairs {a, b}
+    linked in BOTH directions — the classic link-farm / link-exchange
+    signal (reciprocity far above baseline marks collusive linking;
+    PageRank-style priorities over-credit it). Output one row per
+    mutual pair: ``(url_a, url_b)`` with ``url_a < url_b``.
+
+    Dataflow: each block folds its edges to distinct normalized pairs
+    carrying a direction bitmask (lo->hi = 1, hi->lo = 2) BEFORE the
+    shuffle; one pair-bucket exchange ORs the masks — a pair is mutual
+    iff its mask reaches 3. Self loops never qualify. The shuffle
+    moves one narrow row per distinct pair per block, never pages.
+    """
+    nbu = np.uint64(num_buckets)
+    part_sch = pa.schema([("lo", pa.string()), ("hi", pa.string()),
+                          ("m", pa.int64()), ("_pb", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_sch.empty_table()
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(str)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(str)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        fwd = s < d
+        lo = np.where(fwd, s, d)
+        hi = np.where(fwd, d, s)
+        m = np.where(fwd, 1, 2).astype(np.int64)
+        order = np.lexsort((m, hi, lo))
+        lo, hi, m = lo[order], hi[order], m[order]
+        new = np.ones(len(lo), bool)
+        new[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        starts = np.flatnonzero(new)
+        mm = np.bitwise_or.reduceat(m, starts) if len(starts) else m[:0]
+        lo, hi = lo[starts], hi[starts]
+        h = hash64_batch(pa.array(
+            np.char.add(np.char.add(lo, "\x00"), hi).tolist(),
+            pa.string()))
+        return pa.table({
+            "lo": pa.array(lo.tolist(), pa.string()),
+            "hi": pa.array(hi.tolist(), pa.string()),
+            "m": pa.array(mm),
+            "_pb": pa.array((h % nbu).astype(np.int64)),
+        })
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("url_a", pa.string()), ("url_b", pa.string())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        lo = tbl["lo"].to_numpy(zero_copy_only=False).astype(str)
+        hi = tbl["hi"].to_numpy(zero_copy_only=False).astype(str)
+        m = tbl["m"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hi, lo))
+        lo, hi, m = lo[order], hi[order], m[order]
+        new = np.ones(len(lo), bool)
+        new[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        starts = np.flatnonzero(new)
+        mm = np.bitwise_or.reduceat(m, starts)
+        sel = starts[mm == 3]
+        return pa.table({"url_a": pa.array(lo[sel].tolist(), pa.string()),
+                         "url_b": pa.array(hi[sel].tolist(), pa.string())})
+
+    parts = links.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    return hash_bucket_apply(parts, "_pb", merge,
+                             num_buckets=num_buckets)
+
+
 CANONICAL_RE = r"<link rel='canonical' href='([^']*)'>"
 
 _CANON_SCHEMA = pa.schema([("url", pa.string()),

@@ -513,3 +513,27 @@ def test_canonical_groups_cross_block(ray_session):
            for r in canonical_groups(ds).take_all()}
     assert got == {"http://x.example/v/0": (0, 3),
                    "http://x.example/v/10": (10, 2)}
+
+
+def test_mutual_links_cross_block(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.links import mutual_links
+
+    edges = [
+        ("a", "b"), ("b", "a"),      # mutual
+        ("a", "c"),                   # one-way
+        ("d", "e"), ("e", "d"), ("d", "e"),  # mutual with dup
+        ("f", "f"),                   # self loop never qualifies
+        ("x", "y"),
+    ]
+    tbl = pa.table({
+        "src_url": pa.array([e[0] for e in edges]),
+        "dst_url": pa.array([e[1] for e in edges]),
+    })
+    # split across blocks so the direction bits must meet in the merge
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = sorted((r["url_a"], r["url_b"])
+                 for r in mutual_links(ds).take_all())
+    assert got == [("a", "b"), ("d", "e")]
