@@ -1269,6 +1269,49 @@ def q_registrable_domain(sf_dir: str):
                           batch_format="pyarrow", batch_size=None)
 
 
+def q_hreflang(sf_dir: str):
+    """hreflang alternate harvest (the i18n page-cluster signal):
+    each page declares 1-3 language alternates — absolute for en,
+    root-relative for de (resolution exercised), plus an x-default on
+    multiples of 5. Ground truth stated from the derivation formula
+    via generate_series."""
+    from .stages.links import parse_hreflang_batch
+
+    _LANGS = ["en", "de", "fr"]
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        urls, texts = [], []
+        for x in d.tolist():
+            origin = "http://i%d.example" % (x % 10)
+            url = "%s/pg/%d" % (origin, x)
+            tags = []
+            for j in range(x % 3 + 1):
+                lang = _LANGS[(x + j) % 3]
+                if lang == "de":
+                    href = "/%s/pg/%d" % (lang, x)
+                else:
+                    href = "%s/%s/pg/%d" % (origin, lang, x)
+                tags.append("<link rel='alternate' hreflang='%s' "
+                            "href='%s'>" % (lang, href))
+            if x % 5 == 0:
+                tags.append("<link rel='alternate' "
+                            "hreflang='x-default' href='%s/pg/%d'>"
+                            % (origin, x))
+            urls.append(url)
+            texts.append("<html><head>%s</head></html>" % "".join(tags))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    pages = ds.map_batches(derive, batch_format="pyarrow",
+                           batch_size=None)
+    return pages.map_batches(parse_hreflang_batch,
+                             batch_format="pyarrow", batch_size=None)
+
+
 def q_mutual_links(sf_dir: str):
     """Reciprocal-link mining (link-farm signal): derived edge set =
     a mutual A-family (u(d) <-> u(d^1) whenever BOTH endpoints escape
@@ -4828,6 +4871,29 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # hreflang: closed form via generate_series — lang cycle per page
+    # plus the x-default row on multiples of 5; de resolves from its
+    # root-relative form to the same absolute target.
+    "hreflang": """
+WITH d AS (SELECT doc_id,
+                  'http://i' || (doc_id % 10) || '.example' AS o
+           FROM documents),
+alts AS (
+  SELECT doc_id, o,
+         unnest(generate_series(0, CAST(doc_id % 3 AS INTEGER))) AS j
+  FROM d),
+langs AS (
+  SELECT doc_id, o,
+         CASE (doc_id + j) % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+              ELSE 'fr' END AS hreflang
+  FROM alts)
+SELECT o || '/pg/' || doc_id AS url, hreflang,
+       o || '/' || hreflang || '/pg/' || doc_id AS target
+FROM langs
+UNION ALL
+SELECT o || '/pg/' || doc_id, 'x-default', o || '/pg/' || doc_id
+FROM d WHERE doc_id % 5 = 0
+""",
     # mutual links: closed form — adjacent even/odd pairs where both
     # ids escape the %3 gap; url_a/url_b by string order.
     "mutual_links": """
@@ -6751,6 +6817,7 @@ QUERIES = {
     "registrable_domain": q_registrable_domain,
     "domain_politeness": q_domain_politeness,
     "mutual_links": q_mutual_links,
+    "hreflang": q_hreflang,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6872,7 +6939,7 @@ _R3_PRIORITY = (
     "resolve_redirects robots_wildcard meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "
     "dot_segments frontier_hygiene fetch_sessions retry_after "
-    "registrable_domain domain_politeness mutual_links "
+    "registrable_domain domain_politeness mutual_links hreflang "
     "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "

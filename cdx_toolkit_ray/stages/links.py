@@ -883,6 +883,57 @@ def canonical_groups(pages: ray.data.Dataset, *, url_col: str = "url",
                              num_buckets=num_buckets)
 
 
+_HREFLANG_TAG_RE = r"<link rel='alternate' hreflang='[^']*' href='[^']*'>"
+
+_HREFLANG_SCHEMA = pa.schema([("url", pa.string()),
+                              ("hreflang", pa.string()),
+                              ("target", pa.string())])
+
+
+def parse_hreflang_batch(batch: pa.Table, url_col: str = "url",
+                         text_col: str = "text") -> pa.Table:
+    """``<link rel=alternate hreflang>`` harvest -> one row per
+    declared language alternate: ``(url, hreflang, target)`` — the
+    i18n cluster signal (language variants of one page form a group a
+    multilingual corpus pipeline keeps together; the lang tag is
+    lowercased, ``x-default`` rides through as-is). Targets resolve
+    by the extract_links rule; unresolvable hrefs drop. One vectorized
+    pass, zero shuffles."""
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    if batch.num_rows == 0:
+        return _HREFLANG_SCHEMA.empty_table()
+    df = pl.from_arrow(batch.select([url_col, text_col]))
+    if url_col != "url":
+        df = df.rename({url_col: "url"})
+    out = (
+        df.with_columns(
+            pl.col(text_col).str.extract_all(_HREFLANG_TAG_RE)
+            .alias("tag"))
+        .drop(text_col)
+        .explode("tag")
+        .drop_nulls("tag")
+        .with_columns(
+            hreflang=pl.col("tag").str.extract(r"hreflang='([^']*)'", 1)
+            .str.to_lowercase(),
+            href=pl.col("tag").str.extract(r"href='([^']*)'", 1))
+        .drop("tag"))
+    origin = pl.col("url").str.extract(_ORIGIN_RE, 1)
+    target = (
+        pl.when(pl.col("href").str.contains("://", literal=True))
+        .then(pl.col("href"))
+        .when(pl.col("href").str.starts_with("/"))
+        .then(origin + pl.col("href"))
+        .otherwise(None))
+    out = (out.with_columns(target=target)
+           .drop("href").drop_nulls("target"))
+    return out.to_arrow().select(["url", "hreflang", "target"]) \
+        .cast(_HREFLANG_SCHEMA)
+
+
 def followed_links_batch(batch: pa.Table, url_col: str = "url",
                          text_col: str = "text") -> pa.Table:
     """Policy-aware outlink harvest: ``extract_links`` rows MINUS

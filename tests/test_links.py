@@ -537,3 +537,30 @@ def test_mutual_links_cross_block(ray_session):
     got = sorted((r["url_a"], r["url_b"])
                  for r in mutual_links(ds).take_all())
     assert got == [("a", "b"), ("d", "e")]
+
+
+def test_parse_hreflang():
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.links import parse_hreflang_batch
+
+    html = ("<html><head>"
+            "<link rel='alternate' hreflang='EN' "
+            "href='http://a.example/en'>"
+            "<link rel='alternate' hreflang='de' href='/de'>"
+            "<link rel='alternate' hreflang='fr' href='rel/x'>"  # drops
+            "<link rel='alternate' hreflang='x-default' "
+            "href='http://a.example/'>"
+            "</head></html>")
+    batch = pa.table({
+        "url": pa.array(["http://a.example/p", "http://b.example/q"]),
+        "text": pa.array([html, "<html>no alternates</html>"]),
+    })
+    got = [(r["hreflang"], r["target"])
+           for r in parse_hreflang_batch(batch).to_pylist()]
+    assert got == [
+        ("en", "http://a.example/en"),       # lang lowercased
+        ("de", "http://a.example/de"),       # root-relative resolved
+        ("x-default", "http://a.example/"),  # x-default rides through
+    ]
+    assert parse_hreflang_batch(batch.slice(0, 0)).num_rows == 0
