@@ -1269,6 +1269,36 @@ def q_registrable_domain(sf_dir: str):
                           batch_format="pyarrow", batch_size=None)
 
 
+def q_pq_encode(sf_dir: str):
+    """Product quantization encode (Jégou et al. 2011): dim-64
+    embeddings -> m=4 uint8 codes, a 64x storage cut past int8's 4x.
+    All fixed-point integer (floor(x*1000+0.5) + exact int64 squared
+    distances), so codes are reduction-order independent and the
+    oracle — the inner-product identity over integer-valued doubles —
+    is bit-exact. Codebook = the kmeans_assign seeded-init rows."""
+    from .stages.ann import pq_codebook, pq_encode
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    cb = pq_codebook(ds, k=8, seed=0)
+    return pq_encode(ds, cb, m=4)
+
+
+def q_pq_search(sf_dir: str):
+    """PQ asymmetric-distance top-10 (the search half): the query
+    (vec_id 0) stays exact, each corpus vector is its codeword;
+    score = sum of 4 integer table lookups per vector. Local top-k
+    prune per batch, tiny global sort."""
+    from .stages.ann import pq_codebook, pq_search_adc
+
+    emb = pq.read_table(_tbl(sf_dir, "embeddings"))
+    qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    cb = pq_codebook(ds, k=8, seed=0)
+    return pq_search_adc(ds, cb, qvec, m=4, k=10)
+
+
 def q_hreflang(sf_dir: str):
     """hreflang alternate harvest (the i18n page-cluster signal):
     each page declares 1-3 language alternates — absolute for en,
@@ -4871,6 +4901,68 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # PQ: fixed-point vectors + the inner-product identity give exact
+    # integer distances; codebook = the kmeans seeded-init rows.
+    "pq_encode": ("""
+WITH iq AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x * 1000 + 0.5)) AS iv
+            FROM embeddings),
+h AS (SELECT vec_id, iv, """ + _seeded_key_sql("vec_id") + """ AS skey
+      FROM iq),
+c AS (SELECT iv AS civ,
+             row_number() OVER (ORDER BY skey, vec_id) - 1 AS j
+      FROM h QUALIFY row_number() OVER (ORDER BY skey, vec_id) <= 8),
+ss AS (SELECT unnest(generate_series(0, 3)) AS s),
+es AS (SELECT vec_id, s,
+              CAST(list_slice(iv, s*16 + 1, s*16 + 16) AS DOUBLE[]) AS ev
+       FROM iq CROSS JOIN ss),
+cs AS (SELECT j, s,
+              CAST(list_slice(civ, s*16 + 1, s*16 + 16) AS DOUBLE[]) AS cv
+       FROM c CROSS JOIN ss),
+d AS (SELECT e.vec_id, e.s, cs.j,
+             CAST(list_inner_product(ev, ev) + list_inner_product(cv, cv)
+                  - 2 * list_inner_product(ev, cv) AS BIGINT) AS dist
+      FROM es e JOIN cs ON cs.s = e.s)
+SELECT vec_id, CAST(s AS BIGINT) AS s, CAST(j AS BIGINT) AS code FROM d
+QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                           ORDER BY dist, j) = 1
+"""),
+    "pq_search": ("""
+WITH iq AS (SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x * 1000 + 0.5)) AS iv
+            FROM embeddings),
+h AS (SELECT vec_id, iv, """ + _seeded_key_sql("vec_id") + """ AS skey
+      FROM iq),
+c AS (SELECT iv AS civ,
+             row_number() OVER (ORDER BY skey, vec_id) - 1 AS j
+      FROM h QUALIFY row_number() OVER (ORDER BY skey, vec_id) <= 8),
+ss AS (SELECT unnest(generate_series(0, 3)) AS s),
+es AS (SELECT vec_id, s,
+              CAST(list_slice(iv, s*16 + 1, s*16 + 16) AS DOUBLE[]) AS ev
+       FROM iq CROSS JOIN ss),
+cs AS (SELECT j, s,
+              CAST(list_slice(civ, s*16 + 1, s*16 + 16) AS DOUBLE[]) AS cv
+       FROM c CROSS JOIN ss),
+d AS (SELECT e.vec_id, e.s, cs.j,
+             CAST(list_inner_product(ev, ev) + list_inner_product(cv, cv)
+                  - 2 * list_inner_product(ev, cv) AS BIGINT) AS dist
+      FROM es e JOIN cs ON cs.s = e.s),
+codes AS (SELECT vec_id, s, j AS code FROM d
+          QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dist, j) = 1),
+qs AS (SELECT s, ev AS qv FROM es WHERE vec_id = 0),
+dt AS (SELECT cs.s, cs.j,
+              CAST(list_inner_product(qv, qv) + list_inner_product(cv, cv)
+                   - 2 * list_inner_product(qv, cv) AS BIGINT) AS dq
+       FROM qs JOIN cs ON cs.s = qs.s),
+sc AS (SELECT codes.vec_id, CAST(sum(dt.dq) AS BIGINT) AS score
+       FROM codes JOIN dt ON dt.s = codes.s AND dt.j = codes.code
+       GROUP BY codes.vec_id)
+SELECT vec_id, score FROM sc
+QUALIFY row_number() OVER (ORDER BY score, vec_id) <= 10
+"""),
     # hreflang: closed form via generate_series — lang cycle per page
     # plus the x-default row on multiples of 5; de resolves from its
     # root-relative form to the same absolute target.
@@ -6818,6 +6910,8 @@ QUERIES = {
     "domain_politeness": q_domain_politeness,
     "mutual_links": q_mutual_links,
     "hreflang": q_hreflang,
+    "pq_encode": q_pq_encode,
+    "pq_search": q_pq_search,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -6940,6 +7034,7 @@ _R3_PRIORITY = (
     "canonical_dedup charset_sniff revalidation_plan soft404 "
     "dot_segments frontier_hygiene fetch_sessions retry_after "
     "registrable_domain domain_politeness mutual_links hreflang "
+    "pq_encode pq_search "
     "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "

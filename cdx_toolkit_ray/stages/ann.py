@@ -375,3 +375,112 @@ def ivf_add(index_dir: str, ds: ray.data.Dataset,
                         batch_format="pyarrow", batch_size=None)
     ds.write_parquet(index_dir, partition_cols=["ivf_cell"])
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) — the embedding-compression scale path
+# past int8: dim 64 floats (256 B) become m=4 uint8 codes (4 B), a 64x
+# cut that makes a 100-TB embedding corpus scannable from the codes
+# alone. Everything here is FIXED-POINT INTEGER (vectors quantize by
+# floor(x*scale + 0.5) once, distances are exact int64 sums), so codes
+# and ADC scores are reduction-order independent and the DuckDB oracle
+# (inner-product identity over integer-valued doubles) is bit-exact —
+# the ann_int8 convention extended to codebooks.
+# ---------------------------------------------------------------------------
+
+def _int_fixed(mat: np.ndarray, scale: int) -> np.ndarray:
+    """floor(x*scale + 0.5) — the repo's deterministic half-up rule
+    (np.round would bank; DuckDB floor(+0.5) matches this exactly)."""
+    return np.floor(mat * scale + 0.5).astype(np.int64)
+
+
+def pq_codebook(ds: ray.data.Dataset, *, k: int = 8, seed: int = 0,
+                scale: int = 1000, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> np.ndarray:
+    """Integer PQ codebook: the k seeded-init rows (kmeans_init — the
+    k smallest (seeded-FNV(id), id), the SAME deterministic rule the
+    kmeans oracle pins) quantized to fixed-point. Shape (k, dim)
+    int64; subspace s uses columns [s*sub_dim, (s+1)*sub_dim)."""
+    from .cluster import kmeans_init
+
+    rows = kmeans_init(ds, vec_col=vec_col, id_col=id_col, k=k,
+                       seed=seed)
+    return _int_fixed(np.asarray(rows, np.float64), scale)
+
+
+def _pq_codes(mat_int: np.ndarray, cb: np.ndarray, m: int) -> np.ndarray:
+    """(n, dim) int64 -> (n, m) codes: per-subspace squared-L2 argmin
+    (ties -> lowest code, numpy argmin's rule == the oracle's
+    ``ORDER BY dist, j``)."""
+    n, dim = mat_int.shape
+    sub = dim // m
+    codes = np.empty((n, m), np.int64)
+    for s in range(m):
+        a = mat_int[:, s * sub:(s + 1) * sub]
+        c = cb[:, s * sub:(s + 1) * sub]
+        d = ((a[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d.argmin(axis=1)
+    return codes
+
+
+def pq_encode(ds: ray.data.Dataset, codebook: np.ndarray, *,
+              m: int = 4, scale: int = 1000,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> ray.data.Dataset:
+    """Corpus -> PQ codes in long form ``(id, s, code)`` (one row per
+    vector per subspace — the layout a codes table shuffles/joins by).
+    Stateless vectorized pass; the codebook broadcasts once."""
+    cb_ref = ray.put(np.ascontiguousarray(codebook))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = _int_fixed(_as_matrix(batch[vec_col]), scale)
+        codes = _pq_codes(mat, cb, m)
+        n = len(ids)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, m)),
+            "s": pa.array(np.tile(np.arange(m, dtype=np.int64), n)),
+            "code": pa.array(codes.reshape(-1)),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def pq_search_adc(ds: ray.data.Dataset, codebook: np.ndarray,
+                  query_vec, *, m: int = 4, k: int = 10,
+                  scale: int = 1000, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> ray.data.Dataset:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact
+    (fixed-point), each corpus vector is approximated by its codeword;
+    score(v) = sum_s D[s][code_s(v)] with D the per-subspace integer
+    distance table — m int64 adds per vector, reduction-order free.
+    Per-batch local top-k prune, tiny global sort. Returns
+    ``(id, score)`` best-first (ties -> ascending id)."""
+    q = _int_fixed(np.asarray(query_vec, np.float64)[None, :], scale)[0]
+    dim = codebook.shape[1]
+    sub = dim // m
+    dtab = np.empty((m, codebook.shape[0]), np.int64)
+    for s in range(m):
+        qs = q[s * sub:(s + 1) * sub]
+        cs = codebook[:, s * sub:(s + 1) * sub]
+        dtab[s] = ((cs - qs[None, :]) ** 2).sum(axis=1)
+    cb_ref = ray.put((np.ascontiguousarray(codebook),
+                      np.ascontiguousarray(dtab)))
+
+    def local(batch: pa.Table) -> pa.Table:
+        cb, dt = ray.get(cb_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = _int_fixed(_as_matrix(batch[vec_col]), scale)
+        codes = _pq_codes(mat, cb, m)
+        score = dt[np.arange(m)[None, :], codes].sum(axis=1)
+        order = np.lexsort((ids, score))[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "score": pa.array(score[order])})
+
+    loc = ds.map_batches(local, batch_format="pyarrow", batch_size=None)
+    return loc.sort(["score", id_col]).limit(k)

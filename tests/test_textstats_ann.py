@@ -422,3 +422,41 @@ def test_soft404_nulls_and_empty():
     assert [r["soft404"] for r in out] == [True, False]
     empty = batch.slice(0, 0)
     assert soft404_batch(empty).num_rows == 0
+
+
+def test_pq_partition_independent_and_adc_sane(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.ann import (pq_codebook, pq_encode,
+                                            pq_search_adc)
+
+    rng = np.random.RandomState(3)
+    n, dim = 200, 64
+    mat = rng.randn(n, dim).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float32())),
+    })
+    ds1 = ray.data.from_arrow(tbl)
+    ds4 = ray.data.from_arrow(tbl).repartition(4)
+    cb = pq_codebook(ds1, k=8, seed=0)
+    codes1 = sorted(map(tuple, pq_encode(ds1, cb).to_pandas().values
+                        .tolist()))
+    codes4 = sorted(map(tuple, pq_encode(ds4, cb).to_pandas().values
+                        .tolist()))
+    assert codes1 == codes4 and len(codes1) == n * 4
+
+    # ADC of the query against ITSELF must be the best-or-near-best
+    # score (its own codeword is the closest by construction)
+    q = mat[7].astype(np.float64)
+    top = pq_search_adc(ds4, cb, q, k=10).take_all()
+    assert len(top) == 10
+    ids = [r["vec_id"] for r in top]
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores)
+    # vec 7's own quantized distance can't beat exact reconstruction
+    # by much — it must appear in the candidate set for n=200, k=8
+    assert 7 in ids
