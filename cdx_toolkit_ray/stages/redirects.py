@@ -42,10 +42,66 @@ import pyarrow.compute as pc
 import ray.data
 
 
+def _resolve_broadcast(edges: ray.data.Dataset,
+                       rmap: ray.data.Dataset, *, url_col: str,
+                       redirect_col: str,
+                       max_hops: int) -> ray.data.Dataset:
+    """Broadcast path: the redirect map as two sorted numpy arrays
+    (``ray.put`` once), each batch chased with <= max_hops vectorized
+    searchsorted passes — the serial walker's semantics, batch-wide."""
+    pairs = rmap.take_all()
+    keys = np.array(sorted(r[url_col] for r in pairs), dtype=object)
+    kmap = {r[url_col]: r[redirect_col] for r in pairs}
+    vals = np.array([kmap[k] for k in keys.tolist()], dtype=object)
+    keys_u = keys.astype(str)
+    ref = ray.put((keys_u, vals))
+
+    def chase(batch: pa.Table, cap: int = max_hops) -> pa.Table:
+        ks, vs = ray.get(ref)
+        url = batch[url_col].to_numpy(zero_copy_only=False).astype(str)
+        n = len(url)
+        cur = url.astype(object)
+        hops = np.zeros(n, np.int64)
+        active = np.ones(n, bool)
+        for _ in range(cap + 1):
+            if not active.any():
+                break
+            ca = cur[active].astype(str)
+            idx = np.searchsorted(ks, ca)
+            idx_c = np.minimum(idx, len(ks) - 1) if len(ks) else idx
+            found = (np.zeros(len(ca), bool) if not len(ks)
+                     else ks[idx_c] == ca)
+            # terminal by absence: those rows stop, stay resolved
+            act_idx = np.flatnonzero(active)
+            stop = act_idx[~found]
+            active[stop] = False
+            go = act_idx[found]
+            cur[go] = vs[idx_c[found]]
+            hops[go] += 1
+        # rows still chasing after cap+1 iterations took cap+1 hops
+        exhausted = hops > cap
+        ok = ~exhausted
+        final = np.where(ok, cur, None)
+        return pa.table({
+            "url": batch[url_col],
+            "final_url": pa.array(final.tolist(), pa.string()),
+            "hops": pa.array(
+                [int(h) if o else None
+                 for h, o in zip(hops.tolist(), ok.tolist())],
+                pa.int64()),
+            "resolved": pa.array(ok),
+        })
+
+    return edges.map_batches(chase, batch_format="pyarrow",
+                             batch_size=None)
+
+
 def resolve_redirects(edges: ray.data.Dataset, *, url_col: str = "url",
                       redirect_col: str = "redirect", max_hops: int = 20,
                       num_partitions: int | None = None,
-                      max_rounds: int = 64) -> ray.data.Dataset:
+                      max_rounds: int = 64,
+                      broadcast_budget_bytes: int = 256 << 20
+                      ) -> ray.data.Dataset:
     """``(url, final_url, hops, resolved)`` per input url.
 
     ``edges`` holds one row per url: ``redirect_col`` is the 3xx
@@ -60,11 +116,39 @@ def resolve_redirects(edges: ray.data.Dataset, *, url_col: str = "url",
     url it has no capture for.  Duplicate urls in ``edges`` raise: the
     redirect map must be functional (compact captures first —
     stages/recrawl.compact_captures — to pick one winner per url).
+
+    Path auto-select (the content-join pattern): the REDIRECT SUBSET
+    (rows whose ``redirect_col`` is non-null — a few percent of a real
+    capture table) is the map the walk needs; when it fits
+    ``broadcast_budget_bytes`` it broadcasts once as two sorted arrays
+    and every input batch chases its chains in <= max_hops vectorized
+    searchsorted passes — zero shuffles, one corpus scan.  Above the
+    budget the pointer-doubling self-join loop runs (O(log chain)
+    exchanges of the narrow state).  Both paths are row-identical
+    (tests pin the parity).
     """
     from .dedup import default_join_partitions
 
     if num_partitions is None:
         num_partitions = default_join_partitions()
+
+    # the functional-map contract guards BOTH paths: one narrow-column
+    # aggregate (the urls), before any resolution work
+    n_urls = edges.count()
+    if n_urls and \
+            edges.groupby(url_col).count().count() != n_urls:
+        raise ValueError(
+            "resolve_redirects: duplicate urls in the edge table — the "
+            "redirect map must be functional (one row per url); run "
+            "compact_captures first")
+
+    rmap = edges.select_columns([url_col, redirect_col]).map_batches(
+        lambda b: b.filter(pc.is_valid(b[redirect_col])),
+        batch_format="pyarrow", batch_size=None).materialize()
+    if (rmap.size_bytes() or 0) <= broadcast_budget_bytes:
+        return _resolve_broadcast(edges, rmap, url_col=url_col,
+                                  redirect_col=redirect_col,
+                                  max_hops=max_hops)
 
     def init_state(batch: pa.Table) -> pa.Table:
         url = batch[url_col]
@@ -85,7 +169,6 @@ def resolve_redirects(edges: ray.data.Dataset, *, url_col: str = "url",
 
     state = edges.map_batches(init_state, batch_format="pyarrow",
                               batch_size=None)
-    n_urls = state.count()
     if n_urls == 0:
         return ray.data.from_arrow(pa.table({
             "url": pa.array([], pa.string()),
@@ -96,11 +179,6 @@ def resolve_redirects(edges: ray.data.Dataset, *, url_col: str = "url",
     # num_partitions as the 100-TB ceiling
     n_parts = max(1, min(num_partitions, (n_urls + (1 << 17) - 1) >> 17))
     state = state.drop_columns(["_n"]).repartition(n_parts).materialize()
-    if state.groupby("src").count().count() != n_urls:
-        raise ValueError(
-            "resolve_redirects: duplicate urls in the edge table — the "
-            "redirect map must be functional (one row per url); run "
-            "compact_captures first")
 
     converged = False
     for _round in range(max_rounds):

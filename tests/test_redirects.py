@@ -103,3 +103,35 @@ def test_long_chain_log_rounds(ray_session):
     assert got["n0"] == ("n64", 64, True)
     hops = np.array([got[f"n{i}"][1] for i in range(65)])
     assert (hops == np.arange(64, -1, -1)).all()
+
+
+def test_broadcast_vs_doubling_parity(ray_session):
+    import ray.data
+
+    from cdx_toolkit_ray.stages.redirects import resolve_redirects
+
+    def u(d):
+        return f"http://h{d % 10}.example/r/{d}"
+
+    rows = []
+    for d in range(300):
+        if d % 48 == 0:
+            red = u(d + 2)
+        elif d % 8 != 0:
+            red = u(d - 1)
+        else:
+            red = None
+        rows.append({"url": u(d), "redirect": red})
+    tbl = pa.Table.from_pylist(rows)
+
+    def run(budget):
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        out = resolve_redirects(ds, max_hops=20,
+                                broadcast_budget_bytes=budget)
+        return sorted((r["url"], r["final_url"], r["hops"],
+                       r["resolved"]) for r in out.take_all())
+
+    fast = run(256 << 20)   # broadcast path
+    slow = run(0)           # forced pointer-doubling path
+    assert fast == slow
+    assert any(not r[3] for r in fast)  # cycles exhausted on both
