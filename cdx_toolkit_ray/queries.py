@@ -1269,6 +1269,61 @@ def q_registrable_domain(sf_dir: str):
                           batch_format="pyarrow", batch_size=None)
 
 
+def q_hreflang_clusters(sf_dir: str):
+    """Language-cluster assignment: the hreflang alternate graph's
+    connected components — variants of one page get ONE cluster id
+    (min node hash), the grouping a multilingual pipeline dedups and
+    samples by. The engine runs the REAL distributed CC loop
+    (stages/components — handles arbitrary alternate graphs); the
+    derivation's graphs are stars, so the oracle states the closure in
+    closed form (min over each star) without recursion. Node ids =
+    hash64(url) >> 1 (the fetch_sessions FNV convention)."""
+    from .canon import hash64_batch
+    from .stages.components import connected_components
+    from .stages.links import parse_hreflang_batch
+
+    _LANGS = ["en", "de", "fr"]
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        urls, texts = [], []
+        for x in d.tolist():
+            origin = "http://i%d.example" % (x % 10)
+            url = "%s/pg/%d" % (origin, x)
+            tags = []
+            for j in range(x % 3 + 1):
+                lang = _LANGS[(x + j) % 3]
+                tags.append("<link rel='alternate' hreflang='%s' "
+                            "href='%s/%s/pg/%d'>"
+                            % (lang, origin, lang, x))
+            urls.append(url)
+            texts.append("<html><head>%s</head></html>" % "".join(tags))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    alts = ds.map_batches(derive, batch_format="pyarrow",
+                          batch_size=None) \
+        .map_batches(parse_hreflang_batch, batch_format="pyarrow",
+                     batch_size=None)
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        a = (hash64_batch(batch["url"]) >> np.uint64(1)) \
+            .astype(np.int64)
+        b = (hash64_batch(batch["target"]) >> np.uint64(1)) \
+            .astype(np.int64)
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+
+    pairs = alts.map_batches(to_ids, batch_format="pyarrow",
+                             batch_size=None)
+    cc = connected_components(pairs)
+    return cc.map_batches(
+        lambda b: pa.table({"node": b["node"], "cluster": b["component"]}),
+        batch_format="pyarrow", batch_size=None)
+
+
 def q_pq_encode(sf_dir: str):
     """Product quantization encode (Jégou et al. 2011): dim-64
     embeddings -> m=4 uint8 codes, a 64x storage cut past int8's 4x.
@@ -4901,6 +4956,37 @@ SELECT host, sitemap_url, CAST(0 AS BIGINT) AS part, url,
        CAST(NULL AS VARCHAR) AS lastmod
 FROM e
 """ % _FIXTURE_LINK,
+    # hreflang clusters: the derivation's alternate graphs are stars,
+    # so the closure is min-over-star in closed form (no recursion);
+    # node ids = FNV64 // 2 (engine: hash64 >> 1).
+    "hreflang_clusters": ("""
+WITH d AS (SELECT doc_id,
+                  'http://i' || (doc_id % 10) || '.example' AS o
+           FROM documents),
+alts AS (SELECT doc_id, o,
+                unnest(generate_series(0, CAST(doc_id % 3 AS INTEGER)))
+                  AS j
+         FROM d),
+e AS (SELECT doc_id, o || '/pg/' || doc_id AS url,
+             o || '/'
+               || (CASE (doc_id + j) % 3 WHEN 0 THEN 'en'
+                        WHEN 1 THEN 'de' ELSE 'fr' END)
+               || '/pg/' || doc_id AS target
+      FROM alts),
+n AS (SELECT doc_id,
+             CAST((""" + _FNV_SQL.format(s="url") + """) // 2
+                  AS BIGINT) AS nid,
+             CAST((""" + _FNV_SQL.format(s="target") + """) // 2
+                  AS BIGINT) AS tid
+      FROM e),
+cl AS (SELECT doc_id, least(min(nid), min(tid)) AS cluster
+       FROM n GROUP BY doc_id),
+mem AS (
+  SELECT n.nid AS node, cl.cluster FROM n JOIN cl USING (doc_id)
+  UNION
+  SELECT n.tid, cl.cluster FROM n JOIN cl USING (doc_id))
+SELECT DISTINCT node, cluster FROM mem
+"""),
     # PQ: fixed-point vectors + the inner-product identity give exact
     # integer distances; codebook = the kmeans seeded-init rows.
     "pq_encode": ("""
@@ -6912,6 +6998,7 @@ QUERIES = {
     "hreflang": q_hreflang,
     "pq_encode": q_pq_encode,
     "pq_search": q_pq_search,
+    "hreflang_clusters": q_hreflang_clusters,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -7034,7 +7121,7 @@ _R3_PRIORITY = (
     "canonical_dedup charset_sniff revalidation_plan soft404 "
     "dot_segments frontier_hygiene fetch_sessions retry_after "
     "registrable_domain domain_politeness mutual_links hreflang "
-    "pq_encode pq_search "
+    "pq_encode pq_search hreflang_clusters "
     "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
