@@ -113,7 +113,9 @@ def robots_wildcard_gate(urls: ray.data.Dataset,
             if not uh_mask.any():
                 continue
             in_host = uh_mask[hinv]
-            hits = path_pl.str.contains(rx).to_numpy() & in_host
+            # null paths never match (RFC: no path, no rule)
+            hits = (path_pl.str.contains(rx).fill_null(False)
+                    .to_numpy() & in_host)
             idx = np.flatnonzero(hits)
             if len(idx):
                 cand_row.append(idx)

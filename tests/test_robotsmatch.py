@@ -79,3 +79,8 @@ def test_rules_budget_raises(ray_session):
              for i in range(5)]
     with pytest.raises(ValueError, match="broadcast budget"):
         _gate(urls, rules, rules_budget_rows=3)
+
+
+def test_null_path_never_matches(ray_session):
+    got = _gate([{"host": "b", "path": None}], RULES)
+    assert got[("b", None)] == (True, None)
