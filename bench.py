@@ -422,6 +422,12 @@ def main() -> None:
             # round 3 continuation: canonical alias folding exchange
             ("canonical_dedup",
              lambda: consume(Q.q_canonical_dedup(SF_DIR))),
+            # round 3 continuation: the five-stage hygiene composite
+            ("frontier_hygiene",
+             lambda: consume(Q.q_frontier_hygiene(SF_DIR))),
+            # round 3 continuation: PQ asymmetric-distance search
+            ("pq_search",
+             lambda: consume(Q.q_pq_search(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the
