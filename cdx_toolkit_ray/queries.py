@@ -1269,6 +1269,28 @@ def q_registrable_domain(sf_dir: str):
                           batch_format="pyarrow", batch_size=None)
 
 
+def q_ivfpq_search(sf_dir: str):
+    """IVF-PQ probe-all search (the FAISS-standard compressed index):
+    vectors route to coarse cells and store ONLY their 4-byte PQ
+    codes, hive-partitioned per cell; the search reads nprobe cell
+    directories of codes (the float corpus never loads). Probing ALL
+    cells provably equals pq_search_adc over the whole corpus, so the
+    pq_search SQL oracle value-checks the entire build+route+ADC path
+    (the ann_ivf_full exact-twin pattern); the nprobe<cells scale path
+    is covered by the pruning test."""
+    import tempfile
+
+    from .stages.ann import ivfpq_build, ivfpq_search
+
+    emb = pq.read_table(_tbl(sf_dir, "embeddings"))
+    qvec = emb.filter(pc.equal(emb["vec_id"], 0))["embedding"][0].as_py()
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    idx = tempfile.mkdtemp(prefix="ivfpq_")
+    ivfpq_build(ds, idx, n_cells=4, m=4, k=8)
+    return ivfpq_search(idx, qvec, m=4, k=10, nprobe=4)
+
+
 def q_hreflang_clusters(sf_dir: str):
     """Language-cluster assignment: the hreflang alternate graph's
     connected components — variants of one page get ONE cluster id
@@ -6934,6 +6956,10 @@ FROM events e JOIN orders o
 """,
 }
 
+# IVF-PQ probed over ALL cells provably equals PQ ADC over the whole
+# corpus — the exact-twin oracle (the ann_ivf_full pattern).
+ORACLES["ivfpq_search"] = ORACLES["pq_search"]
+
 
 QUERIES = {
     "surt_canonicalize": q_surt_canonicalize,
@@ -6999,6 +7025,7 @@ QUERIES = {
     "pq_encode": q_pq_encode,
     "pq_search": q_pq_search,
     "hreflang_clusters": q_hreflang_clusters,
+    "ivfpq_search": q_ivfpq_search,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "url_seen": q_url_seen,
@@ -7121,7 +7148,7 @@ _R3_PRIORITY = (
     "canonical_dedup charset_sniff revalidation_plan soft404 "
     "dot_segments frontier_hygiene fetch_sessions retry_after "
     "registrable_domain domain_politeness mutual_links hreflang "
-    "pq_encode pq_search hreflang_clusters "
+    "pq_encode pq_search ivfpq_search hreflang_clusters "
     "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "

@@ -484,3 +484,95 @@ def pq_search_adc(ds: ray.data.Dataset, codebook: np.ndarray,
 
     loc = ds.map_batches(local, batch_format="pyarrow", batch_size=None)
     return loc.sort(["score", id_col]).limit(k)
+
+
+def ivfpq_build(ds: ray.data.Dataset, out_dir: str, *,
+                n_cells: int = 4, m: int = 4, k: int = 8,
+                scale: int = 1000, cell_seed: int = 1, pq_seed: int = 0,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> tuple[np.ndarray, np.ndarray]:
+    """IVF-PQ index (the FAISS-standard layout): vectors route to one
+    of ``n_cells`` coarse cells (fixed-point integer nearest-centroid,
+    the kmeans seeded-init rule with its own seed) and store ONLY
+    their PQ codes, hive-partitioned ``cell=<c>/`` — a search touches
+    nprobe directories of 4-byte codes instead of the float corpus.
+    Returns (coarse_centroids_int, pq_codebook_int); both also persist
+    beside the partitions for ``ivfpq_search``."""
+    import os
+
+    coarse = pq_codebook(ds, k=n_cells, seed=cell_seed, scale=scale,
+                         vec_col=vec_col, id_col=id_col)
+    cb = pq_codebook(ds, k=k, seed=pq_seed, scale=scale,
+                     vec_col=vec_col, id_col=id_col)
+    co_ref = ray.put((np.ascontiguousarray(coarse),
+                      np.ascontiguousarray(cb)))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        co, codebook = ray.get(co_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = _int_fixed(_as_matrix(batch[vec_col]), scale)
+        d = ((mat[:, None, :] - co[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1).astype(np.int64)
+        codes = _pq_codes(mat, codebook, m)
+        cols = {id_col: pa.array(ids), "cell": pa.array(cell)}
+        for s in range(m):
+            cols["code_%d" % s] = pa.array(codes[:, s])
+        return pa.table(cols)
+
+    ds.map_batches(encode, batch_format="pyarrow",
+                   batch_size=None).write_parquet(
+        out_dir, partition_cols=["cell"])
+    np.save(os.path.join(out_dir, "coarse.npy"), coarse)
+    np.save(os.path.join(out_dir, "pq_codebook.npy"), cb)
+    return coarse, cb
+
+
+def ivfpq_search(index_dir: str, query_vec, *, m: int = 4,
+                 k: int = 10, nprobe: int = 2, scale: int = 1000,
+                 id_col: str = "vec_id") -> ray.data.Dataset:
+    """Search an ``ivfpq_build`` layout: pick the ``nprobe`` coarse
+    cells nearest the query (integer metric), read ONLY those cells'
+    code partitions (prune-at-read — float vectors never load), and
+    ADC-score the codes. With ``nprobe = n_cells`` the routing cannot
+    drop any candidate, so the result provably equals ``pq_search_adc``
+    over the whole corpus — the exact-twin oracle pattern."""
+    import glob
+    import os
+
+    coarse = np.load(os.path.join(index_dir, "coarse.npy"))
+    cb = np.load(os.path.join(index_dir, "pq_codebook.npy"))
+    q = _int_fixed(np.asarray(query_vec, np.float64)[None, :], scale)[0]
+    cd = ((coarse - q[None, :]) ** 2).sum(axis=1)
+    order = np.lexsort((np.arange(len(cd)), cd))
+    probe = sorted(int(c) for c in order[:nprobe])
+
+    dim = cb.shape[1]
+    sub = dim // m
+    dtab = np.empty((m, cb.shape[0]), np.int64)
+    for s in range(m):
+        qs = q[s * sub:(s + 1) * sub]
+        cs = cb[:, s * sub:(s + 1) * sub]
+        dtab[s] = ((cs - qs[None, :]) ** 2).sum(axis=1)
+    dt_ref = ray.put(np.ascontiguousarray(dtab))
+
+    paths = [p for c in probe
+             for p in glob.glob(os.path.join(index_dir,
+                                             "cell=%d" % c, "*.parquet"))]
+    code_cols = ["code_%d" % s for s in range(m)]
+    ds = ray.data.read_parquet(paths, columns=[id_col] + code_cols)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dt = ray.get(dt_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes = np.stack(
+            [batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+             for c in code_cols], axis=1)
+        sc = dt[np.arange(m)[None, :], codes].sum(axis=1)
+        o = np.lexsort((ids, sc))[:k]
+        return pa.table({id_col: pa.array(ids[o]),
+                         "score": pa.array(sc[o])})
+
+    loc = ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+    return loc.sort(["score", id_col]).limit(k)

@@ -460,3 +460,47 @@ def test_pq_partition_independent_and_adc_sane(ray_session):
     # vec 7's own quantized distance can't beat exact reconstruction
     # by much — it must appear in the candidate set for n=200, k=8
     assert 7 in ids
+
+
+def test_ivfpq_pruning_and_probe_all_parity(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.ann import (ivfpq_build, ivfpq_search,
+                                            pq_codebook, pq_search_adc)
+
+    rng = np.random.RandomState(11)
+    n, dim = 240, 64
+    mat = rng.randn(n, dim).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_build(ds, idx, n_cells=4, m=4, k=8)
+
+    q = mat[5].astype(np.float64)
+    # probe-all == plain PQ ADC over the whole corpus, row for row
+    cb = pq_codebook(ray.data.from_arrow(tbl), k=8, seed=0)
+    want = [(r["vec_id"], r["score"]) for r in
+            pq_search_adc(ray.data.from_arrow(tbl), cb, q,
+                          k=10).take_all()]
+    got = [(r["vec_id"], r["score"]) for r in
+           ivfpq_search(idx, q, k=10, nprobe=4).take_all()]
+    assert got == want
+
+    # nprobe=1 reads only ONE cell directory (prune-at-read)
+    import glob
+    all_cells = {p.split("cell=")[1].split("/")[0]
+                 for p in glob.glob(idx + "/cell=*/*.parquet")}
+    assert len(all_cells) == 4
+    top1 = ivfpq_search(idx, q, k=10, nprobe=1).take_all()
+    assert 0 < len(top1) <= 10
+    # its candidates all come from the probed cell: scores are a
+    # superset-restriction of the probe-all ranking
+    sub = {r["vec_id"] for r in top1}
+    assert sub <= {r["vec_id"] for r in
+                   ivfpq_search(idx, q, k=n, nprobe=4).take_all()}
