@@ -98,46 +98,10 @@ def robots_wildcard_gate(urls: ray.data.Dataset,
         import polars as pl
 
         rls = ray.get(rules_ref)
-        n = batch.num_rows
         host = batch[host_col].to_numpy(zero_copy_only=False)
-        # row -> unique-host code once; per-pattern membership is then
-        # a small boolean gather, not a per-row Python loop
-        uhost, hinv = np.unique(host, return_inverse=True)
         path_pl = pl.from_arrow(
             batch[path_col].combine_chunks().cast(pa.string()))
-
-        cand_row, cand_len, cand_allow, cand_pat = [], [], [], []
-        for pat, allow, rx, hosts in rls:
-            uh_mask = np.fromiter((h in hosts for h in uhost), bool,
-                                  len(uhost))
-            if not uh_mask.any():
-                continue
-            in_host = uh_mask[hinv]
-            # null paths never match (RFC: no path, no rule)
-            hits = (path_pl.str.contains(rx).fill_null(False)
-                    .to_numpy() & in_host)
-            idx = np.flatnonzero(hits)
-            if len(idx):
-                cand_row.append(idx)
-                cand_len.append(np.full(len(idx), len(pat), np.int64))
-                cand_allow.append(
-                    np.full(len(idx), 1 if allow else 0, np.int64))
-                cand_pat.append(np.full(len(idx), pat, dtype=object))
-
-        allowed = np.ones(n, bool)
-        win_rule = np.full(n, None, dtype=object)
-        if cand_row:
-            row = np.concatenate(cand_row)
-            ln = np.concatenate(cand_len)
-            al = np.concatenate(cand_allow)
-            pt = np.concatenate(cand_pat)
-            order = np.lexsort((pt.astype(str), -al, -ln, row))
-            rs = row[order]
-            first = np.ones(len(rs), bool)
-            first[1:] = rs[1:] != rs[:-1]
-            sel = order[first]
-            allowed[row[sel]] = al[sel] == 1
-            win_rule[row[sel]] = pt[sel]
+        allowed, win_rule = match_rules(host, path_pl, rls)
 
         out = {host_col: batch[host_col], path_col: batch[path_col]}
         for c in keep_cols:
@@ -148,3 +112,100 @@ def robots_wildcard_gate(urls: ray.data.Dataset,
 
     return urls.map_batches(gate, batch_format="pyarrow",
                             batch_size=None)
+
+
+def match_rules(host: np.ndarray, path_pl, compiled
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """The matcher core: (host array, polars path Series, compiled
+    rule list) -> (allowed bool array, winning-rule object array).
+    One regex pass per distinct pattern (host membership via a
+    unique-host gather), one lexsort winner pass."""
+    n = len(host)
+    # null hosts get the empty sentinel: no rule set carries it, so
+    # such rows fall through to the allowed default
+    host = np.array([h if h is not None else "" for h in host],
+                    dtype=object)
+    uhost, hinv = np.unique(host, return_inverse=True)
+
+    cand_row, cand_len, cand_allow, cand_pat = [], [], [], []
+    for pat, allow, rx, hosts in compiled:
+        uh_mask = np.fromiter((h in hosts for h in uhost), bool,
+                              len(uhost))
+        if not uh_mask.any():
+            continue
+        in_host = uh_mask[hinv]
+        # null paths never match (RFC: no path, no rule)
+        hits = (path_pl.str.contains(rx).fill_null(False)
+                .to_numpy() & in_host)
+        idx = np.flatnonzero(hits)
+        if len(idx):
+            cand_row.append(idx)
+            cand_len.append(np.full(len(idx), len(pat), np.int64))
+            cand_allow.append(
+                np.full(len(idx), 1 if allow else 0, np.int64))
+            cand_pat.append(np.full(len(idx), pat, dtype=object))
+
+    allowed = np.ones(n, bool)
+    win_rule = np.full(n, None, dtype=object)
+    if cand_row:
+        row = np.concatenate(cand_row)
+        ln = np.concatenate(cand_len)
+        al = np.concatenate(cand_allow)
+        pt = np.concatenate(cand_pat)
+        order = np.lexsort((pt.astype(str), -al, -ln, row))
+        rs = row[order]
+        first = np.ones(len(rs), bool)
+        first[1:] = rs[1:] != rs[:-1]
+        sel = order[first]
+        allowed[row[sel]] = al[sel] == 1
+        win_rule[row[sel]] = pt[sel]
+    return allowed, win_rule
+
+
+def compile_rules(rule_rows, *, host_col: str = "host",
+                  rule_col: str = "rule", allow_col: str = "allow"):
+    """Rule rows -> the compiled per-pattern list ``match_rules``
+    consumes: [(pattern, allow, regex, host set)], deterministic
+    order."""
+    groups: dict[tuple[str, bool], set] = {}
+    for r in rule_rows:
+        groups.setdefault((r[rule_col], bool(r[allow_col])),
+                          set()).add(r[host_col])
+    return [(pat, allow, compile_rule(pat), hosts)
+            for (pat, allow), hosts in sorted(groups.items())]
+
+
+def robots_url_gate(rule_rows, *, url_col: str = "url",
+                    host_col: str = "host", rule_col: str = "rule",
+                    allow_col: str = "allow"):
+    """Batch-filter form of the wildcard matcher for the crawl loop
+    (``crawl_waves(url_gate=...)`` / ``run_crawl(url_gate=...,
+    url_gate_tag='robotsv1')``): rows whose URL a robots rule
+    disallows are dropped BEFORE the seen gate, so they are never
+    offered, never fetched, and prune their subtrees. ``rule_rows``
+    is the small-side rules list (host, rule, allow) compiled once
+    into the closure — stateless and deterministic, safe to re-apply
+    on resume. Host and path split from the full URL per batch; urls
+    without a parseable host pass through (no rules can apply)."""
+    compiled = compile_rules(rule_rows, host_col=host_col,
+                             rule_col=rule_col, allow_col=allow_col)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        if batch.num_rows == 0:
+            return batch
+        u = pl.from_arrow(batch[url_col].combine_chunks()
+                          .cast(pa.string()))
+        host = u.str.extract(r"^[a-z][a-z0-9+.\-]*://([^/?#]+)", 1) \
+            .to_numpy()
+        path = (u.str.replace(r"^[a-z][a-z0-9+.\-]*://[^/?#]*", "")
+                .str.replace(r"[?#].*$", ""))
+        path = pl.Series([p if p else "/" for p in path.to_list()])
+        allowed, _ = match_rules(host, path, compiled)
+        return batch.filter(pa.array(allowed))
+
+    return gate

@@ -84,3 +84,84 @@ def test_rules_budget_raises(ray_session):
 def test_null_path_never_matches(ray_session):
     got = _gate([{"host": "b", "path": None}], RULES)
     assert got[("b", None)] == (True, None)
+
+
+def test_robots_url_gate_in_crawl_shape(ray_session):
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.robotsmatch import robots_url_gate
+
+    rules = [
+        {"host": "a.example", "rule": "/private*", "allow": False},
+        {"host": "a.example", "rule": "/private/ok*", "allow": True},
+        {"host": "b.example", "rule": "*.tmp$", "allow": False},
+    ]
+    gate = robots_url_gate(rules)
+    batch = pa.table({"url": pa.array([
+        "http://a.example/private/x",       # blocked
+        "http://a.example/private/ok/y",    # longer allow wins
+        "http://a.example/pub",             # no rule -> kept
+        "http://b.example/f.tmp",           # $-anchored block
+        "http://b.example/f.tmpx",          # anchor miss -> kept
+        "http://c.example/anything",        # host without rules
+        "http://a.example",                 # bare host -> path '/'
+        "not-a-url",                        # unparseable -> kept
+    ], pa.string())})
+    kept = gate(batch)["url"].to_pylist()
+    assert kept == [
+        "http://a.example/private/ok/y",
+        "http://a.example/pub",
+        "http://b.example/f.tmpx",
+        "http://c.example/anything",
+        "http://a.example",
+        "not-a-url",
+    ]
+    assert gate(batch.slice(0, 0)).num_rows == 0
+
+
+def test_robots_url_gate_through_crawl_waves(ray_session, tmp_path):
+    """The wildcard gate plugs into the crawl loop exactly like the
+    spam gate: gated URLs never fetch and prune their subtrees."""
+    import pyarrow.parquet as pqt
+
+    import ray.data
+
+    from cdx_toolkit_ray.pipelines.crawl import crawl_waves
+    from cdx_toolkit_ray.stages.robotsmatch import robots_url_gate
+
+    # tiny web: seed -> /a -> /blocked/x -> /deep (deep only reachable
+    # through the blocked page)
+    def page(url, links):
+        body = "".join(f"<a href='{u}'>x</a>" for u in links)
+        return {"url": url, "warc_ts": 1_700_000_000_000_000,
+                "html": body.encode(), "text": body, "lang": "en"}
+
+    # url names chosen so every page's fault schedule (FAULT_STATUSES,
+    # attempt 0-indexed) reaches an ok status within max_attempts —
+    # the gate, not a fetch outcome, must explain every absence
+    H = "http://w.example"
+    rows = [
+        page(f"{H}/root", [f"{H}/blocked/q", f"{H}/ok"]),
+        page(f"{H}/blocked/q", [f"{H}/deep"]),
+        page(f"{H}/ok", []),
+        page(f"{H}/deep", []),
+    ]
+    p = str(tmp_path / "pages.parquet")
+    pqt.write_table(pa.Table.from_pylist(rows), p)
+    seeds = ray.data.from_arrow(
+        pa.table({"url": pa.array([f"{H}/root"], pa.string())}))
+
+    # without the gate the whole web is reachable
+    base = set(crawl_waves(p, seeds=seeds, max_waves=4)
+               .to_pandas()["url"])
+    assert base == {f"{H}/root", f"{H}/blocked/q", f"{H}/ok",
+                    f"{H}/deep"}
+
+    gate = robots_url_gate(
+        [{"host": "w.example", "rule": "/blocked*", "allow": False}])
+    got = set(crawl_waves(p, seeds=seeds, max_waves=4,
+                          url_gate=gate).to_pandas()["url"])
+    assert got == {f"{H}/root", f"{H}/ok"}  # /deep pruned transitively
+
+
+import pyarrow as pa  # noqa: E402  (used by the new tests above)
