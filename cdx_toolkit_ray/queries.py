@@ -1637,7 +1637,7 @@ def q_revalidation_plan(sf_dir: str):
                                columns=["user_id", "ts", "event_type"])
     return revalidation_plan(ds, key_col="user_id", ts_col="ts",
                              digest_col="event_type",
-                             cutoff_us=1707091200000000)
+                             cutoff_us=1707264000000000)
 
 
 def q_sitemap_index(sf_dir: str):
@@ -5272,7 +5272,7 @@ SELECT i.key, CAST(n_caps AS BIGINT) AS n_caps,
        l.etag,
        strftime(make_timestamp(last_us),
                 '%a, %d %b %Y %H:%M:%S GMT') AS if_modified_since,
-       (last_us + interval_us) <= 1707091200000000 AS due
+       (last_us + interval_us) <= 1707264000000000 AS due
 FROM i JOIN l ON l.key = i.key AND l.rn = 1
 """,
     # charset sniff: truth from the derivation formula — BOM beats
