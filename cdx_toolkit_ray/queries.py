@@ -1720,6 +1720,41 @@ def q_robots_wildcard(sf_dir: str):
     return robots_wildcard_gate(urls, rules, keep_cols=("doc_id",))
 
 
+def q_robots_chain(sf_dir: str):
+    """The wildcard robots protocol END-TO-END: per-host rule lists
+    render as raw robots.txt bodies (Allow/Disallow lines, wildcards,
+    noise the parser must skip) -> parsed back to (host, rule, allow)
+    rows -> the RFC 9309 matcher gates the derived frontier. Output ==
+    q_robots_wildcard exactly, so the same oracle hash checks render,
+    parse, AND match in one chain (the exact-twin pattern)."""
+    from .stages.robotsmatch import (parse_wildcard_robots_batch,
+                                     render_wildcard_robots_batch,
+                                     robots_wildcard_gate)
+
+    rule_rows = []
+    for k in range(10):
+        rule_rows.append({
+            "host": "h%d.example" % k,
+            "rules": [
+                {"rule": "/p/%d*" % k, "allow": False},
+                {"rule": "/p/%d0*" % k, "allow": True},
+                {"rule": "*.tmp$", "allow": False},
+                {"rule": "/t/%d*" % k, "allow": True},
+                {"rule": "/t/%d*" % k, "allow": False},
+            ]})
+    hosts = ray.data.from_arrow(pa.Table.from_pylist(rule_rows))
+    bodies = hosts.map_batches(render_wildcard_robots_batch,
+                               batch_format="pyarrow", batch_size=None)
+    rules = bodies.map_batches(parse_wildcard_robots_batch,
+                               batch_format="pyarrow", batch_size=None)
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    urls = ds.map_batches(derive_robots_urls_batch,
+                          batch_format="pyarrow", batch_size=None)
+    return robots_wildcard_gate(urls, rules, keep_cols=("doc_id",))
+
+
 def q_resolve_redirects(sf_dir: str):
     """Redirect-chain resolution (the corpus-scale twin of the
     reference's per-record redirect following, myrequests.py:57-166 /
@@ -6960,6 +6995,10 @@ FROM events e JOIN orders o
 # corpus — the exact-twin oracle (the ann_ivf_full pattern).
 ORACLES["ivfpq_search"] = ORACLES["pq_search"]
 
+# render -> parse -> match must reproduce the direct matcher exactly,
+# so one hash checks the whole robots.txt round trip.
+ORACLES["robots_chain"] = ORACLES["robots_wildcard"]
+
 
 QUERIES = {
     "surt_canonicalize": q_surt_canonicalize,
@@ -7007,6 +7046,7 @@ QUERIES = {
     "sitemap_discovery": q_sitemap_discovery,
     "resolve_redirects": q_resolve_redirects,
     "robots_wildcard": q_robots_wildcard,
+    "robots_chain": q_robots_chain,
     "sitemap_index": q_sitemap_index,
     "meta_robots": q_meta_robots,
     "nofollow_links": q_nofollow_links,
@@ -7144,7 +7184,8 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # land inside the driver's ~50-entry recording window (composites and
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
-    "resolve_redirects robots_wildcard meta_robots nofollow_links "
+    "resolve_redirects robots_wildcard robots_chain "
+    "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "
     "dot_segments frontier_hygiene fetch_sessions retry_after "
     "registrable_domain domain_politeness mutual_links hreflang "

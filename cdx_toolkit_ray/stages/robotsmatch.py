@@ -209,3 +209,67 @@ def robots_url_gate(rule_rows, *, url_col: str = "url",
         return batch.filter(pa.array(allowed))
 
     return gate
+
+
+def render_wildcard_robots_batch(batch: pa.Table, *,
+                                 host_col: str = "host",
+                                 rules_col: str = "rules"
+                                 ) -> pa.Table:
+    """One robots.txt body per host from its (prefix, allow) rule
+    list — the RFC 9309 dialect render (``Allow:`` lines and ``*``/
+    ``$`` rule paths, which the frontier's prefix renderer
+    deliberately omits), with the same noise lines
+    (comment, Sitemap) a parser must skip. ``rules_col`` is a list of
+    ``{"rule": str, "allow": bool}`` structs."""
+    hosts = batch[host_col].to_numpy(zero_copy_only=False)
+    rules = batch[rules_col].to_pylist()
+    bodies = []
+    for h, rl in zip(hosts, rules):
+        lines = ["# robots for %s" % h, "User-agent: *"]
+        for r in (rl or []):
+            lines.append("%s: %s" % ("Allow" if r["allow"]
+                                     else "Disallow", r["rule"]))
+        lines.append("Sitemap: https://%s/sitemap.xml" % h)
+        bodies.append("\n".join(lines) + "\n")
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "robots_txt": pa.array(bodies, pa.string()),
+    })
+
+
+def parse_wildcard_robots_batch(batch: pa.Table, *,
+                                host_col: str = "host",
+                                text_col: str = "robots_txt"
+                                ) -> pa.Table:
+    """Raw robots.txt bodies -> one ``(host, rule, allow)`` row per
+    Allow/Disallow line (wildcards preserved verbatim for the
+    matcher; directive names case-insensitive; empty Disallow — the
+    'allow everything' no-op — and noise lines dropped). The RFC 9309
+    twin of pipelines/frontier.parse_robots_batch, feeding
+    ``compile_rules``/``robots_wildcard_gate`` instead of the
+    prefix-only gate."""
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    sch = pa.schema([("host", pa.string()), ("rule", pa.string()),
+                     ("allow", pa.bool_())])
+    if batch.num_rows == 0:
+        return sch.empty_table()
+    df = (pl.from_arrow(batch.select([host_col, text_col]))
+          .rename({host_col: "host"})
+          .with_columns(_ln=pl.col(text_col)
+                        .str.extract_all(
+                            r"(?im)^(allow|disallow):[ \t]*(\S*)"))
+          .drop(text_col)
+          .explode("_ln", empty_as_null=True)
+          .drop_nulls("_ln")
+          .with_columns(
+              allow=pl.col("_ln").str.to_lowercase()
+              .str.starts_with("allow"),
+              rule=pl.col("_ln").str.replace(
+                  r"(?i)^(allow|disallow):[ \t]*", ""))
+          .drop("_ln")
+          .filter(pl.col("rule") != ""))
+    return df.select(["host", "rule", "allow"]).to_arrow().cast(sch)

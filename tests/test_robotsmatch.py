@@ -165,3 +165,41 @@ def test_robots_url_gate_through_crawl_waves(ray_session, tmp_path):
 
 
 import pyarrow as pa  # noqa: E402  (used by the new tests above)
+
+
+def test_wildcard_robots_render_parse_roundtrip():
+    from cdx_toolkit_ray.stages.robotsmatch import (
+        parse_wildcard_robots_batch, render_wildcard_robots_batch)
+
+    batch = pa.table({
+        "host": pa.array(["a.example", "empty.example"]),
+        "rules": pa.array([
+            [{"rule": "/p*", "allow": False},
+             {"rule": "/p/ok*", "allow": True},
+             {"rule": "*.tmp$", "allow": False}],
+            [],
+        ]),
+    })
+    bodies = render_wildcard_robots_batch(batch)
+    txt = bodies["robots_txt"][0].as_py()
+    assert "User-agent: *" in txt and "Sitemap:" in txt
+    out = parse_wildcard_robots_batch(bodies).to_pylist()
+    assert out == [
+        {"host": "a.example", "rule": "/p*", "allow": False},
+        {"host": "a.example", "rule": "/p/ok*", "allow": True},
+        {"host": "a.example", "rule": "*.tmp$", "allow": False},
+    ]
+    # noise tolerance: lowercase directives, empty Disallow dropped
+    noisy = pa.table({
+        "host": pa.array(["n.example"]),
+        "robots_txt": pa.array([
+            "# c\nuser-agent: *\nallow: /a\nDisallow:\n"
+            "disallow: /b$\nCrawl-delay: 2\n"]),
+    })
+    got = parse_wildcard_robots_batch(noisy).to_pylist()
+    assert got == [
+        {"host": "n.example", "rule": "/a", "allow": True},
+        {"host": "n.example", "rule": "/b$", "allow": False},
+    ]
+    empty = noisy.slice(0, 0)
+    assert parse_wildcard_robots_batch(empty).num_rows == 0
