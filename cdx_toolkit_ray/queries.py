@@ -1346,6 +1346,32 @@ def q_hreflang_clusters(sf_dir: str):
         batch_format="pyarrow", batch_size=None)
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (Gear hash, FastCDC family): chunk
+    boundaries cut where the 16-byte windowed gear hash masks to zero,
+    so an edit only perturbs the chunks it touches — the storage-dedup
+    primitive fixed shingles lack. The whole hash is W vectorized
+    masked adds over one flat byte buffer; the oracle replays gear
+    table, windowed sum, cuts, and per-chunk FNV in SQL."""
+    from .stages.cdc import cdc_chunks
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return cdc_chunks(ds)
+
+
+def q_cdc_shared(sf_dir: str):
+    """Cross-document shared-chunk detection over the CDC chunks:
+    chunk contents appearing in >= 2 distinct docs (mirrored
+    boilerplate at byte granularity). Per-block distinct (hash, doc)
+    partials, one hash-keyed exchange — chunk text never moves."""
+    from .stages.cdc import cdc_shared_chunks
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return cdc_shared_chunks(ds, min_docs=2)
+
+
 def q_pq_encode(sf_dir: str):
     """Product quantization encode (Jégou et al. 2011): dim-64
     embeddings -> m=4 uint8 codes, a 64x storage cut past int8's 4x.
@@ -5044,6 +5070,99 @@ mem AS (
   SELECT n.tid, cl.cluster FROM n JOIN cl USING (doc_id))
 SELECT DISTINCT node, cluster FROM mem
 """),
+    # CDC: gear table (mix64 of byte+1), 16-byte windowed shifted sum
+    # mod 2^64, cut where h % 64 == 0, chunks between cuts, FNV//2 of
+    # each chunk's text.
+    "cdc_chunks": ("""
+WITH d AS (SELECT doc_id,
+                  regexp_replace(lower(text), '[^ -~]', '', 'g') AS t
+           FROM documents),
+dd AS (SELECT doc_id, t, strlen(t) AS ln FROM d WHERE strlen(t) > 0),
+gear AS (SELECT b, CAST(""" + _sql_mix64("b + 1") + """ AS HUGEINT) AS g
+         FROM (SELECT unnest(generate_series(0, 255)) AS b)),
+pos AS (SELECT doc_id, unnest(generate_series(1, ln)) AS j FROM dd),
+byt AS (SELECT p.doc_id, p.j, ascii(substr(dd.t, CAST(p.j AS INTEGER),
+                                           1)) AS by
+        FROM pos p JOIN dd USING (doc_id)),
+sh AS (SELECT unnest(generate_series(0, 15)) AS s),
+hh AS (SELECT p.doc_id, p.j,
+              SUM(g.g * (CAST(1 AS HUGEINT) << s.s))
+                % 18446744073709551616 AS h
+       FROM pos p
+       JOIN sh s ON p.j - s.s >= 1
+       JOIN byt b ON b.doc_id = p.doc_id AND b.j = p.j - s.s
+       JOIN gear g ON g.b = b.by
+       GROUP BY p.doc_id, p.j),
+cutl AS (SELECT doc_id, list(j + 1 ORDER BY j) AS cl
+         FROM hh WHERE h % 64 = 0 GROUP BY doc_id),
+ck AS (SELECT dd.doc_id, dd.t,
+              list_sort(list_distinct(list_concat(list_concat(
+                  [CAST(1 AS BIGINT)],
+                  coalesce(cutl.cl, CAST([] AS BIGINT[]))),
+                  [CAST(dd.ln + 1 AS BIGINT)]))) AS bl
+       FROM dd LEFT JOIN cutl USING (doc_id)),
+ch AS (SELECT doc_id, t,
+              unnest(generate_series(1, CAST(length(bl) - 1
+                                             AS INTEGER))) AS i,
+              bl
+       FROM ck),
+rows_ AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+                 CAST(bl[i] - 1 AS BIGINT) AS start,
+                 CAST(bl[i + 1] - bl[i] AS BIGINT) AS length,
+                 substr(t, CAST(bl[i] AS INTEGER),
+                        CAST(bl[i + 1] - bl[i] AS INTEGER)) AS sub
+          FROM ch)
+SELECT doc_id, chunk_idx, start, length,
+       CAST((""" + _FNV_SQL.format(s="sub") + """) // 2 AS BIGINT)
+         AS chunk_hash
+FROM rows_
+"""),
+    "cdc_shared": ("""
+WITH d AS (SELECT doc_id,
+                  regexp_replace(lower(text), '[^ -~]', '', 'g') AS t
+           FROM documents),
+dd AS (SELECT doc_id, t, strlen(t) AS ln FROM d WHERE strlen(t) > 0),
+gear AS (SELECT b, CAST(""" + _sql_mix64("b + 1") + """ AS HUGEINT) AS g
+         FROM (SELECT unnest(generate_series(0, 255)) AS b)),
+pos AS (SELECT doc_id, unnest(generate_series(1, ln)) AS j FROM dd),
+byt AS (SELECT p.doc_id, p.j, ascii(substr(dd.t, CAST(p.j AS INTEGER),
+                                           1)) AS by
+        FROM pos p JOIN dd USING (doc_id)),
+sh AS (SELECT unnest(generate_series(0, 15)) AS s),
+hh AS (SELECT p.doc_id, p.j,
+              SUM(g.g * (CAST(1 AS HUGEINT) << s.s))
+                % 18446744073709551616 AS h
+       FROM pos p
+       JOIN sh s ON p.j - s.s >= 1
+       JOIN byt b ON b.doc_id = p.doc_id AND b.j = p.j - s.s
+       JOIN gear g ON g.b = b.by
+       GROUP BY p.doc_id, p.j),
+cutl AS (SELECT doc_id, list(j + 1 ORDER BY j) AS cl
+         FROM hh WHERE h % 64 = 0 GROUP BY doc_id),
+ck AS (SELECT dd.doc_id, dd.t,
+              list_sort(list_distinct(list_concat(list_concat(
+                  [CAST(1 AS BIGINT)],
+                  coalesce(cutl.cl, CAST([] AS BIGINT[]))),
+                  [CAST(dd.ln + 1 AS BIGINT)]))) AS bl
+       FROM dd LEFT JOIN cutl USING (doc_id)),
+ch AS (SELECT doc_id, t,
+              unnest(generate_series(1, CAST(length(bl) - 1
+                                             AS INTEGER))) AS i,
+              bl
+       FROM ck),
+rows_ AS (SELECT doc_id,
+                 substr(t, CAST(bl[i] AS INTEGER),
+                        CAST(bl[i + 1] - bl[i] AS INTEGER)) AS sub,
+                 CAST(bl[i + 1] - bl[i] AS BIGINT) AS length
+          FROM ch)
+SELECT CAST((""" + _FNV_SQL.format(s="sub") + """) // 2 AS BIGINT)
+         AS chunk_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       length
+FROM rows_ GROUP BY sub, length
+HAVING count(DISTINCT doc_id) >= 2
+"""),
     # PQ: fixed-point vectors + the inner-product identity give exact
     # integer distances; codebook = the kmeans seeded-init rows.
     "pq_encode": ("""
@@ -7065,6 +7184,8 @@ QUERIES = {
     "pq_encode": q_pq_encode,
     "pq_search": q_pq_search,
     "hreflang_clusters": q_hreflang_clusters,
+    "cdc_chunks": q_cdc_chunks,
+    "cdc_shared": q_cdc_shared,
     "ivfpq_search": q_ivfpq_search,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
@@ -7190,6 +7311,7 @@ _R3_PRIORITY = (
     "dot_segments frontier_hygiene fetch_sessions retry_after "
     "registrable_domain domain_politeness mutual_links hreflang "
     "pq_encode pq_search ivfpq_search hreflang_clusters "
+    "cdc_chunks cdc_shared "
     "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "

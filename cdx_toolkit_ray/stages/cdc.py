@@ -1,0 +1,194 @@
+"""Content-defined chunking (Gear hash, FastCDC family).
+
+Fixed n-gram fingerprints (stages/spans.py) break when one byte is
+inserted: every downstream shingle shifts. Content-DEFINED boundaries
+(Muthitacharoen et al., "A Low-Bandwidth Network File System", SOSP
+2001; Xia et al., "FastCDC", ATC 2016) cut where a rolling hash of
+the LOCAL window hits a mask, so an edit only perturbs the chunks it
+touches — the storage-dedup primitive that finds shared byte runs
+across near-identical documents (mirrors, templated pages, doc
+revisions).
+
+This implementation is the oracle-checkable core: a W-byte gear
+window (h_j = sum over s<W of gear[b_{j-s}] << s, mod 2^64 — the
+shift-out is implicit in the overflow) with a boundary wherever
+``h_j % 2^k == 0``. Boundary decisions are POSITION-LOCAL (no
+min/max-size clamps), which is what makes the DuckDB oracle exact;
+production FastCDC adds min/max chunk bounds, a sequential-per-doc
+refinement over these candidate cuts.
+
+Scale shape: the whole corpus's windowed hash is ~W vectorized
+masked adds over one flat byte buffer (per-doc window reset via a
+start mask, no per-doc Python); chunk rows are a zero-shuffle
+flat-map. Cross-doc shared-chunk detection is then one chunk-hash
+keyed aggregation of the narrow (hash, doc) stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..canon import hash64_batch
+from .dedup import _mix64
+
+#: gear table: splitmix64 finalizer of (byte value + 1) — 256 seeded
+#: constants both sides derive identically (+1 keeps byte 0 off the
+#: finalizer's 0 -> 0 fixed point).
+GEAR = _mix64(np.arange(256, dtype=np.uint64) + np.uint64(1))
+
+
+def cdc_chunk_batch(batch: pa.Table, *, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 16,
+                    mask_bits: int = 6) -> pa.Table:
+    """One row per content-defined chunk:
+    ``(doc_id, chunk_idx, start, length, chunk_hash)`` with
+    ``chunk_hash`` = FNV-1a of the chunk text (canon.hash64, int64
+    via >> 1). Texts normalize to printable ASCII first (lowercase,
+    strip everything outside 0x20-0x7E) so byte and character
+    positions coincide on both sides of the oracle."""
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    sch = pa.schema([("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+                     ("start", pa.int64()), ("length", pa.int64()),
+                     ("chunk_hash", pa.int64())])
+    if batch.num_rows == 0:
+        return sch.empty_table()
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    clean = (pl.from_arrow(batch[text_col].combine_chunks()
+                           .cast(pa.string()))
+             .fill_null("").str.to_lowercase()
+             .str.replace_all(r"[^ -~]", "").to_list())
+
+    lens = np.array([len(t) for t in clean], dtype=np.int64)
+    keep = lens > 0
+    if not keep.any():
+        return sch.empty_table()
+    texts = [t for t, k in zip(clean, keep.tolist()) if k]
+    ids_k = ids[keep]
+    lens_k = lens[keep]
+
+    flat = np.frombuffer("".join(texts).encode("ascii"), np.uint8)
+    starts = np.r_[0, np.cumsum(lens_k)[:-1]]
+    doc_start = np.repeat(starts, lens_k)
+    pos = np.arange(len(flat), dtype=np.int64)
+
+    # windowed gear hash: W masked shifted adds over the flat buffer
+    g = GEAR[flat]
+    h = np.zeros(len(flat), np.uint64)
+    for s in range(window):
+        src = pos - s
+        ok = src >= doc_start
+        contrib = np.where(ok, g[np.maximum(src, 0)], np.uint64(0))
+        h += contrib << np.uint64(s)
+    mask = np.uint64((1 << mask_bits) - 1)
+    is_cut = (h & mask) == 0
+
+    # chunk assembly per doc: cut AFTER a boundary position
+    out_id, out_idx, out_s, out_l, out_h = [], [], [], [], []
+    for i, (t, did, ln, st) in enumerate(
+            zip(texts, ids_k.tolist(), lens_k.tolist(),
+                starts.tolist())):
+        cuts = np.flatnonzero(is_cut[st:st + ln])
+        bounds = np.r_[0, cuts + 1, ln]
+        bounds = np.unique(bounds)  # a cut at the last byte is moot
+        spans = list(zip(bounds[:-1].tolist(), bounds[1:].tolist()))
+        for ci, (a, b) in enumerate(spans):
+            out_id.append(did)
+            out_idx.append(ci)
+            out_s.append(a)
+            out_l.append(b - a)
+            out_h.append(t[a:b])
+    ch = (hash64_batch(pa.array(out_h, pa.string()))
+          >> np.uint64(1)).astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(out_id, pa.int64()),
+        "chunk_idx": pa.array(out_idx, pa.int64()),
+        "start": pa.array(out_s, pa.int64()),
+        "length": pa.array(out_l, pa.int64()),
+        "chunk_hash": pa.array(ch),
+    })
+
+
+def cdc_chunks(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    """Dataset wrapper over :func:`cdc_chunk_batch`."""
+    return ds.map_batches(lambda b: cdc_chunk_batch(b, **kw),
+                          batch_format="pyarrow", batch_size=None)
+
+
+def cdc_shared_chunks(ds: ray.data.Dataset, *, min_docs: int = 2,
+                      num_buckets: int = 32, **kw) -> ray.data.Dataset:
+    """Cross-document shared-chunk detection: chunks -> one row per
+    chunk content appearing in >= ``min_docs`` DISTINCT docs:
+    ``(chunk_hash, n_docs, n_occurrences, length)``. Per-block fold to
+    distinct (hash, doc) partials BEFORE the shuffle, one hash-bucket
+    exchange — chunk text never moves."""
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        chunks = cdc_chunk_batch(batch, **kw)
+        sch = pa.schema([("chunk_hash", pa.int64()),
+                         ("doc_id", pa.int64()), ("n", pa.int64()),
+                         ("length", pa.int64()), ("_cb", pa.int64())])
+        if chunks.num_rows == 0:
+            return sch.empty_table()
+        h = chunks["chunk_hash"].to_numpy(zero_copy_only=False)
+        d = chunks["doc_id"].to_numpy(zero_copy_only=False)
+        ln = chunks["length"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        hs, ds_, ls = h[order], d[order], ln[order]
+        new = np.ones(len(hs), bool)
+        new[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        st = np.flatnonzero(new)
+        n = np.diff(np.r_[st, len(hs)])
+        return pa.table({
+            "chunk_hash": pa.array(hs[st]),
+            "doc_id": pa.array(ds_[st]),
+            "n": pa.array(n.astype(np.int64)),
+            "length": pa.array(ls[st]),
+            "_cb": pa.array((hs[st].astype(np.uint64) % nbu)
+                            .astype(np.int64)),
+        })
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("chunk_hash", pa.int64()),
+                         ("n_docs", pa.int64()),
+                         ("n_occurrences", pa.int64()),
+                         ("length", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        h = tbl["chunk_hash"].to_numpy(zero_copy_only=False)
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        ln = tbl["length"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        hs, ds_, ns, ls = h[order], d[order], n[order], ln[order]
+        # fold cross-block (hash, doc) dupes, then docs per hash
+        pnew = np.ones(len(hs), bool)
+        pnew[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        ps = np.flatnonzero(pnew)
+        ph, pn = hs[ps], np.add.reduceat(ns, ps)
+        pl_ = ls[ps]
+        hnew = np.ones(len(ph), bool)
+        hnew[1:] = ph[1:] != ph[:-1]
+        ks = np.flatnonzero(hnew)
+        n_docs = np.diff(np.r_[ks, len(ph)])
+        n_occ = np.add.reduceat(pn, ks)
+        sel = n_docs >= min_docs
+        return pa.table({
+            "chunk_hash": pa.array(ph[ks][sel]),
+            "n_docs": pa.array(n_docs[sel].astype(np.int64)),
+            "n_occurrences": pa.array(n_occ[sel].astype(np.int64)),
+            "length": pa.array(pl_[ks][sel]),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    return hash_bucket_apply(partials, "_cb", merge,
+                             num_buckets=num_buckets)
