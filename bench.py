@@ -428,6 +428,10 @@ def main() -> None:
             # round 3 continuation: PQ asymmetric-distance search
             ("pq_search",
              lambda: consume(Q.q_pq_search(SF_DIR))),
+            # round 3 continuation: content-defined chunking + shared-
+            # chunk exchange (windowed gear hash over the flat buffer)
+            ("cdc_shared",
+             lambda: consume(Q.q_cdc_shared(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the
