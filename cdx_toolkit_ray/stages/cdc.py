@@ -88,28 +88,30 @@ def cdc_chunk_batch(batch: pa.Table, *, text_col: str = "text",
     mask = np.uint64((1 << mask_bits) - 1)
     is_cut = (h & mask) == 0
 
-    # chunk assembly per doc: cut AFTER a boundary position
-    out_id, out_idx, out_s, out_l, out_h = [], [], [], [], []
-    for i, (t, did, ln, st) in enumerate(
-            zip(texts, ids_k.tolist(), lens_k.tolist(),
-                starts.tolist())):
-        cuts = np.flatnonzero(is_cut[st:st + ln])
-        bounds = np.r_[0, cuts + 1, ln]
-        bounds = np.unique(bounds)  # a cut at the last byte is moot
-        spans = list(zip(bounds[:-1].tolist(), bounds[1:].tolist()))
-        for ci, (a, b) in enumerate(spans):
-            out_id.append(did)
-            out_idx.append(ci)
-            out_s.append(a)
-            out_l.append(b - a)
-            out_h.append(t[a:b])
-    ch = (hash64_batch(pa.array(out_h, pa.string()))
-          >> np.uint64(1)).astype(np.int64)
+    # chunk assembly, fully vectorized: a chunk starts at every doc
+    # start and after every in-doc cut; chunks tile the flat buffer
+    # contiguously, so the chunk STRINGS build as one Arrow
+    # StringArray straight from (offsets, flat bytes) — no per-doc
+    # loop, no Python slices
+    prev_cut = np.zeros(len(flat), bool)
+    prev_cut[1:] = is_cut[:-1]
+    start_flag = (pos == doc_start) | (prev_cut & (pos - 1 >= doc_start))
+    S = np.flatnonzero(start_flag)
+    offsets = np.r_[S, len(flat)].astype(np.int32)
+    chunk_strs = pa.StringArray.from_buffers(
+        len(S), pa.py_buffer(offsets.tobytes()),
+        pa.py_buffer(flat.tobytes()))
+    doc_of = np.searchsorted(starts, S, side="right") - 1
+    first_of_doc = np.r_[0, np.flatnonzero(doc_of[1:] != doc_of[:-1]) + 1]
+    chunk_idx = np.arange(len(S)) - first_of_doc[
+        np.cumsum(np.r_[False, doc_of[1:] != doc_of[:-1]])]
+    ch = (hash64_batch(chunk_strs) >> np.uint64(1)).astype(np.int64)
     return pa.table({
-        "doc_id": pa.array(out_id, pa.int64()),
-        "chunk_idx": pa.array(out_idx, pa.int64()),
-        "start": pa.array(out_s, pa.int64()),
-        "length": pa.array(out_l, pa.int64()),
+        "doc_id": pa.array(ids_k[doc_of]),
+        "chunk_idx": pa.array(chunk_idx.astype(np.int64)),
+        "start": pa.array((S - starts[doc_of]).astype(np.int64)),
+        "length": pa.array((offsets[1:] - offsets[:-1])
+                           .astype(np.int64)),
         "chunk_hash": pa.array(ch),
     })
 
