@@ -1372,6 +1372,34 @@ def q_cdc_shared(sf_dir: str):
     return cdc_shared_chunks(ds, min_docs=2)
 
 
+def q_cdc_neardup(sf_dir: str):
+    """CDC chunk-set near-dup pairs: every third doc gets a twin with
+    a two-byte PREFIX insertion — the edit that shifts every fixed
+    shingle but leaves CDC chunks realigned, so twins share most of
+    their chunk set and flag is_dup at Jaccard >= 1/4; accidental
+    cross-doc chunk sharing yields low-Jaccard candidates that must
+    NOT flag. Exact integer cross-multiply; the oracle replays the
+    whole chain (derive -> gear chunks -> distinct sets -> capped
+    pair join -> sizes -> threshold) in SQL."""
+    from .stages.cdc import cdc_neardup_pairs
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        txt = batch["text"].to_numpy(zero_copy_only=False)
+        twin = d % 3 == 0
+        ids = np.concatenate([d * 2, d[twin] * 2 + 1])
+        texts = list(txt) + ["x " + (t or "") for t in txt[twin]]
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(texts, pa.string())})
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    corpus = ds.map_batches(derive, batch_format="pyarrow",
+                            batch_size=None)
+    return cdc_neardup_pairs(corpus, num=1, den=4)
+
+
 def q_pq_encode(sf_dir: str):
     """Product quantization encode (Jégou et al. 2011): dim-64
     embeddings -> m=4 uint8 codes, a 64x storage cut past int8's 4x.
@@ -5163,6 +5191,66 @@ SELECT CAST((""" + _FNV_SQL.format(s="sub") + """) // 2 AS BIGINT)
 FROM rows_ GROUP BY sub, length
 HAVING count(DISTINCT doc_id) >= 2
 """),
+    # CDC near-dup: the full chain over the twin corpus — gear chunks,
+    # distinct sets, boilerplate-capped pair join, exact Jaccard
+    # cross-multiply.
+    "cdc_neardup": ("""
+WITH corpus AS (
+  SELECT doc_id * 2 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1, 'x ' || text FROM documents
+  WHERE doc_id % 3 = 0),
+d AS (SELECT doc_id,
+             regexp_replace(lower(text), '[^ -~]', '', 'g') AS t
+      FROM corpus),
+dd AS (SELECT doc_id, t, strlen(t) AS ln FROM d WHERE strlen(t) > 0),
+gear AS (SELECT b, CAST(""" + _sql_mix64("b + 1") + """ AS HUGEINT) AS g
+         FROM (SELECT unnest(generate_series(0, 255)) AS b)),
+pos AS (SELECT doc_id, unnest(generate_series(1, ln)) AS j FROM dd),
+byt AS (SELECT p.doc_id, p.j, ascii(substr(dd.t, CAST(p.j AS INTEGER),
+                                           1)) AS by
+        FROM pos p JOIN dd USING (doc_id)),
+sh AS (SELECT unnest(generate_series(0, 15)) AS s),
+hh AS (SELECT p.doc_id, p.j,
+              SUM(g.g * (CAST(1 AS HUGEINT) << s.s))
+                % 18446744073709551616 AS h
+       FROM pos p
+       JOIN sh s ON p.j - s.s >= 1
+       JOIN byt b ON b.doc_id = p.doc_id AND b.j = p.j - s.s
+       JOIN gear g ON g.b = b.by
+       GROUP BY p.doc_id, p.j),
+cutl AS (SELECT doc_id, list(j + 1 ORDER BY j) AS cl
+         FROM hh WHERE h % 64 = 0 GROUP BY doc_id),
+ck AS (SELECT dd.doc_id, dd.t,
+              list_sort(list_distinct(list_concat(list_concat(
+                  [CAST(1 AS BIGINT)],
+                  coalesce(cutl.cl, CAST([] AS BIGINT[]))),
+                  [CAST(dd.ln + 1 AS BIGINT)]))) AS bl
+       FROM dd LEFT JOIN cutl USING (doc_id)),
+ch AS (SELECT doc_id, t,
+              unnest(generate_series(1, CAST(length(bl) - 1
+                                             AS INTEGER))) AS i,
+              bl
+       FROM ck),
+cd AS (SELECT DISTINCT doc_id,
+              substr(t, CAST(bl[i] AS INTEGER),
+                     CAST(bl[i + 1] - bl[i] AS INTEGER)) AS sub
+       FROM ch),
+szs AS (SELECT doc_id, count(*) AS n FROM cd GROUP BY doc_id),
+elig AS (SELECT sub FROM cd GROUP BY sub
+         HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64),
+pr AS (SELECT c1.doc_id AS doc_a, c2.doc_id AS doc_b,
+              count(*) AS n_shared
+       FROM cd c1
+       JOIN elig e ON e.sub = c1.sub
+       JOIN cd c2 ON c2.sub = c1.sub AND c1.doc_id < c2.doc_id
+       GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       4 * n_shared >= (sa.n + sb.n - n_shared) AS is_dup
+FROM pr JOIN szs sa ON sa.doc_id = pr.doc_a
+        JOIN szs sb ON sb.doc_id = pr.doc_b
+"""),
     # PQ: fixed-point vectors + the inner-product identity give exact
     # integer distances; codebook = the kmeans seeded-init rows.
     "pq_encode": ("""
@@ -7186,6 +7274,7 @@ QUERIES = {
     "hreflang_clusters": q_hreflang_clusters,
     "cdc_chunks": q_cdc_chunks,
     "cdc_shared": q_cdc_shared,
+    "cdc_neardup": q_cdc_neardup,
     "ivfpq_search": q_ivfpq_search,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
@@ -7311,7 +7400,7 @@ _R3_PRIORITY = (
     "dot_segments frontier_hygiene fetch_sessions retry_after "
     "registrable_domain domain_politeness mutual_links hreflang "
     "pq_encode pq_search ivfpq_search hreflang_clusters "
-    "cdc_chunks cdc_shared "
+    "cdc_chunks cdc_shared cdc_neardup "
     "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "

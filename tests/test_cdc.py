@@ -85,3 +85,38 @@ def test_window_start_isolation():
               _chunks(["zzz other doc zzz", t]).to_pylist()
               if r["doc_id"] == 1]
     assert packed == alone
+
+
+def test_neardup_twins_flag_and_strangers_dont(ray_session):
+    import ray.data
+
+    from cdx_toolkit_ray.stages.cdc import cdc_neardup_pairs
+
+    rng = np.random.RandomState(7)
+    base = "".join(rng.choice(list("abcdefgh "), 700))
+    other = "".join(rng.choice(list("qrstuvw "), 700))
+    docs = [
+        (0, base),
+        (1, "x " + base),        # prefix-edit twin of 0
+        (2, other),              # unrelated
+        (3, base[:50] + other),  # shares a little with 0/1
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in cdc_neardup_pairs(ds, num=1, den=4).take_all()}
+    assert (0, 1) in out and out[(0, 1)]["is_dup"]
+    # the twins share most chunks
+    r = out[(0, 1)]
+    assert r["n_shared"] * 2 > max(r["n_a"], r["n_b"])
+    # doc 3 CONTAINS doc 2 -> also a legit near-dup pair
+    assert (2, 3) in out and out[(2, 3)]["is_dup"]
+    # disjoint alphabets never pair
+    assert (0, 2) not in out and (1, 2) not in out
+    # the small base[:50] overlap with 0/1 must not reach the bar
+    for k in ((0, 3), (1, 3)):
+        if k in out:
+            assert not out[k]["is_dup"], out[k]
