@@ -1372,16 +1372,9 @@ def q_cdc_shared(sf_dir: str):
     return cdc_shared_chunks(ds, min_docs=2)
 
 
-def q_cdc_neardup(sf_dir: str):
-    """CDC chunk-set near-dup pairs: every third doc gets a twin with
-    a two-byte PREFIX insertion — the edit that shifts every fixed
-    shingle but leaves CDC chunks realigned, so twins share most of
-    their chunk set and flag is_dup at Jaccard >= 1/4; accidental
-    cross-doc chunk sharing yields low-Jaccard candidates that must
-    NOT flag. Exact integer cross-multiply; the oracle replays the
-    whole chain (derive -> gear chunks -> distinct sets -> capped
-    pair join -> sizes -> threshold) in SQL."""
-    from .stages.cdc import cdc_neardup_pairs
+def _derive_cdc_twins(sf_dir: str) -> ray.data.Dataset:
+    """Twin corpus for the CDC dedup family: every third doc gets a
+    copy with a two-byte prefix insertion (ids doc*2 / doc*2+1)."""
 
     def derive(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy(zero_copy_only=False) \
@@ -1395,9 +1388,43 @@ def q_cdc_neardup(sf_dir: str):
 
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
                                columns=["doc_id", "text"])
-    corpus = ds.map_batches(derive, batch_format="pyarrow",
-                            batch_size=None)
-    return cdc_neardup_pairs(corpus, num=1, den=4)
+    return ds.map_batches(derive, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def q_cdc_dedup(sf_dir: str):
+    """The CDC dedup ACTION: connected components of the is_dup pair
+    graph (the REAL distributed hash-to-min loop — 85 of the fixture's
+    239 dup pairs are non-twin cross-doc dups, so the closure is a
+    genuine graph, not stars) -> ONE min-id representative per
+    near-dup cluster, singletons kept, full cluster sizes. Composes
+    cdc_neardup_pairs with components.survivors_from_pairs; the
+    oracle replays chunks -> pairs -> recursive closure -> survivors
+    in one statement."""
+    from .stages.cdc import cdc_neardup_pairs
+    from .stages.components import survivors_from_pairs
+
+    corpus = _derive_cdc_twins(sf_dir)
+    pairs = cdc_neardup_pairs(corpus, num=1, den=4)
+    dup = pairs.map_batches(
+        lambda b: pa.table({"id_a": b.filter(b["is_dup"])["doc_a"],
+                            "id_b": b.filter(b["is_dup"])["doc_b"]}),
+        batch_format="pyarrow", batch_size=None)
+    return survivors_from_pairs(corpus, dup, id_col="doc_id")
+
+
+def q_cdc_neardup(sf_dir: str):
+    """CDC chunk-set near-dup pairs: every third doc gets a twin with
+    a two-byte PREFIX insertion — the edit that shifts every fixed
+    shingle but leaves CDC chunks realigned, so twins share most of
+    their chunk set and flag is_dup at Jaccard >= 1/4; accidental
+    cross-doc chunk sharing yields low-Jaccard candidates that must
+    NOT flag. Exact integer cross-multiply; the oracle replays the
+    whole chain (derive -> gear chunks -> distinct sets -> capped
+    pair join -> sizes -> threshold) in SQL."""
+    from .stages.cdc import cdc_neardup_pairs
+
+    return cdc_neardup_pairs(_derive_cdc_twins(sf_dir), num=1, den=4)
 
 
 def q_pq_encode(sf_dir: str):
@@ -4793,6 +4820,64 @@ FROM d GROUP BY word HAVING count(*) >= 2
 """
 
 
+# the CDC twin-corpus candidate chain, shared by the pair oracle and
+# the survivors (dedup-action) oracle
+_CDC_TWIN_CTES = ("""corpus AS (
+  SELECT doc_id * 2 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1, 'x ' || text FROM documents
+  WHERE doc_id % 3 = 0),
+d AS (SELECT doc_id,
+             regexp_replace(lower(text), '[^ -~]', '', 'g') AS t
+      FROM corpus),
+dd AS (SELECT doc_id, t, strlen(t) AS ln FROM d WHERE strlen(t) > 0),
+gear AS (SELECT b, CAST(""" + _sql_mix64("b + 1") + """ AS HUGEINT) AS g
+         FROM (SELECT unnest(generate_series(0, 255)) AS b)),
+pos AS (SELECT doc_id, unnest(generate_series(1, ln)) AS j FROM dd),
+byt AS (SELECT p.doc_id, p.j, ascii(substr(dd.t, CAST(p.j AS INTEGER),
+                                           1)) AS by
+        FROM pos p JOIN dd USING (doc_id)),
+sh AS (SELECT unnest(generate_series(0, 15)) AS s),
+hh AS (SELECT p.doc_id, p.j,
+              SUM(g.g * (CAST(1 AS HUGEINT) << s.s))
+                % 18446744073709551616 AS h
+       FROM pos p
+       JOIN sh s ON p.j - s.s >= 1
+       JOIN byt b ON b.doc_id = p.doc_id AND b.j = p.j - s.s
+       JOIN gear g ON g.b = b.by
+       GROUP BY p.doc_id, p.j),
+cutl AS (SELECT doc_id, list(j + 1 ORDER BY j) AS cl
+         FROM hh WHERE h % 64 = 0 GROUP BY doc_id),
+ck AS (SELECT dd.doc_id, dd.t,
+              list_sort(list_distinct(list_concat(list_concat(
+                  [CAST(1 AS BIGINT)],
+                  coalesce(cutl.cl, CAST([] AS BIGINT[]))),
+                  [CAST(dd.ln + 1 AS BIGINT)]))) AS bl
+       FROM dd LEFT JOIN cutl USING (doc_id)),
+ch AS (SELECT doc_id, t,
+              unnest(generate_series(1, CAST(length(bl) - 1
+                                             AS INTEGER))) AS i,
+              bl
+       FROM ck),
+cd AS (SELECT DISTINCT doc_id,
+              substr(t, CAST(bl[i] AS INTEGER),
+                     CAST(bl[i + 1] - bl[i] AS INTEGER)) AS sub
+       FROM ch),
+szs AS (SELECT doc_id, count(*) AS n FROM cd GROUP BY doc_id),
+elig AS (SELECT sub FROM cd GROUP BY sub
+         HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64),
+pr AS (SELECT c1.doc_id AS doc_a, c2.doc_id AS doc_b,
+              count(*) AS n_shared
+       FROM cd c1
+       JOIN elig e ON e.sub = c1.sub
+       JOIN cd c2 ON c2.sub = c1.sub AND c1.doc_id < c2.doc_id
+       GROUP BY 1, 2),
+cand AS (SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+                CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+                4 * n_shared >= (sa.n + sb.n - n_shared) AS is_dup
+         FROM pr JOIN szs sa ON sa.doc_id = pr.doc_a
+                 JOIN szs sb ON sb.doc_id = pr.doc_b)""")
+
 ORACLES: dict[str, str] = {
     "chunk_docs": _CHUNK_SQL,
     "tfidf_topk": _TFIDF_SQL,
@@ -5194,63 +5279,7 @@ HAVING count(DISTINCT doc_id) >= 2
     # CDC near-dup: the full chain over the twin corpus — gear chunks,
     # distinct sets, boilerplate-capped pair join, exact Jaccard
     # cross-multiply.
-    "cdc_neardup": ("""
-WITH corpus AS (
-  SELECT doc_id * 2 AS doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id * 2 + 1, 'x ' || text FROM documents
-  WHERE doc_id % 3 = 0),
-d AS (SELECT doc_id,
-             regexp_replace(lower(text), '[^ -~]', '', 'g') AS t
-      FROM corpus),
-dd AS (SELECT doc_id, t, strlen(t) AS ln FROM d WHERE strlen(t) > 0),
-gear AS (SELECT b, CAST(""" + _sql_mix64("b + 1") + """ AS HUGEINT) AS g
-         FROM (SELECT unnest(generate_series(0, 255)) AS b)),
-pos AS (SELECT doc_id, unnest(generate_series(1, ln)) AS j FROM dd),
-byt AS (SELECT p.doc_id, p.j, ascii(substr(dd.t, CAST(p.j AS INTEGER),
-                                           1)) AS by
-        FROM pos p JOIN dd USING (doc_id)),
-sh AS (SELECT unnest(generate_series(0, 15)) AS s),
-hh AS (SELECT p.doc_id, p.j,
-              SUM(g.g * (CAST(1 AS HUGEINT) << s.s))
-                % 18446744073709551616 AS h
-       FROM pos p
-       JOIN sh s ON p.j - s.s >= 1
-       JOIN byt b ON b.doc_id = p.doc_id AND b.j = p.j - s.s
-       JOIN gear g ON g.b = b.by
-       GROUP BY p.doc_id, p.j),
-cutl AS (SELECT doc_id, list(j + 1 ORDER BY j) AS cl
-         FROM hh WHERE h % 64 = 0 GROUP BY doc_id),
-ck AS (SELECT dd.doc_id, dd.t,
-              list_sort(list_distinct(list_concat(list_concat(
-                  [CAST(1 AS BIGINT)],
-                  coalesce(cutl.cl, CAST([] AS BIGINT[]))),
-                  [CAST(dd.ln + 1 AS BIGINT)]))) AS bl
-       FROM dd LEFT JOIN cutl USING (doc_id)),
-ch AS (SELECT doc_id, t,
-              unnest(generate_series(1, CAST(length(bl) - 1
-                                             AS INTEGER))) AS i,
-              bl
-       FROM ck),
-cd AS (SELECT DISTINCT doc_id,
-              substr(t, CAST(bl[i] AS INTEGER),
-                     CAST(bl[i + 1] - bl[i] AS INTEGER)) AS sub
-       FROM ch),
-szs AS (SELECT doc_id, count(*) AS n FROM cd GROUP BY doc_id),
-elig AS (SELECT sub FROM cd GROUP BY sub
-         HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64),
-pr AS (SELECT c1.doc_id AS doc_a, c2.doc_id AS doc_b,
-              count(*) AS n_shared
-       FROM cd c1
-       JOIN elig e ON e.sub = c1.sub
-       JOIN cd c2 ON c2.sub = c1.sub AND c1.doc_id < c2.doc_id
-       GROUP BY 1, 2)
-SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
-       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
-       4 * n_shared >= (sa.n + sb.n - n_shared) AS is_dup
-FROM pr JOIN szs sa ON sa.doc_id = pr.doc_a
-        JOIN szs sb ON sb.doc_id = pr.doc_b
-"""),
+    "cdc_neardup": ("WITH " + _CDC_TWIN_CTES + "\nSELECT * FROM cand\n"),
     # PQ: fixed-point vectors + the inner-product identity give exact
     # integer distances; codebook = the kmeans seeded-init rows.
     "pq_encode": ("""
@@ -7206,6 +7235,29 @@ ORACLES["ivfpq_search"] = ORACLES["pq_search"]
 # so one hash checks the whole robots.txt round trip.
 ORACLES["robots_chain"] = ORACLES["robots_wildcard"]
 
+# CDC dedup ACTION: recursive reachability closure over the is_dup
+# pair graph (the _cc_oracle fixpoint), min-id representative per
+# component, singletons kept with full cluster sizes.
+ORACLES["cdc_dedup"] = ("WITH RECURSIVE " + _CDC_TWIN_CTES + """,
+verified AS (SELECT doc_a, doc_b FROM cand WHERE is_dup),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+          UNION SELECT doc_b, doc_a FROM verified),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+assigned AS (SELECT c.doc_id,
+                    COALESCE(comp.component, c.doc_id) AS component
+             FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id),
+sizes AS (SELECT component, count(*) AS cluster_size
+          FROM assigned GROUP BY component)
+SELECT a.doc_id, CAST(a.component AS BIGINT) AS component,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size
+FROM assigned a JOIN sizes s USING (component)
+WHERE a.doc_id = a.component
+""")
+
 
 QUERIES = {
     "surt_canonicalize": q_surt_canonicalize,
@@ -7275,6 +7327,7 @@ QUERIES = {
     "cdc_chunks": q_cdc_chunks,
     "cdc_shared": q_cdc_shared,
     "cdc_neardup": q_cdc_neardup,
+    "cdc_dedup": q_cdc_dedup,
     "ivfpq_search": q_ivfpq_search,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
@@ -7400,7 +7453,7 @@ _R3_PRIORITY = (
     "dot_segments frontier_hygiene fetch_sessions retry_after "
     "registrable_domain domain_politeness mutual_links hreflang "
     "pq_encode pq_search ivfpq_search hreflang_clusters "
-    "cdc_chunks cdc_shared cdc_neardup "
+    "cdc_chunks cdc_shared cdc_neardup cdc_dedup "
     "sitemap_index "
     "sitemap_parse sitemap_discovery "
     "corpus_pipeline crawl_waves crawl_polite url_seen_evict "
