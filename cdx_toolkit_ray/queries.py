@@ -3888,6 +3888,22 @@ def q_link_rank(sf_dir: str):
     return link_rank(extract_links(pages), iterations=3)
 
 
+def q_link_hits(sf_dir: str):
+    """HITS hubs/authorities (Kleinberg 1999): 2 max-normalized
+    integer iterations over the fixture outlink graph — authority
+    (linked-to by good hubs) and hub (links to good authorities)
+    scores, the crawl-prioritization signal PageRank's single score
+    conflates. All-integer recurrence (max- instead of L2-
+    normalization) -> the SQL oracle matches bit-for-bit with no
+    float reduction-order hazard."""
+    from .stages.links import extract_links, hits
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return hits(extract_links(pages), iterations=2)
+
+
 def q_strip_tags(sf_dir: str):
     """Markup-strip plain-text extraction (the boilerplate-removal
     step of a training-data pipeline) over the fixture pages table;
@@ -6303,6 +6319,57 @@ r3 AS (SELECT n.url, CAST(150000
        GROUP BY n.url)
 SELECT url, rank FROM r3
 """ % _FIXTURE_LINK,
+    # HITS: 2 unrolled max-normalized integer iterations — exact
+    # parity with stages/links.hits (same href/resolution CTEs as
+    # link_rank; parallel edges count; GREATEST guards empty graphs).
+    "link_hits": r"""
+WITH hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s/pages.parquet')),
+links AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs WHERE dst_url IS NOT NULL),
+nodes AS (SELECT DISTINCT url FROM (
+  SELECT src_url AS url FROM links
+  UNION ALL SELECT dst_url AS url FROM links)),
+h0 AS (SELECT url, CAST(1000000 AS BIGINT) AS v FROM nodes),
+a1r AS (SELECT n.url, CAST(COALESCE(SUM(h.v), 0) AS BIGINT) AS v
+        FROM nodes n
+        LEFT JOIN links l ON l.dst_url = n.url
+        LEFT JOIN h0 h ON h.url = l.src_url
+        GROUP BY n.url),
+a1 AS (SELECT url, v * 1000000
+         // GREATEST((SELECT MAX(v) FROM a1r), 1) AS v FROM a1r),
+h1r AS (SELECT n.url, CAST(COALESCE(SUM(a.v), 0) AS BIGINT) AS v
+        FROM nodes n
+        LEFT JOIN links l ON l.src_url = n.url
+        LEFT JOIN a1 a ON a.url = l.dst_url
+        GROUP BY n.url),
+h1 AS (SELECT url, v * 1000000
+         // GREATEST((SELECT MAX(v) FROM h1r), 1) AS v FROM h1r),
+a2r AS (SELECT n.url, CAST(COALESCE(SUM(h.v), 0) AS BIGINT) AS v
+        FROM nodes n
+        LEFT JOIN links l ON l.dst_url = n.url
+        LEFT JOIN h1 h ON h.url = l.src_url
+        GROUP BY n.url),
+a2 AS (SELECT url, v * 1000000
+         // GREATEST((SELECT MAX(v) FROM a2r), 1) AS v FROM a2r),
+h2r AS (SELECT n.url, CAST(COALESCE(SUM(a.v), 0) AS BIGINT) AS v
+        FROM nodes n
+        LEFT JOIN links l ON l.src_url = n.url
+        LEFT JOIN a2 a ON a.url = l.dst_url
+        GROUP BY n.url),
+h2 AS (SELECT url, v * 1000000
+         // GREATEST((SELECT MAX(v) FROM h2r), 1) AS v FROM h2r)
+SELECT a2.url, a2.v AS authority, h2.v AS hub
+FROM a2 JOIN h2 USING (url)
+""" % _FIXTURE_LINK,
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -7400,6 +7467,7 @@ QUERIES = {
     "strip_tags": q_strip_tags,
     "page_metadata": q_page_metadata,
     "link_rank": q_link_rank,
+    "link_hits": q_link_hits,
     "crawl_delta": q_crawl_delta,
     "link_delta": q_link_delta,
     "compact_captures": q_compact_captures,
@@ -7447,6 +7515,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # land inside the driver's ~50-entry recording window (composites and
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
+    "link_hits "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

@@ -332,6 +332,171 @@ def _lr_gather(base: int, *tbls: pa.Table) -> pa.Table:
     })
 
 
+def hits(links: ray.data.Dataset, *, iterations: int = 2,
+         num_buckets: int = 32, scale: int = 1_000_000
+         ) -> ray.data.Dataset:
+    """Integer HITS hubs/authorities (Kleinberg 1999) over the link
+    graph — the crawl-prioritization twin of :func:`link_rank` that
+    separates *authority* (linked-to by good hubs) from *hub*
+    (linking to good authorities) scores.
+
+    Every url appearing as src or dst is a node; each link row is one
+    (parallel-edge-counting) edge. Scores are nonnegative int64 in
+    units of ``1/scale``::
+
+        h_0(u) = a_0(u) = scale
+        a_raw(u) = sum over edge rows v->u of h(v)
+        a(u)     = a_raw(u) * scale  DIV  max_w a_raw(w)
+        h_raw(v) = sum over edge rows v->u of a(u)
+        h(v)     = h_raw(v) * scale  DIV  max_w h_raw(w)
+
+    with DIV = floor division and max- instead of the textbook
+    L2-normalization so every step stays exact int64 and the DuckDB
+    oracle (same recurrence in SQL ``//``) matches bit-for-bit under
+    any summation order. Nodes with no in-edges get authority 0 after
+    the first step; pure sinks get hub 0 — the standard behavior.
+
+    Dataflow (two bucket-cached edge copies, the link_rank shape):
+    the edge stream is keyed ONCE with both ``hash64(src) % B`` and
+    ``hash64(dst) % B``, split into a src-bucketed copy (serves the
+    a-update: every edge sits with its src's h row) and a dst-bucketed
+    copy (serves the h-update: every edge sits with its dst's a row).
+    An update is one scatter round (per-edge contribution + zero stub
+    per node, pre-split by the receiving url's bucket) + one integer
+    gather + an O(B)-scalar max fold on the driver + a per-bucket
+    rescale. Per-iteration traffic is the narrow (url, int64)
+    contribution stream — the edges never move again.
+
+    int64 bound: ``max_raw * scale`` must stay below 2**63, i.e. the
+    max weighted in/out-degree below ``2**63 / scale**2`` (~9.2e6 at
+    the default scale). Checked per rescale; raise = switch scale
+    down (the oracle recurrence is scale-parameterized).
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    nb = num_buckets
+    nbu = np.uint64(nb)
+
+    def key_edges(batch: pa.Table) -> pa.Table:
+        src = batch["src_url"].cast(pa.string())
+        dst = batch["dst_url"].cast(pa.string())
+        return pa.table({
+            "bs": pa.array((hash64_batch(src) % nbu).astype(np.int64),
+                           pa.int64()),
+            "bd": pa.array((hash64_batch(dst) % nbu).astype(np.int64),
+                           pa.int64()),
+            "src": src,
+            "dst": dst,
+        })
+
+    from .exchange import _chunked, _split_hash
+
+    keyed = links.map_batches(key_edges, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    refs = keyed.to_arrow_refs()
+
+    def split_by(col: str) -> list:
+        splits = [_split_hash.options(num_returns=nb).remote(col, nb, *g)
+                  for g in _chunked(refs)]
+        if nb == 1:
+            splits = [[s] for s in splits]
+        return [_lr_concat.remote(*[sp[b] for sp in splits])
+                for b in range(nb)]
+
+    edges_src_b = split_by("bs")
+    edges_dst_b = split_by("bd")
+
+    node_slices = [_lr_emit_nodes.options(num_returns=nb).remote(nb, e)
+                   for e in edges_src_b]
+    if nb == 1:
+        node_slices = [[s] for s in node_slices]
+    a_b = [_lr_init_ranks.remote(scale, *[ns[b] for ns in node_slices])
+           for b in range(nb)]
+    h_b = list(a_b)
+
+    def update(edges_b: list, ranks_b: list, key_col: str,
+               out_col: str) -> list:
+        contrib = [_hits_scatter.options(num_returns=nb).remote(
+            nb, key_col, out_col, edges_b[b], ranks_b[b])
+            for b in range(nb)]
+        if nb == 1:
+            contrib = [[c] for c in contrib]
+        raw_b = [_lr_gather.remote(0, *[cs[b] for cs in contrib])
+                 for b in range(nb)]
+        m = max(max(ray.get([_hits_max.remote(r) for r in raw_b])), 1)
+        return [_hits_rescale.remote(scale, m, r) for r in raw_b]
+
+    for _ in range(iterations):
+        a_b = update(edges_src_b, h_b, "src", "dst")
+        h_b = update(edges_dst_b, a_b, "dst", "src")
+    out = [_hits_join.remote(a_b[b], h_b[b]) for b in range(nb)]
+    return ray.data.from_arrow_refs(out)
+
+
+@ray.remote
+def _hits_scatter(nb: int, key_col: str, out_col: str,
+                  edges: pa.Table, ranks: pa.Table):
+    """One bucket's rank rows + its co-located edge copy -> per-edge
+    (other endpoint, rank[key endpoint]) contributions + a zero stub
+    per node, pre-split by the receiving url's bucket."""
+    r_url = ranks["url"].combine_chunks()
+    r_val = ranks["rank"].to_numpy(zero_copy_only=False)
+    out_url = [r_url]
+    out_val = [np.zeros(len(r_url), np.int64)]
+    if edges.num_rows and len(r_url):
+        ru = r_url.to_numpy(zero_copy_only=False)
+        order = np.argsort(ru)
+        sorted_urls = ru[order]
+        sorted_vals = r_val[order]
+        e_key = edges[key_col].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        idx = np.searchsorted(sorted_urls, e_key)
+        # every key endpoint has a rank row here (node set = src union
+        # dst, bucketed by the same hash as this edge copy's key side)
+        out_url.append(edges[out_col].combine_chunks())
+        out_val.append(sorted_vals[idx].astype(np.int64))
+    url = pa.concat_arrays([a.cast(pa.string()) for a in out_url])
+    slices = _lr_bucket_slices(url, np.concatenate(out_val), nb)
+    return slices[0] if nb == 1 else tuple(slices)
+
+
+@ray.remote
+def _hits_max(tbl: pa.Table) -> int:
+    if not tbl.num_rows:
+        return 0
+    return int(pc.max(tbl["rank"]).as_py() or 0)
+
+
+@ray.remote
+def _hits_rescale(scale: int, m: int, tbl: pa.Table) -> pa.Table:
+    val = tbl["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(val) and int(val.max()) > (2**63 - 1) // scale:
+        raise OverflowError(
+            "hits: raw score * scale exceeds int64 — lower `scale`")
+    return pa.table({"url": tbl["url"],
+                     "rank": pa.array(val * scale // m, pa.int64())})
+
+
+@ray.remote
+def _hits_join(a: pa.Table, h: pa.Table) -> pa.Table:
+    """Align one bucket's authority and hub rows (same node set)."""
+    if not a.num_rows:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "authority": pa.array([], pa.int64()),
+                         "hub": pa.array([], pa.int64())})
+    au = a["url"].to_numpy(zero_copy_only=False)
+    hu = h["url"].to_numpy(zero_copy_only=False)
+    ao = np.argsort(au)
+    ho = np.argsort(hu)
+    av = a["rank"].to_numpy(zero_copy_only=False)[ao]
+    hv = h["rank"].to_numpy(zero_copy_only=False)[ho]
+    return pa.table({
+        "url": pa.array(au[ao].tolist(), pa.string()),
+        "authority": pa.array(av, pa.int64()),
+        "hub": pa.array(hv, pa.int64()),
+    })
+
+
 def persist_edges(links: ray.data.Dataset, edges_path: str, *,
                   num_buckets: int = 32) -> str:
     """Materialize the link graph on disk hive-partitioned by

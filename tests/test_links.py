@@ -189,6 +189,56 @@ def test_link_rank_zero_iterations_is_uniform():
         "a": 1_000_000, "b": 1_000_000, "c": 1_000_000}
 
 
+def test_hits_matches_serial_fixed_point():
+    from cdx_toolkit_ray.stages.links import hits
+
+    # star into 'hub' targets + a chain + a dangling pair: exercises
+    # zero-authority sources, zero-hub sinks and parallel structure
+    edges = [("h1", "a"), ("h1", "b"), ("h2", "a"), ("h2", "b"),
+             ("h2", "c"), ("a", "b"), ("d", "x"), ("h1", "a")]
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([e[0] for e in edges], pa.string()),
+        "dst_url": pa.array([e[1] for e in edges], pa.string())}))
+    df = hits(links, iterations=2, num_buckets=4).to_pandas()
+    got = {u: (a, h) for u, a, h in
+           zip(df["url"], df["authority"], df["hub"])}
+
+    SCALE = 1_000_000
+    nodes = sorted({u for e in edges for u in e})
+    a = {u: SCALE for u in nodes}
+    h = {u: SCALE for u in nodes}
+    for _ in range(2):
+        ar = {u: 0 for u in nodes}
+        for s, d in edges:
+            ar[d] += h[s]
+        m = max(max(ar.values()), 1)
+        a = {u: v * SCALE // m for u, v in ar.items()}
+        hr = {u: 0 for u in nodes}
+        for s, d in edges:
+            hr[s] += a[d]
+        m = max(max(hr.values()), 1)
+        h = {u: v * SCALE // m for u, v in hr.items()}
+    assert got == {u: (a[u], h[u]) for u in nodes}
+    assert df["authority"].dtype == np.int64
+    # pure source scores authority 0; pure sink scores hub 0
+    assert got["h1"][0] == 0 and got["x"][1] == 0
+
+
+def test_hits_zero_iterations_uniform_and_bucket_independent():
+    from cdx_toolkit_ray.stages.links import hits
+
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array(["a", "b"], pa.string()),
+        "dst_url": pa.array(["b", "c"], pa.string())}))
+    df = hits(links, iterations=0).to_pandas()
+    assert set(zip(df["authority"], df["hub"])) == {(1_000_000,
+                                                     1_000_000)}
+    one = hits(links, iterations=2, num_buckets=1).to_pandas()
+    many = hits(links, iterations=2, num_buckets=8).to_pandas()
+    key = lambda d: sorted(zip(d["url"], d["authority"], d["hub"]))
+    assert key(one) == key(many)
+
+
 def test_strip_tags_exact_strings():
     from cdx_toolkit_ray.stages.text import strip_tags_batch
 
