@@ -3543,6 +3543,35 @@ def q_captures_query(sf_dir: str):
                                   "status", "digest"])
 
 
+def q_zipnum_lookup(sf_dir: str):
+    """Zipnum cluster CDX index ROUND TRIP — the engine *produces*
+    the serving structure index.commoncrawl.org answers the reference
+    from (pywb zipnum: sorted CDXJ lines in gzip-member blocks +
+    a binary-searchable cluster.idx secondary index; reference
+    __init__.py:322-342 consumes pages of it). Build = one global
+    (urlkey, timestamp) sort -> vectorized CDXJ render -> sharded
+    member writes; lookup = cluster.idx bisect -> seek + decompress
+    ONLY candidate blocks -> vectorized parse + filter. Oracle: the
+    same prefix + time-window predicate as a full scan in SQL — one
+    hash checks sort, render, blocking, secondary index, bisect,
+    ranged read and parse."""
+    import hashlib as _hashlib
+    import os
+
+    from .sources.zipnum import build_zipnum, zipnum_lookup
+
+    root = _fixture_root(sf_dir)
+    tag = _hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = "/tmp/cdxray_zipnum_%s" % tag
+    if not os.path.exists(out + "/.done"):
+        caps = ray.data.read_parquet(root + "/captures")
+        build_zipnum(caps, out, lines_per_block=64, num_shards=4)
+        open(out + "/.done", "w").close()
+    return zipnum_lookup(out, urlkey_prefix="example,big-portal)",
+                         from_ts="20220101000000",
+                         to_ts="20231231235959")
+
+
 def q_content_extract(sf_dir: str):
     """J1+M15: captures joined to page content, utf-8/replace text
     extraction, fgrep filters.
@@ -6142,6 +6171,15 @@ WHERE doc_id NOT IN (SELECT id_b FROM drops)
     # selection (M16/J4) prunes reads only — the engine re-filters by
     # actual timestamp, so a flat timestamp-window scan is the
     # equivalent relation.
+    # Zipnum lookup == full-scan filter (same prefix + time window);
+    # all 13 capture columns ride the CDXJ json round trip.
+    "zipnum_lookup": """
+SELECT urlkey, timestamp, url, mime, mime_detected, status, digest,
+       length, "offset", filename, redirect, languages, encoding
+FROM read_parquet('%s/captures/**/*.parquet')
+WHERE urlkey LIKE 'example,big-portal)%%'
+  AND timestamp >= '20220101000000' AND timestamp <= '20231231235959'
+""" % _FIXTURE_LINK,
     "captures_query": """
 SELECT urlkey, timestamp, url, status, digest
 FROM read_parquet('%s/captures/**/*.parquet')
@@ -7455,6 +7493,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "embedding_neardup": q_embedding_neardup,
     "captures_query": q_captures_query,
+    "zipnum_lookup": q_zipnum_lookup,
     "content_extract": q_content_extract,
     "extract_links": q_extract_links,
     "anchor_stats": q_anchor_stats,
@@ -7515,7 +7554,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # land inside the driver's ~50-entry recording window (composites and
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
-    "link_hits "
+    "link_hits zipnum_lookup "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

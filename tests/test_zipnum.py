@@ -1,0 +1,141 @@
+"""Zipnum cluster CDX index (sources/zipnum.py): build round trip,
+binary-searched pruned lookup, CDXJ render/parse parity."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+COLS = ("urlkey", "timestamp", "url", "mime", "mime_detected",
+        "status", "digest", "length", "offset", "filename",
+        "redirect", "languages", "encoding")
+
+
+def _captures(n=200, hosts=("aa", "bb", "cc", "dd")):
+    rows = []
+    for i in range(n):
+        h = hosts[i % len(hosts)]
+        rows.append({
+            "urlkey": "example,%s)/p/%03d" % (h, i // len(hosts)),
+            "timestamp": "2023%02d01%06d" % (1 + i % 12, i),
+            "url": "https://%s.example/p/%03d" % (h, i // len(hosts)),
+            "mime": "text/html", "mime_detected": "text/html",
+            "status": "200" if i % 7 else "404",
+            "digest": "D%05d" % i, "length": 100 + i,
+            "offset": 1000 * i,
+            "filename": "crawl-data/seg/%d.warc.gz" % (i % 5),
+            "redirect": None if i % 3 else "https://r.example/",
+            "languages": None, "encoding": None,
+        })
+    return rows
+
+
+def _build(tmp_path, rows, lines_per_block, num_shards=3):
+    from cdx_toolkit_ray.sources.zipnum import build_zipnum
+
+    tbl = pa.table({c: pa.array([r[c] for r in rows]) for c in COLS})
+    out = str(tmp_path / "zip")
+    info = build_zipnum(ray.data.from_arrow(tbl), out,
+                        lines_per_block=lines_per_block,
+                        num_shards=num_shards)
+    return out, info
+
+
+def _expect(rows, pred):
+    keyed = [tuple(str(r[c]) for c in COLS) for r in rows if pred(r)]
+    return sorted(keyed)
+
+
+def _got(ds):
+    df = ds.to_pandas()
+    return sorted(tuple(str(v) for v in row)
+                  for row in df[list(COLS)].itertuples(index=False))
+
+
+def test_prefix_lookup_matches_full_filter_and_prunes(tmp_path):
+    from cdx_toolkit_ray.sources.zipnum import zipnum_lookup
+
+    rows = _captures()
+    out, info = _build(tmp_path, rows, lines_per_block=8)
+    assert info["rows"] == len(rows) and info["blocks"] > 10
+    stats = {}
+    got = _got(zipnum_lookup(out, urlkey_prefix="example,bb)",
+                             stats=stats))
+    assert got == _expect(rows,
+                          lambda r: r["urlkey"].startswith("example,bb)"))
+    # one host of four: reads a strict minority of the blocks
+    assert 0 < stats["blocks_read"] < stats["blocks_total"] // 2
+
+
+def test_exact_lookup_with_time_window(tmp_path):
+    from cdx_toolkit_ray.sources.zipnum import zipnum_lookup
+
+    rows = _captures()
+    out, _ = _build(tmp_path, rows, lines_per_block=5)
+    key = rows[42]["urlkey"]
+    lo, hi = "20230101000000", "20230901000000"
+    got = _got(zipnum_lookup(out, urlkey=key, from_ts=lo, to_ts=hi))
+    assert got == _expect(
+        rows, lambda r: r["urlkey"] == key and lo <= r["timestamp"] <= hi)
+    assert got  # the window is non-empty by construction
+
+
+def test_block_boundary_ties_one_line_blocks(tmp_path):
+    # lines_per_block=1: every block boundary is a potential tie;
+    # bisect must keep the block BEFORE the first >= key
+    from cdx_toolkit_ray.sources.zipnum import zipnum_lookup
+
+    rows = _captures(40)
+    out, info = _build(tmp_path, rows, lines_per_block=1, num_shards=5)
+    assert info["blocks"] == 40
+    for h in ("aa", "dd"):
+        got = _got(zipnum_lookup(out, urlkey_prefix="example,%s)" % h))
+        assert got == _expect(
+            rows, lambda r: r["urlkey"].startswith("example,%s)" % h)), h
+
+
+def test_no_match_returns_empty(tmp_path):
+    from cdx_toolkit_ray.sources.zipnum import zipnum_lookup
+
+    rows = _captures(20)
+    out, _ = _build(tmp_path, rows, lines_per_block=4)
+    assert zipnum_lookup(out, urlkey_prefix="zzz,nope)").count() == 0
+    with pytest.raises(ValueError):
+        zipnum_lookup(out)
+    with pytest.raises(ValueError):
+        zipnum_lookup(out, urlkey="a", urlkey_prefix="b")
+
+
+def test_cdxj_roundtrip_nulls_and_ints():
+    from cdx_toolkit_ray.sources.zipnum import (parse_cdxj_batch,
+                                                render_cdxj_batch)
+
+    rows = _captures(12)
+    tbl = pa.table({
+        c: pa.array([r[c] for r in rows],
+                    pa.int64() if c in ("length", "offset")
+                    else pa.string())
+        for c in COLS})
+    lines = render_cdxj_batch(tbl)["line"].to_pylist()
+    back = parse_cdxj_batch(lines)
+    assert back.schema.field("length").type == pa.int64()
+    assert back.schema.field("offset").type == pa.int64()
+    assert back.select(list(COLS)).equals(tbl)
+    # every line leads with "urlkey timestamp " and carries json
+    assert all(ln.split(" ", 2)[2].startswith("{") for ln in lines)
+
+
+def test_build_is_deterministic(tmp_path):
+    rows = _captures(60)
+    out1, _ = _build(tmp_path / "a", rows, lines_per_block=7)
+    out2, _ = _build(tmp_path / "b", rows, lines_per_block=7)
+
+    def slurp(d):
+        return {os.path.basename(p): open(p, "rb").read()
+                for p in glob.glob(d + "/*")}
+
+    assert slurp(out1) == slurp(out2)
