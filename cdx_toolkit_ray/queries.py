@@ -1614,6 +1614,70 @@ def q_retry_after(sf_dir: str):
                               "retry_after_form"])
 
 
+def q_cache_freshness(sf_dir: str):
+    """RFC 9111 cache-freshness planning (the reference refetches
+    unconditionally — myrequests.py has no cache awareness): response
+    headers derived deterministically per doc (Cache-Control token
+    soup incl. s-maxage/max-age precedence, no-store winning over a
+    lifetime, Expires and Last-Modified HTTP-dates rendered
+    engine-side with Arrow strftime and parsed back with polars
+    strptime — non-circular vs the closed-form truth), folded to the
+    §4.2.1 precedence chain + the §4.2.2 heuristic, with a cutoff
+    deciding what is due. Oracle states the whole recurrence in
+    closed form from doc_id."""
+    import pyarrow.compute as pc
+
+    from .stages.recrawl import cache_freshness_batch
+
+    fmt = "%a, %d %b %Y %H:%M:%S GMT"
+
+    def http_date(ms: np.ndarray) -> np.ndarray:
+        return pc.strftime(
+            pc.cast(pa.array((ms // 1000) * 1_000_000,
+                             pa.timestamp("us")), pa.timestamp("s")),
+            format=fmt).to_numpy(zero_copy_only=False)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        fetch = 1_700_000_000_000 + (d % 97) * 3_600_000
+        m = d % 7
+        mage = (60 + d % 1000).astype(str)
+        smax = (30 + d % 500).astype(str)
+        cc = np.where(
+            m == 0, np.char.add("max-age=", mage),
+            np.where(m == 1,
+                     np.char.add(np.char.add("s-maxage=", smax),
+                                 np.char.add(", max-age=", mage)),
+                     np.where(m == 2, "no-cache",
+                              np.where(m == 3, "no-store, max-age=600",
+                                       np.where(m == 4, "private",
+                                                None)))))
+        exp_mask = (d % 3 == 0) | (m == 4) | (m == 5)
+        exp = np.where(exp_mask,
+                       http_date(fetch + (d % 50) * 60_000), None)
+        lm_mask = (d % 2 == 0) | (m == 6)
+        lm = np.where(lm_mask,
+                      http_date(fetch - (1 + d % 40) * 86_400_000),
+                      None)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "cache_control": pa.array(cc.tolist(), pa.string()),
+            "expires": pa.array(exp.tolist(), pa.string()),
+            "last_modified": pa.array(lm.tolist(), pa.string()),
+            "fetch_ms": pa.array(fetch, pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    ds = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(
+        lambda b: cache_freshness_batch(b, cutoff_ms=1_700_200_000_000),
+        batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "policy", "fresh_ms",
+                              "expires_at_ms", "due"])
+
+
 def q_fetch_sessions(sf_dir: str):
     """Keep-alive connection planning: the politeness schedule grouped
     into per-host CONNECTION SESSIONS — consecutive fetch slots within
@@ -5463,6 +5527,45 @@ FROM d
 """,
     # Retry-After: closed-form truth — delta adds seconds to now,
     # the date form is the rendered epoch, the rest fall back.
+    # RFC 9111 freshness: the header-generation formula and the
+    # precedence chain restated in closed form from doc_id (the
+    # HTTP-date render/parse round trip happens engine-side only).
+    "cache_freshness": """
+WITH b AS (
+  SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS m,
+         CAST(1700000000000 + (doc_id % 97) * 3600000 AS BIGINT)
+           AS fetch_ms,
+         CASE WHEN doc_id % 3 = 0 OR doc_id % 7 IN (4, 5)
+              THEN CAST(1700000000000 + (doc_id % 97) * 3600000
+                        + (doc_id % 50) * 60000 AS BIGINT) END
+           AS exp_ms,
+         CASE WHEN doc_id % 2 = 0 OR doc_id % 7 = 6
+              THEN CAST(1700000000000 + (doc_id % 97) * 3600000
+                        - (1 + doc_id % 40) * 86400000 AS BIGINT) END
+           AS lm_ms
+  FROM documents),
+f AS (
+  SELECT doc_id, fetch_ms,
+    CASE WHEN m = 3 THEN 'no-store'
+         WHEN m = 2 THEN 'no-cache'
+         WHEN m = 1 THEN 's-maxage'
+         WHEN m = 0 THEN 'max-age'
+         WHEN exp_ms IS NOT NULL THEN 'expires'
+         WHEN lm_ms IS NOT NULL THEN 'heuristic'
+         ELSE 'default' END AS policy,
+    CAST(CASE WHEN m IN (2, 3) THEN 0
+         WHEN m = 1 THEN (30 + doc_id % 500) * 1000
+         WHEN m = 0 THEN (60 + doc_id % 1000) * 1000
+         WHEN exp_ms IS NOT NULL THEN GREATEST(exp_ms - fetch_ms, 0)
+         WHEN lm_ms IS NOT NULL
+           THEN GREATEST((fetch_ms - lm_ms) * 10 // 100, 0)
+         ELSE 0 END AS BIGINT) AS fresh_ms
+  FROM b)
+SELECT doc_id, policy, fresh_ms,
+       CAST(fetch_ms + fresh_ms AS BIGINT) AS expires_at_ms,
+       fetch_ms + fresh_ms <= 1700200000000 AS due
+FROM f
+""",
     "retry_after": """
 SELECT doc_id,
        CASE doc_id % 4
@@ -7422,6 +7525,7 @@ QUERIES = {
     "frontier_hygiene": q_frontier_hygiene,
     "fetch_sessions": q_fetch_sessions,
     "retry_after": q_retry_after,
+    "cache_freshness": q_cache_freshness,
     "registrable_domain": q_registrable_domain,
     "domain_politeness": q_domain_politeness,
     "mutual_links": q_mutual_links,
@@ -7554,7 +7658,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # land inside the driver's ~50-entry recording window (composites and
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
-    "link_hits zipnum_lookup "
+    "link_hits zipnum_lookup cache_freshness "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

@@ -842,3 +842,88 @@ def revisit_generate(ds: ray.data.Dataset, *, digest_col: str = "digest",
                                      batch_format="pyarrow",
                                      batch_size=None)
     return grouped.union(passthrough)
+
+
+def cache_freshness_batch(batch: pa.Table, *,
+                          cc_col: str = "cache_control",
+                          expires_col: str = "expires",
+                          last_modified_col: str = "last_modified",
+                          fetch_ms_col: str = "fetch_ms",
+                          cutoff_ms: int | None = None,
+                          heuristic_pct: int = 10) -> pa.Table:
+    """RFC 9111 cache-freshness lifetime from response headers — the
+    revalidation economics the reference skips entirely (it refetches
+    unconditionally, myrequests.py has no cache awareness; a polite
+    recrawler must honor what the server said about staleness).
+
+    Precedence (RFC 9111 §4.2.1, response side):
+
+    ``no-store`` / ``no-cache``  -> lifetime 0 (always revalidate)
+    ``s-maxage=N``               -> N s (shared-cache override)
+    ``max-age=N``                -> N s
+    ``Expires`` HTTP-date        -> max(Expires - fetch, 0)
+    heuristic (§4.2.2)           -> max((fetch - Last-Modified)
+                                         * heuristic_pct // 100, 0)
+    nothing                      -> 0
+
+    One vectorized polars pass (regex token extract + strptime), zero
+    shuffles; all arithmetic exact int64 ms so the DuckDB oracle
+    states the same recurrence bit-for-bit. Date spans are assumed
+    nonnegative (a Last-Modified in the future clamps through the
+    GREATEST, but the floor-division rounding of negative spans is
+    engine-specific — don't rely on it).
+
+    Appends ``policy`` (which rule fired), ``fresh_ms``,
+    ``expires_at_ms`` (= fetch + fresh) and, when ``cutoff_ms`` is
+    given, ``due`` (stale at the cutoff).
+    """
+    import polars as pl
+
+    df = pl.from_arrow(batch)
+    cc = pl.col(cc_col).fill_null("").str.to_lowercase()
+    smax = (cc.str.extract(r"(?:^|[\s,])s-maxage=(\d+)", 1)
+            .cast(pl.Int64))
+    mage = (cc.str.extract(r"(?:^|[\s,])max-age=(\d+)", 1)
+            .cast(pl.Int64))
+    fmt = "%a, %d %b %Y %H:%M:%S GMT"
+    exp_ms = (pl.col(expires_col)
+              .str.strptime(pl.Datetime("ms"), fmt, strict=False)
+              .dt.epoch(time_unit="ms"))
+    lm_ms = (pl.col(last_modified_col)
+             .str.strptime(pl.Datetime("ms"), fmt, strict=False)
+             .dt.epoch(time_unit="ms"))
+    fetch = pl.col(fetch_ms_col).cast(pl.Int64)
+
+    no_store = cc.str.contains("no-store", literal=True)
+    no_cache = cc.str.contains("no-cache", literal=True)
+    zero = pl.lit(0, pl.Int64)
+    policy = (pl.when(no_store).then(pl.lit("no-store"))
+              .when(no_cache).then(pl.lit("no-cache"))
+              .when(smax.is_not_null()).then(pl.lit("s-maxage"))
+              .when(mage.is_not_null()).then(pl.lit("max-age"))
+              .when(exp_ms.is_not_null()).then(pl.lit("expires"))
+              .when(lm_ms.is_not_null()).then(pl.lit("heuristic"))
+              .otherwise(pl.lit("default")))
+    fresh = (pl.when(no_store | no_cache).then(zero)
+             .when(smax.is_not_null()).then(smax * 1000)
+             .when(mage.is_not_null()).then(mage * 1000)
+             .when(exp_ms.is_not_null())
+             .then(pl.max_horizontal(exp_ms - fetch, zero))
+             .when(lm_ms.is_not_null())
+             .then(pl.max_horizontal(
+                 (fetch - lm_ms) * heuristic_pct // 100, zero))
+             .otherwise(zero)).cast(pl.Int64)
+    out = df.with_columns(policy.alias("policy"),
+                          fresh.alias("fresh_ms"))
+    out = out.with_columns(
+        (pl.col("fresh_ms") + fetch).alias("expires_at_ms"))
+    if cutoff_ms is not None:
+        out = out.with_columns(
+            (pl.col("expires_at_ms") <= cutoff_ms).alias("due"))
+    t = out.to_arrow()
+    want = [(c, pa.string()) for c in
+            (cc_col, expires_col, last_modified_col, "policy")]
+    schema = pa.schema(
+        [(f.name, pa.string() if (f.name, pa.string()) in want
+          else f.type) for f in t.schema])
+    return t.cast(schema)

@@ -435,3 +435,43 @@ def test_revalidation_plan_vs_pandas(ray_session):
         assert r["if_modified_since"].endswith(" GMT") and \
             "," in r["if_modified_since"]
     assert out[99]["etag"] == "b"  # digest breaks the exact-ts tie
+
+
+def test_cache_freshness_truth_table():
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.recrawl import cache_freshness_batch
+
+    F = 1_700_000_000_000  # fetch, whole seconds
+    DATE = "Tue, 14 Nov 2023 22:14:20 GMT"   # F + 60_000 ms
+    PAST = "Tue, 14 Nov 2023 22:12:20 GMT"   # F - 60_000 ms
+    LM = "Mon, 13 Nov 2023 22:13:20 GMT"     # F - 86_400_000 ms
+    rows = [
+        # cc, expires, last_modified -> policy, fresh_ms
+        ("max-age=120", None, None, "max-age", 120_000),
+        ("public, max-age=120", DATE, LM, "max-age", 120_000),
+        ("s-maxage=30, max-age=120", None, None, "s-maxage", 30_000),
+        ("no-store, max-age=600", DATE, LM, "no-store", 0),
+        ("no-cache", None, None, "no-cache", 0),
+        ("private", DATE, None, "expires", 60_000),
+        (None, PAST, None, "expires", 0),          # stale Expires clamps
+        (None, "not a date", LM, "heuristic", 8_640_000),  # 10% of 24h
+        (None, None, LM, "heuristic", 8_640_000),
+        (None, None, None, "default", 0),
+        ("stale-while-revalidate=30", None, None, "default", 0),
+    ]
+    batch = pa.table({
+        "cache_control": pa.array([r[0] for r in rows], pa.string()),
+        "expires": pa.array([r[1] for r in rows], pa.string()),
+        "last_modified": pa.array([r[2] for r in rows], pa.string()),
+        "fetch_ms": pa.array([F] * len(rows), pa.int64()),
+    })
+    out = cache_freshness_batch(batch, cutoff_ms=F + 60_000)
+    got = list(zip(out["policy"].to_pylist(),
+                   out["fresh_ms"].to_pylist(),
+                   out["due"].to_pylist()))
+    for (cc, _e, _l, pol, fresh), (gp, gf, gd) in zip(rows, got):
+        assert (gp, gf) == (pol, fresh), (cc, gp, gf)
+        assert gd == (F + fresh <= F + 60_000), cc
+    assert out["expires_at_ms"].to_pylist() == \
+        [F + r[4] for r in rows]
