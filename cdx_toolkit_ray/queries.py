@@ -522,6 +522,39 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, text_col="text", id_col="doc_id", k=2)
 
 
+def q_containment(sf_dir: str):
+    """Asymmetric n-gram containment (Broder 1997's second resemblance
+    measure): derived corpus = every document plus, for each doc_id
+    divisible by 3, a QUOTING twin (id + 100000) whose text embeds the
+    whole original and appends an 11-word tail — full containment of
+    the smaller side at low Jaccard, the case symmetric near-dup
+    misses. The oracle replays the whole distributed chain (distinct
+    trigram sets -> shared-gram pair join under the boilerplate cap ->
+    pair gram counts -> integer cross-multiply threshold) in SQL."""
+    from .stages.dedup import containment_pairs
+
+    TAIL = (" alpha beta gamma delta epsilon zeta eta theta iota"
+            " kappa")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = batch["text"].to_numpy(zero_copy_only=False).astype(object)
+        m = d % 3 == 0
+        tails = np.char.add(
+            np.char.add(" tail", d[m].astype(str)), TAIL).astype(object)
+        ids = np.concatenate([d, d[m] + 100000])
+        texts = np.concatenate([t, t[m] + tails])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts.tolist(), pa.string())})
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    return containment_pairs(ds, k=3, threshold_pct=80, min_shared=2,
+                             max_docs_per_gram=64)
+
+
 def q_repeated_spans(sf_dir: str):
     """Cross-document repeated-span counts (Lee et al. 2022 signal):
     per doc, distinct word-5-gram count and how many of those grams
@@ -7301,6 +7334,42 @@ SELECT source, doc_id, n_chars, grp_rank FROM (
            AS grp_rank
   FROM documents) WHERE grp_rank <= 3
 """,
+    "containment": r"""
+WITH raw AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         text || ' tail' || doc_id
+              || ' alpha beta gamma delta epsilon zeta eta theta iota'
+              || ' kappa'
+  FROM documents WHERE doc_id % 3 = 0),
+w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS words
+  FROM raw),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) < 3 THEN []
+           ELSE list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i + 1] || ' '
+                     || words[i + 2]) END) AS s
+  FROM w),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+gd AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+keep AS (SELECT g FROM gd GROUP BY g
+         HAVING count(*) BETWEEN 2 AND 64),
+pg AS (SELECT a.doc_id AS da, b.doc_id AS db
+       FROM gd a JOIN gd b USING (g) JOIN keep USING (g)
+       WHERE a.doc_id < b.doc_id),
+cnt AS (SELECT da, db, count(*) AS n_shared FROM pg
+        GROUP BY da, db HAVING count(*) >= 2)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       100 * n_shared >= 80 * LEAST(sa.n, sb.n) AS contained
+FROM cnt
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+""",
     "ngram_jaccard": r"""
 WITH w AS (
   SELECT doc_id, doc_id // 2 AS pair_id,
@@ -7491,6 +7560,7 @@ QUERIES = {
     "union_streams": q_union_streams,
     "topk_per_group": q_topk_per_group,
     "ngram_jaccard": q_ngram_jaccard,
+    "containment": q_containment,
     "repeated_spans": q_repeated_spans,
     "cut_spans": q_cut_spans,
     "dedup_lines": q_dedup_lines,
@@ -7658,7 +7728,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # land inside the driver's ~50-entry recording window (composites and
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
-    "link_hits zipnum_lookup cache_freshness "
+    "link_hits zipnum_lookup cache_freshness containment "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

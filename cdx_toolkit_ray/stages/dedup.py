@@ -898,6 +898,163 @@ def _word_shingle_set(text: str, k: int) -> set:
     return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
 
 
+def containment_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      threshold_pct: int = 80, min_shared: int = 2,
+                      max_docs_per_gram: int = 64,
+                      num_buckets: int = 32) -> ray.data.Dataset:
+    """Asymmetric n-gram CONTAINMENT near-dup pairs — the
+    quote/superset signal symmetric Jaccard under-scores: a short
+    document fully embedded in a long one has containment 100% of the
+    smaller side while its Jaccard stays low (Broder 1997's second
+    resemblance measure; the dedup literature's answer to quoted
+    boilerplate and wrapper pages).
+
+    For every candidate pair: ``n_shared`` distinct word-``k``-grams
+    in common, both set sizes, and ``contained`` by EXACT integer
+    cross-multiply (``100 * shared >= threshold_pct * min(n_a, n_b)``).
+    Pairs surface only when they share >= ``min_shared`` grams; a gram
+    shared by more than ``max_docs_per_gram`` docs is boilerplate,
+    dropped loudly (the LSH-band guard).
+
+    Dataflow (the cdc_neardup_pairs shape): per block, distinct
+    (gram-hash, doc) rows -> one gram-bucket exchange emits each
+    shared gram's doc pairs -> one pair-bucket exchange counts shared
+    grams, set sizes riding an O(docs) broadcast. Text never
+    shuffles; grams travel as 64-bit hashes (a collision would
+    overcount sharing by one — negligible at 64 bits; the SQL oracle
+    counts the same strings).
+    """
+    import logging
+
+    import ray as _ray
+
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+
+    def gram_doc(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g_all, d_all = [], []
+        for i, t in enumerate(texts):
+            words = _WORD_RE.findall((t or "").lower())
+            if len(words) < k:
+                continue
+            grams = [" ".join(words[j:j + k])
+                     for j in range(len(words) - k + 1)]
+            h = np.unique(_hash_text_array(grams))
+            g_all.append(h)
+            d_all.append(np.full(len(h), ids[i], np.int64))
+        if not g_all:
+            return pa.schema([("g", pa.uint64()), ("doc", pa.int64()),
+                              ("_b", pa.int64())]).empty_table()
+        g = np.concatenate(g_all)
+        d = np.concatenate(d_all)
+        return pa.table({
+            "g": pa.array(g, pa.uint64()),
+            "doc": pa.array(d, pa.int64()),
+            "_b": pa.array((g % nbu).astype(np.int64), pa.int64()),
+        })
+
+    gd = ds.map_batches(gram_doc, batch_format="pyarrow",
+                        batch_size=None)
+
+    # per-doc distinct-gram counts (grams already distinct per doc per
+    # block; cross-block dupes share a bucket) -> O(docs) broadcast
+    def distinct_gd(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.schema([("doc", pa.int64())]).empty_table()
+        g = tbl["g"].to_numpy(zero_copy_only=False)
+        d = tbl["doc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, g))
+        gs, ds_ = g[order], d[order]
+        new = np.ones(len(gs), bool)
+        new[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
+        return pa.table({"doc": pa.array(ds_[new].astype(np.int64))})
+
+    sizes = {r["doc"]: r["count()"]
+             for r in hash_bucket_apply(gd, "_b", distinct_gd,
+                                        num_buckets=num_buckets)
+             .groupby("doc").count().take_all()}
+    sz_ref = _ray.put(sizes)
+
+    def emit_pairs(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                         ("_pb", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        g = tbl["g"].to_numpy(zero_copy_only=False)
+        d = tbl["doc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, g))
+        gs, ds_ = g[order], d[order]
+        new = np.ones(len(gs), bool)
+        new[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
+        gs, ds_ = gs[new], ds_[new]
+        run = np.ones(len(gs), bool)
+        run[1:] = gs[1:] != gs[:-1]
+        st = np.flatnonzero(run)
+        ln = np.diff(np.r_[st, len(gs)])
+        big = ln > max_docs_per_gram
+        if big.any():
+            logging.getLogger(__name__).warning(
+                "containment_pairs: %d grams shared by > %d docs "
+                "dropped as boilerplate", int(big.sum()),
+                max_docs_per_gram)
+        a_all, b_all = [], []
+        for s, n in zip(st[~big].tolist(), ln[~big].tolist()):
+            if n < 2:
+                continue
+            grp = ds_[s:s + n]
+            ii, jj = np.triu_indices(n, k=1)
+            a_all.append(grp[ii])
+            b_all.append(grp[jj])
+        if not a_all:
+            return sch.empty_table()
+        a = np.concatenate(a_all)
+        b = np.concatenate(b_all)
+        pb = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               ^ b.astype(np.uint64)) % nbu).astype(np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "_pb": pa.array(pb)})
+
+    pairs = hash_bucket_apply(gd, "_b", emit_pairs,
+                              num_buckets=num_buckets)
+
+    def reduce_pairs(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                         ("n_shared", pa.int64()), ("n_a", pa.int64()),
+                         ("n_b", pa.int64()), ("contained", pa.bool_())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        szs = _ray.get(sz_ref)
+        a = tbl["a"].to_numpy(zero_copy_only=False)
+        b = tbl["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.ones(len(a), bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        st = np.flatnonzero(new)
+        shared = np.diff(np.r_[st, len(a)]).astype(np.int64)
+        keep = shared >= min_shared
+        st, shared = st[keep], shared[keep]
+        if not len(st):
+            return sch.empty_table()
+        pa_, pb_ = a[st], b[st]
+        na = np.array([szs[x] for x in pa_.tolist()], np.int64)
+        nb = np.array([szs[x] for x in pb_.tolist()], np.int64)
+        contained = 100 * shared >= threshold_pct * np.minimum(na, nb)
+        return pa.table({
+            "doc_a": pa.array(pa_), "doc_b": pa.array(pb_),
+            "n_shared": pa.array(shared), "n_a": pa.array(na),
+            "n_b": pa.array(nb), "contained": pa.array(contained),
+        })
+
+    return hash_bucket_apply(pairs, "_pb", reduce_pairs,
+                             num_buckets=num_buckets)
+
+
 def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 2,
                         ) -> ray.data.Dataset:

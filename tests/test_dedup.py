@@ -222,3 +222,56 @@ def test_minhash_lsh_eval_metrics():
     assert r.recall_micro == 1_000_000
     assert r.n_candidates >= 1
     assert r.precision_micro == 1_000_000 * r.n_hits // r.n_candidates
+
+
+def test_containment_pairs_quote_vs_jaccard():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.dedup import containment_pairs
+
+    short = "the quick brown fox jumps over the lazy dog tonight"
+    long_quote = (short + " and then a very long unrelated tail about "
+                  "ships sailing across wide oceans under bright "
+                  "summer stars while nobody watches the horizon")
+    other = "completely different words about database engines and "\
+            "vectorized execution over arrow batches in a cluster"
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([short, long_quote, other], pa.string()),
+    }))
+    df = containment_pairs(ds, k=3, threshold_pct=80,
+                           min_shared=2).to_pandas()
+    got = {(r.doc_a, r.doc_b): r for r in df.itertuples()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    n_short = len(short.split()) - 2
+    assert r.n_shared == n_short and r.n_a == n_short
+    assert r.contained            # 100% of the smaller side
+    # Jaccard of the same pair is low — the asymmetric measure wins
+    assert 100 * r.n_shared < 80 * (r.n_a + r.n_b - r.n_shared)
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_containment_boilerplate_cap_and_min_shared():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.dedup import containment_pairs
+
+    # 8 docs all sharing one boilerplate trigram + one genuine pair
+    boiler = "copyright footer text"
+    rows = [(i, boiler + " unique%d filler%d words%d here%d" % (i, i, i, i))
+            for i in range(8)]
+    rows += [(100, "alpha beta gamma delta epsilon"),
+             (101, "alpha beta gamma delta epsilon")]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+    # cap=4: the boilerplate gram (8 docs) is dropped; docs 0-7 share
+    # nothing else (>= min_shared=2), so only the genuine pair remains
+    df = containment_pairs(ds, k=3, threshold_pct=80, min_shared=2,
+                           max_docs_per_gram=4).to_pandas()
+    assert set(zip(df.doc_a, df.doc_b)) == {(100, 101)}
+    assert bool(df.contained.iloc[0])
