@@ -2871,6 +2871,43 @@ def q_lm_score(sf_dir: str):
     return unigram_lm_score(ds)
 
 
+def q_bigram_lm(sf_dir: str):
+    """Bigram LM with stupid backoff (Brants et al. 2007), held-out:
+    train bigram/context/unigram counts on the EVEN docs, score every
+    doc — odd docs hit genuinely unseen bigrams, exercising the
+    backoff path (2.5 = 1/alpha exactly representable, so the double
+    math matches SQL bit-for-bit after micro-nat quantization). Three
+    narrow exchanges; the oracle replays the chain with SQL window
+    joins."""
+    from .stages.lm import bigram_lm_score
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+
+    def even_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 0))
+
+    def spike_odd(batch: pa.Table) -> pa.Table:
+        # odd docs end with a token NEVER in training: guarantees the
+        # unseen-bigram AND unseen-word (c1 = 0) backoff branches fire
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = batch["text"].to_numpy(zero_copy_only=False).astype(object)
+        odd = d % 2 == 1
+        tail = np.char.add(" zq", d[odd].astype(str)).astype(object)
+        t = t.copy()
+        t[odd] = t[odd] + tail
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(t.tolist(), pa.string())})
+
+    train = ds.map_batches(even_only, batch_format="pyarrow",
+                           batch_size=None)
+    score = ds.map_batches(spike_odd, batch_format="pyarrow",
+                           batch_size=None)
+    return bigram_lm_score(score, train)
+
+
 def q_inverted_search(sf_dir: str):
     """Inverted-index term search (stages/invindex): build the
     hive-partitioned posting index under /tmp, then AND-search it
@@ -5027,6 +5064,56 @@ ORACLES: dict[str, str] = {
     "group_quantiles": _GROUP_QUANTILES_SQL,
     "kmeans_assign": _KMEANS_ASSIGN_SQL,
     "lm_score": _LM_SCORE_SQL,
+    # bigram LM + stupid backoff, held out on the even docs: the
+    # train/score chain restated with SQL joins; micro-nat floor
+    # quantization makes both sides bit-identical.
+    "bigram_lm": r"""
+WITH tr AS (
+  SELECT regexp_extract_all(lower(text), '\w+') AS words
+  FROM documents WHERE doc_id % 2 = 0),
+tot AS (SELECT CAST(SUM(len(words)) AS DOUBLE) AS t FROM tr),
+c1 AS (SELECT w, count(*) AS c
+       FROM (SELECT unnest(words) AS w FROM tr) GROUP BY w),
+trb AS (SELECT unnest(CASE WHEN len(words) < 2 THEN []
+          ELSE list_transform(range(1, len(words)),
+                              i -> words[i] || ' ' || words[i + 1])
+          END) AS b FROM tr),
+c2 AS (SELECT b, count(*) AS c FROM trb GROUP BY b),
+ctx AS (SELECT split_part(b, ' ', 1) AS w1, SUM(c) AS cx
+        FROM c2 GROUP BY w1),
+sc AS (SELECT doc_id,
+              regexp_extract_all(lower(
+                CASE WHEN doc_id % 2 = 1
+                     THEN text || ' zq' || doc_id ELSE text END),
+                '\w+') AS words
+       FROM documents),
+sb AS (SELECT doc_id, unnest(CASE WHEN len(words) < 2 THEN []
+          ELSE list_transform(range(1, len(words)),
+                              i -> words[i] || ' ' || words[i + 1])
+          END) AS b FROM sc),
+stf AS (SELECT doc_id, b, count(*) AS tf FROM sb GROUP BY doc_id, b),
+terms AS (
+  SELECT s.doc_id, s.tf,
+         CASE WHEN c2.c IS NOT NULL THEN
+           CAST(floor(s.tf * ln(CAST(ctx.cx AS DOUBLE) / c2.c) * 1e6
+                      + 0.5) AS BIGINT)
+         ELSE
+           CAST(floor(s.tf * ln(2.5 * (SELECT t FROM tot)
+                                / (COALESCE(c1.c, 0) + 1)) * 1e6
+                      + 0.5) AS BIGINT)
+         END AS term,
+         CASE WHEN c2.c IS NULL THEN s.tf ELSE 0 END AS bo
+  FROM stf s
+  LEFT JOIN c2 ON c2.b = s.b
+  LEFT JOIN ctx ON ctx.w1 = split_part(s.b, ' ', 1)
+  LEFT JOIN c1 ON c1.w = split_part(s.b, ' ', 2))
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_big,
+       CAST(SUM(bo) AS BIGINT) AS n_backoff,
+       CAST(SUM(term) AS BIGINT) AS nll_sum_1e6,
+       CAST(SUM(term) // SUM(tf) AS BIGINT) AS nll_per_big_1e6
+FROM terms GROUP BY doc_id
+""",
     "inverted_search": _INV_SEARCH_SQL,
     "mixture_sample": _mixture_sql(),
     "hll_distinct": _hll_oracle(),
@@ -7642,6 +7729,7 @@ QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "kmeans": q_kmeans,
     "lm_score": q_lm_score,
+    "bigram_lm": q_bigram_lm,
     "inverted_search": q_inverted_search,
     "index_merge": q_index_merge,
     "mixture_sample": q_mixture_sample,
@@ -7728,7 +7816,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # land inside the driver's ~50-entry recording window (composites and
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
-    "link_hits zipnum_lookup cache_freshness containment "
+    "link_hits zipnum_lookup cache_freshness containment bigram_lm "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

@@ -140,3 +140,257 @@ def unigram_lm_score(ds: ray.data.Dataset, text_col: str = "text",
                               num_buckets=n_buckets)
     return hash_bucket_apply(parts, "db", merge_docs,
                              num_buckets=n_buckets)
+
+
+def bigram_lm_score(score_ds: ray.data.Dataset,
+                    train_ds: ray.data.Dataset, *,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_buckets: int = 32) -> ray.data.Dataset:
+    """Bigram LM with STUPID BACKOFF (Brants et al. 2007) — the
+    held-out twin of :func:`unigram_lm_score`: train bigram/context
+    counts on one corpus, score another, so unseen bigrams actually
+    occur and the backoff path is exercised.
+
+    Per scored bigram (w1, w2) with count ``tf`` in the doc:
+
+        seen   (c2(w1,w2) > 0):  nll = ln(ctx(w1) / c2(w1,w2))
+        unseen              :    nll = ln(2.5 * T / (c1(w2) + 1))
+
+    where ``ctx(w1) = sum_w c2(w1, w)`` (the MLE denominator),
+    ``c1`` the training unigram counts, ``T`` the training token
+    total, and 2.5 = 1/alpha for the canonical alpha = 0.4 (exactly
+    representable, so the double math is bit-identical in SQL). Terms
+    quantize to integer micro-nats (``floor(tf * nll * 1e6 + 0.5)``)
+    — summation-order-free, value-hashable.
+
+    Output per doc with >= 1 bigram: ``(doc_id, n_big, n_backoff,
+    nll_sum_1e6, nll_per_big_1e6)``.
+
+    Dataflow — three narrow task-graph exchanges, text never moves:
+    1. bigram rows (train: (w1,w2,tf); score: (doc,w1,w2,tf)) bucket
+       by ``hash64(w1)``: c2 and ctx(w1) are computable inside the
+       bucket; seen terms fold to per-doc partials there, unseen rows
+       re-emit as (doc, w2, tf);
+    2. unseen rows + train UNIGRAM rows bucket by ``hash64(w)``:
+       c1(w2) is local, backoff terms fold to per-doc partials;
+    3. all partials bucket by doc and sum.
+    """
+    from ..canon import hash64_batch
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(n_buckets)
+
+    def _bigrams(batch: pa.Table, with_doc: bool) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        cols = {"t": pl.from_arrow(batch[text_col].combine_chunks())}
+        if with_doc:
+            cols[id_col] = pl.from_arrow(batch[id_col].combine_chunks())
+        df = pl.DataFrame(cols).with_columns(
+            w=pl.col("t").cast(pl.String).fill_null("")
+            .str.to_lowercase().str.extract_all(r"\w+")).drop("t")
+        df = df.with_columns(
+            w1=pl.col("w").list.slice(0, pl.col("w").list.len() - 1),
+            w2=pl.col("w").list.slice(1)).drop("w")
+        keys = [id_col, "w1", "w2"] if with_doc else ["w1", "w2"]
+        tf = (df.explode(["w1", "w2"]).drop_nulls("w1")
+              .group_by(keys).len())
+        out = {
+            "doc": (tf[id_col].cast(pl.Int64).to_arrow() if with_doc
+                    else pa.array(np.full(len(tf), -1, np.int64))),
+            "w1": tf["w1"].to_arrow().cast(pa.string()),
+            "w2": tf["w2"].to_arrow().cast(pa.string()),
+            "tf": tf["len"].cast(pl.Int64).to_arrow(),
+        }
+        t = pa.table(out)
+        b = (hash64_batch(t["w1"]) % nbu).astype(np.int64)
+        return t.append_column("_b", pa.array(b)) \
+                .append_column("kind", pa.array(
+                    np.full(len(tf), 1 if with_doc else 0, np.int8)))
+
+    train_b = train_ds.map_batches(
+        lambda b: _bigrams(b, False), batch_format="pyarrow",
+        batch_size=None)
+    score_b = score_ds.map_batches(
+        lambda b: _bigrams(b, True), batch_format="pyarrow",
+        batch_size=None)
+
+    # T = training token total (one light pass, O(blocks) driver rows)
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        s = pl.Series(batch[text_col].combine_chunks()) \
+            .cast(pl.String).fill_null("")
+        return pa.table({"n": pa.array(
+            [int(s.str.count_matches(r"\w+").sum())], pa.int64())})
+
+    total = sum(r["n"] for r in train_ds.map_batches(
+        count_tokens, batch_format="pyarrow", batch_size=None)
+        .take_all())
+    t_f = float(total)
+
+    def bucket_w1(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("kind", pa.int8()), ("doc", pa.int64()),
+                         ("w", pa.string()), ("a", pa.int64()),
+                         ("b", pa.int64()), ("c", pa.int64()),
+                         ("_b2", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        g = tbl.to_pandas()
+        tr = g[g["kind"] == 0]
+        c2 = tr.groupby(["w1", "w2"])["tf"].sum()
+        ctx = tr.groupby("w1")["tf"].sum()
+        sc = g[g["kind"] == 1]
+        if not len(sc):
+            return sch.empty_table()
+        # cross-block (doc, bigram) dupes fold here
+        sc = sc.groupby(["doc", "w1", "w2"], as_index=False,
+                        sort=False)["tf"].sum()
+        if len(c2):
+            c2v = c2.reindex(
+                pd.MultiIndex.from_arrays([sc["w1"], sc["w2"]])
+            ).to_numpy()
+        else:
+            c2v = np.full(len(sc), np.nan)
+        seen = ~np.isnan(c2v)
+        tf = sc["tf"].to_numpy(np.int64)
+        parts = []
+        if seen.any():
+            cxv = ctx.reindex(sc["w1"][seen]).to_numpy(np.float64)
+            term = np.floor(tf[seen] * np.log(cxv / c2v[seen]) * 1e6
+                            + 0.5).astype(np.int64)
+            p = pd.DataFrame({"doc": sc["doc"][seen].to_numpy(np.int64),
+                              "a": term, "b": tf[seen]})
+            p = p.groupby("doc", sort=False, as_index=False).sum()
+            parts.append(pa.table({
+                "kind": pa.array(np.full(len(p), 2, np.int8)),
+                "doc": pa.array(p["doc"].to_numpy(np.int64)),
+                "w": pa.array([""] * len(p), pa.string()),
+                "a": pa.array(p["a"].to_numpy(np.int64)),
+                "b": pa.array(p["b"].to_numpy(np.int64)),
+                "c": pa.array(np.zeros(len(p), np.int64)),
+                "_b2": pa.array((p["doc"].to_numpy(np.uint64)
+                                 % nbu).astype(np.int64)),
+            }))
+        if (~seen).any():
+            w2 = sc["w2"][~seen].to_numpy(object)
+            parts.append(pa.table({
+                "kind": pa.array(np.full((~seen).sum(), 3, np.int8)),
+                "doc": pa.array(sc["doc"][~seen].to_numpy(np.int64)),
+                "w": pa.array(w2.tolist(), pa.string()),
+                "a": pa.array(tf[~seen]),
+                "b": pa.array(np.zeros((~seen).sum(), np.int64)),
+                "c": pa.array(np.zeros((~seen).sum(), np.int64)),
+                "_b2": pa.array(
+                    (hash64_batch(pa.array(w2.tolist(), pa.string()))
+                     % nbu).astype(np.int64)),
+            }))
+        return pa.concat_tables(parts)
+
+    mixed = train_b.union(score_b)
+    out1 = hash_bucket_apply(mixed, "_b", bucket_w1,
+                             num_buckets=n_buckets)
+
+    import pyarrow.compute as pc
+
+    def split_kind(want: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["kind"], want))
+        return f
+
+    parts1 = out1.map_batches(split_kind(2), batch_format="pyarrow",
+                              batch_size=None)
+    backoff = out1.map_batches(split_kind(3), batch_format="pyarrow",
+                               batch_size=None)
+
+    # train unigram rows for c1(w)
+    def unigrams(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        s = (pl.DataFrame({"t": pl.from_arrow(
+            batch[text_col].combine_chunks())})
+            .with_columns(w=pl.col("t").cast(pl.String).fill_null("")
+                          .str.to_lowercase().str.extract_all(r"\w+"))
+            .explode("w").drop_nulls("w").group_by("w").len())
+        w = s["w"].to_arrow().cast(pa.string())
+        n = len(s)
+        return pa.table({
+            "kind": pa.array(np.full(n, 4, np.int8)),
+            "doc": pa.array(np.full(n, -1, np.int64)),
+            "w": w,
+            "a": s["len"].cast(pl.Int64).to_arrow(),
+            "b": pa.array(np.zeros(n, np.int64)),
+            "c": pa.array(np.zeros(n, np.int64)),
+            "_b2": pa.array((hash64_batch(w) % nbu).astype(np.int64)),
+        })
+
+    uni = train_ds.map_batches(unigrams, batch_format="pyarrow",
+                               batch_size=None)
+
+    def bucket_w2(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("doc", pa.int64()), ("a", pa.int64()),
+                         ("b", pa.int64()), ("c", pa.int64()),
+                         ("_b2", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        g = tbl.to_pandas()
+        c1 = g[g["kind"] == 4].groupby("w")["a"].sum()
+        sc = g[g["kind"] == 3]
+        if not len(sc):
+            return sch.empty_table()
+        sc = sc.groupby(["doc", "w"], as_index=False,
+                        sort=False)["a"].sum()
+        cv = (c1.reindex(sc["w"]).fillna(0).to_numpy(np.float64)
+              if len(c1) else np.zeros(len(sc)))
+        tf = sc["a"].to_numpy(np.int64)
+        term = np.floor(tf * np.log(2.5 * t_f / (cv + 1.0)) * 1e6
+                        + 0.5).astype(np.int64)
+        p = pd.DataFrame({"doc": sc["doc"].to_numpy(np.int64),
+                          "a": term, "b": tf, "c": tf})
+        p = p.groupby("doc", sort=False, as_index=False).sum()
+        return pa.table({
+            "doc": pa.array(p["doc"].to_numpy(np.int64)),
+            "a": pa.array(p["a"].to_numpy(np.int64)),
+            "b": pa.array(p["b"].to_numpy(np.int64)),
+            "c": pa.array(p["c"].to_numpy(np.int64)),
+            "_b2": pa.array((p["doc"].to_numpy(np.uint64)
+                             % nbu).astype(np.int64)),
+        })
+
+    parts2 = hash_bucket_apply(backoff.union(uni), "_b2", bucket_w2,
+                               num_buckets=n_buckets)
+    parts1n = parts1.map_batches(
+        lambda b: b.select(["doc", "a", "b", "c", "_b2"]),
+        batch_format="pyarrow", batch_size=None)
+
+    def merge_docs(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([(id_col, pa.int64()), ("n_big", pa.int64()),
+                         ("n_backoff", pa.int64()),
+                         ("nll_sum_1e6", pa.int64()),
+                         ("nll_per_big_1e6", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        g = tbl.to_pandas()
+        m = g.groupby("doc", sort=False, as_index=False)[
+            ["a", "b", "c"]].sum()
+        nll = m["a"].to_numpy(np.int64)
+        nbig = m["b"].to_numpy(np.int64)
+        return pa.table({
+            id_col: pa.array(m["doc"].to_numpy(np.int64)),
+            "n_big": pa.array(nbig),
+            "n_backoff": pa.array(m["c"].to_numpy(np.int64)),
+            "nll_sum_1e6": pa.array(nll),
+            "nll_per_big_1e6": pa.array(nll // nbig),
+        })
+
+    return hash_bucket_apply(parts1n.union(parts2), "_b2", merge_docs,
+                             num_buckets=n_buckets)

@@ -211,3 +211,64 @@ def test_merge_index_empty_increment(tmp_path):
     m = merge_index(b, empty, str(tmp_path / "m"))
     got = search_index(m, ["apple"]).to_pandas()
     assert set(got["doc_id"]) == {1}
+
+
+def test_bigram_lm_stupid_backoff_matches_serial():
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.lm import bigram_lm_score
+
+    train_texts = {10: "a b c a b", 12: "b c d d"}
+    score_texts = {10: "a b c",        # all bigrams seen
+                   11: "a b zz c",     # zz unseen word -> c1=0 branch
+                   13: "c a",          # unseen bigram, both words known
+                   14: "w"}            # single word: no bigrams, no row
+    train = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(train_texts), pa.int64()),
+        "text": pa.array(list(train_texts.values()), pa.string())}))
+    score = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(score_texts), pa.int64()),
+        "text": pa.array(list(score_texts.values()), pa.string())}))
+    df = bigram_lm_score(score, train, n_buckets=4).to_pandas()
+    got = {r.doc_id: (r.n_big, r.n_backoff, r.nll_sum_1e6,
+                      r.nll_per_big_1e6) for r in df.itertuples()}
+
+    # serial reference
+    c1: dict = {}
+    c2: dict = {}
+    ctx: dict = {}
+    T = 0
+    for t in train_texts.values():
+        ws = t.split()
+        T += len(ws)
+        for w in ws:
+            c1[w] = c1.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    want = {}
+    for d, t in score_texts.items():
+        ws = t.split()
+        if len(ws) < 2:
+            continue
+        tfs: dict = {}
+        for bg in zip(ws, ws[1:]):
+            tfs[bg] = tfs.get(bg, 0) + 1
+        nll = nbig = nbo = 0
+        for (a, b), tf in tfs.items():
+            if (a, b) in c2:
+                term = math.floor(
+                    tf * math.log(ctx[a] / c2[(a, b)]) * 1e6 + 0.5)
+            else:
+                term = math.floor(
+                    tf * math.log(2.5 * T / (c1.get(b, 0) + 1)) * 1e6
+                    + 0.5)
+                nbo += tf
+            nll += term
+            nbig += tf
+        want[d] = (nbig, nbo, nll, nll // nbig)
+    assert got == want
+    assert 14 not in got and got[11][1] > 0 and got[10][1] == 0
