@@ -215,9 +215,18 @@ class CDXFetcher:
                 "remote CDX servers are unreachable from this local "
                 "engine; pass a captures table path as source=")
         elif os.path.exists(source):
+            from .sources.zipnum import is_zipnum_dir
+
             captures_root = source
-            source = "custom"   # single endpoint, pywb dialect,
-            #                     no crawl-window pruning
+            if is_zipnum_dir(source):
+                # a zipnum cluster directory — the serving structure
+                # index.commoncrawl.org answers the reference from;
+                # queried through the cluster.idx bisect + pruned
+                # block reads (sources/zipnum.query_zipnum)
+                source = "zipnum"
+            else:
+                source = "custom"   # single endpoint, pywb dialect,
+                #                     no crawl-window pruning
         else:
             raise ValueError("could not understand source")
         if not captures_root:
@@ -275,8 +284,17 @@ class CDXFetcher:
 
     def iter(self, url: str | None = None, **kwargs):
         """Streaming capture iterator (reference .iter parity)."""
-        ds = query_captures(self.captures_root, url=url, source=self.source,
-                            cc_sort=self.cc_sort, **self._kwargs(kwargs))
+        if self.source == "zipnum":
+            from .sources.zipnum import query_zipnum
+
+            kw = self._kwargs(kwargs)
+            kw.pop("crawl", None)  # single endpoint: no crawl pruning
+            ds = query_zipnum(self.captures_root, url=url, **kw)
+        else:
+            ds = query_captures(self.captures_root, url=url,
+                                source=self.source,
+                                cc_sort=self.cc_sort,
+                                **self._kwargs(kwargs))
         idx = self._index()
         for row in ds.iter_rows():
             yield CaptureObject(
@@ -296,11 +314,26 @@ class CDXFetcher:
 
     def get_size_estimate(self, url: str | None = None, as_pages: bool = False,
                           **kwargs):
+        if self.source == "zipnum":
+            from .sources.zipnum import zipnum_size_estimate
+
+            kw = self._kwargs(kwargs)
+            kw.pop("crawl", None)
+            for k in ("from_ts", "to", "closest", "limit", "filter"):
+                kw.pop(k, None)   # showNumPages counts blocks by key
+            return zipnum_size_estimate(self.captures_root, url=url,
+                                        as_pages=as_pages, **kw)
         return size_estimate(self.captures_root, url=url, source=self.source,
                              cc_sort=self.cc_sort, as_pages=as_pages,
                              **self._kwargs(kwargs))
 
     def dataset(self, url: str | None = None, **kwargs) -> "pa.Table":
         """The engine-native surface: the lazy Dataset itself."""
+        if self.source == "zipnum":
+            from .sources.zipnum import query_zipnum
+
+            kw = self._kwargs(kwargs)
+            kw.pop("crawl", None)
+            return query_zipnum(self.captures_root, url=url, **kw)
         return query_captures(self.captures_root, url=url, source=self.source,
                               cc_sort=self.cc_sort, **self._kwargs(kwargs))

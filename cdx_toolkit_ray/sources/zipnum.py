@@ -35,6 +35,7 @@ parsed back via ``json_decode`` — no per-row Python on either side).
 from __future__ import annotations
 
 import gzip
+import json
 import os
 from bisect import bisect_left
 
@@ -159,7 +160,12 @@ def build_zipnum(captures: ray.data.Dataset, out_dir: str, *,
                         % (uk, ts, fname, off, length, seq))
                 rows += n
                 seq += 1
-    return {"rows": rows, "blocks": seq, "shards": len(groups)}
+    info = {"rows": rows, "blocks": seq, "shards": len(groups),
+            "lines_per_block": lines_per_block}
+    with open(os.path.join(out_dir, "zipnum.meta"), "w",
+              encoding="utf-8") as f:
+        json.dump(info, f, sort_keys=True)
+    return info
 
 
 def load_cluster_idx(out_dir: str) -> list[tuple]:
@@ -201,6 +207,20 @@ def _read_blocks(out_dir: str, fname: str, spans: list,
     return t.filter(mask)
 
 
+def _candidate_blocks(out_dir: str, key_lo: str, prefix: bool):
+    """Bisect cluster.idx: blocks whose key range can intersect the
+    query range. Blocks are sorted runs; matches can start one block
+    before the first block whose first key >= key_lo (bisect_left
+    keeps every tie block) and end before the first block whose first
+    key >= key_hi."""
+    idx = load_cluster_idx(out_dir)
+    firsts = [e[0] for e in idx]
+    key_hi = (key_lo + chr(0x10FFFF)) if prefix else (key_lo + "\x00")
+    i_lo = max(0, bisect_left(firsts, key_lo) - 1)
+    i_hi = bisect_left(firsts, key_hi)
+    return idx[i_lo:i_hi], len(idx)
+
+
 def zipnum_lookup(out_dir: str, *, urlkey: str | None = None,
                   urlkey_prefix: str | None = None,
                   from_ts: str | None = None, to_ts: str | None = None,
@@ -217,20 +237,12 @@ def zipnum_lookup(out_dir: str, *, urlkey: str | None = None,
     """
     if (urlkey is None) == (urlkey_prefix is None):
         raise ValueError("give exactly one of urlkey / urlkey_prefix")
-    idx = load_cluster_idx(out_dir)
-    firsts = [e[0] for e in idx]
     prefix = urlkey_prefix is not None
     key_lo = urlkey_prefix if prefix else urlkey
+    cand, n_total = _candidate_blocks(out_dir, key_lo, prefix)
     key_hi = (key_lo + chr(0x10FFFF)) if prefix else (key_lo + "\x00")
-    # blocks are sorted runs; rows matching [key_lo, key_hi) can start
-    # one block before the first block whose first key >= key_lo
-    # (bisect_left keeps every tie block) and end before the first
-    # block whose first key >= key_hi.
-    i_lo = max(0, bisect_left(firsts, key_lo) - 1)
-    i_hi = bisect_left(firsts, key_hi)
-    cand = idx[i_lo:i_hi]
     if stats is not None:
-        stats["blocks_total"] = len(idx)
+        stats["blocks_total"] = n_total
         stats["blocks_read"] = len(cand)
     by_file: dict[str, list] = {}
     for uk, ts, fname, off, length in cand:
@@ -244,3 +256,93 @@ def zipnum_lookup(out_dir: str, *, urlkey: str | None = None,
             for c in CDX_COLUMNS})
         return ray.data.from_arrow(empty)
     return ray.data.from_arrow_refs(refs)
+
+
+def query_zipnum(index_dir: str, url: str | None = None, *,
+                 fields: list[str] | None = None,
+                 stats: dict | None = None,
+                 **kwargs) -> ray.data.Dataset:
+    """``query_captures`` parity over a zipnum cluster directory — the
+    engine queries the SAME serving structure index.commoncrawl.org
+    answers the reference from. Single endpoint, pywb dialect,
+    ascending ``(urlkey, timestamp)`` order (the reference's
+    within-index ordering contract, README.md:243-252, which the
+    build's global sort provides for free).
+
+    kwargs: ``from_ts, to, limit, filter, matchType`` — the
+    reference's param vocabulary. Wildcards resolve through
+    ``planner.url_to_match``; the SURT key is the cluster.idx bisect
+    prefix (for domain matches the bare reversed-host key is a
+    SUPERSET range — the vectorized :class:`CaptureMatcher` applies
+    the authoritative predicate post-parse).
+    """
+    from ..planner import url_to_match
+    from ..timeutils import (pad_timestamp, pad_timestamp_up,
+                             validate_timestamps)
+    from .captures import CaptureMatcher
+
+    match_type = kwargs.pop("matchType", None)
+    limit = kwargs.pop("limit", None)
+    filters = kwargs.pop("filter", None)
+    params = dict(kwargs)
+    validate_timestamps(params)
+    from_ts, to = params.get("from_ts"), params.get("to")
+    um = url_to_match(url, match_type) if url else None
+    matcher = CaptureMatcher(um, from_ts, to, filters, "custom")
+
+    exec_opts = ray.data.DataContext.get_current().execution_options
+    saved = exec_opts.preserve_order
+    exec_opts.preserve_order = True
+    try:
+        ds = zipnum_lookup(
+            index_dir, urlkey_prefix=(um.key if um else ""),
+            from_ts=pad_timestamp(from_ts) if from_ts else None,
+            to_ts=pad_timestamp_up(to) if to else None, stats=stats)
+        ds = ds.map_batches(matcher, batch_format="pyarrow",
+                            batch_size=None)
+        if fields:
+            ds = ds.select_columns(fields)
+        if limit is not None:
+            ds = ds.limit(int(limit))
+    finally:
+        exec_opts.preserve_order = saved
+    return ds
+
+
+def zipnum_size_estimate(index_dir: str, url: str | None = None, *,
+                         as_pages: bool = False, **kwargs) -> int:
+    """``showNumPages`` parity against the zipnum layout: the REAL CDX
+    API's page count IS the number of zipnum blocks a query touches
+    (the reference turns it into a sample estimate via the partial-
+    first/last-page adjustment x lines/page, __init__.py:32-50); here
+    the candidate-block count comes from the same cluster.idx bisect
+    the lookup uses, and lines/page is the index's own
+    ``lines_per_block`` (zipnum.meta). Metadata-only: no block is
+    decompressed."""
+    from ..planner import url_to_match
+
+    match_type = kwargs.pop("matchType", None)
+    um = url_to_match(url, match_type) if url else None
+    cand, _ = _candidate_blocks(index_dir, um.key if um else "",
+                                prefix=True)
+    pages = len(cand)
+    if as_pages:
+        return pages
+    try:
+        with open(os.path.join(index_dir, "zipnum.meta"),
+                  encoding="utf-8") as f:
+            lpb = int(json.load(f)["lines_per_block"])
+    except (OSError, KeyError, ValueError):
+        lpb = 3000  # the reference's lines_per_page constant
+    p = float(pages)
+    if p > 1:
+        p -= 1.0
+    elif p >= 1:
+        p -= 0.5
+    return int(p * lpb)
+
+
+def is_zipnum_dir(path: str) -> bool:
+    """True when ``path`` is a zipnum cluster directory."""
+    return (os.path.isdir(path)
+            and os.path.exists(os.path.join(path, _IDX_NAME)))

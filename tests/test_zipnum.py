@@ -139,3 +139,47 @@ def test_build_is_deterministic(tmp_path):
                 for p in glob.glob(d + "/*")}
 
     assert slurp(out1) == slurp(out2)
+
+
+def test_cdxfetcher_zipnum_source_parity(tmp_path):
+    import ray.data
+
+    import cdx_toolkit_ray as ctr
+    from cdx_toolkit_ray import fixtures
+    from cdx_toolkit_ray.sources.zipnum import build_zipnum
+
+    paths = fixtures.generate(str(tmp_path / "fix"), n_pages=400,
+                              seed=7)
+    zdir = str(tmp_path / "zip")
+    build_zipnum(ray.data.read_parquet(paths["captures"]), zdir,
+                 lines_per_block=48, num_shards=3)
+
+    kw = dict(filter=["=status:200"], from_ts="2021", to="2024")
+    zf = ctr.CDXFetcher(source=zdir, pages_path=paths["pages"])
+    cf = ctr.CDXFetcher(source=paths["captures"],
+                        pages_path=paths["pages"])
+    assert zf.source == "zipnum"
+
+    def rows(f):
+        return sorted(
+            tuple(str(o.get(c)) for c in COLS)
+            for o in f.iter("*.big-portal.example", **kw))
+
+    zr, cr = rows(zf), rows(cf)
+    assert zr and zr == cr
+
+    # ascending (urlkey, timestamp) ordering contract + limit
+    limited = list(zf.iter("*.big-portal.example", limit=7, **kw))
+    keys = [(o["urlkey"], o["timestamp"]) for o in limited]
+    assert len(limited) == 7 and keys == sorted(keys)
+
+    # content resolution through the same lazy machinery
+    o = limited[0]
+    assert o.text == o.content.decode("utf-8", errors="replace")
+
+    # size estimate: block-count pages, sample scaling by the index's
+    # own lines_per_block
+    pages = zf.get_size_estimate("*.big-portal.example", as_pages=True)
+    assert pages >= 1
+    est = zf.get_size_estimate("*.big-portal.example")
+    assert est <= pages * 48 and (pages == 1 or est >= (pages - 1) * 48)
