@@ -4067,6 +4067,37 @@ def q_link_hits(sf_dir: str):
     return hits(extract_links(pages), iterations=2)
 
 
+def q_cocitation(sf_dir: str):
+    """Co-citation pair mining (Small 1973): derived citation graph —
+    every doc cites targets ``p(d%20), p((d+3)%20), p((d+7)%20)`` —
+    so target pairs accumulate real shared-citer counts; pairs cited
+    together by >= 2 distinct sources surface with the count, the
+    topical-similarity signal PageRank's single score ignores. Oracle
+    replays the chain (distinct edges -> fanout cap -> self-join ->
+    count) in SQL."""
+    from .stages.links import co_link_pairs
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.char.add("http://c.example/d", d.astype(str))
+        dsts = [np.char.add("http://t.example/p",
+                            ((d + k) % 20).astype(str))
+                for k in (0, 3, 7)]
+        return pa.table({
+            "src_url": pa.array(np.tile(src, 3).tolist(), pa.string()),
+            "dst_url": pa.array(np.concatenate(dsts).tolist(),
+                                pa.string()),
+        })
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    edges = ds.map_batches(derive, batch_format="pyarrow",
+                           batch_size=None)
+    return co_link_pairs(edges, mode="cocitation", min_shared=2,
+                         max_fanout=256)
+
+
 def q_strip_tags(sf_dir: str):
     """Markup-strip plain-text extraction (the boilerplate-removal
     step of a training-data pipeline) over the fixture pages table;
@@ -6580,6 +6611,23 @@ r3 AS (SELECT n.url, CAST(150000
        GROUP BY n.url)
 SELECT url, rank FROM r3
 """ % _FIXTURE_LINK,
+    # Co-citation: distinct-edge self-join on the citing source with
+    # the navigation-fanout cap — exact parity with co_link_pairs
+    # over the derived 3-targets-per-doc citation graph.
+    "cocitation": """
+WITH e AS (
+  SELECT 'http://c.example/d' || doc_id AS src_url,
+         'http://t.example/p' || ((doc_id + k) % 20) AS dst_url
+  FROM documents, unnest([0, 3, 7]) AS t(k)),
+pg AS (SELECT DISTINCT src_url, dst_url FROM e),
+fan AS (SELECT src_url FROM pg GROUP BY src_url
+        HAVING count(*) <= 256),
+pr AS (SELECT a.dst_url AS ua, b.dst_url AS ub
+       FROM pg a JOIN pg b USING (src_url) JOIN fan USING (src_url)
+       WHERE a.dst_url < b.dst_url)
+SELECT ua AS url_a, ub AS url_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM pr GROUP BY ua, ub HAVING count(*) >= 2
+""",
     # HITS: 2 unrolled max-normalized integer iterations — exact
     # parity with stages/links.hits (same href/resolution CTEs as
     # link_rank; parallel edges count; GREATEST guards empty graphs).
@@ -7769,6 +7817,7 @@ QUERIES = {
     "page_metadata": q_page_metadata,
     "link_rank": q_link_rank,
     "link_hits": q_link_hits,
+    "cocitation": q_cocitation,
     "crawl_delta": q_crawl_delta,
     "link_delta": q_link_delta,
     "compact_captures": q_compact_captures,
@@ -7817,6 +7866,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
     "link_hits zipnum_lookup cache_freshness containment bigram_lm "
+    "cocitation "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

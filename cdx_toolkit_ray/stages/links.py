@@ -941,6 +941,141 @@ def mutual_links(links: ray.data.Dataset, *, src_col: str = "src_url",
                              num_buckets=num_buckets)
 
 
+def co_link_pairs(links: ray.data.Dataset, *,
+                  mode: str = "cocitation",
+                  src_col: str = "src_url", dst_col: str = "dst_url",
+                  min_shared: int = 2, max_fanout: int = 256,
+                  num_buckets: int = 32) -> ray.data.Dataset:
+    """Co-citation / bibliographic-coupling pair mining over the link
+    graph — the similarity signals PageRank's single score ignores:
+
+    * ``mode='cocitation'`` (Small 1973): pairs of DESTINATIONS cited
+      by the same source page — pages that co-occur in link lists are
+      topically related (key = src, items = dst).
+    * ``mode='coupling'`` (Kessler 1963): pairs of SOURCES citing the
+      same destination — pages sharing references (key = dst,
+      items = src).
+
+    Output one row per distinct unordered pair: ``(url_a, url_b,
+    n_shared)`` with ``url_a < url_b`` and ``n_shared`` = number of
+    distinct shared keys, filtered to ``>= min_shared``. A key fanning
+    out to more than ``max_fanout`` items is navigation/boilerplate —
+    dropped loudly (the LSH-band guard; it would emit O(fanout²)
+    pairs).
+
+    Dataflow (the containment_pairs shape): per-block distinct
+    (key, item) rows -> one key-bucket exchange emits each key's item
+    pairs under the cap -> one pair-bucket exchange counts
+    multiplicity (= distinct shared keys, since each key lives whole
+    in one bucket and (key, item) rows are deduped there). Pages never
+    shuffle — only narrow url-pair rows move.
+    """
+    import logging
+
+    from .exchange import hash_bucket_apply
+
+    if mode == "cocitation":
+        k_col, v_col = src_col, dst_col
+    elif mode == "coupling":
+        k_col, v_col = dst_col, src_col
+    else:
+        raise ValueError("mode must be 'cocitation' or 'coupling'")
+    nbu = np.uint64(num_buckets)
+
+    def kv(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.string()), ("v", pa.string()),
+                         ("_b", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        k = batch[k_col].to_numpy(zero_copy_only=False).astype(str)
+        v = batch[v_col].to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        new = np.ones(len(k), bool)
+        new[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+        k, v = k[new], v[new]
+        return pa.table({
+            "k": pa.array(k.tolist(), pa.string()),
+            "v": pa.array(v.tolist(), pa.string()),
+            "_b": pa.array((hash64_batch(pa.array(k.tolist(),
+                                                  pa.string()))
+                            % nbu).astype(np.int64)),
+        })
+
+    rows = links.map_batches(kv, batch_format="pyarrow",
+                             batch_size=None)
+
+    def emit_pairs(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("a", pa.string()), ("b", pa.string()),
+                         ("_pb", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        k = tbl["k"].to_numpy(zero_copy_only=False).astype(str)
+        v = tbl["v"].to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        new = np.ones(len(k), bool)
+        new[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+        k, v = k[new], v[new]
+        run = np.ones(len(k), bool)
+        run[1:] = k[1:] != k[:-1]
+        st = np.flatnonzero(run)
+        ln = np.diff(np.r_[st, len(k)])
+        big = ln > max_fanout
+        if big.any():
+            logging.getLogger(__name__).warning(
+                "co_link_pairs: %d keys fanning out to > %d items "
+                "dropped as navigation boilerplate", int(big.sum()),
+                max_fanout)
+        a_all, b_all = [], []
+        for s, n in zip(st[~big].tolist(), ln[~big].tolist()):
+            if n < 2:
+                continue
+            grp = v[s:s + n]   # sorted within the key run
+            ii, jj = np.triu_indices(n, k=1)
+            a_all.append(grp[ii])
+            b_all.append(grp[jj])
+        if not a_all:
+            return sch.empty_table()
+        a = np.concatenate(a_all)
+        b = np.concatenate(b_all)
+        h = hash64_batch(pa.array(
+            np.char.add(np.char.add(a, "\x00"), b).tolist(),
+            pa.string()))
+        return pa.table({
+            "a": pa.array(a.tolist(), pa.string()),
+            "b": pa.array(b.tolist(), pa.string()),
+            "_pb": pa.array((h % nbu).astype(np.int64)),
+        })
+
+    pairs = hash_bucket_apply(rows, "_b", emit_pairs,
+                              num_buckets=num_buckets)
+
+    def reduce_pairs(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("url_a", pa.string()), ("url_b", pa.string()),
+                         ("n_shared", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        a = tbl["a"].to_numpy(zero_copy_only=False).astype(str)
+        b = tbl["b"].to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.ones(len(a), bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        st = np.flatnonzero(new)
+        n = np.diff(np.r_[st, len(a)]).astype(np.int64)
+        keep = n >= min_shared
+        st, n = st[keep], n[keep]
+        return pa.table({
+            "url_a": pa.array(a[st].tolist(), pa.string()),
+            "url_b": pa.array(b[st].tolist(), pa.string()),
+            "n_shared": pa.array(n),
+        })
+
+    return hash_bucket_apply(pairs, "_pb", reduce_pairs,
+                             num_buckets=num_buckets)
+
+
 CANONICAL_RE = r"<link rel='canonical' href='([^']*)'>"
 
 _CANON_SCHEMA = pa.schema([("url", pa.string()),

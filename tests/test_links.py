@@ -614,3 +614,45 @@ def test_parse_hreflang():
         ("x-default", "http://a.example/"),  # x-default rides through
     ]
     assert parse_hreflang_batch(batch.slice(0, 0)).num_rows == 0
+
+
+def test_co_link_pairs_cocitation_and_coupling():
+    from cdx_toolkit_ray.stages.links import co_link_pairs
+
+    # s1 cites {a,b,c}; s2 cites {a,b}; s3 cites {b,c}; s4 cites {x}
+    edges = [("s1", "a"), ("s1", "b"), ("s1", "c"),
+             ("s2", "a"), ("s2", "b"), ("s3", "b"), ("s3", "c"),
+             ("s4", "x"), ("s2", "a")]     # duplicate edge: counted once
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([e[0] for e in edges], pa.string()),
+        "dst_url": pa.array([e[1] for e in edges], pa.string())}))
+    df = co_link_pairs(links, mode="cocitation", min_shared=2,
+                       num_buckets=4).to_pandas()
+    got = {(r.url_a, r.url_b): r.n_shared for r in df.itertuples()}
+    assert got == {("a", "b"): 2, ("b", "c"): 2}
+
+    # coupling: sources sharing cited targets
+    df2 = co_link_pairs(links, mode="coupling", min_shared=2,
+                        num_buckets=4).to_pandas()
+    got2 = {(r.url_a, r.url_b): r.n_shared for r in df2.itertuples()}
+    assert got2 == {("s1", "s2"): 2, ("s1", "s3"): 2}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        co_link_pairs(links, mode="nope")
+
+
+def test_co_link_pairs_fanout_cap():
+    from cdx_toolkit_ray.stages.links import co_link_pairs
+
+    # hub cites 10 targets (over cap=5) -> contributes nothing;
+    # two small citers still co-cite (a, b) twice
+    edges = [("hub", "t%d" % i) for i in range(10)]
+    edges += [("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "b")]
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([e[0] for e in edges], pa.string()),
+        "dst_url": pa.array([e[1] for e in edges], pa.string())}))
+    df = co_link_pairs(links, mode="cocitation", min_shared=2,
+                       max_fanout=5, num_buckets=2).to_pandas()
+    assert {(r.url_a, r.url_b, r.n_shared) for r in df.itertuples()} \
+        == {("a", "b", 2)}
