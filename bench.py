@@ -432,6 +432,21 @@ def main() -> None:
             # chunk exchange (windowed gear hash over the flat buffer)
             ("cdc_shared",
              lambda: consume(Q.q_cdc_shared(SF_DIR))),
+            # round 3 session 3: HITS hubs/authorities (two bucket-
+            # cached edge copies, max-normalized integer iterations)
+            ("link_hits", lambda: consume(Q.q_link_hits(SF_DIR))),
+            # round 3 session 3: zipnum cluster build + pruned lookup
+            ("zipnum_lookup",
+             lambda: consume(Q.q_zipnum_lookup(SF_DIR))),
+            # round 3 session 3: asymmetric n-gram containment pairs
+            ("containment", lambda: consume(Q.q_containment(SF_DIR))),
+            # round 3 session 3: held-out bigram LM + stupid backoff
+            ("bigram_lm", lambda: consume(Q.q_bigram_lm(SF_DIR))),
+            # round 3 session 3: RFC 9111 freshness plan
+            ("cache_freshness",
+             lambda: consume(Q.q_cache_freshness(SF_DIR))),
+            # round 3 session 3: co-citation pair mining
+            ("cocitation", lambda: consume(Q.q_cocitation(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the
