@@ -28,6 +28,7 @@ import hashlib
 import os
 import uuid
 
+import pyarrow as pa
 import ray.data
 
 __all__ = ["render_warc_record", "render_warcinfo", "SegmentedWARCWriter",
@@ -440,6 +441,83 @@ def write_wet(ds: ray.data.Dataset, prefix: str,
                 written.append(w._path)
     w.close()
     return sorted(set(written))
+
+
+def write_wat(ds: ray.data.Dataset, prefix: str,
+              subprefix: str | None = None, info: dict | None = None, *,
+              url_col: str = "url", size: int = 1_000_000_000,
+              gzip: bool = True, date_iso: str = "2026-01-01T00:00:00Z",
+              batch_size: int = 1024) -> list[str]:
+    """WAT export: page-metadata rows -> JSON ``metadata`` records in
+    size-rotated segments — the CC ``*.warc.wat.gz`` sidecar, closing
+    the WARC/WAT/WET distribution trio (WARC = write_dataset, WET =
+    write_wet). Input rows carry ``(url, title, n_links, content_len,
+    plain_len)`` (the stages/text.page_metadata_batch shape); the
+    payload is the canonical sorted-key JSON envelope, so output is
+    byte-deterministic under the injectable clock."""
+    import json as _json
+
+    w = SegmentedWARCWriter(prefix, subprefix, info or {}, size=size,
+                            gzip=gzip, date_iso=date_iso)
+    written = []
+    for batch in ds.iter_batches(batch_size=batch_size,
+                                 batch_format="pyarrow"):
+        urls = batch[url_col].to_pylist()
+        titles = batch["title"].to_pylist()
+        nl = batch["n_links"].to_pylist()
+        cl = batch["content_len"].to_pylist()
+        plen = batch["plain_len"].to_pylist()
+        for u, t, n, c, p in zip(urls, titles, nl, cl, plen):
+            env = {"Envelope": {
+                "WARC-Header-Metadata": {"WARC-Target-URI": u},
+                "Payload-Metadata": {
+                    "Title": t or "", "Links": int(n or 0),
+                    "Content-Length": int(c or 0),
+                    "Plain-Text-Length": int(p or 0)}}}
+            w.write_record({
+                "warc_type": "metadata",
+                "warc_target_uri": u,
+                "payload": _json.dumps(env, sort_keys=True,
+                                       separators=(",", ":"))
+                .encode("utf-8")})
+            if w._path and w._path not in written:
+                written.append(w._path)
+    w.close()
+    return sorted(set(written))
+
+
+def parse_wat_batch(batch: "pa.Table") -> "pa.Table":
+    """metadata-record payloads -> page-metadata rows (the inverse of
+    :func:`write_wat`; vectorized polars json_decode)."""
+    import polars as pl
+
+    sch = pa.schema([("url", pa.string()), ("title", pa.string()),
+                     ("n_links", pa.int64()),
+                     ("content_len", pa.int64()),
+                     ("plain_len", pa.int64())])
+    if batch.num_rows == 0:
+        return sch.empty_table()
+    payloads = pl.Series(
+        [(b or b"").decode("utf-8")
+         for b in batch["payload"].to_pylist()], dtype=pl.Utf8)
+    dtype = pl.Struct([pl.Field("Envelope", pl.Struct([
+        pl.Field("WARC-Header-Metadata",
+                 pl.Struct([pl.Field("WARC-Target-URI", pl.Utf8)])),
+        pl.Field("Payload-Metadata", pl.Struct([
+            pl.Field("Title", pl.Utf8), pl.Field("Links", pl.Int64),
+            pl.Field("Content-Length", pl.Int64),
+            pl.Field("Plain-Text-Length", pl.Int64)]))]))])
+    j = payloads.str.json_decode(dtype).struct.field("Envelope")
+    hdr = j.struct.field("WARC-Header-Metadata")
+    pm = j.struct.field("Payload-Metadata")
+    out = pl.DataFrame({
+        "url": hdr.struct.field("WARC-Target-URI"),
+        "title": pm.struct.field("Title"),
+        "n_links": pm.struct.field("Links"),
+        "content_len": pm.struct.field("Content-Length"),
+        "plain_len": pm.struct.field("Plain-Text-Length"),
+    }).to_arrow()
+    return out.cast(sch)
 
 
 def index_warc(paths: str | list[str]) -> ray.data.Dataset:

@@ -3746,6 +3746,39 @@ def q_page_metadata(sf_dir: str):
                              batch_size=None, zero_copy_batch=True)
 
 
+def q_wat_export(sf_dir: str):
+    """WAT ROUND TRIP — closes the Common Crawl WARC/WAT/WET
+    distribution trio (WARC bytes + WET conversion records already
+    round-trip): fixture pages -> page_metadata -> JSON-envelope
+    ``metadata`` records in real size-rotated WARC segments ->
+    read_warc -> vectorized json_decode back to rows. Oracle = the
+    page_metadata SQL, so the value hash byte-checks every field
+    through the WAT bytes."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os
+
+    from .pipelines.warcbytes import parse_wat_batch, read_warc, write_wat
+    from .stages.text import page_metadata_batch
+
+    root = _fixture_root(sf_dir)
+    tag = _hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = "/tmp/cdxray_watfix_%s" % tag
+    if not os.path.exists(out + "/.done"):
+        os.makedirs(out, exist_ok=True)
+        pages = ray.data.read_parquet(root + "/pages.parquet",
+                                      columns=["url", "text"])
+        meta = pages.map_batches(page_metadata_batch,
+                                 batch_format="pyarrow",
+                                 batch_size=None, zero_copy_batch=True)
+        write_wat(meta, os.path.join(out, "WAT"), size=400_000)
+        open(out + "/.done", "w").close()
+    segs = sorted(_glob.glob(out + "/WAT-*.extracted.warc.gz"))
+    wat = read_warc(segs, record_types=("metadata",))
+    return wat.map_batches(parse_wat_batch, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def q_extract_links(sf_dir: str):
     """Outlink harvest (the discover half of the crawl loop, reference
     examples/iter-and-warc.py composition): vectorized href extraction
@@ -7641,6 +7674,7 @@ FROM events e JOIN orders o
 
 # IVF-PQ probed over ALL cells provably equals PQ ADC over the whole
 # corpus — the exact-twin oracle (the ann_ivf_full pattern).
+ORACLES["wat_export"] = ORACLES["page_metadata"]
 ORACLES["ivfpq_search"] = ORACLES["pq_search"]
 
 # render -> parse -> match must reproduce the direct matcher exactly,
@@ -7818,6 +7852,7 @@ QUERIES = {
     "link_rank": q_link_rank,
     "link_hits": q_link_hits,
     "cocitation": q_cocitation,
+    "wat_export": q_wat_export,
     "crawl_delta": q_crawl_delta,
     "link_delta": q_link_delta,
     "compact_captures": q_compact_captures,
@@ -7866,7 +7901,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
     "link_hits zipnum_lookup cache_freshness containment bigram_lm "
-    "cocitation "
+    "cocitation wat_export "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

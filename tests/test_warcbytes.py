@@ -349,3 +349,34 @@ def test_header_injection_sanitized():
     uri = parsed[0]["headers"]["WARC-Target-URI"]
     assert "\r" not in uri and "\n" not in uri
     assert "%0D%0AWARC-Type" in uri  # encoded, not interpreted
+
+
+def test_wat_roundtrip_and_rotation(tmp_path, ray_session):
+    import glob
+
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.pipelines.warcbytes import (parse_wat_batch,
+                                                     read_warc,
+                                                     write_wat)
+
+    rows = pa.table({
+        "url": pa.array(["https://a.example/%d" % i for i in range(40)],
+                        pa.string()),
+        "title": pa.array(["t %d" % i if i % 3 else "" for i in range(40)],
+                          pa.string()),
+        "n_links": pa.array(list(range(40)), pa.int64()),
+        "content_len": pa.array([100 + i for i in range(40)], pa.int64()),
+        "plain_len": pa.array([50 + i for i in range(40)], pa.int64()),
+    })
+    segs = write_wat(ray.data.from_arrow(rows),
+                     str(tmp_path / "WAT"), size=2_000)
+    assert len(segs) > 1, "size rotation did not split segments"
+    files = sorted(glob.glob(str(tmp_path) + "/WAT-*.extracted.warc.gz"))
+    back = (read_warc(files, record_types=("metadata",))
+            .map_batches(parse_wat_batch, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    want = rows.to_pandas().sort_values("url").reset_index(drop=True)
+    assert back.equals(want)
