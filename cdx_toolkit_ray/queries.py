@@ -2406,6 +2406,35 @@ def q_warc_index(sf_dir: str):
                                "status", "mime"])
 
 
+def q_archive_roundtrip(sf_dir: str):
+    """The FULL archive production chain in one hash: frontier winners
+    -> real WARC/1.0 segments (deterministic writer clock) ->
+    ``index_warc`` CDX rows (sha256 content digests, gzip-member byte
+    spans) -> ``build_zipnum`` over the 9-column index (self-
+    describing field set) -> cluster.idx bisect lookup of one source's
+    prefix. What Common Crawl runs as WARC -> cdx-index -> zipnum
+    serving, end to end. Oracle: the warc_index derivation filtered by
+    the same prefix (offset/length/filename are gzip-layout facts SQL
+    cannot see — byte-range round-trip proven in
+    tests/test_warcbytes.py)."""
+    import hashlib as _hashlib
+    import os
+
+    from .pipelines.warcbytes import index_warc
+    from .sources.zipnum import build_zipnum, zipnum_lookup
+
+    segs = _warc_fixture_segments(sf_dir)
+    tag = _hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = "/tmp/cdxray_archzip_%s" % tag
+    if not os.path.exists(out + "/.done"):
+        build_zipnum(index_warc(segs), out, lines_per_block=16,
+                     num_shards=2)
+        open(out + "/.done", "w").close()
+    hit = zipnum_lookup(out, urlkey_prefix="example,src1)")
+    return hit.select_columns(["urlkey", "timestamp", "url", "digest",
+                               "status", "mime"])
+
+
 def q_fetch_errors(sf_dir: str):
     """The dead-letter side channel of q_fetch_execute: every request
     whose final action is not 'ok' (invalid / error / exhausted), with
@@ -7674,6 +7703,9 @@ FROM events e JOIN orders o
 
 # IVF-PQ probed over ALL cells provably equals PQ ADC over the whole
 # corpus — the exact-twin oracle (the ann_ivf_full pattern).
+ORACLES["archive_roundtrip"] = (
+    "SELECT * FROM (" + ORACLES["warc_index"]
+    + ") WHERE urlkey LIKE 'example,src1)%'")
 ORACLES["wat_export"] = ORACLES["page_metadata"]
 ORACLES["ivfpq_search"] = ORACLES["pq_search"]
 
@@ -7853,6 +7885,7 @@ QUERIES = {
     "link_hits": q_link_hits,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
+    "archive_roundtrip": q_archive_roundtrip,
     "crawl_delta": q_crawl_delta,
     "link_delta": q_link_delta,
     "compact_captures": q_compact_captures,
@@ -7901,7 +7934,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
     "link_hits zipnum_lookup cache_freshness containment bigram_lm "
-    "cocitation wat_export "
+    "cocitation wat_export archive_roundtrip "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

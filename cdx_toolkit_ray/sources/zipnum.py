@@ -59,30 +59,37 @@ CDX_COLUMNS = ("urlkey", "timestamp", "url", "mime", "mime_detected",
 _IDX_NAME = "cluster.idx"
 
 
-def render_cdxj_batch(batch: pa.Table) -> pa.Table:
-    """One Arrow batch of capture rows -> (urlkey, timestamp, line)."""
+def render_cdxj_batch(batch: pa.Table,
+                      json_fields: tuple = CDX_JSON_FIELDS) -> pa.Table:
+    """One Arrow batch of capture rows -> (urlkey, timestamp, line).
+    ``json_fields`` is the sorted JSON key set (default: the captures
+    table's); any row schema carrying urlkey/timestamp + those fields
+    can be indexed."""
     import polars as pl
 
-    df = pl.from_arrow(batch.select(list(CDX_COLUMNS)))
+    df = pl.from_arrow(batch.select(["urlkey", "timestamp",
+                                     *json_fields]))
     out = df.select(
         pl.col("urlkey"), pl.col("timestamp"),
         pl.concat_str([
             pl.col("urlkey"), pl.col("timestamp"),
-            pl.struct([pl.col(f) for f in CDX_JSON_FIELDS])
+            pl.struct([pl.col(f) for f in json_fields])
               .struct.json_encode(),
         ], separator=" ").alias("line"))
     return out.to_arrow()
 
 
-def _json_dtype():
+def _json_dtype(json_fields: tuple, int_fields) -> "object":
     import polars as pl
 
     return pl.Struct([
-        pl.Field(f, pl.Int64 if f in _INT_FIELDS else pl.Utf8)
-        for f in CDX_JSON_FIELDS])
+        pl.Field(f, pl.Int64 if f in int_fields else pl.Utf8)
+        for f in json_fields])
 
 
-def parse_cdxj_batch(lines: pa.Array | list) -> pa.Table:
+def parse_cdxj_batch(lines: pa.Array | list,
+                     json_fields: tuple = CDX_JSON_FIELDS,
+                     int_fields=_INT_FIELDS) -> pa.Table:
     """CDXJ lines -> capture rows (vectorized splitn + json_decode)."""
     import polars as pl
 
@@ -91,13 +98,15 @@ def parse_cdxj_batch(lines: pa.Array | list) -> pa.Table:
              .struct.rename_fields(["urlkey", "timestamp", "j"]))
     df = parts.struct.unnest()
     df = df.with_columns(
-        df["j"].str.json_decode(_json_dtype()).alias("j"))
+        df["j"].str.json_decode(
+            _json_dtype(json_fields, int_fields)).alias("j"))
     df = df.drop("j").with_columns(df["j"].struct.unnest())
-    t = df.select(list(CDX_COLUMNS)).to_arrow()
+    cols = ["urlkey", "timestamp", *json_fields]
+    t = df.select(cols).to_arrow()
     # polars emits large_string; normalize to the captures schema
     schema = pa.schema([
-        (c, pa.int64() if c in _INT_FIELDS else pa.string())
-        for c in CDX_COLUMNS])
+        (c, pa.int64() if c in int_fields else pa.string())
+        for c in cols])
     return t.cast(schema)
 
 
@@ -131,16 +140,34 @@ def _write_shard(out_dir: str, shard_id: int, lines_per_block: int,
 
 
 def build_zipnum(captures: ray.data.Dataset, out_dir: str, *,
-                 lines_per_block: int = 3000,
-                 num_shards: int = 8) -> dict:
+                 lines_per_block: int = 3000, num_shards: int = 8,
+                 json_fields: tuple | None = None,
+                 int_fields: tuple | None = None) -> dict:
     """Sort + render + shard the captures into a zipnum cluster under
     ``out_dir`` (``cdx-NNNNN.gz`` shard files + ``cluster.idx``).
+    The field set is self-describing (recorded in ``zipnum.meta``), so
+    any row schema with urlkey/timestamp can be indexed — e.g. the
+    9-column output of ``pipelines.warcbytes.index_warc``.
     Returns ``{"rows": R, "blocks": B, "shards": S}``."""
     if lines_per_block < 1:
         raise ValueError("lines_per_block must be >= 1")
+    sch = captures.schema()
+    arrow_schema = getattr(sch, "base_schema", sch)
+    if json_fields is None:
+        # default: every non-key column, sorted (canonical key order)
+        jf = tuple(sorted(c for c in arrow_schema.names
+                          if c not in ("urlkey", "timestamp")))
+    else:
+        jf = tuple(json_fields)
+    if int_fields is None:
+        itf = tuple(f.name for f in arrow_schema
+                    if f.name in jf and pa.types.is_integer(f.type))
+    else:
+        itf = tuple(int_fields)
     os.makedirs(out_dir, exist_ok=True)
     lines = (captures.sort(["urlkey", "timestamp"])
-             .map_batches(render_cdxj_batch, batch_format="pyarrow",
+             .map_batches(lambda b: render_cdxj_batch(b, jf),
+                          batch_format="pyarrow",
                           batch_size=None))
     refs = lines.materialize().to_arrow_refs()
     groups = [g for g in np.array_split(np.arange(len(refs)),
@@ -161,7 +188,8 @@ def build_zipnum(captures: ray.data.Dataset, out_dir: str, *,
                 rows += n
                 seq += 1
     info = {"rows": rows, "blocks": seq, "shards": len(groups),
-            "lines_per_block": lines_per_block}
+            "lines_per_block": lines_per_block,
+            "json_fields": list(jf), "int_fields": list(itf)}
     with open(os.path.join(out_dir, "zipnum.meta"), "w",
               encoding="utf-8") as f:
         json.dump(info, f, sort_keys=True)
@@ -180,10 +208,24 @@ def load_cluster_idx(out_dir: str) -> list[tuple]:
     return out
 
 
+def _load_meta(out_dir: str) -> tuple:
+    """(json_fields, int_fields) from zipnum.meta; captures defaults
+    for pre-meta clusters."""
+    try:
+        with open(os.path.join(out_dir, "zipnum.meta"),
+                  encoding="utf-8") as f:
+            m = json.load(f)
+        return (tuple(m.get("json_fields", CDX_JSON_FIELDS)),
+                frozenset(m.get("int_fields", _INT_FIELDS)))
+    except (OSError, ValueError):
+        return CDX_JSON_FIELDS, _INT_FIELDS
+
+
 @ray.remote
 def _read_blocks(out_dir: str, fname: str, spans: list,
                  key_lo: str, key_hi: str, prefix: bool,
-                 from_ts: str | None, to_ts: str | None) -> pa.Table:
+                 from_ts: str | None, to_ts: str | None,
+                 json_fields: tuple, int_fields) -> pa.Table:
     """Seek + decompress only the candidate members of one shard file,
     parse, and filter before returning (pruning happens at the read)."""
     import pyarrow.compute as pc
@@ -194,7 +236,7 @@ def _read_blocks(out_dir: str, fname: str, spans: list,
             f.seek(off)
             lines.extend(gzip.decompress(f.read(length))
                          .decode("utf-8").splitlines())
-    t = parse_cdxj_batch(lines)
+    t = parse_cdxj_batch(lines, json_fields, int_fields)
     uk = t["urlkey"]
     if prefix:
         mask = pc.starts_with(uk, key_lo)
@@ -247,13 +289,14 @@ def zipnum_lookup(out_dir: str, *, urlkey: str | None = None,
     by_file: dict[str, list] = {}
     for uk, ts, fname, off, length in cand:
         by_file.setdefault(fname, []).append((off, length))
+    jf, itf = _load_meta(out_dir)
     refs = [_read_blocks.remote(out_dir, fname, spans, key_lo, key_hi,
-                                prefix, from_ts, to_ts)
+                                prefix, from_ts, to_ts, jf, itf)
             for fname, spans in sorted(by_file.items())]
     if not refs:
         empty = pa.table({c: pa.array(
-            [], pa.int64() if c in _INT_FIELDS else pa.string())
-            for c in CDX_COLUMNS})
+            [], pa.int64() if c in itf else pa.string())
+            for c in ("urlkey", "timestamp", *jf)})
         return ray.data.from_arrow(empty)
     return ray.data.from_arrow_refs(refs)
 
