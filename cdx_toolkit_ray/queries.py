@@ -3987,6 +3987,88 @@ def q_ccnet_buckets(sf_dir: str):
                               batch_size=None)
 
 
+def q_quality_ensemble(sf_dir: str):
+    """Quality-gate ENSEMBLE (the Gopher/CCNet recipe shape real
+    pipelines apply before dedup): Gopher structural rules AND a
+    corpus-perplexity gate (drop the worst tertile of the unigram-LM
+    score) folded to one keep verdict per doc. Composite of two
+    proven stages joined by one doc-bucket exchange; the corpus
+    cutoff is O(1) driver state (distinct-value quantile partials,
+    quantile_disc semantics). Oracle: both chains + the verdict CASE
+    in ONE SQL statement — one hash covers the ensemble."""
+    import pandas as pd
+
+    from .stages.exchange import hash_bucket_apply
+    from .stages.lm import unigram_lm_score
+    from .stages.textstats import gopher_gate_batch, group_quantiles
+
+    nb = 32
+    docs = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                                 columns=["doc_id", "text"])
+    scored = unigram_lm_score(docs)
+    gop = docs.map_batches(gopher_gate_batch, batch_format="pyarrow",
+                           batch_size=None)
+
+    def const_group(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array([""] * batch.num_rows, pa.string()),
+            "nll_per_tok_1e6": batch["nll_per_tok_1e6"],
+        })
+
+    cuts = group_quantiles(
+        scored.map_batches(const_group, batch_format="pyarrow",
+                           batch_size=None),
+        group_col="g", value_col="nll_per_tok_1e6",
+        q_pcts=(67,)).take_all()
+    q67 = int(cuts[0]["value"])
+
+    def key_sc(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((d % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(len(d), np.int8), pa.int8()),
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "nll_per_tok_1e6": batch["nll_per_tok_1e6"].cast(pa.int64()),
+            "gk": pa.array([None] * len(d), pa.bool_()),
+        })
+
+    def key_gop(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((d % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(d), np.int8), pa.int8()),
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "nll_per_tok_1e6": pa.array([None] * len(d), pa.int64()),
+            "gk": batch["keep"].cast(pa.bool_()),
+        })
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        kind = tbl["kind"].to_numpy(zero_copy_only=False)
+        sc = tbl.filter(pa.array(kind == 0))
+        gp = tbl.filter(pa.array(kind == 1))
+        keep_by_id = pd.Series(
+            gp["gk"].to_numpy(zero_copy_only=False),
+            index=gp["doc_id"].to_numpy(zero_copy_only=False))
+        ids = sc["doc_id"].to_numpy(zero_copy_only=False)
+        gk = keep_by_id.reindex(ids).to_numpy(bool)
+        nll = sc["nll_per_tok_1e6"].to_numpy(zero_copy_only=False)
+        lm_ok = nll <= q67
+        return pa.table({
+            "doc_id": sc["doc_id"],
+            "gopher_keep": pa.array(gk, pa.bool_()),
+            "nll_per_tok_1e6": sc["nll_per_tok_1e6"],
+            "lm_ok": pa.array(lm_ok, pa.bool_()),
+            "keep": pa.array(gk & lm_ok, pa.bool_()),
+        })
+
+    keyed = (scored.map_batches(key_sc, batch_format="pyarrow",
+                                batch_size=None)
+             .union(gop.map_batches(key_gop, batch_format="pyarrow",
+                                    batch_size=None)))
+    return hash_bucket_apply(keyed, "bucket", join_bucket,
+                             num_buckets=nb)
+
+
 def q_png_roundtrip(sf_dir: str):
     """REAL PNG codec end-to-end (stages/multimodal.encode_png /
     decode_png — stdlib zlib + numpy, CRC-checked, all five scanline
@@ -7706,6 +7788,15 @@ FROM events e JOIN orders o
 ORACLES["archive_roundtrip"] = (
     "SELECT * FROM (" + ORACLES["warc_index"]
     + ") WHERE urlkey LIKE 'example,src1)%'")
+ORACLES["quality_ensemble"] = (
+    "WITH gop AS (" + ORACLES["gopher_gate"]
+    + "), lm AS (" + _LM_SCORE_SQL
+    + "), q AS (SELECT CAST(quantile_disc(nll_per_tok_1e6, 0.67)"
+    "          AS BIGINT) AS q67 FROM lm) "
+    "SELECT gop.doc_id, gop.keep AS gopher_keep, "
+    "lm.nll_per_tok_1e6, lm.nll_per_tok_1e6 <= q.q67 AS lm_ok, "
+    "gop.keep AND lm.nll_per_tok_1e6 <= q.q67 AS keep "
+    "FROM gop JOIN lm USING (doc_id) CROSS JOIN q")
 ORACLES["wat_export"] = ORACLES["page_metadata"]
 ORACLES["ivfpq_search"] = ORACLES["pq_search"]
 
@@ -7886,6 +7977,7 @@ QUERIES = {
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,
+    "quality_ensemble": q_quality_ensemble,
     "crawl_delta": q_crawl_delta,
     "link_delta": q_link_delta,
     "compact_captures": q_compact_captures,
@@ -7934,7 +8026,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 # the crawl family first — each hash covers the most machinery).
 _R3_PRIORITY = (
     "link_hits zipnum_lookup cache_freshness containment bigram_lm "
-    "cocitation wat_export archive_roundtrip "
+    "cocitation wat_export archive_roundtrip quality_ensemble "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "
