@@ -934,27 +934,43 @@ def containment_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     nbu = np.uint64(num_buckets)
 
     def gram_doc(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_numpy(zero_copy_only=False)
-        ids = batch[id_col].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        g_all, d_all = [], []
-        for i, t in enumerate(texts):
-            words = _WORD_RE.findall((t or "").lower())
-            if len(words) < k:
-                continue
-            grams = [" ".join(words[j:j + k])
-                     for j in range(len(words) - k + 1)]
-            h = np.unique(_hash_text_array(grams))
-            g_all.append(h)
-            d_all.append(np.full(len(h), ids[i], np.int64))
-        if not g_all:
-            return pa.schema([("g", pa.uint64()), ("doc", pa.int64()),
-                              ("_b", pa.int64())]).empty_table()
-        g = np.concatenate(g_all)
-        d = np.concatenate(d_all)
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        sch = pa.schema([("g", pa.uint64()), ("doc", pa.int64()),
+                         ("_b", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        # vectorized k-gram build: k shifted list slices exploded in
+        # lockstep, joined with ' ' — no per-row Python
+        df = pl.DataFrame({
+            "doc": pl.from_arrow(batch[id_col].combine_chunks()),
+            "t": pl.from_arrow(batch[text_col].combine_chunks()),
+        }).with_columns(
+            w=pl.col("t").cast(pl.String).fill_null("")
+            .str.to_lowercase().str.extract_all(r"\w+")).drop("t")
+        df = df.filter(pl.col("w").list.len() >= k)
+        if not len(df):
+            return sch.empty_table()
+        n = pl.col("w").list.len() - (k - 1)
+        df = df.with_columns(
+            **{"w%d" % j: pl.col("w").list.slice(j, n)
+               for j in range(k)}).drop("w")
+        ex = (df.explode(["w%d" % j for j in range(k)])
+              .drop_nulls("w0")
+              .with_columns(gram=pl.concat_str(
+                  [pl.col("w%d" % j) for j in range(k)],
+                  separator=" "))
+              .select("doc", "gram").unique())
+        if not len(ex):
+            return sch.empty_table()
+        g = _hash_text_array(ex["gram"].to_arrow())
+        d = ex["doc"].cast(pl.Int64).to_numpy()
         return pa.table({
             "g": pa.array(g, pa.uint64()),
-            "doc": pa.array(d, pa.int64()),
+            "doc": pa.array(d.astype(np.int64), pa.int64()),
             "_b": pa.array((g % nbu).astype(np.int64), pa.int64()),
         })
 
