@@ -239,7 +239,8 @@ def dedup_first_wins(group: pd.DataFrame) -> pd.DataFrame:
     return winner
 
 
-def make_politeness_scheduler(num_salts: int = 1):
+def make_politeness_scheduler(num_salts: int = 1,
+                              connections: int = 1):
     """Per-host map_groups fn: assign fetch slots under the virtual clock.
 
     Within a host: eligible rows (not robots-blocked) ordered by
@@ -249,7 +250,11 @@ def make_politeness_scheduler(num_salts: int = 1):
     order is unchanged — only the downstream physical partitioning
     uses the sub-queue id ``host_rank % S`` (round-robin by RANK, so
     slot times — all distinct multiples of the delay — and the
-    per-host budget are preserved exactly).
+    per-host budget are preserved exactly). ``connections=K>1``
+    models K parallel keep-alive connections per host (what real
+    crawlers run): ranks share slots K at a time —
+    ``fetch_ms = (host_rank // K) * crawl_delay_ms`` — so the
+    inter-REQUEST interval per connection still honors the delay.
     """
 
     def politeness_slots(group: pd.DataFrame) -> pd.DataFrame:
@@ -262,7 +267,8 @@ def make_politeness_scheduler(num_salts: int = 1):
         rank = np.full(len(g), -1, dtype=np.int64)
         rank[order] = np.arange(len(order), dtype=np.int64)
         g["host_rank"] = rank
-        g["fetch_ms"] = np.where(rank >= 0, rank * delay, -1)
+        g["fetch_ms"] = np.where(rank >= 0,
+                                 (rank // connections) * delay, -1)
         if num_salts > 1:
             g["subqueue"] = np.where(rank >= 0, rank % num_salts, -1)
         return g
@@ -270,7 +276,8 @@ def make_politeness_scheduler(num_salts: int = 1):
     return politeness_slots
 
 
-def make_bucket_scheduler(num_salts: int = 1):
+def make_bucket_scheduler(num_salts: int = 1,
+                          connections: int = 1):
     """Vectorized multi-host politeness kernel for ONE host-hash bucket.
 
     Semantically identical to ``make_politeness_scheduler`` (per-host
@@ -303,7 +310,8 @@ def make_bucket_scheduler(num_salts: int = 1):
         rank = np.full(len(g), -1, dtype=np.int64)
         rank[order] = np.where(s_elig > 0, rank_sorted, -1)
         g["host_rank"] = rank
-        g["fetch_ms"] = np.where(rank >= 0, rank * delay, -1)
+        g["fetch_ms"] = np.where(rank >= 0,
+                                 (rank // connections) * delay, -1)
         if num_salts > 1:
             g["subqueue"] = np.where(rank >= 0, rank % num_salts, -1)
         return g
@@ -312,7 +320,8 @@ def make_bucket_scheduler(num_salts: int = 1):
 
 
 def schedule_politeness(ds: ray.data.Dataset, *, num_buckets: int = 64,
-                        num_salts: int = 1) -> ray.data.Dataset:
+                        num_salts: int = 1,
+                        connections: int = 1) -> ray.data.Dataset:
     """Politeness scheduling with ONE balanced groupby shuffle: rows are
     bucketed by hash64(host) % num_buckets (every row of a host lands in
     one bucket, so per-host slots stay exact) and each bucket is ranked
@@ -328,7 +337,8 @@ def schedule_politeness(ds: ray.data.Dataset, *, num_buckets: int = 64,
 
     ds = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     out = ds.groupby("host_bucket").map_groups(
-        make_bucket_scheduler(num_salts), batch_format="pandas")
+        make_bucket_scheduler(num_salts, connections),
+        batch_format="pandas")
     return out.drop_columns(["host_bucket"])
 
 

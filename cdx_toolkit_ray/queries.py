@@ -1994,6 +1994,27 @@ def q_ip_politeness(sf_dir: str):
                           batch_size=None)
 
 
+def q_parallel_politeness(sf_dir: str):
+    """Per-host PARALLEL-CONNECTION politeness (what real crawlers
+    run: K keep-alive connections per host, each honoring the
+    crawl-delay between ITS requests): the proven scheduler with
+    ``connections=3`` — ranks share fetch slots three at a time,
+    ``fetch_ms = (rank // 3) * delay`` — so host wall-clock shrinks 3x
+    while the per-connection interval invariant holds. Oracle: the
+    frontier window SQL with the floored-rank slot formula."""
+    from .pipelines.frontier import schedule_politeness
+
+    ds = derived_seeds(sf_dir)
+    ds = first_wins_dedup(ds, "hash64",
+                          [("priority", 19), ("seed_order", 44)],
+                          derive_fn=canonicalize_batch)
+    ds = ds.map_batches(_add_false_robots, batch_format="pyarrow",
+                        batch_size=None)
+    ds = schedule_politeness(ds, connections=3)
+    return ds.select_columns(["urlkey", "host", "host_rank",
+                              "fetch_ms"])
+
+
 def q_trap_detect(sf_dir: str):
     """Crawl-trap detection over the derived frontier: (host,
     path-stem) groups with >= 10 distinct URLs flag as traps — the
@@ -7788,6 +7809,20 @@ FROM events e JOIN orders o
 ORACLES["archive_roundtrip"] = (
     "SELECT * FROM (" + ORACLES["warc_index"]
     + ") WHERE urlkey LIKE 'example,src1)%'")
+ORACLES["parallel_politeness"] = ("WITH " + _SEEDS_CTE + """,
+dd AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY urlkey
+                            ORDER BY priority, seed_order) AS rn
+  FROM seeds)
+SELECT urlkey, host,
+       CAST(row_number() OVER (PARTITION BY host
+                               ORDER BY priority, seed_order) - 1
+            AS BIGINT) AS host_rank,
+       CAST(((row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, seed_order) - 1)
+             // 3) * crawl_delay_ms AS BIGINT) AS fetch_ms
+FROM dd WHERE rn = 1""")
 ORACLES["quality_ensemble"] = (
     "WITH gop AS (" + ORACLES["gopher_gate"]
     + "), lm AS (" + _LM_SCORE_SQL
@@ -7978,6 +8013,7 @@ QUERIES = {
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,
     "quality_ensemble": q_quality_ensemble,
+    "parallel_politeness": q_parallel_politeness,
     "crawl_delta": q_crawl_delta,
     "link_delta": q_link_delta,
     "compact_captures": q_compact_captures,
@@ -8027,6 +8063,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "link_hits zipnum_lookup cache_freshness containment bigram_lm "
     "cocitation wat_export archive_roundtrip quality_ensemble "
+    "parallel_politeness "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

@@ -291,3 +291,35 @@ def test_parse_robots_roundtrips_render():
     assert got.loc["x.example", "disallow_csv"] == "/p,/q"
     assert got.loc["y.example", "crawl_delay_ms"] == 0
     assert got.loc["y.example", "n_rules"] == 0
+
+
+def test_parallel_connections_slot_sharing(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from cdx_toolkit_ray.pipelines.frontier import make_bucket_scheduler
+
+    g = pd.DataFrame({
+        "host": ["h"] * 10 + ["k"] * 4,
+        "priority": [0] * 14,
+        "seed_order": list(range(10)) + list(range(4)),
+        "robots_blocked": [False] * 9 + [True] + [False] * 4,
+        "crawl_delay_ms": [1000] * 10 + [500] * 4,
+    })
+    out = make_bucket_scheduler(connections=3)(g)
+    h = out[out.host == "h"].sort_values("host_rank")
+    # 9 eligible rows, K=3: slots 0,0,0,1000,1000,1000,2000,2000,2000
+    got = h[h.host_rank >= 0]["fetch_ms"].tolist()
+    assert got == [0, 0, 0, 1000, 1000, 1000, 2000, 2000, 2000]
+    # blocked row stays -1; each slot time holds exactly K rows
+    assert (h[h.host_rank < 0]["fetch_ms"] == -1).all()
+    assert all(got.count(t) <= 3 for t in set(got))
+    # per-connection interval: consecutive slots differ by the delay
+    assert sorted(set(got)) == [0, 1000, 2000]
+    k = out[out.host == "k"].sort_values("host_rank")
+    assert k["fetch_ms"].tolist() == [0, 0, 0, 500]
+    # K=1 is the classic scheduler
+    one = make_bucket_scheduler()(g)
+    oh = one[(one.host == "h") & (one.host_rank >= 0)]
+    assert sorted(oh["fetch_ms"].tolist()) == \
+        [i * 1000 for i in range(9)]
