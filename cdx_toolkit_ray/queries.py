@@ -4008,6 +4008,22 @@ def q_ccnet_buckets(sf_dir: str):
                               batch_size=None)
 
 
+def q_proximity_search(sf_dir: str):
+    """Positional proximity (IR NEAR/W operator — the phrase-distance
+    query a tf-only inverted index cannot answer): docs where 'vector'
+    and 'spark' co-occur, with the exact minimum token gap and a
+    window-5 hit flag. One flat-token-stream pass per batch (two-
+    pointer merge per doc, never the position cross product); the
+    oracle takes the cross product in SQL — same minimum."""
+    from .stages.invindex import proximity_search_batch
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: proximity_search_batch(b, ("vector", "spark"), 5),
+        batch_format="pyarrow", batch_size=None)
+
+
 def q_quality_ensemble(sf_dir: str):
     """Quality-gate ENSEMBLE (the Gopher/CCNet recipe shape real
     pipelines apply before dedup): Gopher structural rules AND a
@@ -7809,6 +7825,22 @@ FROM events e JOIN orders o
 ORACLES["archive_roundtrip"] = (
     "SELECT * FROM (" + ORACLES["warc_index"]
     + ") WHERE urlkey LIKE 'example,src1)%'")
+ORACLES["proximity_search"] = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+')
+             AS words FROM documents),
+p AS (SELECT doc_id,
+        list_filter(range(1, len(words) + 1),
+                    i -> words[i] = 'vector') AS pa,
+        list_filter(range(1, len(words) + 1),
+                    i -> words[i] = 'spark') AS pb
+      FROM w),
+g AS (SELECT doc_id,
+        CAST(list_min(flatten(list_transform(pa,
+               i -> list_transform(pb, j -> abs(i - j)))))
+             AS BIGINT) AS min_gap
+      FROM p WHERE len(pa) > 0 AND len(pb) > 0)
+SELECT doc_id, min_gap, min_gap <= 5 AS hit FROM g
+"""
 ORACLES["parallel_politeness"] = ("WITH " + _SEEDS_CTE + """,
 dd AS (
   SELECT *,
@@ -8014,6 +8046,7 @@ QUERIES = {
     "archive_roundtrip": q_archive_roundtrip,
     "quality_ensemble": q_quality_ensemble,
     "parallel_politeness": q_parallel_politeness,
+    "proximity_search": q_proximity_search,
     "crawl_delta": q_crawl_delta,
     "link_delta": q_link_delta,
     "compact_captures": q_compact_captures,
@@ -8063,7 +8096,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "link_hits zipnum_lookup cache_freshness containment bigram_lm "
     "cocitation wat_export archive_roundtrip quality_ensemble "
-    "parallel_politeness "
+    "parallel_politeness proximity_search "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

@@ -214,3 +214,74 @@ def merge_index(index_dir: str, new_docs: ray.data.Dataset,
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump({"n_buckets": nb, "id_col": idc}, f)
     return out_dir
+
+
+def proximity_search_batch(batch, terms: tuple, window: int, *,
+                           text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Positional PROXIMITY search over one batch — the phrase/near
+    query the tf-only inverted index cannot answer (classic IR NEAR/W
+    operator): docs where ``terms = (a, b)`` co-occur within
+    ``window`` token positions, with the exact minimum gap.
+
+    Vectorized: one flat token stream per batch (polars extract_all ->
+    explode with doc run bounds), positions of each term found by one
+    boolean mask, per-doc min |i - j| by a two-pointer merge over the
+    (sorted) position arrays — O(na + nb) per doc, never the cross
+    product. Output per doc with BOTH terms present: ``(doc_id,
+    min_gap, hit)`` where hit = min_gap <= window. One stateless pass,
+    zero shuffles; compose with any upstream candidate filter.
+    """
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    a, b = terms
+    sch = pa.schema([(id_col, pa.int64()), ("min_gap", pa.int64()),
+                     ("hit", pa.bool_())])
+    if batch.num_rows == 0:
+        return sch.empty_table()
+    df = pl.DataFrame({
+        id_col: pl.from_arrow(batch[id_col].combine_chunks()),
+        "t": pl.from_arrow(batch[text_col].combine_chunks()),
+    }).with_columns(w=pl.col("t").cast(pl.String).fill_null("")
+                    .str.to_lowercase().str.extract_all(r"\w+")) \
+        .drop("t")
+    lens = df["w"].list.len().to_numpy().astype(np.int64)
+    if not lens.sum():
+        return sch.empty_table()
+    flat = df.select(pl.col("w").explode())["w"].to_numpy()
+    docs = df[id_col].to_numpy()
+    bounds = np.r_[0, np.cumsum(lens)]
+    pos = np.arange(len(flat), dtype=np.int64)   # global positions
+    ia = np.flatnonzero(flat == a)
+    ib = np.flatnonzero(flat == b)
+    if not len(ia) or not len(ib):
+        return sch.empty_table()
+    # per-doc id of each occurrence via searchsorted on run bounds
+    da = np.searchsorted(bounds, ia, side="right") - 1
+    db = np.searchsorted(bounds, ib, side="right") - 1
+    both = np.intersect1d(da, db)
+    out_doc, out_gap = [], []
+    for d in both.tolist():
+        pa_ = pos[ia[da == d]]
+        pb_ = pos[ib[db == d]]
+        # merge walk: for each a-position the nearest b-position
+        j = np.searchsorted(pb_, pa_)
+        cand = []
+        left = j > 0
+        cand.append(np.abs(pa_[left] - pb_[j[left] - 1]))
+        right = j < len(pb_)
+        cand.append(np.abs(pb_[j[right]] - pa_[right]))
+        gap = int(min(int(c.min()) for c in cand if len(c)))
+        out_doc.append(int(docs[d]))
+        out_gap.append(gap)
+    gaps = np.asarray(out_gap, np.int64)
+    return pa.table({
+        id_col: pa.array(out_doc, pa.int64()),
+        "min_gap": pa.array(gaps, pa.int64()),
+        "hit": pa.array(gaps <= window, pa.bool_()),
+    })

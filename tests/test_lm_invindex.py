@@ -272,3 +272,29 @@ def test_bigram_lm_stupid_backoff_matches_serial():
         want[d] = (nbig, nbo, nll, nll // nbig)
     assert got == want
     assert 14 not in got and got[11][1] > 0 and got[10][1] == 0
+
+
+def test_proximity_search_truth_table():
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.invindex import proximity_search_batch
+
+    rows = [
+        (1, "a x x b"),               # gap 3
+        (2, "a b"),                   # gap 1
+        (3, "b x x x x x x a"),       # gap 7 (order-free)
+        (4, "a only here"),           # missing b -> no row
+        (5, "b alone"),               # missing a -> no row
+        (6, "a x b x x x x x x a"),   # multiple: min gap 2
+        (7, "x a a b b x"),           # adjacent duplicates: gap 1
+    ]
+    batch = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    out = proximity_search_batch(batch, ("a", "b"), 3)
+    got = {d: (g, h) for d, g, h in zip(out["doc_id"].to_pylist(),
+                                        out["min_gap"].to_pylist(),
+                                        out["hit"].to_pylist())}
+    assert got == {1: (3, True), 2: (1, True), 3: (7, False),
+                   6: (2, True), 7: (1, True)}
