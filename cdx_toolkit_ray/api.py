@@ -215,7 +215,7 @@ class CDXFetcher:
                 "remote CDX servers are unreachable from this local "
                 "engine; pass a captures table path as source=")
         elif os.path.exists(source):
-            from .sources.zipnum import is_zipnum_dir
+            from .sources.zipnum import is_zipnum_dir, is_zipnum_multi_dir
 
             captures_root = source
             if is_zipnum_dir(source):
@@ -224,6 +224,11 @@ class CDXFetcher:
                 # queried through the cluster.idx bisect + pruned
                 # block reads (sources/zipnum.query_zipnum)
                 source = "zipnum"
+            elif is_zipnum_multi_dir(source):
+                # one cluster per crawl (the real CC deployment);
+                # walked in cc_sort order like the reference's
+                # endpoint loop
+                source = "zipnum_multi"
             else:
                 source = "custom"   # single endpoint, pywb dialect,
                 #                     no crawl-window pruning
@@ -290,6 +295,13 @@ class CDXFetcher:
             kw = self._kwargs(kwargs)
             kw.pop("crawl", None)  # single endpoint: no crawl pruning
             ds = query_zipnum(self.captures_root, url=url, **kw)
+        elif self.source == "zipnum_multi":
+            from .sources.zipnum import query_zipnum_multi
+
+            kw = self._kwargs(kwargs)
+            kw.pop("crawl", None)
+            ds = query_zipnum_multi(self.captures_root, url=url,
+                                    cc_sort=self.cc_sort, **kw)
         else:
             ds = query_captures(self.captures_root, url=url,
                                 source=self.source,
@@ -314,15 +326,21 @@ class CDXFetcher:
 
     def get_size_estimate(self, url: str | None = None, as_pages: bool = False,
                           **kwargs):
-        if self.source == "zipnum":
-            from .sources.zipnum import zipnum_size_estimate
+        if self.source in ("zipnum", "zipnum_multi"):
+            from .sources.zipnum import (list_zipnum_crawls,
+                                         zipnum_size_estimate)
 
             kw = self._kwargs(kwargs)
             kw.pop("crawl", None)
             for k in ("from_ts", "to", "closest", "limit", "filter"):
                 kw.pop(k, None)   # showNumPages counts blocks by key
-            return zipnum_size_estimate(self.captures_root, url=url,
-                                        as_pages=as_pages, **kw)
+            dirs = ([self.captures_root] if self.source == "zipnum"
+                    else list_zipnum_crawls(self.captures_root))
+            # per-endpoint sum, the reference's A1 cross-endpoint fold
+            return sum(zipnum_size_estimate(d, url=url,
+                                            as_pages=as_pages,
+                                            **dict(kw))
+                       for d in dirs)
         return size_estimate(self.captures_root, url=url, source=self.source,
                              cc_sort=self.cc_sort, as_pages=as_pages,
                              **self._kwargs(kwargs))

@@ -3756,6 +3756,39 @@ def q_zipnum_lookup(sf_dir: str):
                          to_ts="20231231235959")
 
 
+def q_zipnum_multi(sf_dir: str):
+    """MULTI-CRAWL zipnum query — the real deployment shape: one
+    immutable cluster per crawl (Common Crawl publishes exactly this),
+    walked in cc_sort order and concatenated, each crawl pruning
+    through its own cluster.idx — the reference's endpoint loop
+    (__init__.py:171-191) over the serving structure it actually
+    queries. Domain wildcard + time window + filter language run
+    through the full query_captures param vocabulary. Oracle:
+    full-scan SQL over all crawl partitions with the same
+    predicates."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os
+
+    from .sources.zipnum import build_zipnum, query_zipnum_multi
+
+    root = _fixture_root(sf_dir)
+    tag = _hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = "/tmp/cdxray_zipmulti_%s" % tag
+    if not os.path.exists(out + "/.done"):
+        from .sources.zipnum import CDX_COLUMNS
+
+        for d in sorted(_glob.glob(root + "/captures/crawl=*")):
+            build_zipnum(ray.data.read_parquet(
+                             d, columns=list(CDX_COLUMNS)),
+                         os.path.join(out, os.path.basename(d)),
+                         lines_per_block=64, num_shards=2)
+        open(out + "/.done", "w").close()
+    return query_zipnum_multi(out, "*.big-portal.example",
+                              cc_sort="mixed", from_ts="2022",
+                              to="2023", filter=["=status:200"])
+
+
 def q_content_extract(sf_dir: str):
     """J1+M15: captures joined to page content, utf-8/replace text
     extraction, fgrep filters.
@@ -6615,6 +6648,17 @@ FROM read_parquet('%s/captures/**/*.parquet')
 WHERE urlkey LIKE 'example,big-portal)%%'
   AND timestamp >= '20220101000000' AND timestamp <= '20231231235959'
 """ % _FIXTURE_LINK,
+    # multi-crawl zipnum union == full scan with the same domain
+    # wildcard + window + filter predicates over every crawl partition.
+    "zipnum_multi": """
+SELECT urlkey, timestamp, url, mime, mime_detected, status, digest,
+       length, "offset", filename, redirect, languages, encoding
+FROM read_parquet('%s/captures/**/*.parquet')
+WHERE (urlkey LIKE 'example,big-portal)%%'
+       OR urlkey LIKE 'example,big-portal,%%')
+  AND timestamp >= '20220101000000' AND timestamp <= '20231231235959'
+  AND status = '200'
+""" % _FIXTURE_LINK,
     "captures_query": """
 SELECT urlkey, timestamp, url, status, digest
 FROM read_parquet('%s/captures/**/*.parquet')
@@ -8047,6 +8091,7 @@ QUERIES = {
     "quality_ensemble": q_quality_ensemble,
     "parallel_politeness": q_parallel_politeness,
     "proximity_search": q_proximity_search,
+    "zipnum_multi": q_zipnum_multi,
     "crawl_delta": q_crawl_delta,
     "link_delta": q_link_delta,
     "compact_captures": q_compact_captures,
@@ -8096,7 +8141,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "link_hits zipnum_lookup cache_freshness containment bigram_lm "
     "cocitation wat_export archive_roundtrip quality_ensemble "
-    "parallel_politeness proximity_search "
+    "parallel_politeness proximity_search zipnum_multi "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

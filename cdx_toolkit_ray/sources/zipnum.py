@@ -389,3 +389,64 @@ def is_zipnum_dir(path: str) -> bool:
     """True when ``path`` is a zipnum cluster directory."""
     return (os.path.isdir(path)
             and os.path.exists(os.path.join(path, _IDX_NAME)))
+
+
+def list_zipnum_crawls(root_dir: str) -> list[str]:
+    """Subdirectories of ``root_dir`` that are zipnum clusters, sorted
+    by name (crawl names sort chronologically — CC-MAIN-YYYY-WW)."""
+    out = []
+    for name in sorted(os.listdir(root_dir)):
+        p = os.path.join(root_dir, name)
+        if is_zipnum_dir(p):
+            out.append(p)
+    return out
+
+
+def is_zipnum_multi_dir(path: str) -> bool:
+    """True when ``path`` holds one zipnum cluster PER CRAWL (the real
+    deployment: Common Crawl publishes one immutable cluster per
+    crawl; a query walks them in cc_sort order — the reference's
+    endpoint loop, __init__.py:171-191)."""
+    return (os.path.isdir(path) and not is_zipnum_dir(path)
+            and bool(list_zipnum_crawls(path)))
+
+
+def query_zipnum_multi(root_dir: str, url: str | None = None, *,
+                       cc_sort: str = "mixed",
+                       fields: list[str] | None = None,
+                       stats: dict | None = None,
+                       **kwargs) -> ray.data.Dataset:
+    """Multi-crawl zipnum query: one cluster per crawl under
+    ``root_dir``, walked in cc_sort order ('mixed' = newest crawl
+    first, rows ascending within each — the reference's O2 ordering
+    contract) and concatenated as a single stream. Each crawl's
+    lookup prunes through its own cluster.idx; ``limit`` early-stops
+    across the union (the reference's cross-endpoint limit decrement,
+    A2)."""
+    limit = kwargs.pop("limit", None)
+    crawls = list_zipnum_crawls(root_dir)
+    if not crawls:
+        raise ValueError("no zipnum clusters under %s" % root_dir)
+    if cc_sort == "mixed":
+        crawls = list(reversed(crawls))
+    elif cc_sort != "ascending":
+        raise ValueError("cc_sort must be 'mixed' or 'ascending'")
+    exec_opts = ray.data.DataContext.get_current().execution_options
+    saved = exec_opts.preserve_order
+    exec_opts.preserve_order = True
+    try:
+        parts = []
+        for i, d in enumerate(crawls):
+            st = {} if stats is not None else None
+            parts.append(query_zipnum(d, url, fields=fields, stats=st,
+                                      **dict(kwargs)))
+            if stats is not None:
+                stats[os.path.basename(d)] = st
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        if limit is not None:
+            ds = ds.limit(int(limit))
+    finally:
+        exec_opts.preserve_order = saved
+    return ds

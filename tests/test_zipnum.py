@@ -183,3 +183,52 @@ def test_cdxfetcher_zipnum_source_parity(tmp_path):
     assert pages >= 1
     est = zf.get_size_estimate("*.big-portal.example")
     assert est <= pages * 48 and (pages == 1 or est >= (pages - 1) * 48)
+
+
+def test_zipnum_multi_crawl_union_and_ordering(tmp_path):
+    import glob
+
+    import ray.data
+
+    import cdx_toolkit_ray as ctr
+    from cdx_toolkit_ray import fixtures
+    from cdx_toolkit_ray.sources.zipnum import (build_zipnum,
+                                                query_zipnum_multi)
+
+    paths = fixtures.generate(str(tmp_path / "fix"), n_pages=400,
+                              seed=7)
+    root = str(tmp_path / "multi")
+    crawls = sorted(glob.glob(paths["captures"] + "/crawl=*"))
+    assert len(crawls) >= 2
+    cdx_cols = ["urlkey", "timestamp", "url", "mime", "mime_detected",
+                "status", "digest", "length", "offset", "filename",
+                "redirect", "languages", "encoding"]
+    for d in crawls:
+        build_zipnum(ray.data.read_parquet(d, columns=cdx_cols),
+                     root + "/" + os.path.basename(d),
+                     lines_per_block=32, num_shards=2)
+
+    kw = dict(filter=["=status:200"], from_ts="2021", to="2024")
+    got = query_zipnum_multi(root, "*.big-portal.example",
+                             cc_sort="mixed", **kw).to_pandas()
+    cf = ctr.CDXFetcher(source=paths["captures"])
+    want = sorted(tuple(str(o.get(c)) for c in cdx_cols)
+                  for o in cf.iter("*.big-portal.example", **kw))
+    assert sorted(tuple(str(v) for v in r)
+                  for r in got[cdx_cols].itertuples(index=False)) \
+        == want and len(got)
+
+    # 'mixed': newest crawl first, ascending (urlkey, ts) within crawl
+    per_crawl = {}
+    for _, r in got.iterrows():
+        per_crawl.setdefault(r["filename"].split("/")[1], None)
+    names = list(per_crawl)
+    assert names == sorted(names, reverse=True)
+
+    # CDXFetcher auto-detects the multi layout; limit early-stops
+    zf = ctr.CDXFetcher(source=root)
+    assert zf.source == "zipnum_multi"
+    limited = list(zf.iter("*.big-portal.example", limit=5, **kw))
+    assert len(limited) == 5
+    est = zf.get_size_estimate("*.big-portal.example", as_pages=True)
+    assert est >= len(crawls)
