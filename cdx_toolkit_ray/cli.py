@@ -158,6 +158,24 @@ def make_parser() -> ArgumentParser:
     cu.add_argument("--out", required=True,
                     help="output directory (partitioned parquet)")
     cu.set_defaults(func=curator)
+
+    ix = sub.add_parser(
+        "index", help="build a zipnum cluster (sorted CDXJ gzip-member "
+                      "blocks + cluster.idx) from a captures table — "
+                      "the serving structure CDX endpoints answer from")
+    ix.add_argument("--captures", required=True,
+                    help="captures table path (parquet file or "
+                         "hive-partitioned directory)")
+    ix.add_argument("--out", required=True,
+                    help="output cluster directory")
+    ix.add_argument("--lines-per-block", type=int, default=3000,
+                    help="CDXJ lines per gzip member (the real "
+                         "cluster uses 3000)")
+    ix.add_argument("--shards", type=int, default=8)
+    ix.add_argument("--per-crawl", action="store_true",
+                    help="build one cluster per crawl= partition "
+                         "(the Common Crawl deployment layout)")
+    ix.set_defaults(func=indexer)
     return parser
 
 
@@ -366,6 +384,50 @@ def curator(cmd, out=None) -> None:
           file=out or sys.stdout)
 
 
+def indexer(cmd, out=None) -> None:
+    """`cdxt-ray index`: captures table -> zipnum cluster(s); prints
+    one JSON summary line per cluster built."""
+    import glob as _glob
+
+    import ray.data
+
+    from .sources.zipnum import CDX_COLUMNS, build_zipnum
+
+    def _read(path):
+        import pyarrow.parquet as pq_
+
+        try:
+            names = pq_.read_schema(
+                sorted(_glob.glob(os.path.join(path, "*.parquet"))
+                       or [path])[0]).names
+        except Exception:
+            names = list(CDX_COLUMNS)
+        cols = [c for c in CDX_COLUMNS if c in names] or None
+        return ray.data.read_parquet(path, columns=cols)
+
+    results = {}
+    if cmd.per_crawl:
+        parts = sorted(_glob.glob(os.path.join(cmd.captures,
+                                               "crawl=*")))
+        if not parts:
+            raise SystemExit("no crawl= partitions under %s"
+                             % cmd.captures)
+        for d in parts:
+            name = os.path.basename(d)
+            results[name] = build_zipnum(
+                _read(d), os.path.join(cmd.out, name),
+                lines_per_block=cmd.lines_per_block,
+                num_shards=cmd.shards)
+    else:
+        results["cluster"] = build_zipnum(
+            _read(cmd.captures), cmd.out,
+            lines_per_block=cmd.lines_per_block,
+            num_shards=cmd.shards)
+    for name, info in results.items():
+        print(json.dumps({"cluster": name, **info}, sort_keys=True),
+              file=out or sys.stdout)
+
+
 def main(args=None) -> None:
     parser = make_parser()
     cmd = parser.parse_args(args=args)
@@ -374,7 +436,9 @@ def main(args=None) -> None:
             parser.error("crawl requires --pages (the table the "
                          "transport fetches from)")
         cmd.captures_root = cmd.captures_root or cmd.pages
-    if cmd.cmd != "curate" and not cmd.captures_root \
+    if cmd.cmd == "index":
+        cmd.captures_root = cmd.captures
+    if cmd.cmd not in ("curate", "index") and not cmd.captures_root \
             and not cmd.source and not cmd.cc_mirror:
         # curate reads --sf-dir, not the captures table
         parser.error("--captures-root is required (or --source/"

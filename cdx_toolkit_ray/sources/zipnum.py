@@ -330,6 +330,7 @@ def query_zipnum(index_dir: str, url: str | None = None, *,
     params = dict(kwargs)
     validate_timestamps(params)
     from_ts, to = params.get("from_ts"), params.get("to")
+    closest = params.get("closest")
     um = url_to_match(url, match_type) if url else None
     matcher = CaptureMatcher(um, from_ts, to, filters, "custom")
 
@@ -343,6 +344,22 @@ def query_zipnum(index_dir: str, url: str | None = None, *,
             to_ts=pad_timestamp_up(to) if to else None, stats=stats)
         ds = ds.map_batches(matcher, batch_format="pyarrow",
                             batch_size=None)
+        if closest is not None:
+            # nearest-timestamp ranking, the query_captures contract
+            import pyarrow.compute as pc
+
+            from ..timeutils import timestamps_to_epoch
+
+            target = timestamps_to_epoch(
+                pa.array([pad_timestamp(str(closest))]))[0].as_py()
+
+            def _delta(batch: pa.Table) -> pa.Table:
+                ep = timestamps_to_epoch(batch["timestamp"])
+                d = pc.abs(pc.subtract(ep, target))
+                return batch.append_column("closest_delta", d)
+
+            ds = ds.map_batches(_delta, batch_format="pyarrow")
+            ds = ds.sort(["closest_delta", "timestamp", "urlkey"])
         if fields:
             ds = ds.select_columns(fields)
         if limit is not None:

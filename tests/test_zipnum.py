@@ -21,7 +21,8 @@ def _captures(n=200, hosts=("aa", "bb", "cc", "dd")):
         h = hosts[i % len(hosts)]
         rows.append({
             "urlkey": "example,%s)/p/%03d" % (h, i // len(hosts)),
-            "timestamp": "2023%02d01%06d" % (1 + i % 12, i),
+            "timestamp": "2023%02d01%02d%02d00"
+                         % (1 + i % 12, i % 24, i % 60),
             "url": "https://%s.example/p/%03d" % (h, i // len(hosts)),
             "mime": "text/html", "mime_detected": "text/html",
             "status": "200" if i % 7 else "404",
@@ -232,3 +233,70 @@ def test_zipnum_multi_crawl_union_and_ordering(tmp_path):
     assert len(limited) == 5
     est = zf.get_size_estimate("*.big-portal.example", as_pages=True)
     assert est >= len(crawls)
+
+
+def test_cli_index_and_query_roundtrip(tmp_path, capsys):
+    import json
+
+    import cdx_toolkit_ray as ctr
+    from cdx_toolkit_ray import fixtures
+    from cdx_toolkit_ray.cli import main
+
+    paths = fixtures.generate(str(tmp_path / "fix"), n_pages=300,
+                              seed=11)
+    out = str(tmp_path / "cluster")
+    main(["index", "--captures", paths["captures"], "--out", out,
+          "--lines-per-block", "40", "--shards", "2"])
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines and lines[0]["rows"] > 0 and lines[0]["blocks"] > 1
+
+    zf = ctr.CDXFetcher(source=out)
+    assert zf.source == "zipnum"
+    objs = list(zf.iter("*.big-portal.example",
+                        filter=["=status:200"], limit=5))
+    assert len(objs) == 5 and all(o["status"] == "200" for o in objs)
+
+    # per-crawl layout
+    out2 = str(tmp_path / "multi")
+    main(["index", "--captures", paths["captures"], "--out", out2,
+          "--per-crawl", "--lines-per-block", "40", "--shards", "2"])
+    zf2 = ctr.CDXFetcher(source=out2)
+    assert zf2.source == "zipnum_multi"
+    assert zf2.get_size_estimate("*.big-portal.example",
+                                 as_pages=True) >= 1
+
+
+def test_query_zipnum_closest_ranking(tmp_path):
+    import ray.data
+
+    from cdx_toolkit_ray.sources.zipnum import (build_zipnum,
+                                                query_zipnum)
+
+    rows = _captures(80)
+    # give one urlkey many captures across the year so closest ranks
+    for i, r in enumerate(rows):
+        if i % 4 == 0:                       # host aa rows
+            r["urlkey"] = "example,aa)/p/005"
+            r["url"] = "https://aa.example/p/005"
+    tbl = pa.table({c: pa.array([r[c] for r in rows]) for c in COLS})
+    out = str(tmp_path / "zip")
+    build_zipnum(ray.data.from_arrow(tbl), out, lines_per_block=10,
+                 num_shards=2)
+    got = query_zipnum(out, "https://aa.example/p/005",
+                       closest="20230601", limit=3).to_pandas()
+    # nearest-first by |ts - closest|; all rows are the exact urlkey
+    assert (got["urlkey"] == "example,aa)/p/005").all()
+    deltas = got["closest_delta"].tolist()
+    assert deltas == sorted(deltas) and len(got) == 3
+    # the top row really is the global nearest among the 20 captures
+    import datetime as _dt
+
+    def ep(ts):
+        return _dt.datetime.strptime(ts, "%Y%m%d%H%M%S") \
+            .replace(tzinfo=_dt.timezone.utc).timestamp()
+
+    target = ep("20230601000000")
+    all_d = sorted(abs(ep(r["timestamp"]) - target)
+                   for i, r in enumerate(rows) if i % 4 == 0)
+    assert deltas[0] == all_d[0] * 1000 or deltas[0] == all_d[0]
