@@ -4057,6 +4057,39 @@ def q_proximity_search(sf_dir: str):
         batch_format="pyarrow", batch_size=None)
 
 
+def q_script_detect(sf_dir: str):
+    """Unicode script detection over a derived mixed-script corpus:
+    each doc (mod 5) appends a Cyrillic/Greek/Han/Arabic snippet
+    repeated 20+(doc_id%140) times, so dominance genuinely flips
+    between Latin and the injected script across docs. polars
+    rust-regex and DuckDB RE2 count the same ``\\p{Script}`` classes
+    — the oracle restates generation + counts + the first-max
+    dominance ladder in SQL."""
+    from .stages.textstats import script_profile_batch
+
+    SNIP = {1: " привет мир", 2: " αβγ δε", 3: " 漢字文化",
+            4: " مرحبا بكم"}
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = batch["text"].to_numpy(zero_copy_only=False).astype(object)
+        reps = (20 + d % 140).astype(np.int64)
+        out = t.copy()
+        for m, snip in SNIP.items():
+            sel = d % 5 == m
+            out[sel] = out[sel] + np.array(
+                [snip * int(r) for r in reps[sel]], object)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out.tolist(), pa.string())})
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    ds = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(script_profile_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def q_quality_ensemble(sf_dir: str):
     """Quality-gate ENSEMBLE (the Gopher/CCNet recipe shape real
     pipelines apply before dedup): Gopher structural rules AND a
@@ -7885,6 +7918,41 @@ g AS (SELECT doc_id,
       FROM p WHERE len(pa) > 0 AND len(pb) > 0)
 SELECT doc_id, min_gap, min_gap <= 5 AS hit FROM g
 """
+ORACLES["script_detect"] = r"""
+WITH gen AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 1 THEN repeat(' привет мир', 20 + doc_id % 140)
+           WHEN 2 THEN repeat(' αβγ δε', 20 + doc_id % 140)
+           WHEN 3 THEN repeat(' 漢字文化', 20 + doc_id % 140)
+           WHEN 4 THEN repeat(' مرحبا بكم', 20 + doc_id % 140)
+           ELSE '' END AS t
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '\p{Latin}')) AS BIGINT)
+           AS n_latin,
+         CAST(len(regexp_extract_all(t, '\p{Cyrillic}')) AS BIGINT)
+           AS n_cyrillic,
+         CAST(len(regexp_extract_all(t, '\p{Greek}')) AS BIGINT)
+           AS n_greek,
+         CAST(len(regexp_extract_all(t, '\p{Han}')) AS BIGINT)
+           AS n_han,
+         CAST(len(regexp_extract_all(t, '\p{Arabic}')) AS BIGINT)
+           AS n_arabic
+  FROM gen)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han, n_arabic,
+       CASE WHEN GREATEST(n_latin, n_cyrillic, n_greek, n_han,
+                          n_arabic) = 0 THEN 'none'
+            WHEN n_latin >= GREATEST(n_cyrillic, n_greek, n_han,
+                                     n_arabic) THEN 'latin'
+            WHEN n_cyrillic >= GREATEST(n_greek, n_han, n_arabic)
+              THEN 'cyrillic'
+            WHEN n_greek >= GREATEST(n_han, n_arabic) THEN 'greek'
+            WHEN n_han >= n_arabic THEN 'han'
+            ELSE 'arabic' END AS dominant_script
+FROM c
+"""
 ORACLES["parallel_politeness"] = ("WITH " + _SEEDS_CTE + """,
 dd AS (
   SELECT *,
@@ -8092,6 +8160,7 @@ QUERIES = {
     "parallel_politeness": q_parallel_politeness,
     "proximity_search": q_proximity_search,
     "zipnum_multi": q_zipnum_multi,
+    "script_detect": q_script_detect,
     "crawl_delta": q_crawl_delta,
     "link_delta": q_link_delta,
     "compact_captures": q_compact_captures,
@@ -8141,7 +8210,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "link_hits zipnum_lookup cache_freshness containment bigram_lm "
     "cocitation wat_export archive_roundtrip quality_ensemble "
-    "parallel_politeness proximity_search zipnum_multi "
+    "parallel_politeness proximity_search zipnum_multi script_detect "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

@@ -805,3 +805,47 @@ def vocab_coverage(ds, vocab_size: int = 64, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", batch_size=None)
+
+
+SCRIPTS = ("latin", "cyrillic", "greek", "han", "arabic")
+_SCRIPT_RE = {"latin": r"\p{Latin}", "cyrillic": r"\p{Cyrillic}",
+              "greek": r"\p{Greek}", "han": r"\p{Han}",
+              "arabic": r"\p{Arabic}"}
+
+
+def script_profile_batch(batch: pa.Table, *, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Unicode SCRIPT histogram + dominant script per doc — the
+    writing-system signal the n-gram language-ID heuristic cannot see
+    (it assumes one alphabet; mixed-script pages, CJK, and
+    transliteration spam all need the codepoint-class view).
+
+    One vectorized pass: per script, one ``\\p{Script}`` codepoint
+    count (rust-regex in polars; DuckDB's RE2 counts the same
+    classes, which is what makes the SQL oracle exact). Dominant =
+    first script in the fixed ``SCRIPTS`` order reaching the maximum
+    nonzero count; all-zero -> 'none'. Zero shuffles.
+    """
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    df = pl.DataFrame({
+        id_col: pl.from_arrow(batch[id_col].combine_chunks()),
+        "t": pl.from_arrow(batch[text_col].combine_chunks()),
+    })
+    df = df.with_columns(**{
+        "n_" + name: pl.col("t").cast(pl.String).fill_null("")
+        .str.count_matches(rx).cast(pl.Int64)
+        for name, rx in _SCRIPT_RE.items()}).drop("t")
+    counts = np.stack([df["n_" + s].to_numpy() for s in SCRIPTS])
+    mx = counts.max(axis=0)
+    # first script (in SCRIPTS order) reaching the max; 'none' if 0
+    first = np.argmax(counts == mx[None, :], axis=0)
+    dom = np.where(mx > 0, np.asarray(SCRIPTS, object)[first], "none")
+    out = df.to_arrow()
+    sch = pa.schema([(f.name, pa.int64() if f.name.startswith("n_")
+                      else f.type) for f in out.schema])
+    return out.cast(sch).append_column(
+        "dominant_script", pa.array(dom.tolist(), pa.string()))

@@ -504,3 +504,32 @@ def test_ivfpq_pruning_and_probe_all_parity(ray_session, tmp_path):
     sub = {r["vec_id"] for r in top1}
     assert sub <= {r["vec_id"] for r in
                    ivfpq_search(idx, q, k=n, nprobe=4).take_all()}
+
+
+def test_script_profile_truth_table():
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.textstats import script_profile_batch
+
+    rows = [
+        (1, "hello world"),                     # latin only
+        (2, "Привет мир"),                      # cyrillic
+        (3, "abc Привет мир да да"),            # cyrillic outnumbers
+        (4, "αβ 漢字 αβ"),                       # greek ties then wins? 4 vs 2
+        (5, "123 !!! ..."),                     # none
+        (6, None),                              # null text -> none
+        (7, "ab αβ"),                           # 2 vs 2 tie -> latin first
+    ]
+    batch = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    out = script_profile_batch(batch)
+    got = dict(zip(out["doc_id"].to_pylist(),
+                   out["dominant_script"].to_pylist()))
+    assert got == {1: "latin", 2: "cyrillic", 3: "cyrillic",
+                   4: "greek", 5: "none", 6: "none", 7: "latin"}
+    byid = {d: (la, cy) for d, la, cy in zip(
+        out["doc_id"].to_pylist(), out["n_latin"].to_pylist(),
+        out["n_cyrillic"].to_pylist())}
+    assert byid[3] == (3, 13) and byid[7] == (2, 0)
