@@ -4057,6 +4057,19 @@ def q_proximity_search(sf_dir: str):
         batch_format="pyarrow", batch_size=None)
 
 
+def q_char_entropy(sf_dir: str):
+    """Character-distribution Shannon entropy in integer micro-nats
+    (compression-proxy quality signal: gibberish scores high,
+    boilerplate low). The micro-nat floor quantization makes the sum
+    order-free — the SQL oracle matches bit-for-bit."""
+    from .stages.textstats import char_entropy_batch
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(char_entropy_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def q_script_detect(sf_dir: str):
     """Unicode script detection over a derived mixed-script corpus:
     each doc (mod 5) appends a Cyrillic/Greek/Han/Arabic snippet
@@ -7918,6 +7931,23 @@ g AS (SELECT doc_id,
       FROM p WHERE len(pa) > 0 AND len(pb) > 0)
 SELECT doc_id, min_gap, min_gap <= 5 AS hit FROM g
 """
+ORACLES["char_entropy"] = r"""
+WITH ch AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+                 i -> substring(text, i, 1))) AS ch
+  FROM documents),
+cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cc
+        GROUP BY 1),
+t AS (SELECT cc.doc_id,
+        CAST(floor(cc.c * ln(CAST(tot.n AS DOUBLE) / cc.c) * 1e6
+                   + 0.5) AS BIGINT) AS term,
+        tot.n
+      FROM cc JOIN tot USING (doc_id))
+SELECT doc_id, n AS n_chars,
+       CAST(sum(term) // n AS BIGINT) AS entropy_1e6
+FROM t GROUP BY doc_id, n
+"""
 ORACLES["script_detect"] = r"""
 WITH gen AS (
   SELECT doc_id,
@@ -8161,6 +8191,7 @@ QUERIES = {
     "proximity_search": q_proximity_search,
     "zipnum_multi": q_zipnum_multi,
     "script_detect": q_script_detect,
+    "char_entropy": q_char_entropy,
     "crawl_delta": q_crawl_delta,
     "link_delta": q_link_delta,
     "compact_captures": q_compact_captures,
@@ -8210,7 +8241,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "link_hits zipnum_lookup cache_freshness containment bigram_lm "
     "cocitation wat_export archive_roundtrip quality_ensemble "
-    "parallel_politeness proximity_search zipnum_multi script_detect "
+    "parallel_politeness proximity_search zipnum_multi script_detect char_entropy "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

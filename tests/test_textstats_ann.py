@@ -533,3 +533,38 @@ def test_script_profile_truth_table():
         out["doc_id"].to_pylist(), out["n_latin"].to_pylist(),
         out["n_cyrillic"].to_pylist())}
     assert byid[3] == (3, 13) and byid[7] == (2, 0)
+
+
+def test_char_entropy_exact_values():
+    import math
+
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.textstats import char_entropy_batch
+
+    rows = [(1, "aaaa"),       # zero entropy
+            (2, "abab"),       # ln 2
+            (3, "abcd"),       # ln 4
+            (4, ""),           # empty -> 0
+            (5, None)]         # null -> 0
+    batch = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    out = char_entropy_batch(batch)
+    got = {d: (n, e) for d, n, e in zip(out["doc_id"].to_pylist(),
+                                        out["n_chars"].to_pylist(),
+                                        out["entropy_1e6"].to_pylist())}
+
+    def ref(text):
+        if not text:
+            return 0, 0
+        from collections import Counter
+        n = len(text)
+        s = sum(math.floor(c * math.log(n / c) * 1e6 + 0.5)
+                for c in Counter(text).values())
+        return n, s // n
+    assert got == {d: ref(t) for d, t in rows}
+    assert got[1] == (4, 0)
+    assert got[2][1] == int(math.floor(2 * math.log(2) * 1e6 + .5)
+                            * 2 // 4)
