@@ -4057,6 +4057,39 @@ def q_proximity_search(sf_dir: str):
         batch_format="pyarrow", batch_size=None)
 
 
+def q_triangles(sf_dir: str):
+    """Distributed triangle counting (Schank & Wagner degree-oriented
+    wedge check — link farms are triangle-dense): derived ring+chord
+    graph (each doc adds edges i->i+1, i->i+2 and, for even docs,
+    i->i+5 mod 30), so every node corners exactly the ring triangles
+    while the +5 chords vary degrees without adding triangles. Oracle:
+    distinct undirected edges + ordered 3-way self-join in SQL."""
+    from .stages.links import triangle_counts
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        i = d % 30
+
+        def t(x):
+            return np.char.add("t", x.astype(str))
+
+        ev = d % 2 == 0
+        src = np.concatenate([t(i), t(i), t(i[ev])])
+        dst = np.concatenate([t((i + 1) % 30), t((i + 2) % 30),
+                              t((i[ev] + 5) % 30)])
+        return pa.table({
+            "src_url": pa.array(src.tolist(), pa.string()),
+            "dst_url": pa.array(dst.tolist(), pa.string()),
+        })
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+    edges = ds.map_batches(derive, batch_format="pyarrow",
+                           batch_size=None)
+    return triangle_counts(edges)
+
+
 def q_char_entropy(sf_dir: str):
     """Character-distribution Shannon entropy in integer micro-nats
     (compression-proxy quality signal: gibberish scores high,
@@ -7931,6 +7964,28 @@ g AS (SELECT doc_id,
       FROM p WHERE len(pa) > 0 AND len(pb) > 0)
 SELECT doc_id, min_gap, min_gap <= 5 AS hit FROM g
 """
+ORACLES["triangles"] = """
+WITH e0 AS (
+  SELECT 't' || (doc_id % 30) AS a, 't' || ((doc_id + 1) % 30) AS b
+  FROM documents
+  UNION ALL
+  SELECT 't' || (doc_id % 30), 't' || ((doc_id + 2) % 30)
+  FROM documents
+  UNION ALL
+  SELECT 't' || (doc_id % 30), 't' || ((doc_id + 5) % 30)
+  FROM documents WHERE doc_id % 2 = 0),
+und AS (SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+        FROM e0 WHERE a <> b),
+tri AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        FROM und e1
+        JOIN und e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+        JOIN und e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+corners AS (SELECT x AS url FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+SELECT url, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY url
+"""
 ORACLES["char_entropy"] = r"""
 WITH ch AS (
   SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
@@ -8192,6 +8247,7 @@ QUERIES = {
     "zipnum_multi": q_zipnum_multi,
     "script_detect": q_script_detect,
     "char_entropy": q_char_entropy,
+    "triangles": q_triangles,
     "crawl_delta": q_crawl_delta,
     "link_delta": q_link_delta,
     "compact_captures": q_compact_captures,
@@ -8241,7 +8297,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "link_hits zipnum_lookup cache_freshness containment bigram_lm "
     "cocitation wat_export archive_roundtrip quality_ensemble "
-    "parallel_politeness proximity_search zipnum_multi script_detect char_entropy "
+    "parallel_politeness proximity_search zipnum_multi script_detect char_entropy triangles "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

@@ -1076,6 +1076,249 @@ def co_link_pairs(links: ray.data.Dataset, *,
                              num_buckets=num_buckets)
 
 
+def triangle_counts(links: ray.data.Dataset, *,
+                    src_col: str = "src_url", dst_col: str = "dst_url",
+                    num_buckets: int = 32) -> ray.data.Dataset:
+    """Distributed triangle counting over the UNDIRECTED link graph —
+    the local-clustering signal (link farms and template networks are
+    triangle-dense; organic link neighborhoods are sparse). Output one
+    row per node that closes >= 1 triangle: ``(url, n_triangles)``.
+
+    The classic degree-oriented algorithm (Schank & Wagner 2005 /
+    MapReduce NodeIterator++): orient every undirected edge from the
+    lower-(degree, url) endpoint to the higher, so each triangle is
+    counted EXACTLY once as a wedge at its lowest vertex, and the
+    wedge count is bounded by sum(d_out^2) with d_out <= sqrt(2m) —
+    the skew bound that makes web-scale counting feasible (a 10^6-
+    degree hub generates no wedges because its edges all point INTO
+    it).
+
+    Exchanges (all narrow url-pair rows; pages never move):
+    1. distinct undirected edges per block -> edge-bucket exchange
+       dedups cross-block;
+    2. degree fold (one (url, count) exchange) -> oriented edges;
+    3. wedges emitted per src bucket, keyed by the CLOSING pair,
+       joined against the oriented edge set in the same buckets;
+    4. found triangles emit one row per corner -> per-node count.
+    """
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+
+    def und_edges(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("lo", pa.string()), ("hi", pa.string()),
+                         ("_b", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(str)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(str)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        fwd = s < d
+        lo = np.where(fwd, s, d)
+        hi = np.where(fwd, d, s)
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        new = np.ones(len(lo), bool)
+        new[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        lo, hi = lo[new], hi[new]
+        h = hash64_batch(pa.array(
+            np.char.add(np.char.add(lo, "\x00"), hi).tolist(),
+            pa.string()))
+        return pa.table({
+            "lo": pa.array(lo.tolist(), pa.string()),
+            "hi": pa.array(hi.tolist(), pa.string()),
+            "_b": pa.array((h % nbu).astype(np.int64)),
+        })
+
+    def dedup_edges(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("lo", pa.string()), ("hi", pa.string())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        lo = tbl["lo"].to_numpy(zero_copy_only=False).astype(str)
+        hi = tbl["hi"].to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        new = np.ones(len(lo), bool)
+        new[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        return pa.table({"lo": pa.array(lo[new].tolist(), pa.string()),
+                         "hi": pa.array(hi[new].tolist(), pa.string())})
+
+    edges = hash_bucket_apply(
+        links.map_batches(und_edges, batch_format="pyarrow",
+                          batch_size=None),
+        "_b", dedup_edges, num_buckets=num_buckets).materialize()
+
+    # degrees: one narrow (url, 1) exchange
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([batch["lo"].combine_chunks(),
+                              batch["hi"].combine_chunks()])
+        return pa.table({
+            "url": u,
+            "_b": pa.array((hash64_batch(u) % nbu).astype(np.int64)),
+        })
+
+    def deg_fold(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("url", pa.string()), ("deg", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        enc = tbl["url"].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table({"url": enc.dictionary.cast(pa.string()),
+                         "deg": pa.array(cnt.astype(np.int64))})
+
+    degs = {r["url"]: r["deg"] for r in hash_bucket_apply(
+        edges.map_batches(deg_rows, batch_format="pyarrow",
+                          batch_size=None),
+        "_b", deg_fold, num_buckets=num_buckets).take_all()}
+    import ray as _ray
+
+    deg_ref = _ray.put(degs)
+
+    # orient + key by src; wedge emit joins the closing edge set,
+    # both keyed by hash64(lo-of-the-closing-pair) so a wedge and its
+    # closing edge meet in one bucket
+    def orient(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("kind", pa.int8()), ("a", pa.string()),
+                         ("b", pa.string()), ("_b", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        dg = _ray.get(deg_ref)
+        lo = batch["lo"].to_numpy(zero_copy_only=False).astype(str)
+        hi = batch["hi"].to_numpy(zero_copy_only=False).astype(str)
+        dlo = np.array([dg[x] for x in lo.tolist()], np.int64)
+        dhi = np.array([dg[x] for x in hi.tolist()], np.int64)
+        fwd = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        src = np.where(fwd, lo, hi)
+        dst = np.where(fwd, hi, lo)
+        # kind 0: oriented edge row keyed by hash(src) (for wedges);
+        # kind 1: closing-edge row keyed by hash of the UNDIRECTED
+        # pair key (lo\x00hi) — wedges use the same key
+        pair = np.char.add(np.char.add(lo, "\x00"), hi)
+        hsrc = (hash64_batch(pa.array(src.tolist(), pa.string()))
+                % nbu).astype(np.int64)
+        hpair = (hash64_batch(pa.array(pair.tolist(), pa.string()))
+                 % nbu).astype(np.int64)
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(len(src), np.int8),
+                                   np.ones(len(lo), np.int8)]),
+            "a": pa.array(np.r_[src, lo].tolist(), pa.string()),
+            "b": pa.array(np.r_[dst, hi].tolist(), pa.string()),
+            "_b": pa.array(np.r_[hsrc, hpair]),
+        })
+
+    def wedge_emit(tbl: pa.Table) -> pa.Table:
+        """kind-0 rows grouped by src -> wedges keyed by the closing
+        undirected pair; kind-1 rows pass through (they are already
+        keyed by their pair)."""
+        sch = pa.schema([("kind", pa.int8()), ("a", pa.string()),
+                         ("b", pa.string()), ("c", pa.string()),
+                         ("_b2", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        kind = tbl["kind"].to_numpy(zero_copy_only=False)
+        ed = tbl.filter(pa.array(kind == 0))
+        cl = tbl.filter(pa.array(kind == 1))
+        parts = []
+        if cl.num_rows:
+            lo = cl["a"].to_numpy(zero_copy_only=False).astype(str)
+            hi = cl["b"].to_numpy(zero_copy_only=False).astype(str)
+            pair = np.char.add(np.char.add(lo, "\x00"), hi)
+            h = (hash64_batch(pa.array(pair.tolist(), pa.string()))
+                 % nbu).astype(np.int64)
+            parts.append(pa.table({
+                "kind": pa.array(np.ones(len(lo), np.int8)),
+                "a": cl["a"], "b": cl["b"],
+                "c": pa.array([""] * len(lo), pa.string()),
+                "_b2": pa.array(h),
+            }))
+        if ed.num_rows:
+            s = ed["a"].to_numpy(zero_copy_only=False).astype(str)
+            d = ed["b"].to_numpy(zero_copy_only=False).astype(str)
+            order = np.lexsort((d, s))
+            s, d = s[order], d[order]
+            run = np.ones(len(s), bool)
+            run[1:] = s[1:] != s[:-1]
+            st = np.flatnonzero(run)
+            ln = np.diff(np.r_[st, len(s)])
+            wa, wb, wc = [], [], []
+            for o, n in zip(st.tolist(), ln.tolist()):
+                if n < 2:
+                    continue
+                grp = d[o:o + n]      # sorted neighbors
+                ii, jj = np.triu_indices(n, k=1)
+                wa.append(np.full(len(ii), s[o], object))
+                wb.append(grp[ii])
+                wc.append(grp[jj])
+            if wa:
+                a = np.concatenate(wa).astype(str)
+                b = np.concatenate(wb)
+                c = np.concatenate(wc)
+                pair = np.char.add(np.char.add(b, "\x00"), c)
+                h = (hash64_batch(pa.array(pair.tolist(), pa.string()))
+                     % nbu).astype(np.int64)
+                parts.append(pa.table({
+                    "kind": pa.array(np.zeros(len(a), np.int8)),
+                    "a": pa.array(a.tolist(), pa.string()),
+                    "b": pa.array(b.tolist(), pa.string()),
+                    "c": pa.array(c.tolist(), pa.string()),
+                    "_b2": pa.array(h),
+                }))
+        if not parts:
+            return sch.empty_table()
+        return pa.concat_tables(parts)
+
+    def close_join(tbl: pa.Table) -> pa.Table:
+        """Wedge (a; b, c) is a triangle iff undirected pair (b, c)
+        is an edge — both sides share this bucket. Emit one row per
+        triangle corner."""
+        sch = pa.schema([("url", pa.string()), ("_b3", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        kind = tbl["kind"].to_numpy(zero_copy_only=False)
+        cl = tbl.filter(pa.array(kind == 1))
+        wg = tbl.filter(pa.array(kind == 0))
+        if not cl.num_rows or not wg.num_rows:
+            return sch.empty_table()
+        eset = set(zip(cl["a"].to_pylist(), cl["b"].to_pylist()))
+        wa = wg["a"].to_pylist()
+        wb = wg["b"].to_pylist()
+        wc = wg["c"].to_pylist()
+        urls = []
+        for x, y, z in zip(wa, wb, wc):
+            if (y, z) in eset:
+                urls.extend((x, y, z))
+        if not urls:
+            return sch.empty_table()
+        arr = pa.array(urls, pa.string())
+        return pa.table({
+            "url": arr,
+            "_b3": pa.array((hash64_batch(arr) % nbu)
+                            .astype(np.int64)),
+        })
+
+    def count_corners(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("url", pa.string()),
+                         ("n_triangles", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        enc = tbl["url"].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table({"url": enc.dictionary.cast(pa.string()),
+                         "n_triangles": pa.array(cnt.astype(np.int64))})
+
+    keyed = edges.map_batches(orient, batch_format="pyarrow",
+                              batch_size=None)
+    wedged = hash_bucket_apply(keyed, "_b", wedge_emit,
+                               num_buckets=num_buckets)
+    corners = hash_bucket_apply(wedged, "_b2", close_join,
+                                num_buckets=num_buckets)
+    return hash_bucket_apply(corners, "_b3", count_corners,
+                             num_buckets=num_buckets)
+
+
 CANONICAL_RE = r"<link rel='canonical' href='([^']*)'>"
 
 _CANON_SCHEMA = pa.schema([("url", pa.string()),

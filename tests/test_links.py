@@ -656,3 +656,37 @@ def test_co_link_pairs_fanout_cap():
                        max_fanout=5, num_buckets=2).to_pandas()
     assert {(r.url_a, r.url_b, r.n_shared) for r in df.itertuples()} \
         == {("a", "b", 2)}
+
+
+def test_triangle_counts_ring_chords_and_hub():
+    import itertools
+
+    from cdx_toolkit_ray.stages.links import triangle_counts
+
+    # ring + skip-2 chords: every (i, i+1, i+2) closes; duplicate and
+    # reverse edges must not double-count; a star hub adds none
+    N = 8
+    edges = [("n%d" % i, "n%d" % ((i + 1) % N)) for i in range(N)]
+    edges += [("n%d" % i, "n%d" % ((i + 2) % N)) for i in range(N)]
+    edges += [("n1", "n0"), ("n0", "n1")]          # reverse + dup
+    edges += [("hub", "n%d" % i) for i in range(N)]  # star: no triangles
+    # wait: hub->i and i->i+1 and hub->i+1 IS a triangle; use leaves
+    edges = [e for e in edges if e[0] != "hub"]
+    edges += [("hub", "leaf%d" % i) for i in range(6)]
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([e[0] for e in edges], pa.string()),
+        "dst_url": pa.array([e[1] for e in edges], pa.string())}))
+    got = {r.url: r.n_triangles
+           for r in triangle_counts(links, num_buckets=4)
+           .to_pandas().itertuples()}
+
+    und = {tuple(sorted(e)) for e in edges}
+    nodes = {x for e in und for x in e}
+    want: dict = {}
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if (a, b) in und and (a, c) in und and (b, c) in und:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+    assert got == want
+    assert "hub" not in got and all(got["n%d" % i] == 3
+                                    for i in range(N))
