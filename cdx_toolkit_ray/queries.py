@@ -2921,6 +2921,18 @@ def q_lm_score(sf_dir: str):
     return unigram_lm_score(ds)
 
 
+def q_pmi_topk(sf_dir: str):
+    """Collocation mining: corpus top-50 word bigrams by pointwise
+    mutual information (Church & Hanks 1990) with min-count 5 —
+    deterministic ties on the bigram string; micro-nat quantization
+    makes the ranking SQL-exact."""
+    from .stages.lm import pmi_topk
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["text"])
+    return pmi_topk(ds, k=50, min_count=5)
+
+
 def q_bigram_lm(sf_dir: str):
     """Bigram LM with stupid backoff (Brants et al. 2007), held-out:
     train bigram/context/unigram counts on the EVEN docs, score every
@@ -7964,6 +7976,29 @@ g AS (SELECT doc_id,
       FROM p WHERE len(pa) > 0 AND len(pb) > 0)
 SELECT doc_id, min_gap, min_gap <= 5 AS hit FROM g
 """
+ORACLES["pmi_topk"] = r"""
+WITH w AS (SELECT regexp_extract_all(lower(text), '\w+') AS words
+           FROM documents),
+tot AS (SELECT CAST(sum(len(words)) AS DOUBLE) AS t FROM w),
+c1 AS (SELECT u AS word, CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT unnest(words) AS u FROM w) GROUP BY u),
+bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       FROM (SELECT unnest(list_transform(range(1, len(words)),
+                    i -> words[i])) AS w1,
+                    unnest(list_transform(range(1, len(words)),
+                    i -> words[i + 1])) AS w2
+             FROM w WHERE len(words) >= 2)
+       GROUP BY w1, w2
+       HAVING count(*) >= 5),
+s AS (SELECT bg.w1, bg.w2, bg.c2,
+        CAST(floor(ln((CAST(bg.c2 AS DOUBLE) * (SELECT t FROM tot))
+                      / (CAST(a.c AS DOUBLE) * b.c)) * 1e6 + 0.5)
+             AS BIGINT) AS pmi_1e6
+      FROM bg JOIN c1 a ON a.word = bg.w1
+      JOIN c1 b ON b.word = bg.w2)
+SELECT w1, w2, c2, pmi_1e6 FROM s
+ORDER BY pmi_1e6 DESC, w1, w2 LIMIT 50
+"""
 ORACLES["triangles"] = """
 WITH e0 AS (
   SELECT 't' || (doc_id % 30) AS a, 't' || ((doc_id + 1) % 30) AS b
@@ -8248,6 +8283,7 @@ QUERIES = {
     "script_detect": q_script_detect,
     "char_entropy": q_char_entropy,
     "triangles": q_triangles,
+    "pmi_topk": q_pmi_topk,
     "crawl_delta": q_crawl_delta,
     "link_delta": q_link_delta,
     "compact_captures": q_compact_captures,
@@ -8297,7 +8333,7 @@ _recorded = set(_DRIVER_RECORDED_R02) | set(_DRIVER_RECORDED_R01_ONLY)
 _R3_PRIORITY = (
     "link_hits zipnum_lookup cache_freshness containment bigram_lm "
     "cocitation wat_export archive_roundtrip quality_ensemble "
-    "parallel_politeness proximity_search zipnum_multi script_detect char_entropy triangles "
+    "parallel_politeness proximity_search zipnum_multi script_detect char_entropy triangles pmi_topk "
     "resolve_redirects robots_wildcard robots_chain "
     "meta_robots nofollow_links "
     "canonical_dedup charset_sniff revalidation_plan soft404 "

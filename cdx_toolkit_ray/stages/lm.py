@@ -394,3 +394,170 @@ def bigram_lm_score(score_ds: ray.data.Dataset,
 
     return hash_bucket_apply(parts1n.union(parts2), "_b2", merge_docs,
                              num_buckets=n_buckets)
+
+
+def pmi_topk(ds: ray.data.Dataset, *, text_col: str = "text",
+             k: int = 50, min_count: int = 5,
+             n_buckets: int = 32) -> ray.data.Dataset:
+    """Corpus-level collocation mining: top-k word bigrams by
+    pointwise mutual information (Church & Hanks 1990) — the
+    statistical-phrase signal tokenizer training and stopword lists
+    are built from.
+
+        pmi_1e6 = floor(ln(c2 * T / (c1(w1) * c1(w2))) * 1e6 + 0.5)
+
+    over bigrams with ``c2 >= min_count``; ties break on the bigram
+    string, so the top-k is fully deterministic and the DuckDB oracle
+    matches bit-for-bit.
+
+    Dataflow: bigram + unigram count partials -> one hash64(w1)
+    exchange (c2 folds where all of w1's bigrams co-locate; c1(w1)
+    arrives as unigram rows keyed the same) -> one hash64(w2)
+    exchange attaches c1(w2) and scores -> per-bucket top-k prune ->
+    tiny global sort (nb x k rows on the driver, the tfidf_topk
+    shape). T is one O(blocks) scalar pass.
+    """
+    from ..canon import hash64_batch
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(n_buckets)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        df = pl.DataFrame({"t": pl.from_arrow(
+            batch[text_col].combine_chunks())}).with_columns(
+            w=pl.col("t").cast(pl.String).fill_null("")
+            .str.to_lowercase().str.extract_all(r"\w+")).drop("t")
+        uni = (df.explode("w").drop_nulls("w").group_by("w").len()
+               .rename({"w": "w1", "len": "c"}))
+        big = df.filter(pl.col("w").list.len() >= 2).with_columns(
+            w1=pl.col("w").list.slice(0, pl.col("w").list.len() - 1),
+            w2=pl.col("w").list.slice(1)).drop("w")
+        big = (big.explode(["w1", "w2"]).group_by(["w1", "w2"]).len()
+               .rename({"len": "c"}))
+        n_u, n_b = len(uni), len(big)
+        w1 = pa.concat_arrays([
+            uni["w1"].to_arrow().cast(pa.string()),
+            big["w1"].to_arrow().cast(pa.string())])
+        out = pa.table({
+            "kind": pa.array(np.r_[np.zeros(n_u, np.int8),
+                                   np.ones(n_b, np.int8)]),
+            "w1": w1,
+            "w2": pa.concat_arrays([
+                pa.array([""] * n_u, pa.string()),
+                big["w2"].to_arrow().cast(pa.string())]),
+            "c": pa.concat_arrays([
+                uni["c"].cast(pl.Int64).to_arrow(),
+                big["c"].cast(pl.Int64).to_arrow()]),
+        })
+        return out.append_column("_b", pa.array(
+            (hash64_batch(out["w1"]) % nbu).astype(np.int64)))
+
+    parts = ds.map_batches(counts, batch_format="pyarrow",
+                           batch_size=None)
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        s = pl.Series(batch[text_col].combine_chunks()) \
+            .cast(pl.String).fill_null("")
+        return pa.table({"n": pa.array(
+            [int(s.str.count_matches(r"\w+").sum())], pa.int64())})
+
+    total = sum(r["n"] for r in ds.map_batches(
+        count_tokens, batch_format="pyarrow", batch_size=None)
+        .take_all())
+    t_f = float(total)
+
+    def fold_w1(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                         ("c2", pa.int64()), ("c1a", pa.int64()),
+                         ("_b2", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        g = tbl.to_pandas()
+        c1 = g[g["kind"] == 0].groupby("w1")["c"].sum()
+        bg = g[g["kind"] == 1].groupby(["w1", "w2"], as_index=False,
+                                       sort=False)["c"].sum()
+        if not len(bg):
+            return sch.empty_table()
+        keep = bg["c"].to_numpy() >= min_count
+        bg = bg[keep]
+        if not len(bg):
+            return sch.empty_table()
+        c1a = c1.reindex(bg["w1"]).to_numpy(np.int64)
+        w2 = pa.array(bg["w2"].tolist(), pa.string())
+        return pa.table({
+            "w1": pa.array(bg["w1"].tolist(), pa.string()),
+            "w2": w2,
+            "c2": pa.array(bg["c"].to_numpy(np.int64)),
+            "c1a": pa.array(c1a),
+            "_b2": pa.array((hash64_batch(w2) % nbu)
+                            .astype(np.int64)),
+        })
+
+    # unigram rows must ALSO reach the second exchange (keyed by the
+    # word itself) so c1(w2) is local there
+    out1 = hash_bucket_apply(parts, "_b", fold_w1,
+                             num_buckets=n_buckets)
+
+    def uni_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = batch.filter(pc.equal(batch["kind"], 0))
+        return pa.table({
+            "w1": pa.array([""] * m.num_rows, pa.string()),
+            "w2": m["w1"],
+            "c2": pa.array(np.full(m.num_rows, -1, np.int64)),
+            "c1a": m["c"].cast(pa.int64()),
+            "_b2": pa.array(
+                (hash64_batch(m["w1"]) % nbu).astype(np.int64)),
+        })
+
+    uni2 = parts.map_batches(uni_rows, batch_format="pyarrow",
+                             batch_size=None)
+
+    def score_w2(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                         ("c2", pa.int64()), ("pmi_1e6", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        g = tbl.to_pandas()
+        uni = g[g["c2"] < 0].groupby("w2")["c1a"].sum()
+        bg = g[g["c2"] >= 0]
+        if not len(bg):
+            return sch.empty_table()
+        c1b = uni.reindex(bg["w2"]).to_numpy(np.int64)
+        c2 = bg["c2"].to_numpy(np.int64)
+        c1a = bg["c1a"].to_numpy(np.int64)
+        num = c2.astype(np.float64) * t_f
+        den = c1a.astype(np.float64) * c1b
+        pmi = np.floor(np.log(num / den) * 1e6 + 0.5).astype(np.int64)
+        t = pa.table({
+            "w1": pa.array(bg["w1"].tolist(), pa.string()),
+            "w2": pa.array(bg["w2"].tolist(), pa.string()),
+            "c2": pa.array(c2), "pmi_1e6": pa.array(pmi),
+        })
+        # per-bucket prune: only the local top-k can make the global
+        order = np.lexsort((bg["w2"].to_numpy(), bg["w1"].to_numpy(),
+                            -pmi))
+        return t.take(pa.array(order[:k]))
+
+    pruned = hash_bucket_apply(uni2.union(out1), "_b2", score_w2,
+                               num_buckets=n_buckets)
+    rows = pruned.take_all()
+    rows.sort(key=lambda r: (-r["pmi_1e6"], r["w1"], r["w2"]))
+    rows = rows[:k]
+    return ray.data.from_arrow(pa.table({
+        "w1": pa.array([r["w1"] for r in rows], pa.string()),
+        "w2": pa.array([r["w2"] for r in rows], pa.string()),
+        "c2": pa.array([r["c2"] for r in rows], pa.int64()),
+        "pmi_1e6": pa.array([r["pmi_1e6"] for r in rows], pa.int64()),
+    }))

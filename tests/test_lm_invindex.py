@@ -298,3 +298,40 @@ def test_proximity_search_truth_table():
                                         out["hit"].to_pylist())}
     assert got == {1: (3, True), 2: (1, True), 3: (7, False),
                    6: (2, True), 7: (1, True)}
+
+
+def test_pmi_topk_matches_serial():
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.lm import pmi_topk
+
+    texts = ["strong coffee " * 6 + "weak tea " * 6,
+             "strong tea " * 3 + "coffee beans " * 5,
+             "beans beans beans strong strong coffee"]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts,
+                                                        pa.string())}))
+    df = pmi_topk(ds, k=5, min_count=2, n_buckets=4).to_pandas()
+
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    T = 0
+    for t in texts:
+        ws = t.split()
+        T += len(ws)
+        c1.update(ws)
+        c2.update(zip(ws, ws[1:]))
+    scored = []
+    for (a, b), c in c2.items():
+        if c < 2:
+            continue
+        pmi = math.floor(
+            math.log(c * float(T) / (c1[a] * c1[b])) * 1e6 + 0.5)
+        scored.append((-pmi, a, b, c))
+    scored.sort()
+    want = [(a, b, c, -np_) for np_, a, b, c in scored[:5]]
+    got = list(zip(df.w1, df.w2, df.c2, df.pmi_1e6))
+    assert got == want
