@@ -4372,6 +4372,23 @@ def q_link_hits(sf_dir: str):
     return hits(extract_links(pages), iterations=2)
 
 
+def q_trustrank(sf_dir: str):
+    """TrustRank link-spam demotion (Gyöngyi, Garcia-Molina &
+    Pedersen, VLDB 2004): 3 seed-personalized integer PageRank
+    iterations over the fixture outlink graph with the teleport
+    restricted to root pages (path ``/``, no query) as the trusted
+    seed set — pages reachable only from untrusted regions converge
+    to 0 trust, the signal a frontier uses to starve link farms of
+    fetch budget. All-integer recurrence -> the SQL oracle matches
+    bit-for-bit with no float reduction-order hazard."""
+    from .stages.links import extract_links, trust_rank
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return trust_rank(extract_links(pages), iterations=3)
+
+
 def q_cocitation(sf_dir: str):
     """Co-citation pair mining (Small 1973): derived citation graph —
     every doc cites targets ``p(d%20), p((d+3)%20), p((d+7)%20)`` —
@@ -6995,6 +7012,54 @@ h2 AS (SELECT url, v * 1000000
 SELECT a2.url, a2.v AS authority, h2.v AS hub
 FROM a2 JOIN h2 USING (url)
 """ % _FIXTURE_LINK,
+    # TrustRank: 3 unrolled seed-personalized integer PageRank
+    # iterations — teleport mass restricted to root-page seeds
+    # (url ends '/' with no query). Exact parity with
+    # stages/links.trust_rank (same href/resolution CTEs).
+    "trustrank": r"""
+WITH hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s/pages.parquet')),
+links AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs WHERE dst_url IS NOT NULL),
+nodes AS (SELECT url, (url LIKE '%%/' AND url NOT LIKE '%%?%%') AS seed
+          FROM (SELECT DISTINCT url FROM (
+            SELECT src_url AS url FROM links
+            UNION ALL SELECT dst_url AS url FROM links))),
+outdeg AS (SELECT src_url AS url, COUNT(*) AS d FROM links
+           GROUP BY src_url),
+r0 AS (SELECT url, CAST(CASE WHEN seed THEN 1000000 ELSE 0 END
+                        AS BIGINT) AS rank FROM nodes),
+r1 AS (SELECT n.url, n.seed, CAST(CASE WHEN n.seed THEN 150000 ELSE 0 END
+         + COALESCE(SUM((r.rank // o.d) * 85 // 100), 0) AS BIGINT) AS rank
+       FROM nodes n
+       LEFT JOIN links l ON l.dst_url = n.url
+       LEFT JOIN r0 r ON r.url = l.src_url
+       LEFT JOIN outdeg o ON o.url = l.src_url
+       GROUP BY n.url, n.seed),
+r2 AS (SELECT n.url, n.seed, CAST(CASE WHEN n.seed THEN 150000 ELSE 0 END
+         + COALESCE(SUM((r.rank // o.d) * 85 // 100), 0) AS BIGINT) AS rank
+       FROM nodes n
+       LEFT JOIN links l ON l.dst_url = n.url
+       LEFT JOIN r1 r ON r.url = l.src_url
+       LEFT JOIN outdeg o ON o.url = l.src_url
+       GROUP BY n.url, n.seed),
+r3 AS (SELECT n.url, n.seed, CAST(CASE WHEN n.seed THEN 150000 ELSE 0 END
+         + COALESCE(SUM((r.rank // o.d) * 85 // 100), 0) AS BIGINT) AS rank
+       FROM nodes n
+       LEFT JOIN links l ON l.dst_url = n.url
+       LEFT JOIN r2 r ON r.url = l.src_url
+       LEFT JOIN outdeg o ON o.url = l.src_url
+       GROUP BY n.url, n.seed)
+SELECT url, rank AS trust FROM r3
+""" % _FIXTURE_LINK,
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8273,6 +8338,7 @@ QUERIES = {
     "page_metadata": q_page_metadata,
     "link_rank": q_link_rank,
     "link_hits": q_link_hits,
+    "trustrank": q_trustrank,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,

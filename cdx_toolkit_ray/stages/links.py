@@ -1828,3 +1828,176 @@ def link_delta(links_a: ray.data.Dataset,
                                         batch_size=None)))
     return hash_bucket_apply(keyed, "_eb", compare,
                              num_buckets=num_buckets)
+
+
+# --------------------------------------------------------------------------
+# TrustRank — seed-personalized integer PageRank (web-spam demotion)
+# --------------------------------------------------------------------------
+
+def root_page_seed(url: pa.Array) -> np.ndarray:
+    """Default trusted-seed predicate: site root pages (path ``/``,
+    no query string) — the classic hand-verifiable seed surface of
+    Gyöngyi et al. 2004 §4.2 scaled down to a deterministic rule."""
+    m = pc.and_(pc.ends_with(url, pattern="/"),
+                pc.invert(pc.match_substring(url, "?")))
+    return m.to_numpy(zero_copy_only=False).astype(bool)
+
+
+def _tr_seed_mask(url: pa.Array, seed_pred, seed_set) -> np.ndarray:
+    """Boolean seed-membership mask for one bucket's node urls —
+    either a vectorized predicate or a sorted broadcast url array
+    probed with searchsorted (exact string membership)."""
+    if seed_pred is not None:
+        return np.asarray(seed_pred(url), bool)
+    u = url.to_numpy(zero_copy_only=False)
+    if seed_set is None or len(seed_set) == 0:
+        return np.zeros(len(u), bool)
+    idx = np.minimum(np.searchsorted(seed_set, u), len(seed_set) - 1)
+    return seed_set[idx] == u
+
+
+@ray.remote
+def _tr_init_ranks(scale: int, seed_pred, seed_set,
+                   *tbls: pa.Table) -> pa.Table:
+    """Distinct urls of one bucket -> trust = scale on seeds, 0 else
+    (TrustRank starts all mass on the trusted seed set)."""
+    arrs = [t["url"].combine_chunks() for t in tbls if t.num_rows]
+    if not arrs:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64())})
+    u = pc.unique(pa.concat_arrays(arrs)).cast(pa.string())
+    mask = _tr_seed_mask(u, seed_pred, seed_set)
+    return pa.table({
+        "url": u,
+        "rank": pa.array(np.where(mask, scale, 0).astype(np.int64),
+                         pa.int64()),
+    })
+
+
+@ray.remote
+def _tr_gather(base: int, seed_pred, seed_set, *tbls: pa.Table) -> pa.Table:
+    """trust = (base if seed else 0) + integer sum of one bucket's
+    contributions — the teleport term lands ONLY on seeds."""
+    live = [t for t in tbls if t.num_rows]
+    if not live:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "trust": pa.array([], pa.int64())})
+    t = pa.concat_tables(live, promote_options="permissive")
+    url = t["url"].combine_chunks()
+    val = t["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = url.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    sums = np.zeros(len(enc.dictionary), np.int64)
+    np.add.at(sums, idx, val)
+    u = enc.dictionary.cast(pa.string())
+    mask = _tr_seed_mask(u, seed_pred, seed_set)
+    return pa.table({
+        "url": u,
+        "trust": pa.array(sums + np.where(mask, base, 0), pa.int64()),
+    })
+
+
+def trust_rank(links: ray.data.Dataset, *, iterations: int = 3,
+               num_buckets: int = 32, scale: int = 1_000_000,
+               damping_num: int = 85, damping_den: int = 100,
+               seed_pred=root_page_seed,
+               seeds: "list[str] | None" = None) -> ray.data.Dataset:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) —
+    PageRank with the teleport restricted to a trusted seed set, the
+    standard link-spam demotion signal a crawl frontier uses to starve
+    spam farms of fetch budget. All-integer recurrence:
+
+        trust_0(u)   = scale            if u is a seed, else 0
+        trust_t+1(u) = base(u) + sum over edges v->u of
+                       (trust_t(v) DIV outdeg(v)) * d_num DIV d_den
+        base(u)      = (scale * (d_den - d_num)) DIV d_den  on seeds,
+                       0 elsewhere
+
+    with DIV = floor division, so the result is deterministic under
+    ANY summation order and the DuckDB oracle (same recurrence in SQL
+    ``//``) matches bit-for-bit. Pages reachable only from untrusted
+    regions converge to 0 — exactly the demotion the float original
+    produces, without its reduction-order hazard.
+
+    Seeds: ``seed_pred`` (vectorized pa.Array -> bool mask, applied
+    per bucket — nothing materializes on the driver; default
+    :func:`root_page_seed`) or an explicit ``seeds`` url list
+    (sorted + broadcast once, searchsorted membership per bucket —
+    the small trusted-site list of a real deployment).
+
+    Dataflow is :func:`link_rank`'s partitioned-cached shape verbatim:
+    edges bucket-shuffled ONCE by ``hash64(src) % num_buckets`` and
+    cached; each iteration is one scatter (per-edge contribution +
+    zero stub, pre-split by receiver bucket) + one integer gather;
+    per-iteration traffic is the narrow (url, int64) stream.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if seeds is not None:
+        seed_pred = None
+        seed_set = np.sort(np.asarray(list(seeds), dtype=object))
+    else:
+        if seed_pred is None:
+            raise ValueError("one of seed_pred / seeds is required")
+        seed_set = None
+    nb = num_buckets
+    base = (scale * (damping_den - damping_num)) // damping_den
+    nbu = np.uint64(nb)
+
+    def key_edges(batch: pa.Table) -> pa.Table:
+        src = batch["src_url"].cast(pa.string())
+        h = hash64_batch(src)
+        return pa.table({
+            "bucket": pa.array((h % nbu).astype(np.int64), pa.int64()),
+            "src": src,
+            "dst": batch["dst_url"].cast(pa.string()),
+        })
+
+    from .exchange import _chunked, _split_hash
+
+    keyed = links.map_batches(key_edges, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    refs = keyed.to_arrow_refs()
+    splits = [_split_hash.options(num_returns=nb).remote("bucket", nb, *g)
+              for g in _chunked(refs)]
+    if nb == 1:
+        splits = [[s] for s in splits]
+    edges_b = [_lr_concat.remote(*[sp[b] for sp in splits])
+               for b in range(nb)]
+
+    node_slices = [_lr_emit_nodes.options(num_returns=nb).remote(nb, e)
+                   for e in edges_b]
+    if nb == 1:
+        node_slices = [[s] for s in node_slices]
+    seed_ref = ray.put(seed_set) if seed_set is not None else None
+    ranks_b = [_tr_init_ranks.remote(scale, seed_pred, seed_ref,
+                                     *[ns[b] for ns in node_slices])
+               for b in range(nb)]
+
+    for it in range(iterations):
+        contrib = [_lr_scatter.options(num_returns=nb).remote(
+            nb, damping_num, damping_den, edges_b[b], ranks_b[b])
+            for b in range(nb)]
+        if nb == 1:
+            contrib = [[c] for c in contrib]
+        gathered = [_tr_gather.remote(base, seed_pred, seed_ref,
+                                      *[cs[b] for cs in contrib])
+                    for b in range(nb)]
+        if it + 1 < iterations:
+            # scatter expects (url, rank) state rows
+            ranks_b = [_tr_to_rank.remote(g) for g in gathered]
+        else:
+            ranks_b = gathered
+    if iterations == 0:
+        ranks_b = [_tr_init_as_trust.remote(r) for r in ranks_b]
+    return ray.data.from_arrow_refs(ranks_b)
+
+
+@ray.remote
+def _tr_to_rank(t: pa.Table) -> pa.Table:
+    return t.rename_columns(["url", "rank"])
+
+
+@ray.remote
+def _tr_init_as_trust(t: pa.Table) -> pa.Table:
+    return t.rename_columns(["url", "trust"])

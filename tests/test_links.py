@@ -690,3 +690,60 @@ def test_triangle_counts_ring_chords_and_hub():
     assert got == want
     assert "hub" not in got and all(got["n%d" % i] == 3
                                     for i in range(N))
+
+
+def test_trust_rank_matches_serial_and_demotes_unreachable():
+    from cdx_toolkit_ray.stages.links import trust_rank
+
+    # seed 's/' (root-page rule) reaches a,b,c; spam ring d<->x is
+    # unreachable from the seed and must converge to 0 trust
+    edges = [("s/", "a"), ("a", "b"), ("b", "c"), ("c", "a"),
+             ("s/", "b"), ("d", "x"), ("x", "d")]
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([e[0] for e in edges], pa.string()),
+        "dst_url": pa.array([e[1] for e in edges], pa.string())}))
+    df = trust_rank(links, iterations=3, num_buckets=4).to_pandas()
+    got = dict(zip(df["url"], df["trust"]))
+
+    SCALE, BASE = 1_000_000, 150_000
+    nodes = sorted({u for e in edges for u in e})
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {u: (SCALE if u.endswith("/") and "?" not in u else 0)
+         for u in nodes}
+    for _ in range(3):
+        nxt = {u: (BASE if u.endswith("/") and "?" not in u else 0)
+               for u in nodes}
+        for s, d in edges:
+            nxt[d] += (r[s] // deg[s]) * 85 // 100
+        r = nxt
+    assert got == r
+    assert got["d"] == 0 and got["x"] == 0   # spam ring starved
+    assert df["trust"].dtype == np.int64
+
+
+def test_trust_rank_explicit_seed_list_matches_predicate():
+    from cdx_toolkit_ray.stages.links import trust_rank
+
+    edges = [("s/", "a"), ("a", "b"), ("b", "s/"), ("d", "x")]
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([e[0] for e in edges], pa.string()),
+        "dst_url": pa.array([e[1] for e in edges], pa.string())}))
+    by_pred = trust_rank(links, iterations=2, num_buckets=2).to_pandas()
+    by_list = trust_rank(links, iterations=2, num_buckets=3,
+                         seeds=["s/"]).to_pandas()
+    a = dict(zip(by_pred["url"], by_pred["trust"]))
+    b = dict(zip(by_list["url"], by_list["trust"]))
+    assert a == b
+
+
+def test_trust_rank_zero_iterations_is_seed_indicator():
+    from cdx_toolkit_ray.stages.links import trust_rank
+
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array(["s/", "a"], pa.string()),
+        "dst_url": pa.array(["a", "b"], pa.string())}))
+    df = trust_rank(links, iterations=0).to_pandas()
+    assert dict(zip(df["url"], df["trust"])) == {
+        "s/": 1_000_000, "a": 0, "b": 0}
