@@ -4389,6 +4389,40 @@ def q_trustrank(sf_dir: str):
     return trust_rank(extract_links(pages), iterations=3)
 
 
+def q_dust_params(sf_dir: str):
+    """DUST safe-parameter mining (Bar-Yossef et al., WWW 2007):
+    derived capture table — doc d gets url
+    ``http://s{d%%5}.example/item?id={d%%50}&sort={d%%3}&sid={d%%7}``
+    (query-less when ``d%%11==0``) with digest ``d{d%%50}-{d%%3}`` —
+    so content depends on ``id`` and ``sort`` but NOT ``sid``: the
+    miner must rule ``sid`` safe-to-strip (merge evidence, zero
+    digest conflicts) and ``id``/``sort`` unsafe (conflict classes).
+    Oracle runs the identical parse/strip/rollup in SQL."""
+    import polars as pl
+
+    from .stages.dust import dust_params
+
+    docs = ray.data.read_parquet(sf_dir + "/documents.parquet",
+                                 columns=["doc_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            d=pl.col("doc_id").cast(pl.Int64))
+        df = df.with_columns(
+            url=pl.when(pl.col("d") % 11 == 0)
+            .then(pl.format("http://s{}.example/item", pl.col("d") % 5))
+            .otherwise(pl.format(
+                "http://s{}.example/item?id={}&sort={}&sid={}",
+                pl.col("d") % 5, pl.col("d") % 50,
+                pl.col("d") % 3, pl.col("d") % 7)),
+            digest=pl.format("d{}-{}", pl.col("d") % 50,
+                             pl.col("d") % 3),
+        )
+        return df.select("url", "digest").to_arrow()
+
+    return dust_params(docs.map_batches(derive, batch_format="pyarrow"))
+
+
 def q_cocitation(sf_dir: str):
     """Co-citation pair mining (Small 1973): derived citation graph —
     every doc cites targets ``p(d%20), p((d+3)%20), p((d+7)%20)`` —
@@ -7060,6 +7094,55 @@ r3 AS (SELECT n.url, n.seed, CAST(CASE WHEN n.seed THEN 150000 ELSE 0 END
        GROUP BY n.url, n.seed)
 SELECT url, rank AS trust FROM r3
 """ % _FIXTURE_LINK,
+    # DUST safe-param mining: identical derived table, parse, strip-by-
+    # key class keys (sorted remaining pairs) and two-level rollup.
+    "dust_params": r"""
+WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+urls AS (
+  SELECT ROW_NUMBER() OVER () AS rid,
+         CASE WHEN d % 11 = 0
+              THEN 'http://s' || (d % 5) || '.example/item'
+              ELSE 'http://s' || (d % 5) || '.example/item?id='
+                   || (d % 50) || '&sort=' || (d % 3)
+                   || '&sid=' || (d % 7) END AS url,
+         'd' || (d % 50) || '-' || (d % 3) AS digest
+  FROM docs),
+parts AS (
+  SELECT rid, url, digest,
+         regexp_extract(url, '^[a-z][a-z0-9+.\-]*://([^/?#]+)', 1)
+           AS host,
+         regexp_extract(url, '^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)', 1)
+           AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS qs
+  FROM urls),
+withp AS (SELECT rid, digest, host, path, string_split(qs, '&') AS params
+          FROM parts WHERE qs <> ''),
+exp AS (SELECT rid, digest, host, path, params, unnest(params) AS kv
+        FROM withp),
+cand AS (SELECT DISTINCT rid, digest, host, path, params,
+                regexp_extract(kv, '^([^=]*)', 1) AS k
+         FROM exp),
+cls AS (SELECT rid, digest, host, k,
+               host || path || '?' ||
+               array_to_string(list_sort(list_filter(params,
+                   x -> regexp_extract(x, '^([^=]*)', 1) != k)), '&')
+                 AS cls
+        FROM cand),
+byclass AS (SELECT host, k AS param, cls,
+                   COUNT(*) AS n_urls,
+                   COUNT(DISTINCT digest) AS n_dig
+            FROM cls GROUP BY host, k, cls)
+SELECT host, param,
+       CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n_urls >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi,
+       CAST(SUM(CASE WHEN n_dig >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_conflict,
+       (SUM(CASE WHEN n_dig >= 2 THEN 1 ELSE 0 END) = 0
+        AND SUM(CASE WHEN n_urls >= 2 THEN 1 ELSE 0 END) >= 1) AS safe
+FROM byclass GROUP BY host, param
+""",
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8339,6 +8422,7 @@ QUERIES = {
     "link_rank": q_link_rank,
     "link_hits": q_link_hits,
     "trustrank": q_trustrank,
+    "dust_params": q_dust_params,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,
