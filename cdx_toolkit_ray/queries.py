@@ -20,6 +20,8 @@ except where values are carried through unmodified.
 
 from __future__ import annotations
 
+import datetime
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -4389,6 +4391,34 @@ def q_trustrank(sf_dir: str):
     return trust_rank(extract_links(pages), iterations=3)
 
 
+def q_shingle_novelty(sf_dir: str):
+    """Cross-crawl shingle novelty: per page captured after
+    2023-01-01, how many of its distinct word-3-grams already existed
+    anywhere in the pre-2023 crawls — the incremental-crawl budgeting
+    signal under ``crawl_delta`` (near-zero novelty = boilerplate
+    churn, high novelty = spend fetch budget). Grams fold per block
+    and travel as 64-bit hashes; the oracle counts the same strings
+    (containment-pair precedent)."""
+    from .stages.dedup import shingle_novelty
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "warc_ts", "text"])
+    cutoff = pa.scalar(
+        datetime.datetime(2023, 1, 1, tzinfo=datetime.timezone.utc),
+        pa.timestamp("us", tz="UTC"))
+
+    def before(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["warc_ts"], cutoff))
+
+    def after(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["warc_ts"], cutoff))
+
+    old = pages.map_batches(before, batch_format="pyarrow")
+    new = pages.map_batches(after, batch_format="pyarrow")
+    return shingle_novelty(old, new, k=3)
+
+
 def q_dust_params(sf_dir: str):
     """DUST safe-parameter mining (Bar-Yossef et al., WWW 2007):
     derived capture table — doc d gets url
@@ -7143,6 +7173,31 @@ SELECT host, param,
         AND SUM(CASE WHEN n_urls >= 2 THEN 1 ELSE 0 END) >= 1) AS safe
 FROM byclass GROUP BY host, param
 """,
+    # Shingle novelty: identical tokenization (lower + \w+, distinct
+    # trigrams, union across duplicate urls); old side = pre-cutoff
+    # distinct gram universe, per-url LEFT JOIN membership count.
+    "shingle_novelty": r"""
+WITH src AS (
+  SELECT url, warc_ts, lower(text) AS t
+  FROM read_parquet('%s/pages.parquet')),
+w AS (SELECT url, warc_ts, regexp_extract_all(t, '\w+') AS words
+      FROM src),
+sh AS (SELECT url, warc_ts,
+              list_distinct(CASE WHEN len(words) < 3 THEN []
+                ELSE list_transform(range(1, len(words) - 1),
+                     i -> words[i] || ' ' || words[i + 1] || ' '
+                          || words[i + 2]) END) AS s
+       FROM w),
+old_g AS (SELECT DISTINCT unnest(s) AS g FROM sh
+          WHERE warc_ts < TIMESTAMPTZ '2023-01-01 00:00:00+00'),
+new_g AS (SELECT DISTINCT url, unnest(s) AS g FROM sh
+          WHERE warc_ts >= TIMESTAMPTZ '2023-01-01 00:00:00+00')
+SELECT n.url, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN o.g IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_seen
+FROM new_g n LEFT JOIN old_g o USING (g)
+GROUP BY n.url
+""" % _FIXTURE_LINK,
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8423,6 +8478,7 @@ QUERIES = {
     "link_hits": q_link_hits,
     "trustrank": q_trustrank,
     "dust_params": q_dust_params,
+    "shingle_novelty": q_shingle_novelty,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,

@@ -1404,3 +1404,133 @@ def minhash_lsh_eval(ds: ray.data.Dataset, text_col: str = "text",
         "recall_micro": pa.array(
             [n_hits * 1_000_000 // max(n_true, 1)], pa.int64()),
     })
+
+
+def shingle_novelty(old: ray.data.Dataset, new: ray.data.Dataset, *,
+                    text_col: str = "text", id_col: str = "url",
+                    k: int = 3, num_buckets: int = 32
+                    ) -> ray.data.Dataset:
+    """Cross-crawl shingle novelty — per NEW document, how much of its
+    word-``k``-gram set was already present anywhere in the OLD crawl.
+
+    ``crawl_delta`` answers "which urls changed" at digest granularity;
+    this answers the incremental-crawl budgeting question underneath
+    it: *how much genuinely new text does a recrawl bring* (near-zero
+    novelty -> the host's change rate is cosmetic boilerplate churn;
+    high novelty -> spend fetch budget there). Returns one row per new
+    document that has >= 1 shingle: ``(id, n_shingles, n_seen)`` with
+    ``n_shingles`` the distinct-gram count (union across duplicate
+    ids) and ``n_seen`` how many of those grams exist in the old side.
+
+    Dataflow: per block, distinct gram rows fold BEFORE any exchange
+    (text never shuffles; grams travel as 64-bit hashes — a collision
+    flips one gram's novelty, negligible at 64 bits; the SQL oracle
+    counts the same strings). One gram-bucket exchange marks each new
+    (id, gram) row against the old side's distinct gram set — all
+    copies of a gram land in one bucket, so membership is exact — and
+    folds to per-id partial counts; one id-bucket exchange sums them.
+    Both exchanges carry only narrow post-fold streams.
+    """
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+
+    def gram_rows(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import os
+
+            os.environ.setdefault("POLARS_MAX_THREADS", "1")
+            import polars as pl
+
+            from ..canon import hash64_batch
+
+            sch = pa.schema([("g", pa.uint64()), ("doc", pa.string()),
+                             ("side", pa.int8()), ("_b", pa.int64())])
+            if batch.num_rows == 0:
+                return sch.empty_table()
+            df = pl.DataFrame({
+                "doc": pl.from_arrow(
+                    batch[id_col].combine_chunks().cast(pa.string())),
+                "t": pl.from_arrow(batch[text_col].combine_chunks()),
+            }).with_columns(
+                w=pl.col("t").cast(pl.String).fill_null("")
+                .str.to_lowercase().str.extract_all(r"\w+")).drop("t")
+            df = df.filter(pl.col("w").list.len() >= k)
+            if not len(df):
+                return sch.empty_table()
+            n = pl.col("w").list.len() - (k - 1)
+            df = df.with_columns(
+                **{"w%d" % j: pl.col("w").list.slice(j, n)
+                   for j in range(k)}).drop("w")
+            ex = (df.explode(["w%d" % j for j in range(k)])
+                  .with_columns(gram=pl.concat_str(
+                      [pl.col("w%d" % j) for j in range(k)],
+                      separator=" ")))
+            if side == 0:
+                grams = ex.select("gram").unique()["gram"].to_arrow()
+                h = hash64_batch(grams)
+                doc = pa.array([""] * len(h), pa.string())
+            else:
+                dd = ex.select("doc", "gram").unique()
+                h = hash64_batch(dd["gram"].to_arrow())
+                doc = dd["doc"].to_arrow().cast(pa.string())
+                # distinct (doc, gram-hash) — two grams colliding
+                # within one doc would double-count; fold on the hash
+                tmp = pa.table({"g": pa.array(h, pa.uint64()),
+                                "doc": doc})
+                import polars as _pl
+
+                tmp = _pl.from_arrow(tmp).unique()
+                h = tmp["g"].to_numpy()
+                doc = tmp["doc"].to_arrow().cast(pa.string())
+            return pa.table({
+                "g": pa.array(h, pa.uint64()),
+                "doc": doc,
+                "side": pa.array(np.full(len(h), side, np.int8),
+                                 pa.int8()),
+                "_b": pa.array((h % nbu).astype(np.int64), pa.int64()),
+            })
+        return fn
+
+    def mark_and_fold(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from ..canon import hash64_batch
+
+        df = pl.from_arrow(t)
+        seen = df.filter(pl.col("side") == 0).select("g").unique()
+        nw = (df.filter(pl.col("side") == 1)
+              .select("doc", "g").unique()
+              .join(seen.with_columns(hit=pl.lit(1, pl.Int64)),
+                    on="g", how="left")
+              .with_columns(hit=pl.col("hit").fill_null(0)))
+        part = (nw.group_by("doc")
+                .agg(n_part=pl.len().cast(pl.Int64),
+                     seen_part=pl.col("hit").sum()))
+        if not part.height:
+            return pa.table({
+                "doc": pa.array([], pa.string()),
+                "n_part": pa.array([], pa.int64()),
+                "seen_part": pa.array([], pa.int64()),
+                "_b2": pa.array([], pa.int64())})
+        out = part.to_arrow()
+        h = hash64_batch(out["doc"].combine_chunks())
+        return out.append_column(
+            "_b2", pa.array((h % nbu).astype(np.int64), pa.int64()))
+
+    def sum_per_doc(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        agg = (pl.from_arrow(t).group_by("doc")
+               .agg(n_shingles=pl.col("n_part").sum(),
+                    n_seen=pl.col("seen_part").sum()))
+        return agg.rename({"doc": id_col}).to_arrow()
+
+    rows = (old.map_batches(gram_rows(0), batch_format="pyarrow",
+                            batch_size=None)
+            .union(new.map_batches(gram_rows(1), batch_format="pyarrow",
+                                   batch_size=None)))
+    parts = hash_bucket_apply(rows, "_b", mark_and_fold,
+                              num_buckets=num_buckets)
+    return hash_bucket_apply(parts, "_b2", sum_per_doc,
+                             num_buckets=num_buckets)

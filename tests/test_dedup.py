@@ -275,3 +275,29 @@ def test_containment_boilerplate_cap_and_min_shared():
                            max_docs_per_gram=4).to_pandas()
     assert set(zip(df.doc_a, df.doc_b)) == {(100, 101)}
     assert bool(df.contained.iloc[0])
+
+
+def test_shingle_novelty_counts_and_union_of_duplicate_ids():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.dedup import shingle_novelty
+
+    old = ray.data.from_arrow(pa.table({
+        "url": pa.array(["o1"], pa.string()),
+        "text": pa.array(["alpha beta gamma delta"], pa.string())}))
+    # grams(old) = {alpha beta gamma, beta gamma delta}
+    new = ray.data.from_arrow(pa.table({
+        "url": pa.array(["n1", "n1", "n2", "tiny"], pa.string()),
+        "text": pa.array([
+            "alpha beta gamma x",          # grams: abg, bgx, gx? -> 2 grams: abg(seen), "beta gamma x"
+            "beta gamma delta",            # dup id n1: adds bgd(seen)
+            "zeta eta theta",              # all novel
+            "two words",                   # < 3 words: no output row
+        ], pa.string())}))
+    df = shingle_novelty(old, new, k=3, num_buckets=4).to_pandas()
+    got = {r.url: (r.n_shingles, r.n_seen) for r in df.itertuples()}
+    # n1 union grams: {alpha beta gamma, beta gamma x, beta gamma delta}
+    assert got["n1"] == (3, 2)
+    assert got["n2"] == (1, 0)
+    assert "tiny" not in got
