@@ -4391,6 +4391,19 @@ def q_trustrank(sf_dir: str):
     return trust_rank(extract_links(pages), iterations=3)
 
 
+def q_rake_keywords(sf_dir: str):
+    """RAKE keyword extraction (Rose et al. 2010): top-3 candidate
+    phrases per document by the integer degree/frequency score —
+    maximal non-stopword runs, ``deg*1000 DIV freq`` per word summed
+    over the phrase. Entirely per-document (zero shuffle); the SQL
+    oracle runs the identical window/group recurrence."""
+    from .stages.textstats import rake_keywords_batch
+
+    docs = ray.data.read_parquet(sf_dir + "/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return docs.map_batches(rake_keywords_batch, batch_format="pyarrow")
+
+
 def q_shingle_novelty(sf_dir: str):
     """Cross-crawl shingle novelty: per page captured after
     2023-01-01, how many of its distinct word-3-grams already existed
@@ -7198,6 +7211,46 @@ SELECT n.url, CAST(count(*) AS BIGINT) AS n_shingles,
 FROM new_g n LEFT JOIN old_g o USING (g)
 GROUP BY n.url
 """ % _FIXTURE_LINK,
+    # RAKE: identical tokenization, stopword-run segmentation (window
+    # cumsum), integer deg*1000//freq word scores, phrase-sum, dedup,
+    # top-3 by (score DESC, phrase ASC).
+    "rake_keywords": r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '\w+')) AS w,
+         generate_subscripts(regexp_extract_all(lower(text), '\w+'), 1)
+           AS i
+  FROM documents),
+tok2 AS (
+  SELECT doc_id, w, i,
+         w IN ('the','a','an','and','or','of','to','in','for','is',
+               'on','with','as','by','at') AS stop
+  FROM tok),
+tok3 AS (
+  SELECT doc_id, w, i, stop,
+         SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS run
+  FROM tok2),
+nt AS (SELECT doc_id, w, i, run FROM tok3 WHERE NOT stop),
+ph AS (SELECT doc_id, run, string_agg(w, ' ' ORDER BY i) AS phrase,
+              COUNT(*) AS plen
+       FROM nt GROUP BY doc_id, run),
+ws AS (SELECT n.doc_id, n.w, COUNT(*) AS freq, SUM(p.plen) AS deg
+       FROM nt n JOIN ph p ON p.doc_id = n.doc_id AND p.run = n.run
+       GROUP BY n.doc_id, n.w),
+psc AS (SELECT n.doc_id, n.run,
+               SUM((ws.deg * 1000) // ws.freq) AS score
+        FROM nt n JOIN ws ON ws.doc_id = n.doc_id AND ws.w = n.w
+        GROUP BY n.doc_id, n.run),
+phx AS (SELECT DISTINCT p.doc_id, p.phrase,
+               CAST(s.score AS BIGINT) AS score
+        FROM ph p JOIN psc s ON s.doc_id = p.doc_id AND s.run = p.run),
+rk AS (SELECT doc_id, phrase, score,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, phrase) AS r
+       FROM phx)
+SELECT doc_id, phrase, score FROM rk WHERE r <= 3
+""",
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8479,6 +8532,7 @@ QUERIES = {
     "trustrank": q_trustrank,
     "dust_params": q_dust_params,
     "shingle_novelty": q_shingle_novelty,
+    "rake_keywords": q_rake_keywords,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,

@@ -912,3 +912,77 @@ def char_entropy_batch(batch: pa.Table, *, text_col: str = "text",
     return pa.table({id_col: pa.array(ids, pa.int64()),
                      "n_chars": pa.array(ns, pa.int64()),
                      "entropy_1e6": pa.array(ent, pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010)
+# --------------------------------------------------------------------------
+
+RAKE_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in",
+                  "for", "is", "on", "with", "as", "by", "at")
+
+
+def rake_keywords_batch(batch: pa.Table, *, text_col: str = "text",
+                        id_col: str = "doc_id", top_k: int = 3,
+                        scale: int = 1000,
+                        stopwords: tuple = RAKE_STOPWORDS) -> pa.Table:
+    """Per-document RAKE keyword extraction — top-``top_k`` candidate
+    phrases by the degree/frequency word score (Rose et al. 2010,
+    "Automatic keyword extraction from individual documents").
+
+    Candidate phrases are maximal runs of non-stopword tokens
+    (lowercased ``\\w+``); for each word, ``freq`` counts its
+    occurrences in phrases and ``deg`` sums the lengths of the phrases
+    each occurrence sits in (co-occurrence degree including self); a
+    phrase scores the sum over its tokens (with multiplicity) of
+    ``deg * scale DIV freq`` — the floor-per-word integer form of
+    RAKE's deg/freq, deterministic under any order and exactly
+    expressible in SQL. Duplicate phrases within a doc dedup before
+    ranking; ties break by phrase text ascending.
+
+    Entirely per-document: zero shuffle, one vectorized polars pass
+    per block — the map side of a keyword index, not an exchange.
+    """
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    sch = pa.schema([(id_col, pa.int64()), ("phrase", pa.string()),
+                     ("score", pa.int64())])
+    if batch.num_rows == 0:
+        return sch.empty_table()
+    df = pl.DataFrame({
+        "doc": pl.from_arrow(batch[id_col].combine_chunks()),
+        "t": pl.from_arrow(batch[text_col].combine_chunks()),
+    }).with_columns(
+        w=pl.col("t").cast(pl.String).fill_null("")
+        .str.to_lowercase().str.extract_all(r"\w+")).drop("t")
+    tok = (df.explode("w").drop_nulls("w")
+           .with_columns(stop=pl.col("w").is_in(list(stopwords)))
+           .with_columns(run=pl.col("stop").cast(pl.Int64)
+                         .cum_sum().over("doc")))
+    nt = tok.filter(~pl.col("stop"))
+    if not nt.height:
+        return sch.empty_table()
+    ph = (nt.group_by("doc", "run", maintain_order=True)
+          .agg(phrase=pl.col("w").str.join(" "),
+               plen=pl.len().cast(pl.Int64)))
+    nt2 = nt.join(ph.select("doc", "run", "plen"), on=["doc", "run"])
+    ws = (nt2.group_by("doc", "w")
+          .agg(freq=pl.len().cast(pl.Int64),
+               deg=pl.col("plen").sum()))
+    nt3 = (nt2.join(ws, on=["doc", "w"])
+           .with_columns(wscore=(pl.col("deg") * scale)
+                         // pl.col("freq")))
+    psc = (nt3.group_by("doc", "run")
+           .agg(score=pl.col("wscore").sum()))
+    phx = (ph.join(psc, on=["doc", "run"])
+           .select("doc", "phrase", "score").unique())
+    top = (phx.sort(["doc", "score", "phrase"],
+                    descending=[False, True, False])
+           .with_columns(rk=pl.int_range(0, pl.len()).over("doc"))
+           .filter(pl.col("rk") < top_k)
+           .drop("rk"))
+    out = top.rename({"doc": id_col}).to_arrow()
+    return out.cast(sch)

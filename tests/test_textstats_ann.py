@@ -568,3 +568,37 @@ def test_char_entropy_exact_values():
     assert got[1] == (4, 0)
     assert got[2][1] == int(math.floor(2 * math.log(2) * 1e6 + .5)
                             * 2 // 4)
+
+
+def test_rake_keywords_hand_computed():
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.textstats import rake_keywords_batch
+
+    # doc 1: "deep learning of deep networks" ->
+    #   phrases: ["deep learning", "deep networks"]
+    #   freq: deep=2, learning=1, networks=1
+    #   deg:  deep=2+2=4, learning=2, networks=2
+    #   wscore(1000): deep=2000, learning=2000, networks=2000
+    #   both phrases score 4000; tie -> phrase ASC
+    t = rake_keywords_batch(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["deep learning of deep networks"], pa.string()),
+    }), top_k=1)
+    assert t.to_pylist() == [
+        {"doc_id": 1, "phrase": "deep learning", "score": 4000}]
+
+    # all-stopword and empty docs emit nothing
+    t2 = rake_keywords_batch(pa.table({
+        "doc_id": pa.array([2, 3], pa.int64()),
+        "text": pa.array(["the of and", ""], pa.string())}))
+    assert t2.num_rows == 0
+
+    # duplicate phrase dedups; singleton run scores len*1000
+    t3 = rake_keywords_batch(pa.table({
+        "doc_id": pa.array([4], pa.int64()),
+        "text": pa.array(["alpha the alpha the beta"], pa.string())}))
+    rows = {r["phrase"]: r["score"] for r in t3.to_pylist()}
+    # alpha: freq=2, deg=1+1=2 -> wscore=1000, phrase "alpha" = 1000
+    # beta: freq=1, deg=1 -> 1000
+    assert rows == {"alpha": 1000, "beta": 1000}
