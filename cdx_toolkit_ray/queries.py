@@ -4391,6 +4391,23 @@ def q_trustrank(sf_dir: str):
     return trust_rank(extract_links(pages), iterations=3)
 
 
+def q_aimd_throttle(sf_dir: str):
+    """AIMD per-host politeness adaptation (Chiu & Jain 1989 control
+    rule, the adaptive generalization of the reference's fixed
+    intervals + doubling backoff, myrequests.py:28-31,94-117): replay
+    the first 200 outcomes per host of crawl CC-MAIN-2023-50 in
+    (timestamp, urlkey) order — 2xx/3xx speeds the host up 100 ms
+    (floor 100), anything else doubles the interval (cap 60 s).
+    Oracle: the identical recurrence as a recursive SQL CTE."""
+    from .stages.hosts import aimd_throttle
+
+    root = _fixture_root(sf_dir)
+    caps = ray.data.read_parquet(
+        root + "/captures/crawl=CC-MAIN-2023-50",
+        columns=["url", "status", "timestamp", "urlkey"])
+    return aimd_throttle(caps, cap=200)
+
+
 def q_rake_keywords(sf_dir: str):
     """RAKE keyword extraction (Rose et al. 2010): top-3 candidate
     phrases per document by the integer degree/frequency score —
@@ -7251,6 +7268,42 @@ rk AS (SELECT doc_id, phrase, score,
        FROM phx)
 SELECT doc_id, phrase, score FROM rk WHERE r <= 3
 """,
+    # AIMD throttle: identical classification, per-host (timestamp,
+    # urlkey) ordering, 200-event cap, and the exact integer
+    # recurrence unrolled via a recursive CTE.
+    "aimd_throttle": r"""
+WITH RECURSIVE ev AS (
+  SELECT regexp_extract(url, '://([^/]+)', 1) AS host,
+         timestamp, urlkey, status
+  FROM read_parquet('%s/captures/crawl=CC-MAIN-2023-50/*.parquet')
+  WHERE regexp_extract(url, '://([^/]+)', 1) <> ''),
+ordered AS (
+  SELECT host, status,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY timestamp, urlkey) AS i
+  FROM ev),
+capped AS (
+  SELECT host, i,
+         CASE WHEN status LIKE '2%%' OR status LIKE '3%%'
+              THEN 0 ELSE 1 END AS c
+  FROM ordered WHERE i <= 200),
+steps AS (
+  SELECT host, CAST(0 AS BIGINT) AS i, CAST(1000 AS BIGINT) AS itv
+  FROM (SELECT DISTINCT host FROM capped)
+  UNION ALL
+  SELECT s.host, s.i + 1,
+         CASE WHEN c.c = 0 THEN GREATEST(100, s.itv - 100)
+              ELSE LEAST(60000, s.itv * 2) END
+  FROM steps s JOIN capped c ON c.host = s.host AND c.i = s.i + 1),
+agg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(1 - c) AS BIGINT) AS n_ok,
+         CAST(SUM(c) AS BIGINT) AS n_backoff
+  FROM capped GROUP BY host)
+SELECT a.host, a.n_events, a.n_ok, a.n_backoff,
+       CAST(s.itv AS BIGINT) AS final_interval_ms
+FROM agg a JOIN steps s ON s.host = a.host AND s.i = a.n_events
+""" % _FIXTURE_LINK,
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8533,6 +8586,7 @@ QUERIES = {
     "dust_params": q_dust_params,
     "shingle_novelty": q_shingle_novelty,
     "rake_keywords": q_rake_keywords,
+    "aimd_throttle": q_aimd_throttle,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,

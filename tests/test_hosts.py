@@ -156,3 +156,64 @@ def test_blocklist_exact_beyond_int64(ray_session):
     assert bool(out.loc["tiny", "blocked"])
     # true micro-mean exceeds int64 -> saturates; verdict stays exact
     assert out.loc["giant", "mean_1e6"] == (1 << 63) - 1
+
+
+def test_aimd_throttle_hand_trace_and_cap():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.hosts import aimd_throttle
+
+    # h.example trace (ts order): ok, ok, err, ok  ->
+    #   1000 -> 900 -> 800 -> 1600 -> 1500
+    rows = [
+        ("http://h.example/a", "200", "20230101000001", "k1"),
+        ("http://h.example/b", "301", "20230101000002", "k2"),
+        ("http://h.example/c", "404", "20230101000003", "k3"),
+        ("http://h.example/d", "200", "20230101000004", "k4"),
+        # floor: err-heavy host saturates at 60000
+        ("http://e.example/a", "-", "20230101000001", "k1"),
+        ("http://e.example/b", "-", "20230101000002", "k2"),
+        ("http://e.example/c", "-", "20230101000003", "k3"),
+        ("http://e.example/d", "-", "20230101000004", "k4"),
+        ("http://e.example/e", "-", "20230101000005", "k5"),
+        ("http://e.example/f", "-", "20230101000006", "k6"),
+        ("http://e.example/g", "-", "20230101000007", "k7"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "status": pa.array([r[1] for r in rows], pa.string()),
+        "timestamp": pa.array([r[2] for r in rows], pa.string()),
+        "urlkey": pa.array([r[3] for r in rows], pa.string())}))
+    df = aimd_throttle(ds, num_buckets=4).to_pandas()
+    got = {r.host: r for r in df.itertuples()}
+    h = got["h.example"]
+    assert (h.n_events, h.n_ok, h.n_backoff,
+            h.final_interval_ms) == (4, 3, 1, 1500)
+    e = got["e.example"]
+    # 1000 *2^6 = 64000 -> capped at 60000 on the 7th doubling
+    assert (e.n_events, e.n_backoff, e.final_interval_ms) == (7, 7, 60000)
+
+    # cap: only the first 2 events replay
+    df2 = aimd_throttle(ds, cap=2, num_buckets=2).to_pandas()
+    g2 = {r.host: r for r in df2.itertuples()}
+    assert g2["h.example"].n_events == 2
+    assert g2["h.example"].final_interval_ms == 800
+
+
+def test_aimd_throttle_min_floor():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.hosts import aimd_throttle
+
+    rows = [("http://f.example/%d" % i, "200",
+             "202301010000%02d" % i, "k%02d" % i) for i in range(12)]
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "status": pa.array([r[1] for r in rows], pa.string()),
+        "timestamp": pa.array([r[2] for r in rows], pa.string()),
+        "urlkey": pa.array([r[3] for r in rows], pa.string())}))
+    df = aimd_throttle(ds, num_buckets=2).to_pandas()
+    # 1000 - 12*100 would be -200; floors at 100
+    assert df.iloc[0].final_interval_ms == 100
