@@ -4391,6 +4391,20 @@ def q_trustrank(sf_dir: str):
     return trust_rank(extract_links(pages), iterations=3)
 
 
+def q_kcore(sf_dir: str):
+    """k-core peeling (Seidman 1983 / Matula-Beck) over the
+    undirected fixture link graph: 3 unrolled delete-degree<2 rounds
+    — the graph-density crawl signal complementing triangles (dense
+    cores survive, weakly-attached spam tails peel away). Fixed
+    rounds keep the recurrence exactly SQL-unrollable."""
+    from .stages.links import extract_links, kcore_peel
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return kcore_peel(extract_links(pages), k=2, rounds=3)
+
+
 def q_aimd_throttle(sf_dir: str):
     """AIMD per-host politeness adaptation (Chiu & Jain 1989 control
     rule, the adaptive generalization of the reference's fixed
@@ -7304,6 +7318,38 @@ SELECT a.host, a.n_events, a.n_ok, a.n_backoff,
        CAST(s.itv AS BIGINT) AS final_interval_ms
 FROM agg a JOIN steps s ON s.host = a.host AND s.i = a.n_events
 """ % _FIXTURE_LINK,
+    # k-core: same href/resolution CTEs as link_rank; symmetrized
+    # distinct edges without self-loops; 3 unrolled peel rounds
+    # (alive' = alive AND alive-neighbor-count >= 2).
+    "kcore": r"""
+WITH hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s/pages.parquet')),
+rawlinks AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs WHERE dst_url IS NOT NULL),
+e AS (SELECT DISTINCT src, dst FROM (
+        SELECT src_url AS src, dst_url AS dst FROM rawlinks
+        UNION ALL
+        SELECT dst_url AS src, src_url AS dst FROM rawlinks)
+      WHERE src <> dst),
+nodes AS (SELECT DISTINCT src AS url FROM e),
+a1 AS (SELECT dst AS url FROM e GROUP BY dst HAVING COUNT(*) >= 2),
+a2 AS (SELECT e.dst AS url FROM e
+       JOIN a1 s ON e.src = s.url JOIN a1 v ON e.dst = v.url
+       GROUP BY e.dst HAVING COUNT(*) >= 2),
+a3 AS (SELECT e.dst AS url FROM e
+       JOIN a2 s ON e.src = s.url JOIN a2 v ON e.dst = v.url
+       GROUP BY e.dst HAVING COUNT(*) >= 2)
+SELECT n.url, (n.url IN (SELECT url FROM a3)) AS in_core
+FROM nodes n
+""" % _FIXTURE_LINK,
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8587,6 +8633,7 @@ QUERIES = {
     "shingle_novelty": q_shingle_novelty,
     "rake_keywords": q_rake_keywords,
     "aimd_throttle": q_aimd_throttle,
+    "kcore": q_kcore,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,

@@ -747,3 +747,50 @@ def test_trust_rank_zero_iterations_is_seed_indicator():
     df = trust_rank(links, iterations=0).to_pandas()
     assert dict(zip(df["url"], df["trust"])) == {
         "s/": 1_000_000, "a": 0, "b": 0}
+
+
+def test_kcore_peel_triangle_plus_tail():
+    from cdx_toolkit_ray.stages.links import kcore_peel
+
+    # triangle a-b-c (2-core) with a tail c-d-e that peels away;
+    # parallel/self edges exercise the dedup + self-loop drop
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+             ("d", "e"), ("a", "b"), ("e", "e")]
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([e[0] for e in edges], pa.string()),
+        "dst_url": pa.array([e[1] for e in edges], pa.string())}))
+    df = kcore_peel(links, k=2, rounds=3, num_buckets=4).to_pandas()
+    got = dict(zip(df["url"], df["in_core"]))
+    assert got == {"a": True, "b": True, "c": True,
+                   "d": False, "e": False}
+
+
+def test_kcore_peel_needs_enough_rounds():
+    from cdx_toolkit_ray.stages.links import kcore_peel
+
+    # chain hanging off a triangle: each round peels one chain node
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("c", "x1"), ("x1", "x2"), ("x2", "x3")]
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([e[0] for e in edges], pa.string()),
+        "dst_url": pa.array([e[1] for e in edges], pa.string())}))
+    one = kcore_peel(links, k=2, rounds=1, num_buckets=2).to_pandas()
+    got1 = dict(zip(one["url"], one["in_core"]))
+    # round 1 peels only the degree-1 leaf x3
+    assert got1["x3"] is False or got1["x3"] == False  # noqa: E712
+    assert got1["x2"]
+    full = kcore_peel(links, k=2, rounds=3, num_buckets=2).to_pandas()
+    gotf = dict(zip(full["url"], full["in_core"]))
+    assert gotf == {"a": True, "b": True, "c": True,
+                    "x1": False, "x2": False, "x3": False}
+
+
+def test_kcore_zero_rounds_all_alive():
+    from cdx_toolkit_ray.stages.links import kcore_peel
+
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array(["a"], pa.string()),
+        "dst_url": pa.array(["b"], pa.string())}))
+    df = kcore_peel(links, k=2, rounds=0).to_pandas()
+    assert set(df["url"]) == {"a", "b"}
+    assert df["in_core"].all()
