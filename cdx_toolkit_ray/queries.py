@@ -4391,6 +4391,23 @@ def q_trustrank(sf_dir: str):
     return trust_rank(extract_links(pages), iterations=3)
 
 
+def q_status_transitions(sf_dir: str):
+    """HTTP status transition matrix between crawls CC-MAIN-2023-14
+    and CC-MAIN-2023-50: latest status per urlkey per crawl (ts,
+    digest, status lexicographic-max rule), absent side = 'absent',
+    rolled up to (status_from, status_to, n_urlkeys) — link-rot /
+    discovery ops dashboard behind recrawl policy."""
+    from .stages.recrawl import status_transitions
+
+    root = _fixture_root(sf_dir)
+    cols = ["urlkey", "timestamp", "digest", "status"]
+    a = ray.data.read_parquet(root + "/captures/crawl=CC-MAIN-2023-14",
+                              columns=cols)
+    b = ray.data.read_parquet(root + "/captures/crawl=CC-MAIN-2023-50",
+                              columns=cols)
+    return status_transitions(a, b)
+
+
 def q_kcore(sf_dir: str):
     """k-core peeling (Seidman 1983 / Matula-Beck) over the
     undirected fixture link graph: 3 unrolled delete-degree<2 rounds
@@ -7350,6 +7367,28 @@ a3 AS (SELECT e.dst AS url FROM e
 SELECT n.url, (n.url IN (SELECT url FROM a3)) AS in_core
 FROM nodes n
 """ % _FIXTURE_LINK,
+    # Status transitions: latest row per urlkey per crawl (ts DESC,
+    # digest DESC, status DESC), FULL OUTER JOIN, absent label, count.
+    "status_transitions": r"""
+WITH la AS (SELECT urlkey, status FROM (
+    SELECT urlkey, status,
+           ROW_NUMBER() OVER (PARTITION BY urlkey
+               ORDER BY timestamp DESC, digest DESC, status DESC) AS r
+    FROM read_parquet('%s/captures/crawl=CC-MAIN-2023-14/*.parquet'))
+  WHERE r = 1),
+lb AS (SELECT urlkey, status FROM (
+    SELECT urlkey, status,
+           ROW_NUMBER() OVER (PARTITION BY urlkey
+               ORDER BY timestamp DESC, digest DESC, status DESC) AS r
+    FROM read_parquet('%s/captures/crawl=CC-MAIN-2023-50/*.parquet'))
+  WHERE r = 1),
+j AS (SELECT COALESCE(a.status, 'absent') AS status_from,
+             COALESCE(b.status, 'absent') AS status_to
+      FROM la a FULL OUTER JOIN lb b USING (urlkey))
+SELECT status_from, status_to,
+       CAST(COUNT(*) AS BIGINT) AS n_urlkeys
+FROM j GROUP BY status_from, status_to
+""" % (_FIXTURE_LINK, _FIXTURE_LINK),
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8634,6 +8673,7 @@ QUERIES = {
     "rake_keywords": q_rake_keywords,
     "aimd_throttle": q_aimd_throttle,
     "kcore": q_kcore,
+    "status_transitions": q_status_transitions,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,

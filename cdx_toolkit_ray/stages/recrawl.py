@@ -927,3 +927,104 @@ def cache_freshness_batch(batch: pa.Table, *,
         [(f.name, pa.string() if (f.name, pa.string()) in want
           else f.type) for f in t.schema])
     return t.cast(schema)
+
+
+def status_transitions(a: ray.data.Dataset, b: ray.data.Dataset, *,
+                       key_col: str = "urlkey",
+                       ts_col: str = "timestamp",
+                       digest_col: str = "digest",
+                       status_col: str = "status",
+                       num_buckets: int = 32) -> ray.data.Dataset:
+    """HTTP status transition matrix between two crawls — for each
+    urlkey, the latest status in crawl ``a`` vs crawl ``b`` (absent
+    side labeled ``'absent'``), rolled up to ``(status_from,
+    status_to, n_urlkeys)`` counts. The Markov-style ops dashboard
+    behind recrawl policy: a fat ``200 -> 404`` cell is link rot, a
+    fat ``404 -> 200`` cell is premature pruning, ``absent -> 2xx``
+    measures discovery.
+
+    Latest = max ``(ts, digest, status)`` lexicographic (the
+    crawl_delta rule plus a status tie-break so the carried status is
+    deterministic). Per-block latest-fold BEFORE the key exchange;
+    the merge kernel emits per-bucket partial matrix counts, so the
+    second exchange carries only O(status²) rows.
+    """
+    from .. import canon
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+
+    def partial(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            sch = pa.schema([("_kb", pa.int64()), ("key", pa.string()),
+                             ("side", pa.int8()), ("ts", pa.string()),
+                             ("dig", pa.string()), ("st", pa.string())])
+            if batch.num_rows == 0:
+                return sch.empty_table()
+            k = batch[key_col].to_numpy(zero_copy_only=False)
+            ts = batch[ts_col].to_numpy(zero_copy_only=False)
+            dg = batch[digest_col].to_numpy(zero_copy_only=False)
+            st = batch[status_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((st, dg, ts, k))
+            k, ts, dg, st = k[order], ts[order], dg[order], st[order]
+            last = np.ones(len(k), bool)
+            last[:-1] = k[1:] != k[:-1]
+            li = np.flatnonzero(last)
+            key = pa.array(k[li], pa.string())
+            kb = (canon.hash64_batch(key) % nbu).astype(np.int64)
+            return pa.table({
+                "_kb": pa.array(kb, pa.int64()),
+                "key": key,
+                "side": pa.array(np.full(len(li), side, np.int8)),
+                "ts": pa.array(ts[li], pa.string()),
+                "dig": pa.array(dg[li], pa.string()),
+                "st": pa.array(st[li], pa.string()),
+            })
+        return fn
+
+    def compare(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
+        sch = pa.schema([("_mb", pa.int64()),
+                         ("status_from", pa.string()),
+                         ("status_to", pa.string()),
+                         ("n", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        df = (pl.from_arrow(tbl)
+              .sort(["key", "side", "ts", "dig", "st"])
+              .group_by("key", "side", maintain_order=True)
+              .agg(st=pl.col("st").last()))
+        wide = df.pivot(on="side", index="key", values="st")
+        for c in ("0", "1"):
+            if c not in wide.columns:
+                wide = wide.with_columns(
+                    pl.lit(None, pl.String).alias(c))
+        mat = (wide.with_columns(
+            status_from=pl.col("0").fill_null("absent"),
+            status_to=pl.col("1").fill_null("absent"))
+            .group_by("status_from", "status_to")
+            .agg(n=pl.len().cast(pl.Int64)))
+        t = mat.to_arrow()
+        key = (mat["status_from"] + "\x00" + mat["status_to"]).to_arrow()
+        h = canon.hash64_batch(key)
+        return t.append_column(
+            "_mb", pa.array((h % np.uint64(4)).astype(np.int64),
+                            pa.int64())).select(
+            ["_mb", "status_from", "status_to", "n"])
+
+    def rollup(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
+        agg = (pl.from_arrow(tbl)
+               .group_by("status_from", "status_to")
+               .agg(n_urlkeys=pl.col("n").sum()))
+        return agg.to_arrow()
+
+    keyed = (a.map_batches(partial(0), batch_format="pyarrow",
+                           batch_size=None)
+             .union(b.map_batches(partial(1), batch_format="pyarrow",
+                                  batch_size=None)))
+    parts = hash_bucket_apply(keyed, "_kb", compare,
+                              num_buckets=num_buckets)
+    return hash_bucket_apply(parts, "_mb", rollup, num_buckets=4)

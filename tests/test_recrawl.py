@@ -475,3 +475,30 @@ def test_cache_freshness_truth_table():
         assert gd == (F + fresh <= F + 60_000), cc
     assert out["expires_at_ms"].to_pylist() == \
         [F + r[4] for r in rows]
+
+
+def test_status_transitions_matrix():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.recrawl import status_transitions
+
+    def t(rows):
+        return ray.data.from_arrow(pa.table({
+            "urlkey": pa.array([r[0] for r in rows], pa.string()),
+            "timestamp": pa.array([r[1] for r in rows], pa.string()),
+            "digest": pa.array([r[2] for r in rows], pa.string()),
+            "status": pa.array([r[3] for r in rows], pa.string())}))
+
+    # k1: latest in A is 200 (ts tie broken by digest), becomes 404
+    # k2: only in A (gone); k3: only in B (discovered)
+    a = t([("k1", "20230101000000", "d1", "301"),
+           ("k1", "20230102000000", "d2", "200"),
+           ("k2", "20230101000000", "d3", "200")])
+    b = t([("k1", "20230601000000", "d4", "404"),
+           ("k3", "20230601000000", "d5", "200")])
+    df = status_transitions(a, b, num_buckets=4).to_pandas()
+    got = {(r.status_from, r.status_to): r.n_urlkeys
+           for r in df.itertuples()}
+    assert got == {("200", "404"): 1, ("200", "absent"): 1,
+                   ("absent", "200"): 1}
