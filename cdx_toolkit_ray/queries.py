@@ -4391,6 +4391,20 @@ def q_trustrank(sf_dir: str):
     return trust_rank(extract_links(pages), iterations=3)
 
 
+def q_url_templates(sf_dir: str):
+    """URL template mining over all crawl partitions: digit runs in
+    the path collapse to <n>, query reduces to sorted param keys;
+    per (host, template): capture rows, distinct urls, distinct
+    digests — the crawl-trap / URL-space budgeting map (many urls +
+    few digests = trap)."""
+    from .stages.urlfeat import url_templates
+
+    root = _fixture_root(sf_dir)
+    caps = ray.data.read_parquet(root + "/captures",
+                                 columns=["url", "digest"])
+    return url_templates(caps)
+
+
 def q_status_transitions(sf_dir: str):
     """HTTP status transition matrix between crawls CC-MAIN-2023-14
     and CC-MAIN-2023-50: latest status per urlkey per crawl (ts,
@@ -7389,6 +7403,32 @@ SELECT status_from, status_to,
        CAST(COUNT(*) AS BIGINT) AS n_urlkeys
 FROM j GROUP BY status_from, status_to
 """ % (_FIXTURE_LINK, _FIXTURE_LINK),
+    # URL templates: identical digit-collapse + sorted-param-key
+    # reduction, per-(host, template) rollup.
+    "url_templates": r"""
+WITH c AS (SELECT url, digest
+           FROM read_parquet('%s/captures/**/*.parquet')),
+p AS (SELECT url, digest,
+        regexp_extract(url, '^[a-z][a-z0-9+.\-]*://([^/?#]+)', 1)
+          AS host,
+        regexp_replace(regexp_extract(url,
+          '^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)', 1),
+          '\d+', '<n>', 'g') AS tpath,
+        regexp_extract(url, '\?([^#]*)', 1) AS qs
+      FROM c),
+q AS (SELECT url, digest, host,
+        tpath || CASE WHEN qs <> ''
+          THEN '?' || array_to_string(list_sort(list_transform(
+               string_split(qs, '&'),
+               x -> regexp_extract(x, '^([^=]*)', 1))), '&')
+          ELSE '' END AS template
+      FROM p WHERE host <> '')
+SELECT host, template,
+       CAST(COUNT(*) AS BIGINT) AS n_captures,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_digests
+FROM q GROUP BY host, template
+""" % _FIXTURE_LINK,
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8674,6 +8714,7 @@ QUERIES = {
     "aimd_throttle": q_aimd_throttle,
     "kcore": q_kcore,
     "status_transitions": q_status_transitions,
+    "url_templates": q_url_templates,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,

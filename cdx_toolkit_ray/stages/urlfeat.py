@@ -359,3 +359,74 @@ def registrable_domain_batch(batch: pa.Table, *,
                                    pl.col("h")))["d"]
            .to_arrow().cast(pa.string()))
     return batch.append_column(out_col, dom)
+
+
+def url_templates(ds: ray.data.Dataset, *, url_col: str = "url",
+                  digest_col: str = "digest",
+                  num_buckets: int = 32) -> ray.data.Dataset:
+    """URL template mining — collapse every digit run in the path to
+    ``<n>`` and the query string to its sorted parameter keys, then
+    profile each ``(host, template)`` class: ``(n_captures, n_urls,
+    n_digests)``. The URL-space map a crawler budgets from: a
+    template with millions of distinct urls but a handful of digests
+    is a crawl trap (calendars, session mirrors); one url-per-digest
+    templates are real content (the generalization step of DUST-style
+    rule mining over path structure instead of parameters).
+
+    Per block: one vectorized polars parse + fold to distinct
+    ``(host, template, url, digest)`` rows with capture counts — the
+    exchange then carries one row per distinct url per block, keyed
+    by ``hash64(host\\x00template)``.
+    """
+    import polars as pl
+
+    from ..canon import hash64_batch
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("_b", pa.int64()), ("host", pa.string()),
+                         ("template", pa.string()), ("url", pa.string()),
+                         ("digest", pa.string()), ("n", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        df = pl.from_arrow(batch.select([url_col, digest_col])).rename(
+            {url_col: "url", digest_col: "digest"})
+        df = df.with_columns(
+            host=pl.col("url").str.extract(
+                r"^[a-z][a-z0-9+.\-]*://([^/?#]+)", 1),
+            tpath=pl.col("url").str.extract(
+                r"^[a-z][a-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+            .str.replace_all(r"\d+", "<n>"),
+            qs=pl.col("url").str.extract(r"\?([^#]*)", 1),
+        ).filter(pl.col("host").is_not_null() & (pl.col("host") != ""))
+        if not df.height:
+            return sch.empty_table()
+        df = df.with_columns(
+            template=pl.col("tpath")
+            + pl.when(pl.col("qs").is_not_null() & (pl.col("qs") != ""))
+            .then("?" + pl.col("qs").str.split("&")
+                  .list.eval(pl.element().str.extract(r"^([^=]*)", 1))
+                  .list.sort().list.join("&"))
+            .otherwise(pl.lit("")))
+        part = (df.group_by("host", "template", "url", "digest")
+                .agg(n=pl.len().cast(pl.Int64)))
+        t = part.to_arrow()
+        key = (part["host"] + "\x00" + part["template"]).to_arrow()
+        h = hash64_batch(key)
+        return t.append_column(
+            "_b", pa.array((h % nbu).astype(np.int64), pa.int64())
+        ).select(["_b", "host", "template", "url", "digest", "n"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        agg = (pl.from_arrow(t)
+               .group_by("host", "template")
+               .agg(n_captures=pl.col("n").sum(),
+                    n_urls=pl.col("url").n_unique().cast(pl.Int64),
+                    n_digests=pl.col("digest").n_unique()
+                    .cast(pl.Int64)))
+        return agg.to_arrow()
+
+    rows = ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+    return hash_bucket_apply(rows, "_b", merge, num_buckets=num_buckets)

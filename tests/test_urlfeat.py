@@ -209,3 +209,34 @@ def test_registrable_domain_rules():
     assert out == [c[1] for c in cases]
     empty = b.slice(0, 0)
     assert registrable_domain_batch(empty).num_rows == 0
+
+
+def test_url_templates_collapse_and_counts():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.urlfeat import url_templates
+
+    rows = [
+        # calendar trap: 3 urls, 1 digest, one template
+        ("http://t.example/cal/2023/01", "d0"),
+        ("http://t.example/cal/2023/02", "d0"),
+        ("http://t.example/cal/2024/12", "d0"),
+        # real content: distinct digests
+        ("http://t.example/post/7", "d1"),
+        ("http://t.example/post/8", "d2"),
+        # query params reduce to sorted keys; values collapse
+        ("http://t.example/item?b=2&a=1", "d3"),
+        ("http://t.example/item?a=9&b=8", "d3"),
+        # duplicate capture of the same url counts twice in n_captures
+        ("http://t.example/post/7", "d1"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "digest": pa.array([r[1] for r in rows], pa.string())}))
+    df = url_templates(ds, num_buckets=4).to_pandas()
+    got = {r.template: (r.n_captures, r.n_urls, r.n_digests)
+           for r in df.itertuples()}
+    assert got["/cal/<n>/<n>"] == (3, 3, 1)
+    assert got["/post/<n>"] == (3, 2, 2)
+    assert got["/item?a&b"] == (2, 2, 1)
