@@ -4391,6 +4391,20 @@ def q_trustrank(sf_dir: str):
     return trust_rank(extract_links(pages), iterations=3)
 
 
+def q_host_similarity(sf_dir: str):
+    """Host content-profile similarity (mirror/template-farm
+    detection): each host reduces to its top-20 terms by count (ties
+    by term), host pairs sharing >= 5 profile terms surface with the
+    shared count — Broder resemblance lifted to hosts. Wire traffic
+    after the per-block fold is O(hosts * 20)."""
+    from .stages.hosts import host_term_similarity
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return host_term_similarity(pages, top_m=20, min_shared=5)
+
+
 def q_url_templates(sf_dir: str):
     """URL template mining over all crawl partitions: digit runs in
     the path collapse to <n>, query reduces to sorted param keys;
@@ -7429,6 +7443,31 @@ SELECT host, template,
        CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_digests
 FROM q GROUP BY host, template
 """ % _FIXTURE_LINK,
+    # Host similarity: identical tokenization, top-20 profile with
+    # (n DESC, term) ranking, fanout cap, pair counting.
+    "host_similarity": r"""
+WITH src AS (
+  SELECT regexp_extract(url, '://([^/?#]+)', 1) AS host,
+         lower(text) AS t
+  FROM read_parquet('%s/pages.parquet')
+  WHERE regexp_extract(url, '://([^/?#]+)', 1) <> ''),
+tok AS (SELECT host, unnest(regexp_extract_all(t, '\w+')) AS term
+        FROM src),
+cnt AS (SELECT host, term, COUNT(*) AS n FROM tok
+        GROUP BY host, term),
+prof AS (SELECT host, term FROM (
+    SELECT host, term,
+           ROW_NUMBER() OVER (PARTITION BY host
+                              ORDER BY n DESC, term) AS r
+    FROM cnt) WHERE r <= 20),
+fan AS (SELECT term FROM prof GROUP BY term
+        HAVING COUNT(*) <= 256),
+pr AS (SELECT a.host AS host_a, b.host AS host_b
+       FROM prof a JOIN prof b USING (term) JOIN fan USING (term)
+       WHERE a.host < b.host)
+SELECT host_a, host_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pr GROUP BY host_a, host_b HAVING COUNT(*) >= 5
+""" % _FIXTURE_LINK,
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8715,6 +8754,7 @@ QUERIES = {
     "kcore": q_kcore,
     "status_transitions": q_status_transitions,
     "url_templates": q_url_templates,
+    "host_similarity": q_host_similarity,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,

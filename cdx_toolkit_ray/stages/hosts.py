@@ -313,3 +313,117 @@ def aimd_throttle(ds: ray.data.Dataset, *, url_col: str = "url",
                            batch_size=None)
     return hash_bucket_apply(keyed, "_b", replay,
                              num_buckets=num_buckets)
+
+
+def host_term_similarity(ds: ray.data.Dataset, *,
+                         url_col: str = "url", text_col: str = "text",
+                         top_m: int = 20, min_shared: int = 5,
+                         max_hosts_per_term: int = 256,
+                         num_buckets: int = 32) -> ray.data.Dataset:
+    """Host-level content-profile similarity — mirror / template-farm
+    detection: each host reduces to its ``top_m`` terms by token
+    count (ties by term text), then host pairs sharing >=
+    ``min_shared`` profile terms surface with the shared count
+    (Broder-style resemblance lifted from documents to hosts; the
+    signal a crawler uses to collapse mirrors before spending fetch
+    budget on both).
+
+    Dataflow: per block, (host, term, count) partials fold before any
+    exchange (text never shuffles); one host-bucket exchange sums
+    counts and prunes to the top-``m`` profile; one term-bucket
+    exchange emits each term's host pairs (terms touching more than
+    ``max_hosts_per_term`` hosts are dropped loudly as template
+    boilerplate — the LSH-band guard) and a final pair-bucket rollup
+    counts shared terms. Wire traffic after the first fold is
+    O(hosts * m).
+    """
+    import polars as pl
+
+    from ..canon import hash64_batch
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+
+    def term_partials(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("_hb", pa.int64()), ("host", pa.string()),
+                         ("term", pa.string()), ("n", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        df = pl.from_arrow(batch.select([url_col, text_col])).rename(
+            {url_col: "url", text_col: "t"})
+        df = df.with_columns(
+            host=pl.col("url").str.extract(r"://([^/?#]+)", 1),
+            w=pl.col("t").cast(pl.String).fill_null("")
+            .str.to_lowercase().str.extract_all(r"\w+"),
+        ).filter(pl.col("host").is_not_null() & (pl.col("host") != ""))
+        part = (df.select("host", "w").explode("w").drop_nulls("w")
+                .group_by("host", "w")
+                .agg(n=pl.len().cast(pl.Int64))
+                .rename({"w": "term"}))
+        if not part.height:
+            return sch.empty_table()
+        t = part.to_arrow()
+        h = hash64_batch(t["host"].combine_chunks())
+        return t.append_column(
+            "_hb", pa.array((h % nbu).astype(np.int64), pa.int64())
+        ).select(["_hb", "host", "term", "n"])
+
+    def top_profile(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t)
+              .group_by("host", "term")
+              .agg(n=pl.col("n").sum())
+              .sort(["host", "n", "term"],
+                    descending=[False, True, False])
+              .with_columns(rk=pl.int_range(0, pl.len()).over("host"))
+              .filter(pl.col("rk") < top_m)
+              .select("host", "term"))
+        out = df.to_arrow()
+        h = hash64_batch(out["term"].combine_chunks())
+        return out.append_column(
+            "_tb", pa.array((h % nbu).astype(np.int64), pa.int64()))
+
+    def pair_emit(t: pa.Table) -> pa.Table:
+        import logging
+
+        df = pl.from_arrow(t)
+        fan = (df.group_by("term").agg(k=pl.len())
+               .filter(pl.col("k") <= max_hosts_per_term))
+        dropped = df.select("term").unique().height - fan.height
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "host_term_similarity: %d terms over the "
+                "%d-hosts-per-term fanout cap dropped as boilerplate",
+                dropped, max_hosts_per_term)
+        kept = df.join(fan.select("term"), on="term")
+        pairs = (kept.join(kept.rename({"host": "host_b"}), on="term")
+                 .filter(pl.col("host") < pl.col("host_b"))
+                 .group_by("host", "host_b")
+                 .agg(n=pl.len().cast(pl.Int64))
+                 .rename({"host": "host_a"}))
+        if not pairs.height:
+            return pa.table({"_pb": pa.array([], pa.int64()),
+                             "host_a": pa.array([], pa.string()),
+                             "host_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        out = pairs.to_arrow()
+        key = (pairs["host_a"] + "\x00" + pairs["host_b"]).to_arrow()
+        h = hash64_batch(key)
+        return out.append_column(
+            "_pb", pa.array((h % nbu).astype(np.int64), pa.int64())
+        ).select(["_pb", "host_a", "host_b", "n"])
+
+    def pair_rollup(t: pa.Table) -> pa.Table:
+        agg = (pl.from_arrow(t)
+               .group_by("host_a", "host_b")
+               .agg(n_shared=pl.col("n").sum())
+               .filter(pl.col("n_shared") >= min_shared))
+        return agg.to_arrow()
+
+    rows = ds.map_batches(term_partials, batch_format="pyarrow",
+                          batch_size=None)
+    profiles = hash_bucket_apply(rows, "_hb", top_profile,
+                                 num_buckets=num_buckets)
+    pairs = hash_bucket_apply(profiles, "_tb", pair_emit,
+                              num_buckets=num_buckets)
+    return hash_bucket_apply(pairs, "_pb", pair_rollup,
+                             num_buckets=num_buckets)

@@ -217,3 +217,47 @@ def test_aimd_throttle_min_floor():
     df = aimd_throttle(ds, num_buckets=2).to_pandas()
     # 1000 - 12*100 would be -200; floors at 100
     assert df.iloc[0].final_interval_ms == 100
+
+
+def test_host_term_similarity_mirror_detection():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.hosts import host_term_similarity
+
+    mirror_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        ("http://m1.example/p", mirror_text),
+        ("http://m2.example/p", mirror_text),          # exact mirror
+        ("http://other.example/p",
+         "one two three four five six"),               # disjoint
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string())}))
+    df = host_term_similarity(ds, top_m=6, min_shared=5,
+                              num_buckets=4).to_pandas()
+    got = {(r.host_a, r.host_b): r.n_shared for r in df.itertuples()}
+    # the two mirrors share all 6 profile terms; nothing else pairs
+    assert got == {("m1.example", "m2.example"): 6}
+
+
+def test_host_term_similarity_top_m_ranking_ties():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.hosts import host_term_similarity
+
+    # h1 profile (top_m=2): 'zz' (3x) then tie 'aa'/'bb' (1x) ->
+    # term ASC keeps 'aa'. h2 has {zz, aa} -> shares both.
+    rows = [
+        ("http://h1.example/p", "zz zz zz aa bb"),
+        ("http://h2.example/p", "zz aa"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string())}))
+    df = host_term_similarity(ds, top_m=2, min_shared=2,
+                              num_buckets=2).to_pandas()
+    got = {(r.host_a, r.host_b): r.n_shared for r in df.itertuples()}
+    assert got == {("h1.example", "h2.example"): 2}
