@@ -4391,6 +4391,21 @@ def q_trustrank(sf_dir: str):
     return trust_rank(extract_links(pages), iterations=3)
 
 
+def q_revisit_rewrite(sf_dir: str):
+    """WARC-writer digest dedup for crawl CC-MAIN-2022-05: first
+    capture per digest (by ts, urlkey) stays a response record, later
+    captures become revisit records referencing the original — the
+    producer side of the reference's revisit handling
+    (__init__.py:101-105, warc.py:34-95)."""
+    from .stages.recrawl import revisit_rewrite
+
+    root = _fixture_root(sf_dir)
+    caps = ray.data.read_parquet(
+        root + "/captures/crawl=CC-MAIN-2022-05",
+        columns=["urlkey", "timestamp", "digest"])
+    return revisit_rewrite(caps)
+
+
 def q_host_similarity(sf_dir: str):
     """Host content-profile similarity (mirror/template-farm
     detection): each host reduces to its top-20 terms by count (ties
@@ -7468,6 +7483,27 @@ pr AS (SELECT a.host AS host_a, b.host AS host_b
 SELECT host_a, host_b, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM pr GROUP BY host_a, host_b HAVING COUNT(*) >= 5
 """ % _FIXTURE_LINK,
+    # Revisit rewrite: FIRST_VALUE windows give the per-digest
+    # original; equality (not row_number) keeps exact-duplicate rows
+    # deterministic on both sides.
+    "revisit_rewrite": r"""
+WITH c AS (
+  SELECT urlkey, timestamp, digest,
+         FIRST_VALUE(urlkey) OVER w AS fu,
+         FIRST_VALUE(timestamp) OVER w AS ft
+  FROM read_parquet('%s/captures/crawl=CC-MAIN-2022-05/*.parquet')
+  WINDOW w AS (PARTITION BY digest ORDER BY timestamp, urlkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+               FOLLOWING))
+SELECT urlkey, timestamp, digest,
+       CASE WHEN urlkey = fu AND timestamp = ft
+            THEN 'response' ELSE 'revisit' END AS kind,
+       CASE WHEN urlkey = fu AND timestamp = ft
+            THEN NULL ELSE fu END AS orig_urlkey,
+       CASE WHEN urlkey = fu AND timestamp = ft
+            THEN NULL ELSE ft END AS orig_timestamp
+FROM c
+""" % _FIXTURE_LINK,
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8755,6 +8791,7 @@ QUERIES = {
     "status_transitions": q_status_transitions,
     "url_templates": q_url_templates,
     "host_similarity": q_host_similarity,
+    "revisit_rewrite": q_revisit_rewrite,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,

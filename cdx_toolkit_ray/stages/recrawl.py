@@ -1028,3 +1028,71 @@ def status_transitions(a: ray.data.Dataset, b: ray.data.Dataset, *,
     parts = hash_bucket_apply(keyed, "_kb", compare,
                               num_buckets=num_buckets)
     return hash_bucket_apply(parts, "_mb", rollup, num_buckets=4)
+
+
+def revisit_rewrite(ds: ray.data.Dataset, *,
+                    key_col: str = "urlkey",
+                    ts_col: str = "timestamp",
+                    digest_col: str = "digest",
+                    num_buckets: int = 32) -> ray.data.Dataset:
+    """WARC-writer dedup: rewrite repeat-content captures as revisit
+    records. Within the input capture set, the FIRST capture of each
+    digest (by ``(timestamp, urlkey)`` ascending) stays a full
+    ``response`` record; every later capture of the same digest
+    becomes a ``revisit`` that references the original's (urlkey,
+    timestamp) — exactly the ``WARC-Refers-To-Target-URI/-Date``
+    contract of warcprox-style digest dedup, and the producer side of
+    the reference's revisit handling (cdx_toolkit/__init__.py:101-105
+    ``is_revisit``; warc.py:34-95 reconciles such records on read).
+
+    Returns ``(urlkey, timestamp, digest, kind, orig_urlkey,
+    orig_timestamp)`` with the orig columns null on responses.
+
+    Dataflow: one digest-bucket exchange of narrow key rows (content
+    never travels — the writer later fetches payload bytes only for
+    ``response`` rows, which is the whole point of the rewrite);
+    the kernel sorts each digest group once and broadcasts its first
+    row with a searchsorted gather.
+    """
+    from .. import canon
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, ts_col, digest_col])
+        dig = t[digest_col]
+        h = canon.hash64_batch(dig)
+        return t.append_column(
+            "_db", pa.array((h % nbu).astype(np.int64), pa.int64()))
+
+    def assign(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (pl.from_arrow(t.select([key_col, ts_col, digest_col]))
+              .sort([digest_col, ts_col, key_col]))
+        first = (df.group_by(digest_col, maintain_order=True)
+                 .agg(orig_urlkey=pl.col(key_col).first(),
+                      orig_timestamp=pl.col(ts_col).first()))
+        out = (df.join(first, on=digest_col)
+               .with_columns(
+                   kind=pl.when(
+                       (pl.col(key_col) == pl.col("orig_urlkey"))
+                       & (pl.col(ts_col) == pl.col("orig_timestamp")))
+                   .then(pl.lit("response"))
+                   .otherwise(pl.lit("revisit"))))
+        # the original row itself: null out the self-reference
+        out = out.with_columns(
+            orig_urlkey=pl.when(pl.col("kind") == "response")
+            .then(pl.lit(None, pl.String))
+            .otherwise(pl.col("orig_urlkey")),
+            orig_timestamp=pl.when(pl.col("kind") == "response")
+            .then(pl.lit(None, pl.String))
+            .otherwise(pl.col("orig_timestamp")))
+        return out.select([key_col, ts_col, digest_col, "kind",
+                           "orig_urlkey", "orig_timestamp"]).to_arrow()
+
+    keyed = ds.map_batches(key_rows, batch_format="pyarrow",
+                           batch_size=None)
+    return hash_bucket_apply(keyed, "_db", assign,
+                             num_buckets=num_buckets)

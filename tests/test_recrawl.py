@@ -502,3 +502,45 @@ def test_status_transitions_matrix():
            for r in df.itertuples()}
     assert got == {("200", "404"): 1, ("200", "absent"): 1,
                    ("absent", "200"): 1}
+
+
+def test_revisit_rewrite_first_keeps_content():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.recrawl import revisit_rewrite
+
+    rows = [
+        ("k2", "20220102000000", "dA"),   # later copy -> revisit
+        ("k1", "20220101000000", "dA"),   # first -> response
+        ("k3", "20220103000000", "dA"),   # revisit
+        ("k4", "20220101000000", "dB"),   # unique digest -> response
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "urlkey": pa.array([r[0] for r in rows], pa.string()),
+        "timestamp": pa.array([r[1] for r in rows], pa.string()),
+        "digest": pa.array([r[2] for r in rows], pa.string())}))
+    df = revisit_rewrite(ds, num_buckets=4).to_pandas()
+    got = {r.urlkey: (r.kind, r.orig_urlkey, r.orig_timestamp)
+           for r in df.itertuples()}
+    assert got["k1"] == ("response", None, None)
+    assert got["k2"] == ("revisit", "k1", "20220101000000")
+    assert got["k3"] == ("revisit", "k1", "20220101000000")
+    assert got["k4"] == ("response", None, None)
+
+
+def test_revisit_rewrite_ts_tie_breaks_by_urlkey():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.recrawl import revisit_rewrite
+
+    rows = [("kb", "20220101000000", "d"),
+            ("ka", "20220101000000", "d")]
+    ds = ray.data.from_arrow(pa.table({
+        "urlkey": pa.array([r[0] for r in rows], pa.string()),
+        "timestamp": pa.array([r[1] for r in rows], pa.string()),
+        "digest": pa.array([r[2] for r in rows], pa.string())}))
+    df = revisit_rewrite(ds, num_buckets=2).to_pandas()
+    got = {r.urlkey: r.kind for r in df.itertuples()}
+    assert got == {"ka": "response", "kb": "revisit"}
