@@ -4391,6 +4391,20 @@ def q_trustrank(sf_dir: str):
     return trust_rank(extract_links(pages), iterations=3)
 
 
+def q_host_lang_profile(sf_dir: str):
+    """Per-host language consistency over the pages table: dominant
+    language (count DESC, lang ASC tie; nulls = 'unknown') with its
+    integer-permille share — the CCNet-granularity routing signal
+    (monolingual hosts route wholesale, mixed hosts need per-page
+    language ID)."""
+    from .stages.hosts import host_lang_profile
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "lang"])
+    return host_lang_profile(pages)
+
+
 def q_revisit_rewrite(sf_dir: str):
     """WARC-writer digest dedup for crawl CC-MAIN-2022-05: first
     capture per digest (by ts, urlkey) stays a response record, later
@@ -7504,6 +7518,28 @@ SELECT urlkey, timestamp, digest,
             THEN NULL ELSE ft END AS orig_timestamp
 FROM c
 """ % _FIXTURE_LINK,
+    # Host language profile: identical null->unknown mapping,
+    # (n DESC, lang) dominance rule, permille floor share.
+    "host_lang_profile": r"""
+WITH p AS (
+  SELECT regexp_extract(url, '://([^/?#]+)', 1) AS host,
+         COALESCE(lang, 'unknown') AS lang
+  FROM read_parquet('%s/pages.parquet')
+  WHERE regexp_extract(url, '://([^/?#]+)', 1) <> ''),
+cnt AS (SELECT host, lang, COUNT(*) AS n FROM p GROUP BY host, lang),
+tot AS (SELECT host, CAST(SUM(n) AS BIGINT) AS n_pages,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM cnt GROUP BY host),
+top AS (SELECT host, lang AS top_lang, n AS top_n FROM (
+    SELECT host, lang, n,
+           ROW_NUMBER() OVER (PARTITION BY host
+                              ORDER BY n DESC, lang) AS r
+    FROM cnt) WHERE r = 1)
+SELECT t.host, t.n_pages, t.n_langs, o.top_lang,
+       CAST((o.top_n * 1000) // t.n_pages AS BIGINT)
+         AS top_share_1000
+FROM tot t JOIN top o ON o.host = t.host
+""" % _FIXTURE_LINK,
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8792,6 +8828,7 @@ QUERIES = {
     "url_templates": q_url_templates,
     "host_similarity": q_host_similarity,
     "revisit_rewrite": q_revisit_rewrite,
+    "host_lang_profile": q_host_lang_profile,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,

@@ -427,3 +427,71 @@ def host_term_similarity(ds: ray.data.Dataset, *,
                               num_buckets=num_buckets)
     return hash_bucket_apply(pairs, "_pb", pair_rollup,
                              num_buckets=num_buckets)
+
+
+def host_lang_profile(ds: ray.data.Dataset, *, url_col: str = "url",
+                      lang_col: str = "lang",
+                      num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-host language consistency — ``(host, n_pages, n_langs,
+    top_lang, top_share_1000)`` where ``top_lang`` is the most
+    frequent language (count DESC, lang ASC tie; nulls count as
+    ``'unknown'``) and ``top_share_1000`` its integer-permille share.
+    The curation signal behind host-level language routing: a host
+    split across many languages needs per-page language ID, a
+    monolingual host can be routed wholesale (CCNet groups by
+    language at exactly this granularity).
+
+    Per-block (host, lang, n) partials fold before one host-bucket
+    exchange; permille share is exact floor division.
+    """
+    import polars as pl
+
+    from ..canon import hash64_batch
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("_hb", pa.int64()), ("host", pa.string()),
+                         ("lang", pa.string()), ("n", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        df = pl.from_arrow(batch.select([url_col, lang_col])).rename(
+            {url_col: "url", lang_col: "lang"})
+        part = (df.with_columns(
+            host=pl.col("url").str.extract(r"://([^/?#]+)", 1),
+            lang=pl.col("lang").fill_null("unknown"))
+            .filter(pl.col("host").is_not_null()
+                    & (pl.col("host") != ""))
+            .group_by("host", "lang")
+            .agg(n=pl.len().cast(pl.Int64)))
+        if not part.height:
+            return sch.empty_table()
+        t = part.to_arrow()
+        h = hash64_batch(t["host"].combine_chunks())
+        return t.append_column(
+            "_hb", pa.array((h % nbu).astype(np.int64), pa.int64())
+        ).select(["_hb", "host", "lang", "n"])
+
+    def profile(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t).group_by("host", "lang")
+              .agg(n=pl.col("n").sum()))
+        tot = (df.group_by("host")
+               .agg(n_pages=pl.col("n").sum(),
+                    n_langs=pl.len().cast(pl.Int64)))
+        top = (df.sort(["host", "n", "lang"],
+                       descending=[False, True, False])
+               .group_by("host", maintain_order=True)
+               .agg(top_lang=pl.col("lang").first(),
+                    top_n=pl.col("n").first()))
+        out = (tot.join(top, on="host")
+               .with_columns(top_share_1000=(pl.col("top_n") * 1000)
+                             // pl.col("n_pages"))
+               .select("host", "n_pages", "n_langs", "top_lang",
+                       "top_share_1000"))
+        return out.to_arrow()
+
+    rows = ds.map_batches(partials, batch_format="pyarrow",
+                          batch_size=None)
+    return hash_bucket_apply(rows, "_hb", profile,
+                             num_buckets=num_buckets)

@@ -261,3 +261,25 @@ def test_host_term_similarity_top_m_ranking_ties():
                               num_buckets=2).to_pandas()
     got = {(r.host_a, r.host_b): r.n_shared for r in df.itertuples()}
     assert got == {("h1.example", "h2.example"): 2}
+
+
+def test_host_lang_profile_dominance_and_ties():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.hosts import host_lang_profile
+
+    rows = [
+        ("http://m.example/1", "eng"), ("http://m.example/2", "eng"),
+        ("http://m.example/3", "deu"), ("http://m.example/4", None),
+        # tie host: fra == spa -> lang ASC wins
+        ("http://t.example/1", "spa"), ("http://t.example/2", "fra"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string())}))
+    df = host_lang_profile(ds, num_buckets=4).to_pandas()
+    got = {r.host: (r.n_pages, r.n_langs, r.top_lang, r.top_share_1000)
+           for r in df.itertuples()}
+    assert got["m.example"] == (4, 3, "eng", 500)
+    assert got["t.example"] == (2, 2, "fra", 500)
