@@ -4391,6 +4391,21 @@ def q_trustrank(sf_dir: str):
     return trust_rank(extract_links(pages), iterations=3)
 
 
+def q_opic(sf_dir: str):
+    """OPIC crawl ordering (Abiteboul, Preda & Cobena, WWW 2003): 3
+    integer cash-distribution rounds over the fixture link graph —
+    the importance measure designed to be computed WHILE crawling
+    (cash distributes along out-edges, spent cash banks into
+    history, importance = history + cash; dangling nodes hold).
+    All-integer floor arithmetic -> bit-exact unrolled SQL oracle."""
+    from .stages.links import extract_links, opic
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return opic(extract_links(pages), rounds=3)
+
+
 def q_host_lang_profile(sf_dir: str):
     """Per-host language consistency over the pages table: dominant
     language (count DESC, lang ASC tie; nulls = 'unknown') with its
@@ -7540,6 +7555,76 @@ SELECT t.host, t.n_pages, t.n_langs, o.top_lang,
          AS top_share_1000
 FROM tot t JOIN top o ON o.host = t.host
 """ % _FIXTURE_LINK,
+    # OPIC: same href/resolution CTEs as link_rank; 3 unrolled
+    # cash/history rounds, dangling nodes hold their cash.
+    "opic": r"""
+WITH hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s/pages.parquet')),
+links AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs WHERE dst_url IS NOT NULL),
+nodes AS (SELECT DISTINCT url FROM (
+  SELECT src_url AS url FROM links
+  UNION ALL SELECT dst_url AS url FROM links)),
+outdeg AS (SELECT src_url AS url, COUNT(*) AS d FROM links
+           GROUP BY src_url),
+r0 AS (SELECT url, CAST(1000000 AS BIGINT) AS cash,
+              CAST(0 AS BIGINT) AS hist FROM nodes),
+r1 AS (SELECT n.url,
+         CAST(COALESCE(m.recv, 0)
+              + CASE WHEN od.url IS NULL THEN p.cash ELSE 0 END
+              AS BIGINT) AS cash,
+         CAST(p.hist
+              + CASE WHEN od.url IS NULL THEN 0 ELSE p.cash END
+              AS BIGINT) AS hist
+       FROM nodes n JOIN r0 p ON p.url = n.url
+       LEFT JOIN outdeg od ON od.url = n.url
+       LEFT JOIN (SELECT l.dst_url AS url,
+                         SUM(r.cash // o.d) AS recv
+                  FROM links l
+                  JOIN r0 r ON r.url = l.src_url
+                  JOIN outdeg o ON o.url = l.src_url
+                  GROUP BY l.dst_url) m ON m.url = n.url),
+r2 AS (SELECT n.url,
+         CAST(COALESCE(m.recv, 0)
+              + CASE WHEN od.url IS NULL THEN p.cash ELSE 0 END
+              AS BIGINT) AS cash,
+         CAST(p.hist
+              + CASE WHEN od.url IS NULL THEN 0 ELSE p.cash END
+              AS BIGINT) AS hist
+       FROM nodes n JOIN r1 p ON p.url = n.url
+       LEFT JOIN outdeg od ON od.url = n.url
+       LEFT JOIN (SELECT l.dst_url AS url,
+                         SUM(r.cash // o.d) AS recv
+                  FROM links l
+                  JOIN r1 r ON r.url = l.src_url
+                  JOIN outdeg o ON o.url = l.src_url
+                  GROUP BY l.dst_url) m ON m.url = n.url),
+r3 AS (SELECT n.url,
+         CAST(COALESCE(m.recv, 0)
+              + CASE WHEN od.url IS NULL THEN p.cash ELSE 0 END
+              AS BIGINT) AS cash,
+         CAST(p.hist
+              + CASE WHEN od.url IS NULL THEN 0 ELSE p.cash END
+              AS BIGINT) AS hist
+       FROM nodes n JOIN r2 p ON p.url = n.url
+       LEFT JOIN outdeg od ON od.url = n.url
+       LEFT JOIN (SELECT l.dst_url AS url,
+                         SUM(r.cash // o.d) AS recv
+                  FROM links l
+                  JOIN r2 r ON r.url = l.src_url
+                  JOIN outdeg o ON o.url = l.src_url
+                  GROUP BY l.dst_url) m ON m.url = n.url)
+SELECT url, cash, hist, CAST(cash + hist AS BIGINT) AS importance
+FROM r3
+""" % _FIXTURE_LINK,
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8829,6 +8914,7 @@ QUERIES = {
     "host_similarity": q_host_similarity,
     "revisit_rewrite": q_revisit_rewrite,
     "host_lang_profile": q_host_lang_profile,
+    "opic": q_opic,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,

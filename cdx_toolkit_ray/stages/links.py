@@ -2155,3 +2155,148 @@ def kcore_peel(links: ray.data.Dataset, *, k: int = 2, rounds: int = 3,
                    for b in range(nb)]
     return ray.data.from_arrow_refs(
         [_kc_final.remote(s) for s in state_b])
+
+
+# --------------------------------------------------------------------------
+# OPIC — On-line Page Importance Computation (Abiteboul et al. 2003)
+# --------------------------------------------------------------------------
+
+@ray.remote
+def _op_init(scale: int, *tbls: pa.Table) -> pa.Table:
+    arrs = [t["url"].combine_chunks() for t in tbls if t.num_rows]
+    if not arrs:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "cash": pa.array([], pa.int64()),
+                         "hist": pa.array([], pa.int64())})
+    u = pc.unique(pa.concat_arrays(arrs))
+    return pa.table({
+        "url": u.cast(pa.string()),
+        "cash": pa.array(np.full(len(u), scale, np.int64), pa.int64()),
+        "hist": pa.array(np.zeros(len(u), np.int64), pa.int64())})
+
+
+@ray.remote
+def _op_scatter(nb: int, edges: pa.Table, state: pa.Table):
+    """Every node distributes cash DIV outdeg along each out-edge
+    (dangling nodes keep their cash); messages pre-split by the
+    receiver's bucket. Also emits a zero stub per local node so the
+    gather sees the full node set."""
+    s_url = state["url"].combine_chunks()
+    s_cash = state["cash"].to_numpy(zero_copy_only=False)
+    out_url = [s_url]
+    out_val = [np.zeros(len(s_url), np.int64)]
+    if edges.num_rows and len(s_url):
+        su = s_url.to_numpy(zero_copy_only=False)
+        order = np.argsort(su)
+        e_src = edges["src"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        idx = np.searchsorted(su[order], e_src)
+        deg = np.bincount(idx, minlength=len(su))
+        give = s_cash[order][idx] // deg[idx]
+        out_url.append(edges["dst"].combine_chunks())
+        out_val.append(give.astype(np.int64))
+    url = pa.concat_arrays([a.cast(pa.string()) for a in out_url])
+    slices = _lr_bucket_slices(url, np.concatenate(out_val), nb)
+    return slices[0] if nb == 1 else tuple(slices)
+
+
+@ray.remote
+def _op_gather(edges: pa.Table, state: pa.Table,
+               *msg_tbls: pa.Table) -> pa.Table:
+    """hist += cash just spent (non-dangling nodes only; dangling
+    nodes keep cash), cash' = received messages (+ kept cash)."""
+    s_url = state["url"].combine_chunks()
+    su = s_url.to_numpy(zero_copy_only=False)
+    s_cash = state["cash"].to_numpy(zero_copy_only=False).copy()
+    s_hist = state["hist"].to_numpy(zero_copy_only=False).copy()
+    order = np.argsort(su)
+    has_out = np.zeros(len(su), bool)
+    if edges.num_rows:
+        e_src = edges["src"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        idx = np.searchsorted(su[order], e_src)
+        has_out[order[idx]] = True
+    recv = np.zeros(len(su), np.int64)
+    live = [t for t in msg_tbls if t.num_rows]
+    if live:
+        m = pa.concat_tables(live, promote_options="permissive")
+        mu = m["url"].combine_chunks().to_numpy(zero_copy_only=False)
+        mv = m["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        midx = np.searchsorted(su[order], mu)
+        np.add.at(recv, order[midx], mv)
+    hist_new = s_hist + np.where(has_out, s_cash, 0)
+    cash_new = recv + np.where(has_out, 0, s_cash)
+    return pa.table({
+        "url": s_url.cast(pa.string()),
+        "cash": pa.array(cash_new, pa.int64()),
+        "hist": pa.array(hist_new, pa.int64())})
+
+
+@ray.remote
+def _op_final(t: pa.Table) -> pa.Table:
+    cash = t["cash"].to_numpy(zero_copy_only=False)
+    hist = t["hist"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "url": t["url"].combine_chunks().cast(pa.string()),
+        "cash": t["cash"], "hist": t["hist"],
+        "importance": pa.array(cash + hist, pa.int64())})
+
+
+def opic(links: ray.data.Dataset, *, rounds: int = 3,
+         num_buckets: int = 32, scale: int = 1_000_000
+         ) -> ray.data.Dataset:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda
+    & Cobena, WWW 2003), the crawl-ordering algorithm designed to be
+    computed WHILE crawling: every node starts with equal cash; each
+    round a node with out-links distributes ``cash DIV outdeg`` along
+    every out-edge, banks the spent cash into its history, and its
+    new cash is what it received; dangling nodes hold their cash.
+    ``importance = history + cash`` after ``rounds`` rounds — pages
+    that keep receiving cash matter, without waiting for a PageRank
+    fixpoint. All-integer floor arithmetic: deterministic under any
+    summation order, bit-exact vs the unrolled SQL oracle.
+
+    Dataflow is the link_rank partitioned-cached shape: edges
+    bucket-shuffled ONCE by ``hash64(src) % num_buckets``; each round
+    is one scatter + one gather of the narrow (url, int64) stream.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    nb = num_buckets
+    nbu = np.uint64(nb)
+
+    def key_edges(batch: pa.Table) -> pa.Table:
+        src = batch["src_url"].cast(pa.string())
+        h = hash64_batch(src)
+        return pa.table({
+            "bucket": pa.array((h % nbu).astype(np.int64), pa.int64()),
+            "src": src,
+            "dst": batch["dst_url"].cast(pa.string())})
+
+    from .exchange import _chunked, _split_hash
+
+    keyed = links.map_batches(key_edges, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    refs = keyed.to_arrow_refs()
+    splits = [_split_hash.options(num_returns=nb).remote("bucket", nb, *g)
+              for g in _chunked(refs)]
+    if nb == 1:
+        splits = [[s] for s in splits]
+    edges_b = [_lr_concat.remote(*[sp[b] for sp in splits])
+               for b in range(nb)]
+    node_slices = [_lr_emit_nodes.options(num_returns=nb).remote(nb, e)
+                   for e in edges_b]
+    if nb == 1:
+        node_slices = [[s] for s in node_slices]
+    state_b = [_op_init.remote(scale, *[ns[b] for ns in node_slices])
+               for b in range(nb)]
+    for _ in range(rounds):
+        msgs = [_op_scatter.options(num_returns=nb).remote(
+            nb, edges_b[b], state_b[b]) for b in range(nb)]
+        if nb == 1:
+            msgs = [[m] for m in msgs]
+        state_b = [_op_gather.remote(edges_b[b], state_b[b],
+                                     *[ms[b] for ms in msgs])
+                   for b in range(nb)]
+    return ray.data.from_arrow_refs(
+        [_op_final.remote(s) for s in state_b])

@@ -794,3 +794,49 @@ def test_kcore_zero_rounds_all_alive():
     df = kcore_peel(links, k=2, rounds=0).to_pandas()
     assert set(df["url"]) == {"a", "b"}
     assert df["in_core"].all()
+
+
+def test_opic_matches_serial_and_conserves_cash():
+    from cdx_toolkit_ray.stages.links import opic
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("x", "sink")]   # sink is dangling: holds cash
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([e[0] for e in edges], pa.string()),
+        "dst_url": pa.array([e[1] for e in edges], pa.string())}))
+    df = opic(links, rounds=3, num_buckets=4).to_pandas()
+    got = {r.url: (r.cash, r.hist, r.importance)
+           for r in df.itertuples()}
+
+    SCALE = 1_000_000
+    nodes = sorted({u for e in edges for u in e})
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    cash = {u: SCALE for u in nodes}
+    hist = {u: 0 for u in nodes}
+    for _ in range(3):
+        recv = {u: 0 for u in nodes}
+        for s, d in edges:
+            recv[d] += cash[s] // deg[s]
+        for u in nodes:
+            if u in deg:
+                hist[u] += cash[u]
+                cash[u] = recv[u]
+            else:
+                cash[u] = cash[u] + recv[u]
+    want = {u: (cash[u], hist[u], cash[u] + hist[u]) for u in nodes}
+    assert got == want
+    # cash conservation modulo floor-division remainders
+    assert sum(v[0] for v in got.values()) <= len(nodes) * SCALE
+
+
+def test_opic_zero_rounds_uniform():
+    from cdx_toolkit_ray.stages.links import opic
+
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array(["a"], pa.string()),
+        "dst_url": pa.array(["b"], pa.string())}))
+    df = opic(links, rounds=0).to_pandas()
+    assert dict(zip(df["url"], df["importance"])) == {
+        "a": 1_000_000, "b": 1_000_000}
