@@ -413,3 +413,59 @@ def get_writer(prefix: str, subprefix: str | None, info: dict,
                **kwargs) -> SegmentedParquetWriter:
     """Factory parity with cdx_toolkit.warc.get_writer (warc.py:212-213)."""
     return SegmentedParquetWriter(prefix, subprefix, info, **kwargs)
+
+
+@ray.remote
+def _sp_total(t: pa.Table, length_col: str) -> int:
+    if t.num_rows == 0:
+        return 0
+    return int(t[length_col].to_numpy(zero_copy_only=False)
+               .astype(np.int64).sum())
+
+
+@ray.remote
+def _sp_assign(t: pa.Table, base: int, size: int,
+               length_col: str) -> pa.Table:
+    ln = t[length_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    pre = base + np.concatenate([[0], np.cumsum(ln)[:-1]])
+    return t.append_column(
+        "seg_id", pa.array(pre // size, pa.int64())).append_column(
+        "offset_in_seg", pa.array(pre % size, pa.int64()))
+
+
+def segment_plan(ds: "ray.data.Dataset", *, size: int = 1_000_000,
+                 sort_cols: tuple = ("urlkey", "timestamp", "digest",
+                                     "length"),
+                 length_col: str = "length") -> "ray.data.Dataset":
+    """Ahead-of-time segment assignment for the size-rotated writer —
+    every record gets its output segment id and byte offset BEFORE
+    any bytes render, so N writer tasks can emit N segments
+    independently and a restart can skip finished segments exactly
+    (the planning half of the reference's size-rotation contract,
+    warc.py:160-187, turned resumable).
+
+    Records bin by their starting byte in the global
+    ``sort_cols``-ordered byte stream: ``seg_id = prefix_bytes DIV
+    size``, ``offset_in_seg = prefix_bytes MOD size`` (a record may
+    straddle its segment boundary; the split rule is the writer's —
+    the plan is exact either way). The sort key ends with every
+    emitted column so rows tying on it are fully identical and the
+    output multiset is deterministic.
+
+    Dataflow: ONE range sort (the writer's required output order —
+    O1, reference README.md:243-252), then an exact two-pass global
+    prefix sum: per-block byte totals fold to an O(blocks) driver
+    scan, and each block assigns locally against its exclusive base.
+    No second shuffle; the driver holds one integer per block.
+    """
+    if size <= 0:
+        raise ValueError("size must be positive")
+    cols = list(sort_cols)
+    sorted_ds = ds.sort(cols).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    totals = ray.get([_sp_total.remote(r, length_col) for r in refs])
+    bases = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(
+        np.int64) if totals else np.zeros(0, np.int64)
+    out = [_sp_assign.remote(r, int(b), size, length_col)
+           for r, b in zip(refs, bases)]
+    return ray.data.from_arrow_refs(out)

@@ -4391,6 +4391,22 @@ def q_trustrank(sf_dir: str):
     return trust_rank(extract_links(pages), iterations=3)
 
 
+def q_segment_plan(sf_dir: str):
+    """Ahead-of-time writer segmentation for crawl CC-MAIN-2022-40:
+    every capture binned to its output segment id + byte offset by an
+    exact global byte prefix sum in (urlkey, timestamp, digest,
+    length) order — the resumable-planning half of the reference's
+    size-rotation contract (warc.py:160-187). One range sort + an
+    O(blocks) driver scan."""
+    from .pipelines.warcout import segment_plan
+
+    root = _fixture_root(sf_dir)
+    caps = ray.data.read_parquet(
+        root + "/captures/crawl=CC-MAIN-2022-40",
+        columns=["urlkey", "timestamp", "digest", "length"])
+    return segment_plan(caps, size=100_000)
+
+
 def q_opic(sf_dir: str):
     """OPIC crawl ordering (Abiteboul, Preda & Cobena, WWW 2003): 3
     integer cash-distribution rounds over the fixture link graph —
@@ -7625,6 +7641,25 @@ r3 AS (SELECT n.url,
 SELECT url, cash, hist, CAST(cash + hist AS BIGINT) AS importance
 FROM r3
 """ % _FIXTURE_LINK,
+    # Segment plan: exclusive byte prefix sum over the full sort
+    # order (key ends with every output column, so ties are
+    # identical rows and the multiset is deterministic).
+    "segment_plan": r"""
+WITH c AS (
+  SELECT urlkey, timestamp, digest, length
+  FROM read_parquet('%s/captures/crawl=CC-MAIN-2022-40/*.parquet')),
+o AS (
+  SELECT urlkey, timestamp, digest, length,
+         COALESCE(SUM(length) OVER (
+           ORDER BY urlkey, timestamp, digest, length
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pre
+  FROM c)
+SELECT urlkey, timestamp, digest, length,
+       CAST(pre // 100000 AS BIGINT) AS seg_id,
+       CAST(pre %% 100000 AS BIGINT) AS offset_in_seg
+FROM o
+""" % _FIXTURE_LINK,
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8915,6 +8950,7 @@ QUERIES = {
     "revisit_rewrite": q_revisit_rewrite,
     "host_lang_profile": q_host_lang_profile,
     "opic": q_opic,
+    "segment_plan": q_segment_plan,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,

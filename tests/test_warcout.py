@@ -229,3 +229,26 @@ def test_reference_example_loop_shape(fixture_dir, tmp_path):
     assert total == wrote
     with open(str(tmp_path / "EXAMPLE-COMMONCRAWL.warcinfo.json")) as fd:
         assert json.load(fd)["isPartOf"] == "EXAMPLE-COMMONCRAWL"
+
+
+def test_segment_plan_exact_binning_and_resume_property():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.pipelines.warcout import segment_plan
+
+    rows = [("k%02d" % i, "2022010100%04d" % i, "d%02d" % i, ln)
+            for i, ln in enumerate([400, 400, 400, 100, 900, 50])]
+    ds = ray.data.from_arrow(pa.table({
+        "urlkey": pa.array([r[0] for r in rows], pa.string()),
+        "timestamp": pa.array([r[1] for r in rows], pa.string()),
+        "digest": pa.array([r[2] for r in rows], pa.string()),
+        "length": pa.array([r[3] for r in rows], pa.int64())}))
+    df = (segment_plan(ds, size=1000).to_pandas()
+          .sort_values("urlkey").reset_index(drop=True))
+    # prefix:    0    400  800  1200 1300 2200
+    assert list(df["seg_id"]) == [0, 0, 0, 1, 1, 2]
+    assert list(df["offset_in_seg"]) == [0, 400, 800, 200, 300, 200]
+    # resumability: every segment's rows are contiguous in the order
+    segs = df["seg_id"].to_numpy()
+    assert (segs[1:] >= segs[:-1]).all()
