@@ -447,6 +447,35 @@ def main() -> None:
              lambda: consume(Q.q_cache_freshness(SF_DIR))),
             # round 3 session 3: co-citation pair mining
             ("cocitation", lambda: consume(Q.q_cocitation(SF_DIR))),
+            # round 3 session 4: seed-personalized PageRank
+            ("trustrank", lambda: consume(Q.q_trustrank(SF_DIR))),
+            # round 3 session 4: OPIC on-line importance
+            ("opic", lambda: consume(Q.q_opic(SF_DIR))),
+            # round 3 session 4: k-core peel rounds
+            ("kcore", lambda: consume(Q.q_kcore(SF_DIR))),
+            # round 3 session 4: DUST safe-param mining
+            ("dust_params", lambda: consume(Q.q_dust_params(SF_DIR))),
+            # round 3 session 4: cross-crawl shingle novelty
+            ("shingle_novelty",
+             lambda: consume(Q.q_shingle_novelty(SF_DIR))),
+            # round 3 session 4: RAKE per-doc keywords
+            ("rake_keywords",
+             lambda: consume(Q.q_rake_keywords(SF_DIR))),
+            # round 3 session 4: AIMD politeness replay
+            ("aimd_throttle",
+             lambda: consume(Q.q_aimd_throttle(SF_DIR))),
+            # round 3 session 4: URL template profiling
+            ("url_templates",
+             lambda: consume(Q.q_url_templates(SF_DIR))),
+            # round 3 session 4: host term-profile pair mining
+            ("host_similarity",
+             lambda: consume(Q.q_host_similarity(SF_DIR))),
+            # round 3 session 4: WARC digest-dedup rewrite
+            ("revisit_rewrite",
+             lambda: consume(Q.q_revisit_rewrite(SF_DIR))),
+            # round 3 session 4: writer segment planning
+            ("segment_plan",
+             lambda: consume(Q.q_segment_plan(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the

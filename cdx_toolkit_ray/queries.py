@@ -4391,6 +4391,26 @@ def q_trustrank(sf_dir: str):
     return trust_rank(extract_links(pages), iterations=3)
 
 
+def q_budget_fill(sf_dir: str):
+    """Greedy crawl-budget allocation: seeds-table demand per host,
+    capped by the politeness ceiling (60 s window / robots
+    crawl-delay, default 3 s), budget of 300 fetches filled in
+    capped-demand-DESC order via the closed-form prefix rule
+    (clamp(budget - prefix, 0, capped)) — one window prefix sum, no
+    iterative loop."""
+    from .stages.hosts import budget_fill
+
+    root = _fixture_root(sf_dir)
+    robots = pq.read_table(root + "/robots.parquet",
+                           columns=["host", "crawl_delay_ms"])
+    dmap = dict(zip(robots["host"].to_pylist(),
+                    robots["crawl_delay_ms"].to_pylist()))
+    seeds = ray.data.read_parquet(root + "/seeds.parquet",
+                                  columns=["url"])
+    return budget_fill(seeds, budget=300, window_ms=60_000,
+                       delays=dmap)
+
+
 def q_segment_plan(sf_dir: str):
     """Ahead-of-time writer segmentation for crawl CC-MAIN-2022-40:
     every capture binned to its output segment id + byte offset by an
@@ -7660,6 +7680,32 @@ SELECT urlkey, timestamp, digest, length,
        CAST(pre %% 100000 AS BIGINT) AS offset_in_seg
 FROM o
 """ % _FIXTURE_LINK,
+    # Budget fill: identical demand/cap derivation and the same
+    # closed-form greedy prefix rule in (capped DESC, host) order.
+    "budget_fill": r"""
+WITH s AS (
+  SELECT regexp_extract(url, '://([^/?#]+)', 1) AS host
+  FROM read_parquet('%s/seeds.parquet')
+  WHERE regexp_extract(url, '://([^/?#]+)', 1) <> ''),
+d AS (SELECT host, COUNT(*) AS demand FROM s GROUP BY host),
+r AS (SELECT host, crawl_delay_ms
+      FROM read_parquet('%s/robots.parquet')),
+x AS (SELECT d.host, CAST(d.demand AS BIGINT) AS demand,
+             CAST(60000 // GREATEST(COALESCE(r.crawl_delay_ms, 3000),
+                                    1) AS BIGINT) AS cap
+      FROM d LEFT JOIN r ON r.host = d.host),
+y AS (SELECT host, demand, cap,
+             CAST(LEAST(demand, cap) AS BIGINT) AS capped FROM x),
+z AS (SELECT host, demand, cap, capped,
+             COALESCE(SUM(capped) OVER (
+               ORDER BY capped DESC, host
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pre
+      FROM y)
+SELECT host, demand, cap, capped,
+       CAST(GREATEST(LEAST(300 - pre, capped), 0) AS BIGINT) AS alloc
+FROM z
+""" % (_FIXTURE_LINK, _FIXTURE_LINK),
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8951,6 +8997,7 @@ QUERIES = {
     "host_lang_profile": q_host_lang_profile,
     "opic": q_opic,
     "segment_plan": q_segment_plan,
+    "budget_fill": q_budget_fill,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,

@@ -495,3 +495,90 @@ def host_lang_profile(ds: ray.data.Dataset, *, url_col: str = "url",
                           batch_size=None)
     return hash_bucket_apply(rows, "_hb", profile,
                              num_buckets=num_buckets)
+
+
+def budget_fill(ds: ray.data.Dataset, *, url_col: str = "url",
+                budget: int = 10_000, window_ms: int = 60_000,
+                delay_default_ms: int = 3000,
+                delays: "dict[str, int] | None" = None,
+                num_buckets: int = 32) -> ray.data.Dataset:
+    """Greedy crawl-budget allocation across hosts — the planner that
+    turns "we can afford ``budget`` fetches this cycle" into per-host
+    quotas. Each host demands its pending-url count, capped by what
+    politeness physically allows in the window (``window_ms DIV
+    delay_ms`` fetches); hosts rank by CAPPED demand (DESC, host ASC
+    tie) and the budget fills greedily in that order:
+
+        alloc_i = clamp(budget - prefix_capped_demand_i, 0, capped_i)
+
+    — the closed-form equivalent of sequential exhaustion, so the
+    whole allocation is one window prefix sum, not an iterative loop
+    (and exactly the SQL oracle's form). Output: ``(host, demand,
+    cap, capped, alloc)``.
+
+    Dataflow: per-block (host, n) partials fold before one host
+    exchange; the ranked prefix-fill runs on the tiny host-level
+    stream inside ONE final task (single-bucket exchange) — a global
+    sequential rule needs a global view, and hosts are the small
+    side by construction.
+    """
+    import polars as pl
+
+    from ..canon import hash64_batch
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+    dmap = delays or {}
+
+    def partials(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("_hb", pa.int64()), ("host", pa.string()),
+                         ("n", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        df = (pl.from_arrow(batch.select([url_col]))
+              .rename({url_col: "url"})
+              .with_columns(host=pl.col("url").str.extract(
+                  r"://([^/?#]+)", 1))
+              .filter(pl.col("host").is_not_null()
+                      & (pl.col("host") != ""))
+              .group_by("host").agg(n=pl.len().cast(pl.Int64)))
+        if not df.height:
+            return sch.empty_table()
+        t = df.to_arrow()
+        h = hash64_batch(t["host"].combine_chunks())
+        return t.append_column(
+            "_hb", pa.array((h % nbu).astype(np.int64), pa.int64())
+        ).select(["_hb", "host", "n"])
+
+    def fold_hosts(t: pa.Table) -> pa.Table:
+        agg = (pl.from_arrow(t).group_by("host")
+               .agg(demand=pl.col("n").sum()))
+        return agg.to_arrow().append_column(
+            "_one", pa.array(np.zeros(agg.height, np.int64),
+                             pa.int64()))
+
+    def fill(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["host", "demand"]))
+        host = df["host"].to_numpy()
+        demand = df["demand"].to_numpy().astype(np.int64)
+        cap = np.array([window_ms
+                        // max(dmap.get(h, delay_default_ms), 1)
+                        for h in host], np.int64)
+        capped = np.minimum(demand, cap)
+        order = np.lexsort((host, -capped))
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        pre = np.concatenate([[0], np.cumsum(capped[order])[:-1]])[inv]
+        alloc = np.clip(budget - pre, 0, capped)
+        return pa.table({
+            "host": pa.array(host, pa.string()),
+            "demand": pa.array(demand, pa.int64()),
+            "cap": pa.array(cap, pa.int64()),
+            "capped": pa.array(capped, pa.int64()),
+            "alloc": pa.array(alloc.astype(np.int64), pa.int64())})
+
+    rows = ds.map_batches(partials, batch_format="pyarrow",
+                          batch_size=None)
+    hosts = hash_bucket_apply(rows, "_hb", fold_hosts,
+                              num_buckets=num_buckets)
+    return hash_bucket_apply(hosts, "_one", fill, num_buckets=1)

@@ -283,3 +283,27 @@ def test_host_lang_profile_dominance_and_ties():
            for r in df.itertuples()}
     assert got["m.example"] == (4, 3, "eng", 500)
     assert got["t.example"] == (2, 2, "fra", 500)
+
+
+def test_budget_fill_greedy_exhaustion():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.hosts import budget_fill
+
+    urls = (["http://a.example/%d" % i for i in range(10)]
+            + ["http://b.example/%d" % i for i in range(8)]
+            + ["http://c.example/%d" % i for i in range(8)])
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array(urls, pa.string())}))
+    # caps: a -> 60000/1000=60 (capped by demand 10),
+    #       b -> 60000/30000=2, c default 3000 -> 20 (capped 8)
+    df = budget_fill(ds, budget=15, window_ms=60_000,
+                     delays={"a.example": 1000, "b.example": 30000},
+                     num_buckets=4).to_pandas()
+    got = {r.host: (r.demand, r.cap, r.capped, r.alloc)
+           for r in df.itertuples()}
+    # fill order by capped DESC, host ASC: a(10), c(8), b(2)
+    assert got["a.example"] == (10, 60, 10, 10)
+    assert got["c.example"] == (8, 20, 8, 5)     # 15 - 10 = 5 left
+    assert got["b.example"] == (8, 2, 2, 0)      # exhausted
