@@ -4391,6 +4391,19 @@ def q_trustrank(sf_dir: str):
     return trust_rank(extract_links(pages), iterations=3)
 
 
+def q_degree_hist(sf_dir: str):
+    """Log2-bucket degree distribution (in/out) of the fixture link
+    graph with exact node counts and degree sums — the power-law
+    profile a crawl operator reads before budgeting. Exact bucketing
+    via the float64 exponent; SQL twin uses length(bin(d)) - 1."""
+    from .stages.links import degree_hist, extract_links
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return degree_hist(extract_links(pages))
+
+
 def q_budget_fill(sf_dir: str):
     """Greedy crawl-budget allocation: seeds-table demand per host,
     capped by the politeness ceiling (60 s window / robots
@@ -7706,6 +7719,32 @@ SELECT host, demand, cap, capped,
        CAST(GREATEST(LEAST(300 - pre, capped), 0) AS BIGINT) AS alloc
 FROM z
 """ % (_FIXTURE_LINK, _FIXTURE_LINK),
+    # Degree histogram: same link CTEs; exact log2 bucket via binary
+    # string length.
+    "degree_hist": r"""
+WITH hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s/pages.parquet')),
+links AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs WHERE dst_url IS NOT NULL),
+deg AS (
+  SELECT 'out' AS kind, src_url AS url, COUNT(*) AS d FROM links
+  GROUP BY src_url
+  UNION ALL
+  SELECT 'in' AS kind, dst_url AS url, COUNT(*) AS d FROM links
+  GROUP BY dst_url)
+SELECT kind, CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(d) AS BIGINT) AS deg_sum
+FROM deg GROUP BY kind, bucket
+""" % _FIXTURE_LINK,
     # WAT-style metadata: title capture, href count, raw + stripped
     # byte lengths — exact-value parity with text.page_metadata_batch.
     "page_metadata": r"""
@@ -8998,6 +9037,7 @@ QUERIES = {
     "opic": q_opic,
     "segment_plan": q_segment_plan,
     "budget_fill": q_budget_fill,
+    "degree_hist": q_degree_hist,
     "cocitation": q_cocitation,
     "wat_export": q_wat_export,
     "archive_roundtrip": q_archive_roundtrip,

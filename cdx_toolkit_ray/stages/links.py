@@ -2300,3 +2300,69 @@ def opic(links: ray.data.Dataset, *, rounds: int = 3,
                    for b in range(nb)]
     return ray.data.from_arrow_refs(
         [_op_final.remote(s) for s in state_b])
+
+
+def degree_hist(links: ray.data.Dataset, *, num_buckets: int = 32
+                ) -> ray.data.Dataset:
+    """Log2-bucket degree distribution of the link graph — the
+    one-page profile that tells a crawl operator whether the graph is
+    power-law-ish (web-like), where the hubs start, and how heavy the
+    parallel-edge tail is. For each direction (``out``/``in``) and
+    ``bucket = floor(log2(degree))``: node count and exact degree
+    sum. Degrees count parallel edges (each link row is one edge).
+
+    Exact integer bucketing via the float64 exponent
+    (``frexp(d)[1] - 1`` — exact for any int64 < 2^53, no log2
+    rounding hazard; the SQL twin is ``length(bin(d)) - 1``).
+
+    Dataflow: per-block (url, partial-degree) folds, one url-bucket
+    exchange sums true degrees and folds to per-bucket partials, one
+    tiny final rollup — the histogram never sees raw edges twice.
+    """
+    import polars as pl
+
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["src_url", "dst_url"]))
+        out = (df.group_by("src_url").agg(n=pl.len().cast(pl.Int64))
+               .rename({"src_url": "url"})
+               .with_columns(kind=pl.lit("out")))
+        inn = (df.group_by("dst_url").agg(n=pl.len().cast(pl.Int64))
+               .rename({"dst_url": "url"})
+               .with_columns(kind=pl.lit("in")))
+        part = pl.concat([out, inn])
+        t = part.to_arrow()
+        key = (part["kind"] + "\x00" + part["url"]).to_arrow()
+        h = hash64_batch(key)
+        return t.append_column(
+            "_b", pa.array((h % nbu).astype(np.int64), pa.int64()))
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t).group_by("kind", "url")
+              .agg(d=pl.col("n").sum()))
+        d = df["d"].to_numpy().astype(np.int64)
+        bucket = (np.frexp(d.astype(np.float64))[1] - 1).astype(
+            np.int64)
+        part = (pl.DataFrame({"kind": df["kind"], "bucket": bucket,
+                              "d": d})
+                .group_by("kind", "bucket")
+                .agg(n_nodes=pl.len().cast(pl.Int64),
+                     deg_sum=pl.col("d").sum()))
+        return part.to_arrow().append_column(
+            "_b2", pa.array(np.zeros(part.height, np.int64),
+                            pa.int64()))
+
+    def rollup(t: pa.Table) -> pa.Table:
+        agg = (pl.from_arrow(t).group_by("kind", "bucket")
+               .agg(n_nodes=pl.col("n_nodes").sum(),
+                    deg_sum=pl.col("deg_sum").sum()))
+        return agg.to_arrow()
+
+    rows = links.map_batches(partials, batch_format="pyarrow",
+                             batch_size=None)
+    folded = hash_bucket_apply(rows, "_b", fold,
+                               num_buckets=num_buckets)
+    return hash_bucket_apply(folded, "_b2", rollup, num_buckets=1)

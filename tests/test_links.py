@@ -840,3 +840,21 @@ def test_opic_zero_rounds_uniform():
     df = opic(links, rounds=0).to_pandas()
     assert dict(zip(df["url"], df["importance"])) == {
         "a": 1_000_000, "b": 1_000_000}
+
+
+def test_degree_hist_buckets_and_parallel_edges():
+    from cdx_toolkit_ray.stages.links import degree_hist
+
+    # hub has out-degree 5 (bucket 2); each target in-degree 1
+    # (bucket 0); parallel edge doubles one target's in-degree
+    edges = ([("hub", "t%d" % i) for i in range(4)]
+             + [("hub", "t0")])
+    links = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([e[0] for e in edges], pa.string()),
+        "dst_url": pa.array([e[1] for e in edges], pa.string())}))
+    df = degree_hist(links, num_buckets=4).to_pandas()
+    got = {(r.kind, r.bucket): (r.n_nodes, r.deg_sum)
+           for r in df.itertuples()}
+    assert got[("out", 2)] == (1, 5)       # hub: deg 5 -> bucket 2
+    assert got[("in", 0)] == (3, 3)        # t1..t3: deg 1
+    assert got[("in", 1)] == (1, 2)        # t0: deg 2 -> bucket 1
