@@ -9122,3 +9122,77 @@ QUERIES = {
        if k in QUERIES},
     **{k: QUERIES[k] for k in _DRIVER_RECORDED_R02 if k in QUERIES},
 }
+
+
+def q_graph_signals(sf_dir: str):
+    """Link-spam triage composite: TrustRank trust, OPIC importance
+    and 2-core membership joined per url into ONE table (and one
+    oracle hash) — the three graph signals a frontier's spam gate
+    reads together (low trust + high OPIC churn + out-of-core is the
+    classic farm fingerprint). Composed from the three proven
+    engines; urls lacking any signal (self-loop-only nodes drop out
+    of the k-core graph) are excluded, matching the SQL inner join."""
+    import polars as pl
+
+    from .canon import hash64_batch
+    from .stages.exchange import hash_bucket_apply
+    from .stages.links import (extract_links, kcore_peel, opic,
+                               trust_rank)
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    links = extract_links(pages)
+    t = trust_rank(links, iterations=3)
+    o = opic(links, rounds=3).select_columns(["url", "importance"])
+    k = kcore_peel(links, k=2, rounds=3)
+    nb = 32
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        url = batch["url"].combine_chunks().cast(pa.string())
+        cols = {"url": url}
+        names = set(batch.column_names)
+        cols["trust"] = (batch["trust"].combine_chunks()
+                         if "trust" in names
+                         else pa.nulls(n, pa.int64()))
+        cols["importance"] = (batch["importance"].combine_chunks()
+                              if "importance" in names
+                              else pa.nulls(n, pa.int64()))
+        if "in_core" in names:
+            cols["in_core"] = batch["in_core"].combine_chunks().cast(
+                pa.int8())
+        else:
+            cols["in_core"] = pa.nulls(n, pa.int8())
+        h = hash64_batch(url)
+        cols["_b"] = pa.array((h % np.uint64(nb)).astype(np.int64),
+                              pa.int64())
+        return pa.table(cols)
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tbl)
+        g = (df.group_by("url")
+             .agg(trust=pl.col("trust").max(),
+                  importance=pl.col("importance").max(),
+                  in_core=pl.col("in_core").max())
+             .drop_nulls(["trust", "importance", "in_core"])
+             .with_columns(in_core=pl.col("in_core") == 1))
+        return g.to_arrow()
+
+    unioned = (t.map_batches(tag, batch_format="pyarrow",
+                             batch_size=None)
+               .union(o.map_batches(tag, batch_format="pyarrow",
+                                    batch_size=None))
+               .union(k.map_batches(tag, batch_format="pyarrow",
+                                    batch_size=None)))
+    return hash_bucket_apply(unioned, "_b", merge, num_buckets=nb)
+
+
+QUERIES["graph_signals"] = q_graph_signals
+# one hash across all three unrolled graph recurrences: each proven
+# oracle becomes a CTE, inner-joined per url.
+ORACLES["graph_signals"] = (
+    "WITH tr AS (" + ORACLES["trustrank"] + "),\n op AS ("
+    + ORACLES["opic"] + "),\n kc AS (" + ORACLES["kcore"] + ")\n"
+    "SELECT tr.url, tr.trust, op.importance, kc.in_core\n"
+    "FROM tr JOIN op ON op.url = tr.url JOIN kc ON kc.url = tr.url")
