@@ -3756,14 +3756,19 @@ def q_zipnum_lookup(sf_dir: str):
     import hashlib as _hashlib
     import os
 
-    from .sources.zipnum import build_zipnum, zipnum_lookup
+    from .sources.zipnum import CDX_JSON_FIELDS, build_zipnum, \
+        zipnum_lookup
 
     root = _fixture_root(sf_dir)
     tag = _hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     out = "/tmp/cdxray_zipnum_%s" % tag
     if not os.path.exists(out + "/.done"):
         caps = ray.data.read_parquet(root + "/captures")
-        build_zipnum(caps, out, lines_per_block=64, num_shards=4)
+        # canonical field set, NOT the self-describing default: the
+        # hive partition column (crawl) is the cluster's identity in
+        # the real CC layout, never a per-line CDXJ field
+        build_zipnum(caps, out, lines_per_block=64, num_shards=4,
+                     json_fields=CDX_JSON_FIELDS)
         open(out + "/.done", "w").close()
     return zipnum_lookup(out, urlkey_prefix="example,big-portal)",
                          from_ts="20220101000000",
