@@ -9201,3 +9201,69 @@ ORACLES["graph_signals"] = (
     + ORACLES["opic"] + "),\n kc AS (" + ORACLES["kcore"] + ")\n"
     "SELECT tr.url, tr.trust, op.importance, kc.in_core\n"
     "FROM tr JOIN op ON op.url = tr.url JOIN kc ON kc.url = tr.url")
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash Hamming-distance near-dup pairs (Manku, Jain & Das
+    Sarma, WWW 2007 — Google's web-scale near-dup detector): 64-bit
+    simhash split into 4 blocks; pigeonhole makes block-equality
+    buckets a ZERO-MISS candidate set for hamming <= 3, verified by
+    popcount(xor). Oracle: the full chain in SQL — FNV word hashes,
+    per-bit majority vote, block explode, the max_group boilerplate
+    cap, the candidate join and the popcount verify."""
+    from .stages.dedup import simhash_hamming_pairs
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return simhash_hamming_pairs(ds, text_col="text", id_col="doc_id",
+                                 max_hamming=3, max_group=512)
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3,
+                          max_group: int = 512) -> str:
+    """simhash_hamming_pairs in pure SQL (built on the simhash CTE of
+    _simhash_oracle): block explode, per-block-value group cap,
+    candidate join with id_a < id_b, popcount(xor) verify."""
+    counts = ",\n       ".join(
+        "sum(CASE WHEN (CAST(h AS UBIGINT) >> %d) & 1 = 1 "
+        "THEN 1 ELSE 0 END) AS c%d" % (b, b) for b in range(64))
+    terms = "\n         + ".join(
+        "(CASE WHEN 2*c%d > n THEN CAST('%d' AS HUGEINT) ELSE 0 END)"
+        % (b, 1 << b) for b in range(64))
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    vals = ",".join("(%d)" % c for c in range(n_blocks))
+    return (r"""
+WITH w AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '\w+')) AS word
+           FROM documents),
+h AS (SELECT doc_id, %s AS h FROM w),
+b AS (SELECT doc_id, count(*) AS n,
+       %s
+      FROM h GROUP BY doc_id),
+s AS (SELECT doc_id,
+         %s AS sim
+      FROM b),
+sim AS (SELECT d.doc_id, CAST(coalesce(s.sim, 0) AS UBIGINT) AS sh
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id),
+ch AS (SELECT doc_id, sh, c.block_id,
+              (sh >> (%d * c.block_id)) & %d AS block_val
+       FROM sim, (VALUES %s) AS c(block_id)),
+ok AS (SELECT block_id, block_val FROM ch
+       GROUP BY block_id, block_val HAVING count(*) <= %d),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                bit_count(xor(a.sh, b.sh)) AS hd
+         FROM ch a
+         JOIN ok o ON o.block_id = a.block_id
+                  AND o.block_val = a.block_val
+         JOIN ch b ON b.block_id = a.block_id
+                  AND b.block_val = a.block_val
+                  AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(hd AS BIGINT) AS hamming
+FROM cand WHERE hd <= %d
+""" % (_FNV_SQL.format(s="word"), counts, terms, width,
+       (1 << width) - 1, vals, max_group, max_hamming))
+
+
+QUERIES["simhash_pairs"] = q_simhash_pairs
+ORACLES["simhash_pairs"] = _simhash_pairs_oracle()

@@ -1170,6 +1170,165 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+#: byte popcount LUT (numpy 1.x has no bitwise_count)
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                         axis=1).sum(axis=1).astype(np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via the byte LUT."""
+    return _POPCNT8[x.view(np.uint8).reshape(-1, 8)].sum(
+        axis=1).astype(np.int64)
+
+
+def simhash_hamming_pairs(ds: ray.data.Dataset, *,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          max_hamming: int = 3,
+                          max_group: int = 512,
+                          num_buckets: int = 32) -> ray.data.Dataset:
+    """Hamming-distance near-dup PAIR MINING over 64-bit simhash
+    (Manku, Jain & Das Sarma, WWW 2007 — the web-scale near-dup
+    detector Google ran on 8B pages): split each signature into
+    ``max_hamming + 1`` equal bit blocks; by pigeonhole, any pair
+    within Hamming distance ``max_hamming`` agrees EXACTLY on at
+    least one block, so block-equality buckets contain every true
+    pair — candidates are verified by popcount(xor) and the miss
+    rate is zero, not probabilistic like MinHash bands.
+
+    A block value shared by more than ``max_group`` docs is
+    boilerplate (it would emit O(group²) pairs) and is dropped
+    loudly — the co_link_pairs fanout guard; the SQL oracle
+    replicates the same cap, so the contract stays exact.
+
+    Dataflow (the containment shape): signatures are one vectorized
+    map pass; 4 narrow ``(block_id, block_val, id, sim)`` rows per
+    doc move through ONE block-bucket exchange that emits verified
+    pairs, then one pair-bucket exchange dedups — text never
+    shuffles, and no all-pairs step exists anywhere.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, one row
+    per unordered pair. Reference anchor: the digest/urlkey dedup
+    identities (cdx_toolkit README.md:207-212, 233-235) generalized
+    to near-identity."""
+    import logging
+
+    from .exchange import hash_bucket_apply
+
+    n_blocks = max_hamming + 1
+    if 64 % n_blocks:
+        raise ValueError("max_hamming + 1 must divide 64")
+    width = 64 // n_blocks
+    mask = np.uint64((1 << width) - 1)
+    nbu = np.uint64(num_buckets)
+
+    sigs = ds.map_batches(make_simhash_stage(text_col),
+                          batch_format="pyarrow", batch_size=None)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("block_id", pa.int32()),
+                         ("block_val", pa.uint64()),
+                         ("id", pa.int64()), ("sim", pa.uint64()),
+                         ("_b", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bid, bval, oid, osim = [], [], [], []
+        for c in range(n_blocks):
+            bid.append(np.full(len(ids), c, np.int32))
+            bval.append((sh >> np.uint64(c * width)) & mask)
+            oid.append(ids)
+            osim.append(sh)
+        bid = np.concatenate(bid)
+        bval = np.concatenate(bval)
+        # block identity (block_id, block_val) -> one bucket
+        bkey = _mix64(bval * np.uint64(0x9E3779B97F4A7C15)
+                      + bid.astype(np.uint64))
+        return pa.table({
+            "block_id": pa.array(bid, pa.int32()),
+            "block_val": pa.array(bval, pa.uint64()),
+            "id": pa.array(np.concatenate(oid), pa.int64()),
+            "sim": pa.array(np.concatenate(osim), pa.uint64()),
+            "_b": pa.array((bkey % nbu).astype(np.int64), pa.int64()),
+        })
+
+    rows = sigs.map_batches(explode, batch_format="pyarrow",
+                            batch_size=None)
+
+    def emit_pairs(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                         ("hamming", pa.int64()), ("_pb", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        bid = tbl["block_id"].to_numpy(zero_copy_only=False)
+        bval = tbl["block_val"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        ids = tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sim = tbl["sim"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, bval, bid))
+        bid, bval = bid[order], bval[order]
+        ids, sim = ids[order], sim[order]
+        new = np.ones(len(ids), bool)
+        new[1:] = (bid[1:] != bid[:-1]) | (bval[1:] != bval[:-1])
+        st = np.flatnonzero(new)
+        ln = np.diff(np.r_[st, len(ids)])
+        big = ln > max_group
+        if big.any():
+            logging.getLogger(__name__).warning(
+                "simhash_hamming_pairs: %d blocks shared by > %d docs "
+                "dropped as boilerplate", int(big.sum()), max_group)
+        a_all, b_all, h_all = [], [], []
+        for s, n in zip(st[~big].tolist(), ln[~big].tolist()):
+            if n < 2:
+                continue
+            gi, gs = ids[s:s + n], sim[s:s + n]   # ids sorted in run
+            ii, jj = np.triu_indices(n, k=1)
+            hd = _popcount64(np.bitwise_xor(gs[ii], gs[jj]))
+            keep = hd <= max_hamming
+            if keep.any():
+                a_all.append(gi[ii][keep])
+                b_all.append(gi[jj][keep])
+                h_all.append(hd[keep])
+        if not a_all:
+            return sch.empty_table()
+        a = np.concatenate(a_all)
+        b = np.concatenate(b_all)
+        hb = _mix64(a.astype(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15)
+                    ^ b.astype(np.uint64))
+        return pa.table({
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            "hamming": pa.array(np.concatenate(h_all), pa.int64()),
+            "_pb": pa.array((hb % nbu).astype(np.int64), pa.int64()),
+        })
+
+    pairs = hash_bucket_apply(rows, "_b", emit_pairs,
+                              num_buckets=num_buckets)
+
+    def dedup_pairs(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                         ("hamming", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        a = tbl["id_a"].to_numpy(zero_copy_only=False)
+        b = tbl["id_b"].to_numpy(zero_copy_only=False)
+        h = tbl["hamming"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, h = a[order], b[order], h[order]
+        new = np.ones(len(a), bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({
+            "id_a": pa.array(a[new], pa.int64()),
+            "id_b": pa.array(b[new], pa.int64()),
+            "hamming": pa.array(h[new], pa.int64()),
+        })
+
+    return hash_bucket_apply(pairs, "_pb", dedup_pairs,
+                             num_buckets=num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (hyperplane LSH + verified cosine)
 # ---------------------------------------------------------------------------

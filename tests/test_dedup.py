@@ -301,3 +301,45 @@ def test_shingle_novelty_counts_and_union_of_duplicate_ids():
     assert got["n1"] == (3, 2)
     assert got["n2"] == (1, 0)
     assert "tiny" not in got
+
+
+def test_simhash_hamming_pairs_exact_and_capped():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.dedup import (hamming64,
+                                              make_simhash_stage,
+                                              simhash_hamming_pairs)
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "the quick brown fox jumps over the lazy dog tonight",
+        3: "completely different words about maritime navigation law",
+        4: "the quick brown fox jumps over the lazy dog today",  # = 1
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+    }))
+    got = simhash_hamming_pairs(ds, max_hamming=3).to_pandas()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in got.itertuples()}
+
+    # brute-force truth over the same signatures
+    sigs = ds.map_batches(make_simhash_stage("text"),
+                          batch_format="pyarrow").to_pandas()
+    sh = dict(zip(sigs.doc_id, sigs.simhash))
+    truth = {(a, b): hamming64(int(sh[a]), int(sh[b]))
+             for a in sh for b in sh if a < b
+             and hamming64(int(sh[a]), int(sh[b])) <= 3}
+    assert pairs == truth
+    assert pairs[(1, 4)] == 0           # identical docs
+    assert (1, 3) not in pairs          # unrelated docs are far
+
+    # max_group cap drops boilerplate blocks entirely (all four docs
+    # identical -> every block over a cap of 3 -> no pairs)
+    ds_boiler = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([texts[1]] * 4, pa.string()),
+    }))
+    capped = simhash_hamming_pairs(ds_boiler, max_group=3).to_pandas()
+    assert len(capped) == 0
