@@ -9267,3 +9267,70 @@ FROM cand WHERE hd <= %d
 
 QUERIES["simhash_pairs"] = q_simhash_pairs
 ORACLES["simhash_pairs"] = _simhash_pairs_oracle()
+
+
+def q_harmonic_centrality(sf_dir: str):
+    """EXACT neighborhood function + harmonic centrality at radius 3
+    (Boldi & Vigna's axiomatically-preferred centrality for
+    disconnected web graphs; the verification twin of q_hyperball):
+    per url, ``ball`` = nodes within <= 3 forward hops and ``h_num`` =
+    sum of 6//d over reachable nodes (lcm(1,2,3)=6 keeps 1/d exact
+    integers). Edges bucket-cached once; each hop moves only the
+    narrow (root, node) frontier through two exchanges. Oracle: a
+    recursive-CTE walk with min-distance fold."""
+    from .stages.balls import neighborhood_function
+    from .stages.links import extract_links
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return neighborhood_function(extract_links(pages), radius=3)
+
+
+def q_hyperball(sf_dir: str):
+    """HyperBall (Boldi & Vigna): per-node ball-size ESTIMATES at
+    radius 3 via mergeable 2^9-register HLL counters flowing along
+    reversed edges — the 10^10-node scale path (per-node memory is
+    constant; counters move, node sets never do). Deterministic
+    (fixed splitmix64-finalized FNV hashes) but approximate: rows-only
+    entry; q_harmonic_centrality is the exact twin and the accuracy
+    bound is pytest-checked (tests/test_balls.py)."""
+    from .stages.balls import hyperball
+    from .stages.links import extract_links
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return hyperball(extract_links(pages), radius=3, p=9)
+
+
+QUERIES["harmonic_centrality"] = q_harmonic_centrality
+QUERIES["hyperball"] = q_hyperball
+ORACLES["harmonic_centrality"] = r"""
+WITH RECURSIVE hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s/pages.parquet')),
+rawlinks AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs WHERE dst_url IS NOT NULL),
+e AS (SELECT DISTINCT src_url AS src, dst_url AS dst FROM rawlinks),
+nodes AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e)),
+walk (root, node, d) AS (
+    SELECT url, url, 0 FROM nodes
+  UNION
+    SELECT w.root, e.dst, w.d + 1
+    FROM walk w JOIN e ON e.src = w.node
+    WHERE w.d < 3),
+dist AS (SELECT root, node, min(d) AS d FROM walk GROUP BY root, node)
+SELECT root AS url, CAST(count(*) AS BIGINT) AS ball,
+       CAST(coalesce(sum(CASE WHEN d > 0 THEN 6 // d ELSE 0 END), 0)
+            AS BIGINT) AS h_num
+FROM dist GROUP BY root
+""" % _FIXTURE_LINK
