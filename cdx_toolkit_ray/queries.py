@@ -9334,3 +9334,108 @@ SELECT root AS url, CAST(count(*) AS BIGINT) AS ball,
             AS BIGINT) AS h_num
 FROM dist GROUP BY root
 """ % _FIXTURE_LINK
+
+
+def _nav_links(sf_dir: str):
+    """The bow-tie input graph: harvested hrefs with intra-host links
+    made bidirectional (scc.with_intrahost_backlinks' documented
+    navigation-graph model), cross-host links directed."""
+    from .stages.links import extract_links
+    from .stages.scc import with_intrahost_backlinks
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return with_intrahost_backlinks(extract_links(pages))
+
+
+def q_scc(sf_dir: str):
+    """Strongly connected components (the web-graph core primitive
+    behind Broder 2000) by distributed forward-backward min-label
+    partition refinement with pointer jumping — no transitive
+    closure, narrow (node, label) messages over twice-bucket-cached
+    edges, driver holds one change counter per round. Canonical label
+    = lexicographic min url of the component. Oracle: recursive-CTE
+    closure -> mutual-reachability classes."""
+    from .stages.scc import strongly_connected
+
+    return strongly_connected(_nav_links(sf_dir))
+
+
+def q_bowtie(sf_dir: str):
+    """Broder bow-tie decomposition (WWW 2000): every node classified
+    as core SCC / IN / OUT / TENDRIL (weakly attached; lumps Broder's
+    tendrils+tubes) / DISC relative to the largest SCC. Flags
+    propagate on the SCC condensation DAG; per-url rows move exactly
+    twice. Oracle: the closure-CTE SCC plus three unary recursive
+    reachability sets (from-core, to-core, weakly-to-core)."""
+    from .stages.scc import bowtie
+
+    return bowtie(_nav_links(sf_dir))
+
+
+_NAV_E_SQL = r"""
+hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s/pages.parquet')),
+rawlinks AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs WHERE dst_url IS NOT NULL),
+e AS (SELECT DISTINCT src, dst FROM (
+    SELECT src_url AS src, dst_url AS dst FROM rawlinks
+    UNION ALL
+    SELECT dst_url AS src, src_url AS dst FROM rawlinks
+    WHERE regexp_extract(src_url, '://([^/]+)', 1)
+          = regexp_extract(dst_url, '://([^/]+)', 1))),
+nodes AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e)),
+reach (a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+sccm AS (
+  SELECT n.url AS v,
+         least(n.url, coalesce(
+           min(CASE WHEN r2.a IS NOT NULL THEN r1.b END),
+           n.url)) AS lbl
+  FROM nodes n
+  LEFT JOIN reach r1 ON r1.a = n.url
+  LEFT JOIN reach r2 ON r2.a = r1.b AND r2.b = n.url
+  GROUP BY n.url)
+""" % _FIXTURE_LINK
+
+QUERIES["scc"] = q_scc
+QUERIES["bowtie"] = q_bowtie
+ORACLES["scc"] = ("WITH RECURSIVE " + _NAV_E_SQL
+                  + "SELECT v AS url, lbl AS scc FROM sccm")
+ORACLES["bowtie"] = ("WITH RECURSIVE " + _NAV_E_SQL + r""",
+sizes AS (SELECT lbl, count(*) AS n FROM sccm GROUP BY lbl),
+core AS (SELECT lbl FROM sizes ORDER BY n DESC, lbl LIMIT 1),
+cm AS (SELECT v FROM sccm WHERE lbl = (SELECT lbl FROM core)),
+freach (v) AS (
+  SELECT v FROM cm
+  UNION
+  SELECT e.dst FROM freach f JOIN e ON e.src = f.v),
+breach (v) AS (
+  SELECT v FROM cm
+  UNION
+  SELECT e.src FROM breach g JOIN e ON e.dst = g.v),
+wreach (v) AS (
+  SELECT v FROM cm
+  UNION
+  SELECT u FROM wreach w JOIN (
+    SELECT src AS x, dst AS u FROM e
+    UNION ALL SELECT dst AS x, src AS u FROM e) s ON s.x = w.v)
+SELECT s.v AS url, s.lbl AS scc,
+       CASE WHEN s.lbl = (SELECT lbl FROM core) THEN 'SCC'
+            WHEN s.v IN (SELECT v FROM breach) THEN 'IN'
+            WHEN s.v IN (SELECT v FROM freach) THEN 'OUT'
+            WHEN s.v IN (SELECT v FROM wreach) THEN 'TENDRIL'
+            ELSE 'DISC' END AS component
+FROM sccm s""")
