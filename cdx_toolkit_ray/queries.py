@@ -9439,3 +9439,104 @@ SELECT s.v AS url, s.lbl AS scc,
             WHEN s.v IN (SELECT v FROM wreach) THEN 'TENDRIL'
             ELSE 'DISC' END AS component
 FROM sccm s""")
+
+
+def q_spam_mass(sf_dir: str):
+    """Spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen, VLDB
+    2006 "Link spam detection based on mass estimation"): the share
+    of a page's PageRank NOT explained by trusted sources —
+    ``1000 - 1000*trust*ΣPR // (rank*ΣTR)`` in exact integer
+    permille (the global-sum calibration is the paper's relative
+    mass), clamped to [0, 1000]. High mass = rank propped up by the
+    untrusted region = link-farm fingerprint; the demotion gate a
+    frontier applies before spending fetch budget. Composed from the
+    two proven integer recurrences (link_rank + trustrank); the
+    driver holds exactly two scalar sums. Products are checked
+    against int64 range and the stage falls back to exact
+    arbitrary-precision Python ints on its (already per-bucket,
+    narrow) rows if a web-scale sum would wrap — the DSIR/host-
+    blocklist exactness convention."""
+    import polars as pl
+
+    from .canon import hash64_batch
+    from .stages.exchange import hash_bucket_apply
+    from .stages.links import extract_links, link_rank, trust_rank
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    links = extract_links(pages)
+    pr = link_rank(links, iterations=3)
+    tr = trust_rank(links, iterations=3)
+    sum_pr = int(pr.sum("rank") or 0)
+    sum_tr = int(tr.sum("trust") or 0)
+    nb = 32
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        url = batch["url"].combine_chunks().cast(pa.string())
+        names = set(batch.column_names)
+        cols = {"url": url,
+                "rank": (batch["rank"].combine_chunks()
+                         if "rank" in names
+                         else pa.nulls(n, pa.int64())),
+                "trust": (batch["trust"].combine_chunks()
+                          if "trust" in names
+                          else pa.nulls(n, pa.int64()))}
+        h = hash64_batch(url)
+        cols["_b"] = pa.array((h % np.uint64(nb)).astype(np.int64),
+                              pa.int64())
+        return pa.table(cols)
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("url", pa.string()), ("rank", pa.int64()),
+                         ("trust", pa.int64()),
+                         ("spam_mass_permille", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        df = (pl.from_arrow(tbl).group_by("url")
+              .agg(rank=pl.col("rank").max(),
+                   trust=pl.col("trust").max())
+              .drop_nulls(["rank", "trust"]))
+        rank = df["rank"].to_numpy()
+        trust = df["trust"].to_numpy()
+        if sum_tr <= 0:
+            mass = np.full(len(rank), 1000, np.int64)
+        elif (trust.astype(np.float64).max(initial=0.0) * 1000
+              * sum_pr < 2**62
+              and rank.astype(np.float64).max(initial=0.0)
+              * sum_tr < 2**62):
+            mass = 1000 - (1000 * trust * sum_pr) \
+                // np.maximum(rank * sum_tr, 1)
+        else:   # exact big-int fallback (documented convention)
+            mass = np.array(
+                [1000 - (1000 * int(t) * sum_pr)
+                 // max(int(r) * sum_tr, 1)
+                 for t, r in zip(trust.tolist(), rank.tolist())],
+                np.int64)
+        mass = np.clip(mass, 0, 1000)
+        return pa.table({
+            "url": df["url"].to_arrow().cast(pa.string()),
+            "rank": pa.array(rank, pa.int64()),
+            "trust": pa.array(trust, pa.int64()),
+            "spam_mass_permille": pa.array(mass, pa.int64())})
+
+    unioned = (pr.map_batches(tag, batch_format="pyarrow",
+                              batch_size=None)
+               .union(tr.map_batches(tag, batch_format="pyarrow",
+                                     batch_size=None)))
+    return hash_bucket_apply(unioned, "_b", merge, num_buckets=nb)
+
+
+QUERIES["spam_mass"] = q_spam_mass
+ORACLES["spam_mass"] = (
+    "WITH lr AS (" + ORACLES["link_rank"] + "),\n tr AS ("
+    + ORACLES["trustrank"] + """)
+SELECT lr.url, lr.rank, tr.trust,
+       greatest(0, least(1000,
+         1000 - (1000 * CAST(tr.trust AS HUGEINT)
+                 * (SELECT sum(CAST(rank AS HUGEINT)) FROM lr))
+           // greatest(CAST(lr.rank AS HUGEINT)
+                 * (SELECT sum(CAST(trust AS HUGEINT)) FROM tr), 1)
+       )) :: BIGINT AS spam_mass_permille
+FROM lr JOIN tr ON tr.url = lr.url""")
