@@ -9540,3 +9540,47 @@ SELECT lr.url, lr.rank, tr.trust,
                  * (SELECT sum(CAST(trust AS HUGEINT)) FROM tr), 1)
        )) :: BIGINT AS spam_mass_permille
 FROM lr JOIN tr ON tr.url = lr.url""")
+
+
+def q_distance_distribution(sf_dir: str):
+    """Exact distance distribution N(d) at radius 3 — what HyperANF
+    (Boldi, Rosa & Vigna 2011) estimates at web scale: one row per
+    distance with the exact pair count (d=0 = node count), the input
+    to effective-diameter / spid reports. Same bucket-cached
+    multi-source BFS as harmonic_centrality; oracle = the recursive
+    walk CTE grouped by min distance."""
+    from .stages.balls import distance_distribution
+    from .stages.links import extract_links
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return distance_distribution(extract_links(pages), radius=3)
+
+
+QUERIES["distance_distribution"] = q_distance_distribution
+ORACLES["distance_distribution"] = r"""
+WITH RECURSIVE hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s/pages.parquet')),
+rawlinks AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs WHERE dst_url IS NOT NULL),
+e AS (SELECT DISTINCT src_url AS src, dst_url AS dst FROM rawlinks),
+nodes AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e)),
+walk (root, node, d) AS (
+    SELECT url, url, 0 FROM nodes
+  UNION
+    SELECT w.root, e.dst, w.d + 1
+    FROM walk w JOIN e ON e.src = w.node
+    WHERE w.d < 3),
+dist AS (SELECT root, node, min(d) AS d FROM walk GROUP BY root, node)
+SELECT d, CAST(count(*) AS BIGINT) AS n_pairs FROM dist GROUP BY d
+""" % _FIXTURE_LINK

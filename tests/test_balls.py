@@ -84,3 +84,13 @@ def test_balls_validation():
         neighborhood_function(ds, radius=-1)
     with pytest.raises(ValueError):
         hyperball(ds, p=2)
+
+
+def test_distance_distribution_exact():
+    from cdx_toolkit_ray.stages.balls import distance_distribution
+
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "d"), ("e", "a")])
+    df = (distance_distribution(ds, radius=3, num_buckets=4)
+          .to_pandas().set_index("d").n_pairs)
+    # d=0: 5 nodes; d=1: 4 edges; d=2: a->c, e->b, b->d; d=3: a->d, e->c
+    assert dict(df) == {0: 5, 1: 4, 2: 3, 3: 2}
