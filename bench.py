@@ -476,6 +476,19 @@ def main() -> None:
             # round 3 session 4: writer segment planning
             ("segment_plan",
              lambda: consume(Q.q_segment_plan(SF_DIR))),
+            # round 3 session 5: SimHash Hamming near-dup pairs
+            ("simhash_pairs",
+             lambda: consume(Q.q_simhash_pairs(SF_DIR))),
+            # round 3 session 5: exact radius-3 harmonic centrality
+            ("harmonic_centrality",
+             lambda: consume(Q.q_harmonic_centrality(SF_DIR))),
+            # round 3 session 5: HyperBall register passing (scale path)
+            ("hyperball", lambda: consume(Q.q_hyperball(SF_DIR))),
+            # round 3 session 5: FB-min-label SCC + bow-tie
+            ("scc", lambda: consume(Q.q_scc(SF_DIR))),
+            ("bowtie", lambda: consume(Q.q_bowtie(SF_DIR))),
+            # round 3 session 5: spam mass (PR vs TrustRank) composite
+            ("spam_mass", lambda: consume(Q.q_spam_mass(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the

@@ -819,7 +819,19 @@ def minhash_dedup_pairs(ds: ray.data.Dataset, text_col: str = "text",
         member_cols = ["member_id", "pair_id", "slot", "id_a", "id_b"]
         # member rows always carry slot; corpus rows get it null-filled
         # by the union's schema promotion (text may legitimately be
-        # null, so slot — an engine-set column — is the side marker)
+        # null, so slot — an engine-set column — is the side marker).
+        # A bucket fed by ONLY one side never went through that
+        # promotion and lacks the other side's columns entirely
+        # (block-boundary dependent, so it surfaces as a flake):
+        # one-sided buckets can't produce a join row — emit the
+        # empty frame with the full output schema.
+        names = set(tbl.column_names)
+        if "slot" not in names or text_col not in names:
+            return pa.schema(
+                [("member_id", pa.int64()), ("pair_id", pa.int64()),
+                 ("slot", pa.int8()), ("id_a", pa.int64()),
+                 ("id_b", pa.int64()), (text_col, pa.string()),
+                 ("verify_bucket", pa.int64())]).empty_table()
         is_member = pa.array(pc.is_valid(tbl["slot"]))
         ctab = tbl.filter(pc.invert(is_member))
         mtab = tbl.filter(is_member)
@@ -1127,13 +1139,23 @@ def make_simhash_stage(text_col: str, out_col: str = "simhash"):
             bounds[i + 1] = len(all_words)
         hashes = (_hash_text_array(np.asarray(all_words, dtype=object))
                   if all_words else np.zeros(0, np.uint64))
-        for i in range(n):
-            h = hashes[bounds[i]:bounds[i + 1]]
-            if len(h) == 0:
-                continue
-            bits = ((h[:, None] & bitcols[None, :]) != 0)
-            votes = bits.sum(axis=0) * 2 - len(h)
-            out[i] = np.sum(bitcols[votes > 0], dtype=np.uint64)
+        counts = np.diff(bounds)
+        nz = counts > 0
+        if nz.any():
+            # per-bit majority vote, vectorized across the whole
+            # batch: 64 reduceats over the flat word-hash stream
+            # (never a per-doc matrix — measured 3.3s -> sub-second
+            # on the sf0.1 documents table)
+            starts = bounds[:-1][nz]
+            cnz = counts[nz]
+            sums = np.empty((len(starts), 64), np.int64)
+            for b in range(64):
+                sums[:, b] = np.add.reduceat(
+                    ((hashes >> np.uint64(b)) & np.uint64(1))
+                    .astype(np.int64), starts)
+            maj = (2 * sums) > cnz[:, None]
+            out[nz] = (maj * bitcols[None, :]).sum(axis=1,
+                                                   dtype=np.uint64)
         return batch.append_column(out_col, pa.array(out, pa.uint64()))
 
     return simhash
