@@ -9584,3 +9584,53 @@ walk (root, node, d) AS (
 dist AS (SELECT root, node, min(d) AS d FROM walk GROUP BY root, node)
 SELECT d, CAST(count(*) AS BIGINT) AS n_pairs FROM dist GROUP BY d
 """ % _FIXTURE_LINK
+
+
+def q_signed_projection(sf_dir: str):
+    """Signed random projection / JL sketch (Achlioptas 2001, Charikar
+    2002): int8-quantize then project onto 16 fixed ±1 hyperplanes —
+    the integer-exact embedding sketch an ANN prefilter scans instead
+    of the full vector. Zero-shuffle streaming map; the ±1 matrix
+    regenerates per worker from the seed (nothing ships). Oracle: the
+    proven quantize CTE joined against the same matrix inlined as
+    VALUES literals, summed per (vec, output dim)."""
+    from .stages.ann import quantize_batch, signed_projection_batch
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    ds = ds.map_batches(quantize_batch, batch_format="pyarrow",
+                        batch_size=None)
+    return ds.map_batches(
+        lambda b: signed_projection_batch(b, dim_out=16, seed=7),
+        batch_format="pyarrow", batch_size=None)
+
+
+def _signed_projection_oracle(dim_in: int = 64, dim_out: int = 16,
+                              seed: int = 7) -> str:
+    signs = (np.random.RandomState(seed)
+             .randint(0, 2, size=(dim_in, dim_out)) * 2 - 1)
+    vals = ",".join("(%d,%d,%d)" % (i, j, int(signs[i, j]))
+                    for i in range(dim_in) for j in range(dim_out))
+    return """
+WITH q AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x)))
+              AS DOUBLE) AS max_abs
+  FROM embeddings),
+e AS (SELECT vec_id, max_abs, embedding,
+             unnest(range(1, len(embedding) + 1)) AS i FROM q),
+qv AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim_idx,
+       CAST(CASE WHEN max_abs = 0 THEN 0
+            ELSE round(CAST(embedding[i] AS DOUBLE) * 127.0 / max_abs)
+            END AS BIGINT) AS qval
+       FROM e),
+s (i, j, v) AS (VALUES %s)
+SELECT qv.vec_id, CAST(s.j AS BIGINT) AS dim_idx,
+       CAST(sum(qv.qval * s.v) AS BIGINT) AS pval
+FROM qv JOIN s ON s.i = qv.dim_idx
+GROUP BY qv.vec_id, s.j
+""" % vals
+
+
+QUERIES["signed_projection"] = q_signed_projection
+ORACLES["signed_projection"] = _signed_projection_oracle()

@@ -576,3 +576,47 @@ def ivfpq_search(index_dir: str, query_vec, *, m: int = 4,
 
     loc = ds.map_batches(score, batch_format="pyarrow", batch_size=None)
     return loc.sort(["score", id_col]).limit(k)
+
+
+def signed_projection_batch(batch: pa.Table, *, dim_out: int = 16,
+                            seed: int = 7, vec_col: str = "qvec",
+                            id_col: str = "vec_id") -> pa.Table:
+    """Signed random projection (Achlioptas 2001's database-friendly
+    Johnson-Lindenstrauss variant; also the hyperplane kernel behind
+    SimHash for embeddings, Charikar 2002): project each int8-quantized
+    vector onto ``dim_out`` fixed ±1 hyperplanes — the 4-16x cheaper
+    sketch an ANN prefilter or near-dup pass scans INSTEAD of the full
+    embedding. All-integer (|sum| <= dim_in * 127, int32-safe), so the
+    result is bit-stable and SQL-oracle-checkable; the ±1 matrix comes
+    from the fixed seed and is regenerated per worker (bytes never
+    ship). Requires fixed-dimension input; emits one
+    ``(id, dim_idx, pval)`` row per output dimension."""
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.values.to_numpy(zero_copy_only=False)
+    if offsets[0] != 0 or offsets[-1] != len(vals):
+        vals = vals[offsets[0]:offsets[-1]]
+        offsets = offsets - offsets[0]
+    lengths = np.diff(offsets)
+    sch = pa.schema([(id_col, pa.int64()), ("dim_idx", pa.int64()),
+                     ("pval", pa.int64())])
+    if batch.num_rows == 0:
+        return sch.empty_table()
+    dim_in = int(lengths[0])
+    if not (lengths == dim_in).all():
+        raise ValueError("signed_projection: ragged embedding column "
+                         "(fixed dimension required)")
+    signs = (np.random.RandomState(seed)
+             .randint(0, 2, size=(dim_in, dim_out))
+             .astype(np.int32) * 2 - 1)
+    q = vals.astype(np.int32).reshape(-1, dim_in)
+    proj = q @ signs                       # int32: |sum| <= 127*dim_in
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, dim_out), pa.int64()),
+        "dim_idx": pa.array(np.tile(np.arange(dim_out, dtype=np.int64),
+                                    len(ids)), pa.int64()),
+        "pval": pa.array(proj.reshape(-1).astype(np.int64), pa.int64()),
+    })

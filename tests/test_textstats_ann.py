@@ -602,3 +602,37 @@ def test_rake_keywords_hand_computed():
     # alpha: freq=2, deg=1+1=2 -> wscore=1000, phrase "alpha" = 1000
     # beta: freq=1, deg=1 -> 1000
     assert rows == {"alpha": 1000, "beta": 1000}
+
+
+def test_signed_projection_exact_and_ragged_guard():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from cdx_toolkit_ray.stages.ann import (quantize_batch,
+                                            signed_projection_batch)
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(5, 8)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(5, dtype=np.int64)),
+        "embedding": pa.array(list(map(list, vecs)),
+                              pa.list_(pa.float32()))})
+    q = quantize_batch(t)
+    out = signed_projection_batch(q, dim_out=4, seed=7)
+    # brute-force truth
+    qv = np.stack([np.asarray(x) for x in
+                   q["qvec"].to_pylist()]).astype(np.int64)
+    signs = (np.random.RandomState(7).randint(0, 2, size=(8, 4))
+             .astype(np.int64) * 2 - 1)
+    want = qv @ signs
+    got = out.to_pandas().pivot(index="vec_id", columns="dim_idx",
+                                values="pval").values
+    assert (got == want).all()
+
+    ragged = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "qvec": pa.array([[1, 2], [1, 2, 3]], pa.list_(pa.int8()))})
+    with pytest.raises(ValueError):
+        signed_projection_batch(ragged)
