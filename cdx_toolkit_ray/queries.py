@@ -9634,3 +9634,53 @@ GROUP BY qv.vec_id, s.j
 
 QUERIES["signed_projection"] = q_signed_projection
 ORACLES["signed_projection"] = _signed_projection_oracle()
+
+
+def q_bm25(sf_dir: str):
+    """BM25 ranking (Robertson/Okapi, Lucene-default IDF) for the
+    conjunctive query ``table hash merge`` — THE bag-of-words ranking
+    function, in exact integer arithmetic: k1=6/5 and b=3/4 clear all
+    denominators (num = 44·tf·Ttok, den = 20·tf·Ttok + 6·Ttok +
+    18·dl·N), IDF quantizes to micro-nats (the lm.py convention),
+    per-doc score is an order-free integer sum. One postings pass
+    through one doc-bucket exchange; N and Ttok are the only driver
+    scalars. Oracle: the identical chain in SQL with HUGEINT
+    arithmetic."""
+    from .stages.invindex import bm25_search
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return bm25_search(ds, ["table", "hash", "merge"], mode="and")
+
+
+QUERIES["bm25"] = q_bm25
+ORACLES["bm25"] = r"""
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '\w+')) AS w
+             FROM documents),
+tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, w),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT sum(tf) FROM tf) AS ttok),
+qt (w) AS (VALUES ('table'), ('hash'), ('merge')),
+df AS (SELECT q.w, count(t.doc_id) AS df
+       FROM qt q LEFT JOIN (SELECT DISTINCT w, doc_id FROM tf) t
+            ON t.w = q.w GROUP BY q.w),
+idf AS (SELECT w, CAST(floor(
+          1e6 * ln((2 * (SELECT n FROM stats) + 2)
+                   / CAST(2 * df + 1 AS DOUBLE)) + 0.5) AS BIGINT)
+          AS idf
+        FROM df),
+m AS (SELECT t.doc_id, t.w, t.tf, d.dl
+      FROM tf t JOIN qt q ON q.w = t.w
+      JOIN dl d ON d.doc_id = t.doc_id),
+c AS (SELECT m.doc_id,
+        (CAST(i.idf AS HUGEINT) * 44 * m.tf * s.ttok)
+        // (CAST(20 AS HUGEINT) * m.tf * s.ttok
+            + 6 * s.ttok + 18 * m.dl * s.n) AS contrib
+      FROM m JOIN idf i ON i.w = m.w, stats s)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+       CAST(sum(contrib) AS BIGINT) AS score_1e6
+FROM c GROUP BY doc_id HAVING count(*) = 3
+"""

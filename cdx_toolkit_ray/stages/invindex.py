@@ -285,3 +285,170 @@ def proximity_search_batch(batch, terms: tuple, window: int, *,
         "min_gap": pa.array(gaps, pa.int64()),
         "hit": pa.array(gaps <= window, pa.bool_()),
     })
+
+
+def bm25_search(ds: ray.data.Dataset, terms: list[str], *,
+                mode: str = "and", text_col: str = "text",
+                id_col: str = "doc_id", k1=(6, 5), b=(3, 4),
+                num_buckets: int = 32) -> ray.data.Dataset:
+    """BM25 ranking (Robertson & Walker / Okapi; the Lucene-default
+    ``ln(1 + (N-df+.5)/(df+.5))`` IDF): ``score = Σ_t idf(t) ·
+    tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` — THE bag-of-words
+    ranking function, here in exact integer arithmetic so the DuckDB
+    oracle matches bit for bit:
+
+    * ``k1``/``b`` are exact rationals (default 1.2 and 0.75); with
+      ``avgdl = Ttok/N`` the tf part clears all denominators to
+      ``(k1d·(k1n+k1d)·tf·Ttok) / (k1d²·tf·Ttok + k1n·(bd-bn)·bd·Ttok
+      + k1n·bn·bd·dl·N)`` — a ratio of int64 products (big-int
+      fallback when a web-scale Ttok·tf would wrap, the spam_mass
+      convention);
+    * ``idf_micro = floor(1e6·ln((2N+2)/(2df+1)) + 0.5)`` — the lm.py
+      micro-nat quantization (df from the tiny per-term match counts;
+      ≤ len(terms) values, driver-held like query params);
+    * per-term contribution = ``(idf_micro · tf_num) // tf_den``;
+      per-doc score = the integer sum (order-free).
+
+    Dataflow: one postings pass (matched term rows pruned per block +
+    per-block doc-length partials) through ONE doc-bucket exchange;
+    the corpus never moves, N/Ttok are two driver scalars. Returns
+    ``(doc_id, n_matched, score_1e6)`` (AND mode drops partial
+    matches)."""
+    import pyarrow.compute as pc
+
+    from ..canon import hash64_batch
+
+    want_list = sorted({t.lower() for t in terms})
+    want = pa.array(want_list, pa.string())
+    n_terms = len(want_list)
+    k1n, k1d = k1
+    bn, bd = b
+    nbu = np.uint64(num_buckets)
+
+    posts = postings(ds, text_col, id_col, n_buckets=1)
+
+    # two driver scalars + the per-term df dict (<= len(terms) rows)
+    posts_mat = posts.materialize()
+    n_docs = int(ds.count())
+    t_tok = int(posts_mat.sum("tf") or 0)
+    # df per query term via one pruned aggregate (tiny result)
+    dft = (posts_mat
+           .map_batches(lambda t: t.filter(
+               pc.is_in(t["word"], value_set=want))
+               .select(["word", id_col]),
+               batch_format="pyarrow", batch_size=None)
+           .groupby("word").count().take_all())
+    dfs = {r["word"]: int(r["count()"]) for r in dft}
+    idf_micro = {
+        w: int(np.floor(1e6 * np.log((2 * n_docs + 2)
+                                     / (2 * dfs.get(w, 0) + 1))
+                        + 0.5))
+        for w in want_list}
+
+    def emit(batch: pa.Table) -> pa.Table:
+        """Matched term rows (kind 0) + doc-length partials (kind 1),
+        both routed by hash64(doc)."""
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        keep = pc.is_in(batch["word"], value_set=want) \
+            .to_numpy(zero_copy_only=False)
+        # doc-length partials: postings rows are per (doc, word), so
+        # per-block sum per doc is a correct partial of dl
+        order = np.argsort(ids, kind="stable")
+        sid, stf = ids[order], tf[order]
+        first = np.ones(len(sid), bool)
+        if len(sid):
+            first[1:] = sid[1:] != sid[:-1]
+        st = np.flatnonzero(first)
+        dl_doc = sid[st]
+        dl_sum = np.add.reduceat(stf, st) if len(st) else \
+            np.zeros(0, np.int64)
+        m_ids = ids[keep]
+        out_ids = np.concatenate([m_ids, dl_doc])
+        kind = np.concatenate([np.zeros(len(m_ids), np.int8),
+                               np.ones(len(dl_doc), np.int8)])
+        words = pa.concat_arrays([
+            batch["word"].combine_chunks().cast(pa.string())
+            .filter(pa.array(keep)),
+            pa.nulls(len(dl_doc), pa.string())])
+        vals = np.concatenate([tf[keep], dl_sum]).astype(np.int64)
+        hb = (hash64_batch(pa.array(out_ids.astype(np.int64),
+                                    pa.int64()).cast(pa.string()))
+              % nbu).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(out_ids.astype(np.int64), pa.int64()),
+            "kind": pa.array(kind, pa.int8()),
+            "word": words,
+            "val": pa.array(vals, pa.int64()),
+            "_b": pa.array(hb, pa.int64())})
+
+    rows = posts_mat.map_batches(emit, batch_format="pyarrow",
+                                 batch_size=None)
+
+    # derivation: tf + (k1n/k1d)((bd-bn)/bd) + (k1n/k1d)(bn/bd)(dl*N/Ttok)
+    # x (k1d*bd*Ttok):  k1d*bd*tf*Ttok + k1n*(bd-bn)*Ttok + k1n*bn*dl*N
+    # num x same:       bd*(k1n+k1d)*tf*Ttok
+    c_num = bd * (k1n + k1d)
+    c_tf = k1d * bd
+    c_fix = k1n * (bd - bn)
+    c_dl = k1n * bn
+
+    def score_bucket(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([(id_col, pa.int64()),
+                         ("n_matched", pa.int64()),
+                         ("score_1e6", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        kind = tbl["kind"].to_numpy(zero_copy_only=False)
+        words = tbl["word"].to_numpy(zero_copy_only=False)
+        val = tbl["val"].to_numpy(zero_copy_only=False)
+        # dl per doc in this bucket
+        dsel = kind == 1
+        d_ids, d_inv = np.unique(ids[dsel], return_inverse=True)
+        dl = np.zeros(len(d_ids), np.int64)
+        np.add.at(dl, d_inv, val[dsel])
+        msel = kind == 0
+        if not msel.any():
+            return sch.empty_table()
+        m_ids = ids[msel]
+        m_tf = val[msel]
+        m_idf = np.array([idf_micro[w] for w in words[msel]],
+                         np.int64)
+        pos = np.searchsorted(d_ids, m_ids)
+        m_dl = dl[pos]
+        tt, nn = t_tok, n_docs
+        num = c_num * m_tf * tt
+        den = c_tf * m_tf * tt + c_fix * tt + c_dl * m_dl * nn
+        if (m_tf.astype(np.float64).max(initial=0.0) * c_num * tt
+                < 2**62
+                and m_dl.astype(np.float64).max(initial=0.0)
+                * c_dl * nn < 2**61
+                and m_idf.astype(np.float64).max(initial=0.0)
+                * num.astype(np.float64).max(initial=1.0) < 2**62):
+            contrib = (m_idf * num) // np.maximum(den, 1)
+        else:       # exact big-int fallback (spam_mass convention)
+            contrib = np.array(
+                [(int(i) * int(n)) // max(int(d), 1)
+                 for i, n, d in zip(m_idf.tolist(), num.tolist(),
+                                    den.tolist())], np.int64)
+        order = np.argsort(m_ids, kind="stable")
+        sid = m_ids[order]
+        sc = contrib[order]
+        first = np.ones(len(sid), bool)
+        first[1:] = sid[1:] != sid[:-1]
+        st = np.flatnonzero(first)
+        n_matched = np.diff(np.r_[st, len(sid)]).astype(np.int64)
+        score = np.add.reduceat(sc, st).astype(np.int64)
+        out = pa.table({
+            id_col: pa.array(sid[st], pa.int64()),
+            "n_matched": pa.array(n_matched, pa.int64()),
+            "score_1e6": pa.array(score, pa.int64())})
+        if mode == "and":
+            out = out.filter(pc.equal(out["n_matched"], n_terms))
+        return out
+
+    from .exchange import hash_bucket_apply
+
+    return hash_bucket_apply(rows, "_b", score_bucket,
+                             num_buckets=num_buckets)

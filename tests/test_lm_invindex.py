@@ -335,3 +335,42 @@ def test_pmi_topk_matches_serial():
     want = [(a, b, c, -np_) for np_, a, b, c in scored[:5]]
     got = list(zip(df.w1, df.w2, df.c2, df.pmi_1e6))
     assert got == want
+
+
+def test_bm25_hand_truth_and_or_mode():
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.invindex import bm25_search
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["table hash merge table",
+                          "hash only words here",
+                          "table hash merge"], pa.string())}))
+    df = (bm25_search(ds, ["table", "hash", "merge"], mode="and")
+          .to_pandas().set_index("doc_id"))
+    # N=3 docs, Ttok=11 tokens; df(table)=2, df(hash)=3, df(merge)=2
+    idf2 = math.floor(1e6 * math.log(8 / 5) + 0.5)
+    idf3 = math.floor(1e6 * math.log(8 / 7) + 0.5)
+
+    def contrib(idf, tf, dl):
+        return (idf * 44 * tf * 11) // (20 * tf * 11 + 6 * 11
+                                        + 18 * dl * 3)
+
+    assert set(df.index) == {1, 3}          # AND drops doc 2
+    assert int(df.loc[3].score_1e6) == (contrib(idf2, 1, 3)
+                                        + contrib(idf3, 1, 3)
+                                        + contrib(idf2, 1, 3))
+    assert int(df.loc[1].score_1e6) == (contrib(idf2, 2, 4)
+                                        + contrib(idf3, 1, 4)
+                                        + contrib(idf2, 1, 4))
+    # longer doc with same tf scores lower (length normalization)
+    assert int(df.loc[3].score_1e6) > contrib(idf2, 1, 4) \
+        + contrib(idf3, 1, 4) + contrib(idf2, 1, 4)
+    got_or = (bm25_search(ds, ["table", "hash", "merge"], mode="or")
+              .to_pandas())
+    assert set(got_or.doc_id) == {1, 2, 3}
+    assert int(got_or.set_index("doc_id").loc[2].n_matched) == 1
