@@ -9684,3 +9684,39 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
        CAST(sum(contrib) AS BIGINT) AS score_1e6
 FROM c GROUP BY doc_id HAVING count(*) = 3
 """
+
+
+def q_temperature_mixture(sf_dir: str):
+    """Temperature-2 mixture sampling (the T5/Gopher sqrt-share rule):
+    each language's share of a 600-doc sample is proportional to
+    isqrt(group size) — small domains up-weighted without going
+    uniform. Exact integer chain (isqrt weights, floor quotas,
+    splitmix64 winner keys); group sizes are an O(groups) driver
+    dict. Oracle: the same chain with floor(sqrt) + row_number in
+    SQL."""
+    from .stages.sampling import temperature_mixture
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "lang"])
+    out = temperature_mixture(ds, "lang", budget=600, seed=0)
+    return out.select_columns(["doc_id", "lang", "skey", "quota"])
+
+
+QUERIES["temperature_mixture"] = q_temperature_mixture
+ORACLES["temperature_mixture"] = ("""
+WITH h AS MATERIALIZED (SELECT doc_id, lang,
+                  """ + _seeded_key_sql() + """ AS raw
+           FROM documents),
+m AS MATERIALIZED (SELECT doc_id, lang,
+                  """ + _sql_mix64("raw") + r""" AS skey
+           FROM h),
+sz AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM sz),
+q AS (SELECT lang, 600 * w // (SELECT sum(w) FROM w) AS quota FROM w),
+r AS (SELECT m.doc_id, m.lang, m.skey,
+             row_number() OVER (PARTITION BY m.lang
+                                ORDER BY m.skey, m.doc_id) AS rk
+      FROM m)
+SELECT r.doc_id, r.lang, r.skey, CAST(q.quota AS BIGINT) AS quota
+FROM r JOIN q ON q.lang = r.lang WHERE r.rk <= q.quota
+""")

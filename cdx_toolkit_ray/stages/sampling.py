@@ -254,3 +254,69 @@ def token_budget_mixture(ds: ray.data.Dataset, *,
         .map_batches(key_stage, batch_format="pyarrow", batch_size=None)
     return hash_bucket_apply(keyed, "_sb", take_until,
                              num_buckets=num_buckets)
+
+
+def temperature_mixture(ds: ray.data.Dataset, group_col: str, *,
+                        budget: int, id_col: str = "doc_id",
+                        seed: int = 0) -> ray.data.Dataset:
+    """Temperature-based mixture sampling at tau = 2 (alpha = 1/2):
+    the T5 / Gopher re-weighting rule — group g's share of a
+    ``budget``-doc sample is proportional to ``sqrt(|g|)`` instead of
+    ``|g|``, up-weighting small domains/languages without flattening
+    to uniform. Exact integer chain: ``w_g = isqrt(n_g)`` (floor
+    square root — matches SQL floor(sqrt) exactly below ~2^52 where
+    the double can't misround across an integer), ``quota_g = budget
+    * w_g // sum(w)`` (floor allocation), winners = the quota_g docs
+    with the smallest splitmix64-finalized seeded hash (ties by id —
+    the mixture_sample key, so samples are reproducible and
+    decorrelated from any input order).
+
+    Group sizes come from per-block partial counts folded to an
+    O(groups) driver dict (the budget_mixture convention); selection
+    is a per-group top-quota with a local per-block prune first, so
+    at most ``blocks x quota`` rows reach the final exchange.
+    Returns ``(id, group, skey, quota)`` for the selected docs."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    import math
+
+    from .dedup import _mix64
+
+    # per-block partial counts -> tiny (group, n) fold
+    def part_counts(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].cast(pa.string()) \
+            .to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(g.astype(str), return_counts=True)
+        return pa.table({group_col: pa.array(vals, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.select_columns([group_col]).map_batches(
+        part_counts, batch_format="pyarrow", batch_size=None)
+    sizes: dict[str, int] = {}
+    for r in parts.groupby(group_col).sum("n").take_all():
+        sizes[r[group_col]] = int(r["sum(n)"])
+    w = {g: math.isqrt(n) for g, n in sizes.items()}
+    sw = sum(w.values())
+    quota = {g: (budget * wg // sw if sw else 0)
+             for g, wg in w.items()}
+    max_q = max(quota.values(), default=0)
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        df = batch.select([id_col, group_col]).to_pandas()
+        df["skey"] = _mix64(_seeded_key(batch[id_col], seed))
+        df = df.sort_values([group_col, "skey", id_col])
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(max_q),
+            preserve_index=False)
+
+    def final_select(g: pd.DataFrame) -> pd.DataFrame:
+        q = quota.get(str(g[group_col].iloc[0]), 0)
+        g = g.sort_values(["skey", id_col]).head(q).copy()
+        g["quota"] = np.int64(q)
+        return g
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow",
+                            batch_size=None)
+    out = pruned.groupby(group_col).map_groups(final_select,
+                                               batch_format="pandas")
+    return out

@@ -244,3 +244,29 @@ def test_mixture_and_holdout_null_groups_deterministic(ray_session):
     tagged2 = holdout_split(rev, "grp", val_frac=0.5, seed=3) \
         .to_pandas()
     assert set(tagged2[tagged2.grp.isna()]["split"]) == null_sides
+
+
+def test_temperature_mixture_sqrt_shares():
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.sampling import temperature_mixture
+
+    # 100 'big' docs vs 4 'small': sqrt shares 10 vs 2 -> of a
+    # 12-doc budget big gets 10, small gets 2 (not 11.5/0.5)
+    ids = list(range(104))
+    grp = ["big"] * 100 + ["small"] * 4
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang": pa.array(grp, pa.string())}))
+    out = temperature_mixture(ds, "lang", budget=12).to_pandas()
+    got = out.groupby("lang").size().to_dict()
+    assert got == {"big": 10, "small": 2}
+    assert set(out[out.lang == "small"].quota) == {2}
+    # proportional sampling would have given small 12*4/104 = 0 docs
+    assert math.isqrt(100) == 10 and math.isqrt(4) == 2
+    # deterministic winners: re-run equals
+    again = temperature_mixture(ds, "lang", budget=12).to_pandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
