@@ -9720,3 +9720,52 @@ r AS (SELECT m.doc_id, m.lang, m.skey,
 SELECT r.doc_id, r.lang, r.skey, CAST(q.quota AS BIGINT) AS quota
 FROM r JOIN q ON q.lang = r.lang WHERE r.rk <= q.quota
 """)
+
+
+def q_graph_report(sf_dir: str):
+    """HyperANF summary report (Boldi, Rosa & Vigna 2011): effective
+    diameter (90th pct, interpolated), mean distance and spid
+    (variance/mean dispersion) of the radius-3 distance distribution,
+    each an exact integer permille (big-int arithmetic over the <= 4
+    distribution rows). Oracle: the walk CTE + the same closed-form
+    integer expressions in HUGEINT."""
+    from .stages.balls import graph_report
+    from .stages.links import extract_links
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return graph_report(extract_links(pages), radius=3)
+
+
+QUERIES["graph_report"] = q_graph_report
+ORACLES["graph_report"] = ("""
+WITH RECURSIVE dd AS ((""" + ORACLES["distance_distribution"] + r"""
+)),
+s AS (SELECT CAST(sum(n_pairs) AS HUGEINT) AS t,
+             CAST(sum(d * n_pairs) AS HUGEINT) AS s1,
+             CAST(sum(d * d * n_pairs) AS HUGEINT) AS s2 FROM dd),
+cum AS (SELECT d, n_pairs,
+               sum(n_pairs) OVER (ORDER BY d) AS c,
+               coalesce(sum(n_pairs) OVER (
+                 ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS cprev
+        FROM dd),
+ed AS (SELECT d, n_pairs, cprev FROM cum, s
+       WHERE 10 * c >= 9 * s.t ORDER BY d LIMIT 1)
+SELECT 'eff_diameter_90' AS metric,
+       CAST(CASE WHEN (SELECT d FROM ed) = 0 THEN 0
+            ELSE 1000 * ((SELECT d FROM ed) - 1)
+                 + (1000 * (9 * (SELECT t FROM s)
+                            - 10 * (SELECT cprev FROM ed)))
+                   // (10 * (SELECT n_pairs FROM ed))
+            END AS BIGINT) AS value_permille
+UNION ALL
+SELECT 'mean_distance',
+       CAST(1000 * s1 // t AS BIGINT) FROM s
+UNION ALL
+SELECT 'spid',
+       CAST(CASE WHEN s1 = 0 THEN 0
+            ELSE (1000 * (t * s2 - s1 * s1)) // (t * s1)
+            END AS BIGINT) FROM s
+""")

@@ -620,3 +620,57 @@ def distance_distribution(links: ray.data.Dataset, *, radius: int = 3,
                 .to_arrow().cast(sch))
 
     return hash_bucket_apply(ds, "_b", merge, num_buckets=nb)
+
+
+def graph_report(links: ray.data.Dataset, *, radius: int = 3,
+                 num_buckets: int = 16, src_col: str = "src_url",
+                 dst_col: str = "dst_url") -> ray.data.Dataset:
+    """The HyperANF summary report over the radius-capped distance
+    distribution (Boldi, Rosa & Vigna 2011): ``eff_diameter_90`` (the
+    90th-percentile distance with the standard linear interpolation),
+    ``mean_distance`` and ``spid`` (variance/mean — the
+    shortest-paths index of dispersion; < 1000 permille = proper web
+    graph, > 1000 = "galaxy" per the paper). All three are EXACT
+    integer permille computed from the exact N(d) counts with Python
+    big-int arithmetic in one final task over <= radius+1 rows (the
+    T·Σd²n products wrap int64 at web-scale pair counts). Distances
+    are capped at ``radius`` — the report describes the radius-ball,
+    as any bounded-iteration HyperANF run does."""
+    dd = distance_distribution(links, radius=radius,
+                               num_buckets=num_buckets,
+                               src_col=src_col, dst_col=dst_col)
+
+    def report(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("metric", pa.string()),
+                         ("value_permille", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        d = tbl["d"].to_numpy(zero_copy_only=False).tolist()
+        n = tbl["n_pairs"].to_numpy(zero_copy_only=False).tolist()
+        order = sorted(range(len(d)), key=lambda i: d[i])
+        d = [int(d[i]) for i in order]
+        n = [int(n[i]) for i in order]
+        t = sum(n)
+        s1 = sum(di * ni for di, ni in zip(d, n))
+        s2 = sum(di * di * ni for di, ni in zip(d, n))
+        mean_pm = 1000 * s1 // t
+        var_num = t * s2 - s1 * s1          # variance = var_num / t^2
+        spid_pm = (1000 * var_num // (t * s1)) if s1 else 0
+        cum = 0
+        ed_pm = 0
+        for di, ni in zip(d, n):
+            if 10 * (cum + ni) >= 9 * t:
+                ed_pm = 0 if di == 0 else \
+                    1000 * (di - 1) + (1000 * (9 * t - 10 * cum)
+                                       ) // (10 * ni)
+                break
+            cum += ni
+        return pa.table({
+            "metric": pa.array(["eff_diameter_90", "mean_distance",
+                                "spid"], pa.string()),
+            "value_permille": pa.array([ed_pm, mean_pm, spid_pm],
+                                       pa.int64())})
+
+    return dd.repartition(1).map_batches(report,
+                                         batch_format="pyarrow",
+                                         batch_size=None)

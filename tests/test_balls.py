@@ -94,3 +94,19 @@ def test_distance_distribution_exact():
           .to_pandas().set_index("d").n_pairs)
     # d=0: 5 nodes; d=1: 4 edges; d=2: a->c, e->b, b->d; d=3: a->d, e->c
     assert dict(df) == {0: 5, 1: 4, 2: 3, 3: 2}
+
+
+def test_graph_report_permille_values():
+    from cdx_toolkit_ray.stages.balls import graph_report
+
+    # chain a->b->c->d + e->a: dd = {0:5, 1:4, 2:3, 3:2}, T=14
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "d"), ("e", "a")])
+    got = dict(graph_report(ds, radius=3, num_buckets=4)
+               .to_pandas().values)
+    # mean = (0*5+1*4+2*3+3*2)/14 = 16/14 -> 1142 permille
+    assert got["mean_distance"] == 1000 * 16 // 14
+    # eff d90: 0.9*14 = 12.6; cum: 5,9,12,14 -> d=3 row;
+    # interp = 2 + (12.6-12)/2 = 2.3 -> 2300
+    assert got["eff_diameter_90"] == 2300
+    # spid = (T*S2 - S1^2)/(T*S1); S2 = 4+12+18 = 34
+    assert got["spid"] == 1000 * (14 * 34 - 16 * 16) // (14 * 16)
