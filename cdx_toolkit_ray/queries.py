@@ -9769,3 +9769,76 @@ SELECT 'spid',
             ELSE (1000 * (t * s2 - s1 * s1)) // (t * s1)
             END AS BIGINT) FROM s
 """)
+
+
+def q_seed_cover(sf_dir: str):
+    """Greedy max-cover seed selection (the (1-1/e) greedy rule):
+    3 seeds, each round taking the url whose radius-2 forward ball
+    covers the most not-yet-covered urls (ties to the smaller url) —
+    how a production crawl builds a small seed list that still
+    reaches most of the graph. Ball pair stream re-keyed once by node
+    for covered-flag co-location; per round one uncovered-count
+    scatter + one per-root fold; driver holds the winner + gain.
+    Oracle: the walk CTE with all 3 greedy rounds unrolled."""
+    from .stages.balls import greedy_seed_cover
+    from .stages.links import extract_links
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url", "text"])
+    return greedy_seed_cover(extract_links(pages), k=3, radius=2)
+
+
+def _seed_cover_oracle(k: int = 3, radius: int = 2) -> str:
+    base = r"""
+WITH RECURSIVE hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(text, 'href=''([^'']*)''', 1)) AS href
+  FROM read_parquet('%s/pages.parquet')),
+rawlinks AS (
+  SELECT src_url,
+         CASE WHEN contains(href, '://') THEN href
+              WHEN href LIKE '/%%' THEN
+                regexp_extract(src_url, '^[a-z][a-z0-9+.\-]*://[^/]+')
+                || href
+              ELSE NULL END AS dst_url
+  FROM hrefs WHERE dst_url IS NOT NULL),
+e AS (SELECT DISTINCT src_url AS src, dst_url AS dst FROM rawlinks),
+nodes AS (SELECT DISTINCT url FROM (
+  SELECT src AS url FROM e UNION ALL SELECT dst AS url FROM e)),
+walk (root, node, d) AS (
+    SELECT url, url, 0 FROM nodes
+  UNION
+    SELECT w.root, e.dst, w.d + 1
+    FROM walk w JOIN e ON e.src = w.node
+    WHERE w.d < %d),
+ball AS (SELECT DISTINCT root, node FROM walk)
+""" % (_FIXTURE_LINK, radius)
+    parts = []
+    sel = []
+    prev_cov = None
+    for i in range(1, k + 1):
+        src = "ball" if prev_cov is None else (
+            "(SELECT root, node FROM ball WHERE node NOT IN "
+            "(SELECT node FROM %s))" % prev_cov)
+        parts.append(
+            "r%d AS (SELECT root, count(*) AS c FROM %s AS b%d "
+            "GROUP BY root)" % (i, src, i))
+        parts.append(
+            "w%d AS (SELECT root, c FROM r%d "
+            "ORDER BY c DESC, root LIMIT 1)" % (i, i))
+        cov_prev_term = "" if prev_cov is None else \
+            "SELECT node FROM %s UNION " % prev_cov
+        parts.append(
+            "cov%d AS (SELECT DISTINCT node FROM (%sSELECT node "
+            "FROM ball WHERE root = (SELECT root FROM w%d)))"
+            % (i, cov_prev_term, i))
+        prev_cov = "cov%d" % i
+        sel.append("SELECT %d AS rank, root AS seed, "
+                   "CAST(c AS BIGINT) AS gain FROM w%d" % (i, i))
+    return (base.rstrip() + ",\n" + ",\n".join(parts) + "\n"
+            + "\nUNION ALL ".join(sel))
+
+
+QUERIES["seed_cover"] = q_seed_cover
+ORACLES["seed_cover"] = _seed_cover_oracle()

@@ -674,3 +674,225 @@ def graph_report(links: ray.data.Dataset, *, radius: int = 3,
     return dd.repartition(1).map_batches(report,
                                          batch_format="pyarrow",
                                          batch_size=None)
+
+
+@ray.remote
+def _gc_rekey(nb: int, vis: pa.Table):
+    """Re-route one pair-bucket's (root, node) rows by NODE hash (the
+    covered-flag co-location key for greedy cover)."""
+    sch = pa.schema([("root", pa.string()), ("node", pa.string())])
+    if vis.num_rows == 0:
+        out = [sch.empty_table()] * nb
+        return out[0] if nb == 1 else tuple(out)
+    t = vis.select(["root", "node"])
+    h = (hash64_batch(t["node"].combine_chunks())
+         % np.uint64(nb)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    t = t.take(pa.array(order))
+    bounds = np.searchsorted(h[order], np.arange(nb + 1))
+    out = [t.slice(bounds[p], bounds[p + 1] - bounds[p])
+           for p in range(nb)]
+    return out[0] if nb == 1 else tuple(out)
+
+
+@ray.remote
+def _gc_init(*parts: pa.Table):
+    """One node-bucket: (pairs sorted by node, distinct node array,
+    all-False covered flags)."""
+    sch = pa.schema([("root", pa.string()), ("node", pa.string())])
+    live = [t for t in parts if t.num_rows]
+    if not live:
+        return sch.empty_table(), np.zeros(0, object), \
+            np.zeros(0, bool)
+    import polars as pl
+
+    t = pa.concat_tables(live, promote_options="permissive")
+    df = pl.from_arrow(t).sort(["node", "root"])
+    t = df.to_arrow().cast(sch)
+    nodes = np.unique(t["node"].combine_chunks()
+                      .to_numpy(zero_copy_only=False).astype(str))
+    return t, nodes, np.zeros(len(nodes), bool)
+
+
+@ray.remote
+def _gc_count(pairs: pa.Table, nodes: np.ndarray, covered: np.ndarray):
+    """Per-root count of UNCOVERED nodes in this bucket -> one best
+    candidate (count desc, root asc) plus the full partial table is
+    unnecessary — counts fold per bucket, the driver reduces nb
+    candidates... but a root's ball spans buckets, so partials must
+    fold ACROSS buckets first: return (root, cnt) partials."""
+    sch = pa.schema([("root", pa.string()), ("cnt", pa.int64())])
+    if pairs.num_rows == 0:
+        return sch.empty_table()
+    node = pairs["node"].combine_chunks() \
+        .to_numpy(zero_copy_only=False).astype(str)
+    root = pairs["root"].combine_chunks() \
+        .to_numpy(zero_copy_only=False).astype(str)
+    idx = np.searchsorted(nodes, node)
+    unc = ~covered[idx]
+    if not unc.any():
+        return sch.empty_table()
+    r = root[unc]
+    order = np.argsort(r, kind="stable")
+    r = r[order]
+    first = np.ones(len(r), bool)
+    first[1:] = r[1:] != r[:-1]
+    st = np.flatnonzero(first)
+    cnt = np.diff(np.r_[st, len(r)]).astype(np.int64)
+    return pa.table({"root": pa.array(r[st], pa.string()),
+                     "cnt": pa.array(cnt, pa.int64())})
+
+
+@ray.remote
+def _gc_best(*parts: pa.Table):
+    """Fold (root, cnt) partials of one root-bucket -> its best
+    candidate (cnt desc, root asc)."""
+    live = [t for t in parts if t.num_rows]
+    if not live:
+        return None
+    t = pa.concat_tables(live, promote_options="permissive")
+    r = t["root"].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(str)
+    c = t["cnt"].to_numpy(zero_copy_only=False)
+    order = np.argsort(r, kind="stable")
+    r, c = r[order], c[order]
+    first = np.ones(len(r), bool)
+    first[1:] = r[1:] != r[:-1]
+    st = np.flatnonzero(first)
+    tot = np.add.reduceat(c, st)
+    cand = sorted(zip((-tot).tolist(), r[st].tolist()))[0]
+    return int(-cand[0]), cand[1]
+
+
+@ray.remote
+def _gc_mark(winner: str, pairs: pa.Table, nodes: np.ndarray,
+             covered: np.ndarray) -> np.ndarray:
+    """Mark the winner's ball nodes covered in this bucket."""
+    if pairs.num_rows == 0:
+        return covered
+    root = pairs["root"].combine_chunks() \
+        .to_numpy(zero_copy_only=False).astype(str)
+    sel = root == winner
+    if not sel.any():
+        return covered
+    node = pairs["node"].combine_chunks() \
+        .to_numpy(zero_copy_only=False).astype(str)[sel]
+    out = covered.copy()
+    out[np.searchsorted(nodes, np.unique(node))] = True
+    return out
+
+
+def greedy_seed_cover(links: ray.data.Dataset, *, k: int = 3,
+                      radius: int = 2, num_buckets: int = 16,
+                      src_col: str = "src_url",
+                      dst_col: str = "dst_url") -> ray.data.Dataset:
+    """Greedy maximum-coverage seed selection: pick ``k`` seeds, each
+    round taking the url whose radius-``radius`` forward ball covers
+    the most NOT-YET-COVERED urls (ties to the smaller url) — the
+    (1 - 1/e)-approximate max-cover rule, the standard way to build a
+    small seed list that still reaches most of a web graph. Rounds
+    with zero marginal gain stop early.
+
+    Dataflow: the exact ball pair stream (the neighborhood_function
+    BFS over bucket-cached edges) is re-keyed ONCE by node so covered
+    flags co-locate; each greedy round is one uncovered-count scatter
+    + one per-root fold; the driver holds only the current winner and
+    its gain. Returns ``(rank, seed, gain)``.
+
+    Oracle: the recursive-CTE walk with ``k`` greedy rounds unrolled
+    in SQL (NOT-IN against the accumulated cover)."""
+    if k < 0 or radius < 0:
+        raise ValueError("k and radius must be >= 0")
+    nb = num_buckets
+    from .exchange import _chunked, _split_hash
+    from .links import _lr_emit_nodes
+
+    keyed = _keyed_edges(links, nb, src_col, dst_col).materialize()
+    if keyed.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "rank": pa.array([], pa.int64()),
+            "seed": pa.array([], pa.string()),
+            "gain": pa.array([], pa.int64())}))
+    refs = keyed.to_arrow_refs()
+    splits = [_split_hash.options(num_returns=nb).remote(
+        "bucket", nb, *g) for g in _chunked(refs)]
+    if nb == 1:
+        splits = [[s] for s in splits]
+    edges_b = [_nf_edges.remote(*[sp[b] for sp in splits])
+               for b in range(nb)]
+    node_slices = [_lr_emit_nodes.options(num_returns=nb).remote(nb, e)
+                   for e in edges_b]
+    if nb == 1:
+        node_slices = [[s] for s in node_slices]
+    inits = [_nf_init.options(num_returns=1 + nb).remote(
+        nb, *[ns[b] for ns in node_slices]) for b in range(nb)]
+    front_parts = [[inits[b][0]] for b in range(nb)]
+    vis_b = [_nf_concat.remote(*[inits[b][1 + p] for b in range(nb)])
+             for p in range(nb)]
+    for d in range(1, radius + 1):
+        cands = [_nf_expand.options(num_returns=nb).remote(
+            nb, edges_b[b], *front_parts[b]) for b in range(nb)]
+        if nb == 1:
+            cands = [[c] for c in cands]
+        gathers = [_nf_gather.options(num_returns=1 + nb).remote(
+            d, nb, vis_b[p], *[cands[b][p] for b in range(nb)])
+            for p in range(nb)]
+        vis_b = [gathers[p][0] for p in range(nb)]
+        front_parts = [[gathers[p][1 + b] for p in range(nb)]
+                       for b in range(nb)]
+
+    rekeyed = [_gc_rekey.options(num_returns=nb).remote(nb, v)
+               for v in vis_b]
+    if nb == 1:
+        rekeyed = [[r] for r in rekeyed]
+    states = [_gc_init.options(num_returns=3).remote(
+        *[rekeyed[q][p] for q in range(nb)]) for p in range(nb)]
+    pairs_b = [s[0] for s in states]
+    nodes_b = [s[1] for s in states]
+    cov_b = [s[2] for s in states]
+
+    ranks, seeds, gains = [], [], []
+    for rank in range(1, k + 1):
+        parts = [_gc_count.remote(pairs_b[p], nodes_b[p], cov_b[p])
+                 for p in range(nb)]
+        # fold partials per root: slice each partial by root hash
+        sl = [_gc_rekey_root.options(num_returns=nb).remote(nb, t)
+              for t in parts]
+        if nb == 1:
+            sl = [[s] for s in sl]
+        bests = ray.get([_gc_best.remote(*[sl[q][p]
+                                           for q in range(nb)])
+                         for p in range(nb)])
+        bests = [x for x in bests if x is not None]
+        if not bests:
+            break
+        gain, winner = sorted(((-c, r) for c, r in bests))[0]
+        gain = -gain
+        if gain <= 0:
+            break
+        ranks.append(rank)
+        seeds.append(winner)
+        gains.append(gain)
+        cov_b = [_gc_mark.remote(winner, pairs_b[p], nodes_b[p],
+                                 cov_b[p]) for p in range(nb)]
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(ranks, pa.int64()),
+        "seed": pa.array(seeds, pa.string()),
+        "gain": pa.array(gains, pa.int64())}))
+
+
+@ray.remote
+def _gc_rekey_root(nb: int, t: pa.Table):
+    """Slice a (root, cnt) partial table by root hash."""
+    sch = pa.schema([("root", pa.string()), ("cnt", pa.int64())])
+    if t.num_rows == 0:
+        out = [sch.empty_table()] * nb
+        return out[0] if nb == 1 else tuple(out)
+    h = (hash64_batch(t["root"].combine_chunks())
+         % np.uint64(nb)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    t = t.take(pa.array(order))
+    bounds = np.searchsorted(h[order], np.arange(nb + 1))
+    out = [t.slice(bounds[p], bounds[p + 1] - bounds[p])
+           for p in range(nb)]
+    return out[0] if nb == 1 else tuple(out)

@@ -110,3 +110,19 @@ def test_graph_report_permille_values():
     assert got["eff_diameter_90"] == 2300
     # spid = (T*S2 - S1^2)/(T*S1); S2 = 4+12+18 = 34
     assert got["spid"] == 1000 * (14 * 34 - 16 * 16) // (14 * 16)
+
+
+def test_greedy_seed_cover_hand_truth():
+    from cdx_toolkit_ray.stages.balls import greedy_seed_cover
+
+    # balls r2: a:{a,b,c} b:{b,c,d} c:{c,d} d:{d} e:{e,a,b}
+    ds = _edges([("a", "b"), ("b", "c"), ("c", "d"), ("e", "a")])
+    got = (greedy_seed_cover(ds, k=3, radius=2, num_buckets=4)
+           .to_pandas().values.tolist())
+    # round 1: tie a/b/e at 3 -> min url 'a'; round 2: b adds {d};
+    # round 3: e adds {e}
+    assert got == [[1, "a", 3], [2, "b", 1], [3, "e", 1]]
+    # early stop: k larger than needed ends when gain hits 0
+    full = (greedy_seed_cover(ds, k=10, radius=2, num_buckets=2)
+            .to_pandas())
+    assert len(full) == 3 and int(full.gain.sum()) == 5
