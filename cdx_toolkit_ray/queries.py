@@ -9842,3 +9842,46 @@ ball AS (SELECT DISTINCT root, node FROM walk)
 
 QUERIES["seed_cover"] = q_seed_cover
 ORACLES["seed_cover"] = _seed_cover_oracle()
+
+
+def q_dirichlet_ql(sf_dir: str):
+    """Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) for
+    ``table hash merge``, μ=2000 — the LM-retrieval counterpart of
+    bm25, scoring EVERY doc (absent terms fall back to the collection
+    prior, so ranking needs only the doc-length row). Micro-nat
+    integer quantization per (doc, term); cf/Ttok are a 3-entry dict
+    + two driver scalars. Oracle: dl x query-terms cross join LEFT
+    JOIN tf with the same quantized formula."""
+    from .stages.invindex import dirichlet_ql
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    return dirichlet_ql(ds, ["table", "hash", "merge"], mu=2000)
+
+
+QUERIES["dirichlet_ql"] = q_dirichlet_ql
+ORACLES["dirichlet_ql"] = r"""
+WITH tok AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '\w+')) AS w
+             FROM documents),
+tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, w),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT (SELECT sum(tf) FROM tf) AS ttok),
+qt (w) AS (VALUES ('table'), ('hash'), ('merge')),
+cf AS (SELECT q.w, coalesce(sum(t.tf), 0) AS cf
+       FROM qt q LEFT JOIN tf t ON t.w = q.w GROUP BY q.w),
+x AS (SELECT d.doc_id, d.dl, c.w, c.cf, coalesce(t.tf, 0) AS tf
+      FROM dl d CROSS JOIN cf c
+      LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.w = c.w),
+sc AS (SELECT doc_id,
+         CAST(floor(1e6 * ln(
+           (tf * s.ttok + 2000 * cf)
+           / CAST((dl + 2000) * s.ttok AS DOUBLE)) + 0.5) AS BIGINT)
+           AS term,
+         CASE WHEN tf > 0 THEN 1 ELSE 0 END AS hit
+       FROM x, stats s)
+SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_matched,
+       CAST(sum(term) AS BIGINT) AS score_1e6
+FROM sc GROUP BY doc_id
+"""

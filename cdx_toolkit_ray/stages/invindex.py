@@ -452,3 +452,121 @@ def bm25_search(ds: ray.data.Dataset, terms: list[str], *,
 
     return hash_bucket_apply(rows, "_b", score_bucket,
                              num_buckets=num_buckets)
+
+
+def dirichlet_ql(ds: ray.data.Dataset, terms: list[str], *,
+                 mu: int = 2000, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 num_buckets: int = 32) -> ray.data.Dataset:
+    """Dirichlet-smoothed query likelihood ranking (Zhai & Lafferty,
+    SIGIR 2001 — the language-modeling counterpart of BM25):
+    ``score(d) = Σ_t ln p(t|d)`` with ``p(t|d) = (tf + μ·cf_t/Ttok)
+    / (dl + μ)``. Smoothing scores EVERY document (tf = 0 terms get
+    the collection prior), so the per-doc compute keys off the
+    doc-length row alone: p(t|d) = (tf·Ttok + μ·cf_t) /
+    ((dl + μ)·Ttok) — an exact integer ratio per (doc, term),
+    quantized to micro-nats (``floor(1e6·ln(num/den) + 0.5)``, the
+    lm.py convention) and summed order-free. A query term absent from
+    the corpus (cf = 0) has likelihood 0 for every doc and is
+    rejected loudly rather than silently ranking everything -inf.
+
+    Same dataflow as :func:`bm25_search`: one postings pass (matched
+    rows + dl partials) through one doc-bucket exchange; cf/Ttok are
+    a tiny driver dict + two scalars. Returns
+    ``(doc_id, n_matched, score_1e6)`` over ALL docs with text."""
+    import pyarrow.compute as pc
+
+    from ..canon import hash64_batch
+
+    want_list = sorted({t.lower() for t in terms})
+    want = pa.array(want_list, pa.string())
+    nbu = np.uint64(num_buckets)
+
+    posts = postings(ds, text_col, id_col, n_buckets=1).materialize()
+    t_tok = int(posts.sum("tf") or 0)
+    cft = (posts
+           .map_batches(lambda t: t.filter(
+               pc.is_in(t["word"], value_set=want))
+               .select(["word", "tf"]),
+               batch_format="pyarrow", batch_size=None)
+           .groupby("word").sum("tf").take_all())
+    cf = {r["word"]: int(r["sum(tf)"]) for r in cft}
+    missing = [w for w in want_list if cf.get(w, 0) == 0]
+    if missing:
+        raise ValueError("dirichlet_ql: query terms absent from the "
+                         "corpus (cf=0): %r" % missing)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        keep = pc.is_in(batch["word"], value_set=want) \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        sid, stf = ids[order], tf[order]
+        first = np.ones(len(sid), bool)
+        if len(sid):
+            first[1:] = sid[1:] != sid[:-1]
+        st = np.flatnonzero(first)
+        dl_doc = sid[st]
+        dl_sum = np.add.reduceat(stf, st) if len(st) else \
+            np.zeros(0, np.int64)
+        m_ids = ids[keep]
+        out_ids = np.concatenate([m_ids, dl_doc]).astype(np.int64)
+        kind = np.concatenate([np.zeros(len(m_ids), np.int8),
+                               np.ones(len(dl_doc), np.int8)])
+        words = pa.concat_arrays([
+            batch["word"].combine_chunks().cast(pa.string())
+            .filter(pa.array(keep)),
+            pa.nulls(len(dl_doc), pa.string())])
+        vals = np.concatenate([tf[keep], dl_sum]).astype(np.int64)
+        hb = (hash64_batch(pa.array(out_ids, pa.int64())
+                           .cast(pa.string())) % nbu).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(out_ids, pa.int64()),
+            "kind": pa.array(kind, pa.int8()),
+            "word": words,
+            "val": pa.array(vals, pa.int64()),
+            "_b": pa.array(hb, pa.int64())})
+
+    rows = posts.map_batches(emit, batch_format="pyarrow",
+                             batch_size=None)
+    cfs = np.array([cf[w] for w in want_list], np.int64)
+
+    def score_bucket(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([(id_col, pa.int64()),
+                         ("n_matched", pa.int64()),
+                         ("score_1e6", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        kind = tbl["kind"].to_numpy(zero_copy_only=False)
+        words = tbl["word"].to_numpy(zero_copy_only=False)
+        val = tbl["val"].to_numpy(zero_copy_only=False)
+        dsel = kind == 1
+        d_ids = ids[dsel]
+        order = np.argsort(d_ids, kind="stable")
+        d_ids = d_ids[order]
+        dl = val[dsel][order]
+        if len(d_ids) == 0:
+            return sch.empty_table()
+        # tf matrix (docs x query terms), default 0
+        tf = np.zeros((len(d_ids), len(want_list)), np.int64)
+        msel = kind == 0
+        if msel.any():
+            widx = {w: j for j, w in enumerate(want_list)}
+            cols = np.array([widx[w] for w in words[msel]], np.int64)
+            rows_ = np.searchsorted(d_ids, ids[msel])
+            tf[rows_, cols] = val[msel]
+        num = tf * t_tok + mu * cfs[None, :]
+        den = (dl[:, None] + mu) * t_tok
+        term = np.floor(1e6 * np.log(num / den) + 0.5).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(d_ids, pa.int64()),
+            "n_matched": pa.array((tf > 0).sum(axis=1)
+                                  .astype(np.int64), pa.int64()),
+            "score_1e6": pa.array(term.sum(axis=1), pa.int64())})
+
+    from .exchange import hash_bucket_apply
+
+    return hash_bucket_apply(rows, "_b", score_bucket,
+                             num_buckets=num_buckets)

@@ -374,3 +374,34 @@ def test_bm25_hand_truth_and_or_mode():
               .to_pandas())
     assert set(got_or.doc_id) == {1, 2, 3}
     assert int(got_or.set_index("doc_id").loc[2].n_matched) == 1
+
+
+def test_dirichlet_ql_truth_and_missing_term():
+    import math
+
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from cdx_toolkit_ray.stages.invindex import dirichlet_ql
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["table hash table", "hash words"],
+                         pa.string())}))
+    # Ttok=5, cf(table)=2, cf(hash)=2; dl1=3, dl2=2; mu=10
+    df = (dirichlet_ql(ds, ["table", "hash"], mu=10)
+          .to_pandas().set_index("doc_id"))
+
+    def term(tf, cf, dl):
+        return math.floor(1e6 * math.log((tf * 5 + 10 * cf)
+                                         / ((dl + 10) * 5)) + 0.5)
+
+    assert int(df.loc[1].score_1e6) == term(2, 2, 3) + term(1, 2, 3)
+    assert int(df.loc[2].score_1e6) == term(0, 2, 2) + term(1, 2, 2)
+    assert int(df.loc[1].n_matched) == 2
+    assert int(df.loc[2].n_matched) == 1
+    # every doc is scored (smoothing), unlike bm25 AND
+    assert set(df.index) == {1, 2}
+    with pytest.raises(ValueError):
+        dirichlet_ql(ds, ["table", "zzzmissing"]).materialize()
