@@ -9885,3 +9885,46 @@ SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_matched,
        CAST(sum(term) AS BIGINT) AS score_1e6
 FROM sc GROUP BY doc_id
 """
+
+
+def q_embedding_outliers(sf_dir: str):
+    """Exact top-20 embedding outliers by scaled squared distance to
+    the corpus centroid (``Σ_j (N·q_ij − S_j)²`` over the int8
+    quantization — all-integer, reduction-order-free). Two streaming
+    passes + per-block top-k prune; 65 driver scalars. Oracle: the
+    quantize CTE, per-dim HUGEINT sums, the same scaled distance,
+    ORDER BY d2 DESC, vec_id LIMIT 20."""
+    from .stages.ann import embedding_outliers
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    return embedding_outliers(ds, k=20)
+
+
+QUERIES["embedding_outliers"] = q_embedding_outliers
+ORACLES["embedding_outliers"] = r"""
+WITH q AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x)))
+              AS DOUBLE) AS max_abs
+  FROM embeddings),
+e AS (SELECT vec_id, max_abs, embedding,
+             unnest(range(1, len(embedding) + 1)) AS i FROM q),
+qv AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim_idx,
+       CAST(CASE WHEN max_abs = 0 THEN 0
+            ELSE round(CAST(embedding[i] AS DOUBLE) * 127.0 / max_abs)
+            END AS HUGEINT) AS qval
+       FROM e),
+s AS (SELECT dim_idx, sum(qval) AS sj FROM qv GROUP BY dim_idx),
+n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+d AS (SELECT qv.vec_id,
+             sum((n.n * qv.qval - s.sj) * (n.n * qv.qval - s.sj))
+               AS d2
+      FROM qv JOIN s ON s.dim_idx = qv.dim_idx, n
+      GROUP BY qv.vec_id),
+r AS (SELECT vec_id, CAST(d2 AS BIGINT) AS d2,
+             row_number() OVER (ORDER BY d2 DESC, vec_id) AS rank
+      FROM d)
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, d2
+FROM r WHERE rank <= 20
+"""

@@ -620,3 +620,99 @@ def signed_projection_batch(batch: pa.Table, *, dim_out: int = 16,
                                     len(ids)), pa.int64()),
         "pval": pa.array(proj.reshape(-1).astype(np.int64), pa.int64()),
     })
+
+
+def embedding_outliers(ds: ray.data.Dataset, *, k: int = 20,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> ray.data.Dataset:
+    """Exact top-``k`` embedding outliers: the vectors FARTHEST from
+    the corpus centroid — the standard first-pass triage for corrupt
+    encodes, OCR junk and off-distribution documents in an embedding
+    corpus. All-integer and scale-exact: over the int8-quantized
+    vectors, ``d2_i = Σ_j (N·q_ij − S_j)²`` is the squared distance
+    to the centroid scaled by N² (S_j = per-dimension sums, N = row
+    count — 65 driver scalars from per-block partials). ``N·127``
+    beyond ~3·10⁸ rows would overflow the int64 square — the stage
+    raises loudly there (shard the corpus or mean-center in chunks).
+
+    Dataflow: one partial-sums pass, one scoring pass with per-block
+    top-k pruning, one tiny final merge. Returns ``(rank, id, d2)``
+    with ties broken by id."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    qds = ds.map_batches(quantize_batch, batch_format="pyarrow",
+                         batch_size=None).materialize()
+
+    def part_sums(batch: pa.Table) -> pa.Table:
+        col = batch["qvec"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False)
+        if offsets[0] != 0 or offsets[-1] != len(vals):
+            vals = vals[offsets[0]:offsets[-1]]
+            offsets = offsets - offsets[0]
+        lengths = np.diff(offsets)
+        if batch.num_rows == 0 or len(vals) == 0:
+            return pa.table({"dim_idx": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        dim = int(lengths[0])
+        if not (lengths == dim).all():
+            raise ValueError("embedding_outliers: ragged embeddings")
+        s = vals.astype(np.int64).reshape(-1, dim).sum(axis=0)
+        return pa.table({
+            "dim_idx": pa.array(np.arange(dim, dtype=np.int64)),
+            "s": pa.array(s, pa.int64()),
+            "n": pa.array(np.full(dim, batch.num_rows, np.int64))})
+
+    parts = qds.map_batches(part_sums, batch_format="pyarrow",
+                            batch_size=None).take_all()
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            "rank": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "d2": pa.array([], pa.int64())}))
+    dim = max(r["dim_idx"] for r in parts) + 1
+    S = np.zeros(dim, np.int64)
+    n_total = 0
+    for r in parts:
+        S[r["dim_idx"]] += r["s"]
+        if r["dim_idx"] == 0:
+            n_total += r["n"]
+    if n_total * 127 > 3_000_000_000:
+        raise ValueError("embedding_outliers: N*127 overflows the "
+                         "int64 square at %d rows" % n_total)
+
+    def score(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([(id_col, pa.int64()), ("d2", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        col = batch["qvec"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False)
+        if offsets[0] != 0 or offsets[-1] != len(vals):
+            vals = vals[offsets[0]:offsets[-1]]
+            offsets = offsets - offsets[0]
+        q = vals.astype(np.int64).reshape(-1, dim)
+        diff = n_total * q - S[None, :]
+        d2 = (diff * diff).sum(axis=1)
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # per-block top-k prune (d2 desc, id asc)
+        order = np.lexsort((ids, -d2))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "d2": pa.array(d2[order], pa.int64())})
+
+    pruned = qds.map_batches(score, batch_format="pyarrow",
+                             batch_size=None).take_all()
+    rows = sorted(((-r["d2"], r[id_col]) for r in pruned))[:k]
+    return ray.data.from_arrow(pa.table({
+        "rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64)),
+        id_col: pa.array([r[1] for r in rows], pa.int64()),
+        "d2": pa.array([-r[0] for r in rows], pa.int64())}))

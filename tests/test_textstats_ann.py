@@ -636,3 +636,23 @@ def test_signed_projection_exact_and_ragged_guard():
         "qvec": pa.array([[1, 2], [1, 2, 3]], pa.list_(pa.int8()))})
     with pytest.raises(ValueError):
         signed_projection_batch(ragged)
+
+
+def test_embedding_outliers_finds_planted_outlier():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.ann import embedding_outliers
+
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(0, 0.1, size=(50, 8)).astype(np.float32)
+    vecs[17] = 5.0    # far from everything
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+        "embedding": pa.array(list(map(list, vecs)),
+                              pa.list_(pa.float32()))}))
+    out = embedding_outliers(ds, k=3).to_pandas()
+    assert int(out.iloc[0]["vec_id"]) == 17
+    assert list(out["rank"]) == [1, 2, 3]
+    assert out.d2.is_monotonic_decreasing
