@@ -9928,3 +9928,61 @@ r AS (SELECT vec_id, CAST(d2 AS BIGINT) AS d2,
 SELECT CAST(rank AS BIGINT) AS rank, vec_id, d2
 FROM r WHERE rank <= 20
 """
+
+
+def q_vocab_drift(sf_dir: str):
+    """Crawl-to-crawl content drift as Jensen-Shannon divergence
+    between the even-doc and odd-doc halves' unigram distributions
+    (the bigram_lm split convention), in exact integer micro-nats —
+    symmetric, bounded by ln 2 ~ 693,147 micro, threshold-able by a
+    recrawl scheduler. One word-bucket exchange; totals are two
+    driver scalars. Oracle: FULL OUTER word join + the identical
+    quantized terms."""
+    from .stages.textstats import vocab_drift
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+
+    def half(par: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 2 == par))
+        return fn
+
+    a = ds.map_batches(half(0), batch_format="pyarrow",
+                       batch_size=None)
+    b = ds.map_batches(half(1), batch_format="pyarrow",
+                       batch_size=None)
+    return vocab_drift(a, b)
+
+
+QUERIES["vocab_drift"] = q_vocab_drift
+ORACLES["vocab_drift"] = r"""
+WITH ta AS (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
+            FROM documents WHERE doc_id % 2 = 0),
+tb AS (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS w
+       FROM documents WHERE doc_id % 2 = 1),
+ca AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM ta GROUP BY w),
+cb AS (SELECT w, CAST(count(*) AS BIGINT) AS c2 FROM tb GROUP BY w),
+s AS (SELECT (SELECT sum(c1) FROM ca) AS t1,
+             (SELECT sum(c2) FROM cb) AS t2),
+j AS (SELECT coalesce(ca.c1, 0) AS c1, coalesce(cb.c2, 0) AS c2
+      FROM ca FULL OUTER JOIN cb ON cb.w = ca.w),
+terms AS (SELECT
+    CASE WHEN c1 > 0 THEN CAST(floor(
+      1e6 * c1 * ln(2.0 * c1 * s.t2 / (c1 * s.t2 + c2 * s.t1))
+      + 0.5) AS BIGINT) ELSE 0 END AS ka,
+    CASE WHEN c2 > 0 THEN CAST(floor(
+      1e6 * c2 * ln(2.0 * c2 * s.t1 / (c1 * s.t2 + c2 * s.t1))
+      + 0.5) AS BIGINT) ELSE 0 END AS kb
+  FROM j, s)
+SELECT CAST(count(*) AS BIGINT) AS n_words,
+       (SELECT CAST(t1 AS BIGINT) FROM s) AS t_a,
+       (SELECT CAST(t2 AS BIGINT) FROM s) AS t_b,
+       CAST(sum(ka) // (SELECT t1 FROM s) AS BIGINT) AS kl_a_micro,
+       CAST(sum(kb) // (SELECT t2 FROM s) AS BIGINT) AS kl_b_micro,
+       CAST((sum(ka) // (SELECT t1 FROM s)
+             + sum(kb) // (SELECT t2 FROM s)) // 2 AS BIGINT)
+         AS js_micro
+FROM terms
+"""

@@ -986,3 +986,107 @@ def rake_keywords_batch(batch: pa.Table, *, text_col: str = "text",
            .drop("rk"))
     out = top.rename({"doc": id_col}).to_arrow()
     return out.cast(sch)
+
+
+def vocab_drift(ds_a: ray.data.Dataset, ds_b: ray.data.Dataset, *,
+                text_col: str = "text",
+                num_buckets: int = 32) -> ray.data.Dataset:
+    """Jensen-Shannon divergence between two corpora's unigram
+    distributions — the crawl-to-crawl CONTENT-DRIFT monitor (JS is
+    symmetric and bounded by ln 2, so a recrawl scheduler can
+    threshold it; KL alone explodes on vocabulary that one crawl
+    lacks). Exact integer micro-nats: with word counts (c1, c2) and
+    totals (T1, T2), each word's KL(P||M) term is
+    ``floor(1e6·c1·ln(2·c1·T2 / (c1·T2 + c2·T1)) + 0.5)`` (the lm.py
+    quantization — the count multiplies INSIDE the floor), the sums
+    divide by T1/T2 at the end, and ``js = (kl_a + kl_b) // 2``.
+    One-side-only words cost exactly ``c·ln 2``; zero-count sides
+    contribute 0 — no infinities anywhere.
+
+    Dataflow: per-block distinct (word, count) partials per side ->
+    ONE word-bucket exchange folds both sides and emits per-bucket
+    integer partial sums -> one tiny final fold. Returns one row
+    ``(n_words, t_a, t_b, kl_a_micro, kl_b_micro, js_micro)``."""
+    import polars as pl
+
+    from ..canon import hash64_batch
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+
+    def counts(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            df = pl.DataFrame({
+                "t": pl.from_arrow(batch[text_col].combine_chunks()),
+            }).with_columns(
+                w=pl.col("t").cast(pl.String).fill_null("")
+                .str.to_lowercase().str.extract_all(r"\w+")).drop("t")
+            c = df.explode("w").drop_nulls("w").group_by("w").len()
+            words = c["w"].to_arrow().cast(pa.string())
+            h = (hash64_batch(words.combine_chunks()
+                              if isinstance(words, pa.ChunkedArray)
+                              else words) % nbu).astype(np.int64)
+            return pa.table({
+                "w": words,
+                "c": c["len"].cast(pl.Int64).to_arrow(),
+                "side": pa.array(np.full(len(words), side, np.int8)),
+                "_b": pa.array(h, pa.int64())})
+        return fn
+
+    rows = (ds_a.map_batches(counts(0), batch_format="pyarrow",
+                             batch_size=None)
+            .union(ds_b.map_batches(counts(1), batch_format="pyarrow",
+                                    batch_size=None)))
+
+    # totals: two driver scalars from the narrow count rows
+    mat = rows.materialize()
+    t_a = int(mat.filter(lambda r: r["side"] == 0).sum("c") or 0)
+    t_b = int(mat.filter(lambda r: r["side"] == 1).sum("c") or 0)
+    if t_a == 0 or t_b == 0:
+        raise ValueError("vocab_drift: empty corpus side")
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("n_words", pa.int64()),
+                         ("kl_a_part", pa.int64()),
+                         ("kl_b_part", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        df = (pl.from_arrow(tbl.select(["w", "c", "side"]))
+              .group_by("w")
+              .agg(c1=pl.col("c").filter(pl.col("side") == 0).sum(),
+                   c2=pl.col("c").filter(pl.col("side") == 1).sum())
+              .fill_null(0))
+        c1 = df["c1"].to_numpy().astype(np.int64)
+        c2 = df["c2"].to_numpy().astype(np.int64)
+        denom = (c1 * t_b + c2 * t_a).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta_ = np.floor(1e6 * c1 * np.log(2.0 * c1 * t_b / denom)
+                           + 0.5)
+            tb_ = np.floor(1e6 * c2 * np.log(2.0 * c2 * t_a / denom)
+                           + 0.5)
+        ta_ = np.where(c1 > 0, ta_, 0.0).astype(np.int64)
+        tb_ = np.where(c2 > 0, tb_, 0.0).astype(np.int64)
+        return pa.table({
+            "n_words": pa.array([np.int64(len(df))]),
+            "kl_a_part": pa.array([np.int64(ta_.sum())]),
+            "kl_b_part": pa.array([np.int64(tb_.sum())])})
+
+    parts = hash_bucket_apply(mat, "_b", fold, num_buckets=num_buckets)
+
+    def final(tbl: pa.Table) -> pa.Table:
+        n = int(pa.compute.sum(tbl["n_words"]).as_py() or 0)
+        ka = int(pa.compute.sum(tbl["kl_a_part"]).as_py() or 0)
+        kb = int(pa.compute.sum(tbl["kl_b_part"]).as_py() or 0)
+        kam = ka // t_a
+        kbm = kb // t_b
+        return pa.table({
+            "n_words": pa.array([n], pa.int64()),
+            "t_a": pa.array([t_a], pa.int64()),
+            "t_b": pa.array([t_b], pa.int64()),
+            "kl_a_micro": pa.array([kam], pa.int64()),
+            "kl_b_micro": pa.array([kbm], pa.int64()),
+            "js_micro": pa.array([(kam + kbm) // 2], pa.int64())})
+
+    return parts.repartition(1).map_batches(final,
+                                            batch_format="pyarrow",
+                                            batch_size=None)

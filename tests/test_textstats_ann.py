@@ -656,3 +656,34 @@ def test_embedding_outliers_finds_planted_outlier():
     assert int(out.iloc[0]["vec_id"]) == 17
     assert list(out["rank"]) == [1, 2, 3]
     assert out.d2.is_monotonic_decreasing
+
+
+def test_vocab_drift_identical_and_disjoint():
+    import math
+
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from cdx_toolkit_ray.stages.textstats import vocab_drift
+
+    same = ray.data.from_arrow(pa.table({
+        "text": pa.array(["alpha beta gamma"] * 4, pa.string())}))
+    out = vocab_drift(same, same).to_pandas().iloc[0]
+    assert int(out.js_micro) == 0          # identical dists
+    assert int(out.n_words) == 3
+
+    a = ray.data.from_arrow(pa.table({
+        "text": pa.array(["aaa bbb"], pa.string())}))
+    b = ray.data.from_arrow(pa.table({
+        "text": pa.array(["ccc ddd"], pa.string())}))
+    out = vocab_drift(a, b).to_pandas().iloc[0]
+    # disjoint vocab: JS = ln 2 (each word costs exactly c*ln2)
+    ln2 = math.floor(1e6 * math.log(2.0) + 0.5)
+    assert int(out.js_micro) == ln2
+    assert int(out.n_words) == 4
+
+    empty = ray.data.from_arrow(pa.table({
+        "text": pa.array([], pa.string())}))
+    with pytest.raises(ValueError):
+        vocab_drift(a, empty).materialize()
