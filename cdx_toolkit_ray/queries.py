@@ -9986,3 +9986,42 @@ SELECT CAST(count(*) AS BIGINT) AS n_words,
          AS js_micro
 FROM terms
 """
+
+
+def q_mirror_hosts(sf_dir: str):
+    """Mirror-host detection (Bharat & Broder, WWW 1999): host pairs
+    by shared URL paths with exact integer path-set Jaccard — the
+    www./apex aliases in the fixture surface as true mirrors. Two
+    narrow exchanges (path pairs under a boilerplate cap, pair
+    counts); per-host sizes are one O(hosts) broadcast dict. Oracle:
+    the same capped self-join chain in SQL."""
+    from .stages.hosts import mirror_hosts
+
+    root = _fixture_root(sf_dir)
+    pages = ray.data.read_parquet(root + "/pages.parquet",
+                                  columns=["url"])
+    return mirror_hosts(pages, threshold_pct=50, min_shared=2)
+
+
+QUERIES["mirror_hosts"] = q_mirror_hosts
+ORACLES["mirror_hosts"] = r"""
+WITH hp AS (SELECT DISTINCT
+              regexp_extract(url, '://([^/]+)', 1) AS host,
+              regexp_replace(url, '^[a-z][a-z0-9+.\-]*://[^/]+', '')
+                AS path
+            FROM read_parquet('%s/pages.parquet')
+            WHERE regexp_extract(url, '://([^/]+)', 1) <> ''),
+sz AS (SELECT host, CAST(count(*) AS BIGINT) AS n
+       FROM hp GROUP BY host),
+ok AS (SELECT path FROM hp GROUP BY path HAVING count(*) <= 256),
+p AS (SELECT x.host AS a, y.host AS b,
+             CAST(count(*) AS BIGINT) AS s
+      FROM hp x
+      JOIN ok o ON o.path = x.path
+      JOIN hp y ON y.path = x.path AND x.host < y.host
+      GROUP BY x.host, y.host HAVING count(*) >= 2)
+SELECT p.a AS host_a, p.b AS host_b, p.s AS n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       (100 * p.s >= 50 * (sa.n + sb.n - p.s)) AS is_mirror
+FROM p JOIN sz sa ON sa.host = p.a JOIN sz sb ON sb.host = p.b
+""" % _FIXTURE_LINK

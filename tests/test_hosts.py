@@ -307,3 +307,29 @@ def test_budget_fill_greedy_exhaustion():
     assert got["a.example"] == (10, 60, 10, 10)
     assert got["c.example"] == (8, 20, 8, 5)     # 15 - 10 = 5 left
     assert got["b.example"] == (8, 2, 2, 0)      # exhausted
+
+
+def test_mirror_hosts_detects_alias_pair():
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.hosts import mirror_hosts
+
+    urls = (["https://a.example/p/%d" % i for i in range(10)]
+            + ["https://www.a.example/p/%d" % i for i in range(10)]
+            + ["https://b.example/p/1", "https://b.example/q/9"])
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)}))
+    df = mirror_hosts(ds, threshold_pct=50, min_shared=2).to_pandas()
+    key = df.set_index(["host_a", "host_b"])
+    full = key.loc[("a.example", "www.a.example")]
+    assert int(full.n_shared) == 10 and bool(full.is_mirror)
+    # b shares only /p/1 with a -> below min_shared, no pair row
+    assert ("a.example", "b.example") not in key.index
+    # duplicate urls across blocks don't inflate sizes
+    dup = ray.data.from_arrow(pa.table({"url": pa.array(urls * 3)}))
+    dup = dup.repartition(6)
+    df2 = (mirror_hosts(dup, threshold_pct=50, min_shared=2)
+           .to_pandas().set_index(["host_a", "host_b"]))
+    row = df2.loc[("a.example", "www.a.example")]
+    assert int(row.n_a) == 10 and int(row.n_b) == 10 \
+        and int(row.n_shared) == 10
