@@ -489,6 +489,26 @@ def main() -> None:
             ("bowtie", lambda: consume(Q.q_bowtie(SF_DIR))),
             # round 3 session 5: spam mass (PR vs TrustRank) composite
             ("spam_mass", lambda: consume(Q.q_spam_mass(SF_DIR))),
+            # round 3 session 5: exact-integer IR ranking duo
+            ("bm25", lambda: consume(Q.q_bm25(SF_DIR))),
+            ("dirichlet_ql",
+             lambda: consume(Q.q_dirichlet_ql(SF_DIR))),
+            # round 3 session 5: greedy max-cover seed selection
+            ("seed_cover", lambda: consume(Q.q_seed_cover(SF_DIR))),
+            # round 3 session 5: shared-path mirror detection
+            ("mirror_hosts",
+             lambda: consume(Q.q_mirror_hosts(SF_DIR))),
+            # round 3 session 5: JS-divergence drift monitor
+            ("vocab_drift",
+             lambda: consume(Q.q_vocab_drift(SF_DIR))),
+            # round 3 session 5: JL sketch + centroid outliers
+            ("signed_projection",
+             lambda: consume(Q.q_signed_projection(SF_DIR))),
+            ("embedding_outliers",
+             lambda: consume(Q.q_embedding_outliers(SF_DIR))),
+            # round 3 session 5: sqrt-share mixture
+            ("temperature_mixture",
+             lambda: consume(Q.q_temperature_mixture(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the
