@@ -58,8 +58,16 @@ def _nrows(tbl) -> int:
 
 @ray.remote
 def _split_hash(bucket_col: str, nb: int, *tbls):
-    tbl = pa.concat_tables([_as_arrow(t) for t in tbls],
-                           promote_options="permissive")
+    # a map_batches stage that filters a block to zero rows can emit a
+    # SCHEMA-LESS empty block (no bucket column); it carries no rows,
+    # so it splits into nb empties rather than aborting the exchange
+    live = [_as_arrow(t) for t in tbls]
+    live = [t for t in live
+            if t.num_rows or bucket_col in t.column_names]
+    if not live:
+        empty = pa.table({})
+        return empty if nb == 1 else tuple([empty] * nb)
+    tbl = pa.concat_tables(live, promote_options="permissive")
     codes = tbl[bucket_col].to_numpy(zero_copy_only=False).astype(np.int64)
     slices = _split_by_code(tbl, codes, nb)
     # with num_returns=1 Ray returns the value as-is — a 1-tuple here

@@ -377,3 +377,26 @@ def test_detect_charset_sliced_and_empty():
 
     empty = batch.slice(0, 0)
     assert detect_charset_batch(empty).num_rows == 0
+
+
+def test_split_hash_tolerates_schemaless_empty_blocks():
+    """A map_batches stage that filters a block to zero rows can emit
+    a SCHEMA-LESS empty block; the exchange splitter must pass rows
+    through rather than abort (regression: host-contracted link
+    streams where some blocks filter away entirely)."""
+    import pyarrow as pa
+    import ray
+
+    from cdx_toolkit_ray.stages.exchange import _split_hash
+
+    live = pa.table({"bucket": pa.array([0, 1, 0], pa.int64()),
+                     "v": pa.array(["a", "b", "c"], pa.string())})
+    bare = pa.table({})          # schema-less empty
+    out = ray.get(_split_hash.options(num_returns=2)
+                  .remote("bucket", 2, live, bare))
+    assert sum(t.num_rows for t in out) == 3
+    assert out[1]["v"].to_pylist() == ["b"]
+    # all-empty input yields empties, not a crash
+    out = ray.get(_split_hash.options(num_returns=2)
+                  .remote("bucket", 2, bare))
+    assert all(t.num_rows == 0 for t in out)
