@@ -208,16 +208,16 @@ def cdc_neardup_pairs(ds: ray.data.Dataset, *, num: int = 1,
     is_dup by EXACT integer cross-multiply
     (den*shared >= num*(n_a + n_b - shared)).
 
-    Dataflow (the repeated_spans shape): distinct (chunk, doc) rows
-    per block -> one chunk-keyed exchange emits the pairs of each
-    chunk's doc group (pairwise per SHARED chunk — bounded by
-    ``max_docs_per_chunk``; a chunk shared by more docs than that is
-    boilerplate, dropped with a warning, the LSH-band guard) -> one
-    pair-keyed exchange counts shared chunks and joins both set sizes
-    (sizes ride the pair rows; no extra join).
+    Dataflow: distinct (chunk, doc) rows per block ->
+    :func:`~.dedup.shared_key_pairs_with_sizes`'s three-exchange plan:
+    a chunk-keyed exchange emits the pairs of each chunk's doc group
+    (pairwise per SHARED chunk — bounded by ``max_docs_per_chunk``; a
+    chunk shared by more docs than that is boilerplate, dropped with a
+    warning, the LSH-band guard) and per-doc partial set sizes, then
+    doc_a- and doc_b-keyed exchanges count shared chunks and attach
+    both set sizes from bucket-co-located size rows — no driver-side
+    per-doc structure at any point.
     """
-    from .exchange import hash_bucket_apply
-
     nbu = np.uint64(num_buckets)
 
     def chunk_doc(batch: pa.Table) -> pa.Table:
@@ -242,99 +242,11 @@ def cdc_neardup_pairs(ds: ray.data.Dataset, *, num: int = 1,
 
     cd = ds.map_batches(chunk_doc, batch_format="pyarrow",
                         batch_size=None)
+    from .dedup import shared_key_pairs_with_sizes
 
-    # per-doc distinct-chunk counts: dedup (ch, doc) inside each
-    # ch-bucket (cross-block dupes land in the same bucket), then a
-    # tiny doc-keyed count — O(docs) state broadcast into the pair
-    # reduction
-    def distinct_cd(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return pa.schema([("doc", pa.int64())]).empty_table()
-        h = tbl["ch"].to_numpy(zero_copy_only=False)
-        d = tbl["doc"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, h))
-        hs, ds_ = h[order], d[order]
-        new = np.ones(len(hs), bool)
-        new[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
-        return pa.table({"doc": pa.array(ds_[new].astype(np.int64))})
-
-    sizes = {r["doc"]: r["count()"]
-             for r in hash_bucket_apply(cd, "_b", distinct_cd,
-                                        num_buckets=num_buckets)
-             .groupby("doc").count().take_all()}
-    import ray as _ray
-
-    sz_ref = _ray.put(sizes)
-
-    def emit_pairs(tbl: pa.Table) -> pa.Table:
-        import logging
-
-        sch = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                         ("_pb", pa.int64())])
-        if tbl.num_rows == 0:
-            return sch.empty_table()
-        h = tbl["ch"].to_numpy(zero_copy_only=False)
-        d = tbl["doc"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, h))
-        hs, ds_ = h[order], d[order]
-        # cross-block distinct (chunk, doc)
-        new = np.ones(len(hs), bool)
-        new[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
-        hs, ds_ = hs[new], ds_[new]
-        run = np.ones(len(hs), bool)
-        run[1:] = hs[1:] != hs[:-1]
-        st = np.flatnonzero(run)
-        ln = np.diff(np.r_[st, len(hs)])
-        big = ln > max_docs_per_chunk
-        if big.any():
-            logging.getLogger(__name__).warning(
-                "cdc_neardup_pairs: %d chunks shared by > %d docs "
-                "dropped as boilerplate", int(big.sum()),
-                max_docs_per_chunk)
-        a_all, b_all = [], []
-        for s, n in zip(st[~big].tolist(), ln[~big].tolist()):
-            if n < 2:
-                continue
-            grp = ds_[s:s + n]
-            ii, jj = np.triu_indices(n, k=1)
-            a_all.append(grp[ii])
-            b_all.append(grp[jj])
-        if not a_all:
-            return sch.empty_table()
-        a = np.concatenate(a_all)
-        b = np.concatenate(b_all)
-        pb = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-               ^ b.astype(np.uint64)) % nbu).astype(np.int64)
-        return pa.table({"a": pa.array(a), "b": pa.array(b),
-                         "_pb": pa.array(pb)})
-
-    pairs = hash_bucket_apply(cd, "_b", emit_pairs,
-                              num_buckets=num_buckets)
-
-    def reduce_pairs(tbl: pa.Table) -> pa.Table:
-        sch = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                         ("n_shared", pa.int64()), ("n_a", pa.int64()),
-                         ("n_b", pa.int64()), ("is_dup", pa.bool_())])
-        if tbl.num_rows == 0:
-            return sch.empty_table()
-        szs = _ray.get(sz_ref)
-        a = tbl["a"].to_numpy(zero_copy_only=False)
-        b = tbl["b"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        new = np.ones(len(a), bool)
-        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        st = np.flatnonzero(new)
-        shared = np.diff(np.r_[st, len(a)]).astype(np.int64)
-        pa_, pb_ = a[st], b[st]
-        na = np.array([szs[x] for x in pa_.tolist()], np.int64)
-        nb = np.array([szs[x] for x in pb_.tolist()], np.int64)
-        is_dup = den * shared >= num * (na + nb - shared)
-        return pa.table({
-            "doc_a": pa.array(pa_), "doc_b": pa.array(pb_),
-            "n_shared": pa.array(shared), "n_a": pa.array(na),
-            "n_b": pa.array(nb), "is_dup": pa.array(is_dup),
-        })
-
-    return hash_bucket_apply(pairs, "_pb", reduce_pairs,
-                             num_buckets=num_buckets)
+    return shared_key_pairs_with_sizes(
+        cd, key_col="ch", bucket_col="_b", num_buckets=num_buckets,
+        min_shared=1, max_docs_per_key=max_docs_per_chunk,
+        warn_label="cdc_neardup_pairs", flag_name="is_dup",
+        flag_fn=lambda shared, na, nb:
+            den * shared >= num * (na + nb - shared))

@@ -910,6 +910,165 @@ def _word_shingle_set(text: str, k: int) -> set:
     return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
 
 
+#: doc-id -> bucket mixer for the size-attach exchanges (golden-ratio
+#: splitmix step; sequential ids would otherwise stripe predictably)
+_DOC_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def shared_key_pairs_with_sizes(kd: ray.data.Dataset, *, key_col: str,
+                                bucket_col: str, num_buckets: int,
+                                min_shared: int, max_docs_per_key: int,
+                                warn_label: str, flag_name: str,
+                                flag_fn) -> ray.data.Dataset:
+    """Doc pairs sharing >= ``min_shared`` distinct keys, with BOTH
+    per-doc distinct-key set sizes attached — zero driver-side per-doc
+    state (the 100-TB contract: at 10^10 docs an O(docs) driver dict is
+    the driver OOM; here every per-doc quantity travels as rows).
+
+    Input: per-block-distinct ``(key_col, doc, bucket_col)`` rows where
+    ``bucket_col = key_hash % num_buckets``. Three hash exchanges:
+
+    1. key-bucket: global-distinct (key, doc); emits each shared key's
+       doc pairs (keys shared by > ``max_docs_per_key`` docs dropped
+       loudly — the LSH-band boilerplate guard) PLUS per-doc partial
+       set sizes, both routed by ``hash(doc) % num_buckets`` (pairs by
+       doc_a) so sizes co-locate with the pairs that need them.
+    2. doc_a-bucket: counts pair multiplicity -> ``n_shared``, filters
+       ``min_shared``, attaches ``n_a`` from the bucket-local size sum
+       (doc_a's partials all land here by construction); re-emits the
+       summed ``(doc, size)`` rows and routes pairs by doc_b.
+    3. doc_b-bucket: attaches ``n_b`` the same way and computes the
+       ``flag_name`` column via ``flag_fn(shared, n_a, n_b)``.
+
+    Each merge task holds O(pairs_in_bucket + docs/num_buckets) memory;
+    the driver holds only object refs.
+    """
+    import logging
+
+    from .exchange import hash_bucket_apply
+
+    nbu = np.uint64(num_buckets)
+
+    def merge_keys(tbl: pa.Table) -> pa.Table:
+        # union rows: pairs have psz == -1, size partials have b == -1
+        sch = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                         ("psz", pa.int64()), ("_k2", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        g = tbl[key_col].to_numpy(zero_copy_only=False)
+        d = tbl["doc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, g))
+        gs, ds_ = g[order], d[order]
+        new = np.ones(len(gs), bool)
+        new[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
+        gs, ds_ = gs[new], ds_[new]
+        ud, psz = np.unique(ds_, return_counts=True)
+        run = np.ones(len(gs), bool)
+        run[1:] = gs[1:] != gs[:-1]
+        st = np.flatnonzero(run)
+        ln = np.diff(np.r_[st, len(gs)])
+        big = ln > max_docs_per_key
+        if big.any():
+            logging.getLogger(__name__).warning(
+                "%s: %d keys shared by > %d docs dropped as "
+                "boilerplate", warn_label, int(big.sum()),
+                max_docs_per_key)
+        a_all, b_all = [], []
+        for s, n in zip(st[~big].tolist(), ln[~big].tolist()):
+            if n < 2:
+                continue
+            grp = ds_[s:s + n]  # doc-sorted, so a < b per pair
+            ii, jj = np.triu_indices(n, k=1)
+            a_all.append(grp[ii])
+            b_all.append(grp[jj])
+        a = (np.concatenate(a_all) if a_all
+             else np.zeros(0, np.int64)).astype(np.int64)
+        b = (np.concatenate(b_all) if a_all
+             else np.zeros(0, np.int64)).astype(np.int64)
+        ka = ((a.astype(np.uint64) * _DOC_MIX) % nbu).astype(np.int64)
+        kd = ((ud.astype(np.uint64) * _DOC_MIX) % nbu).astype(np.int64)
+        return pa.table({
+            "a": pa.array(np.r_[a, ud.astype(np.int64)]),
+            "b": pa.array(np.r_[b, np.full(len(ud), -1, np.int64)]),
+            "psz": pa.array(np.r_[np.full(len(a), -1, np.int64),
+                                  psz.astype(np.int64)]),
+            "_k2": pa.array(np.r_[ka, kd]),
+        })
+
+    u1 = hash_bucket_apply(kd, bucket_col, merge_keys,
+                           num_buckets=num_buckets)
+
+    def merge_a(tbl: pa.Table) -> pa.Table:
+        # union rows out: pairs have sz == -1, size rows have a == -1
+        sch = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                         ("n_shared", pa.int64()), ("n_a", pa.int64()),
+                         ("sz", pa.int64()), ("_k3", pa.int64())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        a = tbl["a"].to_numpy(zero_copy_only=False)
+        b = tbl["b"].to_numpy(zero_copy_only=False)
+        psz = tbl["psz"].to_numpy(zero_copy_only=False)
+        is_sz = psz >= 0
+        sd, inv = np.unique(a[is_sz], return_inverse=True)
+        tot = np.zeros(len(sd), np.int64)
+        np.add.at(tot, inv, psz[is_sz])
+        pa_, pb_ = a[~is_sz], b[~is_sz]
+        order = np.lexsort((pb_, pa_))
+        pa_, pb_ = pa_[order], pb_[order]
+        new = np.ones(len(pa_), bool)
+        new[1:] = (pa_[1:] != pa_[:-1]) | (pb_[1:] != pb_[:-1])
+        st = np.flatnonzero(new)
+        shared = np.diff(np.r_[st, len(pa_)]).astype(np.int64)
+        pa_, pb_ = pa_[st], pb_[st]
+        keep = shared >= min_shared
+        pa_, pb_, shared = pa_[keep], pb_[keep], shared[keep]
+        na = tot[np.searchsorted(sd, pa_)] if len(pa_) else \
+            np.zeros(0, np.int64)
+        kb = ((pb_.astype(np.uint64) * _DOC_MIX) % nbu).astype(np.int64)
+        ksd = ((sd.astype(np.uint64) * _DOC_MIX) % nbu).astype(np.int64)
+        nsz = len(sd)
+        return pa.table({
+            "a": pa.array(np.r_[pa_, np.full(nsz, -1, np.int64)]),
+            "b": pa.array(np.r_[pb_, sd.astype(np.int64)]),
+            "n_shared": pa.array(np.r_[shared,
+                                       np.full(nsz, -1, np.int64)]),
+            "n_a": pa.array(np.r_[na, np.full(nsz, -1, np.int64)]),
+            "sz": pa.array(np.r_[np.full(len(pa_), -1, np.int64), tot]),
+            "_k3": pa.array(np.r_[kb, ksd]),
+        })
+
+    u2 = hash_bucket_apply(u1, "_k2", merge_a, num_buckets=num_buckets)
+
+    def merge_b(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                         ("n_shared", pa.int64()), ("n_a", pa.int64()),
+                         ("n_b", pa.int64()), (flag_name, pa.bool_())])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        sz = tbl["sz"].to_numpy(zero_copy_only=False)
+        is_sz = sz >= 0
+        sd = tbl["b"].to_numpy(zero_copy_only=False)[is_sz]
+        tot = sz[is_sz]
+        order = np.argsort(sd)
+        sd, tot = sd[order], tot[order]
+        pair = tbl.filter(pa.array(~is_sz))
+        if pair.num_rows == 0:
+            return sch.empty_table()
+        pb_ = pair["b"].to_numpy(zero_copy_only=False)
+        nb = tot[np.searchsorted(sd, pb_)]
+        shared = pair["n_shared"].to_numpy(zero_copy_only=False)
+        na = pair["n_a"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_a": pair["a"], "doc_b": pair["b"],
+            "n_shared": pair["n_shared"], "n_a": pair["n_a"],
+            "n_b": pa.array(nb.astype(np.int64)),
+            flag_name: pa.array(flag_fn(shared, na, nb)),
+        })
+
+    return hash_bucket_apply(u2, "_k3", merge_b,
+                             num_buckets=num_buckets)
+
+
 def containment_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       threshold_pct: int = 80, min_shared: int = 2,
@@ -930,19 +1089,13 @@ def containment_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
     dropped loudly (the LSH-band guard).
 
     Dataflow (the cdc_neardup_pairs shape): per block, distinct
-    (gram-hash, doc) rows -> one gram-bucket exchange emits each
-    shared gram's doc pairs -> one pair-bucket exchange counts shared
-    grams, set sizes riding an O(docs) broadcast. Text never
-    shuffles; grams travel as 64-bit hashes (a collision would
-    overcount sharing by one — negligible at 64 bits; the SQL oracle
-    counts the same strings).
+    (gram-hash, doc) rows -> :func:`shared_key_pairs_with_sizes`'s
+    three-exchange plan where per-doc set sizes travel as rows
+    co-located with the pairs by doc-hash bucket — no driver-side
+    per-doc structure at any point. Text never shuffles; grams travel
+    as 64-bit hashes (a collision would overcount sharing by one —
+    negligible at 64 bits; the SQL oracle counts the same strings).
     """
-    import logging
-
-    import ray as _ray
-
-    from .exchange import hash_bucket_apply
-
     nbu = np.uint64(num_buckets)
 
     def gram_doc(batch: pa.Table) -> pa.Table:
@@ -988,99 +1141,12 @@ def containment_pairs(ds: ray.data.Dataset, *, text_col: str = "text",
 
     gd = ds.map_batches(gram_doc, batch_format="pyarrow",
                         batch_size=None)
-
-    # per-doc distinct-gram counts (grams already distinct per doc per
-    # block; cross-block dupes share a bucket) -> O(docs) broadcast
-    def distinct_gd(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return pa.schema([("doc", pa.int64())]).empty_table()
-        g = tbl["g"].to_numpy(zero_copy_only=False)
-        d = tbl["doc"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, g))
-        gs, ds_ = g[order], d[order]
-        new = np.ones(len(gs), bool)
-        new[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
-        return pa.table({"doc": pa.array(ds_[new].astype(np.int64))})
-
-    sizes = {r["doc"]: r["count()"]
-             for r in hash_bucket_apply(gd, "_b", distinct_gd,
-                                        num_buckets=num_buckets)
-             .groupby("doc").count().take_all()}
-    sz_ref = _ray.put(sizes)
-
-    def emit_pairs(tbl: pa.Table) -> pa.Table:
-        sch = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                         ("_pb", pa.int64())])
-        if tbl.num_rows == 0:
-            return sch.empty_table()
-        g = tbl["g"].to_numpy(zero_copy_only=False)
-        d = tbl["doc"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, g))
-        gs, ds_ = g[order], d[order]
-        new = np.ones(len(gs), bool)
-        new[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
-        gs, ds_ = gs[new], ds_[new]
-        run = np.ones(len(gs), bool)
-        run[1:] = gs[1:] != gs[:-1]
-        st = np.flatnonzero(run)
-        ln = np.diff(np.r_[st, len(gs)])
-        big = ln > max_docs_per_gram
-        if big.any():
-            logging.getLogger(__name__).warning(
-                "containment_pairs: %d grams shared by > %d docs "
-                "dropped as boilerplate", int(big.sum()),
-                max_docs_per_gram)
-        a_all, b_all = [], []
-        for s, n in zip(st[~big].tolist(), ln[~big].tolist()):
-            if n < 2:
-                continue
-            grp = ds_[s:s + n]
-            ii, jj = np.triu_indices(n, k=1)
-            a_all.append(grp[ii])
-            b_all.append(grp[jj])
-        if not a_all:
-            return sch.empty_table()
-        a = np.concatenate(a_all)
-        b = np.concatenate(b_all)
-        pb = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-               ^ b.astype(np.uint64)) % nbu).astype(np.int64)
-        return pa.table({"a": pa.array(a), "b": pa.array(b),
-                         "_pb": pa.array(pb)})
-
-    pairs = hash_bucket_apply(gd, "_b", emit_pairs,
-                              num_buckets=num_buckets)
-
-    def reduce_pairs(tbl: pa.Table) -> pa.Table:
-        sch = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                         ("n_shared", pa.int64()), ("n_a", pa.int64()),
-                         ("n_b", pa.int64()), ("contained", pa.bool_())])
-        if tbl.num_rows == 0:
-            return sch.empty_table()
-        szs = _ray.get(sz_ref)
-        a = tbl["a"].to_numpy(zero_copy_only=False)
-        b = tbl["b"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        new = np.ones(len(a), bool)
-        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        st = np.flatnonzero(new)
-        shared = np.diff(np.r_[st, len(a)]).astype(np.int64)
-        keep = shared >= min_shared
-        st, shared = st[keep], shared[keep]
-        if not len(st):
-            return sch.empty_table()
-        pa_, pb_ = a[st], b[st]
-        na = np.array([szs[x] for x in pa_.tolist()], np.int64)
-        nb = np.array([szs[x] for x in pb_.tolist()], np.int64)
-        contained = 100 * shared >= threshold_pct * np.minimum(na, nb)
-        return pa.table({
-            "doc_a": pa.array(pa_), "doc_b": pa.array(pb_),
-            "n_shared": pa.array(shared), "n_a": pa.array(na),
-            "n_b": pa.array(nb), "contained": pa.array(contained),
-        })
-
-    return hash_bucket_apply(pairs, "_pb", reduce_pairs,
-                             num_buckets=num_buckets)
+    return shared_key_pairs_with_sizes(
+        gd, key_col="g", bucket_col="_b", num_buckets=num_buckets,
+        min_shared=min_shared, max_docs_per_key=max_docs_per_gram,
+        warn_label="containment_pairs", flag_name="contained",
+        flag_fn=lambda shared, na, nb:
+            100 * shared >= threshold_pct * np.minimum(na, nb))
 
 
 def ngram_jaccard_pairs(ds: ray.data.Dataset, text_col: str = "text",

@@ -343,3 +343,65 @@ def test_simhash_hamming_pairs_exact_and_capped():
     }))
     capped = simhash_hamming_pairs(ds_boiler, max_group=3).to_pandas()
     assert len(capped) == 0
+
+
+def test_pair_size_attach_holds_no_driver_state():
+    """The 100-TB contract for the pair/size operators: per-doc set
+    sizes must travel as rows inside the exchanges, never as a
+    driver-materialized dict (``take_all``) or an O(docs) ``ray.put``
+    broadcast. Grep-able guard per VERDICT r3 finding #1."""
+    import inspect
+
+    from cdx_toolkit_ray.stages.cdc import cdc_neardup_pairs
+    from cdx_toolkit_ray.stages.dedup import (containment_pairs,
+                                              shared_key_pairs_with_sizes)
+
+    for fn in (containment_pairs, cdc_neardup_pairs,
+               shared_key_pairs_with_sizes):
+        src = inspect.getsource(fn)
+        assert "take_all" not in src, fn.__name__
+        assert "ray.put" not in src and "_ray.put" not in src, fn.__name__
+        assert "to_pandas" not in src, fn.__name__
+
+
+def test_shared_key_pairs_with_sizes_matches_bruteforce():
+    """Distributed 3-exchange size attach == brute-force set math on a
+    corpus whose docs span multiple input blocks (exercises the
+    cross-block distinct fold and cross-bucket size partials)."""
+    import itertools
+
+    import pyarrow as pa
+    import ray
+
+    from cdx_toolkit_ray.stages.dedup import (_word_shingle_set,
+                                              containment_pairs)
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lamda mu nu xi omicron pi rho sigma tau upsilon",
+        3: "one two three four five six seven eight nine ten",
+        4: "alpha beta gamma delta epsilon zeta unrelated closing words",
+        5: "one two three four five six seven eight nine ten "
+           "eleven twelve",
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+    })
+    # force many tiny blocks so (gram, doc) partials split across them
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = containment_pairs(ds, k=3, threshold_pct=80, min_shared=2,
+                            num_buckets=7).to_pandas()
+    got_map = {(r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b, r.contained)
+               for r in got.itertuples()}
+
+    sets = {d: _word_shingle_set(t, 3) for d, t in texts.items()}
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sh = len(sets[a] & sets[b])
+        if sh >= 2:
+            na, nb = len(sets[a]), len(sets[b])
+            want[(a, b)] = (sh, na, nb,
+                            100 * sh >= 80 * min(na, nb))
+    assert got_map == want
