@@ -9887,6 +9887,52 @@ FROM sc GROUP BY doc_id
 """
 
 
+def q_bm25_indexed(sf_dir: str):
+    """Index-backed BM25 (stages/invindex.bm25_search with
+    ``index_dir=``): build the hive-partitioned inverted index +
+    doclen norms sidecar under /tmp, then rank the same conjunctive
+    query reading ONLY the query terms' ``wb=`` buckets and the
+    candidate docs' ``doclen/db=`` partitions, N/Ttok from meta.json
+    — the physical plan a 100-TB corpus needs (no full-postings pass
+    at query time). Oracle: the exact in-stream BM25 SQL; index-backed
+    must hash-match it bit for bit."""
+    import tempfile
+
+    from .stages.invindex import bm25_search, build_inverted_index
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    with tempfile.TemporaryDirectory(prefix="bm25idx_") as tmp:
+        idx = build_inverted_index(ds, tmp + "/idx", n_buckets=32)
+        return bm25_search(None, ["table", "hash", "merge"],
+                           mode="and", index_dir=idx).to_pandas()
+
+
+QUERIES["bm25_indexed"] = q_bm25_indexed
+ORACLES["bm25_indexed"] = ORACLES["bm25"]
+
+
+def q_ql_indexed(sf_dir: str):
+    """Index-backed Dirichlet QL (``index_dir=``): Ttok from
+    meta.json, matched postings from the query terms' ``wb=`` buckets,
+    doc lengths from the doclen sidecar (every doc is scored — that
+    read IS the output). Oracle: the exact in-stream QL SQL."""
+    import tempfile
+
+    from .stages.invindex import build_inverted_index, dirichlet_ql
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+    with tempfile.TemporaryDirectory(prefix="qlidx_") as tmp:
+        idx = build_inverted_index(ds, tmp + "/idx", n_buckets=32)
+        return dirichlet_ql(None, ["table", "hash", "merge"],
+                            mu=2000, index_dir=idx).to_pandas()
+
+
+QUERIES["ql_indexed"] = q_ql_indexed
+ORACLES["ql_indexed"] = ORACLES["dirichlet_ql"]
+
+
 def q_embedding_outliers(sf_dir: str):
     """Exact top-20 embedding outliers by scaled squared distance to
     the corpus centroid (``Σ_j (N·q_ij − S_j)²`` over the int8

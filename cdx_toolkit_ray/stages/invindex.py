@@ -63,16 +63,66 @@ def postings(ds: ray.data.Dataset, text_col: str = "text",
                           batch_size=None)
 
 
+def doclens(ds: ray.data.Dataset, text_col: str = "text",
+            id_col: str = "doc_id", n_buckets: int = 32
+            ) -> ray.data.Dataset:
+    """Per-doc token counts ``(doc_id, dl, db)`` — the IR "norms"
+    sidecar. ``db = hash64(str(doc_id)) % n_buckets`` matches the
+    doc-bucket routing of the ranking exchanges, so a ranked search
+    can read only its candidate docs' ``db=`` partitions. Cheap: one
+    regex count per row, no explode."""
+    from ..canon import hash64_batch
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        sch = pa.schema([(id_col, pa.int64()), ("dl", pa.int64()),
+                         ("db", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        dl = (pl.from_arrow(batch[text_col].combine_chunks())
+              .cast(pl.String).fill_null("")
+              .str.count_matches(r"\w+").cast(pl.Int64).to_numpy())
+        ids = batch[id_col].cast(pa.int64())
+        db = (hash64_batch(ids.cast(pa.string()))
+              % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({id_col: ids, "dl": pa.array(dl),
+                         "db": pa.array(db)})
+
+    return ds.map_batches(count_tokens, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def _write_doclen_and_meta(dl_ds: ray.data.Dataset, out_dir: str,
+                           id_col: str, n_buckets: int) -> None:
+    """Write the doclen sidecar hive-partitioned by doc bucket, then
+    derive the two corpus scalars the ranking functions need
+    (``n_docs``, ``t_tok``) from the written files — one tiny metadata
+    read, so build never pins the postings stream."""
+    dl_dir = os.path.join(out_dir, "doclen")
+    dl_ds.write_parquet(dl_dir, partition_cols=["db"])
+    back = ray.data.read_parquet(dl_dir, columns=["dl"])
+    n_docs = int(back.count())
+    t_tok = int(back.sum("dl") or 0)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "id_col": id_col,
+                   "n_docs": n_docs, "t_tok": t_tok}, f)
+
+
 def build_inverted_index(ds: ray.data.Dataset, out_dir: str,
                          text_col: str = "text", id_col: str = "doc_id",
                          n_buckets: int = 32) -> str:
     """Materialize the index as hive-partitioned Parquet — one
     ``wb=<b>/`` directory per word-hash bucket (resumable / appendable
-    per bucket) plus a meta file recording the bucket modulus."""
+    per bucket), a ``doclen/db=<b>/`` norms sidecar, and a meta file
+    recording the bucket modulus plus the corpus scalars (``n_docs``,
+    ``t_tok``) that index-backed BM25 / Dirichlet-QL read instead of
+    re-aggregating the corpus."""
     p = postings(ds, text_col, id_col, n_buckets)
     p.write_parquet(out_dir, partition_cols=["wb"])
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
+    _write_doclen_and_meta(doclens(ds, text_col, id_col, n_buckets),
+                           out_dir, id_col, n_buckets)
     return out_dir
 
 
@@ -211,8 +261,47 @@ def merge_index(index_dir: str, new_docs: ray.data.Dataset,
     else:
         merged = new_posts
     merged.write_parquet(out_dir, partition_cols=["wb"])
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump({"n_buckets": nb, "id_col": idc}, f)
+
+    # doclen sidecar upsert (same latest-wins rule). Legacy layouts
+    # without one derive old dls from the old postings — one groupby,
+    # the migration cost paid once.
+    def drop_updated_dl(batch: pa.Table) -> pa.Table:
+        from ..pipelines.frontier import _get_broadcast
+
+        ids = _get_broadcast(ids_ref)
+        if len(ids) == 0 or batch.num_rows == 0:
+            return batch
+        d = batch[idc].to_numpy(zero_copy_only=False)
+        p = np.searchsorted(ids, d)
+        p[p == len(ids)] = 0
+        return batch.filter(pa.array(ids[p] != d))
+
+    new_dl = doclens(new_docs, text_col, idc, nb)
+    old_dl_paths = sorted(glob.glob(os.path.join(
+        index_dir, "doclen", "db=*", "*.parquet")))
+    if old_dl_paths:
+        old_dl = ray.data.read_parquet(old_dl_paths,
+                                       columns=[idc, "dl", "db"])
+    elif old_paths:
+        old_dl = (ray.data.read_parquet(old_paths, columns=[idc, "tf"])
+                  .groupby(idc).sum("tf")
+                  .map_batches(lambda t: pa.table({
+                      idc: t[idc],
+                      "dl": t["sum(tf)"].cast(pa.int64()),
+                      "db": pa.array(
+                          (hash64_batch(t[idc].cast(pa.string()))
+                           % np.uint64(nb)).astype(np.int64)),
+                  }), batch_format="pyarrow", batch_size=None))
+    else:
+        old_dl = None
+    if old_dl is not None:
+        kept_dl = old_dl.map_batches(drop_updated_dl,
+                                     batch_format="pyarrow",
+                                     batch_size=None)
+        merged_dl = kept_dl.union(new_dl)
+    else:
+        merged_dl = new_dl
+    _write_doclen_and_meta(merged_dl, out_dir, idc, nb)
     return out_dir
 
 
@@ -287,10 +376,155 @@ def proximity_search_batch(batch, terms: tuple, window: int, *,
     })
 
 
-def bm25_search(ds: ray.data.Dataset, terms: list[str], *,
+def _corpus_term_stats(ds: ray.data.Dataset, want_list: list[str],
+                       text_col: str, id_col: str
+                       ) -> tuple[int, dict, dict]:
+    """ONE streaming pass over the corpus for the ranking scalars:
+    total token count (Ttok) plus per-query-term df (docs containing)
+    and cf (total occurrences). Per-block partials are O(terms + 1)
+    rows (docs are block-local, so block df partials are exact) and
+    reduce through a tiny groupby — the postings stream is never
+    materialized (VERDICT r3 finding #2)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        sch = pa.schema([("w", pa.string()), ("df", pa.int64()),
+                         ("cf", pa.int64()), ("tok", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        df_ = pl.DataFrame({
+            "d": pl.from_arrow(batch[id_col].combine_chunks()),
+            "t": pl.from_arrow(batch[text_col].combine_chunks()),
+        }).with_columns(w=pl.col("t").cast(pl.String).fill_null("")
+                        .str.to_lowercase().str.extract_all(r"\w+")
+                        ).drop("t")
+        tok = int(df_["w"].list.len().sum())
+        ex = (df_.explode("w").drop_nulls("w")
+              .filter(pl.col("w").is_in(want_list))
+              .group_by("w")
+              .agg(cf=pl.len(), df=pl.col("d").n_unique()))
+        ws = ex["w"].to_list() + [""]
+        return pa.table({
+            "w": pa.array(ws, pa.string()),
+            "df": pa.array(ex["df"].cast(pl.Int64).to_list() + [0],
+                           pa.int64()),
+            "cf": pa.array(ex["cf"].cast(pl.Int64).to_list() + [0],
+                           pa.int64()),
+            "tok": pa.array([0] * (len(ws) - 1) + [tok], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("w").aggregate(Sum("df", alias_name="df_sum"),
+                                   Sum("cf", alias_name="cf_sum"),
+                                   Sum("tok", alias_name="tok_sum"))
+           .take_all())
+    t_tok, dfs, cfs = 0, {}, {}
+    for r in agg:
+        if r["w"] == "":
+            t_tok = int(r["tok_sum"])
+        else:
+            dfs[r["w"]] = int(r["df_sum"])
+            cfs[r["w"]] = int(r["cf_sum"])
+    return t_tok, dfs, cfs
+
+
+def _rank_row_schema(id_col: str) -> pa.Schema:
+    return pa.schema([(id_col, pa.int64()), ("kind", pa.int8()),
+                      ("word", pa.string()), ("val", pa.int64()),
+                      ("_b", pa.int64())])
+
+
+def _index_matched_rows(index_dir: str, want_list: list[str],
+                        meta: dict) -> ray.data.Dataset:
+    """Pruned read of the query terms' ``wb=`` buckets -> ranking rows
+    ``(doc, kind=0, word, val=tf, _b=hash64(doc) % n_buckets)``. Only
+    the matched postings leave storage — query cost scales with the
+    matches, not the corpus."""
+    import pyarrow.compute as pc
+
+    from ..canon import hash64_batch
+
+    nb = meta["n_buckets"]
+    idc = meta["id_col"]
+    want = pa.array(want_list, pa.string())
+    tb = _term_buckets(want_list, nb)
+    paths: list[str] = []
+    for bkt in sorted(set(tb.values())):
+        paths.extend(sorted(glob.glob(
+            os.path.join(index_dir, "wb=%d" % bkt, "*.parquet"))))
+    sch = _rank_row_schema(idc)
+    nbu = np.uint64(nb)
+
+    def m_emit(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["word"], value_set=want))
+        if t.num_rows == 0:
+            return sch.empty_table()
+        ids = t[idc].cast(pa.int64())
+        hb = (hash64_batch(ids.cast(pa.string())) % nbu) \
+            .astype(np.int64)
+        return pa.table({
+            idc: ids,
+            "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+            "word": t["word"].cast(pa.string()),
+            "val": t["tf"].cast(pa.int64()),
+            "_b": pa.array(hb)})
+
+    if not paths:
+        return ray.data.from_arrow(sch.empty_table())
+    return (ray.data.read_parquet(paths, columns=["word", idc, "tf"])
+            .map_batches(m_emit, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def _index_doclen_rows(index_dir: str, meta: dict,
+                       db_buckets: list[int] | None
+                       ) -> ray.data.Dataset:
+    """Doclen sidecar -> ranking rows ``(doc, kind=1, null, val=dl,
+    _b=db)``. ``db_buckets=None`` reads every partition (QL scores all
+    docs); a candidate-bucket list prunes the read to the partitions
+    that can hold a matched doc."""
+    from ..canon import hash64_batch
+
+    nb = meta["n_buckets"]
+    idc = meta["id_col"]
+    sch = _rank_row_schema(idc)
+    sel = sorted(set(int(b) for b in db_buckets)) \
+        if db_buckets is not None else range(nb)
+    paths: list[str] = []
+    for bkt in sel:
+        paths.extend(sorted(glob.glob(os.path.join(
+            index_dir, "doclen", "db=%d" % bkt, "*.parquet"))))
+    nbu = np.uint64(nb)
+
+    def dl_emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        ids = batch[idc].cast(pa.int64())
+        db = (hash64_batch(ids.cast(pa.string())) % nbu) \
+            .astype(np.int64)
+        return pa.table({
+            idc: ids,
+            "kind": pa.array(np.ones(batch.num_rows, np.int8)),
+            "word": pa.nulls(batch.num_rows, pa.string()),
+            "val": batch["dl"].cast(pa.int64()),
+            "_b": pa.array(db)})
+
+    if not paths:
+        return ray.data.from_arrow(sch.empty_table())
+    return (ray.data.read_parquet(paths, columns=[idc, "dl"])
+            .map_batches(dl_emit, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def bm25_search(ds: ray.data.Dataset | None, terms: list[str], *,
                 mode: str = "and", text_col: str = "text",
                 id_col: str = "doc_id", k1=(6, 5), b=(3, 4),
-                num_buckets: int = 32) -> ray.data.Dataset:
+                num_buckets: int = 32,
+                index_dir: str | None = None) -> ray.data.Dataset:
     """BM25 ranking (Robertson & Walker / Okapi; the Lucene-default
     ``ln(1 + (N-df+.5)/(df+.5))`` IDF): ``score = Σ_t idf(t) ·
     tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` — THE bag-of-words
@@ -309,36 +543,49 @@ def bm25_search(ds: ray.data.Dataset, terms: list[str], *,
     * per-term contribution = ``(idf_micro · tf_num) // tf_den``;
       per-doc score = the integer sum (order-free).
 
-    Dataflow: one postings pass (matched term rows pruned per block +
-    per-block doc-length partials) through ONE doc-bucket exchange;
-    the corpus never moves, N/Ttok are two driver scalars. Returns
-    ``(doc_id, n_matched, score_1e6)`` (AND mode drops partial
-    matches)."""
+    Dataflow, in-stream (``ds``): a first streaming pass computes the
+    corpus scalars (N, Ttok, per-term df — :func:`_corpus_term_stats`,
+    nothing materialized), then one postings pass (matched term rows
+    pruned per block + per-block doc-length partials) through ONE
+    doc-bucket exchange; the corpus never moves. With ``index_dir``
+    (a :func:`build_inverted_index` layout): N/Ttok come from
+    meta.json, matched postings from a pruned read of ONLY the query
+    terms' ``wb=`` buckets, doc lengths from ONLY the candidate docs'
+    ``doclen/db=`` partitions — query cost scales with the matches,
+    not the corpus. Returns ``(doc_id, n_matched, score_1e6)`` (AND
+    mode drops partial matches)."""
     import pyarrow.compute as pc
 
     from ..canon import hash64_batch
 
+    if (ds is None) == (index_dir is None):
+        raise ValueError("bm25_search: pass exactly one of ds / "
+                         "index_dir")
     want_list = sorted({t.lower() for t in terms})
     want = pa.array(want_list, pa.string())
     n_terms = len(want_list)
     k1n, k1d = k1
     bn, bd = b
+
+    if index_dir is not None:
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        id_col = meta["id_col"]
+        num_buckets = meta["n_buckets"]
+        n_docs = int(meta["n_docs"])
+        t_tok = int(meta["t_tok"])
+        matched = _index_matched_rows(index_dir, want_list, meta)
+        dft = (matched.groupby("word").count().take_all()
+               if matched.count() else [])
+        dfs = {r["word"]: int(r["count()"]) for r in dft}
+        cand = [int(v) for v in matched.unique("_b")] if dfs else []
+        rows = matched.union(
+            _index_doclen_rows(index_dir, meta, cand))
+    else:
+        n_docs = int(ds.count())
+        t_tok, dfs, _ = _corpus_term_stats(ds, want_list, text_col,
+                                           id_col)
     nbu = np.uint64(num_buckets)
-
-    posts = postings(ds, text_col, id_col, n_buckets=1)
-
-    # two driver scalars + the per-term df dict (<= len(terms) rows)
-    posts_mat = posts.materialize()
-    n_docs = int(ds.count())
-    t_tok = int(posts_mat.sum("tf") or 0)
-    # df per query term via one pruned aggregate (tiny result)
-    dft = (posts_mat
-           .map_batches(lambda t: t.filter(
-               pc.is_in(t["word"], value_set=want))
-               .select(["word", id_col]),
-               batch_format="pyarrow", batch_size=None)
-           .groupby("word").count().take_all())
-    dfs = {r["word"]: int(r["count()"]) for r in dft}
     idf_micro = {
         w: int(np.floor(1e6 * np.log((2 * n_docs + 2)
                                      / (2 * dfs.get(w, 0) + 1))
@@ -382,8 +629,10 @@ def bm25_search(ds: ray.data.Dataset, terms: list[str], *,
             "val": pa.array(vals, pa.int64()),
             "_b": pa.array(hb, pa.int64())})
 
-    rows = posts_mat.map_batches(emit, batch_format="pyarrow",
-                                 batch_size=None)
+    if index_dir is None:
+        rows = postings(ds, text_col, id_col, n_buckets=1) \
+            .map_batches(emit, batch_format="pyarrow",
+                         batch_size=None)
 
     # derivation: tf + (k1n/k1d)((bd-bn)/bd) + (k1n/k1d)(bn/bd)(dl*N/Ttok)
     # x (k1d*bd*Ttok):  k1d*bd*tf*Ttok + k1n*(bd-bn)*Ttok + k1n*bn*dl*N
@@ -454,10 +703,10 @@ def bm25_search(ds: ray.data.Dataset, terms: list[str], *,
                              num_buckets=num_buckets)
 
 
-def dirichlet_ql(ds: ray.data.Dataset, terms: list[str], *,
+def dirichlet_ql(ds: ray.data.Dataset | None, terms: list[str], *,
                  mu: int = 2000, text_col: str = "text",
-                 id_col: str = "doc_id",
-                 num_buckets: int = 32) -> ray.data.Dataset:
+                 id_col: str = "doc_id", num_buckets: int = 32,
+                 index_dir: str | None = None) -> ray.data.Dataset:
     """Dirichlet-smoothed query likelihood ranking (Zhai & Lafferty,
     SIGIR 2001 — the language-modeling counterpart of BM25):
     ``score(d) = Σ_t ln p(t|d)`` with ``p(t|d) = (tf + μ·cf_t/Ttok)
@@ -470,27 +719,38 @@ def dirichlet_ql(ds: ray.data.Dataset, terms: list[str], *,
     the corpus (cf = 0) has likelihood 0 for every doc and is
     rejected loudly rather than silently ranking everything -inf.
 
-    Same dataflow as :func:`bm25_search`: one postings pass (matched
-    rows + dl partials) through one doc-bucket exchange; cf/Ttok are
-    a tiny driver dict + two scalars. Returns
-    ``(doc_id, n_matched, score_1e6)`` over ALL docs with text."""
+    Same dataflow as :func:`bm25_search`: in-stream, a streaming
+    stats pass (cf/Ttok — nothing materialized) then one postings pass
+    (matched rows + dl partials) through one doc-bucket exchange; with
+    ``index_dir``, Ttok comes from meta.json, matched rows from the
+    query terms' ``wb=`` buckets and doc lengths from the full doclen
+    sidecar (every doc IS scored — that read is the output, not
+    overhead). Returns ``(doc_id, n_matched, score_1e6)`` over ALL
+    docs with text."""
     import pyarrow.compute as pc
 
     from ..canon import hash64_batch
 
+    if (ds is None) == (index_dir is None):
+        raise ValueError("dirichlet_ql: pass exactly one of ds / "
+                         "index_dir")
     want_list = sorted({t.lower() for t in terms})
     want = pa.array(want_list, pa.string())
-    nbu = np.uint64(num_buckets)
 
-    posts = postings(ds, text_col, id_col, n_buckets=1).materialize()
-    t_tok = int(posts.sum("tf") or 0)
-    cft = (posts
-           .map_batches(lambda t: t.filter(
-               pc.is_in(t["word"], value_set=want))
-               .select(["word", "tf"]),
-               batch_format="pyarrow", batch_size=None)
-           .groupby("word").sum("tf").take_all())
-    cf = {r["word"]: int(r["sum(tf)"]) for r in cft}
+    if index_dir is not None:
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        id_col = meta["id_col"]
+        num_buckets = meta["n_buckets"]
+        t_tok = int(meta["t_tok"])
+        matched = _index_matched_rows(index_dir, want_list, meta)
+        cft = (matched.groupby("word").sum("val").take_all()
+               if matched.count() else [])
+        cf = {r["word"]: int(r["sum(val)"]) for r in cft}
+    else:
+        t_tok, _, cf = _corpus_term_stats(ds, want_list, text_col,
+                                          id_col)
+    nbu = np.uint64(num_buckets)
     missing = [w for w in want_list if cf.get(w, 0) == 0]
     if missing:
         raise ValueError("dirichlet_ql: query terms absent from the "
@@ -528,8 +788,12 @@ def dirichlet_ql(ds: ray.data.Dataset, terms: list[str], *,
             "val": pa.array(vals, pa.int64()),
             "_b": pa.array(hb, pa.int64())})
 
-    rows = posts.map_batches(emit, batch_format="pyarrow",
-                             batch_size=None)
+    if index_dir is not None:
+        rows = matched.union(_index_doclen_rows(index_dir, meta, None))
+    else:
+        rows = postings(ds, text_col, id_col, n_buckets=1) \
+            .map_batches(emit, batch_format="pyarrow",
+                         batch_size=None)
     cfs = np.array([cf[w] for w in want_list], np.int64)
 
     def score_bucket(tbl: pa.Table) -> pa.Table:

@@ -405,3 +405,94 @@ def test_dirichlet_ql_truth_and_missing_term():
     assert set(df.index) == {1, 2}
     with pytest.raises(ValueError):
         dirichlet_ql(ds, ["table", "zzzmissing"]).materialize()
+
+
+def _rank_corpus():
+    import pyarrow as pa
+
+    texts = [
+        "table hash merge join scan table",
+        "hash merge table",
+        "merge sort spill table hash merge merge",
+        "completely unrelated words here",
+        "table table table hash hash merge filter",
+    ]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+
+
+def test_bm25_index_backed_matches_in_stream(tmp_path):
+    """Index-backed BM25 (pruned wb= + doclen db= reads, stats from
+    meta.json) must equal the in-stream pass bit for bit."""
+    from cdx_toolkit_ray.stages.invindex import (bm25_search,
+                                                 build_inverted_index)
+
+    ds = _rank_corpus()
+    idx = build_inverted_index(ds, str(tmp_path / "idx"), n_buckets=8)
+    terms = ["table", "hash", "merge"]
+    for mode in ("and", "or"):
+        ins = (bm25_search(ds, terms, mode=mode).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        idb = (bm25_search(None, terms, mode=mode, index_dir=idx)
+               .to_pandas().sort_values("doc_id")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(ins, idb)
+    assert len(ins) == 4                    # doc 4 matches nothing
+
+
+def test_dirichlet_ql_index_backed_matches_in_stream(tmp_path):
+    from cdx_toolkit_ray.stages.invindex import (build_inverted_index,
+                                                 dirichlet_ql)
+
+    ds = _rank_corpus()
+    idx = build_inverted_index(ds, str(tmp_path / "idx"), n_buckets=8)
+    ins = (dirichlet_ql(ds, ["table", "merge"], mu=100).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    idb = (dirichlet_ql(None, ["table", "merge"], mu=100,
+                        index_dir=idx).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(ins, idb)
+    assert len(ins) == 5                    # QL scores every doc
+
+
+def test_index_meta_carries_corpus_stats(tmp_path):
+    """build/merge persist n_docs + t_tok so ranked search never
+    re-aggregates the corpus; merge keeps them in sync (upsert)."""
+    import json
+
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.invindex import (build_inverted_index,
+                                                 merge_index)
+
+    ds = _rank_corpus()
+    idx = build_inverted_index(ds, str(tmp_path / "idx"), n_buckets=8)
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    assert meta["n_docs"] == 5
+    assert meta["t_tok"] == 6 + 3 + 7 + 4 + 7
+    assert glob.glob(os.path.join(idx, "doclen", "db=*", "*.parquet"))
+
+    # upsert doc 5 (7 -> 2 tokens) and add doc 6 (3 tokens)
+    inc = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([5, 6], pa.int64()),
+        "text": pa.array(["tiny doc", "brand new doc"], pa.string())}))
+    merged = merge_index(idx, inc, str(tmp_path / "idx2"))
+    meta2 = json.load(open(os.path.join(merged, "meta.json")))
+    assert meta2["n_docs"] == 6
+    assert meta2["t_tok"] == 6 + 3 + 7 + 4 + 2 + 3
+
+
+def test_ranking_in_stream_never_materializes_postings():
+    """The 100-TB contract (VERDICT r3 finding #2): the in-stream
+    ranking paths must not pin the token-scale postings stream in the
+    object store. Grep-able guard."""
+    import inspect
+
+    from cdx_toolkit_ray.stages.invindex import (_corpus_term_stats,
+                                                 bm25_search,
+                                                 dirichlet_ql)
+
+    for fn in (bm25_search, dirichlet_ql, _corpus_term_stats):
+        assert ".materialize()" not in inspect.getsource(fn), \
+            fn.__name__
