@@ -164,11 +164,12 @@ class FetchExecutor:
 
     def __init__(self, transport, *, max_attempts: int = 3,
                  minimum_interval: float = 3.0,
-                 id_col: str = "seed_order", cdx: bool = False,
-                 allow404: bool = False):
+                 id_col: str = "seed_order", url_col: str = "url",
+                 cdx: bool = False, allow404: bool = False):
         if max_attempts < 1:
             raise ValueError("max_attempts must be >= 1")
         self.transport = transport
+        self.url_col = url_col
         self.policy = RetryPolicy(minimum_interval=minimum_interval)
         self.max_attempts = int(max_attempts)
         self.id_col = id_col
@@ -199,6 +200,14 @@ class FetchExecutor:
         n = batch.num_rows
         ids = batch[self.id_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+
+        # URL-carrying transports (HttpTransport) get the id -> url
+        # binding per batch; table transports resolve by id alone
+        if getattr(self.transport, "needs_urls", False):
+            urls = (batch[self.url_col].to_pylist()
+                    if self.url_col in batch.column_names
+                    else [None] * n)
+            self.transport.begin_batch(ids, urls)
 
         n_attempts = np.zeros(n, dtype=np.int64)
         final_status = np.zeros(n, dtype=np.int64)
@@ -253,7 +262,7 @@ class FetchExecutor:
 
 def fetch_execute(schedule: ray.data.Dataset, transport, *,
                   max_attempts: int = 3, minimum_interval: float = 3.0,
-                  id_col: str = "seed_order",
+                  id_col: str = "seed_order", url_col: str = "url",
                   concurrency: int | tuple = (1, 4),
                   batch_size: int | None = 2048,
                   cdx: bool = False,
@@ -276,7 +285,7 @@ def fetch_execute(schedule: ray.data.Dataset, transport, *,
         fn_constructor_kwargs={
             "transport": transport, "max_attempts": max_attempts,
             "minimum_interval": minimum_interval, "id_col": id_col,
-            "cdx": cdx, "allow404": allow404},
+            "url_col": url_col, "cdx": cdx, "allow404": allow404},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 

@@ -1,0 +1,164 @@
+"""HttpTransport integration: the real-HTTP fetch path against a
+loopback stdlib http.server (no external network), proving the
+transport seam — fetch_execute + dead_letter produce IDENTICAL rows
+through HttpTransport and TableTransport under the same fault
+schedule (VERDICT r3, next-round item 5).
+
+Reference behavior matched: myrequests.py:57-166 retry loop, DNS
+fail-fast (10-21, 128-140), per-host politeness spacing (23-55).
+"""
+
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from cdx_toolkit_ray.pipelines.fetch import (FAULT_STATUSES,
+                                             TableTransport,
+                                             dead_letter, fetch_execute)
+from cdx_toolkit_ray.pipelines.httpfetch import HttpTransport
+
+
+class _FaultHandler(BaseHTTPRequestHandler):
+    """Serves /p/<id> with status FAULT_STATUSES[(id + attempt) % 8]
+    where attempt counts per-id hits — the exact TableTransport fault
+    schedule, so the two transports must agree row for row."""
+
+    hits: dict = {}
+    times: list = []
+    lock = threading.Lock()
+
+    def do_GET(self):
+        rid = int(self.path.rsplit("/", 1)[-1])
+        with self.lock:
+            attempt = self.hits.get(rid, 0)
+            self.hits[rid] = attempt + 1
+            self.times.append((rid, time.monotonic()))
+        status = int(FAULT_STATUSES[(rid + attempt)
+                                    % len(FAULT_STATUSES)])
+        body = ("payload-%d" % rid).encode()
+        self.send_response(status)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):     # quiet
+        pass
+
+
+@pytest.fixture()
+def fault_server():
+    _FaultHandler.hits = {}
+    _FaultHandler.times = []
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FaultHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield "http://127.0.0.1:%d" % srv.server_address[1]
+    srv.shutdown()
+    srv.server_close()
+
+
+def _schedule(base: str, ids) -> ray.data.Dataset:
+    return ray.data.from_arrow(pa.table({
+        "seed_order": pa.array(ids, pa.int64()),
+        "url": pa.array(["%s/p/%d" % (base, i) for i in ids],
+                        pa.string()),
+    }))
+
+
+_OUT = ["seed_order", "n_attempts", "final_status", "fetch_action",
+        "backoff_ms", "text"]
+
+
+def test_http_matches_table_transport_end_to_end(fault_server,
+                                                 tmp_path):
+    """fetch -> dead-letter parity: HttpTransport over a live loopback
+    server == TableTransport replaying the same fault schedule."""
+    ids = list(range(16))            # covers every schedule branch
+
+    # content table for the TableTransport twin: same payloads the
+    # server sends
+    pq.write_table(pa.table({
+        "seed_order": pa.array(ids, pa.int64()),
+        "text": pa.array(["payload-%d" % i for i in ids], pa.string()),
+    }), str(tmp_path / "content.parquet"))
+
+    http_tr = HttpTransport(min_interval=0.0, timeout=10.0)
+    tbl_tr = TableTransport(str(tmp_path / "content.parquet"),
+                            id_col="seed_order")
+
+    # materialize once: the fetch ran exactly one schedule against the
+    # live server; dead_letter then filters the pinned blocks instead
+    # of re-fetching (a lazy re-execution would advance the server's
+    # per-id attempt counters and change the schedule)
+    fetched_http = fetch_execute(_schedule(fault_server, ids), http_tr,
+                                 max_attempts=3, concurrency=1,
+                                 batch_size=4).materialize()
+    fetched_tbl = fetch_execute(_schedule(fault_server, ids), tbl_tr,
+                                max_attempts=3, concurrency=1,
+                                batch_size=4).materialize()
+    got_http = (fetched_http.to_pandas()[_OUT]
+                .sort_values("seed_order").reset_index(drop=True))
+    got_tbl = (fetched_tbl.to_pandas()[_OUT]
+               .sort_values("seed_order").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_http, got_tbl)
+
+    # both exercise ok / invalid / exhausted branches
+    acts = set(got_http["fetch_action"])
+    assert {"ok", "invalid", "exhausted"} <= acts
+
+    # dead-letter channels agree too
+    dl_http = (dead_letter(fetched_http).to_pandas()[_OUT]
+               .sort_values("seed_order").reset_index(drop=True))
+    dl_tbl = (dead_letter(fetched_tbl).to_pandas()[_OUT]
+              .sort_values("seed_order").reset_index(drop=True))
+    pd.testing.assert_frame_equal(dl_http, dl_tbl)
+    assert (dl_http["fetch_action"] != "ok").all() and len(dl_http)
+
+
+def test_http_per_host_wall_clock_spacing(fault_server):
+    """Consecutive requests to one host are spaced >= min_interval in
+    WALL CLOCK (myrequests.py:23-55) — measured server-side."""
+    ids = [0, 5, 8, 13]              # first-attempt-ok ids (no retries)
+    tr = HttpTransport(min_interval=0.05, timeout=10.0)
+    out = fetch_execute(_schedule(fault_server, ids), tr,
+                        max_attempts=3, concurrency=1,
+                        batch_size=None).to_pandas()
+    assert (out["fetch_action"] == "ok").all()
+    stamps = sorted(t for _, t in _FaultHandler.times)
+    gaps = np.diff(np.array(stamps))
+    assert len(gaps) == len(ids) - 1
+    assert (gaps >= 0.04).all(), gaps     # 10 ms scheduler tolerance
+
+
+def test_http_dns_fail_fast_vs_seen_host():
+    """A DNS failure is fatal (invalid, 1 attempt) for a never-seen
+    host; for a pre-seeded seen host the same failure retries like a
+    connection error until the budget exhausts (myrequests.py:10-21,
+    128-140)."""
+    sched = ray.data.from_arrow(pa.table({
+        "seed_order": pa.array([1], pa.int64()),
+        "url": pa.array(["http://never-seen-host.invalid/p/1"],
+                        pa.string()),
+    }))
+    cold = fetch_execute(sched, HttpTransport(min_interval=0.0,
+                                              timeout=2.0),
+                         max_attempts=3, concurrency=1,
+                         batch_size=None).to_pandas()
+    assert cold.loc[0, "fetch_action"] == "invalid"
+    assert cold.loc[0, "n_attempts"] == 1        # no retry: fail-fast
+    assert cold.loc[0, "backoff_ms"] == 0
+
+    warm_tr = HttpTransport(min_interval=0.0, timeout=2.0,
+                            seen_hosts=("never-seen-host.invalid",))
+    warm = fetch_execute(sched, warm_tr, max_attempts=3,
+                         concurrency=1, batch_size=None).to_pandas()
+    assert warm.loc[0, "fetch_action"] == "exhausted"
+    assert warm.loc[0, "n_attempts"] == 3        # retried to budget
+    assert warm.loc[0, "backoff_ms"] > 0         # backoff was budgeted
