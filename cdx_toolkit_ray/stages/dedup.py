@@ -919,7 +919,10 @@ def shared_key_pairs_with_sizes(kd: ray.data.Dataset, *, key_col: str,
                                 bucket_col: str, num_buckets: int,
                                 min_shared: int, max_docs_per_key: int,
                                 warn_label: str, flag_name: str,
-                                flag_fn) -> ray.data.Dataset:
+                                flag_fn, string_docs: bool = False,
+                                out_a: str = "doc_a",
+                                out_b: str = "doc_b"
+                                ) -> ray.data.Dataset:
     """Doc pairs sharing >= ``min_shared`` distinct keys, with BOTH
     per-doc distinct-key set sizes attached — zero driver-side per-doc
     state (the 100-TB contract: at 10^10 docs an O(docs) driver dict is
@@ -942,6 +945,11 @@ def shared_key_pairs_with_sizes(kd: ray.data.Dataset, *, key_col: str,
 
     Each merge task holds O(pairs_in_bucket + docs/num_buckets) memory;
     the driver holds only object refs.
+
+    ``string_docs=True`` switches the doc identity to strings (the
+    mirror-host case, where docs are hostnames): same plan, doc-hash
+    routing via the engine's hash64 and empty-string placeholders in
+    the union rows (the psz/sz discriminator columns stay integer).
     """
     import logging
 
@@ -949,14 +957,50 @@ def shared_key_pairs_with_sizes(kd: ray.data.Dataset, *, key_col: str,
 
     nbu = np.uint64(num_buckets)
 
+    if string_docs:
+        from ..canon import hash64_batch
+
+        doc_type = pa.string()
+
+        def doc_np(col):
+            return col.combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(str)
+
+        def doc_pa(arr):
+            return pa.array(np.asarray(arr, object).tolist(),
+                            pa.string())
+
+        def doc_fill(n):
+            return np.full(n, "", object)
+
+        def doc_bucket(vals):
+            return (hash64_batch(pa.array(
+                np.asarray(vals, object).tolist(), pa.string()))
+                % nbu).astype(np.int64)
+    else:
+        doc_type = pa.int64()
+
+        def doc_np(col):
+            return col.to_numpy(zero_copy_only=False)
+
+        def doc_pa(arr):
+            return pa.array(np.asarray(arr, np.int64))
+
+        def doc_fill(n):
+            return np.full(n, -1, np.int64)
+
+        def doc_bucket(vals):
+            return ((np.asarray(vals).astype(np.uint64) * _DOC_MIX)
+                    % nbu).astype(np.int64)
+
     def merge_keys(tbl: pa.Table) -> pa.Table:
-        # union rows: pairs have psz == -1, size partials have b == -1
-        sch = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+        # union rows: pairs have psz == -1, size partials have no pair
+        sch = pa.schema([("a", doc_type), ("b", doc_type),
                          ("psz", pa.int64()), ("_k2", pa.int64())])
         if tbl.num_rows == 0:
             return sch.empty_table()
         g = tbl[key_col].to_numpy(zero_copy_only=False)
-        d = tbl["doc"].to_numpy(zero_copy_only=False)
+        d = doc_np(tbl["doc"])
         order = np.lexsort((d, g))
         gs, ds_ = g[order], d[order]
         new = np.ones(len(gs), bool)
@@ -981,15 +1025,13 @@ def shared_key_pairs_with_sizes(kd: ray.data.Dataset, *, key_col: str,
             ii, jj = np.triu_indices(n, k=1)
             a_all.append(grp[ii])
             b_all.append(grp[jj])
-        a = (np.concatenate(a_all) if a_all
-             else np.zeros(0, np.int64)).astype(np.int64)
-        b = (np.concatenate(b_all) if a_all
-             else np.zeros(0, np.int64)).astype(np.int64)
-        ka = ((a.astype(np.uint64) * _DOC_MIX) % nbu).astype(np.int64)
-        kd = ((ud.astype(np.uint64) * _DOC_MIX) % nbu).astype(np.int64)
+        a = np.concatenate(a_all) if a_all else doc_fill(0)
+        b = np.concatenate(b_all) if a_all else doc_fill(0)
+        ka = doc_bucket(a)
+        kd = doc_bucket(ud)
         return pa.table({
-            "a": pa.array(np.r_[a, ud.astype(np.int64)]),
-            "b": pa.array(np.r_[b, np.full(len(ud), -1, np.int64)]),
+            "a": doc_pa(np.concatenate([a, ud])),
+            "b": doc_pa(np.concatenate([b, doc_fill(len(ud))])),
             "psz": pa.array(np.r_[np.full(len(a), -1, np.int64),
                                   psz.astype(np.int64)]),
             "_k2": pa.array(np.r_[ka, kd]),
@@ -999,14 +1041,14 @@ def shared_key_pairs_with_sizes(kd: ray.data.Dataset, *, key_col: str,
                            num_buckets=num_buckets)
 
     def merge_a(tbl: pa.Table) -> pa.Table:
-        # union rows out: pairs have sz == -1, size rows have a == -1
-        sch = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+        # union rows out: pairs have sz == -1, size rows have no pair
+        sch = pa.schema([("a", doc_type), ("b", doc_type),
                          ("n_shared", pa.int64()), ("n_a", pa.int64()),
                          ("sz", pa.int64()), ("_k3", pa.int64())])
         if tbl.num_rows == 0:
             return sch.empty_table()
-        a = tbl["a"].to_numpy(zero_copy_only=False)
-        b = tbl["b"].to_numpy(zero_copy_only=False)
+        a = doc_np(tbl["a"])
+        b = doc_np(tbl["b"])
         psz = tbl["psz"].to_numpy(zero_copy_only=False)
         is_sz = psz >= 0
         sd, inv = np.unique(a[is_sz], return_inverse=True)
@@ -1024,12 +1066,12 @@ def shared_key_pairs_with_sizes(kd: ray.data.Dataset, *, key_col: str,
         pa_, pb_, shared = pa_[keep], pb_[keep], shared[keep]
         na = tot[np.searchsorted(sd, pa_)] if len(pa_) else \
             np.zeros(0, np.int64)
-        kb = ((pb_.astype(np.uint64) * _DOC_MIX) % nbu).astype(np.int64)
-        ksd = ((sd.astype(np.uint64) * _DOC_MIX) % nbu).astype(np.int64)
+        kb = doc_bucket(pb_)
+        ksd = doc_bucket(sd)
         nsz = len(sd)
         return pa.table({
-            "a": pa.array(np.r_[pa_, np.full(nsz, -1, np.int64)]),
-            "b": pa.array(np.r_[pb_, sd.astype(np.int64)]),
+            "a": doc_pa(np.concatenate([pa_, doc_fill(nsz)])),
+            "b": doc_pa(np.concatenate([pb_, sd])),
             "n_shared": pa.array(np.r_[shared,
                                        np.full(nsz, -1, np.int64)]),
             "n_a": pa.array(np.r_[na, np.full(nsz, -1, np.int64)]),
@@ -1040,26 +1082,26 @@ def shared_key_pairs_with_sizes(kd: ray.data.Dataset, *, key_col: str,
     u2 = hash_bucket_apply(u1, "_k2", merge_a, num_buckets=num_buckets)
 
     def merge_b(tbl: pa.Table) -> pa.Table:
-        sch = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        sch = pa.schema([(out_a, doc_type), (out_b, doc_type),
                          ("n_shared", pa.int64()), ("n_a", pa.int64()),
                          ("n_b", pa.int64()), (flag_name, pa.bool_())])
         if tbl.num_rows == 0:
             return sch.empty_table()
         sz = tbl["sz"].to_numpy(zero_copy_only=False)
         is_sz = sz >= 0
-        sd = tbl["b"].to_numpy(zero_copy_only=False)[is_sz]
+        sd = doc_np(tbl["b"])[is_sz]
         tot = sz[is_sz]
         order = np.argsort(sd)
         sd, tot = sd[order], tot[order]
         pair = tbl.filter(pa.array(~is_sz))
         if pair.num_rows == 0:
             return sch.empty_table()
-        pb_ = pair["b"].to_numpy(zero_copy_only=False)
+        pb_ = doc_np(pair["b"])
         nb = tot[np.searchsorted(sd, pb_)]
         shared = pair["n_shared"].to_numpy(zero_copy_only=False)
         na = pair["n_a"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "doc_a": pair["a"], "doc_b": pair["b"],
+            out_a: pair["a"], out_b: pair["b"],
             "n_shared": pair["n_shared"], "n_a": pair["n_a"],
             "n_b": pa.array(nb.astype(np.int64)),
             flag_name: pa.array(flag_fn(shared, na, nb)),

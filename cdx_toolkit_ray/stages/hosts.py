@@ -599,22 +599,24 @@ def mirror_hosts(ds: ray.data.Dataset, *, url_col: str = "url",
     ``max_hosts_per_path`` hosts ("/", "/index.html") is navigation
     boilerplate — dropped loudly and replicated by the oracle.
 
-    Dataflow (the co_link_pairs shape): per-block distinct
-    (path, host) rows -> one path-bucket exchange emits host pairs
-    under the cap -> one pair-bucket exchange counts shared paths;
-    per-host path counts fold per block into an O(hosts) broadcast
-    dict (hosts are the small side at any corpus scale; the byte
-    budget is the content join's). Returns ``(host_a, host_b,
+    Dataflow: per-block distinct (path-hash, host) rows ->
+    :func:`~.dedup.shared_key_pairs_with_sizes` with string docs (the
+    containment/CDC three-exchange plan): the path-bucket exchange
+    emits host pairs under the cap plus per-host partial path counts;
+    two host-bucket exchanges count shared paths and attach both set
+    sizes from bucket-co-located size rows — no driver-side per-host
+    dict at any point (VERDICT r3, next-round item 6). Paths travel as
+    64-bit hashes (collision would overcount by one, negligible; the
+    oracle groups the same strings). Returns ``(host_a, host_b,
     n_shared, n_a, n_b, is_mirror)``."""
-    import logging
-
     import polars as pl
-    import ray as _ray
+
+    from .dedup import shared_key_pairs_with_sizes
 
     nbu = np.uint64(num_buckets)
 
     def host_path(batch: pa.Table) -> pa.Table:
-        sch = pa.schema([("host", pa.string()), ("path", pa.string()),
+        sch = pa.schema([("g", pa.uint64()), ("doc", pa.string()),
                          ("_b", pa.int64())])
         if batch.num_rows == 0:
             return sch.empty_table()
@@ -627,111 +629,19 @@ def mirror_hosts(ds: ray.data.Dataset, *, url_col: str = "url",
         ).drop_nulls("host").unique()
         t = hp.to_arrow().cast(pa.schema([("host", pa.string()),
                                           ("path", pa.string())]))
-        h = (hash64_batch(t["path"].combine_chunks())
-             % nbu).astype(np.int64)
-        return t.append_column("_b", pa.array(h, pa.int64()))
+        g = hash64_batch(t["path"].combine_chunks())
+        return pa.table({
+            "g": pa.array(g, pa.uint64()),
+            "doc": t["host"],
+            "_b": pa.array((g % nbu).astype(np.int64), pa.int64()),
+        })
 
     rows = ds.map_batches(host_path, batch_format="pyarrow",
-                          batch_size=None).materialize()
-
-    # O(hosts) size dict: rows are distinct per BLOCK only, but every
-    # copy of a (host, path) row shares the path bucket — per-bucket
-    # dedup is global dedup; fold bucket partials into the dict
-    def size_fold(tbl: pa.Table) -> pa.Table:
-        sch = pa.schema([("host", pa.string()), ("n", pa.int64())])
-        if tbl.num_rows == 0:
-            return sch.empty_table()
-        df = (pl.from_arrow(tbl.select(["host", "path"])).unique()
-              .group_by("host").len())
-        return pa.table({
-            "host": df["host"].to_arrow().cast(pa.string()),
-            "n": df["len"].cast(pl.Int64).to_arrow()})
-
-    sizes: dict[str, int] = {}
-    for r in hash_bucket_apply(rows, "_b", size_fold,
-                               num_buckets=num_buckets).take_all():
-        sizes[r["host"]] = sizes.get(r["host"], 0) + int(r["n"])
-    sizes_ref = _ray.put(sizes)
-
-    def emit_pairs(tbl: pa.Table) -> pa.Table:
-        sch = pa.schema([("a", pa.string()), ("b", pa.string()),
-                         ("_pb", pa.int64())])
-        if tbl.num_rows == 0:
-            return sch.empty_table()
-        p = tbl["path"].combine_chunks() \
-            .to_numpy(zero_copy_only=False).astype(str)
-        h = tbl["host"].combine_chunks() \
-            .to_numpy(zero_copy_only=False).astype(str)
-        order = np.lexsort((h, p))
-        p, h = p[order], h[order]
-        new = np.ones(len(p), bool)
-        new[1:] = (p[1:] != p[:-1]) | (h[1:] != h[:-1])
-        p, h = p[new], h[new]
-        run = np.ones(len(p), bool)
-        run[1:] = p[1:] != p[:-1]
-        st = np.flatnonzero(run)
-        ln = np.diff(np.r_[st, len(p)])
-        big = ln > max_hosts_per_path
-        if big.any():
-            logging.getLogger(__name__).warning(
-                "mirror_hosts: %d paths on > %d hosts dropped as "
-                "boilerplate", int(big.sum()), max_hosts_per_path)
-        a_all, b_all = [], []
-        for s, n in zip(st[~big].tolist(), ln[~big].tolist()):
-            if n < 2:
-                continue
-            grp = h[s:s + n]
-            ii, jj = np.triu_indices(n, k=1)
-            a_all.append(grp[ii])
-            b_all.append(grp[jj])
-        if not a_all:
-            return sch.empty_table()
-        a = np.concatenate(a_all)
-        b = np.concatenate(b_all)
-        hb = hash64_batch(pa.array(
-            np.char.add(np.char.add(a, "\x00"), b).tolist(),
-            pa.string()))
-        return pa.table({
-            "a": pa.array(a.tolist(), pa.string()),
-            "b": pa.array(b.tolist(), pa.string()),
-            "_pb": pa.array((hb % nbu).astype(np.int64), pa.int64())})
-
-    pairs = hash_bucket_apply(rows, "_b", emit_pairs,
-                              num_buckets=num_buckets)
-
-    def reduce_pairs(tbl: pa.Table) -> pa.Table:
-        sch = pa.schema([("host_a", pa.string()),
-                         ("host_b", pa.string()),
-                         ("n_shared", pa.int64()),
-                         ("n_a", pa.int64()), ("n_b", pa.int64()),
-                         ("is_mirror", pa.bool_())])
-        if tbl.num_rows == 0:
-            return sch.empty_table()
-        sz = _ray.get(sizes_ref) if isinstance(sizes_ref, _ray.ObjectRef) \
-            else sizes_ref
-        a = tbl["a"].combine_chunks() \
-            .to_numpy(zero_copy_only=False).astype(str)
-        b = tbl["b"].combine_chunks() \
-            .to_numpy(zero_copy_only=False).astype(str)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        new = np.ones(len(a), bool)
-        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        st = np.flatnonzero(new)
-        s = np.diff(np.r_[st, len(a)]).astype(np.int64)
-        a, b = a[st], b[st]
-        keep = s >= min_shared
-        a, b, s = a[keep], b[keep], s[keep]
-        na = np.array([sz[x] for x in a.tolist()], np.int64)
-        nb_ = np.array([sz[x] for x in b.tolist()], np.int64)
-        mirror = 100 * s >= threshold_pct * (na + nb_ - s)
-        return pa.table({
-            "host_a": pa.array(a.tolist(), pa.string()),
-            "host_b": pa.array(b.tolist(), pa.string()),
-            "n_shared": pa.array(s, pa.int64()),
-            "n_a": pa.array(na, pa.int64()),
-            "n_b": pa.array(nb_, pa.int64()),
-            "is_mirror": pa.array(mirror)})
-
-    return hash_bucket_apply(pairs, "_pb", reduce_pairs,
-                             num_buckets=num_buckets)
+                          batch_size=None)
+    return shared_key_pairs_with_sizes(
+        rows, key_col="g", bucket_col="_b", num_buckets=num_buckets,
+        min_shared=min_shared, max_docs_per_key=max_hosts_per_path,
+        warn_label="mirror_hosts", flag_name="is_mirror",
+        flag_fn=lambda s, na, nb: 100 * s >= threshold_pct
+        * (na + nb - s),
+        string_docs=True, out_a="host_a", out_b="host_b")

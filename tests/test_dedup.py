@@ -355,8 +355,9 @@ def test_pair_size_attach_holds_no_driver_state():
     from cdx_toolkit_ray.stages.cdc import cdc_neardup_pairs
     from cdx_toolkit_ray.stages.dedup import (containment_pairs,
                                               shared_key_pairs_with_sizes)
+    from cdx_toolkit_ray.stages.hosts import mirror_hosts
 
-    for fn in (containment_pairs, cdc_neardup_pairs,
+    for fn in (containment_pairs, cdc_neardup_pairs, mirror_hosts,
                shared_key_pairs_with_sizes):
         src = inspect.getsource(fn)
         assert "take_all" not in src, fn.__name__
