@@ -1,0 +1,91 @@
+"""Driver-facing query catalog (thin registry).
+
+The catalog is split per family (VERDICT r3, next-round item 8):
+_shared -> _core -> _curation -> _oracles -> _webgraph, executed
+in that order. Each segment hoists its predecessor\'s namespace
+and, after all segments load, every segment is back-patched with
+the final merged namespace — call-time name resolution is
+identical to the original single-module catalog (same QUERIES /
+ORACLES mappings, same dict order, same hashes). The round-N
+recording-window rotation and the APPROX_QUERIES registry live
+here.
+"""
+
+from . import _shared, _core, _curation, _oracles, _webgraph
+
+_SEGMENTS = (_shared, _core, _curation, _oracles, _webgraph)
+_ns = {k: v for k, v in vars(_webgraph).items()
+       if not k.startswith("__")}
+for _m in _SEGMENTS:
+    _m.__dict__.update(_ns)   # single-namespace call-time semantics
+globals().update(_ns)
+del _ns, _m
+
+# ---------------------------------------------------------------------------
+# Round-4 sweep order (VERDICT r3, next-round item 4). The driver
+# records a ~50-entry prefix of dict order per round; r3 recorded the
+# round-3 priority block, so the entries whose last driver row is from
+# r1/r2 rotate to the FRONT — SURVEY §2-cited ones first so
+# union(CORRECTNESS_r03, r04) covers the §2 core with current hashes —
+# followed by the never-recorded §2 citations (crawl_report is A3's
+# only citation), the new index-backed ranking entries, the remaining
+# r1/r2 block, the remaining never-recorded entries, and the
+# r3-recorded block last (freshest rows, lowest priority). Pure
+# reordering — the mapping is unchanged.
+# ---------------------------------------------------------------------------
+_R3_RECORDED = set(
+    "graph_signals simhash_pairs harmonic_centrality scc bowtie "
+    "spam_mass distance_distribution signed_projection bm25 "
+    "temperature_mixture graph_report seed_cover dirichlet_ql "
+    "embedding_outliers vocab_drift mirror_hosts trustrank opic kcore "
+    "link_hits triangles degree_hist budget_fill segment_plan "
+    "aimd_throttle dust_params shingle_novelty rake_keywords "
+    "url_templates host_similarity revisit_rewrite host_lang_profile "
+    "status_transitions zipnum_lookup cache_freshness containment "
+    "bigram_lm cocitation wat_export archive_roundtrip "
+    "quality_ensemble parallel_politeness proximity_search "
+    "zipnum_multi script_detect char_entropy pmi_topk "
+    "resolve_redirects robots_wildcard".split())
+_R4_FRONT = [k for k in (
+    # §2-cited, last recorded r1/r2
+    "captures_query content_extract frontier_schedule url_seen "
+    "minhash_pairs json_props filter_ia filter_cdx project_rename "
+    "surt_canonicalize time_window closest size_estimate fetch_plan "
+    "frontier_counters union_streams row_sample wb_synthesis "
+    "fetch_execute "
+    # §2-cited, never driver-recorded
+    "crawl_report parse_robots url_seen_evict revisit_resolve "
+    "revisit_generate robots_chain wet_export adaptive_schedule "
+    # new this round (index-backed ranking)
+    "bm25_indexed ql_indexed "
+    # remaining r1/r2 block
+    "exact_dedup join_lookup groupby_agg token_stats normalize_text "
+    "quality lang_id ann_topk ann_int8 embed_quantize distinct "
+    "topk_per_group ngram_jaccard repeated_spans cut_spans window_agg "
+    "event_spikes sessionize top_revenue rolling_sum asof_join "
+    "range_join lsh_eval cc_components decontaminate bloom_decontam "
+    "pii_redact repetition chunk_docs tfidf_topk pack_chunks "
+    "group_quantiles kmeans_assign lm_score embedding_neardup "
+    "fingerprint frame_sample media_decode simhash_sigs").split()
+    if k in QUERIES]
+_r4_front_set = set(_R4_FRONT)
+QUERIES = {
+    **{k: QUERIES[k] for k in _R4_FRONT},
+    **{k: v for k, v in QUERIES.items()
+       if k not in _r4_front_set and k not in _R3_RECORDED},
+    **{k: v for k, v in QUERIES.items() if k in _R3_RECORDED},
+}
+
+#: Approximate-by-design pipelines (HLL ball sizes, KLL sketch
+#: quantiles, IVF probe subsets, Lloyd k-means): deterministic and
+#: pytest-bounded against their exact hash-matched twins
+#: (harmonic_centrality / kll_quantiles_exact / ann_ivf_full /
+#: kmeans_assign), but NOT value-hash-comparable to SQL, so they are
+#: library surface rather than driver catalog entries (VERDICT r3,
+#: next-round item 3 — keeps CORRECTNESS free of no_oracle rows).
+APPROX_QUERIES = {
+    "hyperball": q_hyperball,
+    "kll_quantiles": q_kll_quantiles,
+    "ann_ivf": q_ann_ivf,
+    "kmeans": q_kmeans,
+}
