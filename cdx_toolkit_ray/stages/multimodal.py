@@ -413,14 +413,16 @@ def sniff_batch(batch: pa.Table, payload_col: str = "payload",
 
 # ---------------------------------------------------------------------------
 # PNG: a REAL codec (stdlib zlib + numpy) — upgrades the image family
-# beyond BMP to the dominant web format. Decode supports 8-bit
-# grayscale (color type 0) and RGB (type 2), non-interlaced, all five
-# scanline filters (None/Sub/Up/Average/Paeth); encode writes
-# filter-0 grayscale/RGB with correct CRCs. Sub unfilters as a
-# vectorized mod-256 cumsum; Average/Paeth carry a left-dependence
-# that forces a per-pixel loop in x (vectorized across channels),
-# documented honestly — web thumbnails are small and the stage runs
-# in the actor pool like BmpDecoder.
+# beyond BMP to the dominant web format. Decode supports 8- and 16-bit
+# grayscale (color type 0), gray+alpha (4), RGB (2) and RGBA (6),
+# sequential AND Adam7-interlaced, all five scanline filters
+# (None/Sub/Up/Average/Paeth); encode writes filter-0 8-bit
+# grayscale/RGB with correct CRCs. Sub unfilters as a vectorized
+# mod-256 cumsum; Average/Paeth carry a left-dependence that forces a
+# per-pixel loop in x (vectorized across channels), documented
+# honestly — web thumbnails are small and the stage runs in the actor
+# pool like BmpDecoder. Palette (type 3) is the remaining documented
+# boundary.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -458,46 +460,22 @@ def encode_png(pixels: np.ndarray) -> bytes:
             + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array (h, w) gray or (h, w, 3) rgb.
-    Strict: validates signature, IHDR geometry, chunk CRCs, and the
-    decompressed length; raises ValueError on anything else."""
-    import struct
-    import zlib as _z
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(payload):
-        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
-        tag = payload[pos + 4:pos + 8]
-        body = payload[pos + 8:pos + 8 + ln]
-        if len(body) != ln:
-            raise ValueError("truncated chunk %r" % tag)
-        (crc,) = struct.unpack(
-            ">I", payload[pos + 8 + ln:pos + 12 + ln])
-        if _z.crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError("bad CRC in %r" % tag)
-        if tag == b"IHDR":
-            ihdr = body
-        elif tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    w, h, depth, color, comp, filt, inter = struct.unpack(
-        ">IIBBBBB", ihdr)
-    if depth != 8 or color not in (0, 2) or comp or filt or inter:
-        raise ValueError(
-            "unsupported PNG (depth=%d color=%d interlace=%d; this "
-            "codec handles 8-bit gray/rgb non-interlaced)"
-            % (depth, color, inter))
-    bpp = 1 if color == 0 else 3
-    raw = np.frombuffer(_z.decompress(b"".join(idat)), np.uint8)
-    if len(raw) != h * (w * bpp + 1):
-        raise ValueError("IDAT length mismatch")
+#: samples per pixel by PNG color type (palette type 3 unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int
+                  ) -> np.ndarray:
+    """Undo the five PNG scanline filters over one (sub-)image of
+    ``h`` rows x ``w`` pixels x ``bpp`` BYTES per pixel. ``raw`` is the
+    decompressed stream slice (h rows of 1 filter byte + w*bpp data
+    bytes); returns the (h, w*bpp) byte grid. Sub unfilters as a
+    vectorized mod-256 cumsum; Average/Paeth carry a left-dependence
+    that forces a per-pixel loop in x (vectorized across channels)."""
     raw = raw.reshape(h, w * bpp + 1)
     ftypes, scans = raw[:, 0], raw[:, 1:].astype(np.int64)
     out = np.zeros((h, w * bpp), np.int64)
@@ -534,5 +512,89 @@ def decode_png(payload: bytes) -> np.ndarray:
                 row[s] = (line[s] + pred) % 256
         else:
             raise ValueError("unknown filter type %d" % f)
-    out = out.astype(np.uint8)
-    return out.reshape(h, w) if color == 0 else out.reshape(h, w, bpp)
+    return out.astype(np.uint8)
+
+
+def _png_bytes_to_pixels(grid: np.ndarray, h: int, w: int,
+                         channels: int, depth: int) -> np.ndarray:
+    """(h, w*bpp) byte grid -> pixel array; 16-bit samples combine
+    big-endian byte pairs into uint16."""
+    if depth == 8:
+        px = grid.reshape(h, w, channels)
+    else:
+        g = grid.reshape(h, w, channels, 2).astype(np.uint16)
+        px = (g[..., 0] << 8) | g[..., 1]
+    return px
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> pixel array: (h, w) for grayscale, (h, w, c) for
+    gray+alpha (c=2), RGB (3) or RGBA (4); dtype uint8, or uint16 for
+    16-bit-depth files (big-endian samples). Handles all five scanline
+    filters and Adam7 INTERLACED files (the seven sub-image passes are
+    unfiltered independently and scattered into the output grid — the
+    real-web-corpus case the 8-bit/non-interlaced codec previously
+    rejected). Strict: validates signature, IHDR geometry, chunk CRCs
+    and the decompressed length; raises ValueError on anything else
+    (palette type 3 stays unsupported — a documented boundary)."""
+    import struct
+    import zlib as _z
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated chunk %r" % tag)
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if _z.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError("bad CRC in %r" % tag)
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, inter = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth not in (8, 16) or color not in _PNG_CHANNELS or comp \
+            or filt or inter not in (0, 1):
+        raise ValueError(
+            "unsupported PNG (depth=%d color=%d interlace=%d; this "
+            "codec handles 8/16-bit gray/gray+alpha/rgb/rgba, "
+            "sequential or Adam7)" % (depth, color, inter))
+    channels = _PNG_CHANNELS[color]
+    bpp = channels * (depth // 8)
+    raw = np.frombuffer(_z.decompress(b"".join(idat)), np.uint8)
+    if inter == 0:
+        if len(raw) != h * (w * bpp + 1):
+            raise ValueError("IDAT length mismatch")
+        px = _png_bytes_to_pixels(_png_unfilter(raw, h, w, bpp),
+                                  h, w, channels, depth)
+    else:
+        dtype = np.uint8 if depth == 8 else np.uint16
+        px = np.zeros((h, w, channels), dtype)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * bpp + 1)
+            sub = raw[off:off + need]
+            if len(sub) != need:
+                raise ValueError("IDAT length mismatch (Adam7 pass)")
+            off += need
+            grid = _png_unfilter(sub, ph, pw, bpp)
+            px[y0::dy, x0::dx] = _png_bytes_to_pixels(
+                grid, ph, pw, channels, depth)
+        if off != len(raw):
+            raise ValueError("IDAT length mismatch (trailing bytes)")
+    return px.reshape(h, w) if channels == 1 else px

@@ -217,13 +217,20 @@ def test_png_rejects_garbage():
     bad[20] ^= 0xFF  # corrupt IHDR body -> CRC mismatch
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
-    # 16-bit depth unsupported -> clear error
+    # 16-bit gray is SUPPORTED now (round 4): decodes to uint16 zeros
     ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
     png16 = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
              + _png_chunk(b"IDAT", zlib.compress(b"\0" * 36))
              + _png_chunk(b"IEND", b""))
+    got16 = decode_png(png16)
+    assert got16.dtype == np.uint16 and (got16 == 0).all()
+    # 1-bit depth stays unsupported -> clear error
+    ihdr1 = struct.pack(">IIBBBBB", 4, 4, 1, 0, 0, 0, 0)
+    png1 = (_PNG_SIG + _png_chunk(b"IHDR", ihdr1)
+            + _png_chunk(b"IDAT", zlib.compress(b"\0" * 8))
+            + _png_chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="unsupported"):
-        decode_png(png16)
+        decode_png(png1)
 
 
 def test_sniff_detects_png():
@@ -266,3 +273,100 @@ def test_media_decoder_png_path(ray_session):
                        minlength=16).astype(np.float32)
     want /= want.sum()
     assert np.allclose(np.array(out.features[0]), want)
+
+
+def _chunk(tag, body):
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _build_png_spec(pixels, *, depth=8, interlace=0):
+    """Independent PNG writer for decode tests: filter 0 on every
+    scanline, optional Adam7 interlacing and 16-bit big-endian
+    samples — built from the spec, not from the codec under test."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cdx_toolkit_ray.stages.multimodal import _PNG_SIG
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def rows_bytes(img):
+        hh, ww, _ = img.shape
+        if depth == 8:
+            flat = img.astype(np.uint8).reshape(hh, ww * c)
+        else:
+            v = img.astype(np.uint16)
+            flat = np.zeros((hh, ww * c * 2), np.uint8)
+            flat[:, 0::2] = (v >> 8).reshape(hh, ww * c)
+            flat[:, 1::2] = (v & 0xFF).reshape(hh, ww * c)
+        return b"".join(b"\x00" + flat[y].tobytes() for y in range(hh))
+
+    if interlace == 0:
+        raw = rows_bytes(pixels)
+    else:
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                  (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                  (0, 1, 1, 2))
+        raw = b"".join(rows_bytes(pixels[y0::dy, x0::dx])
+                       for x0, y0, dx, dy in passes
+                       if pixels[y0::dy, x0::dx].size)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw, 6))
+            + _chunk(b"IEND", b""))
+
+
+def test_png_decode_adam7_interlaced():
+    """Adam7 files decode to the same pixels as their sequential twin
+    (the real-web-corpus case the codec previously rejected)."""
+    from cdx_toolkit_ray.stages.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    for shape in ((13, 11, 3), (8, 8), (5, 3, 4), (1, 9), (9, 1, 2)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        seq = decode_png(_build_png_spec(img, interlace=0))
+        adam = decode_png(_build_png_spec(img, interlace=1))
+        np.testing.assert_array_equal(seq, adam)
+        np.testing.assert_array_equal(adam.reshape(img.shape), img)
+
+
+def test_png_decode_16bit_and_alpha():
+    from cdx_toolkit_ray.stages.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    img16 = rng.integers(0, 65536, (6, 7), dtype=np.uint16)
+    got = decode_png(_build_png_spec(img16, depth=16))
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, img16)
+
+    rgba = rng.integers(0, 256, (9, 4, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(_build_png_spec(rgba)), rgba)
+    ga16 = rng.integers(0, 65536, (3, 5, 2), dtype=np.uint16)
+    got = decode_png(_build_png_spec(ga16, depth=16, interlace=1))
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, ga16)
+
+
+def test_png_palette_still_rejected():
+    import struct
+    import zlib
+
+    from cdx_toolkit_ray.stages.multimodal import _PNG_SIG
+
+    from cdx_toolkit_ray.stages.multimodal import decode_png
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    blob = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(blob)
