@@ -97,17 +97,31 @@ def doclens(ds: ray.data.Dataset, text_col: str = "text",
 def _write_doclen_and_meta(dl_ds: ray.data.Dataset, out_dir: str,
                            id_col: str, n_buckets: int) -> None:
     """Write the doclen sidecar hive-partitioned by doc bucket, then
-    derive the two corpus scalars the ranking functions need
-    (``n_docs``, ``t_tok``) from the written files — one tiny metadata
-    read, so build never pins the postings stream."""
+    derive the two corpus scalars the ranking functions need:
+    ``n_docs`` from parquet footers (metadata only, no Ray job) and
+    ``t_tok`` from one column-pruned sum job — build never pins the
+    postings stream."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     dl_dir = os.path.join(out_dir, "doclen")
-    dl_ds.write_parquet(dl_dir, partition_cols=["db"])
-    back = ray.data.read_parquet(dl_dir, columns=["dl"])
-    n_docs = int(back.count())
-    t_tok = int(back.sum("dl") or 0)
+    dl_ds.write_parquet(dl_dir, partition_cols=["db"],
+                        min_rows_per_file=100_000)
+    files = sorted(glob.glob(os.path.join(dl_dir, "db=*", "*.parquet")))
+    n_docs = sum(pq.read_metadata(f).num_rows for f in files)
+    # t_tok: the sidecar is 16 B/doc — under the budget a driver-side
+    # pyarrow sum beats a whole Ray job's fixed overhead; above it
+    # (10^8+ docs) the streaming aggregate takes over
+    if sum(os.path.getsize(f) for f in files) <= 1 << 30:
+        t_tok = sum(
+            int(pc.sum(pq.read_table(f, columns=["dl"])["dl"])
+                .as_py() or 0) for f in files)
+    else:
+        t_tok = int(ray.data.read_parquet(files, columns=["dl"])
+                    .sum("dl") or 0) if files else 0
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump({"n_buckets": n_buckets, "id_col": id_col,
-                   "n_docs": n_docs, "t_tok": t_tok}, f)
+                   "n_docs": int(n_docs), "t_tok": int(t_tok)}, f)
 
 
 def build_inverted_index(ds: ray.data.Dataset, out_dir: str,
@@ -120,7 +134,8 @@ def build_inverted_index(ds: ray.data.Dataset, out_dir: str,
     ``t_tok``) that index-backed BM25 / Dirichlet-QL read instead of
     re-aggregating the corpus."""
     p = postings(ds, text_col, id_col, n_buckets)
-    p.write_parquet(out_dir, partition_cols=["wb"])
+    p.write_parquet(out_dir, partition_cols=["wb"],
+                    min_rows_per_file=100_000)
     _write_doclen_and_meta(doclens(ds, text_col, id_col, n_buckets),
                            out_dir, id_col, n_buckets)
     return out_dir
@@ -260,7 +275,8 @@ def merge_index(index_dir: str, new_docs: ray.data.Dataset,
         merged = kept.union(new_posts)
     else:
         merged = new_posts
-    merged.write_parquet(out_dir, partition_cols=["wb"])
+    merged.write_parquet(out_dir, partition_cols=["wb"],
+                         min_rows_per_file=100_000)
 
     # doclen sidecar upsert (same latest-wins rule). Legacy layouts
     # without one derive old dls from the old postings — one groupby,
@@ -268,6 +284,15 @@ def merge_index(index_dir: str, new_docs: ray.data.Dataset,
     def drop_updated_dl(batch: pa.Table) -> pa.Table:
         from ..pipelines.frontier import _get_broadcast
 
+        # normalize dtypes (the hive partition column reads back as an
+        # inferred type) and recompute db with the canonical hash so
+        # the union with the increment coalesces cleanly
+        dcol = batch[idc].cast(pa.int64())
+        db = (hash64_batch(dcol.cast(pa.string()))
+              % np.uint64(nb)).astype(np.int64)
+        batch = pa.table({idc: dcol,
+                          "dl": batch["dl"].cast(pa.int64()),
+                          "db": pa.array(db, pa.int64())})
         ids = _get_broadcast(ids_ref)
         if len(ids) == 0 or batch.num_rows == 0:
             return batch
@@ -281,7 +306,7 @@ def merge_index(index_dir: str, new_docs: ray.data.Dataset,
         index_dir, "doclen", "db=*", "*.parquet")))
     if old_dl_paths:
         old_dl = ray.data.read_parquet(old_dl_paths,
-                                       columns=[idc, "dl", "db"])
+                                       columns=[idc, "dl"])
     elif old_paths:
         old_dl = (ray.data.read_parquet(old_paths, columns=[idc, "tf"])
                   .groupby(idc).sum("tf")
