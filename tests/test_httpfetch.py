@@ -162,3 +162,71 @@ def test_http_dns_fail_fast_vs_seen_host():
     assert warm.loc[0, "fetch_action"] == "exhausted"
     assert warm.loc[0, "n_attempts"] == 3        # retried to budget
     assert warm.loc[0, "backoff_ms"] > 0         # backoff was budgeted
+
+
+def test_cassette_record_replay_roundtrip(fault_server, tmp_path):
+    """Record a live loopback run serially (the reference's recording
+    mode), then REPLAY it through the distributed fetch loop offline:
+    identical rows, and a drifted schedule fails loudly."""
+    from cdx_toolkit_ray.pipelines.cassette import (ReplayTransport,
+                                                    record_cassette)
+
+    ids = list(range(16))
+    sched_tbl = pa.table({
+        "seed_order": pa.array(ids, pa.int64()),
+        "url": pa.array(["%s/p/%d" % (fault_server, i) for i in ids],
+                        pa.string()),
+    })
+    cassette = record_cassette(
+        sched_tbl, HttpTransport(min_interval=0.0, timeout=10.0),
+        str(tmp_path / "cassette.parquet"), max_attempts=3)
+
+    # the live recording consumed the server's counters; replay is
+    # offline, so run it twice to prove it is a pure function
+    replays = []
+    for _ in range(2):
+        replays.append(
+            fetch_execute(ray.data.from_arrow(sched_tbl),
+                          ReplayTransport(cassette), max_attempts=3,
+                          concurrency=2, batch_size=4)
+            .to_pandas()[_OUT].sort_values("seed_order")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(replays[0], replays[1])
+    acts = set(replays[0]["fetch_action"])
+    assert {"ok", "invalid", "exhausted"} <= acts
+    ok = replays[0][replays[0].fetch_action == "ok"]
+    assert (ok["text"] == ok["seed_order"].map(
+        lambda d: "payload-%d" % d)).all()
+
+    # replay == what the live run would have produced: the recorder
+    # drew the fault schedule at server attempt counts 0..; a fresh
+    # TableTransport replays the same pure function
+    tbl_tr_expect = (fetch_execute(
+        ray.data.from_arrow(sched_tbl),
+        __import__("cdx_toolkit_ray.pipelines.fetch",
+                   fromlist=["TableTransport"]).TableTransport(
+            _write_payload_table(tmp_path, ids), id_col="seed_order"),
+        max_attempts=3, concurrency=1, batch_size=4)
+        .to_pandas()[_OUT].sort_values("seed_order")
+        .reset_index(drop=True))
+    pd.testing.assert_frame_equal(replays[0], tbl_tr_expect)
+
+    # strict replay: unknown request -> loud error
+    drifted = ray.data.from_arrow(pa.table({
+        "seed_order": pa.array([999], pa.int64()),
+        "url": pa.array(["%s/p/999" % fault_server], pa.string())}))
+    with pytest.raises(Exception, match="cassette has no recording"):
+        fetch_execute(drifted, ReplayTransport(cassette),
+                      max_attempts=3, concurrency=1,
+                      batch_size=None).to_pandas()
+
+
+def _write_payload_table(tmp_path, ids):
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "content.parquet")
+    pq.write_table(pa.table({
+        "seed_order": pa.array(ids, pa.int64()),
+        "text": pa.array(["payload-%d" % i for i in ids], pa.string()),
+    }), p)
+    return p
