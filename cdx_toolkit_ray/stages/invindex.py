@@ -410,6 +410,8 @@ def _corpus_term_stats(ds: ray.data.Dataset, want_list: list[str],
     rows (docs are block-local, so block df partials are exact) and
     reduce through a tiny groupby — the postings stream is never
     materialized (VERDICT r3 finding #2)."""
+    import re as _re
+
     def partial(batch: pa.Table) -> pa.Table:
         os.environ.setdefault("POLARS_MAX_THREADS", "1")
         import polars as pl
@@ -418,25 +420,28 @@ def _corpus_term_stats(ds: ray.data.Dataset, want_list: list[str],
                          ("cf", pa.int64()), ("tok", pa.int64())])
         if batch.num_rows == 0:
             return sch.empty_table()
-        df_ = pl.DataFrame({
-            "d": pl.from_arrow(batch[id_col].combine_chunks()),
-            "t": pl.from_arrow(batch[text_col].combine_chunks()),
-        }).with_columns(w=pl.col("t").cast(pl.String).fill_null("")
-                        .str.to_lowercase().str.extract_all(r"\w+")
-                        ).drop("t")
-        tok = int(df_["w"].list.len().sum())
-        ex = (df_.explode("w").drop_nulls("w")
-              .filter(pl.col("w").is_in(want_list))
-              .group_by("w")
-              .agg(cf=pl.len(), df=pl.col("d").n_unique()))
-        ws = ex["w"].to_list() + [""]
+        t = (pl.from_arrow(batch[text_col].combine_chunks())
+             .cast(pl.String).fill_null("").str.to_lowercase())
+        tok = int(t.str.count_matches(r"\w+").sum())
+        ws, dfs_, cfs_ = [""], [0], [0]
+        for w in want_list:
+            # a \w+ token equals w iff w appears \b-delimited (w is
+            # itself \w+, so the boundaries coincide with the split);
+            # a term with non-word chars can never equal a token
+            if not _re.fullmatch(r"\w+", w):
+                ws.append(w)
+                cfs_.append(0)
+                dfs_.append(0)
+                continue
+            c = t.str.count_matches(r"\b%s\b" % _re.escape(w))
+            ws.append(w)
+            cfs_.append(int(c.sum()))
+            dfs_.append(int((c > 0).sum()))
         return pa.table({
             "w": pa.array(ws, pa.string()),
-            "df": pa.array(ex["df"].cast(pl.Int64).to_list() + [0],
-                           pa.int64()),
-            "cf": pa.array(ex["cf"].cast(pl.Int64).to_list() + [0],
-                           pa.int64()),
-            "tok": pa.array([0] * (len(ws) - 1) + [tok], pa.int64()),
+            "df": pa.array(dfs_, pa.int64()),
+            "cf": pa.array(cfs_, pa.int64()),
+            "tok": pa.array([tok] + [0] * (len(ws) - 1), pa.int64()),
         })
 
     from ray.data.aggregate import Sum
