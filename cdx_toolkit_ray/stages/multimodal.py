@@ -421,8 +421,9 @@ def sniff_batch(batch: pa.Table, payload_col: str = "payload",
 # mod-256 cumsum; Average/Paeth carry a left-dependence that forces a
 # per-pixel loop in x (vectorized across channels), documented
 # honestly — web thumbnails are small and the stage runs in the actor
-# pool like BmpDecoder. Palette (type 3) is the remaining documented
-# boundary.
+# pool like BmpDecoder. Palette (type 3) resolves through PLTE (+tRNS
+# alpha) at 8-bit depth; sub-8-bit packed depths are the remaining
+# documented boundary.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -464,8 +465,9 @@ def encode_png(pixels: np.ndarray) -> bytes:
 _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-#: samples per pixel by PNG color type (palette type 3 unsupported)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: samples per pixel by PNG color type (3 = palette index, resolved
+#: through PLTE after unfiltering)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int
@@ -534,15 +536,18 @@ def decode_png(payload: bytes) -> np.ndarray:
     filters and Adam7 INTERLACED files (the seven sub-image passes are
     unfiltered independently and scattered into the output grid — the
     real-web-corpus case the 8-bit/non-interlaced codec previously
-    rejected). Strict: validates signature, IHDR geometry, chunk CRCs
-    and the decompressed length; raises ValueError on anything else
-    (palette type 3 stays unsupported — a documented boundary)."""
+    rejected). 8-bit palette files (type 3) resolve through PLTE to
+    RGB, or RGBA when a tRNS chunk supplies per-index alpha. Strict:
+    validates signature, IHDR geometry, chunk CRCs, palette bounds and
+    the decompressed length; raises ValueError on anything else
+    (sub-8-bit packed depths stay unsupported — a documented
+    boundary)."""
     import struct
     import zlib as _z
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
@@ -557,6 +562,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             ihdr = body
         elif tag == b"IDAT":
             idat.append(body)
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"tRNS":
+            trns = body
         elif tag == b"IEND":
             break
         pos += 12 + ln
@@ -564,12 +573,18 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, inter = struct.unpack(
         ">IIBBBBB", ihdr)
-    if depth not in (8, 16) or color not in _PNG_CHANNELS or comp \
-            or filt or inter not in (0, 1):
+    if color not in _PNG_CHANNELS or comp or filt \
+            or inter not in (0, 1) \
+            or depth not in ((8,) if color == 3 else (8, 16)):
         raise ValueError(
             "unsupported PNG (depth=%d color=%d interlace=%d; this "
-            "codec handles 8/16-bit gray/gray+alpha/rgb/rgba, "
-            "sequential or Adam7)" % (depth, color, inter))
+            "codec handles 8/16-bit gray/gray+alpha/rgb/rgba and "
+            "8-bit palette, sequential or Adam7)"
+            % (depth, color, inter))
+    if color == 3:
+        if plte is None or len(plte) % 3 or not len(plte):
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
     channels = _PNG_CHANNELS[color]
     bpp = channels * (depth // 8)
     raw = np.frombuffer(_z.decompress(b"".join(idat)), np.uint8)
@@ -597,4 +612,14 @@ def decode_png(payload: bytes) -> np.ndarray:
                 grid, ph, pw, channels, depth)
         if off != len(raw):
             raise ValueError("IDAT length mismatch (trailing bytes)")
+    if color == 3:
+        idx = px.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        rgb = palette[idx]                      # (h, w, 3)
+        if trns is None:
+            return rgb
+        alpha = np.full(len(palette), 255, np.uint8)
+        alpha[:len(trns)] = np.frombuffer(trns, np.uint8)
+        return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
     return px.reshape(h, w) if channels == 1 else px

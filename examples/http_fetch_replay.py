@@ -10,17 +10,22 @@ into a deterministic regression fixture.
 Run: python examples/http_fetch_replay.py
 """
 
+import os
+import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pyarrow as pa
 import ray
 
-from cdx_toolkit_ray.pipelines.cassette import (ReplayTransport,
-                                                record_cassette)
-from cdx_toolkit_ray.pipelines.fetch import (FAULT_STATUSES,
-                                             dead_letter, fetch_execute)
-from cdx_toolkit_ray.pipelines.httpfetch import HttpTransport
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from cdx_toolkit_ray.pipelines.cassette import (  # noqa: E402
+    ReplayTransport, record_cassette)
+from cdx_toolkit_ray.pipelines.fetch import (  # noqa: E402
+    FAULT_STATUSES, dead_letter, fetch_execute)
+from cdx_toolkit_ray.pipelines.httpfetch import (  # noqa: E402
+    HttpTransport)
 
 
 class Handler(BaseHTTPRequestHandler):

@@ -356,17 +356,55 @@ def test_png_decode_16bit_and_alpha():
     np.testing.assert_array_equal(got, ga16)
 
 
-def test_png_palette_still_rejected():
+def test_png_palette_decode_and_boundaries():
+    """8-bit palette PNGs resolve through PLTE (RGB) and tRNS (RGBA);
+    a missing PLTE and sub-8-bit packed depths fail loudly."""
     import struct
     import zlib
 
-    from cdx_toolkit_ray.stages.multimodal import _PNG_SIG
+    from cdx_toolkit_ray.stages.multimodal import _PNG_SIG, decode_png
 
-    from cdx_toolkit_ray.stages.multimodal import decode_png
-
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])   # R, G, B
+    idx_rows = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
-    blob = (_PNG_SIG + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+    blob = (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal)
+            + _chunk(b"IDAT", zlib.compress(idx_rows))
             + _chunk(b"IEND", b""))
+    got = decode_png(blob)
+    np.testing.assert_array_equal(got, np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]],
+        np.uint8))
+
+    # tRNS adds per-index alpha (missing entries default 255)
+    blob_a = (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal)
+              + _chunk(b"tRNS", bytes([10, 200]))
+              + _chunk(b"IDAT", zlib.compress(idx_rows))
+              + _chunk(b"IEND", b""))
+    got_a = decode_png(blob_a)
+    assert got_a.shape == (2, 2, 4)
+    np.testing.assert_array_equal(got_a[..., 3],
+                                  [[10, 200], [255, 10]])
+
+    # missing PLTE -> loud error
+    no_plte = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(idx_rows))
+               + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(no_plte)
+
+    # out-of-range palette index -> loud error
+    bad_idx = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+               + _chunk(b"PLTE", pal)
+               + _chunk(b"IDAT", zlib.compress(
+                   b"\x00" + bytes([7, 1]) + b"\x00" + bytes([2, 0])))
+               + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad_idx)
+
+    # sub-8-bit packed palette stays unsupported
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0)
+    packed = (_PNG_SIG + _chunk(b"IHDR", ihdr4) + _chunk(b"PLTE", pal)
+              + _chunk(b"IDAT", zlib.compress(b"\x00\x01\x00\x02"))
+              + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="unsupported PNG"):
-        decode_png(blob)
+        decode_png(packed)
