@@ -59,7 +59,7 @@ import pyarrow as pa
 
 from ..retry import HostSeenSet, RetryPolicy, minimum_interval_for
 
-__all__ = ["HttpTransport"]
+__all__ = ["HttpTransport", "FaultScheduleServer"]
 
 #: synthetic statuses for connection-level failures, chosen for their
 #: classification under RetryPolicy (the reference's semantics):
@@ -191,3 +191,58 @@ class HttpTransport:
         if self.policy.classify(status) == "ok":
             self._bodies[d] = body.decode("utf-8", errors="replace")
         return status
+
+
+class FaultScheduleServer:
+    """Loopback ``http.server`` twin of
+    :class:`~cdx_toolkit_ray.pipelines.fetch.TableTransport`: serves
+    ``GET /p/<id>`` with status ``FAULT_STATUSES[(id + attempt) % 8]``
+    (``attempt`` = per-id hit count, the serial retry order) and the
+    id's payload text as body — an empty body marks an id absent from
+    the payload table (the wire cannot carry SQL NULL; the caller maps
+    empty back to null, matching the table transport). Used by the
+    ``fetch_http`` catalog entry and integration tests; everything is
+    127.0.0.1, no external network."""
+
+    def __init__(self, payloads: dict[int, str]):
+        import threading
+        from http.server import (BaseHTTPRequestHandler,
+                                 ThreadingHTTPServer)
+
+        from .fetch import FAULT_STATUSES
+
+        hits: dict[int, int] = {}
+        lock = threading.Lock()
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):      # noqa: N802 (stdlib API name)
+                rid = int(self.path.rsplit("/", 1)[-1])
+                with lock:
+                    k = hits.get(rid, 0)
+                    hits[rid] = k + 1
+                status = int(FAULT_STATUSES[(rid + k)
+                                            % len(FAULT_STATUSES)])
+                body = (payloads.get(rid) or "").encode()
+                self.send_response(status)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        self._srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        self.base_url = "http://127.0.0.1:%d" % self._srv.server_address[1]
+
+    def close(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()

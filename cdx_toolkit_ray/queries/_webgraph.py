@@ -950,3 +950,63 @@ SELECT p.a AS host_a, p.b AS host_b, p.s AS n_shared,
 FROM p JOIN sz sa ON sa.host = p.a JOIN sz sb ON sb.host = p.b
 """ % _FIXTURE_LINK
 
+
+
+def q_fetch_http(sf_dir: str):
+    """The reference's core loop over the REAL HTTP stack, end to end:
+    politeness schedule -> fetcher actor pool -> stdlib-urllib
+    HttpTransport against a loopback http.server that serves the
+    deterministic fault schedule (status of attempt k =
+    FAULT_STATUSES[(seed_order + k) % 8]) and each id's document text
+    as body. No external network — everything is 127.0.0.1. Oracle:
+    IDENTICAL to fetch_execute's serial SQL replay — live HTTP must
+    reproduce the table transport bit for bit (an empty HTTP body
+    marks an id absent from the payload table and maps back to SQL
+    NULL; fixture texts are never empty)."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from ..pipelines.fetch import fetch_execute
+    from ..pipelines.httpfetch import FaultScheduleServer, HttpTransport
+
+    t = _pq.read_table(_tbl(sf_dir, "documents"),
+                       columns=["doc_id", "text"])
+    payloads = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    with FaultScheduleServer(payloads) as srv:
+        base = srv.base_url
+
+        def add_url(batch: pa.Table) -> pa.Table:
+            u = ["%s/p/%d" % (base, s)
+                 for s in batch["seed_order"].to_pylist()]
+            return batch.append_column("fetch_url",
+                                       pa.array(u, pa.string()))
+
+        sched = (_frontier_over_seeds(sf_dir)
+                 .filter(expr="host_rank >= 0")
+                 .map_batches(add_url, batch_format="pyarrow",
+                              batch_size=None))
+        out = fetch_execute(sched,
+                            HttpTransport(min_interval=0.0,
+                                          timeout=30.0),
+                            max_attempts=3, minimum_interval=3.0,
+                            id_col="seed_order", url_col="fetch_url")
+
+        def null_empty(batch: pa.Table) -> pa.Table:
+            txt = batch["text"]
+            mask = _pc.equal(_pc.coalesce(txt, ""), "")
+            fixed = _pc.if_else(mask, pa.nulls(batch.num_rows,
+                                               pa.string()), txt)
+            return batch.set_column(batch.column_names.index("text"),
+                                    "text", fixed)
+
+        out = out.map_batches(null_empty, batch_format="pyarrow",
+                              batch_size=None)
+        # materialize while the loopback server is still alive
+        return (out.select_columns(
+            ["urlkey", "host", "seed_order", "fetch_ms", "n_attempts",
+             "final_status", "fetch_action", "backoff_ms", "text"])
+            .to_pandas())
+
+
+QUERIES["fetch_http"] = q_fetch_http
+ORACLES["fetch_http"] = ORACLES["fetch_execute"]
