@@ -57,7 +57,7 @@ _R4_FRONT = [k for k in (
     "crawl_report parse_robots url_seen_evict revisit_resolve "
     "revisit_generate robots_chain wet_export adaptive_schedule "
     # new this round (index-backed ranking + live-HTTP e2e)
-    "bm25_indexed ql_indexed fetch_http "
+    "bm25_indexed ql_indexed fetch_http fetch_replay "
     # remaining r1/r2 block
     "exact_dedup join_lookup groupby_agg token_stats normalize_text "
     "quality lang_id ann_topk ann_int8 embed_quantize distinct "

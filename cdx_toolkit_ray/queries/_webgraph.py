@@ -1010,3 +1010,42 @@ def q_fetch_http(sf_dir: str):
 
 QUERIES["fetch_http"] = q_fetch_http
 ORACLES["fetch_http"] = ORACLES["fetch_execute"]
+
+
+def q_fetch_replay(sf_dir: str):
+    """Record/replay round trip, driver-checked: the politeness
+    schedule is recorded ONCE serially through the fault-schedule
+    transport (pipelines/cassette.record_cassette — the reference's
+    record-then-mock harness shape), then the cassette replays through
+    the DISTRIBUTED fetcher actor pool (ReplayTransport, strict
+    unknown-request errors). Oracle: identical to fetch_execute's
+    serial SQL replay — recording + replay must be lossless."""
+    import tempfile
+
+    from ..pipelines.cassette import ReplayTransport, record_cassette
+    from ..pipelines.fetch import TableTransport, fetch_execute
+
+    sched = _frontier_over_seeds(sf_dir).filter(expr="host_rank >= 0")
+    sched_tbl = pa.concat_tables(
+        [pa.Table.from_pandas(sched.to_pandas(),
+                              preserve_index=False)])
+    transport = TableTransport(_tbl(sf_dir, "documents"),
+                               id_col="doc_id", text_col="text")
+    with tempfile.TemporaryDirectory(prefix="cassette_") as tmp:
+        cassette = record_cassette(sched_tbl, transport,
+                                   tmp + "/c.parquet",
+                                   max_attempts=3,
+                                   minimum_interval=3.0,
+                                   id_col="seed_order")
+        out = fetch_execute(ray.data.from_arrow(sched_tbl),
+                            ReplayTransport(cassette),
+                            max_attempts=3, minimum_interval=3.0,
+                            id_col="seed_order")
+        return (out.select_columns(
+            ["urlkey", "host", "seed_order", "fetch_ms", "n_attempts",
+             "final_status", "fetch_action", "backoff_ms", "text"])
+            .to_pandas())
+
+
+QUERIES["fetch_replay"] = q_fetch_replay
+ORACLES["fetch_replay"] = ORACLES["fetch_execute"]
