@@ -333,3 +333,43 @@ def test_mirror_hosts_detects_alias_pair():
     row = df2.loc[("a.example", "www.a.example")]
     assert int(row.n_a) == 10 and int(row.n_b) == 10 \
         and int(row.n_shared) == 10
+
+
+def test_mirror_hosts_randomized_matches_bruteforce():
+    """String-doc path of shared_key_pairs_with_sizes: randomized
+    host/path corpora over multiple blocks and bucket counts must
+    equal brute-force path-set math (the containment test's twin for
+    the mirror-host operator)."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from cdx_toolkit_ray.stages.hosts import mirror_hosts
+
+    for seed in (3, 17, 99):
+        rng = np.random.default_rng(seed)
+        hosts = ["h%d.example" % i for i in range(6)]
+        paths = ["/p/%d" % i for i in range(12)]
+        urls, truth = [], {}
+        for h in hosts:
+            chosen = [p for p in paths if rng.random() < 0.5]
+            truth[h] = set(chosen)
+            urls.extend("https://%s%s" % (h, p) for p in chosen)
+        rng.shuffle(urls)
+        ds = ray.data.from_arrow(pa.table({
+            "url": pa.array(urls, pa.string())})).repartition(4)
+        got = mirror_hosts(ds, threshold_pct=50, min_shared=2,
+                           num_buckets=5).to_pandas()
+        got_map = {(r.host_a, r.host_b):
+                   (r.n_shared, r.n_a, r.n_b, r.is_mirror)
+                   for r in got.itertuples()}
+        want = {}
+        for a, b in itertools.combinations(sorted(truth), 2):
+            s = len(truth[a] & truth[b])
+            if s >= 2:
+                na, nb = len(truth[a]), len(truth[b])
+                want[(a, b)] = (s, na, nb,
+                                100 * s >= 50 * (na + nb - s))
+        assert got_map == want, seed

@@ -408,3 +408,32 @@ def test_png_palette_decode_and_boundaries():
               + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="unsupported PNG"):
         decode_png(packed)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@given(seed=hst.integers(0, 10_000),
+       h=hst.integers(1, 21), w=hst.integers(1, 21),
+       c=hst.sampled_from([1, 2, 3, 4]),
+       depth=hst.sampled_from([8, 16]),
+       interlace=hst.sampled_from([0, 1]))
+@settings(max_examples=120, deadline=None)
+def test_png_decode_property_roundtrip(seed, h, w, c, depth,
+                                       interlace):
+    """Any (shape, channels, depth, interlace) built by the
+    independent spec writer decodes to the original pixels — the
+    mechanical sweep over the Adam7 pass geometry and 16-bit byte
+    packing that example-based tests only sample."""
+    from cdx_toolkit_ray.stages.multimodal import decode_png
+
+    rng = np.random.default_rng(seed)
+    hi = 256 if depth == 8 else 65536
+    dt = np.uint8 if depth == 8 else np.uint16
+    shape = (h, w) if c == 1 else (h, w, c)
+    img = rng.integers(0, hi, shape, dtype=dt)
+    got = decode_png(_build_png_spec(img, depth=depth,
+                                     interlace=interlace))
+    assert got.dtype == dt
+    np.testing.assert_array_equal(got.reshape(shape), img)
