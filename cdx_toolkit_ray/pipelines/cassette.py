@@ -57,10 +57,16 @@ def record_cassette(requests: pa.Table, transport, out_path: str, *,
     policy = RetryPolicy(minimum_interval=minimum_interval)
     ids = requests[id_col].to_numpy(zero_copy_only=False) \
         .astype(np.int64)
+    needs_urls = getattr(transport, "needs_urls", False)
+    if needs_urls and url_col not in requests.column_names:
+        raise ValueError(
+            "record_cassette: transport %s needs urls but the request "
+            "table has no %r column" % (type(transport).__name__,
+                                        url_col))
     urls = (requests[url_col].to_pylist()
             if url_col in requests.column_names else [None] * len(ids))
 
-    if getattr(transport, "needs_urls", False):
+    if needs_urls:
         transport.begin_batch(ids, urls)
 
     r_kind, r_id, r_url, r_att, r_st = [], [], [], [], []

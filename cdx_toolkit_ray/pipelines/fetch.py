@@ -202,12 +202,19 @@ class FetchExecutor:
             .astype(np.int64)
 
         # URL-carrying transports (HttpTransport) get the id -> url
-        # binding per batch; table transports resolve by id alone
+        # binding per batch; table transports resolve by id alone.
+        # A missing column is a schema bug — silently feeding None
+        # urls would turn the whole crawl into plausible-looking
+        # dead-letter rows (every request a synthetic 400)
         if getattr(self.transport, "needs_urls", False):
-            urls = (batch[self.url_col].to_pylist()
-                    if self.url_col in batch.column_names
-                    else [None] * n)
-            self.transport.begin_batch(ids, urls)
+            if self.url_col not in batch.column_names:
+                raise ValueError(
+                    "FetchExecutor: transport %s needs urls but the "
+                    "schedule has no %r column (columns: %r)"
+                    % (type(self.transport).__name__, self.url_col,
+                       batch.column_names))
+            self.transport.begin_batch(
+                ids, batch[self.url_col].to_pylist())
 
         n_attempts = np.zeros(n, dtype=np.int64)
         final_status = np.zeros(n, dtype=np.int64)

@@ -188,8 +188,12 @@ class HttpTransport:
         except (TimeoutError, OSError):
             return self._conn_error(host, dns_failure=False)
         self._seen.mark_seen(host)
-        if self.policy.classify(status) == "ok":
-            self._bodies[d] = body.decode("utf-8", errors="replace")
+        # cache the body for EVERY HTTP response: whether a status
+        # counts as "ok" depends on executor flags this transport
+        # doesn't see (allow404 / cdx — the myrequests giving-up
+        # rules live in FetchExecutor), and payloads() is only ever
+        # called for the rows the executor classified ok
+        self._bodies[d] = body.decode("utf-8", errors="replace")
         return status
 
 
@@ -206,6 +210,7 @@ class FaultScheduleServer:
 
     def __init__(self, payloads: dict[int, str]):
         import threading
+        import time as _time
         from http.server import (BaseHTTPRequestHandler,
                                  ThreadingHTTPServer)
 
@@ -213,6 +218,10 @@ class FaultScheduleServer:
 
         hits: dict[int, int] = {}
         lock = threading.Lock()
+        #: (request id, monotonic arrival time) per request — the
+        #: server-side observation the wall-clock politeness test reads
+        self.times: list[tuple[int, float]] = []
+        times = self.times
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):      # noqa: N802 (stdlib API name)
@@ -220,6 +229,7 @@ class FaultScheduleServer:
                 with lock:
                     k = hits.get(rid, 0)
                     hits[rid] = k + 1
+                    times.append((rid, _time.monotonic()))
                 status = int(FAULT_STATUSES[(rid + k)
                                             % len(FAULT_STATUSES)])
                 body = (payloads.get(rid) or "").encode()

@@ -915,10 +915,12 @@ FROM terms
 def q_mirror_hosts(sf_dir: str):
     """Mirror-host detection (Bharat & Broder, WWW 1999): host pairs
     by shared URL paths with exact integer path-set Jaccard — the
-    www./apex aliases in the fixture surface as true mirrors. Two
-    narrow exchanges (path pairs under a boilerplate cap, pair
-    counts); per-host sizes are one O(hosts) broadcast dict. Oracle:
-    the same capped self-join chain in SQL."""
+    www./apex aliases in the fixture surface as true mirrors. Three
+    narrow exchanges (shared_key_pairs_with_sizes, string docs):
+    path pairs under a boilerplate cap, then per-host path-set sizes
+    attached from bucket-co-located size ROWS — no driver-side
+    per-host dict (the guard test forbids one). Oracle: the same
+    capped self-join chain in SQL."""
     from ..stages.hosts import mirror_hosts
 
     root = _fixture_root(sf_dir)
@@ -1026,9 +1028,8 @@ def q_fetch_replay(sf_dir: str):
     from ..pipelines.fetch import TableTransport, fetch_execute
 
     sched = _frontier_over_seeds(sf_dir).filter(expr="host_rank >= 0")
-    sched_tbl = pa.concat_tables(
-        [pa.Table.from_pandas(sched.to_pandas(),
-                              preserve_index=False)])
+    sched_tbl = pa.Table.from_pandas(sched.to_pandas(),
+                                     preserve_index=False)
     transport = TableTransport(_tbl(sf_dir, "documents"),
                                id_col="doc_id", text_col="text")
     with tempfile.TemporaryDirectory(prefix="cassette_") as tmp:

@@ -308,6 +308,17 @@ def merge_index(index_dir: str, new_docs: ray.data.Dataset,
         old_dl = ray.data.read_parquet(old_dl_paths,
                                        columns=[idc, "dl"])
     elif old_paths:
+        import logging
+
+        # token-less docs have no postings, so a legacy index (built
+        # before the sidecar existed) cannot recover their dl=0 rows:
+        # the migrated meta n_docs may undercount such docs relative
+        # to a fresh build over the same corpus. Loud, not silent.
+        logging.getLogger(__name__).warning(
+            "merge_index: legacy layout without a doclen sidecar — "
+            "deriving doc lengths from postings; zero-token docs "
+            "(if any) are not recoverable and meta n_docs may "
+            "undercount them vs a fresh build_inverted_index")
         old_dl = (ray.data.read_parquet(old_paths, columns=[idc, "tf"])
                   .groupby(idc).sum("tf")
                   .map_batches(lambda t: pa.table({
@@ -516,7 +527,16 @@ def _index_doclen_rows(index_dir: str, meta: dict,
     """Doclen sidecar -> ranking rows ``(doc, kind=1, null, val=dl,
     _b=db)``. ``db_buckets=None`` reads every partition (QL scores all
     docs); a candidate-bucket list prunes the read to the partitions
-    that can hold a matched doc."""
+    that can hold a matched doc.
+
+    Zero-token docs (the sidecar records them so meta ``n_docs``
+    counts the whole corpus, matching the in-stream ``ds.count()``)
+    are DROPPED here: the in-stream ranking paths derive dl rows from
+    postings, which token-less docs never have, and the SQL oracles
+    build their dl CTE the same way — emitting dl=0 rows would score
+    extra docs in QL and break the bit-for-bit parity contract."""
+    import pyarrow.compute as pc
+
     from ..canon import hash64_batch
 
     nb = meta["n_buckets"]
@@ -531,6 +551,7 @@ def _index_doclen_rows(index_dir: str, meta: dict,
     nbu = np.uint64(nb)
 
     def dl_emit(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["dl"], 0))
         if batch.num_rows == 0:
             return sch.empty_table()
         ids = batch[idc].cast(pa.int64())
@@ -604,7 +625,11 @@ def bm25_search(ds: ray.data.Dataset | None, terms: list[str], *,
         num_buckets = meta["n_buckets"]
         n_docs = int(meta["n_docs"])
         t_tok = int(meta["t_tok"])
-        matched = _index_matched_rows(index_dir, want_list, meta)
+        # materialize once: matched is small by the pruning contract
+        # and feeds four consumers (df aggregate, candidate buckets,
+        # the ranking union) — lazy, each would re-read the buckets
+        matched = _index_matched_rows(index_dir, want_list,
+                                      meta).materialize()
         dft = (matched.groupby("word").count().take_all()
                if matched.count() else [])
         dfs = {r["word"]: int(r["count()"]) for r in dft}
@@ -773,7 +798,9 @@ def dirichlet_ql(ds: ray.data.Dataset | None, terms: list[str], *,
         id_col = meta["id_col"]
         num_buckets = meta["n_buckets"]
         t_tok = int(meta["t_tok"])
-        matched = _index_matched_rows(index_dir, want_list, meta)
+        # materialize once (cf aggregate + ranking union consumers)
+        matched = _index_matched_rows(index_dir, want_list,
+                                      meta).materialize()
         cft = (matched.groupby("word").sum("val").take_all()
                if matched.count() else [])
         cf = {r["word"]: int(r["sum(val)"]) for r in cft}

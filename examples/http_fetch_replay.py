@@ -12,8 +12,6 @@ Run: python examples/http_fetch_replay.py
 
 import os
 import sys
-import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pyarrow as pa
 import ray
@@ -23,38 +21,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from cdx_toolkit_ray.pipelines.cassette import (  # noqa: E402
     ReplayTransport, record_cassette)
 from cdx_toolkit_ray.pipelines.fetch import (  # noqa: E402
-    FAULT_STATUSES, dead_letter, fetch_execute)
+    dead_letter, fetch_execute)
 from cdx_toolkit_ray.pipelines.httpfetch import (  # noqa: E402
     HttpTransport)
-
-
-class Handler(BaseHTTPRequestHandler):
-    hits: dict = {}
-    lock = threading.Lock()
-
-    def do_GET(self):
-        rid = int(self.path.rsplit("/", 1)[-1])
-        with self.lock:
-            k = self.hits.get(rid, 0)
-            self.hits[rid] = k + 1
-        status = int(FAULT_STATUSES[(rid + k) % len(FAULT_STATUSES)])
-        body = ("page-%d" % rid).encode()
-        self.send_response(status)
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
-
-    def log_message(self, *a):
-        pass
 
 
 def main() -> None:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=4,
                  include_dashboard=False, logging_level="ERROR")
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
-    base = "http://127.0.0.1:%d" % srv.server_address[1]
+    from cdx_toolkit_ray.pipelines.httpfetch import FaultScheduleServer
+
+    srv = FaultScheduleServer({i: "page-%d" % i for i in range(12)})
+    base = srv.base_url
 
     ids = list(range(12))
     sched = pa.table({
@@ -73,14 +52,20 @@ def main() -> None:
         .to_string(index=False))
     print("dead letters:", dead_letter(fetched).count())
 
-    # record a cassette from the (reset) server, then replay offline
-    Handler.hits = {}
+    # record a cassette from a FRESH server (per-id attempt counters
+    # reset), then replay offline
+    srv.close()
+    srv2 = FaultScheduleServer({i: "page-%d" % i for i in range(12)})
+    sched2 = pa.table({
+        "seed_order": sched["seed_order"],
+        "url": pa.array(["%s/p/%d" % (srv2.base_url, i) for i in ids],
+                        pa.string())})
     cassette = record_cassette(
-        sched, HttpTransport(min_interval=0.0, timeout=10.0),
+        sched2, HttpTransport(min_interval=0.0, timeout=10.0),
         "/tmp/example_cassette.parquet", max_attempts=3)
-    srv.shutdown()        # server gone: replay is fully offline
+    srv2.close()          # server gone: replay is fully offline
     replayed = fetch_execute(
-        ray.data.from_arrow(sched), ReplayTransport(cassette),
+        ray.data.from_arrow(sched2), ReplayTransport(cassette),
         max_attempts=3, concurrency=2, batch_size=4)
     print("replayed ok rows:",
           replayed.filter(expr="fetch_action == 'ok'").count())

@@ -8,10 +8,6 @@ Reference behavior matched: myrequests.py:57-166 retry loop, DNS
 fail-fast (10-21, 128-140), per-host politeness spacing (23-55).
 """
 
-import threading
-import time
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -19,49 +15,23 @@ import pyarrow.parquet as pq
 import pytest
 import ray.data
 
-from cdx_toolkit_ray.pipelines.fetch import (FAULT_STATUSES,
-                                             TableTransport,
+from cdx_toolkit_ray.pipelines.fetch import (TableTransport,
                                              dead_letter, fetch_execute)
 from cdx_toolkit_ray.pipelines.httpfetch import HttpTransport
 
 
-class _FaultHandler(BaseHTTPRequestHandler):
-    """Serves /p/<id> with status FAULT_STATUSES[(id + attempt) % 8]
-    where attempt counts per-id hits — the exact TableTransport fault
-    schedule, so the two transports must agree row for row."""
-
-    hits: dict = {}
-    times: list = []
-    lock = threading.Lock()
-
-    def do_GET(self):
-        rid = int(self.path.rsplit("/", 1)[-1])
-        with self.lock:
-            attempt = self.hits.get(rid, 0)
-            self.hits[rid] = attempt + 1
-            self.times.append((rid, time.monotonic()))
-        status = int(FAULT_STATUSES[(rid + attempt)
-                                    % len(FAULT_STATUSES)])
-        body = ("payload-%d" % rid).encode()
-        self.send_response(status)
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
-
-    def log_message(self, *a):     # quiet
-        pass
-
-
 @pytest.fixture()
 def fault_server():
-    _FaultHandler.hits = {}
-    _FaultHandler.times = []
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FaultHandler)
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
-    yield "http://127.0.0.1:%d" % srv.server_address[1]
-    srv.shutdown()
-    srv.server_close()
+    """Shared loopback fault server (pipelines/httpfetch
+    .FaultScheduleServer): serves the exact TableTransport fault
+    schedule + per-id payload bodies, so the two transports must
+    agree row for row; records request arrival times for the
+    wall-clock spacing test."""
+    from cdx_toolkit_ray.pipelines.httpfetch import FaultScheduleServer
+
+    srv = FaultScheduleServer({i: "payload-%d" % i for i in range(16)})
+    yield srv
+    srv.close()
 
 
 def _schedule(base: str, ids) -> ray.data.Dataset:
@@ -97,10 +67,10 @@ def test_http_matches_table_transport_end_to_end(fault_server,
     # live server; dead_letter then filters the pinned blocks instead
     # of re-fetching (a lazy re-execution would advance the server's
     # per-id attempt counters and change the schedule)
-    fetched_http = fetch_execute(_schedule(fault_server, ids), http_tr,
+    fetched_http = fetch_execute(_schedule(fault_server.base_url, ids), http_tr,
                                  max_attempts=3, concurrency=1,
                                  batch_size=4).materialize()
-    fetched_tbl = fetch_execute(_schedule(fault_server, ids), tbl_tr,
+    fetched_tbl = fetch_execute(_schedule(fault_server.base_url, ids), tbl_tr,
                                 max_attempts=3, concurrency=1,
                                 batch_size=4).materialize()
     got_http = (fetched_http.to_pandas()[_OUT]
@@ -127,11 +97,11 @@ def test_http_per_host_wall_clock_spacing(fault_server):
     WALL CLOCK (myrequests.py:23-55) — measured server-side."""
     ids = [0, 5, 8, 13]              # first-attempt-ok ids (no retries)
     tr = HttpTransport(min_interval=0.05, timeout=10.0)
-    out = fetch_execute(_schedule(fault_server, ids), tr,
+    out = fetch_execute(_schedule(fault_server.base_url, ids), tr,
                         max_attempts=3, concurrency=1,
                         batch_size=None).to_pandas()
     assert (out["fetch_action"] == "ok").all()
-    stamps = sorted(t for _, t in _FaultHandler.times)
+    stamps = sorted(t for _, t in fault_server.times)
     gaps = np.diff(np.array(stamps))
     assert len(gaps) == len(ids) - 1
     assert (gaps >= 0.04).all(), gaps     # 10 ms scheduler tolerance
@@ -174,7 +144,8 @@ def test_cassette_record_replay_roundtrip(fault_server, tmp_path):
     ids = list(range(16))
     sched_tbl = pa.table({
         "seed_order": pa.array(ids, pa.int64()),
-        "url": pa.array(["%s/p/%d" % (fault_server, i) for i in ids],
+        "url": pa.array(["%s/p/%d" % (fault_server.base_url, i)
+                         for i in ids],
                         pa.string()),
     })
     cassette = record_cassette(
@@ -214,7 +185,8 @@ def test_cassette_record_replay_roundtrip(fault_server, tmp_path):
     # strict replay: unknown request -> loud error
     drifted = ray.data.from_arrow(pa.table({
         "seed_order": pa.array([999], pa.int64()),
-        "url": pa.array(["%s/p/999" % fault_server], pa.string())}))
+        "url": pa.array(["%s/p/999" % fault_server.base_url],
+                        pa.string())}))
     with pytest.raises(Exception, match="cassette has no recording"):
         fetch_execute(drifted, ReplayTransport(cassette),
                       max_attempts=3, concurrency=1,

@@ -485,14 +485,63 @@ def test_index_meta_carries_corpus_stats(tmp_path):
 
 def test_ranking_in_stream_never_materializes_postings():
     """The 100-TB contract (VERDICT r3 finding #2): the in-stream
-    ranking paths must not pin the token-scale postings stream in the
-    object store. Grep-able guard."""
+    ranking paths must not pin the token-scale POSTINGS stream in the
+    object store. The index paths may materialize the pruned
+    ``matched`` set (bounded by the query terms' buckets), so the
+    guard checks that every materialize call in these functions is on
+    ``_index_matched_rows`` output and that the stats helper has
+    none. Grep-able guard."""
     import inspect
+    import re
 
     from cdx_toolkit_ray.stages.invindex import (_corpus_term_stats,
                                                  bm25_search,
                                                  dirichlet_ql)
 
-    for fn in (bm25_search, dirichlet_ql, _corpus_term_stats):
-        assert ".materialize()" not in inspect.getsource(fn), \
-            fn.__name__
+    assert ".materialize()" not in inspect.getsource(
+        _corpus_term_stats)
+    for fn in (bm25_search, dirichlet_ql):
+        src = inspect.getsource(fn)
+        n_mat = src.count(".materialize()")
+        n_matched = len(re.findall(
+            r"_index_matched_rows\([^)]*\)\.materialize\(\)",
+            src.replace("\n", " ")))
+        assert n_mat == n_matched, fn.__name__
+        assert "posts.materialize" not in src, fn.__name__
+
+
+def test_ranking_index_parity_with_zero_token_docs(tmp_path):
+    """Review regression (r4): a doc whose text has no \\w+ tokens
+    ('!!! ???') must not appear in index-backed QL output (the
+    in-stream path and the SQL oracle derive dl rows from postings,
+    which token-less docs never have), while meta n_docs still counts
+    the whole corpus (the in-stream BM25 ds.count() semantics)."""
+    import json
+
+    import pyarrow as pa
+
+    from cdx_toolkit_ray.stages.invindex import (bm25_search,
+                                                 build_inverted_index,
+                                                 dirichlet_ql)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["table hash merge", "table alone",
+                          "!!! ???", "hash table hash"],
+                         pa.string())}))
+    idx = build_inverted_index(ds, str(tmp_path / "idx"), n_buckets=4)
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    assert meta["n_docs"] == 4          # token-less doc still counted
+
+    ins = (dirichlet_ql(ds, ["table"], mu=50).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    idb = (dirichlet_ql(None, ["table"], mu=50, index_dir=idx)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(ins, idb)
+    assert set(idb["doc_id"]) == {1, 2, 4}   # doc 3 never scored
+
+    bi = (bm25_search(ds, ["table"], mode="or").to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    bx = (bm25_search(None, ["table"], mode="or", index_dir=idx)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bi, bx)
