@@ -32,7 +32,16 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    """One entry per implemented operator/pipeline from SURVEY.md §2.
+
+    Every returned entry has a matching ``oracle_sql()`` string.
+    Approximate-by-design pipelines (HyperBall, KLL, IVF probe
+    subsets, Lloyd k-means) are deliberately NOT here — they live in
+    ``cdx_toolkit_ray.queries.APPROX_QUERIES`` as library surface,
+    pytest-bounded against their exact hash-matched twins
+    (harmonic_centrality / kll_quantiles_exact / ann_ivf_full /
+    kmeans_assign), so the driver's correctness file stays free of
+    no_oracle rows."""
     from cdx_toolkit_ray.queries import QUERIES
 
     return dict(QUERIES)

@@ -202,3 +202,73 @@ def _write_payload_table(tmp_path, ids):
         "text": pa.array(["payload-%d" % i for i in ids], pa.string()),
     }), p)
     return p
+
+
+from http.server import BaseHTTPRequestHandler
+
+
+class _SlowHandler(BaseHTTPRequestHandler):
+    delay = 0.6
+
+    def do_GET(self):
+        import time as _t
+
+        _t.sleep(self.delay)
+        body = b"late"
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_http_timeout_retries_like_connection_error():
+    """A socket timeout maps to the synthetic retryable status
+    (myrequests' ConnectionError branch): the request retries with
+    backoff and exhausts, and the connection-error budget counts it;
+    past error_after the transport raises."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from cdx_toolkit_ray.retry import RetryPolicy
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _SlowHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = "http://127.0.0.1:%d/p/1" % srv.server_address[1]
+    try:
+        sched = ray.data.from_arrow(pa.table({
+            "seed_order": pa.array([1], pa.int64()),
+            "url": pa.array([url], pa.string())}))
+        tr = HttpTransport(min_interval=0.0, timeout=0.15)
+        out = fetch_execute(sched, tr, max_attempts=3, concurrency=1,
+                            batch_size=None).to_pandas()
+        assert out.loc[0, "fetch_action"] == "exhausted"
+        assert out.loc[0, "final_status"] == 503   # synthetic retry
+        assert out.loc[0, "n_attempts"] == 3
+        assert out.loc[0, "backoff_ms"] > 0
+
+        # budget: error_after raises loudly
+        tight = HttpTransport(min_interval=0.0, timeout=0.15,
+                              policy=RetryPolicy(warn_after=1,
+                                                 error_after=2))
+        tight.begin_batch(np.array([1], np.int64), [url])
+        tight.statuses(np.array([1], np.int64), 0)
+        tight.statuses(np.array([1], np.int64), 1)
+        with pytest.raises(RuntimeError, match="connection errors"):
+            tight.statuses(np.array([1], np.int64), 2)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_missing_url_column_raises():
+    """needs_urls transport + schedule without the url column must be
+    a loud schema error, not a silent all-invalid run."""
+    sched = ray.data.from_arrow(pa.table({
+        "seed_order": pa.array([1], pa.int64())}))
+    with pytest.raises(Exception, match="needs urls"):
+        fetch_execute(sched, HttpTransport(min_interval=0.0),
+                      max_attempts=3, concurrency=1,
+                      batch_size=None).to_pandas()
