@@ -155,8 +155,14 @@ def _delay_map() -> dict:
 def consume(ds) -> int:
     """Execute the full pipeline, moving only per-block row counts to
     the driver (a real job would write_parquet; pulling every block to
-    the driver would measure the driver's NIC, not the engine)."""
+    the driver would measure the driver's NIC, not the engine).
+    Queries that already return a driver-side DataFrame/Table (the
+    record/replay and live-HTTP entries materialize before their
+    loopback fixtures shut down) just report their length."""
     import pyarrow as pa
+
+    if not hasattr(ds, "map_batches"):
+        return ds.num_rows if isinstance(ds, pa.Table) else len(ds)
 
     def count_block(batch: pa.Table) -> pa.Table:
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
@@ -509,6 +515,15 @@ def main() -> None:
             # round 3 session 5: sqrt-share mixture
             ("temperature_mixture",
              lambda: consume(Q.q_temperature_mixture(SF_DIR))),
+            # round-4 additions: index-backed ranking (pruned wb= +
+            # doclen reads, stats from meta.json) and the live-HTTP /
+            # cassette-replay fetch paths
+            ("bm25_indexed",
+             lambda: consume(Q.q_bm25_indexed(SF_DIR))),
+            ("ql_indexed", lambda: consume(Q.q_ql_indexed(SF_DIR))),
+            ("fetch_http", lambda: consume(Q.q_fetch_http(SF_DIR))),
+            ("fetch_replay",
+             lambda: consume(Q.q_fetch_replay(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the
