@@ -3,6 +3,10 @@ queries() entry and its oracle_sql() side by side on one sf dir,
 compare row count, column set, and an order-insensitive value hash.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
+       GRAFT_CHECK_JSON=<path> writes the per-entry record
+       ({name: {rows, oracle_rows, cols_ok, hash, oracle_hash, ok,
+       sec}}) alongside the console output — the builder-side twin of
+       the driver's CORRECTNESS file, covering the WHOLE catalog.
 """
 
 from __future__ import annotations
@@ -62,6 +66,7 @@ def main() -> int:
                 % (t, sf_dir, t))
 
     failures = []
+    record: dict = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -71,10 +76,13 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print("%-20s ERROR %s" % (name, e))
             failures.append(name)
+            record[name] = {"ok": False, "error": str(e)[:200]}
             continue
         dt = time.time() - t0
         if name not in oracles:
             print("%-20s rows-only  rows=%d  %.1fs" % (name, len(got), dt))
+            record[name] = {"ok": None, "rows": len(got),
+                            "sec": round(dt, 2)}
             continue
         exp = con.sql(oracles[name]).df()
         ok_rows = len(got) == len(exp)
@@ -86,9 +94,21 @@ def main() -> int:
                  "ok" if ok_cols else "%s vs %s" % (sorted(got.columns),
                                                     sorted(exp.columns)),
                  hg, he, dt))
+        record[name] = {"ok": bool(ok), "rows": int(len(got)),
+                        "oracle_rows": int(len(exp)),
+                        "cols_ok": bool(ok_cols), "hash": hg,
+                        "oracle_hash": he, "sec": round(dt, 2)}
         if not ok:
             failures.append(name)
     print("FAILURES:", failures if failures else "none")
+    out_json = os.environ.get("GRAFT_CHECK_JSON")
+    if out_json:
+        import json as _json
+
+        with open(out_json, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "entries": record,
+                        "n_entries": len(record),
+                        "n_failures": len(failures)}, f, indent=1)
     return 1 if failures else 0
 
 
