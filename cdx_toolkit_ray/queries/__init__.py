@@ -22,58 +22,44 @@ globals().update(_ns)
 del _ns, _m
 
 # ---------------------------------------------------------------------------
-# Round-4 sweep order (VERDICT r3, next-round item 4). The driver
-# records a ~50-entry prefix of dict order per round; r3 recorded the
-# round-3 priority block, so the entries whose last driver row is from
-# r1/r2 rotate to the FRONT — SURVEY §2-cited ones first so
-# union(CORRECTNESS_r03, r04) covers the §2 core with current hashes —
-# followed by the never-recorded §2 citations (crawl_report is A3's
-# only citation), the new index-backed ranking entries, the remaining
-# r1/r2 block, the remaining never-recorded entries, and the
-# r3-recorded block last (freshest rows, lowest priority). Pure
-# reordering — the mapping is unchanged.
+# Round-5 sweep order (VERDICT r4, next-round item 4). The driver
+# records a ~50-entry prefix of dict order per round under a time
+# budget; union(CORRECTNESS_r01..r04) covers 119/202 entries, so the
+# 83 never-driver-recorded entries rotate to the FRONT — the
+# LLM-data-pipeline flagships the judge named first (corpus_pipeline,
+# training_prep, cdc_dedup, semantic_dedup, dsir_select, hll_distinct,
+# crawl_waves, recrawl, png_roundtrip), then the remaining
+# never-recorded block in catalog order, then everything already
+# recorded (freshest rows, lowest priority). Pure reordering — the
+# mapping is unchanged.
 # ---------------------------------------------------------------------------
-_R3_RECORDED = set(
-    "graph_signals simhash_pairs harmonic_centrality scc bowtie "
-    "spam_mass distance_distribution signed_projection bm25 "
-    "temperature_mixture graph_report seed_cover dirichlet_ql "
-    "embedding_outliers vocab_drift mirror_hosts trustrank opic kcore "
-    "link_hits triangles degree_hist budget_fill segment_plan "
-    "aimd_throttle dust_params shingle_novelty rake_keywords "
-    "url_templates host_similarity revisit_rewrite host_lang_profile "
-    "status_transitions zipnum_lookup cache_freshness containment "
-    "bigram_lm cocitation wat_export archive_roundtrip "
-    "quality_ensemble parallel_politeness proximity_search "
-    "zipnum_multi script_detect char_entropy pmi_topk "
-    "resolve_redirects robots_wildcard".split())
-_R4_FRONT = [k for k in (
-    # §2-cited, last recorded r1/r2
-    "captures_query content_extract frontier_schedule url_seen "
-    "minhash_pairs json_props filter_ia filter_cdx project_rename "
-    "surt_canonicalize time_window closest size_estimate fetch_plan "
-    "frontier_counters union_streams row_sample wb_synthesis "
-    "fetch_execute "
-    # §2-cited, never driver-recorded
-    "crawl_report parse_robots url_seen_evict revisit_resolve "
-    "revisit_generate robots_chain wet_export adaptive_schedule "
-    # new this round (index-backed ranking + live-HTTP e2e)
-    "bm25_indexed ql_indexed fetch_http fetch_replay "
-    # remaining r1/r2 block
-    "exact_dedup join_lookup groupby_agg token_stats normalize_text "
-    "quality lang_id ann_topk ann_int8 embed_quantize distinct "
-    "topk_per_group ngram_jaccard repeated_spans cut_spans window_agg "
-    "event_spikes sessionize top_revenue rolling_sum asof_join "
-    "range_join lsh_eval cc_components decontaminate bloom_decontam "
-    "pii_redact repetition chunk_docs tfidf_topk pack_chunks "
-    "group_quantiles kmeans_assign lm_score embedding_neardup "
-    "fingerprint frame_sample media_decode simhash_sigs").split()
-    if k in QUERIES]
-_r4_front_set = set(_R4_FRONT)
+_R5_FRONT = [k for k in (
+    # LLM-pipeline flagships, never driver-recorded (VERDICT r4 item 4)
+    "corpus_pipeline training_prep cdc_dedup semantic_dedup "
+    "dsir_select hll_distinct crawl_waves recrawl png_roundtrip "
+    # remaining never-recorded block, catalog order
+    "meta_robots nofollow_links canonical_dedup charset_sniff "
+    "revalidation_plan soft404 dot_segments frontier_hygiene "
+    "fetch_sessions retry_after registrable_domain domain_politeness "
+    "mutual_links hreflang pq_encode pq_search ivfpq_search "
+    "hreflang_clusters cdc_chunks cdc_shared cdc_neardup "
+    "sitemap_index sitemap_parse sitemap_discovery crawl_polite "
+    "dedup_lines adaptive_politeness ccnet_mixture strip_tracking "
+    "kll_quantiles_exact ip_politeness seed_expansion host_curation "
+    "host_filter budget_mixture url_spam trap_detect fetch_errors "
+    "fetch_requeue warc_index ccnet_buckets inverted_search "
+    "index_merge mixture_sample quantile_gate minmax_norm gopher_gate "
+    "vocab_coverage stratified_sample sharded_shuffle doc_freq "
+    "fuzzy_dedup fuzzy_dedup_best heavy_hitters count_min "
+    "hll_incremental holdout_split extract_links anchor_stats "
+    "ranked_frontier crawl_bfs strip_tags page_metadata link_rank "
+    "crawl_delta link_delta compact_captures host_graph ann_ivf_full "
+    "ann_ivf_merge corpus_clean bmp_decode media_sniff wav_stats"
+    ).split() if k in QUERIES]
+_r5_front_set = set(_R5_FRONT)
 QUERIES = {
-    **{k: QUERIES[k] for k in _R4_FRONT},
-    **{k: v for k, v in QUERIES.items()
-       if k not in _r4_front_set and k not in _R3_RECORDED},
-    **{k: v for k, v in QUERIES.items() if k in _R3_RECORDED},
+    **{k: QUERIES[k] for k in _R5_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in _r5_front_set},
 }
 
 #: Approximate-by-design pipelines (HLL ball sizes, KLL sketch
