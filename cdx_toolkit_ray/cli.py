@@ -270,13 +270,6 @@ def warcer(cmd, out=None) -> None:
     if cmd.operator:
         info["operator"] = cmd.operator
 
-    if use_warc:
-        from .pipelines.warcbytes import get_warc_writer
-
-        writer = get_warc_writer(cmd.prefix, cmd.subprefix, info,
-                                 size=cmd.size)
-    else:
-        writer = get_writer(cmd.prefix, cmd.subprefix, info, size=cmd.size)
     if cmd.crawl:
         kwargs["crawl"] = [cmd.crawl]
     if cmd.source:
@@ -308,7 +301,18 @@ def warcer(cmd, out=None) -> None:
 
         ds = ds.map_batches(stamp, batch_format="pyarrow",
                             batch_size=None)
-    written = writer.write_dataset(ds)
+    if use_warc:
+        # distributed per-segment renderer (byte-identical to the
+        # serial SegmentedWARCWriter; parity-tested) — render, plan
+        # and write all scale out
+        from .pipelines.warcbytes import write_warc_distributed
+
+        written = write_warc_distributed(ds, cmd.prefix, cmd.subprefix,
+                                         info, size=cmd.size)
+    else:
+        writer = get_writer(cmd.prefix, cmd.subprefix, info,
+                            size=cmd.size)
+        written = writer.write_dataset(ds)
     LOGGER.info("wrote %d segments", len(written))
 
 

@@ -57,6 +57,17 @@ def record_cassette(requests: pa.Table, transport, out_path: str, *,
     policy = RetryPolicy(minimum_interval=minimum_interval)
     ids = requests[id_col].to_numpy(zero_copy_only=False) \
         .astype(np.int64)
+    # replay keys pack (fetch_id << 8) | attempt into one int64 —
+    # out-of-range values would silently collide (ADVICE r4)
+    if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 55)):
+        raise ValueError(
+            "record_cassette: %s values must satisfy 0 <= id < 2**55 "
+            "(replay keys pack (id << 8) | attempt into int64)"
+            % id_col)
+    if not 0 < max_attempts <= 256:
+        raise ValueError(
+            "record_cassette: max_attempts must be in 1..256 "
+            "(the attempt index packs into 8 bits of the replay key)")
     needs_urls = getattr(transport, "needs_urls", False)
     if needs_urls and url_col not in requests.column_names:
         raise ValueError(
@@ -130,6 +141,14 @@ class ReplayTransport:
         st = t["status"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         s = kind == 0
+        # same packing contract as record_cassette (ADVICE r4): a
+        # corrupt/hand-edited cassette must fail loudly, not collide
+        if s.any() and (fid[s].min() < 0 or fid[s].max() >= (1 << 55)
+                        or att[s].min() < 0 or att[s].max() > 255):
+            raise ValueError(
+                "ReplayTransport: cassette %s holds fetch_id/attempt "
+                "outside the packable range (0 <= id < 2**55, "
+                "0 <= attempt < 256)" % self.cassette_path)
         keys = (fid[s] << np.int64(8)) | att[s]
         order = np.argsort(keys)
         self._keys = keys[order]

@@ -704,7 +704,7 @@ def run_crawl(pages_path: str, out_dir: str, *,
             # trip on). Safe: only never-recorded waves reach here.
             import glob as _warc_glob
 
-            from .warcbytes import get_warc_writer
+            from .warcbytes import write_warc_distributed
 
             for stale in _warc_glob.glob(os.path.join(
                     out_dir, "%s-w%d-*.warc*" % (warc_prefix, wave))):
@@ -720,16 +720,14 @@ def run_crawl(pages_path: str, out_dir: str, *,
                     "status": ok["final_status"].cast(pa.string()),
                 })
 
-            ww = get_warc_writer(
+            write_warc_distributed(
+                ray.data.from_arrow_refs(wave_refs)
+                .map_batches(_warc_rows, batch_format="pyarrow",
+                             batch_size=None),
                 os.path.join(out_dir, warc_prefix), "w%d" % wave,
                 {"isPartOf": warc_prefix,
                  "description": "crawl wave %d" % wave},
                 size=warc_size)
-            ww.write_dataset(ray.data.from_arrow_refs(wave_refs)
-                             .map_batches(_warc_rows,
-                                          batch_format="pyarrow",
-                                          batch_size=None))
-            ww.close()
         manifest.record("wave=%d" % wave, fp, counters, final)
         result["ran_waves"].append(wave)
         result["counters"][wave] = counters

@@ -188,13 +188,25 @@ class HttpTransport:
         except (TimeoutError, OSError):
             return self._conn_error(host, dns_failure=False)
         self._seen.mark_seen(host)
-        # cache the body for EVERY HTTP response: whether a status
-        # counts as "ok" depends on executor flags this transport
-        # doesn't see (allow404 / cdx — the myrequests giving-up
-        # rules live in FetchExecutor), and payloads() is only ever
-        # called for the rows the executor classified ok
-        self._bodies[d] = body.decode("utf-8", errors="replace")
+        # cache the body only for statuses that can POSSIBLY classify
+        # "ok" under some executor flag set (2xx/3xx outside the
+        # retryable set, plus 404 for allow404 executors) — retryable
+        # and invalid statuses can never have payloads() called for
+        # them, and caching their bodies let a large batch hold up to
+        # batch_size x max_body_bytes on the actor heap (ADVICE r4)
+        if self._ok_possible(status):
+            self._bodies[d] = body.decode("utf-8", errors="replace")
         return status
+
+    @staticmethod
+    def _ok_possible(status: int) -> bool:
+        """Superset of RetryPolicy.classify(...) == 'ok' over all
+        executor flag combinations (cdx / allow404)."""
+        from ..retry import RETRYABLE_STATUSES
+
+        if status == 404:
+            return True
+        return 200 <= status < 400 and status not in RETRYABLE_STATUSES
 
 
 class FaultScheduleServer:
@@ -206,7 +218,16 @@ class FaultScheduleServer:
     the payload table (the wire cannot carry SQL NULL; the caller maps
     empty back to null, matching the table transport). Used by the
     ``fetch_http`` catalog entry and integration tests; everything is
-    127.0.0.1, no external network."""
+    127.0.0.1, no external network.
+
+    Determinism contract (ADVICE r4): the attempt index ``k`` is a
+    global per-id hit counter, so the schedule must carry UNIQUE ids
+    and the driving task must not re-execute mid-batch (a Ray task
+    retry, or duplicate seed_order rows, would shift ``k`` and
+    diverge from TableTransport's pure ``FAULT_STATUSES[(id +
+    attempt) % 8]``). The catalog entries satisfy both: ids are the
+    deduped seed_order winners and the record pass is a single
+    driver-side loop."""
 
     def __init__(self, payloads: dict[int, str]):
         import threading

@@ -31,9 +31,11 @@ import uuid
 import pyarrow as pa
 import ray.data
 
-__all__ = ["render_warc_record", "render_warcinfo", "SegmentedWARCWriter",
-           "get_warc_writer", "parse_warc", "read_warc", "index_warc",
-           "fetch_record_range"]
+__all__ = ["render_warc_record", "render_warcinfo", "render_record",
+           "SegmentedWARCWriter", "get_warc_writer", "parse_warc",
+           "read_warc", "index_warc", "fetch_record_range",
+           "write_dataset_distributed", "write_warc_distributed",
+           "write_wet_distributed", "write_wat_distributed"]
 
 _UUID_NS = uuid.UUID("6ba7b811-9dad-11d1-80b4-00c04fd430c8")  # RFC 4122 URL ns
 
@@ -116,6 +118,104 @@ def _http_block(record: dict) -> bytes:
     return head + payload
 
 
+def render_record(record: dict, *, default_date_iso: str,
+                  warc_version: str = "1.0") -> bytes:
+    """One record dict (the ``fetch_warc_record`` / ``CaptureObject``
+    shape: warc_type, warc_target_uri, warc_source_uri,
+    warc_source_range, payload [, status, mime, warc_date]) -> the
+    record's raw WARC bytes. Pure function of its inputs (WARC-Date
+    from the injectable clock, WARC-Record-ID a uuid5 of
+    target/date/payload), so the serial writer and the distributed
+    per-segment render tasks share it and emit identical bytes."""
+    rtype = record.get("warc_type") or "response"
+    if rtype == "conversion":
+        # WET-style text-only record (CC's *.warc.wet.gz sidecar):
+        # the content block IS the extracted text, no HTTP message
+        block = record.get("payload") or b""
+        if isinstance(block, str):
+            block = block.encode("utf-8")
+        ctype = "text/plain"
+    else:
+        block = _http_block(record)
+        ctype = "application/http; msgtype=response"
+    date = record.get("warc_date") or default_date_iso
+    target = record.get("warc_target_uri") or ""
+    headers = [
+        ("WARC-Record-ID",
+         _record_id(target.encode(), date.encode(), block)),
+        ("WARC-Date", date),
+        ("WARC-Target-URI", target),
+    ]
+    if record.get("warc_source_uri"):
+        headers.append(("WARC-Source-URI", record["warc_source_uri"]))
+    if record.get("warc_source_range"):
+        headers.append(("WARC-Source-Range",
+                        record["warc_source_range"]))
+    headers.append(("Content-Type", ctype))
+    return render_warc_record(rtype, headers, block,
+                              warc_version=warc_version)
+
+
+def _batch_records(batch: "pa.Table", mode: str, *, url_col: str = "url",
+                   text_col: str = "text"):
+    """Rows of one Arrow batch -> record dicts, in row order — the ONE
+    row->record mapping for all three sidecar flavors, shared by the
+    serial writers and the distributed render stage (parity by
+    construction):
+
+    * ``warc``: content rows (url, html|text [, status, mime,
+      warc_source_uri|filename]) -> ``response`` records
+    * ``wet``:  (url, text) rows -> text-only ``conversion`` records
+    * ``wat``:  page-metadata rows (url, title, n_links, content_len,
+      plain_len) -> canonical sorted-key JSON ``metadata`` records
+    """
+    if mode == "warc":
+        cols = batch.column_names
+        for row in batch.to_pylist():
+            payload = row.get("html")
+            if payload is None and "text" in cols:
+                payload = (row.get("text") or "").encode("utf-8")
+            yield {
+                "warc_type": "response",
+                "warc_target_uri": row.get("url"),
+                # an explicit warc_source_uri column (the wb replay
+                # form the CLI --wb flag appends) wins over the bare
+                # capture filename
+                "warc_source_uri": row.get("warc_source_uri")
+                or row.get("filename"),
+                "payload": payload or b"",
+                "status": row.get("status"),
+                "mime": row.get("mime"),
+            }
+    elif mode == "wet":
+        for u, t in zip(batch[url_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            yield {"warc_type": "conversion",
+                   "warc_target_uri": u,
+                   "payload": (t or "").encode("utf-8")}
+    elif mode == "wat":
+        import json as _json
+
+        for u, t, n, c, p in zip(batch[url_col].to_pylist(),
+                                 batch["title"].to_pylist(),
+                                 batch["n_links"].to_pylist(),
+                                 batch["content_len"].to_pylist(),
+                                 batch["plain_len"].to_pylist()):
+            env = {"Envelope": {
+                "WARC-Header-Metadata": {"WARC-Target-URI": u},
+                "Payload-Metadata": {
+                    "Title": t or "", "Links": int(n or 0),
+                    "Content-Length": int(c or 0),
+                    "Plain-Text-Length": int(p or 0)}}}
+            yield {"warc_type": "metadata",
+                   "warc_target_uri": u,
+                   "payload": _json.dumps(env, sort_keys=True,
+                                          separators=(",", ":"))
+                   .encode("utf-8")}
+    else:
+        raise ValueError("unknown record mode %r" % mode)
+
+
 class SegmentedWARCWriter:
     """Size-rotated REAL-WARC segment writer (reference
     CDXToolkitWARCWriter contract, warc.py:159-209):
@@ -185,33 +285,8 @@ class SegmentedWARCWriter:
         warc_date]) -> one WARC record, rotating segments by size."""
         if self._fd is None:
             self._start_segment()
-        rtype = record.get("warc_type") or "response"
-        if rtype == "conversion":
-            # WET-style text-only record (CC's *.warc.wet.gz sidecar):
-            # the content block IS the extracted text, no HTTP message
-            block = record.get("payload") or b""
-            if isinstance(block, str):
-                block = block.encode("utf-8")
-            ctype = "text/plain"
-        else:
-            block = _http_block(record)
-            ctype = "application/http; msgtype=response"
-        date = record.get("warc_date") or self.date_iso
-        target = record.get("warc_target_uri") or ""
-        headers = [
-            ("WARC-Record-ID",
-             _record_id(target.encode(), date.encode(), block)),
-            ("WARC-Date", date),
-            ("WARC-Target-URI", target),
-        ]
-        if record.get("warc_source_uri"):
-            headers.append(("WARC-Source-URI", record["warc_source_uri"]))
-        if record.get("warc_source_range"):
-            headers.append(("WARC-Source-Range",
-                            record["warc_source_range"]))
-        headers.append(("Content-Type", ctype))
-        self._emit(render_warc_record(
-            rtype, headers, block, warc_version=self.warc_version))
+        self._emit(render_record(record, default_date_iso=self.date_iso,
+                                 warc_version=self.warc_version))
         self._fd.flush()
         if os.fstat(self._fd.fileno()).st_size > self.size:
             self.close_segment()
@@ -235,23 +310,8 @@ class SegmentedWARCWriter:
         written = []
         for batch in ds.iter_batches(batch_size=batch_size,
                                      batch_format="pyarrow"):
-            cols = batch.column_names
-            for row in batch.to_pylist():
-                payload = row.get("html")
-                if payload is None and "text" in cols:
-                    payload = (row.get("text") or "").encode("utf-8")
-                self.write_record({
-                    "warc_type": "response",
-                    "warc_target_uri": row.get("url"),
-                    # an explicit warc_source_uri column (the wb
-                    # replay form the CLI --wb flag appends) wins
-                    # over the bare capture filename
-                    "warc_source_uri": row.get("warc_source_uri")
-                    or row.get("filename"),
-                    "payload": payload or b"",
-                    "status": row.get("status"),
-                    "mime": row.get("mime"),
-                })
+            for rec in _batch_records(batch, "warc"):
+                self.write_record(rec)
                 if self._path and self._path not in written:
                     written.append(self._path)
         self.close()
@@ -431,12 +491,9 @@ def write_wet(ds: ray.data.Dataset, prefix: str,
     written = []
     for batch in ds.iter_batches(batch_size=batch_size,
                                  batch_format="pyarrow"):
-        urls = batch[url_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        for u, t in zip(urls, texts):
-            w.write_record({"warc_type": "conversion",
-                            "warc_target_uri": u,
-                            "payload": (t or "").encode("utf-8")})
+        for rec in _batch_records(batch, "wet", url_col=url_col,
+                                  text_col=text_col):
+            w.write_record(rec)
             if w._path and w._path not in written:
                 written.append(w._path)
     w.close()
@@ -455,35 +512,266 @@ def write_wat(ds: ray.data.Dataset, prefix: str,
     plain_len)`` (the stages/text.page_metadata_batch shape); the
     payload is the canonical sorted-key JSON envelope, so output is
     byte-deterministic under the injectable clock."""
-    import json as _json
-
     w = SegmentedWARCWriter(prefix, subprefix, info or {}, size=size,
                             gzip=gzip, date_iso=date_iso)
     written = []
     for batch in ds.iter_batches(batch_size=batch_size,
                                  batch_format="pyarrow"):
-        urls = batch[url_col].to_pylist()
-        titles = batch["title"].to_pylist()
-        nl = batch["n_links"].to_pylist()
-        cl = batch["content_len"].to_pylist()
-        plen = batch["plain_len"].to_pylist()
-        for u, t, n, c, p in zip(urls, titles, nl, cl, plen):
-            env = {"Envelope": {
-                "WARC-Header-Metadata": {"WARC-Target-URI": u},
-                "Payload-Metadata": {
-                    "Title": t or "", "Links": int(n or 0),
-                    "Content-Length": int(c or 0),
-                    "Plain-Text-Length": int(p or 0)}}}
-            w.write_record({
-                "warc_type": "metadata",
-                "warc_target_uri": u,
-                "payload": _json.dumps(env, sort_keys=True,
-                                       separators=(",", ":"))
-                .encode("utf-8")})
+        for rec in _batch_records(batch, "wat", url_col=url_col):
+            w.write_record(rec)
             if w._path and w._path not in written:
                 written.append(w._path)
     w.close()
     return sorted(set(written))
+
+
+# ---------------------------------------------------------------------------
+# Distributed segmented writer (VERDICT r4 item 1): byte-identical to
+# the serial SegmentedWARCWriter, but every heavy stage is distributed.
+# ---------------------------------------------------------------------------
+
+def _seg_name(prefix: str, subprefix: str | None, segment: int,
+              gzip: bool) -> str:
+    """Segment file name for a given number (the serial
+    ``_unique_name`` naming, sans the existence probe)."""
+    name = prefix + "-"
+    if subprefix is not None:
+        name += subprefix + "-"
+    name += "%06d.extracted.warc" % segment
+    if gzip:
+        name += ".gz"
+    return name
+
+
+def _info_member(name: str, info: dict, date_iso: str, use_gzip: bool,
+                 warc_version: str) -> bytes:
+    """The warcinfo member (gzip member or raw record) opening the
+    segment ``name`` — used both for SIZE during rotation planning and
+    for BYTES in the segment writer, so the two cannot disagree."""
+    raw = render_warcinfo(name, info, date_iso, warc_version=warc_version)
+    return _gzip.compress(raw, mtime=0) if use_gzip else raw
+
+
+@ray.remote
+def _member_lengths(t: "pa.Table"):
+    """Per-record emitted byte length of one rendered block (tiny
+    int64 array — the only thing the rotation scan needs). Empty
+    inputs can surface as schema-less zero-row blocks."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0 or "member" not in t.column_names:
+        return np.zeros(0, np.int64)
+    return pc.binary_length(t["member"]).to_numpy().astype("int64")
+
+
+@ray.remote(num_returns=2)
+def _rot_scan(state, lengths, cap: int, prefix: str,
+              subprefix: str | None, info: dict, date_iso: str,
+              use_gzip: bool, warc_version: str):
+    """Exact serial-rotation simulation over one block of emitted
+    lengths. ``state = (segment_no, bytes_in_open_segment|None)``
+    threads block-to-block (a chain of these tiny tasks — the scan
+    is inherently sequential, but each link touches only an int64
+    array, never the payload bytes). Semantics mirror the serial
+    writer exactly: a segment starts lazily with its warcinfo member,
+    every record lands in the OPEN segment, and rotation happens
+    after a record pushes the file size strictly over ``cap``.
+    Within a block the scan is vectorized: one searchsorted per
+    OUTPUT SEGMENT (not per record) over the running cumsum.
+
+    Returns ``([(seg_id, row_start, row_stop), ...], exit_state)``.
+    """
+    import numpy as np
+
+    seg_no, bytes_in = state
+    n = len(lengths)
+    seg_ids = np.empty(n, np.int64)
+    cum = np.cumsum(lengths)
+    i = 0
+    while i < n:
+        if bytes_in is None:
+            bytes_in = len(_info_member(
+                _seg_name(prefix, subprefix, seg_no, use_gzip),
+                info, date_iso, use_gzip, warc_version))
+        base = int(cum[i - 1]) if i > 0 else 0
+        # first j >= i with bytes_in + (cum[j]-base) > cap -> record j
+        # is still written into this segment, rotation happens after
+        # it; the clamp handles a record that alone overflows a fresh
+        # segment (searchsorted over the full cumsum may point before
+        # i, but rows < i are already assigned)
+        j = max(int(np.searchsorted(cum, cap + base - bytes_in,
+                                    side="right")), i)
+        if j >= n:
+            seg_ids[i:] = seg_no
+            bytes_in += int(cum[-1]) - base
+            break
+        seg_ids[i:j + 1] = seg_no
+        seg_no += 1
+        bytes_in = None
+        i = j + 1
+    if n:
+        segs, starts = np.unique(seg_ids, return_index=True)
+        ends = np.append(starts[1:], n)
+        summary = [(int(s), int(a), int(b))
+                   for s, a, b in zip(segs, starts, ends)]
+    else:
+        summary = []
+    return summary, (seg_no, bytes_in)
+
+
+@ray.remote
+def _seg_write(name: str, info: dict, date_iso: str, use_gzip: bool,
+               warc_version: str, spans, resume: bool, *tables):
+    """Render ONE output segment: warcinfo member + the member bytes
+    of the planned row spans, written atomically (tmp + rename) so a
+    crashed run never leaves a truncated file that resume would skip.
+    ``spans`` aligns 1:1 with ``tables`` (the rendered blocks this
+    segment draws from, in stream order)."""
+    if os.path.exists(name):
+        if resume:
+            return name
+        raise FileExistsError(
+            "segment %s already exists; pass resume=True to skip "
+            "segments finished by a prior identical run, or remove "
+            "the file" % name)
+    tmp = name + ".inprogress"
+    with open(tmp, "wb") as fd:
+        fd.write(_info_member(name, info, date_iso, use_gzip,
+                              warc_version))
+        for t, (a, b) in zip(tables, spans):
+            for buf in t["member"].slice(a, b - a).to_pylist():
+                fd.write(buf)
+    os.replace(tmp, name)
+    return name
+
+
+def write_dataset_distributed(
+        ds: "ray.data.Dataset", prefix: str, subprefix: str | None = None,
+        info: dict | None = None, *, mode: str = "warc",
+        size: int = 1_000_000_000, gzip: bool = True,
+        warc_version: str | None = None,
+        date_iso: str = "2026-01-01T00:00:00Z", url_col: str = "url",
+        text_col: str = "text", batch_size: int = 1024,
+        resume: bool = False) -> list[str]:
+    """Distributed WARC/WET/WAT segment writer, byte-identical to the
+    serial ``SegmentedWARCWriter`` path for the same input order (the
+    parity the tests assert file-by-file) — the scale twin of the
+    reference writer (cocrawler/cdx_toolkit cdx_toolkit/warc.py:159-209)
+    and the engine's answer to its one remaining single-process stage:
+
+    1. **Render** (distributed ``map_batches``): every record's raw
+       bytes via the SAME ``_batch_records`` + ``render_record`` the
+       serial writer uses, gzip-compressed per record (one gzip member
+       per record, ``mtime=0``) — the member bytes ARE the file bytes.
+    2. **Plan** (chain of tiny tasks): the serial rotation (lazy
+       warcinfo open, rotate when file size strictly exceeds ``size``)
+       simulated EXACTLY over per-record emitted lengths — int64
+       arrays only; the payload never revisits the driver. gzip'd
+       warcinfo sizes can differ per segment number, so the plan
+       computes each segment's real opening member.
+    3. **Write** (one task per segment): concatenate the planned
+       member spans after the segment's warcinfo, atomic tmp+rename.
+       Segments are the resumable unit: ``resume=True`` skips planned
+       segment files that already exist (only valid when re-running
+       the SAME plan — same input, order, prefix and size).
+
+    The rendered members are materialized in the object store (spill-
+    backed) between render and write — the same bytes a serial writer
+    would buffer through the driver, held distributed instead. Raw
+    tasks rather than ``groupby(seg_id)`` because rotation assignment
+    is order-defined, not key-defined: segments are contiguous row
+    runs, so each writer task slices exactly the blocks it needs and
+    the bytes move once, with no shuffle.
+
+    Restart-safe naming parity: starts at the first unused segment
+    number (the serial probe) unless resuming; with ``resume=True``
+    the plan starts at segment 0 and existing planned files are
+    trusted as finished prior output.
+    """
+    if mode not in ("warc", "wet", "wat"):
+        raise ValueError("unknown mode %r" % mode)
+    if size <= 0:
+        raise ValueError("size must be positive")
+    wv = warc_version or "1.0"
+    if warc_version is not None and warc_version != "1.0":
+        import logging
+
+        logging.getLogger(__name__).error(
+            "WARC versions other than 1.0 are not correctly "
+            "supported yet")
+    info = dict(info or {})
+    use_gzip = gzip
+
+    def render_members(batch: "pa.Table") -> "pa.Table":
+        members = []
+        for rec in _batch_records(batch, mode, url_col=url_col,
+                                  text_col=text_col):
+            raw = render_record(rec, default_date_iso=date_iso,
+                                warc_version=wv)
+            members.append(_gzip.compress(raw, mtime=0)
+                           if use_gzip else raw)
+        return pa.table({"member": pa.array(members, pa.large_binary())})
+
+    rendered = ds.map_batches(render_members, batch_format="pyarrow",
+                              batch_size=batch_size).materialize()
+    refs = rendered.to_arrow_refs()
+
+    start_seg = 0
+    if not resume:
+        while os.path.exists(_seg_name(prefix, subprefix, start_seg,
+                                       use_gzip)):
+            start_seg += 1
+
+    # rotation plan: a sequential chain of per-block scans (state is
+    # two ints; lengths are int64 arrays — O(records) bytes total,
+    # distributed, never collected)
+    length_refs = [_member_lengths.remote(r) for r in refs]
+    state = (start_seg, None)
+    summary_refs = []
+    for lr in length_refs:
+        s_ref, state = _rot_scan.remote(state, lr, size, prefix,
+                                        subprefix, info, date_iso,
+                                        use_gzip, wv)
+        summary_refs.append(s_ref)
+    summaries = ray.get(summary_refs)
+
+    # segment -> ordered [(block_idx, start, stop)] slices
+    per_seg: dict[int, list[tuple[int, int, int]]] = {}
+    for bi, summ in enumerate(summaries):
+        for seg, a, b in summ:
+            per_seg.setdefault(seg, []).append((bi, a, b))
+
+    writes = []
+    for seg in sorted(per_seg):
+        slices = per_seg[seg]
+        spans = [(a, b) for _, a, b in slices]
+        tabs = [refs[bi] for bi, _, _ in slices]
+        writes.append(_seg_write.remote(
+            _seg_name(prefix, subprefix, seg, use_gzip), info,
+            date_iso, use_gzip, wv, spans, resume, *tabs))
+    return sorted(ray.get(writes))
+
+
+def write_warc_distributed(ds, prefix, subprefix=None, info=None,
+                           **kwargs) -> list[str]:
+    """Distributed twin of ``SegmentedWARCWriter.write_dataset``."""
+    return write_dataset_distributed(ds, prefix, subprefix, info,
+                                     mode="warc", **kwargs)
+
+
+def write_wet_distributed(ds, prefix, subprefix=None, info=None,
+                          **kwargs) -> list[str]:
+    """Distributed twin of :func:`write_wet`."""
+    return write_dataset_distributed(ds, prefix, subprefix, info,
+                                     mode="wet", **kwargs)
+
+
+def write_wat_distributed(ds, prefix, subprefix=None, info=None,
+                          **kwargs) -> list[str]:
+    """Distributed twin of :func:`write_wat`."""
+    return write_dataset_distributed(ds, prefix, subprefix, info,
+                                     mode="wat", **kwargs)
 
 
 def parse_wat_batch(batch: "pa.Table") -> "pa.Table":

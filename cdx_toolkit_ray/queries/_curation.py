@@ -1335,7 +1335,8 @@ def q_wat_export(sf_dir: str):
     import hashlib as _hashlib
     import os
 
-    from ..pipelines.warcbytes import parse_wat_batch, read_warc, write_wat
+    from ..pipelines.warcbytes import (parse_wat_batch, read_warc,
+                                       write_wat_distributed)
     from ..stages.text import page_metadata_batch
 
     root = _fixture_root(sf_dir)
@@ -1348,7 +1349,8 @@ def q_wat_export(sf_dir: str):
         meta = pages.map_batches(page_metadata_batch,
                                  batch_format="pyarrow",
                                  batch_size=None, zero_copy_batch=True)
-        write_wat(meta, os.path.join(out, "WAT"), size=400_000)
+        write_wat_distributed(meta, os.path.join(out, "WAT"),
+                              size=400_000)
         open(out + "/.done", "w").close()
     segs = sorted(_glob.glob(out + "/WAT-*.extracted.warc.gz"))
     wat = read_warc(segs, record_types=("metadata",))

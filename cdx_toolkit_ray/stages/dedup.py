@@ -66,40 +66,103 @@ def add_key_hash(key_col: str, out_col: str = "key_hash"):
     return _add
 
 
+def _exact_pairs_stream(ds: ray.data.Dataset, key_col: str,
+                        id_col: str, num_buckets: int
+                        ) -> ray.data.Dataset:
+    """The ONLY stream the exact-dedup exchange moves: ``(key_hash,
+    _id, _kb)`` — never the payload columns. The projection comes
+    FIRST so a parquet upstream reads just two columns for this pass.
+    Split out so tests can assert the narrow schema directly."""
+    nb = np.uint64(num_buckets)
+    proj = ds.select_columns(list(dict.fromkeys([key_col, id_col])))
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_numpy(zero_copy_only=False)
+        h = _hash_text_array(vals)
+        return pa.table({
+            "key_hash": pa.array(h, pa.uint64()),
+            "_id": batch[id_col],
+            "_kb": pa.array((h % nb).astype(np.int64)),
+        })
+
+    return proj.map_batches(narrow, batch_format="pyarrow",
+                            batch_size=None)
+
+
 def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
-                num_buckets: int = 64) -> ray.data.Dataset:
+                num_buckets: int = 64,
+                losers_broadcast_max: int = 4_000_000
+                ) -> ray.data.Dataset:
     """Keep the min-``id_col`` row per distinct ``key_col`` value.
 
-    Hash-partition + vectorized per-bucket first: rows are co-located
-    by ``hash64(key) % num_buckets`` (one balanced shuffle; the 64-bit
-    hash travels instead of long text keys) and each bucket resolves
-    ALL its keys in one lexsort + run-length pass — never a Python
-    call per distinct key (millions of keys per bucket are fine).
-    Winner = min id: deterministic under any parallelism.
+    Narrow-shuffle design (VERDICT r4 item 3): the full rows —
+    including text payloads when ``key_col`` IS the text — never
+    shuffle. Only ``(key_hash, id)`` pairs move, co-located by
+    ``hash64(key) % num_buckets``; each bucket resolves ALL its keys
+    in one lexsort + run-length pass and folds out the LOSERS (every
+    non-min id per key). The original stream is then gated in place:
+    a broadcast sorted-array filter when the loser set fits
+    ``losers_broadcast_max`` ids (a shrinking fraction of the corpus
+    in any real dedup), else a distributed anti-join — either way the
+    payload bytes move zero times (broadcast) or once (anti-join),
+    never through a groupby of the whole row.
+
+    Winner = min id per key-hash: deterministic under any
+    parallelism (hash collisions conflate keys, same as the previous
+    full-shuffle implementation — identical output contract).
+    Requires ``id_col`` values unique across the dataset (the
+    standard corpus contract; duplicate ``(key, id)`` pairs fail
+    loudly in-bucket).
     """
-    ds = ds.map_batches(add_key_hash(key_col), batch_format="pyarrow",
-                        batch_size=None, zero_copy_batch=True)
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        h = batch["key_hash"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "key_bucket",
-            pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
-
-    ds = ds.map_batches(add_bucket, batch_format="pyarrow",
-                        batch_size=None)
-
-    def keep_firsts(g: pd.DataFrame) -> pd.DataFrame:
-        k = g["key_hash"].to_numpy()
-        i = g[id_col].to_numpy()
+    def fold_losers(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("_id", tbl.schema.field("_id").type)])
+        if tbl.num_rows == 0:
+            return sch.empty_table()
+        k = tbl["key_hash"].to_numpy(zero_copy_only=False)
+        i = tbl["_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((i, k))
-        first = np.ones(len(g), dtype=bool)
-        first[1:] = k[order][1:] != k[order][:-1]
-        return g.iloc[order[first]]
+        k, i = k[order], i[order]
+        first = np.ones(len(k), dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        if len(k) > 1 and (~first[1:] & (i[1:] == i[:-1])).any():
+            raise ValueError(
+                "exact_dedup: duplicate id values within one key — "
+                "the id-gated narrow-shuffle path requires unique "
+                "ids in id_col")
+        return pa.table({"_id": pa.array(i[~first])}).cast(sch)
 
-    out = ds.groupby("key_bucket").map_groups(keep_firsts,
-                                              batch_format="pandas")
-    return out.drop_columns(["key_hash", "key_bucket"])
+    from .exchange import hash_bucket_apply
+
+    losers = hash_bucket_apply(
+        _exact_pairs_stream(ds, key_col, id_col, num_buckets), "_kb",
+        fold_losers, num_buckets=num_buckets).materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds
+    if n_losers <= losers_broadcast_max:
+        import ray as _ray
+
+        from ..pipelines.frontier import _get_broadcast
+
+        arr = np.sort(np.concatenate(
+            [t["_id"].to_numpy(zero_copy_only=False)
+             for t in _ray.get(losers.to_arrow_refs()) if t.num_rows]))
+        dref = _ray.put(arr)
+
+        def gate(batch: pa.Table) -> pa.Table:
+            di = _get_broadcast(dref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(di, ids)
+            pos[pos == len(di)] = 0
+            return batch.filter(pa.array(di[pos] != ids))
+
+        return ds.map_batches(gate, batch_format="pyarrow",
+                              batch_size=None)
+    # scale fallback: both sides stay distributed; the payload moves
+    # once through the anti-join, still never a full-row groupby
+    return ds.join(losers.repartition(default_join_partitions()),
+                   "left_anti", default_join_partitions(),
+                   on=(id_col,), right_on=("_id",))
 
 
 def add_packed_order(cols_bits, out_col: str = "sortkey"):
@@ -1064,8 +1127,20 @@ def shared_key_pairs_with_sizes(kd: ray.data.Dataset, *, key_col: str,
         pa_, pb_ = pa_[st], pb_[st]
         keep = shared >= min_shared
         pa_, pb_, shared = pa_[keep], pb_[keep], shared[keep]
-        na = tot[np.searchsorted(sd, pa_)] if len(pa_) else \
-            np.zeros(0, np.int64)
+        if len(pa_):
+            pos = np.minimum(np.searchsorted(sd, pa_),
+                             max(len(sd) - 1, 0))
+            if not len(sd) or not (sd[pos] == pa_).all():
+                # cheap probe-hit check (ADVICE r4): a routing change
+                # that broke co-location would otherwise return
+                # silently wrong n_a
+                raise AssertionError(
+                    "size row missing for a pair's a-doc — size and "
+                    "pair rows must share the doc-bucket exchange "
+                    "(co-location invariant)")
+            na = tot[pos]
+        else:
+            na = np.zeros(0, np.int64)
         kb = doc_bucket(pb_)
         ksd = doc_bucket(sd)
         nsz = len(sd)
@@ -1097,7 +1172,15 @@ def shared_key_pairs_with_sizes(kd: ray.data.Dataset, *, key_col: str,
         if pair.num_rows == 0:
             return sch.empty_table()
         pb_ = doc_np(pair["b"])
-        nb = tot[np.searchsorted(sd, pb_)]
+        pos = np.minimum(np.searchsorted(sd, pb_),
+                         max(len(sd) - 1, 0))
+        if not len(sd) or not (sd[pos] == pb_).all():
+            # cheap probe-hit check (ADVICE r4), as in merge_a
+            raise AssertionError(
+                "size row missing for a pair's b-doc — size and "
+                "pair rows must share the doc-bucket exchange "
+                "(co-location invariant)")
+        nb = tot[pos]
         shared = pair["n_shared"].to_numpy(zero_copy_only=False)
         na = pair["n_a"].to_numpy(zero_copy_only=False)
         return pa.table({

@@ -1093,10 +1093,14 @@ def triangle_counts(links: ray.data.Dataset, *,
     degree hub generates no wedges because its edges all point INTO
     it).
 
-    Exchanges (all narrow url-pair rows; pages never move):
+    Exchanges (all narrow url-pair rows; pages never move, and no
+    graph-sized state ever lands on the driver):
     1. distinct undirected edges per block -> edge-bucket exchange
        dedups cross-block;
-    2. degree fold (one (url, count) exchange) -> oriented edges;
+    2. endpoint-request exchange keyed by hash(url): a bucket holds
+       every edge occurrence of its urls, so degrees are counted AND
+       attached in place; a pair-keyed merge then orients each edge
+       from its lower-(degree, url) endpoint;
     3. wedges emitted per src bucket, keyed by the CLOSING pair,
        joined against the oriented edge set in the same buckets;
     4. found triangles emit one row per corner -> per-node count.
@@ -1149,62 +1153,106 @@ def triangle_counts(links: ray.data.Dataset, *,
                           batch_size=None),
         "_b", dedup_edges, num_buckets=num_buckets).materialize()
 
-    # degrees: one narrow (url, 1) exchange
-    def deg_rows(batch: pa.Table) -> pa.Table:
-        u = pa.concat_arrays([batch["lo"].combine_chunks(),
-                              batch["hi"].combine_chunks()])
+    # degree attach, fully distributed (VERDICT r4 item 2): each edge
+    # emits one request row per endpoint keyed by hash(url). A bucket
+    # then holds EVERY edge occurrence of its urls, so deg(url) is the
+    # bucket-local occurrence count — computed and attached in the
+    # same exchange. No O(nodes) driver dict and no broadcast of the
+    # degree table; at web scale the degrees live only inside their
+    # buckets.
+    def endpoint_rows(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("url", pa.string()), ("lo", pa.string()),
+                         ("hi", pa.string()), ("side", pa.int8()),
+                         ("_b", pa.int64())])
+        if batch.num_rows == 0:
+            return sch.empty_table()
+        lo = batch["lo"].combine_chunks()
+        hi = batch["hi"].combine_chunks()
+        u = pa.concat_arrays([lo.cast(pa.string()),
+                              hi.cast(pa.string())])
+        n = len(lo)
         return pa.table({
             "url": u,
+            "lo": pa.concat_arrays([lo, lo]),
+            "hi": pa.concat_arrays([hi, hi]),
+            "side": pa.array(np.r_[np.zeros(n, np.int8),
+                                   np.ones(n, np.int8)]),
             "_b": pa.array((hash64_batch(u) % nbu).astype(np.int64)),
         })
 
-    def deg_fold(tbl: pa.Table) -> pa.Table:
-        sch = pa.schema([("url", pa.string()), ("deg", pa.int64())])
+    def attach_deg(tbl: pa.Table) -> pa.Table:
+        """deg(url) = occurrences of url across the deduped edge set
+        == this bucket's row count per url; each request row gets its
+        endpoint's degree and re-keys by the undirected pair for the
+        orientation merge."""
+        sch = pa.schema([("lo", pa.string()), ("hi", pa.string()),
+                         ("side", pa.int8()), ("deg", pa.int64()),
+                         ("_b2", pa.int64())])
         if tbl.num_rows == 0:
             return sch.empty_table()
         enc = tbl["url"].combine_chunks().dictionary_encode()
         idx = enc.indices.to_numpy(zero_copy_only=False)
         cnt = np.bincount(idx, minlength=len(enc.dictionary))
-        return pa.table({"url": enc.dictionary.cast(pa.string()),
-                         "deg": pa.array(cnt.astype(np.int64))})
+        lo = tbl["lo"].to_numpy(zero_copy_only=False).astype(str)
+        hi = tbl["hi"].to_numpy(zero_copy_only=False).astype(str)
+        pair = np.char.add(np.char.add(lo, "\x00"), hi)
+        h = (hash64_batch(pa.array(pair.tolist(), pa.string()))
+             % nbu).astype(np.int64)
+        return pa.table({
+            "lo": tbl["lo"], "hi": tbl["hi"], "side": tbl["side"],
+            "deg": pa.array(cnt[idx].astype(np.int64)),
+            "_b2": pa.array(h),
+        })
 
-    degs = {r["url"]: r["deg"] for r in hash_bucket_apply(
-        edges.map_batches(deg_rows, batch_format="pyarrow",
-                          batch_size=None),
-        "_b", deg_fold, num_buckets=num_buckets).take_all()}
-    import ray as _ray
-
-    deg_ref = _ray.put(degs)
-
-    # orient + key by src; wedge emit joins the closing edge set,
-    # both keyed by hash64(lo-of-the-closing-pair) so a wedge and its
-    # closing edge meet in one bucket
-    def orient(batch: pa.Table) -> pa.Table:
+    def orient_pair(tbl: pa.Table) -> pa.Table:
+        """Both endpoint-degree rows of a pair meet here: orient the
+        edge from the lower-(degree, url) endpoint, emit the kind-0
+        (oriented edge, keyed by hash(src)) and kind-1 (closing edge
+        set, keyed by hash of the undirected pair) rows the wedge
+        stages consume."""
         sch = pa.schema([("kind", pa.int8()), ("a", pa.string()),
                          ("b", pa.string()), ("_b", pa.int64())])
-        if batch.num_rows == 0:
+        if tbl.num_rows == 0:
             return sch.empty_table()
-        dg = _ray.get(deg_ref)
-        lo = batch["lo"].to_numpy(zero_copy_only=False).astype(str)
-        hi = batch["hi"].to_numpy(zero_copy_only=False).astype(str)
-        dlo = np.array([dg[x] for x in lo.tolist()], np.int64)
-        dhi = np.array([dg[x] for x in hi.tolist()], np.int64)
-        fwd = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
-        src = np.where(fwd, lo, hi)
-        dst = np.where(fwd, hi, lo)
+        lo = tbl["lo"].to_numpy(zero_copy_only=False).astype(str)
+        hi = tbl["hi"].to_numpy(zero_copy_only=False).astype(str)
+        side = tbl["side"].to_numpy(zero_copy_only=False)
+        deg = tbl["deg"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, hi, lo))
+        lo, hi = lo[order], hi[order]
+        deg, side = deg[order], side[order]
+        if len(lo) % 2:
+            raise AssertionError(
+                "triangle orientation bucket lost a degree row — the "
+                "endpoint and pair exchanges must share hash64 and "
+                "num_buckets (co-location invariant)")
+        ev = np.arange(0, len(lo), 2)
+        od = ev + 1
+        if not ((side[ev] == 0).all() and (side[od] == 1).all()
+                and (lo[ev] == lo[od]).all()
+                and (hi[ev] == hi[od]).all()):
+            raise AssertionError(
+                "triangle orientation bucket pairing broken — the "
+                "endpoint and pair exchanges must share hash64 and "
+                "num_buckets (co-location invariant)")
+        plo, phi = lo[ev], hi[ev]
+        dlo, dhi = deg[ev], deg[od]
+        fwd = (dlo < dhi) | ((dlo == dhi) & (plo < phi))
+        src = np.where(fwd, plo, phi)
+        dst = np.where(fwd, phi, plo)
         # kind 0: oriented edge row keyed by hash(src) (for wedges);
         # kind 1: closing-edge row keyed by hash of the UNDIRECTED
         # pair key (lo\x00hi) — wedges use the same key
-        pair = np.char.add(np.char.add(lo, "\x00"), hi)
+        pair = np.char.add(np.char.add(plo, "\x00"), phi)
         hsrc = (hash64_batch(pa.array(src.tolist(), pa.string()))
                 % nbu).astype(np.int64)
         hpair = (hash64_batch(pa.array(pair.tolist(), pa.string()))
                  % nbu).astype(np.int64)
         return pa.table({
             "kind": pa.array(np.r_[np.zeros(len(src), np.int8),
-                                   np.ones(len(lo), np.int8)]),
-            "a": pa.array(np.r_[src, lo].tolist(), pa.string()),
-            "b": pa.array(np.r_[dst, hi].tolist(), pa.string()),
+                                   np.ones(len(plo), np.int8)]),
+            "a": pa.array(np.r_[src, plo].tolist(), pa.string()),
+            "b": pa.array(np.r_[dst, phi].tolist(), pa.string()),
             "_b": pa.array(np.r_[hsrc, hpair]),
         })
 
@@ -1309,8 +1357,12 @@ def triangle_counts(links: ray.data.Dataset, *,
         return pa.table({"url": enc.dictionary.cast(pa.string()),
                          "n_triangles": pa.array(cnt.astype(np.int64))})
 
-    keyed = edges.map_batches(orient, batch_format="pyarrow",
-                              batch_size=None)
+    keyed = hash_bucket_apply(
+        hash_bucket_apply(
+            edges.map_batches(endpoint_rows, batch_format="pyarrow",
+                              batch_size=None),
+            "_b", attach_deg, num_buckets=num_buckets),
+        "_b2", orient_pair, num_buckets=num_buckets)
     wedged = hash_bucket_apply(keyed, "_b", wedge_emit,
                                num_buckets=num_buckets)
     corners = hash_bucket_apply(wedged, "_b2", close_join,
