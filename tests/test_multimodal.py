@@ -224,13 +224,21 @@ def test_png_rejects_garbage():
              + _png_chunk(b"IEND", b""))
     got16 = decode_png(png16)
     assert got16.dtype == np.uint16 and (got16 == 0).all()
-    # 1-bit depth stays unsupported -> clear error
+    # 1-bit gray is SUPPORTED now (round 5): 4x4 of packed zeros
+    # (scanline = 1 filter byte + 1 data byte)
     ihdr1 = struct.pack(">IIBBBBB", 4, 4, 1, 0, 0, 0, 0)
     png1 = (_PNG_SIG + _png_chunk(b"IHDR", ihdr1)
             + _png_chunk(b"IDAT", zlib.compress(b"\0" * 8))
             + _png_chunk(b"IEND", b""))
+    got1 = decode_png(png1)
+    assert got1.shape == (4, 4) and (got1 == 0).all()
+    # 3-bit depth is not a legal PNG depth -> clear error
+    ihdr3 = struct.pack(">IIBBBBB", 4, 4, 3, 0, 0, 0, 0)
+    png3 = (_PNG_SIG + _png_chunk(b"IHDR", ihdr3)
+            + _png_chunk(b"IDAT", zlib.compress(b"\0" * 12))
+            + _png_chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="unsupported"):
-        decode_png(png1)
+        decode_png(png3)
 
 
 def test_sniff_detects_png():
@@ -401,13 +409,16 @@ def test_png_palette_decode_and_boundaries():
     with pytest.raises(ValueError, match="palette index"):
         decode_png(bad_idx)
 
-    # sub-8-bit packed palette stays unsupported
+    # sub-8-bit packed palette is SUPPORTED now (round 5): 4-bit
+    # indices pack two-per-byte MSB-first; 2x2 of [[0,1],[0,2]]
     ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0)
     packed = (_PNG_SIG + _chunk(b"IHDR", ihdr4) + _chunk(b"PLTE", pal)
               + _chunk(b"IDAT", zlib.compress(b"\x00\x01\x00\x02"))
               + _chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="unsupported PNG"):
-        decode_png(packed)
+    got_p = decode_png(packed)
+    np.testing.assert_array_equal(got_p, np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[255, 0, 0], [0, 0, 255]]],
+        np.uint8))
 
 
 from hypothesis import given, settings
@@ -437,3 +448,134 @@ def test_png_decode_property_roundtrip(seed, h, w, c, depth,
                                      interlace=interlace))
     assert got.dtype == dt
     np.testing.assert_array_equal(got.reshape(shape), img)
+
+
+def _build_packed_png(samples, depth, color, palette=None, trns=None,
+                      interlace=0):
+    """Test-side packed sub-8-bit PNG builder (gray type 0 or palette
+    type 3): samples (h, w) of raw values < 2**depth, MSB-first
+    byte-aligned scanlines, filter 0, optional Adam7."""
+    import struct
+    import zlib
+
+    from cdx_toolkit_ray.stages.multimodal import _PNG_SIG, _png_chunk
+
+    h, w = samples.shape
+
+    def rows_bytes(sub):
+        hh, ww = sub.shape
+        if hh == 0 or ww == 0:
+            return b""
+        bits = np.unpackbits(sub.astype(np.uint8)[:, :, None],
+                             axis=2)[:, :, 8 - depth:]
+        rows = np.packbits(bits.reshape(hh, ww * depth), axis=1)
+        return b"".join(b"\x00" + rows[y].tobytes()
+                        for y in range(hh))
+
+    if interlace == 0:
+        raw = rows_bytes(samples)
+    else:
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                  (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                  (0, 1, 1, 2))
+        raw = b"".join(rows_bytes(samples[y0::dy, x0::dx])
+                       for x0, y0, dx, dy in passes)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    png = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    if trns is not None:
+        png += _png_chunk(b"tRNS", bytes(trns))
+    png += _png_chunk(b"IDAT", zlib.compress(raw, 6))
+    return png + _png_chunk(b"IEND", b"")
+
+
+def test_png_packed_gray_truth_table():
+    """Hand-computed 1/2/4-bit gray values decode to the exact
+    255/(2^d - 1)-scaled 8-bit samples (spec sample scaling)."""
+    from cdx_toolkit_ray.stages.multimodal import decode_png, encode_png
+
+    # depth 2, 2x5 (scanline = 10 bits -> 2 bytes, padded tail)
+    s = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 2]], np.uint8)
+    dec = decode_png(_build_packed_png(s, 2, 0))
+    np.testing.assert_array_equal(dec, s * 85)
+    # depth 1: 0/255 bilevel
+    s1 = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1]], np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(_build_packed_png(s1, 1, 0)), s1 * 255)
+    # depth 4 via the library encoder, odd width
+    rng = np.random.default_rng(5)
+    for d in (1, 2, 4):
+        px = rng.integers(0, 1 << d, (7, 13), dtype=np.uint8)
+        got = decode_png(encode_png(px, depth=d))
+        np.testing.assert_array_equal(got, px * (255 // ((1 << d) - 1)))
+
+
+def test_png_packed_palette_and_trns():
+    from cdx_toolkit_ray.stages.multimodal import decode_png
+
+    pal = np.array([[250, 10, 3], [0, 128, 255], [7, 7, 7], [90, 0, 1]],
+                   np.uint8)
+    s = np.array([[0, 3, 1], [2, 1, 0]], np.uint8)
+    dec = decode_png(_build_packed_png(s, 2, 3, palette=pal))
+    np.testing.assert_array_equal(dec, pal[s])
+    # tRNS alpha on a 1-bit palette
+    s1 = np.array([[0, 1, 1, 0, 1]], np.uint8)
+    dec_a = decode_png(_build_packed_png(s1, 1, 3, palette=pal[:2],
+                                         trns=[64]))
+    np.testing.assert_array_equal(dec_a[..., :3], pal[:2][s1])
+    np.testing.assert_array_equal(dec_a[..., 3],
+                                  np.where(s1 == 0, 64, 255))
+
+
+def test_png_packed_interlaced_palette_matches_sequential():
+    """The VERDICT-named combination: Adam7-interlaced sub-8-bit
+    palette — per-pass byte-aligned packing must agree with the
+    sequential twin on every geometry including single-pixel rows."""
+    from cdx_toolkit_ray.stages.multimodal import decode_png
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for d in (1, 2, 4):
+        for shape in ((13, 11), (8, 8), (1, 9), (9, 1), (3, 17)):
+            s = rng.integers(0, 1 << d, shape, dtype=np.uint8)
+            seq = decode_png(_build_packed_png(s, d, 3,
+                                               palette=pal[:1 << d]))
+            adam = decode_png(_build_packed_png(s, d, 3,
+                                                palette=pal[:1 << d],
+                                                interlace=1))
+            np.testing.assert_array_equal(seq, adam)
+            np.testing.assert_array_equal(seq, pal[:1 << d][s])
+    # interlaced packed GRAY too
+    for d in (1, 2, 4):
+        s = rng.integers(0, 1 << d, (10, 10), dtype=np.uint8)
+        seq = decode_png(_build_packed_png(s, d, 0))
+        adam = decode_png(_build_packed_png(s, d, 0, interlace=1))
+        np.testing.assert_array_equal(seq, adam)
+
+
+def test_png_packed_boundaries():
+    import pytest as _pytest
+
+    from cdx_toolkit_ray.stages.multimodal import decode_png, encode_png
+
+    # packed depths are gray/palette-only: a depth-2 RGB IHDR rejects
+    s = np.array([[1, 0]], np.uint8)
+    bad = bytearray(_build_packed_png(s, 2, 0))
+    # rewrite color byte (IHDR body offset: 8 sig + 8 hdr + 9th byte)
+    import struct
+    import zlib
+
+    from cdx_toolkit_ray.stages.multimodal import _PNG_SIG, _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 2, 2, 0, 0, 0)
+    bad = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00\x11\x22"))
+           + _png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_png(bad)
+    # encoder rejects out-of-range samples and non-gray packed input
+    with _pytest.raises(ValueError, match="range"):
+        encode_png(np.array([[4]], np.uint8), depth=2)
+    with _pytest.raises(ValueError, match="grayscale-only"):
+        encode_png(np.zeros((2, 2, 3), np.uint8), depth=4)
