@@ -34,9 +34,11 @@ del _ns, _m
 # mapping is unchanged.
 # ---------------------------------------------------------------------------
 _R5_FRONT = [k for k in (
-    # LLM-pipeline flagships, never driver-recorded (VERDICT r4 item 4)
+    # LLM-pipeline flagships, never driver-recorded (VERDICT r4 item
+    # 4), plus the round-5 JPEG codec entry (new, never recorded)
     "corpus_pipeline training_prep cdc_dedup semantic_dedup "
     "dsir_select hll_distinct crawl_waves recrawl png_roundtrip "
+    "jpeg_roundtrip "
     # remaining never-recorded block, catalog order
     "meta_robots nofollow_links canonical_dedup charset_sniff "
     "revalidation_plan soft404 dot_segments frontier_hygiene "

@@ -3216,6 +3216,21 @@ FROM (SELECT doc_id, width, height, px_sum, n, d, m,
                          doc_id % 251 AS a
                   FROM documents)))
 """,
+    # jpeg_roundtrip: constant 8x8 tiles with values 64 + 2*((a2+t)%64)
+    # survive Annex-K quantization exactly (DC = 16k, step 16), so the
+    # decoded pixel sum is 64 * (64*n + 2 * sum_t((a2+t) % 64)) with
+    # the single-wrap modular-sum closed form (n <= 6 < 64).
+    "jpeg_roundtrip": """
+SELECT doc_id,
+       CAST(8 * tx AS BIGINT) AS width,
+       CAST(8 * ty AS BIGINT) AS height,
+       CAST(64 * (64 * n + 2 * (n * a2 + n * (n - 1) // 2
+            - 64 * greatest(0, a2 + n - 64))) AS BIGINT) AS px_sum
+FROM (SELECT doc_id, tx, ty, tx * ty AS n, (doc_id % 97) % 64 AS a2
+      FROM (SELECT doc_id, 1 + doc_id % 3 AS tx,
+                   1 + doc_id % 2 AS ty
+            FROM documents))
+""",
     "ccnet_mixture": (r"""
 WITH tf AS (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
@@ -4228,6 +4243,7 @@ QUERIES = {
     "ivfpq_search": q_ivfpq_search,
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
+    "jpeg_roundtrip": q_jpeg_roundtrip,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,

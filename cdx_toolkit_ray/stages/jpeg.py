@@ -1,0 +1,627 @@
+"""Baseline JPEG codec (ITU T.81 SOF0), pure numpy + python.
+
+Closes the "pil slot" boundary in stages/multimodal.py (VERDICT r4
+item 6): JPEG is the dominant photographic format of the web, so a
+100-TB multimodal pipeline cannot route around it. Everything here is
+built from the public spec (ITU-T T.81 / ISO 10918-1): marker segment
+framing, Annex K quantization + Huffman tables, zigzag coefficient
+order, level-shifted 2-D DCT, byte stuffing, restart markers, JFIF
+YCbCr <-> RGB (BT.601 full-range) with 4:4:4 / 4:2:2 / 4:2:0 chroma
+sampling.
+
+Scope and boundaries, documented loudly:
+
+* DECODE: baseline sequential (SOF0) — 8-bit samples, Huffman
+  entropy coding, 1 or 3 components, interleaved scan, DRI/RSTn
+  restart intervals. Progressive (SOF2), arithmetic coding, 12-bit
+  and hierarchical modes raise ``NotImplementedError`` with the
+  marker name (the documented boundary; progressive needs a
+  multi-scan IDCT accumulator).
+* ENCODE: baseline SOF0 with the Annex K tables, gray or RGB,
+  4:4:4 or 4:2:0 — the fixture/writer half that lets every decode
+  path be round-trip tested without external libraries.
+* Entropy (de)coding walks bits in Python per block — the honest
+  baseline; dequantization and the IDCT are one vectorized einsum
+  over ALL blocks of a component. Run it in the actor pool like
+  BmpDecoder (``MediaDecoder(decoder="jpeg")``); JPEG is lossy, so
+  round trips are approximate except where quantization divides
+  exactly (the closed-form oracle uses constant 8x8 tiles whose DC
+  is a multiple of the quant step — exact by construction).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_jpeg", "decode_jpeg"]
+
+# ---------------------------------------------------------------------------
+# Spec constants (ITU T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+#: zigzag scan: zigzag index -> natural (row-major) index
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int64)
+
+QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.int64)
+
+QUANT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], np.int64)
+
+#: (bits-per-length[1..16], symbol values) — Annex K.3
+DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+          list(range(12)))
+DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+            list(range(12)))
+AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+    0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+    0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+    0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+    0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+    0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+    0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+    0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+    0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+    0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+AC_CHROM = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+    0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+    0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+    0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+    0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+    0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+    0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+    0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+    0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+
+#: 2-D DCT basis matrix: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+#: FDCT(block) = A @ block @ A.T, IDCT(coef) = A.T @ coef @ A
+_A = np.array([[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                for x in range(8)] for u in range(8)], np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables
+# ---------------------------------------------------------------------------
+
+def _huff_codes(bits, values):
+    """(bits, values) -> {symbol: (code, length)} per T.81 C.2 — the
+    canonical code assignment both halves share."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _HuffDecoder:
+    """Canonical Huffman decoding state (T.81 F.2.2.3): per code
+    length the smallest/largest code and the value-table offset."""
+
+    def __init__(self, bits, values):
+        self.values = list(values)
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            else:
+                self.maxcode[length] = -1
+            code <<= 1
+
+    def decode(self, reader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            if self.maxcode[length] >= code >= self.mincode[length]:
+                return self.values[self.valptr[length]
+                                   + code - self.mincode[length]]
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at
+    any non-stuffing marker (the caller handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        d = self.data
+        if self.bit == 0:
+            if self.pos >= len(d):
+                raise ValueError("entropy stream truncated")
+            if d[self.pos] == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt != 0x00:
+                    raise ValueError(
+                        "marker 0xFF%02X inside entropy data"
+                        % (nxt if nxt is not None else 0))
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if self.data[self.pos] == 0xFF else 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self):
+        """Byte-align and return the 2-byte marker at the cursor."""
+        if self.bit:
+            self.bit = 0
+            self.pos += 2 if self.data[self.pos] == 0xFF else 1
+        if self.data[self.pos] != 0xFF:
+            raise ValueError("expected a marker at byte %d" % self.pos)
+        return self.data[self.pos:self.pos + 2]
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1: low-order ``size`` bits -> signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:          # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+
+    def align(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)   # 1-pad to byte boundary
+
+    def marker(self, b: int) -> None:
+        """Byte-align and append a raw marker (no stuffing)."""
+        self.align()
+        self.out += bytes([0xFF, b])
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    """Magnitude category (bit size) of a DC diff / AC value."""
+    return int(abs(v)).bit_length()
+
+
+def _fdct_quant(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """Level-shifted FDCT + quantization of every 8x8 block of a
+    padded plane -> (by, bx, 64) zigzag-ordered int coefficients,
+    vectorized over all blocks with one einsum."""
+    h, w = plane.shape
+    by, bx = h // 8, w // 8
+    blocks = (plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+              .astype(np.float64) - 128.0)
+    coef = np.einsum("ux,byxz,vz->byuv", _A, blocks, _A)
+    q = np.round(coef / quant.reshape(8, 8)).astype(np.int64)
+    # zigzag gather: zz[k] = natural[ZIGZAG[k]]
+    return q.reshape(by, bx, 64)[:, :, ZIGZAG]
+
+
+def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_codes, ac_codes) -> int:
+    """One zigzag coefficient vector -> entropy bits; returns the new
+    DC predictor."""
+    dc = int(zz[0])
+    diff = dc - pred
+    size = _category(diff)
+    code, ln = dc_codes[size]
+    w.write(code, ln)
+    if size:
+        w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = 0
+    nz = np.flatnonzero(zz[1:])
+    last_nz = (nz[-1] + 1) if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]        # ZRL: 16 zeros
+            w.write(code, ln)
+            run -= 16
+        size = _category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]            # EOB
+        w.write(code, ln)
+    return dc
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate a plane up to (mh, mw)."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, mh - h), (0, mw - w)), mode="edge")
+
+
+def encode_jpeg(pixels: np.ndarray, *, subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """8-bit grayscale (h, w) or RGB (h, w, 3) -> baseline JPEG bytes
+    (SOF0, Annex K quantization + Huffman tables, JFIF APP0 header).
+    ``subsample``: ``"444"`` (no chroma subsampling) or ``"420"``
+    (2x2 chroma averaging) — the two layouts that dominate real web
+    JPEGs. ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every N MCUs (predictors reset — exercises the decoder's
+    resync path). Deterministic: same pixels, same bytes."""
+    if pixels.dtype != np.uint8:
+        raise ValueError("pixels must be uint8")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise ValueError("expected (h, w) gray or (h, w, 3) rgb")
+    h, w = pixels.shape[:2]
+    if not h or not w:
+        raise ValueError("empty image")
+
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
+        if subsample == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            sub = []
+            for p in (cb, cr):
+                pp = _pad_to(p, ph, pw)
+                sub.append(np.round(
+                    pp.reshape(ph // 2, 2, pw // 2, 2)
+                    .mean(axis=(1, 3))))
+            planes = [y, sub[0], sub[1]]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+            planes = [y, cb, cr]
+        qids = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    quants = [QUANT_LUM, QUANT_CHROM]
+    coefs = []
+    for p, (sh, sv), qid in zip(planes, samp, qids):
+        coefs.append(_fdct_quant(
+            _pad_to(p, mcuy * sv * 8, mcux * sh * 8), quants[qid]))
+
+    dc_tabs = [_huff_codes(*DC_LUM), _huff_codes(*DC_CHROM)]
+    ac_tabs = [_huff_codes(*AC_LUM), _huff_codes(*AC_CHROM)]
+    hids = [0] + ([1, 1] if not gray else [])
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                bw.marker(0xD0 + (mcu_count // restart_interval - 1) % 8)
+                preds = [0] * len(planes)
+            mcu_count += 1
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = coefs[ci][my * sv + by, mx * sh + bx]
+                        preds[ci] = _encode_block(
+                            bw, zz, preds[ci], dc_tabs[hids[ci]],
+                            ac_tabs[hids[ci]])
+    entropy = bw.flush()
+
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) \
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0
+    for qid in sorted(set(qids)):
+        zzq = quants[qid][ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) \
+            + bytes([qid]) + zzq.tobytes()
+    ncomp = len(planes)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w,
+                                     ncomp)
+    for ci, ((sh, sv), qid) in enumerate(zip(samp, qids)):
+        out += bytes([ci + 1, (sh << 4) | sv, qid])
+    for cls, tabs in ((0, (DC_LUM, DC_CHROM)), (1, (AC_LUM, AC_CHROM))):
+        for tid in sorted(set(hids)):
+            bits, vals = tabs[tid]
+            out += b"\xff\xc4" \
+                + struct.pack(">H", 19 + len(vals)) \
+                + bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, (hids[ci] << 4) | hids[ci]])
+    out += b"\x00\x3f\x00"                            # Ss, Se, Ah/Al
+    out += entropy
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+_PROGRESSIVE = {0xC2: "SOF2 (progressive)", 0xC6: "SOF6",
+                0xCA: "SOF10", 0xCE: "SOF14"}
+_UNSUPPORTED_SOF = {0xC3: "SOF3 (lossless)", 0xC5: "SOF5", 0xC7: "SOF7",
+                    0xC9: "SOF9 (arithmetic)", 0xCB: "SOF11",
+                    0xCD: "SOF13", 0xCF: "SOF15"}
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 pixels: (h, w) for 1-component
+    (grayscale) files, (h, w, 3) RGB for 3-component YCbCr (JFIF
+    BT.601 full-range conversion, nearest-neighbor chroma
+    upsampling). Strict on structure (markers, table ids, sampling
+    factors 1..2, component count) and loud on the documented
+    boundaries: progressive / arithmetic / lossless / 12-bit files
+    raise ``NotImplementedError`` naming the mode."""
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_dec: dict[int, _HuffDecoder] = {}
+    ac_dec: dict[int, _HuffDecoder] = {}
+    sof = None
+    restart_interval = 0
+    while True:
+        if pos + 4 > len(d):
+            raise ValueError("truncated JPEG (no SOS)")
+        if d[pos] != 0xFF:
+            raise ValueError("expected marker at byte %d" % pos)
+        marker = d[pos + 1]
+        if marker in _PROGRESSIVE:
+            raise NotImplementedError(
+                "JPEG %s is not supported by this baseline decoder "
+                "(multi-scan coefficient accumulation; use an "
+                "external codec for progressive files)"
+                % _PROGRESSIVE[marker])
+        if marker in _UNSUPPORTED_SOF:
+            raise NotImplementedError(
+                "JPEG %s is not supported by this baseline decoder"
+                % _UNSUPPORTED_SOF[marker])
+        (seglen,) = struct.unpack(">H", d[pos + 2:pos + 4])
+        body = d[pos + 4:pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated segment 0xFF%02X" % marker)
+        if marker == 0xDB:                              # DQT
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                bp += 1
+                if pq == 0:
+                    tab = np.frombuffer(body[bp:bp + 64],
+                                        np.uint8).astype(np.int64)
+                    bp += 64
+                else:
+                    tab = np.frombuffer(body[bp:bp + 128],
+                                        ">u2").astype(np.int64)
+                    bp += 128
+                nat = np.empty(64, np.int64)
+                nat[ZIGZAG] = tab                      # de-zigzag
+                qt[tq] = nat
+        elif marker == 0xC4:                            # DHT
+            bp = 0
+            while bp < len(body):
+                cls, tid = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1:bp + 17])
+                nvals = sum(bits)
+                vals = list(body[bp + 17:bp + 17 + nvals])
+                (dc_dec if cls == 0 else ac_dec)[tid] = \
+                    _HuffDecoder(bits, vals)
+                bp += 17 + nvals
+        elif marker in (0xC0, 0xC1):                    # SOF0/1
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    "%d-bit JPEG samples (baseline is 8-bit)" % prec)
+            if nc not in (1, 3):
+                raise ValueError("unsupported component count %d" % nc)
+            comps = []
+            for ci in range(nc):
+                cid, sf, tq = body[6 + 3 * ci:9 + 3 * ci]
+                sh, sv = sf >> 4, sf & 0x0F
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                    raise ValueError(
+                        "sampling factors %dx%d out of the 1..2 "
+                        "range this decoder handles" % (sh, sv))
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
+            sof = (h, w, comps)
+        elif marker == 0xDD:                            # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:                            # SOS
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append((cs, tabs >> 4, tabs & 0x0F))
+            pos = pos + 2 + seglen
+            return _decode_scan(d, pos, sof, scan, qt, dc_dec, ac_dec,
+                                restart_interval)
+        elif marker == 0xD9:
+            raise ValueError("EOI before SOS (no image data)")
+        # APPn / COM / anything else: skip
+        pos = pos + 2 + seglen
+
+
+def _decode_scan(d, pos, sof, scan, qt, dc_dec, ac_dec,
+                 restart_interval) -> np.ndarray:
+    h, w, comps = sof
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    order = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("scan names unknown component %d" % cs)
+        order.append((by_id[cs], td, ta))
+    if len(order) != len(comps):
+        raise NotImplementedError(
+            "non-interleaved multi-scan JPEG (baseline interleaved "
+            "scans only)")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+             for c in comps]
+
+    reader = _BitReader(d, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                m = reader.align_to_marker()
+                if not (m[0] == 0xFF and 0xD0 <= m[1] <= 0xD7):
+                    raise ValueError(
+                        "expected RST marker at MCU %d" % mcu_count)
+                reader.pos += 2
+                reader.bit = 0
+                preds = [0] * len(comps)
+            for ci, td, ta in order:
+                c = comps[ci]
+                if td not in dc_dec or ta not in ac_dec:
+                    raise ValueError("scan references missing "
+                                     "Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, np.int64)
+                        t = dc_dec[td].decode(reader)
+                        diff = _extend(reader.receive(t), t)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = ac_dec[ta].decode(reader)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16          # ZRL
+                                    continue
+                                break                # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "AC run past block end")
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        coefs[ci][my * c["v"] + by,
+                                  mx * c["h"] + bx] = zz
+            mcu_count += 1
+
+    planes = []
+    for c, coef in zip(comps, coefs):
+        if c["tq"] not in qt:
+            raise ValueError("component references missing quant "
+                             "table %d" % c["tq"])
+        nat = np.zeros(coef.shape, np.float64)
+        nat[:, :, ZIGZAG] = coef                      # de-zigzag
+        nat = nat.reshape(coef.shape[0], coef.shape[1], 8, 8)
+        nat *= qt[c["tq"]].reshape(1, 1, 8, 8)
+        px = np.einsum("xu,byuv,vz->byxz", _A.T, nat, _A) + 128.0
+        bh, bw_ = coef.shape[0], coef.shape[1]
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        # crop to the component's true size, then upsample to full res
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)[:h, :w]
+        planes.append(plane)
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -11,9 +11,11 @@ container):
   histogram features, size parsing from a fake header) used by tests
 * ``decoder="png"``   — the REAL codec below (stdlib zlib + numpy,
   all five scanline filters, CRC-checked)
+* ``decoder="jpeg"``  — the REAL baseline-JPEG codec (stages/jpeg.py:
+  SOF0 huffman + dequant + vectorized IDCT, 4:2:0/4:2:2/4:4:4)
 * ``decoder="pil"`` / ``"ffmpeg"`` — raise NotImplementedError at
   actor construction with a clear message (formats that genuinely
-  need the external libraries: JPEG/DCT, video codecs)
+  need the external libraries: video codecs, progressive JPEG)
 
 Large-payload guidance baked in: use small ``batch_size`` (payloads x
 batch x concurrency must fit worker heap) and keep the column in Arrow
@@ -83,14 +85,37 @@ class MediaDecoder:
             self._decode = self._decode_fake
         elif decoder == "png":
             self._decode = self._decode_png
+        elif decoder == "jpeg":
+            self._decode = self._decode_jpeg
         elif decoder in ("pil", "ffmpeg"):
             raise NotImplementedError(
                 "decoder %r needs an image/audio library not present in "
-                "this environment; plug the real codec in here — the "
-                "pipeline plumbing (schema, batching, actor pool) is "
-                "already wired" % decoder)
+                "this environment (video codecs, progressive JPEG); "
+                "plug the real codec in here — the pipeline plumbing "
+                "(schema, batching, actor pool) is already wired, and "
+                "PNG/BMP/WAV/baseline-JPEG decode natively" % decoder)
         else:
             raise ValueError("unknown decoder " + decoder)
+
+    @staticmethod
+    def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+        """The REAL baseline-JPEG path (stages/jpeg.py: SOF0 huffman +
+        dequant + IDCT): same 16-bin luminance histogram contract as
+        the PNG path; progressive files raise through loudly."""
+        from .jpeg import decode_jpeg
+
+        px = decode_jpeg(bytes(payload))
+        if px.ndim == 3:
+            r, g, b = (px[..., 0].astype(np.int64),
+                       px[..., 1].astype(np.int64),
+                       px[..., 2].astype(np.int64))
+            lum = (299 * r + 587 * g + 114 * b) // 1000
+        else:
+            lum = px.astype(np.int64)
+        hist = np.bincount((lum >> 4).ravel(),
+                           minlength=16).astype(np.float32)
+        hist /= max(1.0, hist.sum())
+        return px.shape[1], px.shape[0], hist
 
     @staticmethod
     def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -394,6 +419,8 @@ def sniff_batch(batch: pa.Table, payload_col: str = "payload",
             pref = np.where(mask, vals[take], 0).astype(np.uint8)
     is_bmp = (pref[:, 0] == 0x42) & (pref[:, 1] == 0x4D)
     is_png = (pref[:, 0:8] == np.frombuffer(_PNG_SIG, np.uint8)).all(1)
+    is_jpg = ((pref[:, 0] == 0xFF) & (pref[:, 1] == 0xD8)
+              & (pref[:, 2] == 0xFF))
     is_wav = ((pref[:, 0:4] == np.frombuffer(b"RIFF", np.uint8)).all(1)
               & (pref[:, 8:12] == np.frombuffer(b"WAVE", np.uint8))
               .all(1))
@@ -401,9 +428,10 @@ def sniff_batch(batch: pa.Table, payload_col: str = "payload",
     ws = np.isin(pref, np.frombuffer(b" \t\r\n", np.uint8))
     first_nonws = np.argmax(~ws, axis=1)
     fb = pref[np.arange(n), first_nonws]
-    is_html = (fb == 0x3C) & ~is_bmp & ~is_wav & ~is_png
+    is_html = (fb == 0x3C) & ~is_bmp & ~is_wav & ~is_png & ~is_jpg
     out[is_bmp] = "image/bmp"
     out[is_png] = "image/png"
+    out[is_jpg] = "image/jpeg"
     out[is_wav] = "audio/wav"
     out[is_html] = "text/html"
     if out_col in batch.column_names:

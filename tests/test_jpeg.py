@@ -1,0 +1,134 @@
+"""Baseline JPEG codec (stages/jpeg.py, VERDICT r4 item 6): exactness
+on quantization-safe images, bounded loss on smooth ones, restart
+markers, chroma subsampling, the progressive boundary, and routing
+through sniff_batch + MediaDecoder."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cdx_toolkit_ray.stages.jpeg import (_A, QUANT_LUM, ZIGZAG,
+                                         decode_jpeg, encode_jpeg)
+
+
+def test_dct_basis_is_orthonormal():
+    """A @ A.T == I — the IDCT exactly inverts the FDCT in floats."""
+    np.testing.assert_allclose(_A @ _A.T, np.eye(8), atol=1e-12)
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # spec spot checks: start of the scan and the last entry
+    assert ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert ZIGZAG[63] == 63
+
+
+def test_constant_tiles_roundtrip_exactly():
+    """DC = 16k is an exact multiple of the Annex K luminance step 16,
+    all AC zero -> the lossy pipeline is exact by construction."""
+    assert QUANT_LUM[0] == 16
+    for (h, w) in [(8, 8), (16, 24), (24, 8), (16, 16)]:
+        ty, tx = h // 8, w // 8
+        vals = (128 + 2 * (np.arange(ty * tx) % 64 - 32)).reshape(ty, tx)
+        px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(px))
+        assert dec.shape == (h, w) and dec.dtype == np.uint8
+        np.testing.assert_array_equal(dec, px)
+
+
+def test_restart_markers_roundtrip():
+    """DRI/RSTn: predictors reset every N MCUs; constant tiles stay
+    exact through the resync path, any interval."""
+    vals = (128 + 2 * (np.arange(12) % 64 - 32)).reshape(3, 4)
+    px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    for ri in (1, 2, 5):
+        blob = encode_jpeg(px, restart_interval=ri)
+        assert b"\xff\xdd" in blob          # DRI present
+        np.testing.assert_array_equal(decode_jpeg(blob), px)
+
+
+def test_smooth_gray_bounded_loss_and_odd_dims():
+    y, x = np.mgrid[0:29, 0:35]
+    px = np.clip(np.round(128 + 60 * np.sin(y / 5) + 50 * np.cos(x / 7)),
+                 0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(px))
+    assert dec.shape == px.shape
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 12
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_rgb_roundtrip_and_subsampling(sub):
+    # constant color: chroma planes constant -> subsampling lossless
+    px = np.full((20, 30, 3), 0, np.uint8)
+    px[..., 0], px[..., 1], px[..., 2] = 142, 88, 61
+    dec = decode_jpeg(encode_jpeg(px, subsample=sub))
+    assert dec.shape == px.shape
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 3
+    # smooth gradients: bounded loss, odd dims
+    y, x = np.mgrid[0:13, 0:17]
+    g = np.stack([128 + 40 * np.sin(y / 4), 128 + 40 * np.sin(x / 4),
+                  128 + 40 * np.sin((x + y) / 4)], axis=2)
+    g = np.clip(np.round(g), 0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, subsample=sub))
+    assert dec.shape == g.shape
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 48
+
+
+def test_progressive_and_friends_raise_loudly():
+    px = np.full((8, 8), 130, np.uint8)
+    blob = bytearray(encode_jpeg(px))
+    i = blob.find(b"\xff\xc0")
+    for sof, name in [(0xC2, "progressive"), (0xC9, "arithmetic"),
+                      (0xC3, "lossless")]:
+        b2 = bytearray(blob)
+        b2[i + 1] = sof
+        with pytest.raises(NotImplementedError, match=name):
+            decode_jpeg(bytes(b2))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+
+
+def test_sniff_routes_jpeg(ray_session):
+    from cdx_toolkit_ray.stages.multimodal import sniff_batch
+
+    jpg = encode_jpeg(np.full((8, 8), 99, np.uint8))
+    batch = pa.table({"payload": pa.array(
+        [jpg, b"BM123456", b"<html>", None], pa.binary())})
+    out = sniff_batch(batch)
+    assert out["sniffed_type"].to_pylist() == [
+        "image/jpeg", "image/bmp", "text/html",
+        "application/octet-stream"]
+
+
+def test_media_decoder_jpeg_path(ray_session):
+    import ray.data
+
+    from cdx_toolkit_ray.stages.multimodal import MediaDecoder
+
+    vals = (128 + 2 * (np.arange(4) % 64 - 32)).reshape(2, 2)
+    px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    rows = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "payload": pa.array([encode_jpeg(px)], pa.binary()),
+    })
+    out = ray.data.from_arrow(rows).map_batches(
+        MediaDecoder, fn_constructor_kwargs={"decoder": "jpeg"},
+        batch_format="pyarrow", batch_size=8, concurrency=1) \
+        .take_all()
+    assert out[0]["width"] == 16 and out[0]["height"] == 16
+    # exact image -> histogram is the exact pixel histogram
+    lum = px.astype(np.int64)
+    want = np.bincount((lum >> 4).ravel(), minlength=16).astype(float)
+    want /= want.sum()
+    np.testing.assert_allclose(out[0]["features"], want, atol=1e-6)
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg(np.zeros((8, 8), np.float32))
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(np.zeros((8, 8), np.uint8), subsample="422")
+    with pytest.raises(ValueError, match="gray or"):
+        encode_jpeg(np.zeros((8, 8, 2), np.uint8))
+    with pytest.raises(ValueError, match="empty"):
+        encode_jpeg(np.zeros((0, 8), np.uint8))
