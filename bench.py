@@ -524,6 +524,17 @@ def main() -> None:
             ("fetch_http", lambda: consume(Q.q_fetch_http(SF_DIR))),
             ("fetch_replay",
              lambda: consume(Q.q_fetch_replay(SF_DIR))),
+            # round-5 additions: distributed WARC sidecar renderers
+            # (real bytes through write_*_distributed), the
+            # de-drivered triangle counter, and the two real image
+            # codecs end-to-end
+            ("wet_export", lambda: consume(Q.q_wet_export(SF_DIR))),
+            ("wat_export", lambda: consume(Q.q_wat_export(SF_DIR))),
+            ("triangles", lambda: consume(Q.q_triangles(SF_DIR))),
+            ("png_roundtrip",
+             lambda: consume(Q.q_png_roundtrip(SF_DIR))),
+            ("jpeg_roundtrip",
+             lambda: consume(Q.q_jpeg_roundtrip(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the
