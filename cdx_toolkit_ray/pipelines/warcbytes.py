@@ -687,7 +687,16 @@ def write_dataset_distributed(
     Restart-safe naming parity: starts at the first unused segment
     number (the serial probe) unless resuming; with ``resume=True``
     the plan starts at segment 0 and existing planned files are
-    trusted as finished prior output.
+    trusted as finished prior output. A planned name occupied PAST
+    the contiguous start (a numbering gap) fails fast before any
+    write — the serial writer renumbers around gaps mid-run, which a
+    pre-computed plan cannot do without changing warcinfo bytes.
+
+    Filesystem contract: writer tasks open ``prefix``'s path on the
+    node they run on (like every Ray Data file sink) — on a
+    multi-node cluster the prefix must live on a shared mount, and
+    the driver-side probe/fail-fast checks assume they see the same
+    filesystem the workers write to.
     """
     if mode not in ("warc", "wet", "wat"):
         raise ValueError("unknown mode %r" % mode)
@@ -741,6 +750,25 @@ def write_dataset_distributed(
     for bi, summ in enumerate(summaries):
         for seg, a, b in summ:
             per_seg.setdefault(seg, []).append((bi, a, b))
+
+    if not resume:
+        # fail FAST (before any segment renders to disk) if a planned
+        # name is taken past the contiguous start probe — the serial
+        # writer would silently renumber around the gap, which a
+        # pre-computed plan cannot do without changing warcinfo bytes;
+        # non-contiguous pre-existing numbering needs a clean dir or
+        # resume=True (round-5 review finding)
+        taken = [_seg_name(prefix, subprefix, seg, use_gzip)
+                 for seg in sorted(per_seg)
+                 if os.path.exists(_seg_name(prefix, subprefix, seg,
+                                             use_gzip))]
+        if taken:
+            raise FileExistsError(
+                "planned segment name(s) already exist (gap in the "
+                "existing numbering): %s — remove them, write under "
+                "a fresh prefix, or pass resume=True to trust them "
+                "as finished output of an identical prior run"
+                % ", ".join(taken[:3]))
 
     writes = []
     for seg in sorted(per_seg):

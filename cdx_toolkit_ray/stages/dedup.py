@@ -91,7 +91,7 @@ def _exact_pairs_stream(ds: ray.data.Dataset, key_col: str,
 
 def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
                 num_buckets: int = 64,
-                losers_broadcast_max: int = 4_000_000
+                winners_broadcast_max: int = 4_000_000
                 ) -> ray.data.Dataset:
     """Keep the min-``id_col`` row per distinct ``key_col`` value.
 
@@ -99,23 +99,29 @@ def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
     including text payloads when ``key_col`` IS the text — never
     shuffle. Only ``(key_hash, id)`` pairs move, co-located by
     ``hash64(key) % num_buckets``; each bucket resolves ALL its keys
-    in one lexsort + run-length pass and folds out the LOSERS (every
-    non-min id per key). The original stream is then gated in place:
-    a broadcast sorted-array filter when the loser set fits
-    ``losers_broadcast_max`` ids (a shrinking fraction of the corpus
-    in any real dedup), else a distributed anti-join — either way the
-    payload bytes move zero times (broadcast) or once (anti-join),
-    never through a groupby of the whole row.
+    in one lexsort + run-length pass and folds out the WINNERS (the
+    min id per key). The original stream is then gated in place by
+    the winner PAIR — a row survives iff the winner id recorded for
+    its key hash equals its own id, so an id value that repeats
+    under a DIFFERENT key can never veto that key's winner (the
+    round-5 review's cross-key-collision case). Gate strategies:
+
+    * winner set fits ``winners_broadcast_max``: broadcast two
+      kh-sorted arrays (key hashes are UNIQUE in the winner set, so
+      the pair test is one searchsorted + two equality checks); the
+      payload moves ZERO times.
+    * larger: distributed inner join on ``(key_hash, id)`` — the
+      payload moves once, never through a full-row groupby.
 
     Winner = min id per key-hash: deterministic under any
-    parallelism (hash collisions conflate keys, same as the previous
+    parallelism (hash collisions conflate keys, same as the r4
     full-shuffle implementation — identical output contract).
-    Requires ``id_col`` values unique across the dataset (the
-    standard corpus contract; duplicate ``(key, id)`` pairs fail
-    loudly in-bucket).
+    Duplicate ``(key, id)`` pairs fail loudly in-bucket (they cannot
+    be expressed as a per-id gate).
     """
-    def fold_losers(tbl: pa.Table) -> pa.Table:
-        sch = pa.schema([("_id", tbl.schema.field("_id").type)])
+    def fold_winners(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("key_hash", pa.uint64()),
+                         ("_id", tbl.schema.field("_id").type)])
         if tbl.num_rows == 0:
             return sch.empty_table()
         k = tbl["key_hash"].to_numpy(zero_copy_only=False)
@@ -127,42 +133,57 @@ def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str,
         if len(k) > 1 and (~first[1:] & (i[1:] == i[:-1])).any():
             raise ValueError(
                 "exact_dedup: duplicate id values within one key — "
-                "the id-gated narrow-shuffle path requires unique "
-                "ids in id_col")
-        return pa.table({"_id": pa.array(i[~first])}).cast(sch)
+                "the pair-gated narrow-shuffle path requires ids "
+                "unique within a key")
+        return pa.table({"key_hash": pa.array(k[first], pa.uint64()),
+                         "_id": pa.array(i[first])}).cast(sch)
 
     from .exchange import hash_bucket_apply
 
-    losers = hash_bucket_apply(
+    winners = hash_bucket_apply(
         _exact_pairs_stream(ds, key_col, id_col, num_buckets), "_kb",
-        fold_losers, num_buckets=num_buckets).materialize()
-    n_losers = losers.count()
-    if n_losers == 0:
-        return ds
-    if n_losers <= losers_broadcast_max:
+        fold_winners, num_buckets=num_buckets).materialize()
+    n_win = winners.count()
+    if n_win <= winners_broadcast_max:
         import ray as _ray
 
         from ..pipelines.frontier import _get_broadcast
 
-        arr = np.sort(np.concatenate(
+        parts = [t for t in _ray.get(winners.to_arrow_refs())
+                 if t.num_rows]
+        kh = np.concatenate(
+            [t["key_hash"].to_numpy(zero_copy_only=False)
+             for t in parts]) if parts else np.zeros(0, np.uint64)
+        wid = np.concatenate(
             [t["_id"].to_numpy(zero_copy_only=False)
-             for t in _ray.get(losers.to_arrow_refs()) if t.num_rows]))
-        dref = _ray.put(arr)
+             for t in parts]) if parts else np.zeros(0, np.int64)
+        order = np.argsort(kh)
+        wref = _ray.put((kh[order], wid[order]))
 
         def gate(batch: pa.Table) -> pa.Table:
-            di = _get_broadcast(dref)
+            w_kh, w_id = _get_broadcast(wref)
+            vals = batch[key_col].to_numpy(zero_copy_only=False)
+            h = _hash_text_array(vals)
             ids = batch[id_col].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(di, ids)
-            pos[pos == len(di)] = 0
-            return batch.filter(pa.array(di[pos] != ids))
+            pos = np.searchsorted(w_kh, h)
+            pos_c = np.minimum(pos, max(len(w_kh) - 1, 0))
+            keep = (len(w_kh) > 0) \
+                & (w_kh[pos_c] == h) & (w_id[pos_c] == ids)
+            return batch.filter(pa.array(keep))
 
         return ds.map_batches(gate, batch_format="pyarrow",
                               batch_size=None)
     # scale fallback: both sides stay distributed; the payload moves
-    # once through the anti-join, still never a full-row groupby
-    return ds.join(losers.repartition(default_join_partitions()),
-                   "left_anti", default_join_partitions(),
-                   on=(id_col,), right_on=("_id",))
+    # once through the (key_hash, id) pair join, still never a
+    # full-row groupby
+    keyed = ds.map_batches(add_key_hash(key_col),
+                           batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True)
+    out = keyed.join(winners.repartition(default_join_partitions()),
+                     "inner", default_join_partitions(),
+                     on=("key_hash", id_col),
+                     right_on=("key_hash", "_id"))
+    return out.drop_columns(["key_hash"])
 
 
 def add_packed_order(cols_bits, out_col: str = "sortkey"):

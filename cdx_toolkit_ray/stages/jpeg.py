@@ -207,6 +207,10 @@ class _BitReader:
         if self.bit:
             self.bit = 0
             self.pos += 2 if self.data[self.pos] == 0xFF else 1
+        if self.pos + 1 >= len(self.data):
+            raise ValueError(
+                "entropy stream truncated at a marker boundary "
+                "(byte %d)" % self.pos)
         if self.data[self.pos] != 0xFF:
             raise ValueError("expected a marker at byte %d" % self.pos)
         return self.data[self.pos:self.pos + 2]
@@ -451,11 +455,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     sof = None
     restart_interval = 0
     while True:
-        if pos + 4 > len(d):
+        if pos + 2 > len(d):
             raise ValueError("truncated JPEG (no SOS)")
         if d[pos] != 0xFF:
             raise ValueError("expected marker at byte %d" % pos)
+        # fill bytes: any number of 0xFF may precede a marker
+        # (T.81 B.1.1.2)
+        while pos + 1 < len(d) and d[pos + 1] == 0xFF:
+            pos += 1
         marker = d[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (no length segment)
+            pos += 2
+            continue
+        if marker == 0xD9:          # EOI is standalone too
+            raise ValueError("EOI before SOS (no image data)")
+        if pos + 4 > len(d):
+            raise ValueError("truncated JPEG (no SOS)")
         if marker in _PROGRESSIVE:
             raise NotImplementedError(
                 "JPEG %s is not supported by this baseline decoder "
@@ -526,8 +542,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos = pos + 2 + seglen
             return _decode_scan(d, pos, sof, scan, qt, dc_dec, ac_dec,
                                 restart_interval)
-        elif marker == 0xD9:
-            raise ValueError("EOI before SOS (no image data)")
         # APPn / COM / anything else: skip
         pos = pos + 2 + seglen
 
@@ -549,53 +563,79 @@ def _decode_scan(d, pos, sof, scan, qt, dc_dec, ac_dec,
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
-             for c in comps]
-
     reader = _BitReader(d, pos)
     preds = [0] * len(comps)
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count \
-                    and mcu_count % restart_interval == 0:
-                m = reader.align_to_marker()
-                if not (m[0] == 0xFF and 0xD0 <= m[1] <= 0xD7):
-                    raise ValueError(
-                        "expected RST marker at MCU %d" % mcu_count)
-                reader.pos += 2
-                reader.bit = 0
-                preds = [0] * len(comps)
-            for ci, td, ta in order:
-                c = comps[ci]
-                if td not in dc_dec or ta not in ac_dec:
-                    raise ValueError("scan references missing "
-                                     "Huffman table")
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, np.int64)
-                        t = dc_dec[td].decode(reader)
-                        diff = _extend(reader.receive(t), t)
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = ac_dec[ta].decode(reader)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16          # ZRL
-                                    continue
-                                break                # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "AC run past block end")
-                            zz[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        coefs[ci][my * c["v"] + by,
-                                  mx * c["h"] + bx] = zz
-            mcu_count += 1
+
+    def check_restart():
+        m = reader.align_to_marker()
+        if not (m[0] == 0xFF and 0xD0 <= m[1] <= 0xD7):
+            raise ValueError(
+                "expected RST marker at MCU %d" % mcu_count)
+        reader.pos += 2
+        reader.bit = 0
+        for ci in range(len(preds)):
+            preds[ci] = 0
+
+    def decode_block(ci, td, ta):
+        if td not in dc_dec or ta not in ac_dec:
+            raise ValueError("scan references missing Huffman table")
+        zz = np.zeros(64, np.int64)
+        t = dc_dec[td].decode(reader)
+        diff = _extend(reader.receive(t), t)
+        preds[ci] += diff
+        zz[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = ac_dec[ta].decode(reader)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16          # ZRL
+                    continue
+                break                # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(reader.receive(s), s)
+            k += 1
+        return zz
+
+    if len(comps) == 1:
+        # Ns=1 scan is NON-interleaved per T.81 A.2.2: the MCU is one
+        # data unit and blocks walk the component's own grid row-major
+        # — a grayscale file declaring 2x2 factors (cjpeg keeps the
+        # source's Y factors) lays out exactly like a 1x1 one
+        # (round-5 review finding: the MCU walk silently scrambled it)
+        ci, td, ta = order[0]
+        c = comps[ci]
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        bw_, bh_ = -(-cw // 8), -(-ch // 8)
+        coefs = [np.zeros((bh_, bw_, 64), np.int64)]
+        for by in range(bh_):
+            for bx in range(bw_):
+                if restart_interval and mcu_count \
+                        and mcu_count % restart_interval == 0:
+                    check_restart()
+                coefs[0][by, bx] = decode_block(ci, td, ta)
+                mcu_count += 1
+    else:
+        coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                          np.int64) for c in comps]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count \
+                        and mcu_count % restart_interval == 0:
+                    check_restart()
+                for ci, td, ta in order:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coefs[ci][my * c["v"] + by,
+                                      mx * c["h"] + bx] = \
+                                decode_block(ci, td, ta)
+                mcu_count += 1
 
     planes = []
     for c, coef in zip(comps, coefs):

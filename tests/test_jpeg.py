@@ -132,3 +132,45 @@ def test_encoder_input_validation():
         encode_jpeg(np.zeros((8, 8, 2), np.uint8))
     with pytest.raises(ValueError, match="empty"):
         encode_jpeg(np.zeros((0, 8), np.uint8))
+
+
+def test_gray_with_2x2_sampling_factors_decodes_correctly():
+    """T.81 A.2.2: an Ns=1 scan is NON-interleaved (MCU = one data
+    unit, row-major component-grid order) regardless of declared
+    sampling factors — cjpeg-style grayscale files keep the source's
+    2x2 Y factors (round-5 review: the MCU walk scrambled them)."""
+    for shape in ((32, 32), (24, 40), (13, 17), (8, 8)):
+        px = ((np.arange(shape[0])[:, None] * 7
+               + np.arange(shape[1])[None, :] * 13) % 251) \
+            .astype(np.uint8)
+        blob = bytearray(encode_jpeg(px))
+        i = blob.find(b"\xff\xc0")
+        # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) cid(1) -> the
+        # sampling byte is at i+2(marker)+2(len)+1+2+2+1+1
+        samp_off = i + 11
+        assert blob[samp_off] == 0x11
+        blob[samp_off] = 0x22
+        dec = decode_jpeg(bytes(blob))
+        ref = decode_jpeg(encode_jpeg(px))
+        np.testing.assert_array_equal(dec, ref)
+
+
+def test_fill_bytes_and_tem_markers_are_skipped():
+    px = np.full((8, 8), 130, np.uint8)
+    blob = encode_jpeg(px)
+    i = blob.find(b"\xff\xdb")
+    # legal padding: extra 0xFF fill bytes + a standalone TEM marker
+    padded = blob[:i] + b"\xff" + b"\xff\x01" + blob[i:]
+    np.testing.assert_array_equal(decode_jpeg(padded),
+                                  decode_jpeg(blob))
+
+
+def test_truncated_restart_stream_raises_valueerror():
+    vals = (128 + 2 * (np.arange(8) % 64 - 32)).reshape(2, 4)
+    px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    blob = encode_jpeg(px, restart_interval=1)
+    # cut inside the entropy stream, right around a restart boundary
+    rst = blob.find(b"\xff\xd0")
+    assert rst > 0
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[:rst])

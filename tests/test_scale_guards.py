@@ -82,9 +82,9 @@ def test_exact_dedup_multiblock_and_fallback_paths():
         out = exact_dedup(ds, "text", "doc_id")
         got = sorted(r["doc_id"] for r in out.take_all())
         assert got == want
-        # distributed anti-join fallback path (losers > budget)
+        # distributed pair-join fallback path (winners > budget)
         out2 = exact_dedup(ds, "text", "doc_id",
-                           losers_broadcast_max=0)
+                           winners_broadcast_max=0)
         got2 = sorted(r["doc_id"] for r in out2.take_all())
         assert got2 == want
     # passthrough columns survive and belong to the winner rows
@@ -101,3 +101,19 @@ def test_exact_dedup_duplicate_ids_fail_loudly():
     with pytest.raises(Exception, match="unique"):
         exact_dedup(ray.data.from_arrow(t), "text",
                     "doc_id").materialize()
+
+
+def test_exact_dedup_cross_key_id_collision_is_exact():
+    """An id value repeating under a DIFFERENT key must not veto that
+    key's winner (round-5 review finding: the loser-id gate silently
+    dropped key b's only row here). The pair gate keeps it — on both
+    the broadcast and the join path."""
+    from cdx_toolkit_ray.stages.dedup import exact_dedup
+
+    t = pa.table({"doc_id": [1, 2, 2],
+                  "text": ["a", "a", "b"]})
+    for budget in (4_000_000, 0):
+        out = exact_dedup(ray.data.from_arrow(t), "text", "doc_id",
+                          winners_broadcast_max=budget)
+        got = sorted((r["text"], r["doc_id"]) for r in out.take_all())
+        assert got == [("a", 1), ("b", 2)], (budget, got)
