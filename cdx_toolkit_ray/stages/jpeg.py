@@ -18,8 +18,8 @@ Scope and boundaries, documented loudly:
   marker name (the documented boundary; progressive needs a
   multi-scan IDCT accumulator).
 * ENCODE: baseline SOF0 with the Annex K tables, gray or RGB,
-  4:4:4 or 4:2:0 — the fixture/writer half that lets every decode
-  path be round-trip tested without external libraries.
+  4:4:4 / 4:2:2 / 4:2:0 — the fixture/writer half that lets every
+  decode path be round-trip tested without external libraries.
 * Entropy (de)coding walks bits in Python per block — the honest
   baseline; dequantization and the IDCT are one vectorized einsum
   over ALL blocks of a component. Run it in the actor pool like
@@ -322,15 +322,15 @@ def encode_jpeg(pixels: np.ndarray, *, subsample: str = "444",
                 restart_interval: int = 0) -> bytes:
     """8-bit grayscale (h, w) or RGB (h, w, 3) -> baseline JPEG bytes
     (SOF0, Annex K quantization + Huffman tables, JFIF APP0 header).
-    ``subsample``: ``"444"`` (no chroma subsampling) or ``"420"``
-    (2x2 chroma averaging) — the two layouts that dominate real web
-    JPEGs. ``restart_interval`` > 0 emits a DRI segment and RSTn
+    ``subsample``: ``"444"`` (no chroma subsampling), ``"422"``
+    (horizontal halving) or ``"420"`` (2x2 averaging) — the layouts
+    that dominate real web JPEGs. ``restart_interval`` > 0 emits a DRI segment and RSTn
     markers every N MCUs (predictors reset — exercises the decoder's
     resync path). Deterministic: same pixels, same bytes."""
     if pixels.dtype != np.uint8:
         raise ValueError("pixels must be uint8")
-    if subsample not in ("444", "420"):
-        raise ValueError("subsample must be '444' or '420'")
+    if subsample not in ("444", "422", "420"):
+        raise ValueError("subsample must be '444', '422' or '420'")
     gray = pixels.ndim == 2
     if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
         raise ValueError("expected (h, w) gray or (h, w, 3) rgb")
@@ -358,6 +358,17 @@ def encode_jpeg(pixels: np.ndarray, *, subsample: str = "444",
                 sub.append(np.round(
                     pp.reshape(ph // 2, 2, pw // 2, 2)
                     .mean(axis=(1, 3))))
+            planes = [y, sub[0], sub[1]]
+        elif subsample == "422":
+            # horizontal-only chroma halving (the other common web
+            # layout; the decoder's generic 1..2 factor path covers it)
+            samp = [(2, 1), (1, 1), (1, 1)]
+            pw = (w + 1) // 2 * 2
+            sub = []
+            for p in (cb, cr):
+                pp = _pad_to(p, h, pw)
+                sub.append(np.round(
+                    pp.reshape(h, pw // 2, 2).mean(axis=2)))
             planes = [y, sub[0], sub[1]]
         else:
             samp = [(1, 1), (1, 1), (1, 1)]

@@ -56,7 +56,7 @@ def test_smooth_gray_bounded_loss_and_odd_dims():
     assert np.abs(dec.astype(int) - px.astype(int)).max() <= 12
 
 
-@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
 def test_rgb_roundtrip_and_subsampling(sub):
     # constant color: chroma planes constant -> subsampling lossless
     px = np.full((20, 30, 3), 0, np.uint8)
@@ -127,7 +127,7 @@ def test_encoder_input_validation():
     with pytest.raises(ValueError, match="uint8"):
         encode_jpeg(np.zeros((8, 8), np.float32))
     with pytest.raises(ValueError, match="subsample"):
-        encode_jpeg(np.zeros((8, 8), np.uint8), subsample="422")
+        encode_jpeg(np.zeros((8, 8), np.uint8), subsample="411")
     with pytest.raises(ValueError, match="gray or"):
         encode_jpeg(np.zeros((8, 8, 2), np.uint8))
     with pytest.raises(ValueError, match="empty"):
