@@ -1808,6 +1808,47 @@ def q_jpeg_roundtrip(sf_dir: str):
                           batch_size=None)
 
 
+def q_jpeg_progressive(sf_dir: str):
+    """PROGRESSIVE JPEG (SOF2) end-to-end: the same constant-tile
+    images as ``jpeg_roundtrip`` rendered through
+    ``encode_jpeg_progressive`` (spectral selection + successive
+    approximation, the libjpeg-style scan ladder) and decoded by the
+    multi-scan accumulator — because the tiles' DC is an exact
+    multiple of the quant step and both writers quantize identically,
+    the decode is EXACT and the oracle is the same closed form. If
+    the scan ladder, EOB-run protocol, correction bits or DC/AC
+    successive approximation drift, the hash breaks."""
+    from ..stages.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ws, hs, sums = [], [], []
+        for d in ids:
+            tx = 1 + int(d % 3)
+            ty = 1 + int(d % 2)
+            a = int(d % 97) % 64
+            m = (a + np.arange(tx * ty)) % 64 - 32
+            tiles = (128 + 2 * m).reshape(ty, tx)
+            px = np.repeat(np.repeat(tiles, 8, 0), 8, 1) \
+                .astype(np.uint8)
+            dec = decode_jpeg(encode_jpeg_progressive(px))
+            hs.append(dec.shape[0])
+            ws.append(dec.shape[1])
+            sums.append(int(dec.astype(np.int64).sum()))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "px_sum": pa.array(sums, pa.int64()),
+        })
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def q_ccnet_mixture(sf_dir: str):
     """The CCNet data recipe end-to-end: perplexity-bucket every doc
     per language (head/middle/tail tertiles), DROP the tail, then fill

@@ -3231,6 +3231,19 @@ FROM (SELECT doc_id, tx, ty, tx * ty AS n, (doc_id % 97) % 64 AS a2
                    1 + doc_id % 2 AS ty
             FROM documents))
 """,
+    # jpeg_progressive: identical construction and closed form as
+    # jpeg_roundtrip — only the wire format differs (SOF2 multi-scan).
+    "jpeg_progressive": """
+SELECT doc_id,
+       CAST(8 * tx AS BIGINT) AS width,
+       CAST(8 * ty AS BIGINT) AS height,
+       CAST(64 * (64 * n + 2 * (n * a2 + n * (n - 1) // 2
+            - 64 * greatest(0, a2 + n - 64))) AS BIGINT) AS px_sum
+FROM (SELECT doc_id, tx, ty, tx * ty AS n, (doc_id % 97) % 64 AS a2
+      FROM (SELECT doc_id, 1 + doc_id % 3 AS tx,
+                   1 + doc_id % 2 AS ty
+            FROM documents))
+""",
     "ccnet_mixture": (r"""
 WITH tf AS (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
@@ -4244,6 +4257,7 @@ QUERIES = {
     "ccnet_mixture": q_ccnet_mixture,
     "png_roundtrip": q_png_roundtrip,
     "jpeg_roundtrip": q_jpeg_roundtrip,
+    "jpeg_progressive": q_jpeg_progressive,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,

@@ -1,4 +1,5 @@
-"""Baseline JPEG codec (ITU T.81 SOF0), pure numpy + python.
+"""JPEG codec (ITU T.81, baseline SOF0 + progressive SOF2), pure
+numpy + python.
 
 Closes the "pil slot" boundary in stages/multimodal.py (VERDICT r4
 item 6): JPEG is the dominant photographic format of the web, so a
@@ -11,15 +12,19 @@ sampling.
 
 Scope and boundaries, documented loudly:
 
-* DECODE: baseline sequential (SOF0) — 8-bit samples, Huffman
-  entropy coding, 1 or 3 components, interleaved scan, DRI/RSTn
-  restart intervals. Progressive (SOF2), arithmetic coding, 12-bit
-  and hierarchical modes raise ``NotImplementedError`` with the
-  marker name (the documented boundary; progressive needs a
-  multi-scan IDCT accumulator).
-* ENCODE: baseline SOF0 with the Annex K tables, gray or RGB,
-  4:4:4 / 4:2:2 / 4:2:0 — the fixture/writer half that lets every
-  decode path be round-trip tested without external libraries.
+* DECODE: baseline sequential (SOF0/1) AND progressive (SOF2,
+  Huffman — spectral selection + successive approximation, the
+  multi-scan coefficient accumulator with EOB runs and correction
+  bits per T.81 G.2) — 8-bit samples, 1 or 3 components, DRI/RSTn
+  restart intervals. Arithmetic coding, 12-bit, lossless and
+  hierarchical modes raise ``NotImplementedError`` with the marker
+  name (the remaining documented boundary).
+* ENCODE: baseline SOF0 with the Annex K tables, and progressive
+  SOF2 via ``encode_jpeg_progressive`` (libjpeg-style scan ladder;
+  AC scans use a flat self-describing Huffman table because Annex K
+  defines no EOBn codes) — gray or RGB, 4:4:4 / 4:2:2 / 4:2:0 —
+  the fixture/writer half that lets every decode path be
+  round-trip tested without external libraries.
 * Entropy (de)coding walks bits in Python per block — the honest
   baseline; dequantization and the IDCT are one vectorized einsum
   over ALL blocks of a component. Run it in the actor pool like
@@ -35,7 +40,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg"]
+__all__ = ["encode_jpeg", "encode_jpeg_progressive",
+           "decode_jpeg"]
 
 # ---------------------------------------------------------------------------
 # Spec constants (ITU T.81 Annex K)
@@ -110,6 +116,18 @@ AC_CHROM = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
     0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
     0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA])
+
+#: AC table for the PROGRESSIVE writer: the Annex K baseline AC
+#: tables define no EOBn symbols (baseline never emits them), so
+#: progressive scans use this flat canonical table — every (run,
+#: size<=10) symbol, ZRL, and EOBn for n<=14, all at code length 8
+#: (176 codes: Kraft 176/256 < 1, all-ones code unused — valid per
+#: C.2, just not entropy-optimal; the table ships in the DHT so any
+#: decoder reads it).
+AC_PROG = ([0] * 7 + [176] + [0] * 8,
+           sorted([(r << 4) | s for r in range(16)
+                   for s in range(1, 11)]
+                  + [0xF0] + [r << 4 for r in range(15)]))
 
 #: 2-D DCT basis matrix: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
 #: FDCT(block) = A @ block @ A.T, IDCT(coef) = A.T @ coef @ A
@@ -318,15 +336,11 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return np.pad(plane, ((0, mh - h), (0, mw - w)), mode="edge")
 
 
-def encode_jpeg(pixels: np.ndarray, *, subsample: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """8-bit grayscale (h, w) or RGB (h, w, 3) -> baseline JPEG bytes
-    (SOF0, Annex K quantization + Huffman tables, JFIF APP0 header).
-    ``subsample``: ``"444"`` (no chroma subsampling), ``"422"``
-    (horizontal halving) or ``"420"`` (2x2 averaging) — the layouts
-    that dominate real web JPEGs. ``restart_interval`` > 0 emits a DRI segment and RSTn
-    markers every N MCUs (predictors reset — exercises the decoder's
-    resync path). Deterministic: same pixels, same bytes."""
+def _prepare_components(pixels: np.ndarray, subsample: str):
+    """Shared writer front half: validate, color-transform,
+    subsample, pad and FDCT+quantize every component. Returns
+    ``(h, w, samp, qids, coefs, mcux, mcuy)`` with ``coefs[i]`` the
+    (by, bx, 64) zigzag coefficient grid of component ``i``."""
     if pixels.dtype != np.uint8:
         raise ValueError("pixels must be uint8")
     if subsample not in ("444", "422", "420"):
@@ -384,20 +398,66 @@ def encode_jpeg(pixels: np.ndarray, *, subsample: str = "444",
     for p, (sh, sv), qid in zip(planes, samp, qids):
         coefs.append(_fdct_quant(
             _pad_to(p, mcuy * sv * 8, mcux * sh * 8), quants[qid]))
+    return h, w, samp, qids, coefs, mcux, mcuy
 
+
+def _write_headers(h, w, samp, qids, hids, *, sof_marker: bytes,
+                   restart_interval: int = 0,
+                   ac_defs=(AC_LUM, AC_CHROM)) -> bytearray:
+    """SOI .. SOS-exclusive header segments shared by the baseline
+    and progressive writers (JFIF APP0, DQT, optional DRI, SOF,
+    all DHTs up front — legal per B.2.4.2, tables just need to
+    precede first use)."""
+    quants = [QUANT_LUM, QUANT_CHROM]
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) \
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0
+    for qid in sorted(set(qids)):
+        zzq = quants[qid][ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) \
+            + bytes([qid]) + zzq.tobytes()
+    ncomp = len(samp)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff" + sof_marker \
+        + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, ((sh, sv), qid) in enumerate(zip(samp, qids)):
+        out += bytes([ci + 1, (sh << 4) | sv, qid])
+    for cls, tabs in ((0, (DC_LUM, DC_CHROM)), (1, ac_defs)):
+        for tid in sorted(set(hids)):
+            bits, vals = tabs[tid]
+            out += b"\xff\xc4" \
+                + struct.pack(">H", 19 + len(vals)) \
+                + bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    return out
+
+
+def encode_jpeg(pixels: np.ndarray, *, subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """8-bit grayscale (h, w) or RGB (h, w, 3) -> baseline JPEG bytes
+    (SOF0, Annex K quantization + Huffman tables, JFIF APP0 header).
+    ``subsample``: ``"444"`` (no chroma subsampling), ``"422"``
+    (horizontal halving) or ``"420"`` (2x2 averaging) — the layouts
+    that dominate real web JPEGs. ``restart_interval`` > 0 emits a
+    DRI segment and RSTn markers every N MCUs (predictors reset —
+    exercises the decoder's resync path). Deterministic: same
+    pixels, same bytes."""
+    h, w, samp, qids, coefs, mcux, mcuy = \
+        _prepare_components(pixels, subsample)
+    gray = len(samp) == 1
     dc_tabs = [_huff_codes(*DC_LUM), _huff_codes(*DC_CHROM)]
     ac_tabs = [_huff_codes(*AC_LUM), _huff_codes(*AC_CHROM)]
     hids = [0] + ([1, 1] if not gray else [])
 
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(samp)
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count \
                     and mcu_count % restart_interval == 0:
                 bw.marker(0xD0 + (mcu_count // restart_interval - 1) % 8)
-                preds = [0] * len(planes)
+                preds = [0] * len(samp)
             mcu_count += 1
             for ci, (sh, sv) in enumerate(samp):
                 for by in range(sv):
@@ -408,26 +468,9 @@ def encode_jpeg(pixels: np.ndarray, *, subsample: str = "444",
                             ac_tabs[hids[ci]])
     entropy = bw.flush()
 
-    out = bytearray(b"\xff\xd8")                       # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) \
-        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0
-    for qid in sorted(set(qids)):
-        zzq = quants[qid][ZIGZAG].astype(np.uint8)
-        out += b"\xff\xdb" + struct.pack(">H", 67) \
-            + bytes([qid]) + zzq.tobytes()
-    ncomp = len(planes)
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w,
-                                     ncomp)
-    for ci, ((sh, sv), qid) in enumerate(zip(samp, qids)):
-        out += bytes([ci + 1, (sh << 4) | sv, qid])
-    for cls, tabs in ((0, (DC_LUM, DC_CHROM)), (1, (AC_LUM, AC_CHROM))):
-        for tid in sorted(set(hids)):
-            bits, vals = tabs[tid]
-            out += b"\xff\xc4" \
-                + struct.pack(">H", 19 + len(vals)) \
-                + bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    out = _write_headers(h, w, samp, qids, hids, sof_marker=b"\xc0",
+                         restart_interval=restart_interval)
+    ncomp = len(samp)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         out += bytes([ci + 1, (hids[ci] << 4) | hids[ci]])
@@ -441,21 +484,26 @@ def encode_jpeg(pixels: np.ndarray, *, subsample: str = "444",
 # Decoder
 # ---------------------------------------------------------------------------
 
-_PROGRESSIVE = {0xC2: "SOF2 (progressive)", 0xC6: "SOF6",
-                0xCA: "SOF10", 0xCE: "SOF14"}
-_UNSUPPORTED_SOF = {0xC3: "SOF3 (lossless)", 0xC5: "SOF5", 0xC7: "SOF7",
-                    0xC9: "SOF9 (arithmetic)", 0xCB: "SOF11",
-                    0xCD: "SOF13", 0xCF: "SOF15"}
+_UNSUPPORTED_SOF = {0xC3: "SOF3 (lossless)", 0xC5: "SOF5 (differential)",
+                    0xC6: "SOF6 (differential progressive)",
+                    0xC7: "SOF7 (differential lossless)",
+                    0xC9: "SOF9 (arithmetic)",
+                    0xCA: "SOF10 (progressive arithmetic)",
+                    0xCB: "SOF11 (lossless arithmetic)",
+                    0xCD: "SOF13", 0xCE: "SOF14", 0xCF: "SOF15"}
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> uint8 pixels: (h, w) for 1-component
     (grayscale) files, (h, w, 3) RGB for 3-component YCbCr (JFIF
     BT.601 full-range conversion, nearest-neighbor chroma
-    upsampling). Strict on structure (markers, table ids, sampling
-    factors 1..2, component count) and loud on the documented
-    boundaries: progressive / arithmetic / lossless / 12-bit files
-    raise ``NotImplementedError`` naming the mode."""
+    upsampling). Handles baseline sequential (SOF0/1) and
+    progressive (SOF2 Huffman) files — progressive scans accumulate
+    into the coefficient grid and IDCT runs once at EOI. Strict on
+    structure (markers, table ids, sampling factors 1..2, component
+    count) and loud on the remaining boundaries: arithmetic /
+    lossless / 12-bit / hierarchical files raise
+    ``NotImplementedError`` naming the mode."""
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -465,8 +513,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ac_dec: dict[int, _HuffDecoder] = {}
     sof = None
     restart_interval = 0
+    progressive = False
+    scans: list = []
     while True:
         if pos + 2 > len(d):
+            if progressive and scans:
+                break          # data ends after the last scan
             raise ValueError("truncated JPEG (no SOS)")
         if d[pos] != 0xFF:
             raise ValueError("expected marker at byte %d" % pos)
@@ -480,15 +532,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos += 2
             continue
         if marker == 0xD9:          # EOI is standalone too
+            if progressive and scans:
+                break
             raise ValueError("EOI before SOS (no image data)")
         if pos + 4 > len(d):
             raise ValueError("truncated JPEG (no SOS)")
-        if marker in _PROGRESSIVE:
-            raise NotImplementedError(
-                "JPEG %s is not supported by this baseline decoder "
-                "(multi-scan coefficient accumulation; use an "
-                "external codec for progressive files)"
-                % _PROGRESSIVE[marker])
         if marker in _UNSUPPORTED_SOF:
             raise NotImplementedError(
                 "JPEG %s is not supported by this baseline decoder"
@@ -523,7 +571,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 (dc_dec if cls == 0 else ac_dec)[tid] = \
                     _HuffDecoder(bits, vals)
                 bp += 17 + nvals
-        elif marker in (0xC0, 0xC1):                    # SOF0/1
+        elif marker in (0xC0, 0xC1, 0xC2):              # SOF0/1/2
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(
@@ -551,10 +600,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append((cs, tabs >> 4, tabs & 0x0F))
             pos = pos + 2 + seglen
-            return _decode_scan(d, pos, sof, scan, qt, dc_dec, ac_dec,
-                                restart_interval)
+            if not progressive:
+                return _decode_scan(d, pos, sof, scan, qt, dc_dec,
+                                    ac_dec, restart_interval)
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            scans.append((scan, ss, se, ahal >> 4, ahal & 0x0F, pos,
+                          dict(dc_dec), dict(ac_dec),
+                          restart_interval))
+            pos = _entropy_end(d, pos)
+            continue
         # APPn / COM / anything else: skip
         pos = pos + 2 + seglen
+    return _decode_progressive(d, sof, scans, qt)
 
 
 def _decode_scan(d, pos, sof, scan, qt, dc_dec, ac_dec,
@@ -648,6 +707,15 @@ def _decode_scan(d, pos, sof, scan, qt, dc_dec, ac_dec,
                                 decode_block(ci, td, ta)
                 mcu_count += 1
 
+    return _assemble(h, w, comps, coefs, qt)
+
+
+def _assemble(h, w, comps, coefs, qt) -> np.ndarray:
+    """Per-component (by, bx, 64) zigzag coefficient grids ->
+    dequant + vectorized IDCT -> crop/upsample -> gray or BT.601 RGB.
+    Shared by the baseline and progressive decode paths."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c, coef in zip(comps, coefs):
         if c["tq"] not in qt:
@@ -676,3 +744,424 @@ def _decode_scan(d, pos, sof, scan, qt, dc_dec, ac_dec,
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive mode (SOF2, Huffman): spectral selection + successive
+# approximation — multi-scan coefficient accumulation per T.81 G.1/G.2.
+# ---------------------------------------------------------------------------
+
+def _entropy_end(d: bytes, pos: int) -> int:
+    """First byte offset of the next true marker after an entropy
+    segment (stuffed 0x00, RSTn and fill 0xFF bytes all belong to
+    the entropy stream)."""
+    while True:
+        nxt = d.find(b"\xff", pos)
+        if nxt < 0 or nxt + 1 >= len(d):
+            return len(d)
+        m = d[nxt + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            pos = nxt + 2
+            continue
+        if m == 0xFF:                  # fill byte
+            pos = nxt + 1
+            continue
+        return nxt
+
+
+def _decode_progressive(d, sof, scans, qt) -> np.ndarray:
+    """Accumulate every scan's contribution into per-component
+    coefficient grids, then dequant + IDCT once — the multi-scan
+    twin of ``_decode_scan``."""
+    if sof is None:
+        raise ValueError("SOS before SOF")
+    h, w, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+             for c in comps]
+    for scan, ss, se, ah, al, pos, dc_dec, ac_dec, dri in scans:
+        _prog_scan(d, pos, sof, scan, ss, se, ah, al, dc_dec, ac_dec,
+                   dri, coefs, mcux, mcuy)
+    return _assemble(h, w, comps, coefs, qt)
+
+
+def _prog_scan(d, pos, sof, scan, ss, se, ah, al, dc_dec, ac_dec,
+               dri, coefs, mcux, mcuy) -> None:
+    h, w, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    order = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("scan names unknown component %d" % cs)
+        order.append((by_id[cs], td, ta))
+    reader = _BitReader(d, pos)
+    state = {"eobrun": 0, "preds": [0] * len(comps), "units": 0}
+
+    def check_restart():
+        m = reader.align_to_marker()
+        if not (m[0] == 0xFF and 0xD0 <= m[1] <= 0xD7):
+            raise ValueError("expected RST marker in progressive "
+                             "scan at unit %d" % state["units"])
+        reader.pos += 2
+        reader.bit = 0
+        state["eobrun"] = 0
+        state["preds"] = [0] * len(comps)
+
+    def maybe_restart():
+        if dri and state["units"] and state["units"] % dri == 0:
+            check_restart()
+        state["units"] += 1
+
+    if ss == 0:                                       # DC scan
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+
+        def dc_block(ci, td, by, bx):
+            if ah == 0:
+                if td not in dc_dec:
+                    raise ValueError("scan references missing "
+                                     "Huffman table")
+                t = dc_dec[td].decode(reader)
+                diff = _extend(reader.receive(t), t)
+                state["preds"][ci] += diff
+                coefs[ci][by, bx, 0] = state["preds"][ci] << al
+            else:                                     # refinement
+                if reader.read_bit():
+                    coefs[ci][by, bx, 0] |= 1 << al
+
+        if len(order) > 1:                            # interleaved
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    for ci, td, _ta in order:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(ci, td, my * c["v"] + by,
+                                         mx * c["h"] + bx)
+        else:                                         # non-interleaved
+            ci, td, _ta = order[0]
+            c = comps[ci]
+            bh_ = -(-(-(-h * c["v"] // vmax)) // 8)
+            bw_ = -(-(-(-w * c["h"] // hmax)) // 8)
+            for by in range(bh_):
+                for bx in range(bw_):
+                    maybe_restart()
+                    dc_block(ci, td, by, bx)
+        return
+
+    # AC scan: exactly one component, non-interleaved (T.81 B.2.3)
+    if len(order) != 1:
+        raise ValueError("progressive AC scan with %d components"
+                         % len(order))
+    ci, _td, ta = order[0]
+    if ta not in ac_dec:
+        raise ValueError("scan references missing Huffman table")
+    ac = ac_dec[ta]
+    c = comps[ci]
+    bh_ = -(-(-(-h * c["v"] // vmax)) // 8)
+    bw_ = -(-(-(-w * c["h"] // hmax)) // 8)
+    grid = coefs[ci]
+    p1, m1 = 1 << al, -1 << al
+
+    for by in range(bh_):
+        for bx in range(bw_):
+            maybe_restart()
+            zz = grid[by, bx]
+            if ah == 0:                               # first pass
+                if state["eobrun"] > 0:
+                    state["eobrun"] -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = ac.decode(reader)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16                   # ZRL
+                            continue
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += reader.receive(r)
+                        break                         # EOB
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    zz[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+                continue
+            # refinement pass (T.81 G.2 / the libjpeg-documented
+            # correction-bit protocol)
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    rs = ac.decode(reader)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "refinement magnitude > 1")
+                        val = p1 if reader.read_bit() else m1
+                    elif r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.receive(r)
+                        break
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit() and \
+                                    not (zz[k] & p1):
+                                zz[k] += p1 if zz[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                if val:
+                                    zz[k] = val
+                                break
+                            r -= 1
+                        k += 1
+                    k += 1
+            if state["eobrun"] > 0:
+                # correction bits over the rest of the band (every
+                # block of the EOB run carries them)
+                while k <= se:
+                    if zz[k] != 0:
+                        if reader.read_bit() and not (zz[k] & p1):
+                            zz[k] += p1 if zz[k] > 0 else m1
+                    k += 1
+                state["eobrun"] -= 1
+
+
+def _default_progressive_script(ncomp: int):
+    """The libjpeg-style spectral-selection + successive-approximation
+    scan ladder (DC first at Al=1, split/full AC bands at reduced
+    precision, then refinement scans down to bit 0)."""
+    if ncomp == 1:
+        return [([0], 0, 0, 0, 1),
+                ([0], 1, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0)]
+    return [([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([2], 1, 63, 0, 1),
+            ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0)]
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward zero
+    (T.81 G.1.2.2 — DC uses an arithmetic shift instead)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+class _EobState:
+    """Encoder-side EOB-run accumulator for refinement scans: the run
+    length plus the correction bits buffered across its blocks,
+    flushed together right after the EOBn symbol (the protocol the
+    decoder's run-block correction reads rely on)."""
+
+    def __init__(self, bw: "_BitWriter", ac_codes):
+        self.bw = bw
+        self.ac = ac_codes
+        self.run = 0
+        self.bits: list[int] = []
+
+    def emit(self) -> None:
+        if self.run:
+            nbits = self.run.bit_length() - 1
+            code, ln = self.ac[nbits << 4]
+            self.bw.write(code, ln)
+            if nbits:
+                self.bw.write(self.run - (1 << nbits), nbits)
+            self.run = 0
+        for b in self.bits:
+            self.bw.write(b, 1)
+        self.bits = []
+
+
+def _enc_ac_first(bw, grid, bh_, bw2, ac_codes, ss, se, al,
+                  eob: "_EobState") -> None:
+    for by in range(bh_):
+        for bx in range(bw2):
+            zz = grid[by, bx]
+            vals = [_pt_ac(int(zz[k]), al) for k in range(ss, se + 1)]
+            last = -1
+            for i, v in enumerate(vals):
+                if v:
+                    last = i
+            if last < 0:
+                eob.run += 1
+                if eob.run == 0x7FFF:
+                    eob.emit()
+                continue
+            eob.emit()
+            r = 0
+            for i in range(last + 1):
+                v = vals[i]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                s = _category(v)
+                code, ln = ac_codes[(r << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+            if last < se - ss:
+                eob.run += 1
+                if eob.run == 0x7FFF:
+                    eob.emit()
+
+
+def _enc_ac_refine(bw, grid, bh_, bw2, ac_codes, ss, se, al,
+                   eob: "_EobState") -> None:
+    for by in range(bh_):
+        for bx in range(bw2):
+            zz = grid[by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob_k = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob_k = i
+            r = 0
+            pend: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRLs flush BEFORE any nonzero position — including
+                # correction-only ones — so correction bits partition
+                # around the ZRL exactly where the decoder's 16-zero
+                # walk stops (the libjpeg refine-loop ordering; a
+                # t==1-only flush desyncs when an already-significant
+                # coefficient sits between the 16th zero and the next
+                # newly-significant one)
+                while r > 15 and i <= eob_k:
+                    eob.emit()
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                    for b in pend:
+                        bw.write(b, 1)
+                    pend = []
+                if t > 1:
+                    pend.append(t & 1)
+                    continue
+                # newly significant (t == 1)
+                eob.emit()
+                code, ln = ac_codes[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+                for b in pend:
+                    bw.write(b, 1)
+                pend = []
+                r = 0
+            if r > 0 or pend:
+                eob.run += 1
+                eob.bits.extend(pend)
+                if eob.run == 0x7FFF:
+                    eob.emit()
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, *,
+                            subsample: str = "444",
+                            scans=None) -> bytes:
+    """Progressive (SOF2) writer: spectral selection + successive
+    approximation over the SAME Annex-K-quantized coefficients as the
+    baseline writer, so ``decode_jpeg`` of the progressive bytes is
+    EXACTLY equal to the baseline decode of the same pixels (both
+    reconstruct the identical coefficient grid — the parity the tests
+    assert). ``scans`` overrides the default libjpeg-style ladder
+    with ``(component_indices, Ss, Se, Ah, Al)`` tuples."""
+    h, w, samp, qids, coefs, mcux, mcuy = \
+        _prepare_components(pixels, subsample)
+    ncomp = len(samp)
+    hids = [0] + ([1, 1] if ncomp > 1 else [])
+    if scans is None:
+        scans = _default_progressive_script(ncomp)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def true_grid(ci):
+        sh, sv = samp[ci]
+        return (-(-(-(-h * sv // vmax)) // 8),
+                -(-(-(-w * sh // hmax)) // 8))
+
+    dc_tabs = [_huff_codes(*DC_LUM), _huff_codes(*DC_CHROM)]
+    ac_tabs = [_huff_codes(*AC_PROG), _huff_codes(*AC_PROG)]
+    out = _write_headers(h, w, samp, qids, hids, sof_marker=b"\xc2",
+                         ac_defs=(AC_PROG, AC_PROG))
+
+    for comp_idx, ss, se, ah, al, in scans:
+        bw = _BitWriter()
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            preds = {ci: 0 for ci in comp_idx}
+
+            def dc_one(ci, by, bx):
+                dc = int(coefs[ci][by, bx, 0])
+                if ah == 0:
+                    v = dc >> al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s = _category(diff)
+                    code, ln = dc_tabs[hids[ci]][s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(diff if diff >= 0
+                                 else diff + (1 << s) - 1, s)
+                else:
+                    bw.write((dc >> al) & 1, 1)
+
+            if len(comp_idx) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in comp_idx:
+                            sh, sv = samp[ci]
+                            for by in range(sv):
+                                for bx in range(sh):
+                                    dc_one(ci, my * sv + by,
+                                           mx * sh + bx)
+            else:
+                ci = comp_idx[0]
+                bh_, bw2 = true_grid(ci)
+                for by in range(bh_):
+                    for bx in range(bw2):
+                        dc_one(ci, by, bx)
+        else:
+            if len(comp_idx) != 1:
+                raise ValueError(
+                    "progressive AC scan must name one component")
+            ci = comp_idx[0]
+            bh_, bw2 = true_grid(ci)
+            eob = _EobState(bw, ac_tabs[hids[ci]])
+            if ah == 0:
+                _enc_ac_first(bw, coefs[ci], bh_, bw2,
+                              ac_tabs[hids[ci]], ss, se, al, eob)
+            else:
+                _enc_ac_refine(bw, coefs[ci], bh_, bw2,
+                               ac_tabs[hids[ci]], ss, se, al, eob)
+            eob.emit()
+        ns = len(comp_idx)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comp_idx:
+            out += bytes([ci + 1, (hids[ci] << 4) | hids[ci]])
+        out += bytes([ss, se, (ah << 4) | al])
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -11,11 +11,13 @@ container):
   histogram features, size parsing from a fake header) used by tests
 * ``decoder="png"``   — the REAL codec below (stdlib zlib + numpy,
   all five scanline filters, CRC-checked)
-* ``decoder="jpeg"``  — the REAL baseline-JPEG codec (stages/jpeg.py:
-  SOF0 huffman + dequant + vectorized IDCT, 4:2:0/4:2:2/4:4:4)
+* ``decoder="jpeg"``  — the REAL JPEG codec (stages/jpeg.py:
+  baseline SOF0 AND progressive SOF2 huffman decode, dequant +
+  vectorized IDCT, 4:2:0/4:2:2/4:4:4)
 * ``decoder="pil"`` / ``"ffmpeg"`` — raise NotImplementedError at
   actor construction with a clear message (formats that genuinely
-  need the external libraries: video codecs, progressive JPEG)
+  need the external libraries: video codecs, arithmetic-coded or
+  12-bit JPEG)
 
 Large-payload guidance baked in: use small ``batch_size`` (payloads x
 batch x concurrency must fit worker heap) and keep the column in Arrow
@@ -90,18 +92,20 @@ class MediaDecoder:
         elif decoder in ("pil", "ffmpeg"):
             raise NotImplementedError(
                 "decoder %r needs an image/audio library not present in "
-                "this environment (video codecs, progressive JPEG); "
-                "plug the real codec in here — the pipeline plumbing "
-                "(schema, batching, actor pool) is already wired, and "
-                "PNG/BMP/WAV/baseline-JPEG decode natively" % decoder)
+                "this environment (video codecs, arithmetic-coded "
+                "JPEG); plug the real codec in here — the pipeline "
+                "plumbing (schema, batching, actor pool) is already "
+                "wired, and PNG/BMP/WAV/JPEG (baseline+progressive) "
+                "decode natively" % decoder)
         else:
             raise ValueError("unknown decoder " + decoder)
 
     @staticmethod
     def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
-        """The REAL baseline-JPEG path (stages/jpeg.py: SOF0 huffman +
-        dequant + IDCT): same 16-bin luminance histogram contract as
-        the PNG path; progressive files raise through loudly."""
+        """The REAL JPEG path (stages/jpeg.py: baseline SOF0 and
+        progressive SOF2 huffman decode + dequant + IDCT): same
+        16-bin luminance histogram contract as the PNG path;
+        arithmetic/lossless/12-bit files raise through loudly."""
         from .jpeg import decode_jpeg
 
         px = decode_jpeg(bytes(payload))

@@ -74,18 +74,65 @@ def test_rgb_roundtrip_and_subsampling(sub):
     assert np.abs(dec.astype(int) - g.astype(int)).max() <= 48
 
 
-def test_progressive_and_friends_raise_loudly():
+def test_unsupported_sof_modes_raise_loudly():
     px = np.full((8, 8), 130, np.uint8)
     blob = bytearray(encode_jpeg(px))
     i = blob.find(b"\xff\xc0")
-    for sof, name in [(0xC2, "progressive"), (0xC9, "arithmetic"),
-                      (0xC3, "lossless")]:
+    for sof, name in [(0xC9, "arithmetic"), (0xC3, "lossless"),
+                      (0xCA, "progressive arithmetic")]:
         b2 = bytearray(blob)
         b2[i + 1] = sof
         with pytest.raises(NotImplementedError, match=name):
             decode_jpeg(bytes(b2))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
+
+
+def test_progressive_parity_with_baseline():
+    """SOF2 spectral-selection + successive-approximation files decode
+    to EXACTLY the baseline decode of the same pixels (both halves
+    reconstruct the identical Annex-K-quantized coefficient grid) —
+    one assertion covers DC/AC first passes, EOB runs, ZRL-in-refine
+    correction partitioning and the scan-ladder bookkeeping."""
+    from cdx_toolkit_ray.stages.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(5)
+    for shape in [(8, 8), (16, 16), (13, 17), (9, 40)]:
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        blob = encode_jpeg_progressive(px)
+        assert b"\xff\xc2" in blob           # really SOF2
+        np.testing.assert_array_equal(decode_jpeg(blob),
+                                      decode_jpeg(encode_jpeg(px)))
+    for sub in ("444", "422", "420"):
+        px = rng.randint(0, 256, (13, 19, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            decode_jpeg(encode_jpeg_progressive(px, subsample=sub)),
+            decode_jpeg(encode_jpeg(px, subsample=sub)))
+    # smooth content: long zero runs exercise EOBn > 1
+    y, x = np.mgrid[0:48, 0:56]
+    sm = np.clip(np.round(128 + 60 * np.sin(y / 6)
+                          + 50 * np.cos(x / 9)), 0, 255) \
+        .astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_progressive(sm)),
+        decode_jpeg(encode_jpeg(sm)))
+
+
+def test_progressive_constant_tiles_exact_and_custom_script():
+    from cdx_toolkit_ray.stages.jpeg import encode_jpeg_progressive
+
+    vals = (128 + 2 * (np.arange(12) % 64 - 32)).reshape(3, 4)
+    px = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_progressive(px)), px)
+    # spectral-selection-only script (no successive approximation)
+    script = [([0], 0, 0, 0, 0), ([0], 1, 9, 0, 0),
+              ([0], 10, 63, 0, 0)]
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 256, (24, 16)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_progressive(g, scans=script)),
+        decode_jpeg(encode_jpeg(g)))
 
 
 def test_sniff_routes_jpeg(ray_session):
