@@ -3,9 +3,10 @@
 Images/audio/video are ``binary`` columns with a metadata struct; the
 decode / feature-extract / resize / frame-sample operators are
 actor-pool ``map_batches`` stages whose Ray-side plumbing (schema,
-batch sizing, actor signature, output layout) is real and tested, while
-the codec itself is STUBBED (no image/audio libraries in this
-container):
+batch sizing, actor signature, output layout) is real and tested.
+PNG, BMP, WAV and JPEG (baseline + progressive) are REAL pure-numpy
+codecs built from their public specs; only formats that genuinely
+need external libraries stay stubbed:
 
 * ``decoder="fake"``  — deterministic pure-python stand-in (byte
   histogram features, size parsing from a fake header) used by tests

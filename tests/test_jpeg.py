@@ -221,3 +221,26 @@ def test_truncated_restart_stream_raises_valueerror():
     assert rst > 0
     with pytest.raises(ValueError):
         decode_jpeg(blob[:rst])
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@given(seed=hst.integers(0, 10_000),
+       h=hst.integers(1, 40), w=hst.integers(1, 40),
+       color=hst.booleans(),
+       sub=hst.sampled_from(["444", "422", "420"]))
+@settings(max_examples=40, deadline=None)
+def test_progressive_parity_property(seed, h, w, color, sub):
+    """Any geometry/content/subsampling: progressive bytes decode to
+    exactly the baseline decode (shared coefficient grid)."""
+    from cdx_toolkit_ray.stages.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(seed)
+    shape = (h, w, 3) if color else (h, w)
+    px = rng.randint(0, 256, shape).astype(np.uint8)
+    kw = {"subsample": sub} if color else {}
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_progressive(px, **kw)),
+        decode_jpeg(encode_jpeg(px, **kw)))
