@@ -1764,89 +1764,70 @@ def q_png_roundtrip(sf_dir: str):
                           batch_size=None)
 
 
+def _jpeg_tile_query(sf_dir: str, encode_fn):
+    """Shared body of the two JPEG catalog entries: deterministic
+    constant-tile grayscale images per doc (tile values 128 + 2k so
+    the DC is an exact multiple of the Annex K quant step 16 — the
+    lossy pipeline is exact by construction), rendered through
+    ``encode_fn`` and decoded back; ONE tile recipe and ONE closed
+    form (_oracles._JPEG_TILE_SQL) keep both entries in lockstep."""
+    from ..stages.jpeg import decode_jpeg
+
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ws, hs, sums = [], [], []
+        for d in ids:
+            tx = 1 + int(d % 3)
+            ty = 1 + int(d % 2)
+            a = int(d % 97) % 64
+            m = (a + np.arange(tx * ty)) % 64 - 32
+            tiles = (128 + 2 * m).reshape(ty, tx)
+            px = np.repeat(np.repeat(tiles, 8, 0), 8, 1) \
+                .astype(np.uint8)
+            dec = decode_jpeg(encode_fn(px))
+            hs.append(dec.shape[0])
+            ws.append(dec.shape[1])
+            sums.append(int(dec.astype(np.int64).sum()))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "px_sum": pa.array(sums, pa.int64()),
+        })
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def q_jpeg_roundtrip(sf_dir: str):
     """REAL baseline-JPEG codec end-to-end (stages/jpeg.py: Annex K
     tables, huffman entropy coding, DC prediction, restart markers,
-    dequant + vectorized IDCT — VERDICT r4 item 6): each doc builds a
-    deterministic grayscale image of constant 8x8 tiles whose values
-    are 128 + 2k, so the DC coefficient (16k) is an exact multiple of
-    the luminance quant step 16 and every AC coefficient is zero —
-    the lossy pipeline is EXACT by construction and the decoded
-    px_sum has a closed form the SQL oracle recomputes. Encoding uses
+    dequant + vectorized IDCT — VERDICT r4 item 6): the shared
+    constant-tile construction (see _jpeg_tile_query) encoded with
     restart_interval=2, putting the DRI/RSTn resync path inside the
     hash. If the huffman tables, predictor chain, zigzag order,
     dequant or IDCT drift, the hash breaks. Runs in the map task;
     payload bytes never shuffle."""
-    from ..stages.jpeg import decode_jpeg, encode_jpeg
+    from ..stages.jpeg import encode_jpeg
 
-    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
-                               columns=["doc_id"])
-
-    def roundtrip(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        ws, hs, sums = [], [], []
-        for d in ids:
-            tx = 1 + int(d % 3)
-            ty = 1 + int(d % 2)
-            a = int(d % 97) % 64
-            m = (a + np.arange(tx * ty)) % 64 - 32
-            tiles = (128 + 2 * m).reshape(ty, tx)
-            px = np.repeat(np.repeat(tiles, 8, 0), 8, 1) \
-                .astype(np.uint8)
-            dec = decode_jpeg(encode_jpeg(px, restart_interval=2))
-            hs.append(dec.shape[0])
-            ws.append(dec.shape[1])
-            sums.append(int(dec.astype(np.int64).sum()))
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "width": pa.array(ws, pa.int64()),
-            "height": pa.array(hs, pa.int64()),
-            "px_sum": pa.array(sums, pa.int64()),
-        })
-
-    return ds.map_batches(roundtrip, batch_format="pyarrow",
-                          batch_size=None)
+    return _jpeg_tile_query(
+        sf_dir, lambda px: encode_jpeg(px, restart_interval=2))
 
 
 def q_jpeg_progressive(sf_dir: str):
     """PROGRESSIVE JPEG (SOF2) end-to-end: the same constant-tile
-    images as ``jpeg_roundtrip`` rendered through
-    ``encode_jpeg_progressive`` (spectral selection + successive
-    approximation, the libjpeg-style scan ladder) and decoded by the
-    multi-scan accumulator — because the tiles' DC is an exact
-    multiple of the quant step and both writers quantize identically,
-    the decode is EXACT and the oracle is the same closed form. If
-    the scan ladder, EOB-run protocol, correction bits or DC/AC
-    successive approximation drift, the hash breaks."""
-    from ..stages.jpeg import decode_jpeg, encode_jpeg_progressive
+    images rendered through ``encode_jpeg_progressive`` (spectral
+    selection + successive approximation, the libjpeg-style scan
+    ladder) and decoded by the multi-scan accumulator — same closed
+    form, exact by the same construction. If the scan ladder,
+    EOB-run protocol, correction bits or DC/AC successive
+    approximation drift, the hash breaks."""
+    from ..stages.jpeg import encode_jpeg_progressive
 
-    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
-                               columns=["doc_id"])
-
-    def roundtrip(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        ws, hs, sums = [], [], []
-        for d in ids:
-            tx = 1 + int(d % 3)
-            ty = 1 + int(d % 2)
-            a = int(d % 97) % 64
-            m = (a + np.arange(tx * ty)) % 64 - 32
-            tiles = (128 + 2 * m).reshape(ty, tx)
-            px = np.repeat(np.repeat(tiles, 8, 0), 8, 1) \
-                .astype(np.uint8)
-            dec = decode_jpeg(encode_jpeg_progressive(px))
-            hs.append(dec.shape[0])
-            ws.append(dec.shape[1])
-            sums.append(int(dec.astype(np.int64).sum()))
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "width": pa.array(ws, pa.int64()),
-            "height": pa.array(hs, pa.int64()),
-            "px_sum": pa.array(sums, pa.int64()),
-        })
-
-    return ds.map_batches(roundtrip, batch_format="pyarrow",
-                          batch_size=None)
+    return _jpeg_tile_query(sf_dir, encode_jpeg_progressive)
 
 
 def q_ccnet_mixture(sf_dir: str):

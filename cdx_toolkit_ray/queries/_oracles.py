@@ -919,6 +919,23 @@ cand AS (SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
          FROM pr JOIN szs sa ON sa.doc_id = pr.doc_a
                  JOIN szs sb ON sb.doc_id = pr.doc_b)""")
 
+#: shared closed form of the two JPEG tile entries (see
+#: _curation._jpeg_tile_query): constant 8x8 tiles with values
+#: 64 + 2*((a2+t)%64) survive Annex-K quantization exactly, so the
+#: decoded pixel sum is 64 * (64*n + 2 * sum_t((a2+t) % 64)) with the
+#: single-wrap modular-sum closed form (n <= 6 < 64).
+_JPEG_TILE_SQL = """
+SELECT doc_id,
+       CAST(8 * tx AS BIGINT) AS width,
+       CAST(8 * ty AS BIGINT) AS height,
+       CAST(64 * (64 * n + 2 * (n * a2 + n * (n - 1) // 2
+            - 64 * greatest(0, a2 + n - 64))) AS BIGINT) AS px_sum
+FROM (SELECT doc_id, tx, ty, tx * ty AS n, (doc_id % 97) % 64 AS a2
+      FROM (SELECT doc_id, 1 + doc_id % 3 AS tx,
+                   1 + doc_id % 2 AS ty
+            FROM documents))
+"""
+
 ORACLES: dict[str, str] = {
     "chunk_docs": _CHUNK_SQL,
     "tfidf_topk": _TFIDF_SQL,
@@ -3216,34 +3233,8 @@ FROM (SELECT doc_id, width, height, px_sum, n, d, m,
                          doc_id % 251 AS a
                   FROM documents)))
 """,
-    # jpeg_roundtrip: constant 8x8 tiles with values 64 + 2*((a2+t)%64)
-    # survive Annex-K quantization exactly (DC = 16k, step 16), so the
-    # decoded pixel sum is 64 * (64*n + 2 * sum_t((a2+t) % 64)) with
-    # the single-wrap modular-sum closed form (n <= 6 < 64).
-    "jpeg_roundtrip": """
-SELECT doc_id,
-       CAST(8 * tx AS BIGINT) AS width,
-       CAST(8 * ty AS BIGINT) AS height,
-       CAST(64 * (64 * n + 2 * (n * a2 + n * (n - 1) // 2
-            - 64 * greatest(0, a2 + n - 64))) AS BIGINT) AS px_sum
-FROM (SELECT doc_id, tx, ty, tx * ty AS n, (doc_id % 97) % 64 AS a2
-      FROM (SELECT doc_id, 1 + doc_id % 3 AS tx,
-                   1 + doc_id % 2 AS ty
-            FROM documents))
-""",
-    # jpeg_progressive: identical construction and closed form as
-    # jpeg_roundtrip — only the wire format differs (SOF2 multi-scan).
-    "jpeg_progressive": """
-SELECT doc_id,
-       CAST(8 * tx AS BIGINT) AS width,
-       CAST(8 * ty AS BIGINT) AS height,
-       CAST(64 * (64 * n + 2 * (n * a2 + n * (n - 1) // 2
-            - 64 * greatest(0, a2 + n - 64))) AS BIGINT) AS px_sum
-FROM (SELECT doc_id, tx, ty, tx * ty AS n, (doc_id % 97) % 64 AS a2
-      FROM (SELECT doc_id, 1 + doc_id % 3 AS tx,
-                   1 + doc_id % 2 AS ty
-            FROM documents))
-""",
+    "jpeg_roundtrip": _JPEG_TILE_SQL,
+    "jpeg_progressive": _JPEG_TILE_SQL,
     "ccnet_mixture": (r"""
 WITH tf AS (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf

@@ -403,7 +403,8 @@ def _prepare_components(pixels: np.ndarray, subsample: str):
 
 def _write_headers(h, w, samp, qids, hids, *, sof_marker: bytes,
                    restart_interval: int = 0,
-                   ac_defs=(AC_LUM, AC_CHROM)) -> bytearray:
+                   ac_defs=(AC_LUM, AC_CHROM),
+                   ac_ids=None) -> bytearray:
     """SOI .. SOS-exclusive header segments shared by the baseline
     and progressive writers (JFIF APP0, DQT, optional DRI, SOF,
     all DHTs up front — legal per B.2.4.2, tables just need to
@@ -423,8 +424,11 @@ def _write_headers(h, w, samp, qids, hids, *, sof_marker: bytes,
         + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci, ((sh, sv), qid) in enumerate(zip(samp, qids)):
         out += bytes([ci + 1, (sh << 4) | sv, qid])
-    for cls, tabs in ((0, (DC_LUM, DC_CHROM)), (1, ac_defs)):
-        for tid in sorted(set(hids)):
+    for cls, tabs, tids in ((0, (DC_LUM, DC_CHROM), sorted(set(hids))),
+                            (1, ac_defs,
+                             sorted(set(hids)) if ac_ids is None
+                             else list(ac_ids))):
+        for tid in tids:
             bits, vals = tabs[tid]
             out += b"\xff\xc4" \
                 + struct.pack(">H", 19 + len(vals)) \
@@ -595,6 +599,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if sof is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("truncated SOS header")
             scan = []
             for si in range(ns):
                 cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
@@ -959,6 +965,51 @@ def _default_progressive_script(ncomp: int):
             ([0], 1, 63, 1, 0)]
 
 
+def _validate_scan_script(scans, ncomp: int) -> None:
+    """Reject scan scripts that would encode without error but decode
+    to WRONG pixels (round-5 review finding): every coefficient
+    position must be first-coded with Ah=0 exactly once and refined
+    strictly one bit at a time (Ah == previous Al, Al == Ah - 1),
+    DC must precede a component's AC scans, component indices must
+    exist, AC scans name exactly one component."""
+    cur = [[None] * 64 for _ in range(ncomp)]
+    for si, (comp_idx, ss, se, ah, al) in enumerate(scans):
+        for ci in comp_idx:
+            if not 0 <= ci < ncomp:
+                raise ValueError(
+                    "scan %d names component %d of %d"
+                    % (si, ci, ncomp))
+        if not (0 <= ss <= se <= 63) or ah < 0 or al < 0:
+            raise ValueError("scan %d has invalid Ss/Se/Ah/Al" % si)
+        if ss == 0 and se != 0:
+            raise ValueError(
+                "scan %d mixes DC and AC (DC scans need Se=0)" % si)
+        if ss > 0 and len(comp_idx) != 1:
+            raise ValueError(
+                "scan %d: progressive AC scans name exactly one "
+                "component" % si)
+        for ci in comp_idx:
+            if ss > 0 and cur[ci][0] is None:
+                raise ValueError(
+                    "scan %d codes AC of component %d before its DC "
+                    "scan" % (si, ci))
+            for k in range(ss, se + 1):
+                prev = cur[ci][k]
+                if ah == 0:
+                    if prev is not None:
+                        raise ValueError(
+                            "scan %d first-codes component %d "
+                            "coefficient %d twice" % (si, ci, k))
+                else:
+                    if prev is None or ah != prev or al != ah - 1:
+                        raise ValueError(
+                            "scan %d breaks the successive-"
+                            "approximation ladder at component %d "
+                            "coefficient %d (need Ah == previous Al "
+                            "and Al == Ah - 1)" % (si, ci, k))
+                cur[ci][k] = al
+
+
 def _pt_ac(v: int, al: int) -> int:
     """AC point transform: divide by 2^Al truncating toward zero
     (T.81 G.1.2.2 — DC uses an arithmetic shift instead)."""
@@ -1093,6 +1144,7 @@ def encode_jpeg_progressive(pixels: np.ndarray, *,
     hids = [0] + ([1, 1] if ncomp > 1 else [])
     if scans is None:
         scans = _default_progressive_script(ncomp)
+    _validate_scan_script(scans, ncomp)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
 
@@ -1102,9 +1154,11 @@ def encode_jpeg_progressive(pixels: np.ndarray, *,
                 -(-(-(-w * sh // hmax)) // 8))
 
     dc_tabs = [_huff_codes(*DC_LUM), _huff_codes(*DC_CHROM)]
-    ac_tabs = [_huff_codes(*AC_PROG), _huff_codes(*AC_PROG)]
+    # ONE shared AC table (id 0) for every component: AC_PROG covers
+    # all symbols, so the chroma copy would be byte-identical
+    ac_prog = _huff_codes(*AC_PROG)
     out = _write_headers(h, w, samp, qids, hids, sof_marker=b"\xc2",
-                         ac_defs=(AC_PROG, AC_PROG))
+                         ac_defs=(AC_PROG, AC_PROG), ac_ids=(0,))
 
     for comp_idx, ss, se, ah, al, in scans:
         bw = _BitWriter()
@@ -1149,18 +1203,18 @@ def encode_jpeg_progressive(pixels: np.ndarray, *,
                     "progressive AC scan must name one component")
             ci = comp_idx[0]
             bh_, bw2 = true_grid(ci)
-            eob = _EobState(bw, ac_tabs[hids[ci]])
+            eob = _EobState(bw, ac_prog)
             if ah == 0:
                 _enc_ac_first(bw, coefs[ci], bh_, bw2,
-                              ac_tabs[hids[ci]], ss, se, al, eob)
+                              ac_prog, ss, se, al, eob)
             else:
                 _enc_ac_refine(bw, coefs[ci], bh_, bw2,
-                               ac_tabs[hids[ci]], ss, se, al, eob)
+                               ac_prog, ss, se, al, eob)
             eob.emit()
         ns = len(comp_idx)
         out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
         for ci in comp_idx:
-            out += bytes([ci + 1, (hids[ci] << 4) | hids[ci]])
+            out += bytes([ci + 1, (hids[ci] << 4) | 0])
         out += bytes([ss, se, (ah << 4) | al])
         out += bw.flush()
     out += b"\xff\xd9"

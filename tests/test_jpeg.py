@@ -244,3 +244,40 @@ def test_progressive_parity_property(seed, h, w, color, sub):
     np.testing.assert_array_equal(
         decode_jpeg(encode_jpeg_progressive(px, **kw)),
         decode_jpeg(encode_jpeg(px, **kw)))
+
+
+def test_progressive_scan_script_validation():
+    """Review finding: a broken successive-approximation ladder must
+    fail loudly at encode time, not silently produce wrong pixels."""
+    from cdx_toolkit_ray.stages.jpeg import encode_jpeg_progressive
+
+    px = np.full((8, 8), 130, np.uint8)
+    with pytest.raises(ValueError, match="ladder"):
+        encode_jpeg_progressive(px, scans=[
+            ([0], 0, 0, 0, 2), ([0], 0, 0, 2, 0), ([0], 1, 63, 0, 0)])
+    with pytest.raises(ValueError, match="component 5"):
+        encode_jpeg_progressive(px, scans=[([5], 0, 0, 0, 0)])
+    with pytest.raises(ValueError, match="before its DC"):
+        encode_jpeg_progressive(px, scans=[([0], 1, 63, 0, 0)])
+    with pytest.raises(ValueError, match="twice"):
+        encode_jpeg_progressive(px, scans=[
+            ([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0),
+            ([0], 1, 63, 0, 0)])
+    with pytest.raises(ValueError, match="exactly one"):
+        encode_jpeg_progressive(
+            np.full((8, 8, 3), 9, np.uint8),
+            scans=[([0, 1, 2], 0, 0, 0, 0), ([0, 1], 1, 63, 0, 0)])
+
+
+def test_truncated_sos_header_raises_valueerror():
+    from cdx_toolkit_ray.stages.jpeg import encode_jpeg_progressive
+
+    px = np.full((8, 8), 130, np.uint8)
+    blob = bytearray(encode_jpeg_progressive(px))
+    i = blob.find(b"\xff\xda")
+    # corrupt Ns upward so the header claims more components than the
+    # segment length holds
+    blob[i + 4] = 3
+    with pytest.raises(ValueError, match="SOS"):
+        from cdx_toolkit_ray.stages.jpeg import decode_jpeg as dj
+        dj(bytes(blob))
