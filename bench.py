@@ -537,6 +537,8 @@ def main() -> None:
              lambda: consume(Q.q_jpeg_roundtrip(SF_DIR))),
             ("jpeg_progressive",
              lambda: consume(Q.q_jpeg_progressive(SF_DIR))),
+            ("gif_frames",
+             lambda: consume(Q.q_gif_frames(SF_DIR))),
         ]
         # best-of-N per query (default 2): the sandbox host alternates
         # fast/slow windows shorter than one full bench pass, and the

@@ -38,7 +38,7 @@ _R5_FRONT = [k for k in (
     # 4), plus the round-5 JPEG codec entry (new, never recorded)
     "corpus_pipeline training_prep cdc_dedup semantic_dedup "
     "dsir_select hll_distinct crawl_waves recrawl png_roundtrip "
-    "jpeg_roundtrip jpeg_progressive "
+    "jpeg_roundtrip jpeg_progressive gif_frames "
     # remaining never-recorded block, catalog order
     "meta_robots nofollow_links canonical_dedup charset_sniff "
     "revalidation_plan soft404 dot_segments frontier_hygiene "

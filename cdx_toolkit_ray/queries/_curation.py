@@ -1830,6 +1830,58 @@ def q_jpeg_progressive(sf_dir: str):
     return _jpeg_tile_query(sf_dir, encode_jpeg_progressive)
 
 
+def q_gif_frames(sf_dir: str):
+    """REAL animated-GIF codec end-to-end (stages/gif.py: LZW with
+    variable code widths, GCE delays, multi-frame compositing): each
+    doc builds a deterministic animation — ``n = 1 + d%3`` frames of
+    constant palette index ``(d + f) % 8`` over a fixed 8-color
+    palette ``pal[i] = (9i%251, 17i%251, 29i%251)`` — encodes it,
+    decodes it back and reports the frame count, geometry, the pixel
+    sum over ALL composited frames and the total GCE delay. Constant
+    frames drive the LZW KwKwK case hard (long runs of one index).
+    The oracle recomputes everything in closed form; if the LZW
+    tables, sub-block framing, GCE parsing or compositing drift, the
+    hash breaks. Runs in the map task; payload bytes never
+    shuffle."""
+    from ..stages.gif import decode_gif, encode_gif
+
+    pal = np.stack([(9 * np.arange(8)) % 251,
+                    (17 * np.arange(8)) % 251,
+                    (29 * np.arange(8)) % 251], axis=1) \
+        .astype(np.uint8)
+    ds = ray.data.read_parquet(_tbl(sf_dir, "documents"),
+                               columns=["doc_id"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nf, ws, hs, sums, dls = [], [], [], [], []
+        for d in ids:
+            n = 1 + int(d % 3)
+            w = 4 + int(d % 5)
+            h = 3 + int(d % 4)
+            fr = np.stack([np.full((h, w), (int(d) + f) % 8, np.uint8)
+                           for f in range(n)])
+            blob = encode_gif(fr, pal,
+                              delays_cs=[2 + f for f in range(n)])
+            frames, delays = decode_gif(blob)
+            nf.append(frames.shape[0])
+            hs.append(frames.shape[1])
+            ws.append(frames.shape[2])
+            sums.append(int(frames.astype(np.int64).sum()))
+            dls.append(int(sum(delays)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_frames": pa.array(nf, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "px_sum": pa.array(sums, pa.int64()),
+            "delay_total": pa.array(dls, pa.int64()),
+        })
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def q_ccnet_mixture(sf_dir: str):
     """The CCNet data recipe end-to-end: perplexity-bucket every doc
     per language (head/middle/tail tertiles), DROP the tail, then fill

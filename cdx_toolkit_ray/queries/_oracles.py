@@ -3235,6 +3235,21 @@ FROM (SELECT doc_id, width, height, px_sum, n, d, m,
 """,
     "jpeg_roundtrip": _JPEG_TILE_SQL,
     "jpeg_progressive": _JPEG_TILE_SQL,
+    # gif_frames: constant-index frames over the fixed 8-color
+    # palette pal[i] = (9i, 17i, 29i) (i < 8 so the %251 in the
+    # derivation never fires and the per-pixel sum is exactly 55*i);
+    # the frame-index sum uses the single-wrap mod-8 closed form
+    # (n <= 3 < 8), delays are 2+f per frame.
+    "gif_frames": """
+SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(w * h * 55 * (n * a2 + n * (n - 1) // 2
+            - 8 * greatest(0, a2 + n - 8)) AS BIGINT) AS px_sum,
+       CAST(2 * n + n * (n - 1) // 2 AS BIGINT) AS delay_total
+FROM (SELECT doc_id, 1 + doc_id % 3 AS n, 4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h, doc_id % 8 AS a2
+      FROM documents)
+""",
     "ccnet_mixture": (r"""
 WITH tf AS (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
@@ -3366,6 +3381,13 @@ WHERE media_type = 'video'
 SELECT media_id, media_type,
        CASE WHEN substring(hex(payload), 1, 4) = '424D'
               THEN 'image/bmp'
+            WHEN substring(hex(payload), 1, 16) = '89504E470D0A1A0A'
+              THEN 'image/png'
+            WHEN substring(hex(payload), 1, 6) = 'FFD8FF'
+              THEN 'image/jpeg'
+            WHEN substring(hex(payload), 1, 8) = '47494638'
+                 AND substring(hex(payload), 9, 4) IN ('3761', '3961')
+              THEN 'image/gif'
             WHEN substring(hex(payload), 1, 8) = '52494646'
                  AND substring(hex(payload), 17, 8) = '57415645'
               THEN 'audio/wav'
@@ -4249,6 +4271,7 @@ QUERIES = {
     "png_roundtrip": q_png_roundtrip,
     "jpeg_roundtrip": q_jpeg_roundtrip,
     "jpeg_progressive": q_jpeg_progressive,
+    "gif_frames": q_gif_frames,
     "url_seen": q_url_seen,
     "url_seen_evict": q_url_seen_evict,
     "row_sample": q_row_sample,

@@ -15,6 +15,8 @@ need external libraries stay stubbed:
 * ``decoder="jpeg"``  — the REAL JPEG codec (stages/jpeg.py:
   baseline SOF0 AND progressive SOF2 huffman decode, dequant +
   vectorized IDCT, 4:2:0/4:2:2/4:4:4)
+* ``decoder="gif"``   — the REAL GIF codec (stages/gif.py: LZW,
+  palettes, transparency/disposal compositing, animation frames)
 * ``decoder="pil"`` / ``"ffmpeg"`` — raise NotImplementedError at
   actor construction with a clear message (formats that genuinely
   need the external libraries: video codecs, arithmetic-coded or
@@ -90,6 +92,8 @@ class MediaDecoder:
             self._decode = self._decode_png
         elif decoder == "jpeg":
             self._decode = self._decode_jpeg
+        elif decoder == "gif":
+            self._decode = self._decode_gif
         elif decoder in ("pil", "ffmpeg"):
             raise NotImplementedError(
                 "decoder %r needs an image/audio library not present in "
@@ -117,6 +121,24 @@ class MediaDecoder:
             lum = (299 * r + 587 * g + 114 * b) // 1000
         else:
             lum = px.astype(np.int64)
+        hist = np.bincount((lum >> 4).ravel(),
+                           minlength=16).astype(np.float32)
+        hist /= max(1.0, hist.sum())
+        return px.shape[1], px.shape[0], hist
+
+    @staticmethod
+    def _decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
+        """The REAL GIF path (stages/gif.py: LZW + compositing):
+        geometry + the FIRST frame's 16-bin luminance histogram —
+        the per-frame plumbing lives in the gif_frames entry."""
+        from .gif import decode_gif
+
+        frames, _delays = decode_gif(bytes(payload))
+        px = frames[0]
+        r, g, b = (px[..., 0].astype(np.int64),
+                   px[..., 1].astype(np.int64),
+                   px[..., 2].astype(np.int64))
+        lum = (299 * r + 587 * g + 114 * b) // 1000
         hist = np.bincount((lum >> 4).ravel(),
                            minlength=16).astype(np.float32)
         hist /= max(1.0, hist.sum())
@@ -426,6 +448,9 @@ def sniff_batch(batch: pa.Table, payload_col: str = "payload",
     is_png = (pref[:, 0:8] == np.frombuffer(_PNG_SIG, np.uint8)).all(1)
     is_jpg = ((pref[:, 0] == 0xFF) & (pref[:, 1] == 0xD8)
               & (pref[:, 2] == 0xFF))
+    is_gif = ((pref[:, 0:4] == np.frombuffer(b"GIF8", np.uint8)).all(1)
+              & ((pref[:, 4] == 0x37) | (pref[:, 4] == 0x39))
+              & (pref[:, 5] == 0x61))
     is_wav = ((pref[:, 0:4] == np.frombuffer(b"RIFF", np.uint8)).all(1)
               & (pref[:, 8:12] == np.frombuffer(b"WAVE", np.uint8))
               .all(1))
@@ -433,10 +458,12 @@ def sniff_batch(batch: pa.Table, payload_col: str = "payload",
     ws = np.isin(pref, np.frombuffer(b" \t\r\n", np.uint8))
     first_nonws = np.argmax(~ws, axis=1)
     fb = pref[np.arange(n), first_nonws]
-    is_html = (fb == 0x3C) & ~is_bmp & ~is_wav & ~is_png & ~is_jpg
+    is_html = (fb == 0x3C) & ~is_bmp & ~is_wav & ~is_png & ~is_jpg \
+        & ~is_gif
     out[is_bmp] = "image/bmp"
     out[is_png] = "image/png"
     out[is_jpg] = "image/jpeg"
+    out[is_gif] = "image/gif"
     out[is_wav] = "audio/wav"
     out[is_html] = "text/html"
     if out_col in batch.column_names:
