@@ -290,6 +290,8 @@ def decode_gif(payload: bytes):
             label = d[pos]
             pos += 1
             if label == 0xF9:               # GCE
+                if pos + 6 > len(d):
+                    raise ValueError("truncated GCE")
                 ln = d[pos]
                 if ln != 4:
                     raise ValueError("bad GCE length %d" % ln)
@@ -307,6 +309,8 @@ def decode_gif(payload: bytes):
         if b != 0x2C:
             raise ValueError("unknown GIF block 0x%02X" % b)
         # image descriptor
+        if pos + 9 > len(d):
+            raise ValueError("truncated image descriptor")
         fx, fy, fw, fh = struct.unpack("<HHHH", d[pos:pos + 8])
         iflags = d[pos + 8]
         pos += 9
@@ -322,6 +326,8 @@ def decode_gif(payload: bytes):
             pos += 3 * k
         if pal is None:
             raise ValueError("frame without any color table")
+        if pos >= len(d):
+            raise ValueError("truncated image data")
         mcs = d[pos]
         pos += 1
         if not 2 <= mcs <= 11:
