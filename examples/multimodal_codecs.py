@@ -2,8 +2,8 @@
 """Multimodal decode over a mixed-media binary column with the REAL
 pure-numpy codecs: sniff each payload's magic bytes, route image rows
 through the actor-pool decoders (PNG incl. packed sub-8-bit depths,
-JPEG baseline AND progressive), and report per-format geometry and
-luminance features — the plumbing a 100-TB image-bearing crawl
+JPEG baseline AND progressive, animated GIF), and report per-format
+geometry and luminance features — the plumbing a 100-TB image-bearing crawl
 pipeline runs, minus only the exotic formats (video, arithmetic-coded
 JPEG) that stay loud NotImplementedError boundaries.
 
@@ -24,6 +24,7 @@ import ray.data
 def build_media_table(n: int = 48) -> pa.Table:
     """Deterministic mixed corpus: BMP, packed PNG, baseline JPEG,
     progressive JPEG, WAV and HTML rows interleaved."""
+    from cdx_toolkit_ray.stages.gif import encode_gif
     from cdx_toolkit_ray.stages.jpeg import (encode_jpeg,
                                              encode_jpeg_progressive)
     from cdx_toolkit_ray.stages.multimodal import encode_bmp, encode_wav
@@ -32,7 +33,7 @@ def build_media_table(n: int = 48) -> pa.Table:
     rng = np.random.RandomState(42)
     rows = []
     for i in range(n):
-        kind = i % 6
+        kind = i % 7
         if kind == 0:
             px = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
             rows.append(encode_bmp(px))
@@ -49,6 +50,10 @@ def build_media_table(n: int = 48) -> pa.Table:
         elif kind == 4:
             samples = rng.randint(-2000, 2000, 256).astype(np.int16)
             rows.append(encode_wav(samples, 16000))
+        elif kind == 5:
+            pal = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+            anim = rng.randint(0, 8, (3, 10, 14)).astype(np.uint8)
+            rows.append(encode_gif(anim, pal, delays_cs=[4, 4, 4]))
         else:
             rows.append(b"<html><body>not media</body></html>")
     return pa.table({
@@ -75,7 +80,8 @@ def main() -> None:
     # magic bytes do not
     import pyarrow.compute as pc
 
-    for mime, decoder in [("image/png", "png"), ("image/jpeg", "jpeg")]:
+    for mime, decoder in [("image/png", "png"), ("image/jpeg", "jpeg"),
+                          ("image/gif", "gif")]:
         sub = ds.map_batches(
             lambda b, m=mime: b.filter(pc.equal(b["sniffed_type"], m)),
             batch_format="pyarrow", batch_size=None)
