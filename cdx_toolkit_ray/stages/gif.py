@@ -205,6 +205,11 @@ def encode_gif(frames: np.ndarray, palette: np.ndarray, *,
         delays_cs = [10] * n
     if len(delays_cs) != n:
         raise ValueError("need one delay per frame")
+    if any(not 0 <= int(x) <= 0xFFFF for x in delays_cs):
+        raise ValueError("delays_cs values must fit 0..65535")
+    if transparent is not None and \
+            not 0 <= transparent < len(palette):
+        raise ValueError("transparent index outside the palette")
     # palette size rounds up to a power of two >= 2
     depth = max(1, int(len(palette) - 1).bit_length())
     ncolors = 1 << depth
@@ -235,18 +240,32 @@ def encode_gif(frames: np.ndarray, palette: np.ndarray, *,
 # Decoder
 # ---------------------------------------------------------------------------
 
-def decode_gif(payload: bytes):
+def decode_gif(payload: bytes, *, max_pixels: int = 1 << 24,
+               max_frames: int = 4096,
+               max_output_bytes: int = 1 << 28):
     """GIF bytes -> ``(frames, delays_cs)``: frames is an
     (n, h, w, 3) uint8 array of the COMPOSITED logical screen after
     each image (transparency and disposal methods applied the way a
     browser renders), delays the per-frame GCE delay in
-    centiseconds (0 where absent)."""
+    centiseconds (0 where absent).
+
+    Decompression-bomb guards (review finding — a ~5 KB file can
+    declare a 65535x65535 screen with thousands of 1x1 frames): the
+    logical screen is capped at ``max_pixels``, the animation at
+    ``max_frames``, and the total decoded output at
+    ``max_output_bytes``; each raises ValueError naming the knob, so
+    untrusted payloads routed by ``sniff_batch`` cannot OOM a
+    worker. Raise the limits explicitly for known-good inputs."""
     d = payload
     if d[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     if len(d) < 13:
         raise ValueError("truncated GIF header")
     w, h = struct.unpack("<HH", d[6:10])
+    if h * w > max_pixels:
+        raise ValueError(
+            "logical screen %dx%d exceeds max_pixels=%d (raise the "
+            "limit for known-good inputs)" % (w, h, max_pixels))
     flags, bg, _ar = d[10], d[11], d[12]
     pos = 13
     gct = None
@@ -330,7 +349,10 @@ def decode_gif(payload: bytes):
             raise ValueError("truncated image data")
         mcs = d[pos]
         pos += 1
-        if not 2 <= mcs <= 11:
+        # spec max is 8 (palettes cap at 256 colors); 9-11 would also
+        # let invalid >=256 root codes wrap the uint8 index buffers
+        # silently (review finding)
+        if not 2 <= mcs <= 8:
             raise ValueError("bad LZW minimum code size %d" % mcs)
         chunks = []
         while True:
@@ -356,6 +378,14 @@ def decode_gif(payload: bytes):
                     src += 1
             grid = de
 
+        if len(frames) >= max_frames:
+            raise ValueError(
+                "animation exceeds max_frames=%d (raise the limit "
+                "for known-good inputs)" % max_frames)
+        if (len(frames) + 1) * h * w * 3 > max_output_bytes:
+            raise ValueError(
+                "decoded frames exceed max_output_bytes=%d (raise "
+                "the limit for known-good inputs)" % max_output_bytes)
         before = canvas.copy() if disposal == 3 else None
         region = canvas[fy:fy + fh, fx:fx + fw]
         rgb = pal[grid]

@@ -77,6 +77,23 @@ def fake_media_parquet(n: int = 256, seed: int = 42) -> str:
     return path
 
 
+def _lum_hist(px: np.ndarray) -> np.ndarray:
+    """Shared decoded-pixels -> normalized 16-bin luminance histogram
+    (gray value, or integer BT.601 luma for rgb) — the ONE feature
+    contract of every image decoder path."""
+    if px.ndim == 3:
+        r, g, b = (px[..., 0].astype(np.int64),
+                   px[..., 1].astype(np.int64),
+                   px[..., 2].astype(np.int64))
+        lum = (299 * r + 587 * g + 114 * b) // 1000
+    else:
+        lum = px.astype(np.int64)
+    hist = np.bincount((lum >> 4).ravel(),
+                       minlength=16).astype(np.float32)
+    hist /= max(1.0, hist.sum())
+    return hist
+
+
 class MediaDecoder:
     """Actor-pool stage: payload -> decoded features.
 
@@ -114,17 +131,7 @@ class MediaDecoder:
         from .jpeg import decode_jpeg
 
         px = decode_jpeg(bytes(payload))
-        if px.ndim == 3:
-            r, g, b = (px[..., 0].astype(np.int64),
-                       px[..., 1].astype(np.int64),
-                       px[..., 2].astype(np.int64))
-            lum = (299 * r + 587 * g + 114 * b) // 1000
-        else:
-            lum = px.astype(np.int64)
-        hist = np.bincount((lum >> 4).ravel(),
-                           minlength=16).astype(np.float32)
-        hist /= max(1.0, hist.sum())
-        return px.shape[1], px.shape[0], hist
+        return px.shape[1], px.shape[0], _lum_hist(px)
 
     @staticmethod
     def _decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -135,31 +142,14 @@ class MediaDecoder:
 
         frames, _delays = decode_gif(bytes(payload))
         px = frames[0]
-        r, g, b = (px[..., 0].astype(np.int64),
-                   px[..., 1].astype(np.int64),
-                   px[..., 2].astype(np.int64))
-        lum = (299 * r + 587 * g + 114 * b) // 1000
-        hist = np.bincount((lum >> 4).ravel(),
-                           minlength=16).astype(np.float32)
-        hist /= max(1.0, hist.sum())
-        return px.shape[1], px.shape[0], hist
+        return px.shape[1], px.shape[0], _lum_hist(px)
 
     @staticmethod
     def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         """The REAL codec path: decode_png + 16-bin luminance
         histogram (gray value, or integer BT.601 luma for rgb)."""
         px = decode_png(bytes(payload))
-        if px.ndim == 3:
-            r, g, b = (px[..., 0].astype(np.int64),
-                       px[..., 1].astype(np.int64),
-                       px[..., 2].astype(np.int64))
-            lum = (299 * r + 587 * g + 114 * b) // 1000
-        else:
-            lum = px.astype(np.int64)
-        hist = np.bincount((lum >> 4).ravel(),
-                           minlength=16).astype(np.float32)
-        hist /= max(1.0, hist.sum())
-        return px.shape[1], px.shape[0], hist
+        return px.shape[1], px.shape[0], _lum_hist(px)
 
     @staticmethod
     def _decode_fake(payload: bytes) -> tuple[int, int, np.ndarray]:

@@ -23,7 +23,7 @@ import ray.data
 
 def build_media_table(n: int = 48) -> pa.Table:
     """Deterministic mixed corpus: BMP, packed PNG, baseline JPEG,
-    progressive JPEG, WAV and HTML rows interleaved."""
+    progressive JPEG, WAV, animated GIF and HTML rows interleaved."""
     from cdx_toolkit_ray.stages.gif import encode_gif
     from cdx_toolkit_ray.stages.jpeg import (encode_jpeg,
                                              encode_jpeg_progressive)

@@ -183,3 +183,47 @@ def test_subblock_framing_over_255_bytes():
         joined += blocks[p:p + ln]
         p += ln
     assert bytes(joined) == data and p == len(blocks)
+
+
+def test_decompression_bomb_guards():
+    """A ~KB crafted file cannot force multi-GB allocations (review
+    finding): logical-screen, frame-count and output-byte caps all
+    raise ValueError naming the knob."""
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    blob = bytearray(encode_gif(np.zeros((4, 4), np.uint8), pal))
+    big = bytearray(blob)
+    big[6:10] = struct.pack("<HH", 60000, 60000)
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_gif(bytes(big))
+    # many tiny frames: repeat the image block
+    i = blob.index(0x2C)
+    img = bytes(blob[i:-1])
+    many = bytes(blob[:i]) + img * 50 + b"\x3b"
+    with pytest.raises(ValueError, match="max_frames"):
+        decode_gif(many, max_frames=10)
+    with pytest.raises(ValueError, match="max_output_bytes"):
+        decode_gif(many, max_output_bytes=400)
+    # known-good inputs pass with raised limits
+    frames, _ = decode_gif(many)
+    assert frames.shape[0] == 50
+
+
+def test_invalid_lzw_code_size_rejected():
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    blob = bytearray(encode_gif(np.zeros((4, 4), np.uint8), pal))
+    i = blob.index(0x2C)
+    assert blob[i + 10] == 2            # encoder's mcs for 1-bit pal
+    blob[i + 10] = 9                    # spec max is 8
+    with pytest.raises(ValueError, match="code size"):
+        decode_gif(bytes(blob))
+
+
+def test_encoder_delay_and_transparent_validation():
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    fr = np.zeros((2, 2), np.uint8)
+    with pytest.raises(ValueError, match="65535"):
+        encode_gif(fr, pal, delays_cs=[70000])
+    with pytest.raises(ValueError, match="65535"):
+        encode_gif(fr, pal, delays_cs=[-1])
+    with pytest.raises(ValueError, match="transparent"):
+        encode_gif(fr, pal, transparent=5)
